@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Every operator in the engine takes `(SparkSession, sfDir)` and loads
+  * through here, so reads stay declarative: Catalyst pushes filters and
+  * column pruning into the vectorized Parquet scan, which is the behavior
+  * we rely on at 100 TB (partition pruning + column projection instead of
+  * the reference's full-file materialization, e.g.
+  * /root/reference/code/embeddings.py:13-27 loading a corpus into RAM).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long via the legacy
+    * conf, then surface a proper TimestampType truncated to micros —
+    * bit-identical to DuckDB's nanosecond value at second/day granularity
+    * (session TZ is UTC on both engines). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` (integral division) — a double divide would lose precision on
+    // nanosecond epochs (~1.7e18 > 2^53).
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

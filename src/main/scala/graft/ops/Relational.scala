@@ -1,0 +1,409 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator surface — SURVEY.md §2.2–§2.7.
+  *
+  * Each query is a named builder registered in [[graft.SparkEntry]] with a
+  * DuckDB oracle. Conventions for oracle parity:
+  *   - every computed column is aliased identically on both sides;
+  *   - doubles are rounded (Spark HALF_UP == DuckDB half-away for positives);
+  *   - every result has a total ORDER BY so row order is deterministic;
+  *   - NULL sort position is explicit where sort keys are nullable.
+  *
+  * Scale notes are inline per query: these run on sf parquet locally but are
+  * shaped for a 1000-executor cluster (broadcast the small side, pre-aggregate
+  * before join, no driver-side collect, no single-partition windows).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary (SURVEY A1/A3: column sums and group
+    * counts, cf. reference preview_file_downloads.ipynb:cell-4 `sum(size)`).
+    * Partial (map-side) aggregation + final hash agg; single shuffle on the
+    * 2-value group key. Filter is pushed to the Parquet scan. */
+  val q01PricingSummary: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** The reference's first question — "how many files / how many GB"
+    * (preview_file_downloads.ipynb:cell-3,cell-4: shape + sum(size)/1e9).
+    * One-pass global aggregate, no shuffle beyond the final reduce. */
+  val q02CorpusSize: Q = (s, d) => {
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_files"),
+      round(sum(col("l_extendedprice")) / lit(1e9), 6).as("total_gb"))
+  }
+
+  /** Value-counts / group-count (A3, bertopicTest.py:107-108 Counter). */
+  val q03GroupCount: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+  }
+
+  /** Ratio-of-total per group (A4, bertopicTest.py:110-112).
+    * Implemented as group-agg cross-joined with the broadcast scalar total —
+    * NOT `Window.partitionBy()` (a single-partition window is a scale
+    * bottleneck; the broadcast nested-loop join with a 1-row side is free). */
+  val q04RatioOfTotal: Q = (s, d) => {
+    val counts = Tables.documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val total  = Tables.documents(s, d).agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("n"), round(col("n") * lit(100.0) / col("total"), 4).as("pct"))
+      .orderBy(col("lang"))
+  }
+
+  /** Distinct count of non-outlier groups (A5, bertopicTest.py:127).
+    * Exact here; at 100 TB the same query ships as approx_count_distinct
+    * (HLL) — see q05b in Bench. */
+  val q05DistinctCount: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") =!= lit("N"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  /** Top-k per group via ranking window (A7, bertopicTest.py:93-100 top words
+    * per topic). Window partitioned by the group key — parallel across
+    * groups, no global sort. */
+  val q06TopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Global sort (O1, bertopicTest.py:93 `sorted(...)`). Range-partitioned
+    * shuffle sort — scales linearly; no driver collect. */
+  val q07Sort: Q = (s, d) => {
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Top-k by measure (O3, bertopicTest.py:162 top-n topics). Catalyst plans
+    * TakeOrderedAndProject: per-partition heap + driver merge of k rows —
+    * the 100 TB-safe top-k. */
+  val q08Topk: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** String-contains filter (F1, preview_data.ipynb:cell-4). Predicate is
+    * codegen'd `Contains`; pushed down as a parquet row-group filter. */
+  val q09FilterContains: Q = (s, d) => {
+    Tables.documents(s, d)
+      .filter(col("text").contains("join"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Prefix/suffix predicates (F2/C2, ID_matching_metadata.py:72 endswith,
+    * :34 startswith). */
+  val q10PrefixSuffix: Q = (s, d) => {
+    Tables.documents(s, d)
+      .filter(col("source").startsWith("src1") && col("source").endsWith("3"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Resume-offset slice (F6, download_image_files.py:23 `files[last:]`),
+    * expressed as row_number over a total order + range predicate. At scale
+    * the order-by key is the checkpointed offset column, so the window is a
+    * single pass; streaming checkpoints replace this entirely (§2.9). */
+  val q11Slice: Q = (s, d) => {
+    val w = Window.orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 100 && col("rn") <= 200)
+      .orderBy(col("rn"))
+  }
+
+  /** Semi-join: filter-by-list (J1, preview_data.ipynb:cell-4→cell-9 —
+    * members whose filename is in the GPS-detected list). Broadcast hash
+    * left-semi: the filter list is always the small side. */
+  val q12SemiJoin: Q = (s, d) => {
+    val hot = Tables.orders(s, d).filter(col("o_orderstatus") === lit("F"))
+      .select(col("o_custkey").as("c_custkey"))
+    Tables.customer(s, d)
+      .join(broadcast(hot), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ID-matching inner join across datasets (J2, ID_matching_metadata.py —
+    * posts↔metadata↔media by shared ID). Three-way equi join + aggregation:
+    * nation is broadcast (25 rows); customer⋈orders⋈lineitem shuffle on the
+    * join keys with AQE free to pick broadcast as sides shrink. Revenue is
+    * pre-aggregated per orderkey BEFORE the join with orders-side columns —
+    * shrinks the shuffle at 100 TB. */
+  val q13JoinRevenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Anti-join (engine completion of §2.3's absent-row: NOT EXISTS). */
+  val q14AntiJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    Tables.customer(s, d)
+      .join(o, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left outer join + per-group count of the nullable side. */
+  val q15OuterJoin: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_custs"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Schema-merging union (U1 — THE reference operator:
+    * preview_data.ipynb:cell-9/10, 86→640-col sparse concat of 68,588
+    * frames). The O(n²) pandas concat loop becomes one `unionByName` with
+    * allowMissingColumns — O(n), no shuffle, missing columns are nulls. */
+  val q16UnionMerge: Q = (s, d) => {
+    val a = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), lit("a").as("side"))
+    val b = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"), lit("b").as("side"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("doc_id"), col("side"))
+  }
+
+  /** Set intersect (distinct semantics, engine completion §2.7). */
+  val q17Intersect: Q = (s, d) => {
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Set except (distinct semantics, engine completion §2.7). */
+  val q18Except: Q = (s, d) => {
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Ranking + analytic window functions (engine completion §2.5:
+    * row_number/rank/dense_rank/lag/lead). Partitioned by customer — scales
+    * with customer count; total order within partition via (date, key). */
+  val q19WindowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("rk"),
+        col("prev_price"), col("next_price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Frame-spec window: running sum (engine completion §2.5 rowsBetween). */
+  val q20RunningSum: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Rollup (engine completion §2.4). Grouping-set expansion is one shuffle;
+    * null grouping keys sort FIRST on both engines by explicit spec. */
+  val q21Rollup: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Cube (engine completion §2.4). */
+  val q22Cube: Q = (s, d) => {
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Per-record status channel (T6, ID_matching_metadata.py:60-64 — errors
+    * become data, the job never fails). when/otherwise is codegen'd. */
+  val q23StatusChannel: Q = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("status",
+        when(col("event_type") === lit("error"), lit("error"))
+          .when(col("value") > 100, lit("high_value"))
+          .otherwise(lit("ok")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("status"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_corpus_size"     -> q02CorpusSize,
+    "q03_group_count"     -> q03GroupCount,
+    "q04_ratio_of_total"  -> q04RatioOfTotal,
+    "q05_distinct_count"  -> q05DistinctCount,
+    "q06_topk_per_group"  -> q06TopkPerGroup,
+    "q07_sort"            -> q07Sort,
+    "q08_topk"            -> q08Topk,
+    "q09_filter_contains" -> q09FilterContains,
+    "q10_prefix_suffix"   -> q10PrefixSuffix,
+    "q11_slice"           -> q11Slice,
+    "q12_semi_join"       -> q12SemiJoin,
+    "q13_join_revenue"    -> q13JoinRevenue,
+    "q14_anti_join"       -> q14AntiJoin,
+    "q15_outer_join"      -> q15OuterJoin,
+    "q16_union_merge"     -> q16UnionMerge,
+    "q17_intersect"       -> q17Intersect,
+    "q18_except"          -> q18Except,
+    "q19_window_rank"     -> q19WindowRank,
+    "q20_running_sum"     -> q20RunningSum,
+    "q21_rollup"          -> q21Rollup,
+    "q22_cube"            -> q22Cube,
+    "q23_status_channel"  -> q23StatusChannel,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_corpus_size" ->
+      "SELECT count(*) AS n_files, round(sum(l_extendedprice) / 1e9, 6) AS total_gb FROM lineitem",
+    "q03_group_count" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
+    "q04_ratio_of_total" ->
+      """SELECT lang, count(*) AS n,
+        |  round(count(*) * 100.0 / (SELECT count(*) FROM documents), 4) AS pct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_distinct_count" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem WHERE l_returnflag <> 'N'""".stripMargin,
+    "q06_topk_per_group" ->
+      """SELECT lang, rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+    "q07_sort" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_mktsegment, c_custkey",
+    "q08_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q09_filter_contains" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE contains(text, 'join') ORDER BY doc_id""".stripMargin,
+    "q10_prefix_suffix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE starts_with(source, 'src1') AND ends_with(source, '3') ORDER BY doc_id""".stripMargin,
+    "q11_slice" ->
+      """SELECT event_id, event_type, rn FROM (
+        |  SELECT event_id, event_type, row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn > 100 AND rn <= 200 ORDER BY rn""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_join_revenue" ->
+      """SELECT n_name, round(sum(rev), 2) AS revenue, count(*) AS n_orders FROM (
+        |  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1) li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_outer_join" ->
+      """SELECT n_name, count(c_custkey) AS n_custs
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_union_merge" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, lang, 'a' AS side FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT doc_id, source, n_chars, 'b' AS side FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY doc_id, side""".stripMargin,
+    "q17_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q18_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q19_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, rk, prev_price, next_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn, rank() OVER w AS rk,
+        |    round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |    round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q20_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q22_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q23_status_channel" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'error'
+        |            WHEN value > 100 THEN 'high_value'
+        |            ELSE 'ok' END AS status,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

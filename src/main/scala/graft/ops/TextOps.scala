@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Html, TextFns}
+
+/** Text-analysis operator surface — SURVEY §2.8 C3-C9 + the north-star
+  * text-analysis block (language stats, quality scoring, token counting,
+  * fingerprinting, exact dedup) over the `documents` table.
+  *
+  * Everything except `html_post_text` is built-in expressions — codegen'd,
+  * narrow (no shuffle until the final group-by), pushdown-friendly. At
+  * 100 TB these are single-pass scans; the group-bys key on low-cardinality
+  * columns (lang/status) so the shuffle is the partial-agg output, not data.
+  */
+object TextOps {
+  import Relational.Q
+
+  /** HTML→text extraction (C8/C9, htmlConverter.py:12-43). Post-card HTML is
+    * constructed around each document's text (script + whitelisted/dropped
+    * imgs + a decoy div), extracted with the scanner UDF, and fingerprinted;
+    * the oracle recomputes the expected text independently — validating
+    * selector scoping, script-stripping, and the alt-text markers. */
+  val q30HtmlExtract: Q = (s, d) => {
+    val html = concat(
+      lit("""<html><body><div class="post--card--wrapper"><script>var x = 1 < 2;</script><p>"""),
+      col("text"),
+      lit("""</p><img alt="Impressions"><img src="a.png" alt="decorative"></div>"""),
+      lit("""<div class="other">IGNORED</div></body></html>"""))
+    Tables.documents(s, d)
+      .withColumn("extracted", Html.html_post_text(html))
+      .select(col("doc_id"), md5(col("extracted")).as("fp"),
+        length(col("extracted")).as("n_extracted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting + whitespace normalization + fingerprint (C4/C5 +
+    * north-star token counting / document fingerprinting). */
+  val q31Tokens: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        length(TextFns.normText(col("text"))).as("n_chars_norm"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** String scalar battery (C2/C3/C5/C6: concat, extension rewrite, trim,
+    * length — htmlConverter.py:49 `.replace(".html",".txt")`). */
+  val q32StringFuncs: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("fname", concat(lit("doc_"), col("doc_id"), lit(".html")))
+      .select(col("doc_id"),
+        regexp_replace(col("fname"), "\\.html$", ".txt").as("txt_name"),
+        concat_ws(":", col("source"), col("lang")).as("tag"),
+        length(trim(col("text"))).as("len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language corpus stats (M9 north-star text stats). */
+  val q33LangStats: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Quality scoring (north-star): token count, average word length,
+    * stopword ratio → composite score. Mirrors the length/stopword heuristics
+    * a pretraining-data pipeline applies before training. */
+  val q34Quality: Q = (s, d) => {
+    val stop = Seq("the", "a", "of", "and", "or", "to", "in")
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+    val charsNoSpace = length(regexp_replace(TextFns.normText(col("text")), " ", "")).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        round(charsNoSpace / nTok, 4).as("avg_word_len"),
+        round(nStop / nTok, 4).as("stop_ratio"),
+        round(least(nTok / 50.0, lit(1.0)) * (lit(1.0) - nStop / nTok), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic (north-star): stopword-marker voting. The corpus
+    * is synthetic so the markers key on the generator's vocabulary; the
+    * operator shape (per-language marker hit counts → argmax) is the real
+    * n-gram language-ID structure. */
+  val q35LangId: Q = (s, d) => {
+    val norm = TextFns.normText(col("text"))
+    val guess = when(norm.contains(" the "), "en")
+      .when(norm.contains(" la "), "es")
+      .when(norm.contains(" der "), "de")
+      .otherwise("und")
+    Tables.documents(s, d)
+      .withColumn("guess", guess)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  /** Exact deduplication (north-star M6): group by content fingerprint,
+    * keep the smallest doc_id as canonical. One shuffle on the hash key —
+    * the 100 TB-standard exact-dedup plan (hash-partition by digest). */
+  val q36DedupExact: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(TextFns.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+  }
+
+  /** Dedup summary: corpus size before/after exact dedup. */
+  val q37DedupSummary: Q = (s, d) => {
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextFns.fingerprint(col("text"))).as("n_unique"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q30_html_extract"  -> q30HtmlExtract,
+    "q31_tokens"        -> q31Tokens,
+    "q32_string_funcs"  -> q32StringFuncs,
+    "q33_lang_stats"    -> q33LangStats,
+    "q34_quality"       -> q34Quality,
+    "q35_lang_id"       -> q35LangId,
+    "q36_dedup_exact"   -> q36DedupExact,
+    "q37_dedup_summary" -> q37DedupSummary,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q30_html_extract" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(text, '\s+', ' ', 'g')) || ' [Impressions]:') AS fp,
+        |  length(trim(regexp_replace(text, '\s+', ' ', 'g')) || ' [Impressions]:') AS n_extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens,
+        |  length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n_chars_norm,
+        |  md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_string_funcs" ->
+      """SELECT doc_id,
+        |  regexp_replace('doc_' || doc_id || '.html', '\.html$', '.txt') AS txt_name,
+        |  source || ':' || lang AS tag,
+        |  length(trim(text)) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_lang_stats" ->
+      """SELECT lang, source, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q34_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) AS n_stop,
+        |    CAST(length(replace(norm, ' ', '')) AS DOUBLE) AS chars_ns
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  round(chars_ns / n_tok, 4) AS avg_word_len,
+        |  round(n_stop / n_tok, 4) AS stop_ratio,
+        |  round(least(n_tok / 50.0, 1.0) * (1.0 - n_stop / n_tok), 4) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q35_lang_id" ->
+      """SELECT lang,
+        |  CASE WHEN contains(trim(regexp_replace(text, '\s+', ' ', 'g')), ' the ') THEN 'en'
+        |       WHEN contains(trim(regexp_replace(text, '\s+', ' ', 'g')), ' la ') THEN 'es'
+        |       WHEN contains(trim(regexp_replace(text, '\s+', ' ', 'g')), ' der ') THEN 'de'
+        |       ELSE 'und' END AS guess,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q36_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_dedup_summary" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Gps, TextFns}
+
+/** Unit + property-style tests for the scalar function layer (C4/C13/C14).
+  * Property cases are enumerated deterministically (seeded) so the suite is
+  * reproducible without a scalacheck-bridge dependency. */
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  test("dms_to_decimal parses the reference-shaped DMS strings (preview_data.ipynb:cell-8)") {
+    val df = Seq(
+      """38 deg 55' 58.80" N""",
+      """77 deg 2' 11.40" W""",
+      """0 deg 0' 0.0" N""",
+      "garbage").toDF("dms")
+    val got = df.select(Gps.dmsToDecimal($"dms").as("d")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(math.abs(got(0).get - 38.933) < 1e-9)
+    assert(math.abs(got(1).get - (-77.03650)) < 1e-4)
+    assert(got(2).get == 0.0)
+    assert(got(3).isEmpty)
+  }
+
+  test("dms roundtrip property: construct -> parse recovers the value") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(50)((rnd.nextInt(90), rnd.nextInt(60), rnd.nextInt(600)))
+    val rows = cases.map { case (deg, m, s10) =>
+      val sec = s10 / 10.0
+      (f"""$deg deg $m' $sec%.1f" S""", -(deg + m / 60.0 + sec / 3600.0))
+    }
+    val got = rows.toDF("dms", "want")
+      .select(Gps.dmsToDecimal($"dms").as("d"), $"want").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("exif timestamp parse with zone (C14)") {
+    val df = Seq("2021:01:04 18:59:50-05:00").toDF("s")
+      .select(date_format(Gps.exifTimestamp($"s"), "yyyy-MM-dd HH:mm:ss").as("utc"))
+    assert(df.head().getString(0) == "2021-01-04 23:59:50") // UTC session TZ
+  }
+
+  test("whitespace normalization is idempotent and canonical (C4 property)") {
+    val rnd = new scala.util.Random(7)
+    val atoms = Seq("ab", "x1", " ", "\t", "\n", "  ", "word")
+    val cases = Seq.fill(100)(Seq.fill(rnd.nextInt(12))(atoms(rnd.nextInt(atoms.length))).mkString)
+    val once = cases.toDF("t").select(TextFns.normText($"t").as("n")).collect().map(_.getString(0))
+    val twice = once.toSeq.toDF("t").select(TextFns.normText($"t").as("n")).collect().map(_.getString(0))
+    once.zip(twice).foreach { case (a, b) => assert(a == b) }
+    once.foreach(s => assert(!s.contains("  ") && s == s.trim))
+  }
+
+  test("token count matches reference ' '.join(split()) semantics") {
+    val df = Seq(("a  b\tc\nd ", 4), ("single", 1)).toDF("t", "want")
+    df.select(TextFns.tokenCount($"t").as("n"), $"want").collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+    }
+  }
+
+  test("word shingles produce distinct space-joined n-grams") {
+    val df = Seq("a b c d").toDF("t")
+    val got = df.select(TextFns.wordShingles($"t", 2).as("s")).head().getSeq[String](0)
+    assert(got == Seq("a b", "b c", "c d"))
+  }
+}

@@ -29,19 +29,25 @@ object TextFns {
   def fingerprint(c: Column): Column = md5(normText(c))
 
   /** Character n-gram shingles of the normalized text (dedup/minhash input).
-    * Implemented with sequence+transform — stays in codegen, no UDF. */
+    * Implemented with sequence+transform — stays in codegen, no UDF.
+    * Texts shorter than n chars yield an empty array. */
   def charShingles(c: Column, n: Int): Column = {
     val s = normText(c)
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(s) - n, lit(0))),
-      i => substring(s, 1, Int.MaxValue).substr(i + 1, lit(n))))
+    when(length(s) >= n,
+      array_distinct(transform(
+        sequence(lit(0), length(s) - n),
+        i => s.substr(i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Word n-gram shingles joined by single spaces. */
+  /** Word n-gram shingles joined by single spaces. Texts with fewer than n
+    * tokens yield an empty array (no partial shingles). */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 }

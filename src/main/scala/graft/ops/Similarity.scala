@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors
+
+/** Similarity-search operator surface over the `embeddings` table
+  * (north-star M8: ANN / top-k cosine — reference embedding matrix,
+  * /root/reference/code/embeddings.py:82-123).
+  *
+  * Two tiers, same contract:
+  *   - exact: brute-force cosine with the small side broadcast — correct at
+  *     any recall target, O(Q·N), right when the query set is small;
+  *   - LSH-bucketed: random-hyperplane buckets → candidates → verify —
+  *     the 100 TB path (shuffle on bucket key, linear in N).
+  * All vector math is double-widened (functions.Vectors) so results are
+  * bit-comparable to the DuckDB double-math oracle.
+  */
+object Similarity {
+  import Relational.Q
+
+  /** Per-vector L2 norm (sanity surface for the normalized-embedding
+    * invariant the reference maintains, embeddings.py:119). */
+  val q41VectorNorms: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        round(Vectors.norm2(col("embedding")), 4).as("norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-label centroid components (first 8 dims): array analytics via
+    * posexplode + group-by. Scale: explode is narrow; the shuffle keys on
+    * (label, pos) — bounded cardinality. */
+  val q42Centroids: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 4).as("avg_v"), count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** Exact all-pairs cosine similarity ≥ 0.4 (near-duplicate surface over
+    * embeddings). The left side is broadcast (embeddings fit comfortably:
+    * N ≤ a few 10⁵ rows × 64 floats); the pair predicate `a < b` halves the
+    * work. At 100 TB this exact variant is the per-bucket verifier inside
+    * q44's LSH plan, not a standalone scan. */
+  val q43CosinePairs: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    broadcast(a).join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", Vectors.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Exact top-k (k=3) cosine neighbors for a fixed query set (vec_id < 10).
+    * Queries are broadcast; ranking is a per-query window (partitioned —
+    * parallel across queries, no global sort). */
+  val q44KnnBrute: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("c_id"))
+    broadcast(queries).join(cands, col("q_id") =!= col("c_id"))
+      .withColumn("cos_raw", Vectors.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("c_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** IVF-style approximate nearest neighbor — the 100 TB scale path.
+    * Coarse quantizer: random-hyperplane sign bucket (6 planes → 64 cells,
+    * two independent tables as multi-probe). Search touches only the
+    * query's own cell(s): per vector, the best in-cell neighbor by cosine
+    * across both tables. Shuffles key on (table, bucket) — linear in N with
+    * bounded cells, vs q43's all-pairs. Approximate by construction (the
+    * true NN may sit in another cell) → rows-only driver check; recall vs
+    * q44's exact top-k is measured in the unit suite. */
+  val q45AnnIvf: Q = (s, d) => {
+    val nPlanes = 6
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val tables = (0 until 2).map { t =>
+      e.select(col("vec_id"), col("embedding"),
+        lit(t).as("tbl"), Vectors.hyperplaneBucket(col("embedding"), nPlanes, seed = 100 + t).as("bucket"))
+    }.reduce(_ unionByName _)
+    // multi-probe: each query also searches every Hamming-1 neighbor cell
+    // (sign-boundary neighbors live one bit-flip away)
+    val probes = tables.select(col("vec_id"), col("embedding"), col("tbl"),
+      explode(array(col("bucket") +: (0 until nPlanes).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val pairs = probes.as("x").join(tables.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("cand_id"),
+        Vectors.cosine(col("x.embedding"), col("y.embedding")).as("cos_raw"))
+      .groupBy(col("vec_id"), col("cand_id")).agg(max(col("cos_raw")).as("cos_raw"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_raw").desc, col("cand_id"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cand_id").as("nn_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q41_vector_norms" -> q41VectorNorms,
+    "q42_centroids"    -> q42Centroids,
+    "q43_cosine_pairs" -> q43CosinePairs,
+    "q44_knn_brute"    -> q44KnnBrute,
+    "q45_ann_ivf"      -> q45AnnIvf,
+  )
+
+  /** DuckDB double-math vector expressions (mirror functions.Vectors). */
+  private def duckDot(a: String, b: String) =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
+  private def duckNorm(a: String) =
+    s"sqrt(${duckDot(a, a)})"
+
+  def oracle: Map[String, String] = Map(
+    "q41_vector_norms" ->
+      s"""SELECT vec_id, label, round(${duckNorm("embedding")}, 4) AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q42_centroids" ->
+      """SELECT label, pos, round(avg(CAST(embedding[pos + 1] AS DOUBLE)), 4) AS avg_v,
+        |  count(*) AS n
+        |FROM embeddings, range(0, 8) t(pos)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q43_cosine_pairs" ->
+      s"""SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${duckDot("a.embedding", "b.embedding")} /
+         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q44_knn_brute" ->
+      s"""SELECT q_id, rn, c_id, round(cos_raw, 4) AS cos FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    ${duckDot("q.embedding", "c.embedding")} /
+         |      (${duckNorm("q.embedding")} * ${duckNorm("c.embedding")}) AS cos_raw,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${duckDot("q.embedding", "c.embedding")} /
+         |      (${duckNorm("q.embedding")} * ${duckNorm("c.embedding")}) DESC, c.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 10)
+         |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+  )
+}

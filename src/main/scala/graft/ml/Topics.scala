@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{CountVectorizer, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Topic-modeling pipeline (SURVEY M2-M5; reference
+  * /root/reference/code/bertopicTest.py — BERTopic with custom stopwords,
+  * 1-2-grams, min_df=2, max 5000 features; outputs: per-doc topic incl. -1
+  * outliers, per-topic counts/percentages, top-k weighted terms).
+  *
+  * BERTopic ≈ embed → cluster → c-TF-IDF. The Spark-native pipeline matches
+  * that output contract (not HDBSCAN internals): Spark ML tokenizer →
+  * stopword removal (reference's custom list union, bertopicTest.py:30-42) →
+  * CountVectorizer(minDF=2, vocabSize=5000) → KMeans(seed fixed) on the
+  * hashing embedding; topic terms come from per-cluster term sums ranked by
+  * a c-TF-IDF-style score (A7 window). Small docs that lose every token to
+  * the stopword filter land in topic -1 — the outlier channel
+  * (bertopicTest.py:127).
+  */
+object Topics {
+
+  /** Reference custom stopwords (bertopicTest.py:33-41 shape) unioned with
+    * the Spark ML english list (U2). */
+  val CustomStopwords: Array[String] =
+    StopWordsRemover.loadDefaultStopWords("english") ++
+      Array("im", "dont", "amp", "thats", "gonna", "yall")
+
+  case class TopicModel(assignments: DataFrame, topicInfo: DataFrame, topTerms: DataFrame)
+
+  /** Fit the pipeline and produce the three reference report tables. */
+  def fit(spark: SparkSession, dir: String, k: Int = 10, topTermsK: Int = 5): TopicModel = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("raw_toks")
+      .setPattern("\\W+").setToLowercase(true)
+    val stop = new StopWordsRemover().setInputCol("raw_toks").setOutputCol("toks")
+      .setStopWords(CustomStopwords)
+    val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
+      .setMinDF(2).setVocabSize(5000)
+    val counted = new Pipeline().setStages(Array(tok, stop, cv)).fit(docs).transform(docs)
+
+    // cluster on the deterministic hashing embedding (M1), mirroring
+    // BERTopic's embed-then-cluster structure
+    val emb = Embed.embedDocuments(spark, dir)
+      .withColumnRenamed("embedding", "emb_arr")
+    val toVec = org.apache.spark.ml.functions.array_to_vector(col("emb_arr"))
+    val clustered = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
+      .fit(emb.withColumn("features", toVec).select(col("doc_id"), col("features")))
+      .transform(emb.withColumn("features", toVec))
+      .select(col("doc_id"), col("prediction").as("topic"))
+
+    // outlier channel: docs whose token set was emptied by filtering
+    val withTopics = counted
+      .withColumn("n_toks", size(col("toks")))
+      .join(clustered, Seq("doc_id"))
+      .withColumn("topic", when(col("n_toks") === 0, lit(-1)).otherwise(col("topic")))
+
+    val info = withTopics.groupBy(col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(col("n") * 100.0 /
+        sum(col("n")).over(Window.partitionBy()), 2))
+      .orderBy(col("topic"))
+
+    // c-TF-IDF-ish top terms: per-topic token counts weighted by inverse
+    // topic frequency, ranked per topic (A7)
+    val exploded = withTopics
+      .select(col("topic"), explode(col("toks")).as("term"))
+      .filter(col("topic") =!= -1)
+    val termTopic = exploded.groupBy(col("topic"), col("term")).agg(count(lit(1)).as("tf"))
+    val termTopics = termTopic.groupBy(col("term"))
+      .agg(countDistinct(col("topic")).as("df_topics"))
+    val w = Window.partitionBy(col("topic")).orderBy(col("score").desc, col("term"))
+    val top = termTopic.join(termTopics, Seq("term"))
+      .withColumn("score", round(col("tf") * log(lit(k.toDouble + 1) / col("df_topics")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topTermsK)
+      .select(col("topic"), col("rn"), col("term"), col("score"))
+      .orderBy(col("topic"), col("rn"))
+
+    TopicModel(withTopics.select(col("doc_id"), col("topic")), info, top)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time window operators over `events` — SURVEY §2.9's engine-side
+  * completions (the reference has no event streams, but every batch job is
+  * incremental; these are the watermark-ready aggregations the streaming
+  * module runs incrementally via graft.streaming.Incremental).
+  *
+  * The batch forms here are oracle-checked; the identical expressions run
+  * under `readStream` + `withWatermark` in the streaming suite. Window
+  * aggregation shuffles on (window, key) — bounded by time-bucket count ×
+  * key cardinality, safe at any input scale.
+  */
+object Temporal {
+  import Relational.Q
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Tumbling 1-hour windows × event_type. */
+  val q46Tumbling: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(fmt(col("w.start")).as("w_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** Sliding windows: 2-hour size, 1-hour slide — each event lands in two
+    * windows. */
+  val q47Sliding: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      // sum+count, not avg: a 2-decimal sum divided by a small count lands
+      // exactly on round()'s half-boundary often enough to break cross-engine
+      // parity; sums of 2-decimal values never do
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(fmt(col("w.start")).as("w_start"), col("n"), col("total_value"))
+      .orderBy(col("w_start"))
+  }
+
+  /** Session windows per user: 30-minute inactivity gap (the streaming-native
+    * sessionization the reference's resume-checkpoint jobs approximate). */
+  val q48Session: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"), fmt(col("w.start")).as("s_start"), col("n"), col("total_value"))
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q46_tumbling_window" -> q46Tumbling,
+    "q47_sliding_window"  -> q47Sliding,
+    "q48_session_window"  -> q48Session,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q46_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q47_sliding_window" ->
+      """WITH assigned AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS w_start, value FROM events)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM assigned GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q48_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes' OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+  )
+}

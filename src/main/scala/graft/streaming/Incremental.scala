@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental / resumable processing — SURVEY §2.9.
+  *
+  * The reference hand-rolls checkpoint/restart everywhere (row-count resume
+  * ID_matching_metadata.py:25-30,78-83; index checkpoints
+  * embeddingsWithGPU.py:67-103; skip-if-output-exists htmlConverter.py:53-54).
+  * Structured Streaming's file source + checkpointLocation subsumes all of
+  * it: each file is processed exactly once across restarts, progress lives in
+  * the checkpoint, and `Trigger.AvailableNow` gives the batch-job-that-
+  * resumes shape the reference scripts actually are.
+  */
+object Incremental {
+
+  /** Run `transform` incrementally over a parquet directory: processes only
+    * files not yet recorded in the checkpoint, appends to `outDir`, returns
+    * after draining (Trigger.AvailableNow). Re-running after new files land
+    * processes just the delta — the T1/T2/T4 resume patterns with zero
+    * hand-rolled state. */
+  def runOnce(spark: SparkSession, inDir: String, schema: org.apache.spark.sql.types.StructType,
+      outDir: String, checkpointDir: String)(transform: DataFrame => DataFrame): Unit = {
+    val q = transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * streaming twin of ops.Temporal.q46 (same expressions, incremental
+    * execution, late data beyond 10 minutes dropped by the watermark). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Start the windowed aggregation against a memory sink for tests/demos:
+    * returns the query; caller drives it with processAllAvailable(). */
+  def startMemoryWindowed(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, name: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    windowedCounts(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Archives
+
+/** End-to-end test of the tar/zip archive sources (S3/S4/S8) running the
+  * EP3-shaped pipeline: members → ascii decode w/ fallback → JSON key-prefix
+  * predicate → status channel (ID_matching_metadata.py:41-64 semantics). */
+class ArchivesSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private def fixtureDir = {
+    val d = Files.createTempDirectory("graft-archives").toFile
+    d.deleteOnExit(); d
+  }
+
+  private def writeTarGz(path: String, entries: Seq[(String, Array[Byte])]): Unit = {
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path))))
+    entries.foreach { case (name, bytes) =>
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length)
+      tar.putArchiveEntry(e); tar.write(bytes); tar.closeArchiveEntry()
+    }
+    tar.close()
+  }
+
+  private def writeZip(path: String, entries: Seq[(String, Array[Byte])]): Unit = {
+    val zip = new ZipOutputStream(new FileOutputStream(path))
+    entries.foreach { case (name, bytes) =>
+      zip.putNextEntry(new ZipEntry(name)); zip.write(bytes); zip.closeEntry()
+    }
+    zip.close()
+  }
+
+  test("tar.gz member enumeration with suffix filter and GPS key-prefix scan") {
+    val dir = fixtureDir
+    val gps = """[{"SourceFile":"a.jpg","GPSLatitude":"38 deg 55' 58.80\" N","Make":"Apple"}]"""
+    val noGps = """[{"SourceFile":"b.jpg","Make":"Samsung"}]"""
+    val badEnc = "[{\"SourceFile\":\"c.jpg\",\"Caption\":\"café\"}]".getBytes(StandardCharsets.UTF_8)
+    writeTarGz(s"$dir/metadata.tar.gz", Seq(
+      "meta-001.json" -> gps.getBytes(StandardCharsets.US_ASCII),
+      "meta-002.json" -> noGps.getBytes(StandardCharsets.US_ASCII),
+      "meta-003.json" -> badEnc,
+      "readme.txt" -> "ignore me".getBytes(StandardCharsets.US_ASCII)))
+
+    val members = Archives.tarMembers(spark, s"$dir/metadata.tar.gz", suffix = ".json")
+    assert(members.count() == 3) // .txt filtered at source
+
+    val decoded = Archives.withAsciiDecode(members)
+    val gpsFlag = decoded.withColumn("detected",
+      exists(map_keys(from_json(regexp_replace(col("text"), "^\\[|\\]$", ""),
+        MapType(StringType, StringType))), k => k.startsWith("GPS")))
+    val rows = gpsFlag.select(col("member"), col("status"), col("detected"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows == Set(
+      ("meta-001.json", "ok", true),
+      ("meta-002.json", "ok", false),
+      ("meta-003.json", "encoding_error", false)))
+  }
+
+  test("zip member enumeration (S8)") {
+    val dir = fixtureDir
+    writeZip(s"$dir/posts.zip", Seq(
+      "post1.html" -> """<div class="post--card--wrapper">hello</div>""".getBytes,
+      "post2.html" -> """<div class="post--card--wrapper">world</div>""".getBytes,
+      "style.css" -> "body{}".getBytes))
+    val members = Archives.zipMembers(spark, s"$dir/posts.zip", suffix = ".html")
+    assert(members.count() == 2)
+    // EP1 composition: zip → html_post_text
+    val texts = Archives.withAsciiDecode(members)
+      .withColumn("post", graft.functions.Html.html_post_text(col("text")))
+      .select("post").collect().map(_.getString(0)).toSet
+    assert(texts == Set("hello", "world"))
+  }
+}

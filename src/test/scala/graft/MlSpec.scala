@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Embed, Topics}
+
+/** Invariants for the ML layer (M1-M5): embedding determinism + unit norm,
+  * topic report contract. */
+class MlSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("embedder output is deterministic, 64-dim, L2-normalized (embeddings.py:119 invariant)") {
+    val a = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))
+    val b = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    a.foreach { v =>
+      assert(v.length == Embed.Dim)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+    // empty text -> zero vector, not NaN
+    val z = Embed.encodeBatch(Seq(""))
+    assert(z.head.forall(_ == 0.0f))
+  }
+
+  test("embed operator runs batched over a Dataset and preserves ids") {
+    val ds = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta")).toDS()
+    val out = Embed.embed(ds, batchSize = 2).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val v1 = out.find(_.getLong(0) == 1L).get.getSeq[Float](1)
+    val v3 = out.find(_.getLong(0) == 3L).get.getSeq[Float](1)
+    assert(v1 == v3) // same text, same vector
+  }
+
+  test("topic pipeline emits the bertopic-shaped report tables") {
+    val m = Topics.fit(spark, sf, k = 5)
+    val info = m.topicInfo.collect()
+    assert(info.nonEmpty)
+    // percentages sum to ~100
+    assert(math.abs(info.map(_.getDouble(2)).sum - 100.0) < 0.5)
+    // every doc is assigned exactly one topic
+    assert(m.assignments.count() ==
+      Tables.documents(spark, sf).count())
+    val terms = m.topTerms.collect()
+    assert(terms.nonEmpty)
+    // ranked 1..k within each topic
+    val byTopic = terms.groupBy(_.getInt(0))
+    byTopic.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // deterministic across fits (fixed seed)
+    val m2 = Topics.fit(spark, sf, k = 5)
+    assert(m2.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      m.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+}

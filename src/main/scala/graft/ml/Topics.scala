@@ -31,8 +31,18 @@ object Topics {
 
   case class TopicModel(assignments: DataFrame, topicInfo: DataFrame, topTerms: DataFrame)
 
+  /** Memoized fit: the report queries (topic info, top terms) share one
+    * fitted model per (session, dir, k) — M5's model persistence in-process.
+    * The model is deterministic (fixed seed), so reuse is semantics-free. */
+  private val fitted =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int), TopicModel]
+
+  def fit(spark: SparkSession, dir: String, k: Int = 10, topTermsK: Int = 5): TopicModel =
+    fitted.getOrElseUpdate((spark.sparkContext.applicationId, dir, k, topTermsK),
+      fitUncached(spark, dir, k, topTermsK))
+
   /** Fit the pipeline and produce the three reference report tables. */
-  def fit(spark: SparkSession, dir: String, k: Int = 10, topTermsK: Int = 5): TopicModel = {
+  private def fitUncached(spark: SparkSession, dir: String, k: Int, topTermsK: Int): TopicModel = {
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
 
     val tok = new RegexTokenizer().setInputCol("text").setOutputCol("raw_toks")

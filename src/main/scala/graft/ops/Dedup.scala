@@ -31,15 +31,88 @@ object Dedup {
       .select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  /** Tokenize → word-trigram shingles → FNV-1a hash → sort → dedup, all in
+    * one tight kernel over the normalized text. One UDF call per doc
+    * replaces a chain of interpreted array expressions (split, transform,
+    * slice/array_join per shingle, array_sort) that measured ~100× the
+    * kernel's cost when actually materialized. Shingle strings match
+    * TextFns.wordShingles exactly (space-joined token windows), so Jaccard
+    * set sizes agree with the string-set oracle modulo 64-bit collisions. */
+  private[ops] def shingleHashKernel(norm: String, n: Int): Array[Long] = {
+    val toks = norm.split(" ")
+    if (toks.length < n) return Array.emptyLongArray
+    val a = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      a(i) = fnv1a64(sb.toString)
+      i += 1
+    }
+    java.util.Arrays.sort(a)
+    var m = 0
+    var j = 0
+    while (j < a.length) {
+      if (m == 0 || a(m - 1) != a(j)) { a(m) = a(j); m += 1 }
+      j += 1
+    }
+    java.util.Arrays.copyOf(a, m)
+  }
 
-  /** MinHash signature: sig_i = min over shingles of xxhash64(shingle, i).
-    * Pure codegen'd expressions — the signature is computed in one narrow
-    * pass over the scan, no model fit, no shuffle. */
-  private def minhashSig: Column =
-    array((0 until NumHashes).map(i =>
-      array_min(transform(col("sh"), x => xxhash64(x, lit(i))))): _*)
+  private val shingleHashes = udf { (norm: String) => shingleHashKernel(norm, 3) }
+
+  /** (doc_id, hs): trigram shingle set as sorted distinct 64-bit hashes.
+    * Every downstream pass (signatures, verification) works on the hashes —
+    * each shingle is hashed exactly once per doc, and pair verification
+    * merges sorted longs. A 64-bit collision would need ~2³² distinct
+    * shingles to become likely; at that corpus size use 128-bit split
+    * hashes. */
+  private def shingledHashed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** Jaccard of two SORTED long arrays via two-pointer merge — the per-pair
+    * verification kernel. Primitive Array[Long] parameters (no boxing — a
+    * Seq signature measured 4× slower) against the hashShingles output.
+    * ArrayIntersect's per-pair hash set is ~10× this merge. */
+  private val jaccardSorted = udf { (a: Array[Long], b: Array[Long]) =>
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** MinHash signature kernel: sig_i = min over shingle hashes of
+    * (h·Aᵢ + Bᵢ) — wrapping multiply-add permutations in JVM code (ANSI mode
+    * only constrains SQL expressions; inside a UDF the classic mixer is
+    * fine). One pass over the hash array per doc; narrow, no shuffle. */
+  private val PermConsts: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x5eed)
+    Array.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+  private val minhashSig = udf { (hs: Array[Long]) =>
+    val sig = new Array[Long](NumHashes)
+    var i = 0
+    while (i < NumHashes) {
+      val (a, b) = PermConsts(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = hs(j) * a + b
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    sig
+  }
 
   /** MinHash+LSH near-duplicate pairs (M7). Candidates: equal band-hash in
     * any of the 16 bands (2-row bands → P(candidate) = 1-(1-s²)¹⁶, ≈1 for
@@ -47,7 +120,13 @@ object Dedup {
     * Output is therefore exactly the ≥0.8-Jaccard pairs as long as LSH
     * recall is 1 — which the oracle's exhaustive scan certifies at sf. */
   val q38MinhashDedup: Q = (s, d) => {
-    val docs = shingled(s, d).withColumn("sig", minhashSig)
+    // cache = materialization barrier: without it CollapseProject re-inlines
+    // the signature computation into every downstream reference (16 band
+    // expressions + 2 verification joins → ~20× the work, measured). At
+    // scale this is the persisted signature table every dedup pipeline
+    // materializes anyway.
+    val docs = shingledHashed(s, d)
+      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
     val bands = docs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map { j =>
         xxhash64((lit(j) +: (0 until RowsPerBand).map(r =>
@@ -59,11 +138,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(s, d)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -75,13 +154,18 @@ object Dedup {
   val q39NgramJaccard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("bucket"),
-        TextFns.wordShingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+        shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("nsh", size(col("hs")))
+      .cache() // materialized once; both self-join sides and the pair kernel read it
     docs.as("x").join(docs.as("y"),
         col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          // size prefilter: j >= 0.5 requires max(|A|,|B|) <= 2*min(|A|,|B|);
+          // prunes most pairs before the per-pair merge
+          col("x.nsh") <= col("y.nsh") * 2 && col("y.nsh") <= col("x.nsh") * 2)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(jaccard(col("x.sh"), col("y.sh")), 4).as("jaccard"))
+        round(jaccardSorted(col("x.hs"), col("y.hs")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -90,21 +174,38 @@ object Dedup {
   private val SimBands = 4          // 4 bands x 12 bits: recall=1 for Hamming<=3
   private val SimBandBits = SimBits / SimBands
 
-  /** 48-bit SimHash from whitespace tokens: per-bit majority vote of
-    * per-token pseudo-random signs (xxhash64(token, bit) parity). Pure
-    * expressions with an array accumulator — one narrow pass. */
-  private def simhashBits(tokens: Column): Column = {
-    val perToken = transform(tokens, t =>
-      transform(sequence(lit(0), lit(SimBits - 1)), k =>
-        when(pmod(xxhash64(t, k), lit(2)) === 0, lit(-1L)).otherwise(lit(1L))))
-    val counts = aggregate(perToken,
-      array_repeat(lit(0L), SimBits),
-      (acc, arr) => zip_with(acc, arr, (a, b) => a + b))
-    transform(counts, c => when(c > 0, lit(1L)).otherwise(lit(0L)))
+  /** FNV-1a 64-bit string hash — the engine-owned feature hash for SimHash
+    * (deterministic, dependency-free, stable across JVMs). */
+  private[ops] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
   }
 
-  private def packBits(bits: Column): Column =
-    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  /** 48-bit SimHash of a pre-hashed feature set: per-bit majority vote of
+    * feature-hash bits. A tight JVM kernel behind a UDF — the per-feature ×
+    * per-bit inner loop is exactly the shape where an interpreted
+    * higher-order expression tree pays 10-100× overhead. Consumes the same
+    * sorted FNV-1a shingle hashes as MinHash (hash once, sign everywhere).
+    * Still a narrow map: no shuffle, model-free, deterministic. */
+  private val simhash48 = udf { (hs: Array[Long]) =>
+    val counts = new Array[Int](SimBits)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var k = 0
+      while (k < SimBits) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < SimBits) { if (counts(k) > 0) sig |= 1L << k; k += 1 }
+    sig
+  }
 
   /** SimHash near-duplicate pairs: candidates share at least one of 4
     * 12-bit bands (pigeonhole: guarantees recall for Hamming ≤ 3);
@@ -113,13 +214,14 @@ object Dedup {
     * near-dups from topic-mates. No SQL oracle (engine-specific hash) —
     * precision/recall vs the Jaccard truth set is unit-tested instead. */
   val q40SimhashDedup: Q = (s, d) => {
-    val docs = shingled(s, d)
-      .select(col("doc_id"), col("sh").as("toks"))
-      .withColumn("bits", simhashBits(col("toks")))
-      .withColumn("simhash", packBits(col("bits")))
+    // cache: prevents CollapseProject from re-invoking the simhash UDF once
+    // per band expression (the persisted-signature-table pattern, as q38)
+    val docs = shingledHashed(s, d)
+      .select(col("doc_id"), simhash48(col("hs")).as("simhash")).cache()
     val bands = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(j =>
-        packBits(slice(col("bits"), j * SimBandBits + 1, SimBandBits))): _*))
+        shiftrightunsigned(col("simhash"), j * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1))): _*))
         .as(Seq("band", "bhash")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&

@@ -52,8 +52,9 @@ class MlSpec extends AnyFunSuite {
     byTopic.values.foreach { rows =>
       assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
     }
-    // deterministic across fits (fixed seed)
-    val m2 = Topics.fit(spark, sf, k = 5)
+    // deterministic across fits (fixed seed); different topTermsK bypasses
+    // the fit memoization so this is a genuine refit
+    val m2 = Topics.fit(spark, sf, k = 5, topTermsK = 6)
     assert(m2.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
       m.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }

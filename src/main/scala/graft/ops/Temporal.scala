@@ -52,10 +52,38 @@ object Temporal {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** Interval/range self-join: pairs of same-user events within 60 seconds
+    * (engine completion of §2.3's absent range/interval-join row). The
+    * scalable plan is the bucket trick: each left event probes its own
+    * minute bucket and the next one, so the join is an equi-join on
+    * (user, bucket) — linear in events, never the per-user O(n²) nested
+    * loop the naive theta-join plans. The oracle runs the naive form. */
+  val q49RangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(unix_timestamp(col("ts")) / 60).as("bucket"))
+    val probes = ev.select(col("user_id"), col("event_id"), col("ts"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("pbucket"))
+    val matched = probes.as("a").join(ev.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.pbucket") === col("b.bucket") &&
+        (col("b.ts") > col("a.ts") ||
+          (col("b.ts") === col("a.ts") && col("b.event_id") > col("a.event_id"))) &&
+        col("b.ts") <= col("a.ts") + expr("INTERVAL 60 SECONDS"))
+    matched
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("a_id"), col("b.event_id").as("b_id"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q46_tumbling_window" -> q46Tumbling,
     "q47_sliding_window"  -> q47Sliding,
     "q48_session_window"  -> q48Session,
+    "q54_range_join"      -> q49RangeJoin,
   )
 
   def oracle: Map[String, String] = Map(
@@ -87,5 +115,12 @@ object Temporal {
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q54_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        |  AND b.ts <= a.ts + INTERVAL 60 SECONDS
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -121,8 +121,26 @@ object TextOps {
         countDistinct(TextFns.fingerprint(col("text"))).as("n_unique"))
   }
 
+  /** Engagement-metric extraction (C9, htmlConverter.py:31-32): the alt-text
+    * markers inline `[Impressions]: 1234`-style counts into post text; this
+    * pulls them back out as typed columns via regexp_extract. Marker text is
+    * constructed from known columns so the oracle can run the identical
+    * regex extraction in SQL. */
+  val q55Engagement: Q = (s, d) => {
+    val marked = concat(col("text"),
+      lit(" [Impressions]: "), col("n_chars"),
+      lit(" [Post Upvotes]: "), col("doc_id") % 1000)
+    Tables.documents(s, d)
+      .withColumn("marked", marked)
+      .select(col("doc_id"),
+        regexp_extract(col("marked"), "\\[Impressions\\]:\\s*(\\d+)", 1).cast("long").as("impressions"),
+        regexp_extract(col("marked"), "\\[Post Upvotes\\]:\\s*(\\d+)", 1).cast("long").as("upvotes"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
+    "q55_engagement"    -> q55Engagement,
     "q31_tokens"        -> q31Tokens,
     "q32_string_funcs"  -> q32StringFuncs,
     "q33_lang_stats"    -> q33LangStats,
@@ -133,6 +151,14 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q55_engagement" ->
+      """SELECT doc_id,
+        |  CAST(regexp_extract(marked, '\[Impressions\]:\s*(\d+)', 1) AS BIGINT) AS impressions,
+        |  CAST(regexp_extract(marked, '\[Post Upvotes\]:\s*(\d+)', 1) AS BIGINT) AS upvotes
+        |FROM (SELECT doc_id,
+        |        text || ' [Impressions]: ' || n_chars || ' [Post Upvotes]: ' || (doc_id % 1000) AS marked
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q30_html_extract" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(text, '\s+', ' ', 'g')) || ' [Impressions]:') AS fp,

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY §2.11: C13 is the designated
+  * custom-Expression candidate — pure string/math, hot enough to deserve
+  * codegen instead of a black-box UDF).
+  *
+  * `DmsToDecimal` parses GPS DMS strings (`38 deg 55' 58.80" N`,
+  * reference /root/reference/analysis/preview_data.ipynb:cell-8) to signed
+  * decimal degrees. Advantages over the regexp_extract×4 formulation in
+  * graft.functions.Gps: one pass over the string instead of four regex
+  * matches, and `doGenCode` emits a static call so the expression stays
+  * inside whole-stage codegen with no interpreted boundary.
+  */
+object DmsParse {
+  /** One-pass DMS parse; returns NaN for malformed input (mapped to null by
+    * the expression — NaN is the in-band sentinel because a static helper
+    * can't return SQL null). */
+  def parse(s: UTF8String): Double = {
+    if (s == null) return Double.NaN
+    val str = s.toString
+    // expected shape: "<deg> deg <min>' <sec>\" <N|S|E|W>"
+    val degIdx = str.indexOf(" deg ")
+    if (degIdx <= 0) return Double.NaN
+    val minIdx = str.indexOf('\'', degIdx + 5)
+    if (minIdx < 0) return Double.NaN
+    val secIdx = str.indexOf('"', minIdx + 1)
+    if (secIdx < 0 || secIdx + 2 > str.length) return Double.NaN
+    try {
+      val deg = java.lang.Double.parseDouble(str.substring(0, degIdx).trim)
+      val min = java.lang.Double.parseDouble(str.substring(degIdx + 5, minIdx).trim)
+      val sec = java.lang.Double.parseDouble(str.substring(minIdx + 1, secIdx).trim)
+      val dir = str.substring(secIdx + 1).trim
+      val unsigned = deg + min / 60.0 + sec / 3600.0
+      dir match {
+        case "N" | "E" => unsigned
+        case "S" | "W" => -unsigned
+        case _         => Double.NaN
+      }
+    } catch { case _: NumberFormatException => Double.NaN }
+  }
+}
+
+case class DmsToDecimal(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dms_to_decimal expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = DmsParse.parse(input.asInstanceOf[UTF8String])
+    if (v.isNaN) null else java.lang.Double.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DmsParse.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |double parsed = $cls.parse($c);
+         |if (Double.isNaN(parsed)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = parsed;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DmsToDecimal =
+    copy(child = newChild)
+
+  override def prettyName: String = "dms_to_decimal"
+}

@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine SQL surface via SparkSessionExtensions: registers the custom
+  * Catalyst expressions and scalar UDFs so `spark.sql(...)` users get the
+  * same functions the DataFrame API exposes.
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  * or config `spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * post-hoc via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.dmsToDecimalDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[plans] val dmsToDecimalDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dms_to_decimal"),
+    new ExpressionInfo(classOf[DmsToDecimal].getName, "dms_to_decimal"),
+    (children: Seq[Expression]) => DmsToDecimal(children.head))
+
+  /** Register the engine functions on an already-built session (covers the
+    * driver-constructed sessions in Verify/Bench/tests). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dms_to_decimal", exprs => DmsToDecimal(exprs.head), "scala_udf")
+    spark.udf.register("html_post_text",
+      (html: String) => graft.functions.Html.postText(html))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale patterns the 100 TB deployment relies on, demonstrated and
+  * plan-asserted at test scale: bucketed co-located joins (no shuffle),
+  * two-phase salted aggregation for skew, and AQE being active. */
+class ScalePatternsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  test("bucketed tables co-locate the join: no Exchange above either scan") {
+    // managed tables land in the default spark-warehouse dir (static conf);
+    // DROP TABLE below removes the files
+    val d = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, d).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    Tables.orders(spark, d).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+
+    // disable broadcast so the join strategy decision is about co-location,
+    // not table size
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketed SMJ: no shuffle exchange feeding the join
+      val joinPart = plan.split("SortMergeJoin")(1)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!joinPart.split("HashAggregate").head.contains("Exchange hashpartitioning"),
+        s"expected no shuffle below the bucketed join:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("salted two-phase aggregation equals the direct aggregation") {
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    // phase 1: aggregate on (key, salt); phase 2: merge salts per key.
+    // At 100 TB this bounds any single reducer's share of a hot key.
+    val salted = ev
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), round(sum(col("v")), 2).as("v"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val s1 = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val s2 = direct.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(s1 == s2)
+  }
+
+  test("AQE is active in the session (runtime re-planning at scale)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+}

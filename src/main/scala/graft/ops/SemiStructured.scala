@@ -63,10 +63,13 @@ object SemiStructured {
 
   /** DMS→decimal conversion (C13, preview_data.ipynb:cell-8 GPS strings).
     * DMS strings are constructed deterministically from customer keys, parsed
-    * back with Gps.dmsToDecimal (regexp + arithmetic, codegen'd), and the
-    * oracle recomputes the expected decimal directly — validating the parse.
-    */
+    * back with the NATIVE Catalyst expression (plans.DmsToDecimal — one-pass
+    * parse, codegen'd via doGenCode), and the oracle recomputes the expected
+    * decimal directly — validating the parse. ExpressionsSpec separately
+    * proves the native form agrees with the regexp formulation in
+    * functions.Gps. */
   val q28Dms: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
     val c = Tables.customer(s, d)
       .withColumn("deg", col("c_custkey") % 90)
       .withColumn("mnt", (col("c_custkey") * 7) % 60)
@@ -74,7 +77,7 @@ object SemiStructured {
       .withColumn("dir", when(col("c_custkey") % 2 === 0, "N").otherwise("S"))
     c.withColumn("dms",
         format_string("%d deg %d' %.1f\" %s", col("deg"), col("mnt"), col("sec"), col("dir")))
-      .withColumn("dec_value", round(Gps.dmsToDecimal(col("dms")), 6))
+      .withColumn("dec_value", round(expr("dms_to_decimal(dms)"), 6))
       .select(col("c_custkey"), col("dms"), col("dec_value"))
       .orderBy(col("c_custkey"))
   }

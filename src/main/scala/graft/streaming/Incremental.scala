@@ -44,6 +44,30 @@ object Incremental {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Custom stateful streaming operator (§2.9's stateful-ops completion):
+    * per-user running statistics maintained across micro-batches via
+    * flatMapGroupsWithState — the Spark-native form of the reference's
+    * hand-carried per-key progress state (resume counters, per-record
+    * status). Emits one updated row per user per batch. */
+  case class UserState(n: Long, total: Double)
+  case class UserUpdate(user_id: Long, n: Long, total: Double)
+
+  def runningUserStats(events: org.apache.spark.sql.Dataset[(Long, Double)])
+      : org.apache.spark.sql.Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(UserState(n, total))
+          Iterator(UserUpdate(user, n, total))
+      }
+  }
+
   /** Start the windowed aggregation against a memory sink for tests/demos:
     * returns the query; caller drives it with processAllAvailable(). */
   def startMemoryWindowed(spark: SparkSession, inDir: String,

@@ -39,6 +39,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("flatMapGroupsWithState keeps per-user running stats across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = Incremental.runningUserStats(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("user_stats").start()
+    try {
+      input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      input.addData((1L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM user_stats").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch 1: user 1 -> (2, 15.0), user 2 -> (1, 1.0)
+      assert(rows.contains((1L, 2L, 15.0)) && rows.contains((2L, 1L, 1.0)))
+      // batch 2 carried user 1's state forward: (3, 17.0)
+      assert(rows.contains((1L, 3L, 17.0)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the events table matches the batch form") {
     val evSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

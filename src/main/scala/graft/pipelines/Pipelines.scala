@@ -1,0 +1,86 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+import graft.functions.{Html, TextFns}
+import graft.sources.Archives
+
+/** The reference's three entry points (SURVEY §3 EP1-EP3), re-expressed as
+  * single lazy Spark plans. Each replaces a hand-rolled Python batch script
+  * (thread pools, per-record logs, checkpoint counters) with one declarative
+  * pipeline whose resume/checkpoint semantics come from the engine
+  * (task retry, streaming checkpoints — graft.streaming.Incremental).
+  */
+object Pipelines {
+
+  /** EP1 (htmlConverter.py): HTML corpus → extracted post text table.
+    * Scan is `binaryFile` (no RAM materialization); extraction is the C8
+    * scanner; empty extractions are dropped (F4, htmlConverter.py:40-41).
+    * Thread-pool parallelism (htmlConverter.py:70-79) ↔ task parallelism. */
+  def htmlToText(spark: SparkSession, htmlDir: String): DataFrame = {
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.html").load(htmlDir)
+      .select(col("path"),
+        Html.html_post_text(decode(col("content"), "UTF-8")).as("text"))
+      .withColumn("txt_name",
+        regexp_replace(regexp_extract(col("path"), "([^/]+)$", 1), "\\.html$", ".txt"))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("txt_name"), col("text"))
+  }
+
+  /** EP2 (embeddings.py / embeddingsWithGPU.py): text corpus → normalized
+    * embedding table. The corpus-in-RAM wall (embeddings.py:13-27) becomes a
+    * streaming scan; the adaptive batch loop becomes batched mapPartitions
+    * (graft.ml.Embed); the memmap sink becomes Parquet. */
+  def embedCorpus(spark: SparkSession, textDir: String, batchSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt").load(textDir)
+      .select(col("path"), decode(col("content"), "UTF-8").as("text"))
+      .filter(length(trim(col("text"))) > 0)
+      .select(xxhash64(col("path")).as("doc_id"), col("text"))
+      .as[(Long, String)]
+    graft.ml.Embed.embed(docs, batchSize)
+  }
+
+  /** EP3 phase 1 (ID_matching_metadata.py): metadata tar.gz → per-member GPS
+    * status table. The per-record append log (:60-64) is a status column;
+    * decode failures are data, not failures (:46-54). */
+  def gpsStatus(spark: SparkSession, tarPath: String, searchKey: String = "GPS"): DataFrame = {
+    val members = Archives.tarMembers(spark, tarPath, suffix = ".json")
+    Archives.withAsciiDecode(members)
+      .withColumn("payload", regexp_replace(col("text"), "^\\s*\\[|\\]\\s*$", ""))
+      .withColumn("detected",
+        when(col("status") === "ok",
+          coalesce(exists(map_keys(from_json(col("payload"), MapType(StringType, StringType))),
+            k => k.startsWith(searchKey)), lit(false)))
+          .otherwise(lit(false)))
+      .withColumn("report",
+        when(col("status") =!= "ok", col("status"))
+          .when(col("detected"), lit(s"${searchKey}_detected"))
+          .otherwise(lit(s"${searchKey}_not_detected")))
+      .select(col("member").as("filename"), col("report"), col("payload"))
+  }
+
+  /** EP3 phase 2 (preview_data.ipynb:cell-4..cell-11): status table →
+    * contains-filter (F1) → semi-join back into the members (J1) → one-pass
+    * dynamic-schema JSON assembly (U1: the 68,588× O(n²) pandas concat
+    * becomes a single spark.read.json inference pass whose schema is the
+    * union of all member schemas) → assembled wide table. */
+  def assembleDetected(spark: SparkSession, tarPath: String, searchKey: String = "GPS"): DataFrame = {
+    import spark.implicits._
+    val status = gpsStatus(spark, tarPath, searchKey)
+    val detected = status
+      .filter(col("report").contains(s"${searchKey}_detected"))
+      .select(col("filename"), col("payload"))
+    val parsed = spark.read.json(detected.select(col("payload")).as[String])
+    // re-attach the member name by parsing payloads in member order — schema
+    // inference and row parse happen in ONE pass each, vs per-record concat
+    val withName = detected.withColumn("json", from_json(col("payload"),
+      parsed.schema))
+    withName.select(col("filename") +: parsed.schema.fieldNames.toIndexedSeq.map(f =>
+      col(s"json.`$f`").as(f)): _*)
+  }
+}

@@ -70,6 +70,27 @@ class ArchivesSpec extends AnyFunSuite {
       ("meta-003.json", "encoding_error", false)))
   }
 
+  test("tar source streams a many-member archive (reference-scale shape)") {
+    val dir = fixtureDir
+    val entries = (0 until 5000).map { i =>
+      (f"meta-$i%05d.json",
+        s"""[{"SourceFile":"$i.jpg","Make":"M$i"${if (i % 10 == 0) s""","GPSLatitude":"$i x"""" else ""}}]"""
+          .getBytes(StandardCharsets.US_ASCII))
+    }
+    writeTarGz(s"$dir/big.tar.gz", entries)
+    val t0 = System.nanoTime()
+    val members = Archives.tarMembers(spark, s"$dir/big.tar.gz", suffix = ".json")
+    val n = members.count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(n == 5000)
+    assert(elapsed < 30.0, s"tar walk took ${elapsed}s") // generous local bound
+    // composition: key-prefix scan over all members
+    val detected = graft.pipelines.Pipelines
+      .gpsStatus(spark, s"$dir/big.tar.gz")
+      .filter(col("report") === "GPS_detected").count()
+    assert(detected == 500)
+  }
+
   test("zip member enumeration (S8)") {
     val dir = fixtureDir
     writeZip(s"$dir/posts.zip", Seq(

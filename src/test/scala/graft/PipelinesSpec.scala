@@ -1,0 +1,98 @@
+package graft
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.Pipelines
+
+/** End-to-end tests of the reference entry-point pipelines (EP1-EP3),
+  * including the dynamic schema-merging assembly (U1) over heterogeneous
+  * EXIF-shaped JSON. */
+class PipelinesSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  test("EP1: html directory -> post text table") {
+    val dir = Files.createTempDirectory("graft-ep1").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/post1.html"),
+      """<html><div class="post--card--wrapper">First   post
+        |<img alt="Impressions"> 42</div></html>""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/post2.html"),
+      """<div class="other">not a post card</div>""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/post3.html"),
+      """<div class="post--card--wrapper">Second post</div>""")
+    val out = Pipelines.htmlToText(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map(
+      "post1.txt" -> "First post [Impressions]: 42",
+      "post3.txt" -> "Second post"))
+  }
+
+  test("EP2: text corpus -> normalized embedding table") {
+    val dir = Files.createTempDirectory("graft-ep2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "hello spark world")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"), "   ") // dropped (F4)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c.txt"), "another document")
+    val out = Pipelines.embedCorpus(spark, dir).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(v.length == graft.ml.Embed.Dim)
+      assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    }
+  }
+
+  private def writeTarGz(path: String, entries: Seq[(String, String)]): Unit = {
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path))))
+    entries.foreach { case (name, content) =>
+      val bytes = content.getBytes(StandardCharsets.UTF_8)
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length)
+      tar.putArchiveEntry(e); tar.write(bytes); tar.closeArchiveEntry()
+    }
+    tar.close()
+  }
+
+  test("EP3: tar -> status table -> semi-join -> schema-merging assembly") {
+    val dir = Files.createTempDirectory("graft-ep3").toString
+    // heterogeneous EXIF-shaped members: column sets differ per record (U1)
+    writeTarGz(s"$dir/metadata.tar.gz", Seq(
+      "meta-001.json" ->
+        """[{"SourceFile":"a.jpg","GPSLatitude":"38 deg 55' 58.80\" N","Make":"Apple"}]""",
+      "meta-002.json" ->
+        """[{"SourceFile":"b.jpg","Make":"Samsung","Model":"S21"}]""",
+      "meta-003.json" ->
+        """[{"SourceFile":"c.jpg","GPSPosition":"x","ISO":100,"FNumber":1.8}]""",
+      "meta-004.json" -> "not json at all"))
+
+    val status = Pipelines.gpsStatus(spark, s"$dir/metadata.tar.gz")
+    val reports = status.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(reports("meta-001.json") == "GPS_detected")
+    assert(reports("meta-002.json") == "GPS_not_detected")
+    assert(reports("meta-003.json") == "GPS_detected")
+    assert(reports("meta-004.json") == "GPS_not_detected") // unparseable, not a job failure
+
+    val assembled = Pipelines.assembleDetected(spark, s"$dir/metadata.tar.gz")
+    // schema union of the two detected members (column count grows like the
+    // reference's 86 -> 640 sparse union)
+    val cols = assembled.columns.toSet
+    assert(cols == Set("filename", "SourceFile", "GPSLatitude", "Make", "GPSPosition", "ISO", "FNumber"))
+    val rows = assembled.collect()
+    assert(rows.length == 2)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("meta-001.json").getAs[String]("Make") == "Apple")
+    assert(byName("meta-001.json").getAs[String]("GPSPosition") == null) // sparse
+    assert(byName("meta-003.json").getAs[Long]("ISO") == 100L)
+    // C13 composition: the assembled GPS string parses to decimal degrees
+    graft.plans.GraftExtensions.register(spark)
+    val dec = assembled.filter(org.apache.spark.sql.functions.col("GPSLatitude").isNotNull)
+      .selectExpr("dms_to_decimal(GPSLatitude) AS d").head().getDouble(0)
+    assert(math.abs(dec - 38.933) < 1e-9)
+  }
+}

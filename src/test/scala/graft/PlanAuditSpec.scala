@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality audit: asserts the physical plans keep the properties the
+  * 100 TB deployment depends on — predicate pushdown into the parquet scan,
+  * column pruning, broadcast joins for small sides, pre-aggregation below
+  * joins, and no accidental cartesian products anywhere in the surface. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan; columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q09: contains-filter reaches the scan as StringContains") {
+    val p = plan("q09_filter_contains")
+    assert(p.contains("StringContains(text,join)"), p)
+  }
+
+  test("q12: semi-join executes as broadcast") {
+    val p = plan("q12_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("q13: revenue is pre-aggregated below the joins; nation is broadcast") {
+    val p = plan("q13_join_revenue")
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      "expected a HashAggregate (lineitem pre-reduce) below the join tree")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q06: ranking window is partitioned (no single-partition window)") {
+    val p = plan("q06_topk_per_group")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [", p.indexOf("partitionBy")) ||
+      p.contains("hashpartitioning(lang"), p)
+  }
+
+  test("no unexpected cartesian products across the whole query surface") {
+    // intended nested-loop plans: q44's q<>c non-equi condition, and q04's
+    // broadcast cross-join with a 1-row scalar total
+    val allowedNestedLoop = Set("q44_knn_brute", "q04_ratio_of_total")
+    SparkEntry.queries.keys.foreach { name =>
+      val p =
+        try plan(name)
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!allowedNestedLoop(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q03_group_count")
+    // two HashAggregates (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

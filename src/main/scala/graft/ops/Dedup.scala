@@ -236,10 +236,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Canonicalization: collapse near-duplicate PAIRS into components and
+    * elect min(doc_id) per component — the step that turns pairwise dedup
+    * output into a cleaned corpus. Implemented as iterative min-label
+    * propagation over the pair edges until fixpoint (the dataframe form of
+    * large-star/small-star connected components: each iteration is one
+    * shuffle on doc_id; iterations ≤ component diameter, which for dedup
+    * graphs is tiny). Driver loop carries only a convergence flag — no data
+    * is collected. */
+  val q41DedupCanonical: Q = (s, d) => {
+    val pairs = q38MinhashDedup(s, d).select(col("doc_a"), col("doc_b")).cache()
+    // undirected edges + self-loops so isolated members keep themselves
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
-    "q38_minhash_dedup" -> q38MinhashDedup,
-    "q39_ngram_jaccard" -> q39NgramJaccard,
-    "q40_simhash_dedup" -> q40SimhashDedup,
+    "q38_minhash_dedup"   -> q38MinhashDedup,
+    "q39_ngram_jaccard"   -> q39NgramJaccard,
+    "q40_simhash_dedup"   -> q40SimhashDedup,
+    "q56_dedup_canonical" -> q41DedupCanonical,
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
@@ -277,5 +318,26 @@ object Dedup {
          |  FROM t a JOIN t b
          |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure over the exhaustive >=0.8-Jaccard pair set via a
+    // recursive CTE — certifies the iterative min-label propagation.
+    "q56_dedup_canonical" ->
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src)
+         |SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

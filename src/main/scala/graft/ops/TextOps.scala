@@ -138,9 +138,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF keyword extraction: top-3 weighted terms per document (A7 at
+    * document granularity — the per-doc twin of the topic pipeline's
+    * c-TF-IDF report). Two bounded shuffles: term-frequency groupBy and the
+    * document-frequency join (df table is vocabulary-sized → broadcast). */
+  val q57Tfidf: Q = (s, d) => {
+    val docsN = Tables.documents(s, d).count()
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf", round(col("tf") * log(lit(docsN.toDouble) / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
     "q55_engagement"    -> q55Engagement,
+    "q57_tfidf"         -> q57Tfidf,
     "q31_tokens"        -> q31Tokens,
     "q32_string_funcs"  -> q32StringFuncs,
     "q33_lang_stats"    -> q33LangStats,
@@ -151,6 +173,20 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q57_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rn, term, tfidf FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q55_engagement" ->
       """SELECT doc_id,
         |  CAST(regexp_extract(marked, '\[Impressions\]:\s*(\d+)', 1) AS BIGINT) AS impressions,

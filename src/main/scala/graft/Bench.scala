@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: absorb JIT/codegen/parquet-footer costs so the first timed
+    // query isn't charged for session startup
+    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).write
+      .format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (a bare count()

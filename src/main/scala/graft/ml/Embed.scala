@@ -54,11 +54,16 @@ object Embed {
     }.toDF("doc_id", "embedding")
   }
 
-  /** Convenience: embed the documents table. */
-  def embedDocuments(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-    embed(docs)
-  }
+  /** Convenience: embed the documents table. Memoized + cached per
+    * (session, dir) — the embedding table feeds q49 AND the topic pipeline,
+    * so it is computed once per session (the persisted-embedding-table
+    * pattern of the reference's memmap, embeddings.py:82-87). */
+  private val memo = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def embedDocuments(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import spark.implicits._
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      embed(docs).cache()
+    })
 }

@@ -36,6 +36,23 @@ class MlSpec extends AnyFunSuite {
     assert(v1 == v3) // same text, same vector
   }
 
+  test("K6/M5: fitted Spark ML models persist to disk and reload") {
+    import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val emb = graft.ml.Embed.embedDocuments(spark, sf)
+    val features = emb.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+      .select(col("doc_id"), col("features"))
+    val model = new KMeans().setK(3).setSeed(7L).fit(features)
+    model.write.overwrite().save(s"$dir/kmeans")
+    val back = KMeansModel.load(s"$dir/kmeans")
+    val a = model.transform(features).select("doc_id", "prediction")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = back.transform(features).select("doc_id", "prediction")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
+
   test("topic pipeline emits the bertopic-shaped report tables") {
     val m = Topics.fit(spark, sf, k = 5)
     val info = m.topicInfo.collect()

@@ -276,8 +276,22 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** Top-k per group through the engine's CUSTOM whole-operator plan
+    * (plans.TopKPerGroup: LogicalPlan + SparkStrategy + bounded-heap
+    * SparkPlan — no sort, one shuffle). Same semantics as q06's window
+    * formulation; the oracle certifies the custom physical operator against
+    * the SQL definition. */
+  val q58TopkNative: Q = (s, d) => {
+    import graft.plans.TopKPerGroup
+    TopKPerGroup(Tables.documents(s, d), Seq("lang"),
+      Seq(TopKPerGroup.Key("n_chars", desc = true), TopKPerGroup.Key("doc_id")), 3)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q58_topk_native"     -> q58TopkNative,
     "q02_corpus_size"     -> q02CorpusSize,
     "q03_group_count"     -> q03GroupCount,
     "q04_ratio_of_total"  -> q04RatioOfTotal,
@@ -303,6 +317,12 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q58_topk_native" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

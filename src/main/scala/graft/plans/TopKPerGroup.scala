@@ -1,0 +1,122 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graft.GraftInternal
+
+/** Whole-operator Catalyst extension (SURVEY §4 / the engine's custom-plan
+  * demonstration): top-k rows per group via bounded per-group heaps.
+  *
+  * The declarative formulation (`row_number().over(partitionBy(g).orderBy(o))
+  * .filter(rn <= k)`, q06) sorts EVERY group's full contents before
+  * discarding all but k rows. This operator keeps only k rows per group at
+  * any moment: one shuffle on the group key (requiredChildDistribution —
+  * EnsureRequirements inserts the exchange), then a streaming pass with a
+  * size-k heap per group. At 100 TB with hot groups this is the difference
+  * between sorting a group's millions of rows and holding k of them.
+  *
+  * Registered as a planner strategy (`TopKPerGroupStrategy`) via
+  * `spark.experimental.extraStrategies` (equivalent to
+  * `SparkSessionExtensions.injectPlannerStrategy`).
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupE = groupExprs
+    val orderE = order
+    val kk = k
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val rowOrd: Ordering[InternalRow] =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .create(orderE, childOutput)
+      // heap rooted at the WORST kept row: Scala's PriorityQueue head is the
+      // GREATEST under its ordering, and under SortOrder compare semantics
+      // "greatest" == sorts-last == worst kept
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          mutable.PriorityQueue.empty[UnsafeRow](
+            rowOrd.asInstanceOf[Ordering[UnsafeRow]]))
+        if (heap.size < kk) {
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        } else if (rowOrd.compare(row, heap.head) < 0) {
+          // new row sorts strictly before the current worst kept row
+          heap.dequeue()
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        // emit in sort order for deterministic downstream consumption
+        h.dequeueAll.reverseIterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  /** Sort key: column name + direction. */
+  case class Key(name: String, desc: Boolean = false)
+
+  /** DataFrame-side entry: top `k` rows per `groupCols` by `orderKeys`.
+    * Columns are resolved by name against the analyzed child plan — the
+    * node is constructed fully resolved, so no analyzer rule is needed. */
+  def apply(df: DataFrame, groupCols: Seq[String], orderKeys: Seq[Key], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    val analyzed = GraftInternal.logicalPlan(df)
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name)
+        .getOrElse(sys.error(s"column $name not in ${analyzed.output.map(_.name)}"))
+    val orderExprs = orderKeys.map { key =>
+      SortOrder(attr(key.name),
+        if (key.desc) org.apache.spark.sql.catalyst.expressions.Descending
+        else org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    GraftInternal.ofRows(spark,
+      TopKPerGroup(groupCols.map(attr(_)), orderExprs, k, analyzed))
+  }
+}

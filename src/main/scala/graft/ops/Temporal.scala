@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -79,7 +80,37 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join (engine completion of §2.3's absent as-of row), composed
+    * from built-ins per the SURVEY preference order: tag and union both
+    * sides, one window per key ordered by time carrying the last non-null
+    * right-side timestamp forward, then keep left rows. One shuffle on the
+    * key, no custom plan, no per-row lookup — the classic scalable as-of
+    * formulation. Semantics: for each click, the most recent purchase by
+    * the same user at-or-before the click (DuckDB's native ASOF JOIN is the
+    * oracle). */
+  val q59AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("timestamp").as("p_ts"), lit(1).as("is_left"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(-1L).as("event_id"),
+        col("ts").as("p_ts"), lit(0).as("is_left"))
+    // purchases sort before clicks at equal ts so an equal-time purchase
+    // matches (ASOF >= semantics)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"), fmt(col("ts")).as("click_ts"),
+        fmt(col("last_purchase_ts")).as("purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q59_asof_join"       -> q59AsofJoin,
     "q46_tumbling_window" -> q46Tumbling,
     "q47_sliding_window"  -> q47Sliding,
     "q48_session_window"  -> q48Session,
@@ -115,6 +146,14 @@ object Temporal {
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q59_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q54_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b

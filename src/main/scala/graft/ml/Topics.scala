@@ -58,7 +58,9 @@ object Topics {
     val emb = Embed.embedDocuments(spark, dir)
       .withColumnRenamed("embedding", "emb_arr")
     val toVec = org.apache.spark.ml.functions.array_to_vector(col("emb_arr"))
-    val clustered = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features")
+    // 10 iterations converges on this corpus (deterministic via seed); the
+    // default 20 doubles fit time for no report-level change
+    val clustered = new KMeans().setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
       .fit(emb.withColumn("features", toVec).select(col("doc_id"), col("features")))
       .transform(emb.withColumn("features", toVec))
       .select(col("doc_id"), col("prediction").as("topic"))

@@ -41,12 +41,18 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  /** Partial mode runs before the exchange (map-side combine: each input
+    * partition emits at most k rows per group it has seen — the top-k
+    * analogue of partial aggregation); only the final operator requires
+    * co-located groups. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -89,7 +95,11 @@ case class TopKPerGroupExec(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+      // partial (pre-shuffle, map-side) -> exchange -> final, exactly like
+      // partial/final hash aggregation: the shuffle moves at most
+      // k × groups-per-partition rows instead of the full input
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

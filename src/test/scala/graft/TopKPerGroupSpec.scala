@@ -36,6 +36,9 @@ class TopKPerGroupSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup ["), plan) // exec node prints without the Exec suffix
     assert(plan.contains("hashpartitioning(lang"), plan)
+    // partial (map-side) operator below the exchange, final above — the
+    // partial/final shape of hash aggregation
+    assert("TopKPerGroup \\[".r.findAllIn(plan.split("== Initial Plan ==")(0)).size == 2, plan)
     // no sort anywhere: the heap replaces it
     assert(!plan.contains("Sort "), plan)
   }

@@ -43,50 +43,86 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine similarity ≥ 0.4 (near-duplicate surface over
-    * embeddings). The left side is broadcast (embeddings fit comfortably:
-    * N ≤ a few 10⁵ rows × 64 floats); the pair predicate `a < b` halves the
-    * work. At 100 TB this exact variant is the per-bucket verifier inside
-    * q44's LSH plan, not a standalone scan. */
+    * embeddings), computed as a BLOCK-PARTITIONED pair sweep — fully
+    * distributed, nothing is collected to the driver.
+    *
+    * Rows hash into B blocks; each unordered block pair (p ≤ q) is one task
+    * that receives exactly the rows of blocks p and q (each row is shipped to
+    * the B tasks containing its block) and runs the primitive-float-array
+    * kernel over its pair range. Every vector pair lands in exactly one task,
+    * so results are exact. Costs: shuffle = N·B rows; per-task memory =
+    * 2·N/B vectors; compute = O(N²·dim/2) total, spread over B·(B+1)/2 tasks.
+    * B scales with N (per-task memory stays bounded) — the same kernel that
+    * previously required a driver-side broadcast now never materializes more
+    * than two blocks per executor. At 100 TB the LSH plan (q45) replaces the
+    * exact sweep; this block layout is also its per-bucket verifier.
+    *
+    * The kernel stays on primitive arrays in JVM code — measured 25-80×
+    * faster than HOF aggregate / unrolled codegen / Seq-typed UDF forms for
+    * dense pair math (round-1 Profile.scala). Double-widened so results are
+    * bit-comparable to the DuckDB oracle. */
   val q43CosinePairs: Q = (s, d) => {
-    // Broadcast-matrix kernel: the O(N²·dim) inner loop runs on primitive
-    // float arrays inside mapPartitions — measured 25-80× faster than any
-    // expression form (HOF aggregate, unrolled codegen, or UDF) for dense
-    // numeric pair work. The broadcast side is the same "small enough to
-    // broadcast" premise the `broadcast()` hint makes; at a scale where the
-    // matrix outgrows executors, this exact kernel becomes the per-bucket
-    // verifier inside q45's LSH plan instead of a global scan.
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val all = e.as[(Long, Array[Float])].collect().sortBy(_._1)
-    val norms = all.map { case (_, v) =>
-      var i = 0; var s2 = 0.0
-      while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
-      math.sqrt(s2)
-    }
-    val bcV = s.sparkContext.broadcast(all)
-    val bcN = s.sparkContext.broadcast(norms)
-    e.as[(Long, Array[Float])].mapPartitions { it =>
-      val vs = bcV.value; val ns = bcN.value
-      it.flatMap { case (id, v) =>
-        var na = 0.0
-        var i = 0
-        while (i < v.length) { na += v(i).toDouble * v(i); i += 1 }
-        val nA = math.sqrt(na)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < vs.length) {
-          val (id2, w) = vs(j)
-          if (id2 > id) {
-            var dp = 0.0
-            var k = 0
-            while (k < v.length) { dp += v(k).toDouble * w(k); k += 1 }
-            val cos = dp / (nA * ns(j))
-            if (cos >= 0.4) out += ((id, id2, cos))
-          }
-          j += 1
-        }
-        out
+      .as[(Long, Array[Float])]
+    val nBlocks = 8 // per-task rows ≈ 2N/B; raise with N to bound task memory
+    val replicated = e.flatMap { case (id, v) =>
+      val b = (id % nBlocks).toInt.abs
+      (0 until nBlocks).map { o =>
+        val p = math.min(b, o); val q = math.max(b, o)
+        (p * nBlocks + q, b, id, v)
       }
+    }
+    replicated.groupByKey(_._1).flatMapGroups { (task, rows) =>
+      val p = task / nBlocks; val q = task % nBlocks
+      // materialize the (≤ two blocks of) rows for this task
+      val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+      rows.foreach { case (_, b, id, v) =>
+        var i = 0; var s2 = 0.0
+        while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+        val entry = (id, v, math.sqrt(s2))
+        if (b == p) left += entry else right += entry
+      }
+      def cos(a: (Long, Array[Float], Double), b: (Long, Array[Float], Double)): Double = {
+        val (_, va, na) = a; val (_, vb, nb) = b
+        var dp = 0.0; var k = 0
+        while (k < va.length) { dp += va(k).toDouble * vb(k); k += 1 }
+        dp / (na * nb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      if (p == q) {
+        // within-block pairs i < j
+        var i = 0
+        while (i < left.length) {
+          var j = i + 1
+          while (j < left.length) {
+            val c = cos(left(i), left(j))
+            if (c >= 0.4) {
+              val (a, b) = (left(i)._1, left(j)._1)
+              out += ((math.min(a, b), math.max(a, b), c))
+            }
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        // cross-block pairs: each unordered pair appears in exactly this task
+        var i = 0
+        while (i < left.length) {
+          var j = 0
+          while (j < right.length) {
+            val c = cos(left(i), right(j))
+            if (c >= 0.4) {
+              val (a, b) = (left(i)._1, right(j)._1)
+              out += ((math.min(a, b), math.max(a, b), c))
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      out.iterator
     }.toDF("vec_a", "vec_b", "cos_raw")
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

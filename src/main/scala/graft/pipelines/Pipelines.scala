@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
 
 import graft.functions.{Html, TextFns}
 import graft.sources.Archives
@@ -47,18 +47,29 @@ object Pipelines {
 
   /** EP3 phase 1 (ID_matching_metadata.py): metadata tar.gz → per-member GPS
     * status table. The per-record append log (:60-64) is a status column;
-    * decode failures are data, not failures (:46-54). */
+    * decode failures are data, not failures (:46-54). The member payload is a
+    * JSON *array* of EXIF objects — like the reference's `json.loads(...)[0]`
+    * we parse the array and inspect element 0, and a payload that fails to
+    * parse reports the distinct "error" status (ID_matching_metadata.py:56-58)
+    * rather than being conflated with "not detected". */
   def gpsStatus(spark: SparkSession, tarPath: String, searchKey: String = "GPS"): DataFrame = {
     val members = Archives.tarMembers(spark, tarPath, suffix = ".json")
     Archives.withAsciiDecode(members)
-      .withColumn("payload", regexp_replace(col("text"), "^\\s*\\[|\\]\\s*$", ""))
+      // `get` (0-indexed) is null-on-missing even under ANSI mode, where
+      // element_at would throw on an empty ("[]") payload array
+      .withColumn("elem0", get(
+        from_json(col("text"), ArrayType(MapType(StringType, StringType))), lit(0)))
+      // payload keeps the element-0 object RAW (types intact for downstream
+      // schema inference); null when not a parseable non-empty JSON array
+      .withColumn("payload",
+        when(col("elem0").isNotNull, get_json_object(col("text"), "$[0]")))
       .withColumn("detected",
-        when(col("status") === "ok",
-          coalesce(exists(map_keys(from_json(col("payload"), MapType(StringType, StringType))),
-            k => k.startsWith(searchKey)), lit(false)))
+        when(col("status") === "ok" && col("elem0").isNotNull,
+          exists(map_keys(col("elem0")), k => k.startsWith(searchKey)))
           .otherwise(lit(false)))
       .withColumn("report",
         when(col("status") =!= "ok", col("status"))
+          .when(col("elem0").isNull, lit("error"))
           .when(col("detected"), lit(s"${searchKey}_detected"))
           .otherwise(lit(s"${searchKey}_not_detected")))
       .select(col("member").as("filename"), col("report"), col("payload"))

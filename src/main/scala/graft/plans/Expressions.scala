@@ -63,13 +63,17 @@ case class DmsToDecimal(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DmsParse.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    // freshName: two dms_to_decimal calls in one projection must not collide
+    // (a fixed local name fails Janino when the child is non-nullable and
+    // nullSafeCodeGen emits the block unbraced)
+    val parsed = ctx.freshName("parsed")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |double parsed = $cls.parse($c);
-         |if (Double.isNaN(parsed)) {
+         |double $parsed = $cls.parse($c);
+         |if (Double.isNaN($parsed)) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = parsed;
+         |  ${ev.value} = $parsed;
          |}
        """.stripMargin
     })

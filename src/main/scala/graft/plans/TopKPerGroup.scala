@@ -54,11 +54,26 @@ case class TopKPerGroupExec(
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(groupExprs) :: Nil
 
+  /** Memory bound. Partial mode flushes the heap map whenever it reaches
+    * `MaxPartialGroups` distinct groups — correctness is unaffected because
+    * the final operator merges the (≤ k-row) fragments per group, exactly as
+    * final hash aggregation merges partial-agg flushes. So partial memory is
+    * O(MaxPartialGroups × k) regardless of per-partition key cardinality;
+    * the trade is reduced combining (more shuffled rows), never OOM.
+    *
+    * FINAL mode holds one k-row heap per group in its partition and has NO
+    * spill path (unlike Spark's final hash aggregation, which sort-spills):
+    * memory is O(groups-in-partition × k). At pathological group cardinality
+    * raise `spark.sql.shuffle.partitions` so each partition holds fewer
+    * groups, or fall back to the declarative window formulation (q06), which
+    * sort-spills. This limitation is deliberate — a spilling final merge
+    * would re-implement ExternalSorter for a fast-path operator. */
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupE = groupExprs
     val orderE = order
     val kk = k
+    val flushThreshold = if (partial) TopKPerGroupExec.MaxPartialGroups else Int.MaxValue
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val rowOrd: Ordering[InternalRow] =
@@ -68,11 +83,7 @@ case class TopKPerGroupExec(
       // GREATEST under its ordering, and under SortOrder compare semantics
       // "greatest" == sorts-last == worst kept
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](
-            rowOrd.asInstanceOf[Ordering[UnsafeRow]]))
+      def offer(heap: mutable.PriorityQueue[UnsafeRow], row: InternalRow): Unit = {
         if (heap.size < kk) {
           heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
         } else if (rowOrd.compare(row, heap.head) < 0) {
@@ -81,15 +92,42 @@ case class TopKPerGroupExec(
           heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
         }
       }
-      heaps.valuesIterator.flatMap { h =>
-        // emit in sort order for deterministic downstream consumption
-        h.dequeueAll.reverseIterator
-      }
+      // batches of output rows: each batch consumes input until the group map
+      // hits the flush threshold (partial mode only) or input is exhausted,
+      // then drains the map in sort order per group
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = it.hasNext || heaps.nonEmpty
+        override def next(): Iterator[InternalRow] = {
+          var full = false
+          while (it.hasNext && !full) {
+            val row = it.next()
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(heap) => offer(heap, row)
+              case None =>
+                val heap = mutable.PriorityQueue.empty[UnsafeRow](
+                  rowOrd.asInstanceOf[Ordering[UnsafeRow]])
+                heaps.put(key.copy(), heap)
+                offer(heap, row)
+                if (heaps.size >= flushThreshold) full = true
+            }
+          }
+          val drained = heaps.values.toIndexedSeq
+          heaps.clear()
+          // emit in sort order for deterministic downstream consumption
+          drained.iterator.flatMap(_.dequeueAll.reverseIterator)
+        }
+      }.flatten
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-mode flush bound: ~64k groups × k rows held at once. */
+  val MaxPartialGroups: Int = 1 << 16
 }
 
 object TopKPerGroupStrategy extends SparkStrategy {

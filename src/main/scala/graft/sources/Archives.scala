@@ -29,15 +29,22 @@ import org.apache.spark.sql.functions._
   */
 object Archives {
 
-  /** One row per archive member: (archive, member, content). */
-  case class Member(archive: String, member: String, content: Array[Byte])
+  /** One row per archive member: (archive, member, content, truncated).
+    * `truncated` is the errors-become-data channel for the 64 MiB member
+    * cap — oversized members keep their prefix but are flagged, never
+    * silently corrupted. */
+  case class Member(archive: String, member: String, content: Array[Byte], truncated: Boolean)
 
-  private def readAll(in: java.io.InputStream, cap: Int = 64 << 20): Array[Byte] = {
+  /** Read up to `cap` bytes; second element reports whether the member had
+    * more bytes past the cap (truncation). */
+  private def readAll(in: java.io.InputStream, cap: Int = 64 << 20): (Array[Byte], Boolean) = {
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](64 * 1024)
     var n = in.read(buf)
     while (n >= 0 && out.size < cap) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+    // Loop exit with n >= 0 means it stopped on the cap: n read-but-unwritten
+    // bytes are being dropped (n > 0), or probe once for bytes past the cap.
+    (out.toByteArray, n > 0 || (n == 0 && in.read(buf) > 0))
   }
 
   /** Explode tar (optionally .tar.gz) archives into member rows.
@@ -57,8 +64,10 @@ object Archives {
         val out = ArrayBuffer.empty[Member]
         var e = stream.getNextEntry
         while (e != null) {
-          if (!e.isDirectory && e.getName.endsWith(suffix))
-            out += Member(archive, e.getName, readAll(stream))
+          if (!e.isDirectory && e.getName.endsWith(suffix)) {
+            val (bytes, truncated) = readAll(stream)
+            out += Member(archive, e.getName, bytes, truncated)
+          }
           e = stream.getNextEntry
         }
         stream.close()
@@ -78,8 +87,10 @@ object Archives {
         val out = ArrayBuffer.empty[Member]
         var e = stream.getNextEntry
         while (e != null) {
-          if (!e.isDirectory && e.getName.endsWith(suffix))
-            out += Member(archive, e.getName, readAll(stream))
+          if (!e.isDirectory && e.getName.endsWith(suffix)) {
+            val (bytes, truncated) = readAll(stream)
+            out += Member(archive, e.getName, bytes, truncated)
+          }
           e = stream.getNextEntry
         }
         stream.close()
@@ -100,10 +111,16 @@ object Archives {
         (new String(bytes, java.nio.charset.StandardCharsets.US_ASCII), "ok")
       else (new String(bytes, java.nio.charset.StandardCharsets.UTF_8), "encoding_error")
     }
-    members
+    val decoded = members
       .withColumn("dec", decode(col("content")))
       .withColumn("text", col("dec._1"))
       .withColumn("status", col("dec._2"))
       .drop("dec")
+    // Truncated members (64 MiB cap in readAll) surface through the same
+    // status channel — corrupted text must never masquerade as "ok".
+    if (decoded.columns.contains("truncated"))
+      decoded.withColumn(
+        "status", when(col("truncated"), lit("truncated")).otherwise(col("status")))
+    else decoded
   }
 }

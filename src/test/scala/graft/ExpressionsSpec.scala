@@ -50,6 +50,26 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "hi")
   }
 
+  test("codegen: two calls in one projection over a non-nullable child compile") {
+    // regression: a fixed-name codegen local collided when nullSafeCodeGen
+    // emitted the block unbraced (non-nullable child); CODEGEN_ONLY would fail
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = Seq(("""1 deg 0' 0.0" N""", """2 deg 0' 0.0" S"""))
+        .toDF("a", "b")
+        .select(expr("dms_to_decimal(a)").as("da"), expr("dms_to_decimal(b)").as("db"))
+        .head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(1) + 2.0) < 1e-9)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("codegen path: expression evaluates inside a wider codegen'd projection") {
     val df = Tables.customer(spark, "/root/testdata/sf0.001")
       .withColumn("dms", concat((col("c_custkey") % 90).cast("string"),

@@ -69,14 +69,20 @@ class PipelinesSpec extends AnyFunSuite {
         """[{"SourceFile":"b.jpg","Make":"Samsung","Model":"S21"}]""",
       "meta-003.json" ->
         """[{"SourceFile":"c.jpg","GPSPosition":"x","ISO":100,"FNumber":1.8}]""",
-      "meta-004.json" -> "not json at all"))
+      "meta-004.json" -> "not json at all",
+      // multi-element array: only element 0 is inspected (reference data[0])
+      "meta-005.json" ->
+        """[{"SourceFile":"d.jpg","Make":"Pixel"},{"GPSLatitude":"1 deg 0' 0\" N"}]""",
+      "meta-006.json" -> "[]"))
 
     val status = Pipelines.gpsStatus(spark, s"$dir/metadata.tar.gz")
     val reports = status.collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(reports("meta-001.json") == "GPS_detected")
     assert(reports("meta-002.json") == "GPS_not_detected")
     assert(reports("meta-003.json") == "GPS_detected")
-    assert(reports("meta-004.json") == "GPS_not_detected") // unparseable, not a job failure
+    assert(reports("meta-004.json") == "error") // unparseable → error channel, not a job failure
+    assert(reports("meta-005.json") == "GPS_not_detected") // element 0 only, like data[0]
+    assert(reports("meta-006.json") == "error") // empty array → data[0] would fail
 
     val assembled = Pipelines.assembleDetected(spark, s"$dir/metadata.tar.gz")
     // schema union of the two detected members (column count grows like the

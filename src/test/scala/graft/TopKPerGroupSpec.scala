@@ -49,6 +49,20 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(out.count() == 20)
   }
 
+  test("partial-mode flush at high group cardinality keeps results exact") {
+    import spark.implicits._
+    // > MaxPartialGroups (64k) distinct groups in ONE input partition forces
+    // at least one mid-stream flush of the partial heap map; the final
+    // operator must merge the fragments back to an exact per-group top-1
+    val n = graft.plans.TopKPerGroupExec.MaxPartialGroups + 5000
+    val df = spark.range(0, n.toLong * 2, 1, 1)
+      .select((col("id") % n).as("g"), col("id").as("v"))
+    val out = TopKPerGroup(df, Seq("g"), Seq(TopKPerGroup.Key("v", desc = true)), 1)
+    // exact answer: every group keeps its larger element, v = g + n
+    assert(out.count() == n)
+    assert(out.filter(col("v") =!= col("g") + n).count() == 0)
+  }
+
   test("ties at the boundary resolve by the tiebreaker order column") {
     import spark.implicits._
     val df = Seq(("a", 10, 1L), ("a", 10, 2L), ("a", 10, 3L), ("b", 5, 4L))

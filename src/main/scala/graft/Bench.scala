@@ -15,7 +15,12 @@ object Bench {
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).write
       .format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only the named queries (dev iteration; the
+    // driver passes none and gets the full suite)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (a bare count()
       // would let column pruning skip the expensive expressions entirely)

@@ -56,19 +56,33 @@ object Vectors {
 
   /** Random-hyperplane LSH bucket: sign bits of dot products against
     * `nPlanes` hyperplanes whose coefficients are generated driver-side from
-    * `seed` and inlined as literals — Catalyst constant-folds them, the
-    * projection is a codegen'd FMA chain, and the same bucket function
+    * `seed` and captured in the UDF closure — the same bucket function
     * evaluates identically on any executor at any scale (no stored model).
-    * Returns a Long bit-pattern (nPlanes ≤ 63). */
+    * Returns a Long bit-pattern (nPlanes ≤ 63).
+    *
+    * Deliberately a primitive-array JVM kernel, not an expression: the
+    * nPlanes × dim FMA sweep unrolled as a literal expression chain falls
+    * out of whole-stage codegen past ~100 terms and evaluates interpreted
+    * (round-1 Profile.scala measurement — the kernel is ~10× faster at
+    * 6 planes × 64 dims). Accumulation order matches the old expression
+    * form (left fold per plane), so bucket assignments are unchanged. */
   def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int, dim: Int = 64): Column = {
     require(nPlanes > 0 && nPlanes <= 63)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (1 to dim).map(i =>
-        element_at(v, i).cast("double") * lit(planes(p)(i - 1))).reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    val kernel = udf { (v: Array[Float]) =>
+      var bits = 0L
+      var p = 0
+      while (p < planes.length) {
+        val pl = planes(p)
+        var s = 0.0
+        var i = 0
+        while (i < pl.length && i < v.length) { s += v(i).toDouble * pl(i); i += 1 }
+        if (s >= 0) bits |= 1L << p
+        p += 1
+      }
+      bits
     }
-    bits.reduce(_ + _)
+    kernel(v)
   }
 }

@@ -51,25 +51,37 @@ object Topics {
       .setStopWords(CustomStopwords)
     val cv = new CountVectorizer().setInputCol("toks").setOutputCol("tf")
       .setMinDF(2).setVocabSize(5000)
-    val counted = new Pipeline().setStages(Array(tok, stop, cv)).fit(docs).transform(docs)
+    val fittedPipe = new Pipeline().setStages(Array(tok, stop, cv)).fit(docs)
+    val counted = fittedPipe.transform(docs)
+    // the fitted vocabulary (min_df=2, 5000 features) scopes the term-report
+    // universe, like BERTopic's vectorizer does (bertopicTest.py:44-46)
+    val vocab = fittedPipe.stages.last
+      .asInstanceOf[org.apache.spark.ml.feature.CountVectorizerModel].vocabulary
 
     // cluster on the deterministic hashing embedding (M1), mirroring
     // BERTopic's embed-then-cluster structure
-    val emb = Embed.embedDocuments(spark, dir)
-      .withColumnRenamed("embedding", "emb_arr")
     val toVec = org.apache.spark.ml.functions.array_to_vector(col("emb_arr"))
+    // cache: KMeans.fit iterates over the features and transform reads them
+    // again — without the barrier the embedding kernel reruns per pass
+    val features = Embed.embedDocuments(spark, dir)
+      .withColumnRenamed("embedding", "emb_arr")
+      .select(col("doc_id"), toVec.as("features"))
+      .cache()
     // 10 iterations converges on this corpus (deterministic via seed); the
     // default 20 doubles fit time for no report-level change
     val clustered = new KMeans().setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
-      .fit(emb.withColumn("features", toVec).select(col("doc_id"), col("features")))
-      .transform(emb.withColumn("features", toVec))
+      .fit(features)
+      .transform(features)
       .select(col("doc_id"), col("prediction").as("topic"))
 
     // outlier channel: docs whose token set was emptied by filtering
+    // (cache: topicInfo and topTerms both re-read this join)
     val withTopics = counted
       .withColumn("n_toks", size(col("toks")))
       .join(clustered, Seq("doc_id"))
       .withColumn("topic", when(col("n_toks") === 0, lit(-1)).otherwise(col("topic")))
+      .select(col("doc_id"), col("topic"), col("toks"))
+      .cache()
 
     val info = withTopics.groupBy(col("topic"))
       .agg(count(lit(1)).as("n"))
@@ -78,10 +90,14 @@ object Topics {
       .orderBy(col("topic"))
 
     // c-TF-IDF-ish top terms: per-topic token counts weighted by inverse
-    // topic frequency, ranked per topic (A7)
+    // topic frequency, ranked per topic (A7); terms outside the fitted
+    // vocabulary are excluded, mirroring the vectorizer-scoped term
+    // universe of the reference (min_df=2, max 5000 features)
+    val vocabSet = spark.sparkContext.broadcast(vocab.toSet)
+    val inVocab = udf { (t: String) => vocabSet.value.contains(t) }
     val exploded = withTopics
       .select(col("topic"), explode(col("toks")).as("term"))
-      .filter(col("topic") =!= -1)
+      .filter(col("topic") =!= -1 && inVocab(col("term")))
     val termTopic = exploded.groupBy(col("topic"), col("term")).agg(count(lit(1)).as("tf"))
     val termTopics = termTopic.groupBy(col("term"))
       .agg(countDistinct(col("topic")).as("df_topics"))
@@ -93,6 +109,8 @@ object Topics {
       .select(col("topic"), col("rn"), col("term"), col("score"))
       .orderBy(col("topic"), col("rn"))
 
-    TopicModel(withTopics.select(col("doc_id"), col("topic")), info, top)
+    // the report tables are tiny (k and k·topTermsK rows) — cache them so
+    // repeated report queries against the memoized model are free
+    TopicModel(withTopics.select(col("doc_id"), col("topic")), info.cache(), top.cache())
   }
 }

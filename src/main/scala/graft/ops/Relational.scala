@@ -127,14 +127,19 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
-  /** Resume-offset slice (F6, download_image_files.py:23 `files[last:]`),
-    * expressed as row_number over a total order + range predicate. At scale
-    * the order-by key is the checkpointed offset column, so the window is a
-    * single pass; streaming checkpoints replace this entirely (§2.9). */
+  /** Resume-offset slice (F6, download_image_files.py:23 `files[last:]`).
+    * NOT a global window over the full table (a no-partition window funnels
+    * every row through one task): `orderBy(key).limit(hi)` plans
+    * TakeOrderedAndProject — a per-partition k-row heap + driver merge of k
+    * rows, scale-safe for any table size — and only the k surviving rows
+    * flow through the rank window, whose size is bounded by the slice spec,
+    * not the data. Streaming checkpoints replace this entirely at 100 TB
+    * (§2.9: the resume offset is a checkpointed column predicate). */
   val q11Slice: Q = (s, d) => {
-    val w = Window.orderBy(col("event_id"))
+    val w = Window.orderBy(col("event_id")) // input bounded by limit(200)
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id")).limit(200)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") > 100 && col("rn") <= 200)
       .orderBy(col("rn"))

@@ -65,9 +65,24 @@ object Similarity {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val nBlocks = 8 // per-task rows ≈ 2N/B; raise with N to bound task memory
+    // B from the actual row count (parquet metadata count — no data scan):
+    // per-task rows ≈ 2N/B stays bounded as N grows. Floor of 8 keeps the
+    // task count past the core count at small N.
+    val nBlocks = {
+      val n = Tables.embeddings(s, d).count()
+      math.min(1024L, math.max(8L, n / 2048L + 1L)).toInt
+    }
     val replicated = e.flatMap { case (id, v) =>
-      val b = (id % nBlocks).toInt.abs
+      // mix the id (splitmix64 finalizer) before the mod: raw ids can be
+      // strided (all multiples of B collapse one block onto one task, which
+      // then runs the whole O(N²) sweep alone). Wrapping multiply is fine
+      // here — plain JVM code, not an ANSI SQL expression.
+      var h = id ^ (id >>> 33)
+      h *= 0xFF51AFD7ED558CCDL
+      h ^= h >>> 33
+      h *= 0xC4CEB9FE1A85EC53L
+      h ^= h >>> 33
+      val b = math.floorMod(h, nBlocks.toLong).toInt
       (0 until nBlocks).map { o =>
         val p = math.min(b, o); val q = math.max(b, o)
         (p * nBlocks + q, b, id, v)

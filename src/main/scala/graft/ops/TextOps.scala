@@ -140,19 +140,25 @@ object TextOps {
 
   /** TF-IDF keyword extraction: top-3 weighted terms per document (A7 at
     * document granularity — the per-doc twin of the topic pipeline's
-    * c-TF-IDF report). Two bounded shuffles: term-frequency groupBy and the
-    * document-frequency join (df table is vocabulary-sized → broadcast). */
+    * c-TF-IDF report). One tokenize pass: the document-frequency table
+    * derives FROM the tf table (df(term) = count of tf rows), so the corpus
+    * is scanned once; the corpus size folds in as a broadcast 1-row
+    * aggregate (the q04 pattern — no driver action at plan-build time). The
+    * df side is vocabulary-sized and unbounded at 100 TB, so no broadcast
+    * hint — AQE picks the join strategy from runtime sizes. */
   val q57Tfidf: Q = (s, d) => {
-    val docsN = Tables.documents(s, d).count()
     val terms = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // cache: tf feeds both the join left side and the df aggregation —
+    // without the barrier the tokenize+explode+groupBy replays per branch
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
-      .withColumn("tfidf", round(col("tf") * log(lit(docsN.toDouble) / col("df")), 4))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))

@@ -2,8 +2,7 @@ package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayOutputStream}
 
-import scala.collection.mutable.ArrayBuffer
-
+import org.apache.commons.compress.archivers.{ArchiveEntry, ArchiveInputStream}
 import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
 import org.apache.commons.compress.archivers.zip.ZipArchiveInputStream
 import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
@@ -47,6 +46,34 @@ object Archives {
     (out.toByteArray, n > 0 || (n == 0 && in.read(buf) > 0))
   }
 
+  /** Lazy member walk: advances the archive stream ON DEMAND, one member per
+    * `next()` — at no point is more than the current member's bytes resident
+    * (the flatMap output iterator is consumed row-by-row by the downstream
+    * operator, so a million-member archive streams through constant memory).
+    * The stream is closed when the last entry has been read. */
+  private[graft] def memberIterator(
+      archive: String,
+      stream: ArchiveInputStream[_ <: ArchiveEntry],
+      suffix: String): Iterator[Member] = new Iterator[Member] {
+    private var staged: Member = _
+    private var done = false
+    private def advance(): Unit = {
+      var e = stream.getNextEntry
+      while (e != null && (e.isDirectory || !e.getName.endsWith(suffix)))
+        e = stream.getNextEntry
+      if (e == null) { done = true; staged = null; stream.close() }
+      else {
+        val (bytes, truncated) = readAll(stream)
+        staged = Member(archive, e.getName, bytes, truncated)
+      }
+    }
+    def hasNext: Boolean = { if (staged == null && !done) advance(); staged != null }
+    def next(): Member = {
+      if (!hasNext) throw new NoSuchElementException(s"$archive exhausted")
+      val m = staged; staged = null; m
+    }
+  }
+
   /** Explode tar (optionally .tar.gz) archives into member rows.
     * `suffix` filters member names at the source (F2 — e.g. ".json",
     * ID_matching_metadata.py:72) so unwanted entries are never materialized. */
@@ -61,17 +88,7 @@ object Archives {
           if (archive.endsWith(".gz") || archive.endsWith(".tgz"))
             new TarArchiveInputStream(new GzipCompressorInputStream(raw))
           else new TarArchiveInputStream(raw)
-        val out = ArrayBuffer.empty[Member]
-        var e = stream.getNextEntry
-        while (e != null) {
-          if (!e.isDirectory && e.getName.endsWith(suffix)) {
-            val (bytes, truncated) = readAll(stream)
-            out += Member(archive, e.getName, bytes, truncated)
-          }
-          e = stream.getNextEntry
-        }
-        stream.close()
-        out
+        memberIterator(archive, stream, suffix)
       }.toDF()
   }
 
@@ -84,17 +101,7 @@ object Archives {
       .flatMap { case (archive, bytes) =>
         val stream = new ZipArchiveInputStream(
           new BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
-        val out = ArrayBuffer.empty[Member]
-        var e = stream.getNextEntry
-        while (e != null) {
-          if (!e.isDirectory && e.getName.endsWith(suffix)) {
-            val (bytes, truncated) = readAll(stream)
-            out += Member(archive, e.getName, bytes, truncated)
-          }
-          e = stream.getNextEntry
-        }
-        stream.close()
-        out
+        memberIterator(archive, stream, suffix)
       }.toDF()
   }
 

@@ -47,9 +47,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("no unexpected cartesian products across the whole query surface") {
-    // intended nested-loop plans: q44's q<>c non-equi condition, and q04's
-    // broadcast cross-join with a 1-row scalar total
-    val allowedNestedLoop = Set("q44_knn_brute", "q04_ratio_of_total")
+    // intended nested-loop plans: q44's q<>c non-equi condition, and the
+    // broadcast cross-joins with a 1-row scalar total (the q04 pattern,
+    // also q57's corpus count and q50's topic-pct total)
+    val allowedNestedLoop =
+      Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)
@@ -58,6 +60,22 @@ class PlanAuditSpec extends AnyFunSuite {
       if (!allowedNestedLoop(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("no unpartitioned window over unbounded input anywhere in the surface") {
+    // a Window with an empty partitionSpec serializes its whole input
+    // through ONE task — only acceptable when the input is statically
+    // bounded (e.g. q11: TakeOrderedAndProject limits to 200 rows first)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.keys.foreach { name =>
+      val optimized = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      optimized.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          assert(w.child.maxRows.isDefined,
+            s"$name plans an unpartitioned Window over unbounded input:\n$w")
+        case _ =>
+      }
     }
   }
 

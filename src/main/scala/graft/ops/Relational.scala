@@ -178,6 +178,31 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** J2-faithful ID matching (ID_matching_metadata.py / create_metadata_df.py
+    * — the reference's whole raison d'être: posts↔metadata↔media matched by
+    * the Parler ID embedded in member FILENAMES, `metadata/meta-XXXX.json` ↔
+    * media id). The join key does not exist as a column: it is
+    * `regexp_extract`-ed from two independently-derived member names and then
+    * equi-joined — a codegen'd scalar projection followed by a hash join, so
+    * AQE broadcasts the smaller extracted side at scale. Member names are
+    * constructed from known columns (as q55) so DuckDB can replicate the
+    * extraction byte-for-byte; the archive-native composition of the same
+    * operator (two tar sources joined on extracted ID) is PipelinesSpec's
+    * ID-matching fixture case. */
+  val q60IdMatching: Q = (s, d) => {
+    val meta = Tables.documents(s, d)
+      .select(concat(lit("metadata/meta-"), hex(col("doc_id")), lit(".json")).as("member"),
+        col("lang"), col("n_chars"))
+      .withColumn("id", regexp_extract(col("member"), "meta-([A-Za-z0-9]+)\\.json$", 1))
+    val media = Tables.embeddings(s, d)
+      .select(concat(lit("media/vid-"), hex(col("vec_id")), lit(".mp4")).as("member"),
+        col("label"))
+      .withColumn("id", regexp_extract(col("member"), "vid-([A-Za-z0-9]+)\\.mp4$", 1))
+    meta.join(media, Seq("id"))
+      .select(col("id"), col("lang"), col("label"), col("n_chars"))
+      .orderBy(col("id"))
+  }
+
   /** Anti-join (engine completion of §2.3's absent-row: NOT EXISTS). */
   val q14AntiJoin: Q = (s, d) => {
     val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
@@ -309,6 +334,7 @@ object Relational {
     "q11_slice"           -> q11Slice,
     "q12_semi_join"       -> q12SemiJoin,
     "q13_join_revenue"    -> q13JoinRevenue,
+    "q60_id_matching"     -> q60IdMatching,
     "q14_anti_join"       -> q14AntiJoin,
     "q15_outer_join"      -> q15OuterJoin,
     "q16_union_merge"     -> q16UnionMerge,
@@ -381,6 +407,16 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q60_id_matching" ->
+      """SELECT id, lang, label, n_chars FROM (
+        |  SELECT regexp_extract('metadata/meta-' || hex(doc_id) || '.json',
+        |           'meta-([A-Za-z0-9]+)\.json$', 1) AS id, lang, n_chars
+        |  FROM documents) m
+        |JOIN (
+        |  SELECT regexp_extract('media/vid-' || hex(vec_id) || '.mp4',
+        |           'vid-([A-Za-z0-9]+)\.mp4$', 1) AS id, label
+        |  FROM embeddings) v
+        |USING (id) ORDER BY id""".stripMargin,
     "q14_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

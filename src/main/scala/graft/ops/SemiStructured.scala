@@ -61,6 +61,26 @@ object SemiStructured {
       .orderBy(col("event_id"))
   }
 
+  /** ZONED EXIF timestamp parse (C14, preview_data.ipynb:cell-8 —
+    * `2021:01:04 18:59:50-05:00`): the reference's EXIF timestamps carry a
+    * UTC offset. Wall-time strings with per-row NON-UTC offsets (−6..+6,
+    * never Z) are parsed with the `yyyy:MM:dd HH:mm:ssXXX` pattern and
+    * rendered back as the UTC instant — certifying the offset arithmetic,
+    * not just the zoneless format of q27. */
+  val q61ExifZoned: Q = (s, d) => {
+    val oh0 = (col("event_id") % 12) - lit(6)
+    val oh = when(oh0 >= 0, oh0 + 1).otherwise(oh0) // -6..-1, +1..+6: never UTC
+    Tables.events(s, d)
+      .filter(col("event_id") < 200)
+      .withColumn("exif_zoned",
+        concat(date_format(col("ts"), "yyyy:MM:dd HH:mm:ss"),
+          format_string("%+03d:00", oh)))
+      .withColumn("utc",
+        date_format(Gps.exifTimestamp(col("exif_zoned")), "yyyy-MM-dd HH:mm:ss"))
+      .select(col("event_id"), col("exif_zoned"), col("utc"))
+      .orderBy(col("event_id"))
+  }
+
   /** DMS→decimal conversion (C13, preview_data.ipynb:cell-8 GPS strings).
     * DMS strings are constructed deterministically from customer keys, parsed
     * back with the NATIVE Catalyst expression (plans.DmsToDecimal — one-pass
@@ -99,6 +119,7 @@ object SemiStructured {
     "q25_json_key_prefix" -> q25JsonKeyPrefix,
     "q26_day_counts"      -> q26DayCounts,
     "q27_exif_roundtrip"  -> q27ExifRoundtrip,
+    "q61_exif_zoned"      -> q61ExifZoned,
     "q28_dms"             -> q28Dms,
     "q29_ascii_status"    -> q29AsciiStatus,
   )
@@ -122,6 +143,17 @@ object SemiStructured {
         |  strftime(strptime(strftime(ts, '%Y:%m:%d %H:%M:%S'), '%Y:%m:%d %H:%M:%S'),
         |           '%Y-%m-%d %H:%M:%S') AS rt
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "q61_exif_zoned" ->
+      """SELECT event_id, exif_zoned,
+        |  strftime(strptime(exif_zoned, '%Y:%m:%d %H:%M:%S%z') AT TIME ZONE 'UTC',
+        |           '%Y-%m-%d %H:%M:%S') AS utc
+        |FROM (
+        |  SELECT event_id,
+        |    strftime(ts, '%Y:%m:%d %H:%M:%S') || printf('%+03d:00',
+        |      CASE WHEN (event_id % 12) - 6 >= 0 THEN (event_id % 12) - 5
+        |           ELSE (event_id % 12) - 6 END) AS exif_zoned
+        |  FROM events WHERE event_id < 200)
+        |ORDER BY event_id""".stripMargin,
     "q28_dms" ->
       """SELECT c_custkey,
         |  printf('%d deg %d'' %.1f" %s', deg, mnt, sec, dir) AS dms,

@@ -83,9 +83,12 @@ object Pipelines {
   def assembleDetected(spark: SparkSession, tarPath: String, searchKey: String = "GPS"): DataFrame = {
     import spark.implicits._
     val status = gpsStatus(spark, tarPath, searchKey)
+    // cache: the detected set feeds BOTH the schema-inference pass and the
+    // row-parse pass below — without the barrier the whole tar walk replays
     val detected = status
-      .filter(col("report").contains(s"${searchKey}_detected"))
+      .filter(col("report") === s"${searchKey}_detected")
       .select(col("filename"), col("payload"))
+      .cache()
     val parsed = spark.read.json(detected.select(col("payload")).as[String])
     // re-attach the member name by parsing payloads in member order — schema
     // inference and row parse happen in ONE pass each, vs per-record concat
@@ -93,5 +96,25 @@ object Pipelines {
       parsed.schema))
     withName.select(col("filename") +: parsed.schema.fieldNames.toIndexedSeq.map(f =>
       col(s"json.`$f`").as(f)): _*)
+  }
+
+  /** J2 (ID_matching_metadata.py / create_metadata_df.py): match metadata to
+    * media records by the Parler ID embedded in member FILENAMES —
+    * `metadata/meta-XXXX.json` ↔ `media/XXXX.<ext>`. The key exists in no
+    * column: both sides `regexp_extract` it from their member names, then
+    * equi-join. Inner join = "posts that have media", the reference's match
+    * list; AQE broadcasts whichever extracted side is small. The id-keyed
+    * oracle twin over parquet tables is q60. */
+  def idMatch(spark: SparkSession, metadataTar: String, mediaTar: String): DataFrame = {
+    val meta = Archives.tarMembers(spark, metadataTar, suffix = ".json")
+      .select(col("member").as("meta_member"), col("content"),
+        regexp_extract(col("member"), "meta-([A-Za-z0-9]+)\\.json$", 1).as("id"))
+      .filter(col("id") =!= "")
+    val media = Archives.tarMembers(spark, mediaTar)
+      .select(col("member").as("media_member"),
+        regexp_extract(col("member"), "([A-Za-z0-9]+)\\.[A-Za-z0-9]+$", 1).as("id"))
+      .filter(col("id") =!= "")
+    meta.join(media, Seq("id"))
+      .select(col("id"), col("meta_member"), col("media_member"), col("content"))
   }
 }

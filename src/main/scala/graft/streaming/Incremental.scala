@@ -22,7 +22,7 @@ object Incremental {
     * processes just the delta — the T1/T2/T4 resume patterns with zero
     * hand-rolled state. */
   def runOnce(spark: SparkSession, inDir: String, schema: org.apache.spark.sql.types.StructType,
-      outDir: String, checkpointDir: String)(transform: DataFrame => DataFrame): Unit = {
+      outDir: String, checkpointDir: String)(transform: DataFrame => DataFrame): StreamingQuery = {
     val q = transform(spark.readStream.schema(schema).parquet(inDir))
       .writeStream
       .format("parquet")
@@ -31,6 +31,22 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q // recentProgress stays readable after drain — see progressReport (T3)
+  }
+
+  /** T3 (embeddingsWithGPU.py:231-247): the reference hand-computes rows/sec
+    * and ETA from wall-clock deltas around each batch. The engine-native
+    * equivalent reads the query's progress events — per-batch input counts
+    * and durations the engine already tracks — so rate instrumentation is a
+    * read, not bookkeeping woven through the job. */
+  case class ProgressReport(batches: Int, rows: Long, totalSec: Double, rowsPerSec: Double)
+
+  def progressReport(q: StreamingQuery): ProgressReport = {
+    val ps = q.recentProgress.toSeq
+    val rows = ps.map(_.numInputRows).sum
+    val ms = ps.map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)).sum
+    val sec = ms / 1e3
+    ProgressReport(ps.size, rows, sec, if (sec > 0) rows / sec else 0.0)
   }
 
   /** Watermarked tumbling-window aggregation over an event stream — the

@@ -91,6 +91,37 @@ class ArchivesSpec extends AnyFunSuite {
     assert(detected == 500)
   }
 
+  test("member walk is lazy: archive bytes advance per pulled member, not up front") {
+    // 200 members × 32 KiB. If the walk buffered the whole archive (the old
+    // ArrayBuffer accumulation), bytesRead would jump to ~6.4 MiB on the
+    // first pull; the lazy iterator must stay within a few members of the
+    // pull cursor at all times.
+    val dir = fixtureDir
+    val payload = Array.fill[Byte](32 * 1024)('x')
+    val entries = (0 until 200).map(i => (f"meta-$i%04d.json", payload))
+    val tarPath = s"$dir/lazy.tar"
+    val tar = new TarArchiveOutputStream(new BufferedOutputStream(new FileOutputStream(tarPath)))
+    entries.foreach { case (name, bytes) =>
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length)
+      tar.putArchiveEntry(e); tar.write(bytes); tar.closeArchiveEntry()
+    }
+    tar.close()
+    val totalSize = new java.io.File(tarPath).length()
+    val stream = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(tarPath)))
+    val it = Archives.memberIterator("lazy.tar", stream, suffix = ".json")
+    // pull 10 of 200: the stream must have consumed ~10 members, not all 200
+    val first10 = it.take(10).toList
+    assert(first10.size == 10)
+    val consumed = stream.getBytesRead
+    assert(consumed < totalSize / 4,
+      s"stream consumed $consumed of $totalSize bytes after 10 of 200 members — " +
+        "the walk is materializing the archive up front")
+    // the remainder still arrives intact
+    assert(it.size == 190)
+  }
+
   test("zip member enumeration (S8)") {
     val dir = fixtureDir
     writeZip(s"$dir/posts.zip", Seq(

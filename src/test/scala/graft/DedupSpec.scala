@@ -71,10 +71,11 @@ class DedupSpec extends AnyFunSuite {
     assert(ivf.size == exact.size, "IVF should return one neighbor per vector")
     val hits = ivf.count { case (v, nn) => exact.get(v).contains(nn) }
     val recall = hits.toDouble / exact.size
-    // 64-cell coarse quantizer x2 probes on 500 uniform vectors: modest but
-    // real recall; the contract is deterministic approximate search, and any
+    info(s"IVF top-1 agreement with exact: $recall")
+    // KMeans codebook (32 cells, 4 probes) on 500 UNIFORM vectors — the
+    // adversarial case for IVF (no cluster structure to exploit). Any
     // regression below this floor means the quantizer broke.
-    assert(recall >= 0.25, s"IVF top-1 recall $recall")
+    assert(recall >= 0.6, s"IVF top-1 recall $recall")
   }
 
   test("exact cosine pairs match brute force computed independently") {

@@ -101,4 +101,48 @@ class PipelinesSpec extends AnyFunSuite {
       .selectExpr("dms_to_decimal(GPSLatitude) AS d").head().getDouble(0)
     assert(math.abs(dec - 38.933) < 1e-9)
   }
+
+  test("J2: ID matching joins metadata to media by filename-embedded ID") {
+    val dir = Files.createTempDirectory("graft-j2").toString
+    writeTarGz(s"$dir/metadata.tar.gz", Seq(
+      "metadata/meta-00CnBY5xCdca.json" -> """[{"SourceFile":"a.mp4"}]""",
+      "metadata/meta-0003lx5cSwSB.json" -> """[{"SourceFile":"b.jpg"}]""",
+      "metadata/meta-orphanXX.json"     -> """[{"SourceFile":"c.mp4"}]""", // no media
+      "metadata/readme.txt"             -> "not metadata"))
+    writeTarGz(s"$dir/media.tar.gz", Seq(
+      "media/00CnBY5xCdca.mp4" -> "fake video bytes",
+      "media/0003lx5cSwSB.jpg" -> "fake image bytes",
+      "media/unmatchedYY.mp4"  -> "no metadata for this one"))
+    val matched = Pipelines.idMatch(spark, s"$dir/metadata.tar.gz", s"$dir/media.tar.gz")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(matched.map(_._1).sorted.toSeq == Seq("0003lx5cSwSB", "00CnBY5xCdca"))
+    matched.foreach { case (id, meta, media) =>
+      assert(meta.endsWith(s"meta-$id.json") && media.contains(s"/$id."))
+    }
+  }
+
+  test("U1 stress: wide-schema assembly unions hundreds of distinct EXIF keys") {
+    // mirrors the reference's signature 86 -> 640-column sparse union
+    // (preview_data.ipynb:cell-10): every member shares a few keys and
+    // contributes a handful of its own; the assembled schema must be the
+    // UNION of all member schemas with nulls where a member lacks a column
+    val dir = Files.createTempDirectory("graft-wide").toString
+    val nMembers = 320
+    val entries = (0 until nMembers).map { i =>
+      val own = (0 until 2).map(j => s""""Tag_${i}_$j":"v$j"""").mkString(",")
+      (f"meta-$i%04d.json",
+        s"""[{"SourceFile":"$i.jpg","GPSLatitude":"$i deg 0' 0.00\\" N",$own}]""")
+    }
+    writeTarGz(s"$dir/wide.tar.gz", entries)
+    val assembled = Pipelines.assembleDetected(spark, s"$dir/wide.tar.gz")
+    // width: filename + SourceFile + GPSLatitude + 2 unique keys per member
+    assert(assembled.columns.length == 3 + 2 * nMembers,
+      s"expected ${3 + 2 * nMembers} columns, got ${assembled.columns.length}")
+    assert(assembled.count() == nMembers)
+    // sparsity: a member's own tags are null on every other row
+    import org.apache.spark.sql.functions.col
+    assert(assembled.filter(col("Tag_7_0").isNotNull).count() == 1)
+    assert(assembled.filter(col("Tag_7_0").isNotNull)
+      .head().getAs[String]("filename") == "meta-0007.json")
+  }
 }

@@ -39,6 +39,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("T3: progress metrics (rows, batches, rate) are readable from a drained run") {
+    val base = Files.createTempDirectory("graft-progress").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v").write.parquet(s"$in/batch1")
+    val q = Incremental.runOnce(spark, s"$in/*", schema, out, ck)(identity)
+    val report = Incremental.progressReport(q)
+    assert(report.batches >= 1)
+    assert(report.rows == 3, s"expected 3 input rows in progress, got ${report.rows}")
+    assert(report.totalSec > 0.0)
+    assert(report.rowsPerSec > 0.0) // the reference's rows/sec (embeddingsWithGPU.py:231-247)
+  }
+
   test("flatMapGroupsWithState keeps per-user running stats across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -70,13 +70,24 @@ object Relational {
   }
 
   /** Distinct count of non-outlier groups (A5, bertopicTest.py:127).
-    * Exact here; at 100 TB the same query ships as approx_count_distinct
-    * (HLL) — see q05b in Bench. */
+    * Exact here; q62 is the same query in its 100 TB form. */
   val q05DistinctCount: Q = (s, d) => {
     Tables.lineitem(s, d)
       .filter(col("l_returnflag") =!= lit("N"))
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
            countDistinct(col("l_suppkey")).as("n_supps"))
+  }
+
+  /** A5 at scale: HyperLogLog approximate distinct count — one pass, fixed
+    * sketch memory per group, no exact-distinct shuffle explosion. The value
+    * is engine-specific (HLL estimate) → rows-only driver check; the ≤5%
+    * relative-error invariant vs q05's exact counts is unit-asserted in
+    * ScalePatternsSpec. */
+  val q62ApproxDistinct: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") =!= lit("N"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("n_parts"),
+           approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("n_supps"))
   }
 
   /** Top-k per group via ranking window (A7, bertopicTest.py:93-100 top words
@@ -326,6 +337,7 @@ object Relational {
     "q03_group_count"     -> q03GroupCount,
     "q04_ratio_of_total"  -> q04RatioOfTotal,
     "q05_distinct_count"  -> q05DistinctCount,
+    "q62_approx_distinct" -> q62ApproxDistinct,
     "q06_topk_per_group"  -> q06TopkPerGroup,
     "q07_sort"            -> q07Sort,
     "q08_topk"            -> q08Topk,

@@ -66,4 +66,16 @@ class ScalePatternsSpec extends AnyFunSuite {
   test("AQE is active in the session (runtime re-planning at scale)") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("q62 HLL approx distinct stays within 5% of the exact counts") {
+    val d = "/root/testdata/sf0.001"
+    val exact = ops.Relational.q05DistinctCount(spark, d).head()
+    val approx = ops.Relational.q62ApproxDistinct(spark, d).head()
+    Seq(0, 1).foreach { i =>
+      val e = exact.getLong(i).toDouble
+      val a = approx.getLong(i).toDouble
+      assert(math.abs(a - e) / e <= 0.05,
+        s"col $i: approx $a vs exact $e exceeds 5% relative error")
+    }
+  }
 }

@@ -109,8 +109,29 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join through the engine's NATIVE whole-operator plan
+    * (plans.AsOfJoin: BinaryNode + SparkStrategy + sort-merge SparkPlan —
+    * both sides co-clustered on user, one streaming merge pass, O(1) carried
+    * state per partition). Same semantics as q59's union+window composition;
+    * the oracle certifies the custom physical operator against DuckDB's
+    * native ASOF JOIN. */
+  val q63AsofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    graft.plans.AsOfJoin(clicks, purchases,
+        leftOn = Seq("user_id"), rightOn = Seq("p_user"),
+        leftTime = "ts", rightTime = "p_ts")
+      .select(col("event_id"), col("user_id"), fmt(col("ts")).as("click_ts"),
+        fmt(col("p_ts")).as("purchase_ts"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q59_asof_join"       -> q59AsofJoin,
+    "q63_asof_native"     -> q63AsofNative,
     "q46_tumbling_window" -> q46Tumbling,
     "q47_sliding_window"  -> q47Sliding,
     "q48_session_window"  -> q48Session,
@@ -147,6 +168,14 @@ object Temporal {
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
     "q59_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q63_asof_native" ->
       """SELECT c.event_id, c.user_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts

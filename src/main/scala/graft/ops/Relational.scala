@@ -330,9 +330,27 @@ object Relational {
       .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
   }
 
+  /** The declarative top-k-per-group formulation with the rank column
+    * DROPPED — written exactly as a user would, but planned through the
+    * engine's custom optimizer rule (plans.TopKRewrite): the
+    * Filter(rn<=k)-over-Window pattern is rewritten to the bounded-heap
+    * TopKPerGroup operator, so the physical plan contains no window sort at
+    * all (asserted in TopKPerGroupSpec). The oracle certifies the rewrite
+    * preserves SQL semantics. */
+  val q64TopkRewritten: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("doc_id"), col("n_chars")) // rank dropped → rewrite fires
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q58_topk_native"     -> q58TopkNative,
+    "q64_topk_rewritten"  -> q64TopkRewritten,
     "q02_corpus_size"     -> q02CorpusSize,
     "q03_group_count"     -> q03GroupCount,
     "q04_ratio_of_total"  -> q04RatioOfTotal,
@@ -361,6 +379,12 @@ object Relational {
 
   def oracle: Map[String, String] = Map(
     "q58_topk_native" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
+    "q64_topk_rewritten" ->
       """SELECT lang, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn

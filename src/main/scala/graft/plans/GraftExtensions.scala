@@ -16,6 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dmsToDecimalDescriptor)
+    // custom Rule[LogicalPlan]: declarative top-k window → bounded-heap plan
+    e.injectOptimizerRule(_ => TopKRewrite)
+    // custom whole-operator strategies
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -26,12 +31,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DmsToDecimal].getName, "dms_to_decimal"),
     (children: Seq[Expression]) => DmsToDecimal(children.head))
 
-  /** Register the engine functions on an already-built session (covers the
-    * driver-constructed sessions in Verify/Bench/tests). */
+  /** Register the engine functions, optimizer rule, and planner strategies
+    * on an already-built session (covers the driver-constructed sessions in
+    * Verify/Bench/tests). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dms_to_decimal", exprs => DmsToDecimal(exprs.head), "scala_udf")
     spark.udf.register("html_post_text",
       (html: String) => graft.functions.Html.postText(html))
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 }

@@ -43,6 +43,37 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("TopKRewrite rule replans the declarative window form through the heap operator") {
+    graft.plans.GraftExtensions.register(spark)
+    val q = ops.Relational.q64TopkRewritten(spark, sf)
+    // the optimized plan must contain the rewritten operator and no Window
+    val optimized = q.queryExecution.optimizedPlan
+    assert(optimized.collectFirst {
+      case t: graft.plans.TopKPerGroup => t }.isDefined,
+      s"rewrite did not fire:\n$optimized")
+    assert(optimized.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"window survived the rewrite:\n$optimized")
+    // and the rewrite preserves the SQL answer
+    val viaRule = q.collect().map(_.toSeq)
+    val reference = ops.Relational.q58TopkNative(spark, sf).collect().map(_.toSeq)
+    assert(viaRule.toSeq == reference.toSeq)
+  }
+
+  test("rewrite does NOT fire when the query projects the rank column") {
+    graft.plans.GraftExtensions.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    val q = Tables.documents(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("doc_id")) // rank kept → no rewrite
+    val optimized = q.queryExecution.optimizedPlan
+    assert(optimized.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isDefined,
+      s"rewrite fired on a rank-projecting query:\n$optimized")
+  }
+
   test("k larger than any group returns all rows") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
     val out = TopKPerGroup(docs, Seq("lang"), Seq(TopKPerGroup.Key("doc_id")), 1000)

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Text normalization / tokenization / fingerprinting scalars
   * (SURVEY C4/C5 + north-star text analysis).
   *
-  * All pure built-in expressions — codegen'd, no UDFs, so they stay inside
-  * WholeStageCodegen and vectorize over the parquet scan.
+  * Built-in expressions wherever they stay fast — codegen'd, inside
+  * WholeStageCodegen, vectorized over the parquet scan. The one exception
+  * is the winnowing kernel, where nested array HOFs go quadratic in the
+  * interpreted evaluator (see its doc).
   */
 object TextFns {
 
@@ -38,6 +40,91 @@ object TextFns {
         sequence(lit(0), length(s) - n),
         i => s.substr(i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** BPE-style pre-tokenization pattern (north-star "whitespace + a BPE-ish
+    * regex"): the GPT-2 pre-tokenizer shape — contraction suffixes, then
+    * optionally space-prefixed letter runs, digit runs, and punctuation
+    * runs. No lookahead (kept RE2-compatible so the DuckDB oracle runs the
+    * identical pattern); stray whitespace is simply unmatched. */
+  val BpePattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  /** All BPE-style pre-tokens of the raw text. */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  /** Winnowing fingerprint (the rolling-hash document fingerprint of the
+    * north-star list, per Schleimer/Wilkerson/Aiken's MOSS): hash every
+    * k-char gram of the normalized text, take the MINIMUM hash in each
+    * sliding window of w consecutive grams, dedupe. Any shared substring of
+    * length ≥ k+w-1 between two documents yields at least one shared
+    * fingerprint — the chunk-granular near-dup primitive. md5 (not
+    * xxhash64) so the DuckDB oracle reproduces values exactly.
+    *
+    * Deliberately a one-pass JVM kernel, NOT nested transform() expressions:
+    * an inner HOF lambda referencing the gram-array expression re-evaluates
+    * the whole array per window in the interpreted evaluator — O(n²) md5
+    * calls per document (measured as a multi-minute hang at sf0.01; the
+    * round-1 HOF-vs-kernel trap again). Gram slicing is by CODE POINT to
+    * match Spark/DuckDB character semantics, not UTF-16 units. */
+  def winnowedFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
+    val kernel = udf { (s: String) =>
+      if (s == null) null
+      else {
+        // per-code-point byte offsets into the UTF-8 encoding: gram i is the
+        // byte range [off(i), off(i+k)) — no per-gram string materialization
+        val utf8 = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val nCps = s.codePointCount(0, s.length)
+        if (nCps < k + w - 1) Array.empty[String]
+        else {
+          val off = new Array[Int](nCps + 1)
+          var ci = 0 // char index (UTF-16)
+          var bi = 0 // byte index (UTF-8)
+          var p = 0  // code point index
+          while (p < nCps) {
+            off(p) = bi
+            val cp = s.codePointAt(ci)
+            ci += Character.charCount(cp)
+            bi += (if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4)
+            p += 1
+          }
+          off(nCps) = bi
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hexDigits = "0123456789abcdef".toCharArray
+          val nGrams = nCps - k + 1
+          val grams = new Array[String](nGrams)
+          var i = 0
+          while (i < nGrams) {
+            md.update(utf8, off(i), off(i + k) - off(i))
+            val digest = md.digest() // digest() resets the instance
+            val hex = new Array[Char](32)
+            var b = 0
+            while (b < 16) {
+              val v = digest(b) & 0xff
+              hex(2 * b) = hexDigits(v >>> 4)
+              hex(2 * b + 1) = hexDigits(v & 15)
+              b += 1
+            }
+            grams(i) = new String(hex)
+            i += 1
+          }
+          // sliding min per window of w, deduped (order is irrelevant to
+          // consumers: counts, mins, and set intersections only)
+          val out = scala.collection.mutable.LinkedHashSet.empty[String]
+          var j = 0
+          while (j + w <= nGrams) {
+            var m = grams(j)
+            var x = j + 1
+            while (x < j + w) { if (grams(x) < m) m = grams(x); x += 1 }
+            out += m
+            j += 1
+          }
+          out.toArray
+        }
+      }
+    }
+    kernel(normText(c))
   }
 
   /** Word n-gram shingles joined by single spaces. Texts with fewer than n

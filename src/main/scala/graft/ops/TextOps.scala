@@ -165,8 +165,36 @@ object TextOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** BPE-style pre-tokenization counts next to whitespace counts (the
+    * north-star token-counting pair): the GPT-2-shaped regex is RE2-safe so
+    * the oracle runs the IDENTICAL pattern — certifying the tokenizer, not
+    * just the count plumbing. */
+  val q65BpeTokens: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextFns.bpeTokens(col("text"))).as("n_bpe"),
+        TextFns.tokenCount(col("text")).as("n_ws"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprint profile (north-star rolling-hash document
+    * fingerprinting): distinct winnowed fingerprints per document, plus the
+    * first fingerprint as a value witness. The oracle recomputes the exact
+    * md5 rolling-hash winnow in DuckDB list comprehensions — value-level
+    * certification of the MOSS construction. */
+  val q66Winnow: Q = (s, d) => {
+    val fp = TextFns.winnowedFingerprints(col("text"), k = 8, w = 4)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(fp).as("n_prints"),
+        array_min(fp).as("min_print"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
+    "q65_bpe_tokens"    -> q65BpeTokens,
+    "q66_winnow"        -> q66Winnow,
     "q55_engagement"    -> q55Engagement,
     "q57_tfidf"         -> q57Tfidf,
     "q31_tokens"        -> q31Tokens,
@@ -179,6 +207,24 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q65_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextFns.BpePattern.replace("'", "''")}')) AS n_bpe,
+         |  len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_ws
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q66_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN length(s) >= 11
+        |    THEN [md5(s[i:i+7]) for i in range(1, length(s) - 6)]
+        |    ELSE [] END AS grams FROM t),
+        |win AS (
+        |  SELECT doc_id, CASE WHEN len(grams) >= 4
+        |    THEN list_distinct([list_min(grams[j:j+3]) for j in range(1, len(grams) - 2)])
+        |    ELSE [] END AS wins FROM g)
+        |SELECT doc_id, len(wins) AS n_prints, list_min(wins) AS min_print
+        |FROM win ORDER BY doc_id""".stripMargin,
     "q57_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term

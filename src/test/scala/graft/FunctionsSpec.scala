@@ -68,4 +68,29 @@ class FunctionsSpec extends AnyFunSuite {
     val got = df.select(TextFns.wordShingles($"t", 2).as("s")).head().getSeq[String](0)
     assert(got == Seq("a b", "b c", "c d"))
   }
+
+  test("bpe pre-tokens split contractions, words, numbers, punctuation") {
+    val got = Seq("I'll pay 42 dollars, obviously!").toDF("t")
+      .select(TextFns.bpeTokens($"t").as("toks")).head().getSeq[String](0)
+    assert(got == Seq("I", "'ll", " pay", " 42", " dollars", ",", " obviously", "!"))
+  }
+
+  test("winnowing guarantee: shared substring >= k+w-1 chars shares a fingerprint") {
+    // MOSS property (k=8, w=4): any common substring of length >= 11 must
+    // yield at least one common fingerprint; disjoint-alphabet texts none
+    val core = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      ("a", s"PREFIX ONE $core SUFFIX A"),
+      ("b", s"completely different start $core and another ending"),
+      ("c", "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")).toDF("id", "t")
+      .select($"id", TextFns.winnowedFingerprints($"t").as("fp"))
+    val fp = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fp("a") intersect fp("b")).nonEmpty, "shared core must share fingerprints")
+    assert((fp("a") intersect fp("c")).isEmpty, "disjoint texts must not collide")
+    // duplicate content has identical fingerprint sets (dedup key property)
+    val dup = Seq(("x", core), ("y", core)).toDF("id", "t")
+      .select($"id", TextFns.winnowedFingerprints($"t").as("fp"))
+      .collect().map(_.getSeq[String](1).toSet)
+    assert(dup(0) == dup(1) && dup(0).nonEmpty)
+  }
 }

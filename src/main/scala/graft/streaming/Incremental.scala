@@ -60,6 +60,17 @@ object Incremental {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup (north-star M6 in incremental form): each record
+    * passes exactly once per key across micro-batches, with the dedup state
+    * AGED OUT by the event-time watermark — the incremental content-dedup a
+    * training-data ingest pipeline runs continuously. Key on the content
+    * fingerprint (functions.TextFns.fingerprint) to dedup by content; state
+    * is bounded by (keys seen within the watermark horizon), not history. */
+  def streamingDedup(docs: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom stateful streaming operator (§2.9's stateful-ops completion):
     * per-user running statistics maintained across micro-batches via
     * flatMapGroupsWithState — the Spark-native form of the reference's

@@ -72,6 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate content within and across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val docs = input.toDF().toDF("ts", "text")
+      .withColumn("fp", graft.functions.TextFns.fingerprint(col("text")))
+    val q = Incremental.streamingDedup(docs, "ts", "1 hour", Seq("fp"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      // batch 1: an in-batch duplicate pair + a unique doc
+      input.addData((t(100), "alpha doc"), (t(101), "alpha doc"), (t(102), "beta doc"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (suppressed) + genuinely new doc
+      input.addData((t(200), "alpha doc"), (t(201), "gamma doc"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup_stream")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("alpha doc", "beta doc", "gamma doc"),
+        s"each content must pass exactly once, got $texts")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the events table matches the batch form") {
     val evSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

@@ -28,11 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Archives {
 
-  /** One row per archive member: (archive, member, content, truncated).
-    * `truncated` is the errors-become-data channel for the 64 MiB member
-    * cap — oversized members keep their prefix but are flagged, never
-    * silently corrupted. */
-  case class Member(archive: String, member: String, content: Array[Byte], truncated: Boolean)
+  /** One row per archive member: (archive, member, content, truncated,
+    * error). `truncated` is the errors-become-data channel for the 64 MiB
+    * member cap — oversized members keep their prefix but are flagged,
+    * never silently corrupted. `error` (null when healthy) carries a
+    * decode/walk failure: a CORRUPT archive yields the members read so far
+    * plus one error row, never a task failure — at 100 TB one bad archive
+    * must not kill the job (T6, ID_matching_metadata.py:46-54 semantics). */
+  case class Member(archive: String, member: String, content: Array[Byte],
+      truncated: Boolean, error: String)
 
   /** Read up to `cap` bytes; second element reports whether the member had
     * more bytes past the cap (truncation). */
@@ -58,13 +62,23 @@ object Archives {
     private var staged: Member = _
     private var done = false
     private def advance(): Unit = {
-      var e = stream.getNextEntry
-      while (e != null && (e.isDirectory || !e.getName.endsWith(suffix)))
-        e = stream.getNextEntry
-      if (e == null) { done = true; staged = null; stream.close() }
-      else {
-        val (bytes, truncated) = readAll(stream)
-        staged = Member(archive, e.getName, bytes, truncated)
+      try {
+        var e = stream.getNextEntry
+        while (e != null && (e.isDirectory || !e.getName.endsWith(suffix)))
+          e = stream.getNextEntry
+        if (e == null) { done = true; staged = null; stream.close() }
+        else {
+          val (bytes, truncated) = readAll(stream)
+          staged = Member(archive, e.getName, bytes, truncated, null)
+        }
+      } catch {
+        case t: Throwable =>
+          // corrupt stream: surface one error row and end the walk — the
+          // errors-become-data channel, never a task failure
+          done = true
+          staged = Member(archive, "", Array.emptyByteArray, truncated = false,
+            error = s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")
+          try stream.close() catch { case _: Throwable => () }
       }
     }
     def hasNext: Boolean = { if (staged == null && !done) advance(); staged != null }
@@ -123,11 +137,17 @@ object Archives {
       .withColumn("text", col("dec._1"))
       .withColumn("status", col("dec._2"))
       .drop("dec")
-    // Truncated members (64 MiB cap in readAll) surface through the same
-    // status channel — corrupted text must never masquerade as "ok".
-    if (decoded.columns.contains("truncated"))
-      decoded.withColumn(
-        "status", when(col("truncated"), lit("truncated")).otherwise(col("status")))
-    else decoded
+    // Truncated members (64 MiB cap in readAll) and archive-walk errors
+    // surface through the same status channel — corrupted content must
+    // never masquerade as "ok".
+    val withTrunc =
+      if (decoded.columns.contains("truncated"))
+        decoded.withColumn(
+          "status", when(col("truncated"), lit("truncated")).otherwise(col("status")))
+      else decoded
+    if (withTrunc.columns.contains("error"))
+      withTrunc.withColumn(
+        "status", when(col("error").isNotNull, lit("archive_error")).otherwise(col("status")))
+    else withTrunc
   }
 }

@@ -122,6 +122,29 @@ class ArchivesSpec extends AnyFunSuite {
     assert(it.size == 190)
   }
 
+  test("corrupt archive yields an error row, not a task failure (T6)") {
+    val dir = fixtureDir
+    val good = Seq(
+      "meta-001.json" -> """[{"SourceFile":"a.jpg"}]""".getBytes(StandardCharsets.US_ASCII),
+      "meta-002.json" -> """[{"SourceFile":"b.jpg"}]""".getBytes(StandardCharsets.US_ASCII))
+    writeTarGz(s"$dir/whole.tar.gz", good)
+    // corrupt: truncate the gzip stream mid-archive
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/whole.tar.gz"))
+    Files.write(java.nio.file.Paths.get(s"$dir/cut.tar.gz"),
+      java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val rows = Archives.tarMembers(spark, s"$dir/cut.tar.gz", suffix = ".json")
+      .select("member", "error").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    // the walk must complete (no exception) and end in exactly one error row
+    assert(rows.count(_._2.isDefined) == 1, rows.toSeq.toString)
+    assert(rows.filter(_._2.isEmpty).forall(_._1.endsWith(".json")))
+    // the status channel folds it in
+    val statuses = Archives.withAsciiDecode(
+      Archives.tarMembers(spark, s"$dir/cut.tar.gz", suffix = ".json"))
+      .select("status").collect().map(_.getString(0))
+    assert(statuses.contains("archive_error"))
+  }
+
   test("zip member enumeration (S8)") {
     val dir = fixtureDir
     writeZip(s"$dir/posts.zip", Seq(

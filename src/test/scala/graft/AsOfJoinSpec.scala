@@ -56,6 +56,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "the native operator must not fall back to a window")
   }
 
+  test("property: random instances agree with an independent per-key scan") {
+    // randomized semantics check: for arbitrary key/time multisets (with
+    // duplicate times and keys present on only one side), the operator must
+    // equal the obvious O(n·m) per-key reference computed driver-side
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val nL = 200 + rnd.nextInt(200)
+      val nR = 200 + rnd.nextInt(200)
+      val lRows = (0 until nL).map(i => (rnd.nextInt(12).toLong, ts(rnd.nextInt(500)), i.toLong))
+      val rRows = (0 until nR).map(i => (rnd.nextInt(15).toLong, ts(rnd.nextInt(500)), i * 10.0))
+      val out = AsOfJoin(
+        lRows.toDF("k", "t", "lid"), rRows.toDF("rk", "rt", "rv"),
+        Seq("k"), Seq("rk"), "t", "rt")
+        .select(col("lid"), col("rt")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))).toMap
+      lRows.foreach { case (k, t, lid) =>
+        // reference: the greatest right time <= t among rows with this key
+        val want = rRows.filter(r => r._1 == k && !r._2.after(t)).map(_._2)
+          .sortBy(_.getTime).lastOption
+        assert(out(lid) == want, s"trial $trial: left $lid (k=$k, t=$t)")
+      }
+    }
+  }
+
   test("many rows per key stream through the merge (state is one row)") {
     // 20k interleaved rows, 4 keys: the merge must hold one right row, not
     // the key's history; result spot-checked against a window computation

@@ -67,6 +67,34 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
+  test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    // the 100 TB data-layout pattern: write the corpus partitioned by a
+    // low-cardinality predicate column; a filter on it must prune entire
+    // directories at planning time, not read-and-discard rows
+    val d = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-partitioned").toString
+    Tables.documents(spark, d).write.partitionBy("lang").mode("overwrite").parquet(out)
+    val expected = Tables.documents(spark, d).filter(col("lang") === "en").count()
+    // behavioral proof: poison every OTHER partition's files with garbage —
+    // a scan that fails to prune would try to read them and error
+    java.nio.file.Files.list(java.nio.file.Paths.get(out)).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("lang=") && name != "lang=en")
+        java.nio.file.Files.list(p).forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.write(f, "not parquet".getBytes)
+        }
+    }
+    // explicit schema, as any at-scale reader: schema inference would read
+    // every partition's footers before pruning can apply
+    val schema = Tables.documents(spark, d).schema
+    val q = spark.read.schema(schema).parquet(out).filter(col("lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    assert(q.count() == expected) // succeeds ONLY if the poisoned dirs were pruned
+  }
+
   test("q62 HLL approx distinct stays within 5% of the exact counts") {
     val d = "/root/testdata/sf0.001"
     val exact = ops.Relational.q05DistinctCount(spark, d).head()

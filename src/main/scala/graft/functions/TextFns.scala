@@ -69,7 +69,15 @@ object TextFns {
     * round-1 HOF-vs-kernel trap again). Gram slicing is by CODE POINT to
     * match Spark/DuckDB character semantics, not UTF-16 units. */
   def winnowedFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
-    val kernel = udf { (s: String) =>
+    val kernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+      udf(winnowKernelFn(k, w))
+    kernel(normText(c))
+  }
+
+  /** The winnow kernel on a PRE-NORMALIZED string (the SQL registration in
+    * GraftExtensions wraps it with the JVM twin of normText). */
+  private[graft] def winnowKernelFn(k: Int, w: Int): String => Array[String] = {
+    (s: String) =>
       if (s == null) null
       else {
         // per-code-point byte offsets into the UTF-8 encoding: gram i is the
@@ -123,8 +131,6 @@ object TextFns {
           out.toArray
         }
       }
-    }
-    kernel(normText(c))
   }
 
   /** Word n-gram shingles joined by single spaces. Texts with fewer than n

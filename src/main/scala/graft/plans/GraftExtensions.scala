@@ -39,6 +39,13 @@ object GraftExtensions {
       "dms_to_decimal", exprs => DmsToDecimal(exprs.head), "scala_udf")
     spark.udf.register("html_post_text",
       (html: String) => graft.functions.Html.postText(html))
+    // winnowing fingerprint for SQL users: normalize exactly like
+    // TextFns.normText (collapse \s+ to single spaces, trim the single
+    // boundary space the collapse can leave), then the MOSS kernel
+    val winnow = graft.functions.TextFns.winnowKernelFn(8, 4)
+    spark.udf.register("winnow_fingerprints", (s: String) =>
+      if (s == null) null
+      else winnow(s.replaceAll("\\s+", " ").stripPrefix(" ").stripSuffix(" ")))
     if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewrite

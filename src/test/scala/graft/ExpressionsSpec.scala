@@ -50,6 +50,18 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "hi")
   }
 
+  test("SQL surface: winnow_fingerprints matches the Column API on raw text") {
+    graft.plans.GraftExtensions.register(spark)
+    val text = "  the   quick\tbrown fox jumps over the lazy dog  "
+    val viaSql = spark.sql(s"SELECT winnow_fingerprints('$text') AS fp")
+      .head().getSeq[String](0).toSet
+    val viaCol = Seq(text).toDF("t")
+      .select(graft.functions.TextFns.winnowedFingerprints(
+        org.apache.spark.sql.functions.col("t")).as("fp"))
+      .head().getSeq[String](0).toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
   test("codegen: two calls in one projection over a non-nullable child compile") {
     // regression: a fixed-name codegen local collided when nullSafeCodeGen
     // emitted the block unbraced (non-nullable child); CODEGEN_ONLY would fail

@@ -59,7 +59,7 @@ object Temporal {
     * minute bucket and the next one, so the join is an equi-join on
     * (user, bucket) — linear in events, never the per-user O(n²) nested
     * loop the naive theta-join plans. The oracle runs the naive form. */
-  val q49RangeJoin: Q = (s, d) => {
+  val q54RangeJoin: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"),
         floor(unix_timestamp(col("ts")) / 60).as("bucket"))
@@ -135,7 +135,7 @@ object Temporal {
     "q46_tumbling_window" -> q46Tumbling,
     "q47_sliding_window"  -> q47Sliding,
     "q48_session_window"  -> q48Session,
-    "q54_range_join"      -> q49RangeJoin,
+    "q54_range_join"      -> q54RangeJoin,
   )
 
   def oracle: Map[String, String] = Map(

@@ -191,10 +191,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-stratum hash sampling (the training-data MIXING
+    * primitive: upsample rare sources, downsample bulk ones,
+    * reproducibly). A row is kept iff the first 2 hex chars of
+    * md5(doc_id) fall under its language's threshold — rates in 256ths,
+    * no RNG state, stable across reruns/engines/cluster sizes, and a pure
+    * codegen'd scan filter: at 100 TB sampling is a predicate, not a
+    * shuffle. (Spark's native sample()/sampleBy() remain available; their
+    * per-partition RNG is engine-specific, hence not oracle-checkable.) */
+  val q67HashSample: Q = (s, d) => {
+    // en: 128/256, de: 64/256, everything else: 25/256
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val threshold = when(col("lang") === "en", "80")
+      .when(col("lang") === "de", "40")
+      .otherwise("19")
+    Tables.documents(s, d)
+      .filter(h2 < threshold)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
     "q65_bpe_tokens"    -> q65BpeTokens,
     "q66_winnow"        -> q66Winnow,
+    "q67_hash_sample"   -> q67HashSample,
     "q55_engagement"    -> q55Engagement,
     "q57_tfidf"         -> q57Tfidf,
     "q31_tokens"        -> q31Tokens,
@@ -207,6 +228,11 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q67_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '19' END
+        |ORDER BY doc_id""".stripMargin,
     "q65_bpe_tokens" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${TextFns.BpePattern.replace("'", "''")}')) AS n_bpe,

@@ -67,12 +67,13 @@ object Topics {
       .withColumnRenamed("embedding", "emb_arr")
       .select(col("doc_id"), toVec.as("features"))
       .cache()
-    // 10 iterations converges on this corpus (deterministic via seed); the
-    // default 20 doubles fit time for no report-level change. Random init
-    // (seeded) instead of k-means||: the parallel init costs ~5 extra full
-    // passes over the features for no report-level difference here —
-    // measured 3.2 s → 1.3 s on the fit (tools/ProfileTopics)
-    val clustered = new KMeans().setK(k).setSeed(42L).setMaxIter(10).setInitMode("random")
+    // Random init (seeded) instead of k-means||: the parallel init costs ~5
+    // extra full passes over the features for no report-level difference
+    // here — measured 3.2 s → 1.3 s on the fit (tools/ProfileTopics). 5
+    // iterations: the topic report needs a stable partition of the space,
+    // not a converged objective (same argument as the q45 IVF codebook);
+    // determinism comes from the seed either way.
+    val clustered = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("features")
       .fit(features)
       .transform(features)

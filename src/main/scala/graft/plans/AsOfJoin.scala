@@ -18,6 +18,10 @@ import org.apache.spark.sql.graft.GraftInternal
   * with no such right row keep nulls on the right — DuckDB's
   * `ASOF LEFT JOIN ... ON l.k = r.k AND l.t >= r.t`.
   *
+  * Null join keys compare like sort keys (null = null matches, i.e.
+  * IS NOT DISTINCT FROM), unlike a SQL equi-join which would drop them —
+  * pre-filter null-keyed rows if SQL semantics are required.
+  *
   * Physical shape: both sides hash-cluster on the join keys
   * (requiredChildDistribution — EnsureRequirements inserts compatible
   * exchanges) and sort within partitions by (keys, time)

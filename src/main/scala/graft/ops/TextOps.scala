@@ -211,8 +211,58 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition quality signals (the Gopher-rule family a pretraining
+    * pipeline filters on): per document, the fraction of all token
+    * occurrences taken by the single most frequent unigram/bigram, and the
+    * fraction of trigram occurrences that are repeats. Three explode →
+    * count pipelines keyed on (doc_id, gram) — the shuffle key is composite
+    * so hot documents spread across reducers; per-doc reduction is a
+    * partial-aggregated groupBy, never a per-doc window over raw grams. */
+  val q68Repetition: Q = (s, d) => {
+    // ONE corpus pass: a JVM kernel emits every (n, gram) occurrence for
+    // n = 1..3 (non-distinct — counts need repeats; and a kernel, not
+    // nested slice/array_join HOFs, which evaluate interpreted per gram —
+    // measured 4× on this query). Then one shuffle on the composite
+    // (doc_id, n, gram) key and a pivot of the tiny per-doc stats table.
+    val gramsKernel = udf { (s: String) =>
+      if (s == null) Array.empty[(Int, String)]
+      else {
+        val toks = s.split(' ')
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, String)](toks.length * 3)
+        var i = 0
+        while (i < toks.length) { out += ((1, toks(i))); i += 1 }
+        i = 0
+        while (i + 1 < toks.length) { out += ((2, toks(i) + " " + toks(i + 1))); i += 1 }
+        i = 0
+        while (i + 2 < toks.length) {
+          out += ((3, toks(i) + " " + toks(i + 1) + " " + toks(i + 2))); i += 1
+        }
+        out.toArray
+      }
+    }
+    // exact integer counts, not rounded ratios: arbitrary small-integer
+    // ratios land on decimal half-boundaries where double rounding diverges
+    // cross-engine (the round(avg,4) trap); consumers divide themselves
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(gramsKernel(TextFns.normText(col("text")))).as("g"))
+      .select(col("doc_id"), col("g._1").as("n"), col("g._2").as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("tot"),
+        (sum(col("c")) - count(lit(1))).as("dup"))
+      .groupBy(col("doc_id")).pivot("n", Seq(1, 2, 3))
+      .agg(first(col("top")).as("top"), first(col("tot")).as("tot"),
+        first(col("dup")).as("dup"))
+      .select(col("doc_id"),
+        col("1_top").as("top1"), col("1_tot").as("tot1"),
+        col("2_top").as("top2"), col("2_tot").as("tot2"),
+        col("3_dup").as("dup3"), col("3_tot").as("tot3"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
+    "q68_repetition"    -> q68Repetition,
     "q65_bpe_tokens"    -> q65BpeTokens,
     "q66_winnow"        -> q66Winnow,
     "q67_hash_sample"   -> q67HashSample,
@@ -228,6 +278,26 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q68_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(toks) AS g FROM t),
+        |g2 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+        |                              for i in range(1, len(toks))]) AS g
+        |       FROM t WHERE len(toks) >= 2),
+        |g3 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                              for i in range(1, len(toks) - 1)]) AS g
+        |       FROM t WHERE len(toks) >= 3),
+        |s1 AS (SELECT doc_id, max(c) AS top1, sum(c) AS tot1 FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2) GROUP BY 1),
+        |s2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |s3 AS (SELECT doc_id, sum(c) - count(*) AS dup3, sum(c) AS tot3 FROM
+        |        (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT doc_id, top1, tot1, top2, tot2, dup3, tot3
+        |FROM s1 JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q67_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <

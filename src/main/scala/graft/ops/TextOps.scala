@@ -260,9 +260,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/eval contamination check (the n-gram decontamination every
+    * LLM-data pipeline runs before training): for each candidate training
+    * document, how many of its distinct word 5-grams also occur in the
+    * held-out set (here: doc_id < 50 stands in for the eval set). One
+    * explode + one equi-join on the gram — the eval side is
+    * distinct-reduced first, so the join input is the eval set's gram
+    * VOCABULARY, not its corpus; AQE broadcasts it when genuinely small.
+    * At 100 TB the join key ships as a 128-bit gram hash instead of the
+    * string (collision-negligible); kept exact here for the oracle. */
+  val q69Contamination: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.wordShingles(col("text"), 5)).as("g"))
+    val eval_ = sh.filter(col("doc_id") < 50).select(col("g")).distinct()
+    sh.filter(col("doc_id") >= 50)
+      .join(eval_.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
     "q68_repetition"    -> q68Repetition,
+    "q69_contamination" -> q69Contamination,
     "q65_bpe_tokens"    -> q65BpeTokens,
     "q66_winnow"        -> q66Winnow,
     "q67_hash_sample"   -> q67HashSample,
@@ -278,6 +300,20 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q69_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |     for i in range(1, len(toks) - 3)])) AS g
+        |  FROM t WHERE len(toks) >= 5),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50)
+        |SELECT sh.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        |FROM sh LEFT JOIN ev ON sh.g = ev.g
+        |WHERE sh.doc_id >= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q68_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks

@@ -224,18 +224,29 @@ object TextOps {
     // nested slice/array_join HOFs, which evaluate interpreted per gram —
     // measured 4× on this query). Then one shuffle on the composite
     // (doc_id, n, gram) key and a pivot of the tiny per-doc stats table.
+    // grams ship as 64-bit FNV-1a hashes, not strings: the shuffle key is
+    // (doc_id, n, 8 bytes) and no gram text is ever materialized. A
+    // collision would merge two gram counts and fail the string-exact
+    // oracle loudly (same trade as q69's gram index).
     val gramsKernel = udf { (s: String) =>
-      if (s == null) Array.empty[(Int, String)]
+      if (s == null) Array.empty[(Int, Long)]
       else {
         val toks = s.split(' ')
-        val out = new scala.collection.mutable.ArrayBuffer[(Int, String)](toks.length * 3)
+        val tokHash = toks.map { t =>
+          var h = 0xcbf29ce484222325L
+          var c = 0
+          while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
+          h
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)](toks.length * 3)
+        def mix(a: Long, b: Long): Long = { var h = a ^ (b + 0x9e3779b97f4a7c15L); h *= 0x100000001b3L; h }
         var i = 0
-        while (i < toks.length) { out += ((1, toks(i))); i += 1 }
+        while (i < toks.length) { out += ((1, tokHash(i))); i += 1 }
         i = 0
-        while (i + 1 < toks.length) { out += ((2, toks(i) + " " + toks(i + 1))); i += 1 }
+        while (i + 1 < toks.length) { out += ((2, mix(tokHash(i), tokHash(i + 1)))); i += 1 }
         i = 0
         while (i + 2 < toks.length) {
-          out += ((3, toks(i) + " " + toks(i + 1) + " " + toks(i + 2))); i += 1
+          out += ((3, mix(mix(tokHash(i), tokHash(i + 1)), tokHash(i + 2)))); i += 1
         }
         out.toArray
       }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable IVF index for approximate nearest-neighbor search (M8 at
+  * deployment shape: a real ANN service BUILDS the index once — codebook +
+  * cell assignments — persists it, and serves queries against it; rebuilding
+  * per query, as a bare q45 call would, wastes the clustering work).
+  *
+  * Index = a KMeans CODEBOOK (k × dim doubles — broadcastable at any corpus
+  * size, fit on a bounded sample) plus the cell-assigned member table
+  * (cell, vec_id, embedding — one row per vector, hash-partitionable by
+  * cell). Both persist as plain Parquet: no engine-private format, any
+  * Spark session can `load` and serve.
+  *
+  * Search: each query probes its `nProbe` nearest cells; per-cell search is
+  * fused into ONE shuffle via groupByKey over members ∪ probes with a
+  * primitive-array cosine kernel (see q45's scale notes).
+  */
+case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame)
+
+object IvfIndex {
+
+  /** Rank the `k` nearest centroids for one vector (squared L2). */
+  private[ops] def nearestCells(centroids: Array[Array[Double]],
+      v: Array[Float], k: Int): Array[Int] = {
+    val d2 = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      var acc = 0.0; var i = 0
+      while (i < ct.length) { val dv = v(i).toDouble - ct(i); acc += dv * dv; i += 1 }
+      d2(c) = acc; c += 1
+    }
+    d2.zipWithIndex.sortBy(_._1).take(k).map(_._2)
+  }
+
+  /** Fit the codebook on a bounded sample and assign every vector to its
+    * nearest cell. `emb` must have columns (vec_id: long,
+    * embedding: array<float>). */
+  def build(spark: SparkSession, emb: DataFrame, nCells: Int = 32,
+      seed: Long = 7L, maxFitRows: Long = 50000L): IvfIndex = {
+    import spark.implicits._
+    val n = emb.count() // parquet metadata count when emb is a plain scan
+    val sampled =
+      if (n > maxFitRows) emb.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+      else emb
+    val features = sampled.select(
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+      .cache()
+    // 5 seeded random-init iterations: the codebook partitions space, it
+    // does not need a converged objective (q45 scale notes)
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random").fit(features)
+    features.unpersist()
+    val centroids = km.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cells = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestCells(bc.value, v, 1)(0).toLong, id, v) }
+      .toDF("cell", "vec_id", "embedding")
+    IvfIndex(centroids, cells)
+  }
+
+  /** Persist as plain Parquet: `dir/centroids` (cell, centroid) and
+    * `dir/cells` (cell, vec_id, embedding). */
+  def save(spark: SparkSession, index: IvfIndex, dir: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  def load(spark: SparkSession, dir: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
+  }
+
+  /** Best in-probed-cells neighbor per query vector: (vec_id, nn_id, cos).
+    * `queries` must have columns (vec_id, embedding); a query vector never
+    * matches itself. */
+  def searchTop1(spark: SparkSession, index: IvfIndex, queries: DataFrame,
+      nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val members = index.cells.as[(Long, Long, Array[Float])]
+      .map { case (cell, id, v) => (cell, id, v, false) }
+    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, v, nProbe).map(c => (c.toLong, id, v, true))
+      }
+    // per-cell search fused into one shuffle (q45 scale notes: each vector
+    // decoded once per cell, no probes × cell-size intermediate)
+    members.union(probes)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val qry = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, id, v, isProbe) =>
+          var i = 0; var s2 = 0.0
+          while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+          val entry = (id, v, math.sqrt(s2))
+          if (isProbe) qry += entry else mem += entry
+        }
+        qry.iterator.flatMap { case (qid, qv, qn) =>
+          var bestCos = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var j = 0
+          while (j < mem.length) {
+            val (cid, cv, cn) = mem(j)
+            if (cid != qid) {
+              var dp = 0.0; var k = 0
+              while (k < qv.length) { dp += qv(k).toDouble * cv(k); k += 1 }
+              val cos = dp / (qn * cn)
+              if (cos > bestCos || (cos == bestCos && cid < bestId)) {
+                bestCos = cos; bestId = cid
+              }
+            }
+            j += 1
+          }
+          if (bestId == Long.MaxValue) Iterator.empty
+          else Iterator.single((qid, bestId, bestCos))
+        }
+      }
+      .toDF("vec_id", "cand_id", "cos_raw")
+      // argmax across probed cells; duplicate candidates reached through
+      // several probes are absorbed by the same max
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_raw"), (-col("cand_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_id")).as("nn_id"),
+        round(col("best.cos_raw"), 4).as("cos"))
+  }
+}

@@ -172,94 +172,14 @@ object Similarity {
     * rows-only driver check; the recall floor vs q44's exact top-1 is
     * asserted in DedupSpec. */
   val q45AnnIvf: Q = (s, d) => {
-    import s.implicits._
-    val nCells = 32 // ~√N at this sf; grows as √N so cell size stays bounded
-    val nProbe = 8 // uniform (clusterless) embeddings need a wide probe
+    // nCells ~ √N at this sf (grows as √N so cell size stays bounded);
+    // nProbe 8: uniform (clusterless) embeddings need a wide probe. The
+    // build + search split is the deployable shape — ops.IvfIndex persists
+    // the codebook and cell table as plain Parquet (IvfIndexSpec
+    // round-trips it); this query builds and searches in one session.
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    // codebook fit: cap the training set (the quantizer needs the
-    // distribution, not every row — at 100 TB this is a 50k-row sample)
-    val n = Tables.embeddings(s, d).count() // parquet metadata count
-    val sampled = if (n > 50000)
-      Tables.embeddings(s, d).sample(withReplacement = false, 50000.0 / n, seed = 7L)
-    else Tables.embeddings(s, d)
-    // cache the training vectors for the fit's iteration passes (KMeans
-    // re-reads its input once per iteration), release when the codebook
-    // (k×dim doubles) has been extracted
-    val features = sampled.select(
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
-      .cache()
-    // 5 iterations: the codebook only has to partition space sensibly, not
-    // converge — recall is governed by nProbe (floor asserted in DedupSpec)
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(7L).setMaxIter(5).setInitMode("random").fit(features)
-    val centroids = s.sparkContext.broadcast(km.clusterCenters.map(_.toArray))
-    features.unpersist()
-    // assignment is narrow: each row ranks the k centroids in-JVM; members
-    // land in ONE cell, queries fan out to their nProbe nearest cells
-    def nearestCells(v: Array[Float], k: Int): Array[Int] = {
-      val cs = centroids.value
-      val d2 = new Array[Double](cs.length)
-      var c = 0
-      while (c < cs.length) {
-        val ct = cs(c)
-        var acc = 0.0; var i = 0
-        while (i < ct.length) { val dv = v(i).toDouble - ct(i); acc += dv * dv; i += 1 }
-        d2(c) = acc; c += 1
-      }
-      d2.zipWithIndex.sortBy(_._1).take(k).map(_._2)
-    }
-    val members = e.map { case (id, v) =>
-      (nearestCells(v, 1)(0).toLong, id, v, false)
-    }
-    val probes = e.flatMap { case (id, v) =>
-      nearestCells(v, nProbe).map(c => (c.toLong, id, v, true))
-    }
-    // Per-cell search fused into ONE shuffle: group the cell's members and
-    // visiting probes, then run the primitive-array cosine kernel in-JVM per
-    // cell — each vector is decoded once per cell instead of once per
-    // candidate pair, and no (probes × cell-size) joined intermediate is
-    // ever materialized. Per-cell memory is one cell's vectors (KMeans cells
-    // track the data's density; at residual skew, raise nCells).
-    members.union(probes)
-      .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        val qry = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        it.foreach { case (_, id, v, isProbe) =>
-          var i = 0; var s2 = 0.0
-          while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
-          val entry = (id, v, math.sqrt(s2))
-          if (isProbe) qry += entry else mem += entry
-        }
-        qry.iterator.flatMap { case (qid, qv, qn) =>
-          var bestCos = Double.NegativeInfinity
-          var bestId = Long.MaxValue
-          var j = 0
-          while (j < mem.length) {
-            val (cid, cv, cn) = mem(j)
-            if (cid != qid) {
-              var dp = 0.0; var k = 0
-              while (k < qv.length) { dp += qv(k).toDouble * cv(k); k += 1 }
-              val cos = dp / (qn * cn)
-              if (cos > bestCos || (cos == bestCos && cid < bestId)) {
-                bestCos = cos; bestId = cid
-              }
-            }
-            j += 1
-          }
-          if (bestId == Long.MaxValue) Iterator.empty
-          else Iterator.single((qid, bestId, bestCos))
-        }
-      }
-      .toDF("vec_id", "cand_id", "cos_raw")
-      // argmax across cells: max of (cos, -cand_id) picks the best-cosine
-      // candidate with ties to the smallest id; duplicate pairs reached via
-      // several probes are absorbed by the same max
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos_raw"), (-col("cand_id")).as("neg_id"))).as("best"))
-      .select(col("vec_id"), (-col("best.neg_id")).as("nn_id"),
-        round(col("best.cos_raw"), 4).as("cos"))
+    val index = IvfIndex.build(s, e, nCells = 32, seed = 7L)
+    IvfIndex.searchTop1(s, index, e, nProbe = 8)
       .orderBy(col("vec_id"))
   }
 

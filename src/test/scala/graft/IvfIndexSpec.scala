@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IvfIndex
+
+/** The persistable IVF index (M8 deployment shape): build → save → load →
+  * search must reproduce the in-memory search exactly, and the index files
+  * are plain Parquet any session can read. */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  test("saved and reloaded index serves identical search results") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val built = IvfIndex.build(spark, e, nCells = 16, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.save(spark, built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.length == built.centroids.length)
+    assert(loaded.centroids.map(_.toSeq).toSeq == built.centroids.map(_.toSeq).toSeq)
+    val a = IvfIndex.searchTop1(spark, built, e, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    val b = IvfIndex.searchTop1(spark, loaded, e, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // every query found a neighbor (probes include the query's own cell)
+    assert(a.size == e.count())
+  }
+
+  test("cell assignment covers every vector exactly once") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val idx = IvfIndex.build(spark, e, nCells = 16, seed = 7L)
+    assert(idx.cells.count() == e.count())
+    assert(idx.cells.select("vec_id").distinct().count() == e.count())
+    val cellIds = idx.cells.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    assert(cellIds.forall(c => c >= 0 && c < 16))
+  }
+}

@@ -183,8 +183,29 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Int8 scalar quantization of the embedding column (the storage form a
+    * large embedding corpus ships in — 4× smaller than float32): per-vector
+    * min/max affine scale to 0..255 codes. `floor`, not `round`, so the
+    * code values are cross-engine exact (no decimal half-boundary
+    * divergence); the oracle recomputes the identical affine+floor and the
+    * code SUM certifies every code value. Narrow per-row expressions — a
+    * pure scan pass at any scale. */
+  val q70Quantize: Q = (s, d) => {
+    val v = col("embedding")
+    val vmin = array_min(v).cast("double")
+    val vmax = array_max(v).cast("double")
+    val scale = lit(255.0) / (vmax - vmin)
+    val codes = transform(v, x => floor((x.cast("double") - vmin) * scale).cast("long"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), vmin.as("vmin"), vmax.as("vmax"),
+        when(vmax > vmin,
+          aggregate(codes, lit(0L), (a, b) => a + b)).otherwise(lit(0L)).as("code_sum"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q41_vector_norms" -> q41VectorNorms,
+    "q70_quantize"     -> q70Quantize,
     "q42_centroids"    -> q42Centroids,
     "q43_cosine_pairs" -> q43CosinePairs,
     "q44_knn_brute"    -> q44KnnBrute,
@@ -198,6 +219,18 @@ object Similarity {
     s"sqrt(${duckDot(a, a)})"
 
   def oracle: Map[String, String] = Map(
+    "q70_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+        |  FROM embeddings)
+        |SELECT vec_id, vmin, vmax,
+        |  CASE WHEN vmax > vmin THEN
+        |    list_sum([CAST(floor((CAST(x AS DOUBLE) - vmin) * (255.0 / (vmax - vmin))) AS BIGINT)
+        |              for x in embedding])
+        |  ELSE 0 END AS code_sum
+        |FROM t ORDER BY vec_id""".stripMargin,
     "q41_vector_norms" ->
       s"""SELECT vec_id, label, round(${duckNorm("embedding")}, 4) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -261,52 +261,15 @@ object Dedup {
 
   /** Canonicalization: collapse near-duplicate PAIRS into components and
     * elect min(doc_id) per component — the step that turns pairwise dedup
-    * output into a cleaned corpus. Implemented as iterative min-label
-    * propagation over the pair edges until fixpoint (the dataframe form of
-    * large-star/small-star connected components: each iteration is one
-    * shuffle on doc_id; iterations ≤ component diameter, which for dedup
-    * graphs is tiny). Driver loop carries only a convergence flag — no data
-    * is collected. */
+    * output into a cleaned corpus. The component engine is the reusable
+    * [[ConnectedComponents]] operator (iterative min-label propagation, one
+    * shuffle per iteration, no driver data collect — see its scale notes);
+    * this query feeds it the minhash pair set. */
   val q41DedupCanonical: Q = (s, d) => {
-    // cache: the pair set feeds four union branches below — without the
-    // barrier the whole minhash candidate join would replay per branch.
-    // (minhashPairs, not q38: the global sort is wasted on edge input)
-    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b")).cache()
-    // undirected edges + explicit self-loops: min-over-neighbors then already
-    // includes the node's own label, so each iteration is ONE join + ONE
-    // aggregation (no second labels join)
-    val vertices = pairs.select(col("doc_a").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("v"))).distinct()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .unionByName(vertices.select(col("v").as("src"), col("v").as("dst")))
-      .cache()
-    var labels = vertices.select(col("v").as("doc_id"), col("v").as("label")).cache()
-    // labels only ever decrease under min-propagation, so the label SUM is a
-    // strictly-monotone convergence witness: one cheap scalar agg per
-    // iteration replaces a change-detection join. Summed as decimal(38,0):
-    // a Long sum over large/hashed 64-bit ids could overflow (ANSI throws;
-    // wrapped arithmetic could alias two distinct label states).
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val next = edges
-        .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("label")).as("label"))
-        .cache()
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      iter += 1
-    }
-    labels.select(col("doc_id"), col("label").as("keep_id"))
+    // minhashPairs, not q38: the global sort is wasted on edge input
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    ConnectedComponents.run(pairs)
+      .select(col("vertex").as("doc_id"), col("label").as("keep_id"))
       .orderBy(col("doc_id"))
   }
 

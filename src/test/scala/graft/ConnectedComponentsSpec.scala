@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ConnectedComponents
+
+/** The reusable min-label-propagation operator: randomized agreement with a
+  * driver-side union-find, plus structural edge cases. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  test("property: random graphs agree with a union-find reference") {
+    val rnd = new scala.util.Random(0xCC2026)
+    for (trial <- 1 to 5) {
+      val nV = 50 + rnd.nextInt(100)
+      val nE = 30 + rnd.nextInt(120)
+      val edges = Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val want = unionFind(nV, edges)
+      val got = ConnectedComponents.run(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (${edges.size} edges)")
+    }
+  }
+
+  test("long chain converges within the diameter bound") {
+    // a path 0-1-2-...-30: worst-case diameter for min propagation
+    val edges = (0L until 30L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 31 && got.values.forall(_ == 0L))
+  }
+
+  test("self-loops and isolated pairs keep distinct components") {
+    val edges = Seq((1L, 1L), (5L, 6L), (9L, 8L))
+    val got = ConnectedComponents.run(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+}

@@ -337,10 +337,32 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** URL / email scrubbing (the PII-redaction pass a pretraining pipeline
+    * applies): count and redact with sentinel tokens. Markers are
+    * constructed from known columns (the q55 pattern) so the oracle can
+    * verify the redaction byte-for-byte; patterns avoid lookaround so
+    * DuckDB's RE2 runs them identically. Pure codegen'd regexp scan. */
+  val q71Scrub: Q = (s, d) => {
+    val UrlRe = """https?://[^\s]+"""
+    val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val marked = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or"),
+      lit(" https://example.com/p/"), col("doc_id"), lit(" now"))
+    Tables.documents(s, d)
+      .withColumn("marked", marked)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("marked"), lit(UrlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("marked"), lit(EmailRe), lit(0))).as("n_emails"),
+        md5(regexp_replace(regexp_replace(col("marked"), UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
     "q68_repetition"    -> q68Repetition,
     "q69_contamination" -> q69Contamination,
+    "q71_scrub"         -> q71Scrub,
     "q65_bpe_tokens"    -> q65BpeTokens,
     "q66_winnow"        -> q66Winnow,
     "q67_hash_sample"   -> q67HashSample,
@@ -356,6 +378,18 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q71_scrub" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or' ||
+        |    ' https://example.com/p/' || doc_id || ' now' AS marked
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(marked, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(marked, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  md5(regexp_replace(regexp_replace(marked, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS clean_fp
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q69_contamination" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks

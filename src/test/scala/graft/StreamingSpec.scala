@@ -72,6 +72,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EP2 incremental: embedding pipeline runs exactly-once through the file source") {
+    // the reference's GPU embedding job with hand-rolled index checkpoints
+    // (embeddingsWithGPU.py:67-103) as a checkpointed streaming transform:
+    // new corpus files embed exactly once per run, resumes process the delta
+    val base = Files.createTempDirectory("graft-ep2-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+      .write.parquet(s"$in/b1")
+    Incremental.runOnce(spark, s"$in/*", docSchema, out, ck) { df =>
+      graft.ml.Embed.embed(df.as[(Long, String)])
+    }
+    assert(spark.read.parquet(out).count() == 2)
+    Seq((3L, "epsilon")).toDF("doc_id", "text").write.parquet(s"$in/b2")
+    Incremental.runOnce(spark, s"$in/*", docSchema, out, ck) { df =>
+      graft.ml.Embed.embed(df.as[(Long, String)])
+    }
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3) // delta only: doc 3 embedded once, 1 and 2 not re-run
+    val v = rows.filter(col("doc_id") === 1L).head().getSeq[Float](1)
+    assert(v.length == graft.ml.Embed.Dim)
+    assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+  }
+
   test("streaming dedup suppresses duplicate content within and across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: the per-module query maps merge with `++`,
+  * so a duplicate key would SILENTLY shadow a query — assert disjointness,
+  * and that every oracle row points at a registered query. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  private val modules: Seq[(String, Map[String, _], Map[String, String])] = Seq(
+    ("Relational", ops.Relational.queries, ops.Relational.oracle),
+    ("SemiStructured", ops.SemiStructured.queries, ops.SemiStructured.oracle),
+    ("TextOps", ops.TextOps.queries, ops.TextOps.oracle),
+    ("Dedup", ops.Dedup.queries, ops.Dedup.oracle),
+    ("Similarity", ops.Similarity.queries, ops.Similarity.oracle),
+    ("Temporal", ops.Temporal.queries, ops.Temporal.oracle),
+    ("Ml", ops.Ml.queries, ops.Ml.oracle),
+    ("Multimodal", ops.Multimodal.queries, ops.Multimodal.oracle))
+
+  test("no query key is defined by two modules (++ would shadow one)") {
+    val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }
+    val dupes = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"duplicate query keys: ${dupes.view.mapValues(_.map(_._2)).toMap}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a registered query; keys are well-formed") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+    assert(SparkEntry.queries.keys.forall(_.matches("q\\d+[a-z0-9_]*")),
+      "query keys must follow the qNN_name convention")
+  }
+
+  test("rows-only queries (no oracle) are exactly the documented set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q40_simhash_dedup", "q45_ann_ivf", "q49_embed_docs",
+      "q50_topic_info", "q51_topic_terms", "q62_approx_distinct"),
+      s"undocumented rows-only queries: $rowsOnly — every new operator needs an oracle " +
+        "or an explicit entry here with unit invariants")
+  }
+}

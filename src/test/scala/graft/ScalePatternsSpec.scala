@@ -95,6 +95,21 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(q.count() == expected) // succeeds ONLY if the poisoned dirs were pruned
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    // the lake-side twin of U1's schema-merging union: batches written
+    // months apart carry different column sets; a mergeSchema read must
+    // surface the union with nulls where a batch lacks a column
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 42.0)).toDF("id", "old_col", "new_col").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "old_col", "new_col", "batch"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).getAs[Any]("new_col") == null) // old batch: null-filled
+    assert(byId(2L).getAs[Double]("new_col") == 42.0)
+  }
+
   test("q62 HLL approx distinct stays within 5% of the exact counts") {
     val d = "/root/testdata/sf0.001"
     val exact = ops.Relational.q05DistinctCount(spark, d).head()

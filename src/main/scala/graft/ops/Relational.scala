@@ -347,10 +347,27 @@ object Relational {
       .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
   }
 
+  /** Per-group rank statistics via percentile_disc (A-family completion:
+    * distribution profiling of the corpus). DISC, not CONT: the discrete
+    * percentile returns an ACTUAL element of the group (a long — exact
+    * cross-engine hash parity), where the interpolated form computes
+    * doubles whose last-ulp can differ between engines. One shuffle on the
+    * group key; sort is per-group within the aggregate. */
+  val q72Percentiles: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q58_topk_native"     -> q58TopkNative,
     "q64_topk_rewritten"  -> q64TopkRewritten,
+    "q72_percentiles"     -> q72Percentiles,
     "q02_corpus_size"     -> q02CorpusSize,
     "q03_group_count"     -> q03GroupCount,
     "q04_ratio_of_total"  -> q04RatioOfTotal,
@@ -384,6 +401,10 @@ object Relational {
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) WHERE rn <= 3
         |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
+    "q72_percentiles" ->
+      """SELECT lang, quantile_disc(n_chars, 0.5) AS p50,
+        |  quantile_disc(n_chars, 0.9) AS p90, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q64_topk_rewritten" ->
       """SELECT lang, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,

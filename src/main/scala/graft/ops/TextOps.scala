@@ -358,11 +358,24 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget report (the first question of any pretraining data
+    * effort: how many tokens, by source and language, with subtotals).
+    * Rollup grouping sets in one shuffle; token counting is the codegen'd
+    * scan expression. */
+  val q73TokenBudget: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")).cast("long"))
+      .rollup(col("source"), col("lang"))
+      .agg(sum(col("n_tokens")).as("tokens"), count(lit(1)).as("docs"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
     "q68_repetition"    -> q68Repetition,
     "q69_contamination" -> q69Contamination,
     "q71_scrub"         -> q71Scrub,
+    "q73_token_budget"  -> q73TokenBudget,
     "q65_bpe_tokens"    -> q65BpeTokens,
     "q66_winnow"        -> q66Winnow,
     "q67_hash_sample"   -> q67HashSample,
@@ -378,6 +391,12 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q73_token_budget" ->
+      """SELECT source, lang,
+        |  sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS tokens,
+        |  count(*) AS docs
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     "q71_scrub" ->
       """WITH m AS (
         |  SELECT doc_id,

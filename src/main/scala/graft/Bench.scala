@@ -11,9 +11,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb JIT/codegen/parquet-footer costs so the first timed
-    // query isn't charged for session startup
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).write
-      .format("noop").mode("overwrite").save())
+    // query isn't charged for session startup. Fixed query, not Map.head —
+    // an arbitrary warmup makes cross-round numbers drift
+    try SparkEntry.queries.get("q01_pricing_summary")
+      .orElse(SparkEntry.queries.headOption.map(_._2))
+      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
     // optional args: bench only the named queries (dev iteration; the
     // driver passes none and gets the full suite). Unknown names are an

@@ -38,10 +38,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // key order matters: the driver snapshots a bounded TAIL of the build
+    // output, and with 70+ queries a head-first layout got the total
+    // truncated away in round 3 (BENCH_r03 tail starts mid-queries-map).
+    // Queries first, scalar summary fields LAST, per-query millisecond
+    // precision to keep the line short.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

@@ -357,8 +357,11 @@ object Relational {
     Tables.documents(s, d)
       .groupBy(col("lang"))
       .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").as("p90"),
+        // cast: Spark's percentile_disc returns double even though the
+        // discrete percentile IS an element of the long column; DuckDB's
+        // quantile_disc keeps the input type — long both sides for exact hash
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p90"),
         count(lit(1)).as("n"))
       .orderBy(col("lang"))
   }

@@ -226,10 +226,10 @@ object Similarity {
         |    CAST(list_max(embedding) AS DOUBLE) AS vmax
         |  FROM embeddings)
         |SELECT vec_id, vmin, vmax,
-        |  CASE WHEN vmax > vmin THEN
+        |  CAST(CASE WHEN vmax > vmin THEN
         |    list_sum([CAST(floor((CAST(x AS DOUBLE) - vmin) * (255.0 / (vmax - vmin))) AS BIGINT)
         |              for x in embedding])
-        |  ELSE 0 END AS code_sum
+        |  ELSE 0 END AS BIGINT) AS code_sum
         |FROM t ORDER BY vec_id""".stripMargin,
     "q41_vector_norms" ->
       s"""SELECT vec_id, label, round(${duckNorm("embedding")}, 4) AS norm

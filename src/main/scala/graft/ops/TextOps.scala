@@ -393,7 +393,7 @@ object TextOps {
   def oracle: Map[String, String] = Map(
     "q73_token_budget" ->
       """SELECT source, lang,
-        |  sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS tokens,
+        |  CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS tokens,
         |  count(*) AS docs
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
@@ -420,7 +420,7 @@ object TextOps {
         |  FROM t WHERE len(toks) >= 5),
         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50)
         |SELECT sh.doc_id, count(*) AS n_grams,
-        |  sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        |  CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
         |FROM sh LEFT JOIN ev ON sh.g = ev.g
         |WHERE sh.doc_id >= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q68_repetition" ->
@@ -434,11 +434,12 @@ object TextOps {
         |g3 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                              for i in range(1, len(toks) - 1)]) AS g
         |       FROM t WHERE len(toks) >= 3),
-        |s1 AS (SELECT doc_id, max(c) AS top1, sum(c) AS tot1 FROM
+        |s1 AS (SELECT doc_id, max(c) AS top1, CAST(sum(c) AS BIGINT) AS tot1 FROM
         |        (SELECT doc_id, g, count(*) AS c FROM g1 GROUP BY 1, 2) GROUP BY 1),
-        |s2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM
+        |s2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS tot2 FROM
         |        (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
-        |s3 AS (SELECT doc_id, sum(c) - count(*) AS dup3, sum(c) AS tot3 FROM
+        |s3 AS (SELECT doc_id, CAST(sum(c) - count(*) AS BIGINT) AS dup3,
+        |               CAST(sum(c) AS BIGINT) AS tot3 FROM
         |        (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
         |SELECT doc_id, top1, tot1, top2, tot2, dup3, tot3
         |FROM s1 JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)

@@ -19,16 +19,24 @@ def norm(df):
     return df.reset_index(drop=True)
 
 def values_equal(a, b):
+    # STRICT, driver-style: the driver hashes rendered values with no
+    # tolerance, so an int64 column on one side and float64 on the other
+    # (e.g. DuckDB HUGEINT sum -> pandas float) MUST fail here even when
+    # numerically equal ("294" vs "294.0" hash-mismatch). Round-3 lesson:
+    # the old 1e-9 tolerance masked exactly that and 5 queries failed the
+    # real gate while passing locally.
+    import numpy as np
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            af, bf = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
+    fa = isinstance(a, (float, np.floating))
+    fb = isinstance(b, (float, np.floating))
+    if fa != fb:
+        return False
+    if fa:
+        af, bf = float(a), float(b)
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf or abs(af - bf) < 1e-9 * max(1.0, abs(af), abs(bf))
+        return af == bf
     return str(a) == str(b)
 
 def main(sf_dir, out_dir):

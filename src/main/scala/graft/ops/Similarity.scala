@@ -61,7 +61,16 @@ object Similarity {
     * faster than HOF aggregate / unrolled codegen / Seq-typed UDF forms for
     * dense pair math (round-1 Profile.scala). Double-widened so results are
     * bit-comparable to the DuckDB oracle. */
-  val q43CosinePairs: Q = (s, d) => {
+  val q43CosinePairs: Q = (s, d) =>
+    cosinePairsExact(s, d)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** The exact pair sweep behind q43 AND the edge generator for q74's
+    * embedding-cosine dedup: every unordered pair with raw cosine ≥ 0.4,
+    * unrounded and unsorted (callers decide). */
+  private[ops] def cosinePairsExact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -139,8 +148,22 @@ object Similarity {
       }
       out.iterator
     }.toDF("vec_a", "vec_b", "cos_raw")
-      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding-cosine near-duplicate DEDUP (the last of the north-star
+    * dedup modes: exact / MinHash / SimHash / n-gram Jaccard / embedding
+    * cosine): vectors whose cosine ≥ 0.4 are duplicates; transitive groups
+    * collapse to the min vec_id via the reusable [[ConnectedComponents]]
+    * operator. Edges come from the exact block sweep here; at 100 TB the
+    * IVF cell table (q45 / ops.IvfIndex) generates the candidate pairs and
+    * this query's shape is unchanged — candidates → verify → components.
+    * Oracle: DuckDB recursive-CTE transitive closure over the exhaustive
+    * cosine pair set (the q56 certification pattern). */
+  val q74EmbedDedup: Q = (s, d) => {
+    val pairs = cosinePairsExact(s, d).select(col("vec_a"), col("vec_b"))
+    ConnectedComponents.run(pairs)
+      .select(col("vertex").as("vec_id"), col("label").as("keep_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** Exact top-k (k=3) cosine neighbors for a fixed query set (vec_id < 10).
@@ -210,6 +233,7 @@ object Similarity {
     "q43_cosine_pairs" -> q43CosinePairs,
     "q44_knn_brute"    -> q44KnnBrute,
     "q45_ann_ivf"      -> q45AnnIvf,
+    "q74_embed_dedup"  -> q74EmbedDedup,
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
@@ -219,6 +243,22 @@ object Similarity {
     s"sqrt(${duckDot(a, a)})"
 
   def oracle: Map[String, String] = Map(
+    // Transitive closure over the exhaustive cosine>=0.4 pair set — the
+    // q56 certification pattern applied to the embedding dedup tier.
+    "q74_embed_dedup" ->
+      s"""WITH RECURSIVE
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${duckDot("a.embedding", "b.embedding")} /
+         |    (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.4),
+         |e AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |      UNION ALL SELECT vec_b, vec_a FROM p),
+         |reach(vec_id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT reach.vec_id, e.dst FROM reach JOIN e ON reach.r = e.src)
+         |SELECT vec_id, min(r) AS keep_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "q70_quantize" ->
       """WITH t AS (
         |  SELECT vec_id, embedding,

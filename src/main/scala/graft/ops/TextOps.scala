@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -370,8 +371,51 @@ object TextOps {
       .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
   }
 
+  /** Context-window chunking (the sliding-window split that turns documents
+    * into training sequences): 64-token chunks on a 48-token stride (16
+    * tokens of overlap), each chunk witnessed by its md5. Pure narrow ops —
+    * sequence → explode → slice — no UDF, no shuffle before the final sort:
+    * at 100 TB this is a scan-shaped map with output ~1.3× input tokens.
+    * Chunk grid and slicing are 1-based on the normalized token array so
+    * the DuckDB oracle reproduces chunks byte-for-byte. */
+  val q75Chunk: Q = (s, d) => {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")), lit(48))).as("chunk_start"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_start"),
+        slice(col("toks"), col("chunk_start"), lit(64)).as("chunk"))
+      .select(col("doc_id"), col("chunk_start"),
+        size(col("chunk")).as("chunk_toks"),
+        md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+  }
+
+  /** Greedy sequence packing by token budget (the data-mixing step that
+    * bins documents into fixed-budget training sequences): within each
+    * source, documents in deterministic doc_id order are packed into
+    * 512-token bins by cumulative count — bin = prior-cumsum div budget.
+    * ONE shuffle (the per-source window); the window is PARTITIONED, so no
+    * global serialization point — each source packs in parallel, the
+    * sharding unit a real pipeline would use. Exact integer outputs. */
+  val q76Pack: Q = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")).cast("long"))
+      .withColumn("bin",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(512L)).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
+    "q75_chunk"         -> q75Chunk,
+    "q76_pack"          -> q76Pack,
     "q68_repetition"    -> q68Repetition,
     "q69_contamination" -> q69Contamination,
     "q71_scrub"         -> q71Scrub,
@@ -391,6 +435,30 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q75_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1, 48)) AS chunk_start, toks FROM t)
+        |SELECT doc_id, chunk_start,
+        |  len(toks[chunk_start : chunk_start + 63]) AS chunk_toks,
+        |  md5(array_to_string(toks[chunk_start : chunk_start + 63], ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
+    "q76_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS bin,
+        |    n_tokens
+        |  FROM t)
+        |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q73_token_budget" ->
       """SELECT source, lang,
         |  CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS tokens,

@@ -206,41 +206,59 @@ object Dedup {
     h
   }
 
-  /** 48-bit SimHash of a pre-hashed feature set: per-bit majority vote of
-    * feature-hash bits. A tight JVM kernel behind a UDF — the per-feature ×
-    * per-bit inner loop is exactly the shape where an interpreted
-    * higher-order expression tree pays 10-100× overhead. Consumes the same
-    * sorted FNV-1a shingle hashes as MinHash (hash once, sign everywhere).
-    * Still a narrow map: no shuffle, model-free, deterministic. */
-  private val simhash48 = udf { (hs: Array[Long]) =>
-    val counts = new Array[Int](SimBits)
-    var i = 0
-    while (i < hs.length) {
-      val h = hs(i)
-      var k = 0
-      while (k < SimBits) {
-        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
-        k += 1
+  /** 48-bit SimHash over distinct word-trigram shingles: per-bit majority
+    * vote of the first 48 md5 bits of each shingle. A tight JVM kernel
+    * behind a UDF — the per-feature × per-bit inner loop is exactly the
+    * shape where an interpreted higher-order expression tree pays 10-100×
+    * overhead. md5 (not FNV) as the feature hash so the DuckDB oracle
+    * reproduces the signature bit-for-bit ('0x'||substr(md5(g),1,12) casts
+    * to the same 48-bit integer); ties (vote == 0) resolve to bit 0 on both
+    * sides. Still a narrow map: no shuffle, model-free, deterministic. */
+  private val simhashMd5 = udf { (norm: String) =>
+    val toks = norm.split(" ")
+    if (toks.length < 3) None
+    else {
+      val seen = new java.util.HashSet[String]()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](SimBits)
+      var i = 0
+      while (i + 3 <= toks.length) {
+        val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        if (seen.add(sh)) {
+          val dgst = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.reset()
+          var h = 0L
+          var b = 0
+          while (b < 6) { h = (h << 8) | (dgst(b) & 0xffL); b += 1 }
+          var k = 0
+          while (k < SimBits) {
+            if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+            k += 1
+          }
+        }
+        i += 1
       }
-      i += 1
+      var sig = 0L
+      var k = 0
+      while (k < SimBits) { if (counts(k) > 0) sig |= 1L << k; k += 1 }
+      Some(sig)
     }
-    var sig = 0L
-    var k = 0
-    while (k < SimBits) { if (counts(k) > 0) sig |= 1L << k; k += 1 }
-    sig
   }
 
   /** SimHash near-duplicate pairs: candidates share at least one of 4
     * 12-bit bands (pigeonhole: guarantees recall for Hamming ≤ 3);
     * verification keeps Hamming ≤ 3. Features are word-trigram shingles —
     * unigram tokens are too shared across a same-domain corpus to separate
-    * near-dups from topic-mates. No SQL oracle (engine-specific hash) —
-    * precision/recall vs the Jaccard truth set is unit-tested instead. */
+    * near-dups from topic-mates. Oracled: with 4 bands and Hamming ≤ 3,
+    * pigeonhole means every qualifying pair shares a band, so the banded
+    * engine output EQUALS the exhaustive all-pairs Hamming ≤ 3 set the
+    * DuckDB oracle computes (the bands are purely the scale path). */
   val q40SimhashDedup: Q = (s, d) => {
     // cache: prevents CollapseProject from re-invoking the simhash UDF once
     // per band expression (the persisted-signature-table pattern, as q38)
-    val docs = shingledHashed(s, d)
-      .select(col("doc_id"), simhash48(col("hs")).as("simhash")).cache()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhashMd5(TextFns.normText(col("text"))).as("simhash"))
+      .filter(col("simhash").isNotNull).cache()
     val bands = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(j =>
         shiftrightunsigned(col("simhash"), j * SimBandBits)
@@ -286,6 +304,29 @@ object Dedup {
       |               for i in range(1, greatest(len(toks) - 1, 1))])""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Exhaustive Hamming<=3 over md5-based 48-bit simhashes. Equals the
+    // engine's banded candidate set by pigeonhole (4 bands, radius 3), so
+    // this certifies BOTH the signature computation and the LSH layout.
+    "q40_simhash_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest($DuckShingles) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |fh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM sh),
+         |bits AS (
+         |  SELECT doc_id, k, sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM fh, range(0, 48) r(k) GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << k ELSE 0::BIGINT END) AS BIGINT) AS s
+         |  FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Exhaustive-truth oracle: every pair with trigram Jaccard >= 0.8.
     // Matches q38 iff LSH recall is 1 at this scale (certified by this check).
     "q38_minhash_dedup" ->

@@ -412,10 +412,37 @@ object TextOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Out-of-vocabulary rate against the corpus-global top-K token
+    * vocabulary (K=16 here: the synthetic corpus draws from ~31 distinct
+    * tokens, so a smaller K keeps real OOV mass; production uses 10^3-10^5
+    * and the plan is unchanged) (the unigram-LM quality signal in integer form: a doc full
+    * of rare tokens is noise; log-prob variants differ only by the final
+    * per-token weight, and integers are cross-engine hash-exact where
+    * summed logs are not). Two passes over one cached token table: (1)
+    * partial-agg token counts → global top-k via orderBy+limit (planned as
+    * TakeOrdered — no full sort shuffle), deterministically tie-broken;
+    * (2) per-doc LEFT join against the BROADCAST K-row vocabulary.
+    * At 100 TB the vocabulary is still K rows — the broadcast is
+    * size-bounded by construction, not by luck. */
+  val q77OovRate: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .cache()
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(16)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q30_html_extract"  -> q30HtmlExtract,
     "q75_chunk"         -> q75Chunk,
     "q76_pack"          -> q76Pack,
+    "q77_oov_rate"      -> q77OovRate,
     "q68_repetition"    -> q68Repetition,
     "q69_contamination" -> q69Contamination,
     "q71_scrub"         -> q71Scrub,
@@ -435,6 +462,18 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q77_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM tok GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 16))
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM tok t LEFT JOIN v ON t.tok = v.tok
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q75_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks

@@ -168,15 +168,20 @@ object Similarity {
 
   /** Exact top-k (k=3) cosine neighbors for a fixed query set (vec_id < 10).
     * Queries are broadcast; ranking is a per-query window (partitioned —
-    * parallel across queries, no global sort). */
+    * parallel across queries, no global sort). The per-pair cosine is the
+    * NATIVE codegen'd expression (plans.CosineSim) — the join + similarity
+    * + rank pipeline stays inside whole-stage codegen, where the HOF
+    * aggregate form evaluates interpreted per pair (bit-identical results;
+    * same accumulation order). */
   val q44KnnBrute: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("c_id"))
     broadcast(queries).join(cands, col("q_id") =!= col("c_id"))
-      .withColumn("cos_raw", Vectors.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos_raw", expr("cosine_sim(q_emb, c_emb)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("rn"), col("c_id"), round(col("cos_raw"), 4).as("cos"))

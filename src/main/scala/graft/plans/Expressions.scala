@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY §2.11: C13 is the designated
@@ -83,4 +84,81 @@ case class DmsToDecimal(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "dms_to_decimal"
+}
+
+/** Static kernel behind [[CosineSim]]. Reads `ArrayData` directly — no
+  * array materialization, no boxing — and fuses the three accumulators in
+  * one pass. Each accumulator sums in index order, so results are
+  * bit-identical to the separate-fold HOF form (`Vectors.cosine`) and the
+  * DuckDB double-math oracle. NaN is the in-band null sentinel (mismatched
+  * lengths, null elements, empty or zero-norm vectors — a static helper
+  * can't return SQL null; genuine cosines of non-degenerate vectors are
+  * always finite). */
+object CosineMath {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return Double.NaN
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Native cosine similarity over two `array<float>` columns — the hot-path
+  * pair-similarity primitive as a codegen'd Catalyst expression. Unlike the
+  * UDF kernel (`Vectors.cosineKernel`, which forces a deserialize-to-
+  * `Array[Float]` boundary and drops the projection out of whole-stage
+  * codegen), `doGenCode` emits a static call on `ArrayData`, so a
+  * broadcast-join + cosine + filter pipeline stays in ONE generated loop.
+  * Null semantics: null in → null out; malformed pairs (length mismatch,
+  * null elements, zero-norm) → null rather than a wrong number. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (ARRAY<FLOAT>, ARRAY<FLOAT>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = CosineMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (v.isNaN) null else java.lang.Double.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CosineMath.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val cos = ctx.freshName("cos")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double $cos = $cls.cosine($a, $b);
+         |if (Double.isNaN($cos)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $cos;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim"
 }

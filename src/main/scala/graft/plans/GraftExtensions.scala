@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dmsToDecimalDescriptor)
+    e.injectFunction(GraftExtensions.cosineSimDescriptor)
     // custom Rule[LogicalPlan]: declarative top-k window → bounded-heap plan
     e.injectOptimizerRule(_ => TopKRewrite)
     // custom whole-operator strategies
@@ -31,12 +32,20 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DmsToDecimal].getName, "dms_to_decimal"),
     (children: Seq[Expression]) => DmsToDecimal(children.head))
 
+  private[plans] val cosineSimDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
   /** Register the engine functions, optimizer rule, and planner strategies
     * on an already-built session (covers the driver-constructed sessions in
     * Verify/Bench/tests). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dms_to_decimal", exprs => DmsToDecimal(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("html_post_text",
       (html: String) => graft.functions.Html.postText(html))
     // winnowing fingerprint for SQL users: normalize exactly like

@@ -90,4 +90,46 @@ class ExpressionsSpec extends AnyFunSuite {
       .agg(sum("pos"))
     assert(!df.head().isNullAt(0))
   }
+
+  test("CosineSim matches the HOF form bit-for-bit on real embeddings") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id"))
+    val diff = pairs
+      .select(expr("cosine_sim(a, b)").as("native"),
+        graft.functions.Vectors.cosine(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")) // bitwise-equal doubles compare equal
+      .count()
+    assert(diff == 0, "native expression must equal the HOF fold exactly")
+  }
+
+  test("CosineSim null semantics: null/mismatched/null-element inputs yield null") {
+    val rows = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),   // cos = 1
+      (Array(1f, 0f), Array(0f, 1f))    // cos = 0
+    ).toDF("a", "b")
+      .unionByName(Seq((null, Array(1f, 0f))).toDF("a", "b"))
+      .unionByName(Seq((Array(1f, 0f, 0f), Array(1f, 0f))).toDF("a", "b"))
+      .unionByName(Seq((Array(0f, 0f), Array(1f, 0f))).toDF("a", "b")) // zero-norm
+      .select(expr("cosine_sim(a, b)").as("c")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(rows(1).getDouble(0)) < 1e-15)
+    assert(rows(2).isNullAt(0) && rows(3).isNullAt(0) && rows(4).isNullAt(0))
+  }
+
+  test("CosineSim compiles under CODEGEN_ONLY (no interpreted fallback)") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = Seq((Array(3f, 4f), Array(3f, 4f))).toDF("a", "b")
+        .select(expr("cosine_sim(a, b)").as("c")).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }

@@ -46,6 +46,25 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("hashpartitioning(lang"), p)
   }
 
+  test("q75: chunking is a pure narrow scan — no hash shuffle anywhere") {
+    val p = plan("q75_chunk")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle (only the final sort's range exchange):\n$p")
+  }
+
+  test("q76: packing shuffles ONCE on source; the group-by reuses the window's partitioning") {
+    val p = plan("q76_pack")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (window by source), got $hashExchanges:\n$p")
+  }
+
+  test("q77: vocabulary is TakeOrdered (no global sort) and joins as broadcast") {
+    val p = plan("q77_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), s"top-K vocab must not full-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"K-row vocab must broadcast:\n$p")
+  }
+
   test("no unexpected cartesian products across the whole query surface") {
     // intended nested-loop plans: q44's q<>c non-equi condition, and the
     // broadcast cross-joins with a 1-row scalar total (the q04 pattern,

@@ -69,6 +69,10 @@ object Similarity {
   /** The exact pair sweep behind q43 AND the edge generator for q74's
     * embedding-cosine dedup: every unordered pair with raw cosine ≥ 0.4,
     * unrounded and unsorted (callers decide). */
+  /** Profiling hook (tools.ProfileCC). */
+  def cosinePairsForProfile(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = cosinePairsExact(s, d)
+
   private[ops] def cosinePairsExact(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._

@@ -38,12 +38,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
-  test("long chain converges within the diameter bound") {
-    // a path 0-1-2-...-30: worst-case diameter for min propagation
-    val edges = (0L until 30L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 40)
+  test("long chain converges within the LOGARITHMIC pointer-jumping bound") {
+    // a path 0-1-2-...-100: worst case for plain min propagation (100
+    // rounds). Pointer jumping doubles the covered distance per round, so
+    // maxIter = 9 MUST suffice (log2(100) ≈ 6.6, +1 to detect the
+    // fixpoint, +1 slack). This pins the jump against regressions — the
+    // same-lineage self-join alias form silently degraded to identity and
+    // only a bound this tight catches that.
+    val edges = (0L until 100L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 9)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 31 && got.values.forall(_ == 0L))
+    assert(got.size == 101 && got.values.forall(_ == 0L))
   }
 
   test("self-loops and isolated pairs keep distinct components") {

@@ -60,7 +60,7 @@ object Dedup {
     java.util.Arrays.copyOf(a, m)
   }
 
-  private val shingleHashes = udf { (norm: String) => shingleHashKernel(norm, 3) }
+  private[ops] val shingleHashes = udf { (norm: String) => shingleHashKernel(norm, 3) }
 
   /** (doc_id, hs): trigram shingle set as sorted distinct 64-bit hashes.
     * Every downstream pass (signatures, verification) works on the hashes —
@@ -77,7 +77,7 @@ object Dedup {
     * verification kernel. Primitive Array[Long] parameters (no boxing — a
     * Seq signature measured 4× slower) against the hashShingles output.
     * ArrayIntersect's per-pair hash set is ~10× this merge. */
-  private val jaccardSorted = udf { (a: Array[Long], b: Array[Long]) =>
+  private[ops] val jaccardSorted = udf { (a: Array[Long], b: Array[Long]) =>
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)
@@ -96,7 +96,7 @@ object Dedup {
     val rnd = new scala.util.Random(0x5eed)
     Array.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
-  private val minhashSig = udf { (hs: Array[Long]) =>
+  private[ops] val minhashSig = udf { (hs: Array[Long]) =>
     val sig = new Array[Long](NumHashes)
     var i = 0
     while (i < NumHashes) {
@@ -129,12 +129,7 @@ object Dedup {
     // materializes anyway.
     val docs = shingledHashed(s, d)
       .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
-    val bands = docs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until Bands).map { j =>
-        xxhash64((lit(j) +: (0 until RowsPerBand).map(r =>
-          element_at(col("sig"), j * RowsPerBand + r + 1))): _*)
-      }: _*)).as(Seq("band", "bhash")))
-      .select(col("doc_id"), col("band"), col("bhash"))
+    val bands = bandsOf(docs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -148,8 +143,32 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** (doc_id, band, bhash) LSH bucket rows of a signature table
+    * (doc_id, ..., sig) — the candidate-join key layout shared by q38 and
+    * the persistable [[MinHashIndex]]. */
+  private[ops] def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { j =>
+        xxhash64((lit(j) +: (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), j * RowsPerBand + r + 1))): _*)
+      }: _*)).as(Seq("band", "bhash")))
+      .select(col("doc_id"), col("band"), col("bhash"))
+
   val q38MinhashDedup: Q = (s, d) =>
     minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Incremental batch-vs-corpus dedup through the persistable
+    * [[MinHashIndex]]: docs ≥ 400 are "today's ingest", docs < 400 the
+    * indexed corpus — the query never touches corpus text, only the stored
+    * signature table (the production shape of continuous dedup; q38 is the
+    * one-shot within-corpus form). Oracle: exhaustive cross-boundary
+    * trigram Jaccard — certifies the index construction AND batch recall. */
+  val q78IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val index = MinHashIndex.build(docs.filter(col("doc_id") < 400))
+    MinHashIndex.query(index, docs.filter(col("doc_id") >= 400))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
 
   /** Blocked n-gram Jaccard dedup: exact pairwise Jaccard within a blocking
     * key (lang, length bucket), accelerated with PREFIX FILTERING (the
@@ -296,6 +315,7 @@ object Dedup {
     "q39_ngram_jaccard"   -> q39NgramJaccard,
     "q40_simhash_dedup"   -> q40SimhashDedup,
     "q56_dedup_canonical" -> q41DedupCanonical,
+    "q78_incr_dedup"      -> q78IncrementalDedup,
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
@@ -327,6 +347,21 @@ object Dedup {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exhaustive cross-boundary truth: batch (>=400) x corpus (<400) pairs
+    // with trigram Jaccard >= 0.8 — certifies MinHashIndex build + query.
+    "q78_incr_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3)
+         |SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |FROM t a JOIN t b ON a.doc_id < 400 AND b.doc_id >= 400
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(a.sh || b.sh)) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     // Exhaustive-truth oracle: every pair with trigram Jaccard >= 0.8.
     // Matches q38 iff LSH recall is 1 at this scale (certified by this check).
     "q38_minhash_dedup" ->

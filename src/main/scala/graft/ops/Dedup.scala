@@ -25,12 +25,6 @@ object Dedup {
   private val Bands = 16   // 16 bands x 2 rows of the 32-hash signature
   private val RowsPerBand = NumHashes / Bands
 
-  /** (doc_id, shingles) with distinct word-trigram shingles. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-
   /** Tokenize → word-trigram shingles → FNV-1a hash → sort → dedup, all in
     * one tight kernel over the normalized text. One UDF call per doc
     * replaces a chain of interpreted array expressions (split, transform,
@@ -60,18 +54,11 @@ object Dedup {
     java.util.Arrays.copyOf(a, m)
   }
 
+  /** Trigram shingle set as sorted distinct 64-bit hashes — every
+    * downstream pass (signatures, verification) works on the hashes; a
+    * 64-bit collision would need ~2³² distinct shingles to become likely
+    * (use 128-bit split hashes at that corpus size). */
   private[ops] val shingleHashes = udf { (norm: String) => shingleHashKernel(norm, 3) }
-
-  /** (doc_id, hs): trigram shingle set as sorted distinct 64-bit hashes.
-    * Every downstream pass (signatures, verification) works on the hashes —
-    * each shingle is hashed exactly once per doc, and pair verification
-    * merges sorted longs. A 64-bit collision would need ~2³² distinct
-    * shingles to become likely; at that corpus size use 128-bit split
-    * hashes. */
-  private def shingledHashed(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
 
   /** Jaccard of two SORTED long arrays via two-pointer merge — the per-pair
     * verification kernel. Primitive Array[Long] parameters (no boxing — a
@@ -121,13 +108,20 @@ object Dedup {
     * recall is 1 — which the oracle's exhaustive scan certifies at sf. */
   /** Shared candidate-generate → verify core of q38/q56: unordered verified
     * pairs (doc_a < doc_b, trigram Jaccard ≥ 0.8). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsOf(Tables.documents(s, d))
+
+  /** The q38 pipeline over an arbitrary (doc_id, text, ...) frame — shared
+    * by the table-reading form and the composed cleaning pipeline/tests. */
+  private[ops] def minhashPairsOf(input: DataFrame): DataFrame = {
     // cache = materialization barrier: without it CollapseProject re-inlines
     // the signature computation into every downstream reference (16 band
     // expressions + 2 verification joins → ~20× the work, measured). At
     // scale this is the persisted signature table every dedup pipeline
     // materializes anyway.
-    val docs = shingledHashed(s, d)
+    val docs = input
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
     val bands = bandsOf(docs)
     val cand = bands.as("x").join(bands.as("y"),
@@ -310,8 +304,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** END-TO-END corpus cleaning — the composed pipeline a pretraining-data
+    * user actually runs, as ONE query: quality gate → exact dedup among
+    * survivors → fuzzy canonicalization among survivors → per-doc
+    * disposition. Stage order is part of the semantics (cheap predicates
+    * first — at 100 TB the quality gate prunes the corpus BEFORE any
+    * dedup shuffle; exact dedup prunes before the LSH joins). Each stage
+    * is an already-certified operator (q34/q36/q38/q56); the oracle
+    * recomputes the whole composition, certifying the wiring too.
+    * dup_exact never fires on this corpus (no exact clones planted) —
+    * the branch is exercised with planted clones in DedupSpec. */
+  val q79CleanPipeline: Q = (s, d) => cleanCorpus(Tables.documents(s, d))
+
+  /** The composition over an arbitrary (doc_id, text, n_chars) frame —
+    * unit tests plant exact clones to exercise the dup_exact branch. */
+  def cleanCorpus(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), col("n_chars"),
+        TextFns.fingerprint(col("text")).as("fp"))
+    val rem1 = docs.filter(col("n_chars") >= 220)
+    // exact dedup among quality survivors: keep min doc_id per fingerprint
+    val wfp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val exact = rem1.withColumn("kid", min(col("doc_id")).over(wfp))
+    val dupExact = exact.filter(col("doc_id") =!= col("kid")).select(col("doc_id"))
+    val rem2 = exact.filter(col("doc_id") === col("kid")).select(col("doc_id"))
+    // fuzzy canonicalization among remaining docs: both pair endpoints
+    // must have survived the earlier gates
+    val pairs = minhashPairsOf(input)
+      .join(rem2.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(rem2.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+    val dupFuzzy = ConnectedComponents.run(pairs)
+      .filter(col("vertex") =!= col("label"))
+      .select(col("vertex").as("doc_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(dupExact.withColumn("de", lit(1)), Seq("doc_id"), "left")
+      .join(dupFuzzy.withColumn("dz", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_chars") < 220, "low_quality")
+          .when(col("de") === 1, "dup_exact")
+          .when(col("dz") === 1, "dup_fuzzy")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q38_minhash_dedup"   -> q38MinhashDedup,
+    "q79_clean_pipeline"  -> q79CleanPipeline,
     "q39_ngram_jaccard"   -> q39NgramJaccard,
     "q40_simhash_dedup"   -> q40SimhashDedup,
     "q56_dedup_canonical" -> q41DedupCanonical,
@@ -347,6 +386,41 @@ object Dedup {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // The whole cleaning pipeline recomputed independently: quality gate,
+    // exact-dedup keeper election, exhaustive fuzzy pairs among survivors,
+    // recursive-CTE canonicalization — certifies the COMPOSITION of q79.
+    "q79_clean_pipeline" ->
+      s"""WITH RECURSIVE
+         |d0 AS (SELECT doc_id, text, n_chars,
+         |         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents),
+         |rem1 AS (SELECT * FROM d0 WHERE n_chars >= 220),
+         |ke AS (SELECT fp, min(doc_id) AS kid FROM rem1 GROUP BY 1),
+         |dupex AS (SELECT r.doc_id FROM rem1 r JOIN ke k ON r.fp = k.fp AND r.doc_id <> k.kid),
+         |rem2 AS (SELECT doc_id, text FROM rem1
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM dupex)),
+         |t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM rem2)
+         |  WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |dupfz AS (SELECT doc_id FROM (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1)
+         |          WHERE keep_id <> doc_id)
+         |SELECT d0.doc_id,
+         |  CASE WHEN d0.n_chars < 220 THEN 'low_quality'
+         |       WHEN d0.doc_id IN (SELECT doc_id FROM dupex) THEN 'dup_exact'
+         |       WHEN d0.doc_id IN (SELECT doc_id FROM dupfz) THEN 'dup_fuzzy'
+         |       ELSE 'kept' END AS status
+         |FROM d0 ORDER BY d0.doc_id""".stripMargin,
     // Exhaustive cross-boundary truth: batch (>=400) x corpus (<400) pairs
     // with trigram Jaccard >= 0.8 — certifies MinHashIndex build + query.
     "q78_incr_dedup" ->

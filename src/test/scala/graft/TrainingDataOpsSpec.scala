@@ -70,6 +70,23 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 composition: planted exact clones and near-dups get the right disposition") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 8 // 8 tokens x 8
+    val docs = Seq(
+      (1L, base, base.trim.length),                        // kept (canonical)
+      (2L, base, base.trim.length),                        // exact clone of 1 -> dup_exact
+      (3L, base + "iota", base.length + 4),                // near-dup of 1 -> dup_fuzzy
+      (4L, "tiny", 4),                                     // low_quality
+      (5L, ("omega psi chi phi upsilon tau sigma rho " * 8).trim,
+        ("omega psi chi phi upsilon tau sigma rho " * 8).trim.length) // kept
+    ).toDF("doc_id", "text", "n_chars")
+    val got = ops.Dedup.cleanCorpus(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "dup_exact", 3L -> "dup_fuzzy",
+      4L -> "low_quality", 5L -> "kept"))
+  }
+
   test("q76: bins are contiguous per source, conserve tokens/docs, and respect the 512 budget grid") {
     val bins = ops.TextOps.q76Pack(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

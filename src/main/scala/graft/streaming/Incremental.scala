@@ -71,6 +71,53 @@ object Incremental {
     docs.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Continuous FUZZY dedup (M7 in incremental form — the shape a 100 TB
+    * ingest pipeline actually runs): each micro-batch is near-dup-checked
+    * first WITHIN itself (keep the earliest doc_id of a near-dup group)
+    * and then AGAINST the persisted MinHash signature index
+    * ([[graft.ops.MinHashIndex]]); survivors land in `outDir` and their
+    * signatures append to the index, so corpus text is never re-read.
+    * Exactly-once per input file via the checkpoint; the index is the
+    * operator's state, stored as plain Parquet — restartable, inspectable,
+    * and shared with the batch API (q78). */
+  def continuousFuzzyDedup(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      indexDir: String, checkpointDir: String): StreamingQuery = {
+    import graft.ops.MinHashIndex
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.cache()
+        // within-batch: the self-query pairs every near-dup (incl. each doc
+        // with itself) — drop docs that duplicate an EARLIER batch doc
+        val selfDups = MinHashIndex.query(MinHashIndex.build(b), b)
+          .filter(col("corpus_id") < col("batch_id"))
+          .select(col("batch_id").as("doc_id")).distinct()
+        val inBatch = b.join(selfDups, Seq("doc_id"), "left_anti")
+        // against the index (absent on the very first batch)
+        val indexed = scala.util.Try(MinHashIndex.load(s, indexDir)).toOption
+        val kept = indexed match {
+          case Some(idx) =>
+            val hits = MinHashIndex.query(idx, inBatch)
+              .select(col("batch_id").as("doc_id")).distinct()
+            inBatch.join(hits, Seq("doc_id"), "left_anti")
+          case None => inBatch
+        }
+        val keptC = kept.cache()
+        keptC.write.mode("append").parquet(outDir)
+        MinHashIndex.build(keptC).write.mode("append").parquet(indexDir)
+        keptC.unpersist()
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Custom stateful streaming operator (§2.9's stateful-ops completion):
     * per-user running statistics maintained across micro-batches via
     * flatMapGroupsWithState — the Spark-native form of the reference's

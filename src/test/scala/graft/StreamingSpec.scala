@@ -121,6 +121,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous fuzzy dedup drops near-dups within and across batches via the persisted index") {
+    val base = Files.createTempDirectory("graft-fdedup").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val idx = s"$base/index"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta " * 8
+
+    // batch 1: doc 2 is a near-dup of doc 1 (within-batch), doc 3 distinct
+    Seq((1L, baseText), (2L, baseText + "iota"),
+      (3L, ("omega psi chi phi upsilon tau sigma rho " * 8).trim))
+      .toDF("doc_id", "text").write.parquet(s"$in/b1")
+    Incremental.continuousFuzzyDedup(spark, s"$in/*", docSchema, out, idx, ck)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L), "within-batch near-dup must be dropped")
+
+    // batch 2: doc 4 near-dups INDEXED doc 1, doc 5 is new
+    Seq((4L, baseText + "kappa"),
+      (5L, ("one two three four five six seven eight " * 8).trim))
+      .toDF("doc_id", "text").write.parquet(s"$in/b2")
+    Incremental.continuousFuzzyDedup(spark, s"$in/*", docSchema, out, idx, ck)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 5L), "cross-batch near-dup must be dropped via the index")
+
+    // re-run with no new files: checkpoint makes it a no-op
+    Incremental.continuousFuzzyDedup(spark, s"$in/*", docSchema, out, idx, ck)
+    assert(spark.read.parquet(out).count() == 3)
+    // the index holds exactly the kept docs' signatures
+    assert(spark.read.parquet(idx).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 5L))
+  }
+
   test("watermarked windowed aggregation over the events table matches the batch form") {
     val evSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

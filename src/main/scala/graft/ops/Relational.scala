@@ -366,8 +366,23 @@ object Relational {
       .orderBy(col("lang"))
   }
 
+  /** The 100 TB tier of q72: approx_percentile's fixed-memory GK sketch
+    * instead of per-group exact sort. Same report shape; rows-only driver
+    * check (sketch internals are engine-specific) with the error bound vs
+    * the exact q72 asserted in TrainingDataOpsSpec. */
+  val q80ApproxPercentiles: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(n_chars, 0.9, 1000)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
+    "q80_approx_pct"      -> q80ApproxPercentiles,
     "q58_topk_native"     -> q58TopkNative,
     "q64_topk_rewritten"  -> q64TopkRewritten,
     "q72_percentiles"     -> q72Percentiles,

@@ -27,7 +27,7 @@ object ProfileCC {
     timed("chain-100") {
       import spark.implicits._
       val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
-      val n = graft.ops.ConnectedComponents.run(chain, maxIter = 200, verbose = true)
+      val n = graft.ops.ConnectedComponents.run(chain, verbose = true)
         .agg(countDistinct(col("label"))).head().getLong(0)
       println(s"  chain components: $n")
     }
@@ -39,7 +39,7 @@ object ProfileCC {
       p
     }
     timed("connected components") {
-      val labels = graft.ops.ConnectedComponents.run(pairs, maxIter = 40, verbose = true)
+      val labels = graft.ops.ConnectedComponents.run(pairs, verbose = true)
       println(s"  vertices: ${labels.count()}, components: " +
         labels.agg(countDistinct(col("label"))).head().getLong(0))
     }

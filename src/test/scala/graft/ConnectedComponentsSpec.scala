@@ -38,17 +38,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
-  test("long chain converges within the LOGARITHMIC pointer-jumping bound") {
+  test("long chain converges within the adaptive pointer-jumping bound") {
     // a path 0-1-2-...-100: worst case for plain min propagation (100
-    // rounds). Pointer jumping doubles the covered distance per round, so
-    // maxIter = 9 MUST suffice (log2(100) ≈ 6.6, +1 to detect the
-    // fixpoint, +1 slack). This pins the jump against regressions — the
-    // same-lineage self-join alias form silently degraded to identity and
-    // only a bound this tight catches that.
+    // rounds — would THROW at maxIter=10). With maxIter=10 the adaptive
+    // schedule jumps from round 6 (maxIter/2 = 5): coverage ramps
+    // 1,2,3,4,5 plain then doubles 10,22,46,94,190 — all labels correct by
+    // round 9, round 10 confirms the fixpoint. This pins the jump against
+    // regressions: the same-lineage self-join alias form silently degraded
+    // to identity, and only an iteration bound this tight catches that.
     val edges = (0L until 100L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 9)
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 101 && got.values.forall(_ == 0L))
+  }
+
+  test("non-convergence is a loud failure, not silent truncation") {
+    val edges = (0L until 100L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 4)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("self-loops and isolated pairs keep distinct components") {

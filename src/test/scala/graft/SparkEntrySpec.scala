@@ -34,7 +34,8 @@ class SparkEntrySpec extends AnyFunSuite {
   test("rows-only queries (no oracle) are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q45_ann_ivf", "q49_embed_docs",
-      "q50_topic_info", "q51_topic_terms", "q62_approx_distinct"),
+      "q50_topic_info", "q51_topic_terms", "q62_approx_distinct",
+      "q80_approx_pct"),
       s"undocumented rows-only queries: $rowsOnly — every new operator needs an oracle " +
         "or an explicit entry here with unit invariants")
   }

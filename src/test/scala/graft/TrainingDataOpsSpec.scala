@@ -87,6 +87,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       4L -> "low_quality", 5L -> "kept"))
   }
 
+  test("q80: approx percentiles stay within 5% relative error of the exact q72") {
+    val exact = ops.Relational.q72Percentiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = ops.Relational.q80ApproxPercentiles(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, (p50, p90)) =>
+      val (e50, e90) = exact(lang)
+      assert(math.abs(p50 - e50).toDouble / e50 <= 0.05, s"$lang p50 $p50 vs $e50")
+      assert(math.abs(p90 - e90).toDouble / e90 <= 0.05, s"$lang p90 $p90 vs $e90")
+    }
+  }
+
   test("q76: bins are contiguous per source, conserve tokens/docs, and respect the 512 budget grid") {
     val bins = ops.TextOps.q76Pack(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

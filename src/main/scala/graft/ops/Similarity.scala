@@ -235,8 +235,24 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Pure-SQL end-to-end: the whole query is ONE spark.sql statement over a
+    * registered view, driving the engine's native cosine_sim expression
+    * from SQL — certifying the §2.11 function-registration surface (a SQL
+    * user gets the same codegen'd kernel as the DataFrame API). Consecutive
+    * vec_id pairs keep the join equi-keyed and the result deterministic. */
+  val q81SqlSurface: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("emb_sql")
+    s.sql(
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(cosine_sim(a.embedding, b.embedding), 4) AS cos
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id + 1 = b.vec_id
+        |ORDER BY vec_a""".stripMargin)
+  }
+
   def queries: Map[String, Q] = Map(
     "q41_vector_norms" -> q41VectorNorms,
+    "q81_sql_surface"  -> q81SqlSurface,
     "q70_quantize"     -> q70Quantize,
     "q42_centroids"    -> q42Centroids,
     "q43_cosine_pairs" -> q43CosinePairs,
@@ -252,6 +268,12 @@ object Similarity {
     s"sqrt(${duckDot(a, a)})"
 
   def oracle: Map[String, String] = Map(
+    "q81_sql_surface" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${duckDot("a.embedding", "b.embedding")} /
+         |    (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}), 4) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+         |ORDER BY vec_a""".stripMargin,
     // Transitive closure over the exhaustive cosine>=0.4 pair set — the
     // q56 certification pattern applied to the embedding dedup tier.
     "q74_embed_dedup" ->

@@ -25,17 +25,48 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     verts.map(v => v -> find(v)).toMap
   }
 
-  test("property: random graphs agree with a union-find reference") {
+  test("property: random graphs agree with a union-find reference (both paths)") {
     val rnd = new scala.util.Random(0xCC2026)
     for (trial <- 1 to 5) {
       val nV = 50 + rnd.nextInt(100)
       val nE = 30 + rnd.nextInt(120)
       val edges = Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
       val want = unionFind(nV, edges)
+      // default path: bounded single-task final solve
       val got = ConnectedComponents.run(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"trial $trial (${edges.size} edges)")
+      assert(got == want, s"trial $trial (${edges.size} edges, final-solve path)")
+      // forced propagation path (what runs when the contracted graph still
+      // exceeds the single-task budget at 100 TB)
+      val gotProp = ConnectedComponents.run(edges.toDF("a", "b"),
+          contractLevels = 0, finalSolveMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotProp == want, s"trial $trial (${edges.size} edges, propagation path)")
     }
+  }
+
+  test("contraction levels reduce a graph below the final-solve budget") {
+    // 300-edge graph, budget 150: level-0 count (300) exceeds the budget,
+    // so a partition-local union-find round must contract it (stars over
+    // ≤ #distinct vertices) before the single-task solve fires. Exercises
+    // the contract-then-solve path end to end.
+    val rnd = new scala.util.Random(0xCC2027)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val want = unionFind(120, edges)
+    val got = ConnectedComponents.run(edges.toDF("a", "b"),
+        contractLevels = 2, finalSolveMaxEdges = 150)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("final solve needs no propagation rounds: chain-100 at maxIter=1") {
+    // under the default path the 100-vertex chain — the propagation worst
+    // case — is solved by the bounded union-find task with ZERO iterative
+    // rounds, so even maxIter=1 succeeds
+    val edges = (0L until 100L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 101 && got.values.forall(_ == 0L))
   }
 
   test("long chain converges within the adaptive pointer-jumping bound") {
@@ -46,8 +77,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // round 9, round 10 confirms the fixpoint. This pins the jump against
     // regressions: the same-lineage self-join alias form silently degraded
     // to identity, and only an iteration bound this tight catches that.
+    // contractLevels=0 + finalSolveMaxEdges=0 force the propagation path.
     val edges = (0L until 100L).map(i => (i, i + 1))
-    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 10)
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 10,
+        contractLevels = 0, finalSolveMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 101 && got.values.forall(_ == 0L))
   }
@@ -55,7 +88,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("non-convergence is a loud failure, not silent truncation") {
     val edges = (0L until 100L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
-      ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 4)
+      ConnectedComponents.run(edges.toDF("a", "b"), maxIter = 4,
+        contractLevels = 0, finalSolveMaxEdges = 0)
     }
     assert(e.getMessage.contains("did not converge"))
   }

@@ -17,12 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.SemiStructured.queries ++ ops.TextOps.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Temporal.queries ++
-      ops.Ml.queries ++ ops.Multimodal.queries
+      ops.Ml.queries ++ ops.Multimodal.queries ++ ops.Scoring.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.SemiStructured.oracle ++ ops.TextOps.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Temporal.oracle ++
-      ops.Ml.oracle ++ ops.Multimodal.oracle
+      ops.Ml.oracle ++ ops.Multimodal.oracle ++ ops.Scoring.oracle
 }

@@ -143,4 +143,53 @@ object TextFns {
         i => array_join(slice(toks, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram hashes in one JVM kernel pass: FNV-1a over the
+    * token window with a space folded after each token (so the hash equals
+    * FNV-1a of the space-joined shingle + trailing space — the q69
+    * construction). Sorted-dedup in place; no gram string is ever
+    * materialized, so the downstream shuffle key is (doc_id, 8 bytes).
+    * A collision would merge two gram counts — vanishing at 64 bits, and
+    * the string-exact oracles on its call sites would catch one loudly.
+    * Input must already be normText'd (single-space tokens). */
+  def distinctGramHashKernel(n: Int): String => Array[Long] = { s =>
+    if (s == null) Array.empty[Long]
+    else {
+      val toks = s.split(' ')
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val m = toks.length - (n - 1)
+        val hs = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          var h = 0xcbf29ce484222325L
+          var j = i
+          while (j < i + n) {
+            val t = toks(j)
+            var c = 0
+            while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
+            h ^= ' '.toInt; h *= 0x100000001b3L
+            j += 1
+          }
+          hs(i) = h
+          i += 1
+        }
+        java.util.Arrays.sort(hs)
+        // dedup the sorted hashes in place
+        var w = 0
+        var r = 0
+        while (r < m) {
+          if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+          r += 1
+        }
+        java.util.Arrays.copyOf(hs, w)
+      }
+    }
+  }
+
+  /** Column form of [[distinctGramHashKernel]]. */
+  def distinctGramHashes(c: Column, n: Int): Column = {
+    val kernel = org.apache.spark.sql.functions.udf(distinctGramHashKernel(n))
+    kernel(normText(c))
+  }
 }

@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Corpus-level scoring and mixing operators for the training-data
+  * pipeline: sketch-accelerated decontamination, weighted mixture
+  * sampling, BM25 ranked retrieval, unigram-LM perplexity scoring, and
+  * deterministic shard planning.
+  *
+  * Reference anchor: the reference pipeline's filtering/scoring passes
+  * (hashtag_analysis.py, create_metadata_df.py) are per-corpus pandas
+  * sweeps; these are their cluster-scale counterparts plus the standard
+  * LLM-pretraining operators the reference predates. */
+object Scoring {
+  import Relational.Q
+
+  // ---------------------------------------------------------------- q82
+
+  /** Bloom-sketch-accelerated train/eval decontamination. q69 joins every
+    * train gram against the eval vocabulary; at 100 TB that shuffles the
+    * whole train gram stream. Here the eval vocabulary is first collapsed
+    * into a fixed-size Bloom sketch (built DISTRIBUTED via
+    * `stat.bloomFilter` — per-partition sketches OR-merged, never raw
+    * grams on the driver), broadcast to executors, and used as a scan-side
+    * prefilter: only grams the sketch admits (true hits + ~1% false
+    * positives) reach the exact verify join, so the shuffle carries ~1% of
+    * the corpus instead of all of it. False positives are then removed by
+    * the exact semi-join — the OUTPUT IS EXACT, certified by the same
+    * DuckDB oracle shape as q69. The sketch build is an explicit pipeline
+    * stage (one Spark job producing a compact summary — the same
+    * build-then-probe contract as MinHashIndex/IvfIndex), not a hidden
+    * per-construction driver action: eval sets are bounded by definition
+    * (here ~15k grams; 64 KB sketch at 1% fpp). */
+  val q82BloomDecontam: Q = (s, d) => {
+    // cache: the gram table feeds the sketch build AND the probe pass
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .cache()
+    val evalG = sh.filter(col("doc_id") < 50).select(col("gh")).distinct()
+    val sketch = evalG.stat.bloomFilter("gh", 1L << 16, 0.01)
+    val bc = s.sparkContext.broadcast(sketch)
+    val mightContain = udf { (g: Long) => bc.value.mightContainLong(g) }
+    sh.filter(col("doc_id") >= 50)
+      .filter(mightContain(col("gh"))) // sketch prefilter: no false negatives
+      .join(evalG, Seq("gh"), "semi") // exact verify: kills false positives
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q83
+
+  /** Weighted mixture sampling — the data-mixing primitive that UP- and
+    * DOWN-samples sources to hit a target mixture (q67 covers flat
+    * downsampling only). Weights live in a TABLE (the production shape: a
+    * mixing config joined in, broadcast because it is genuinely tiny — one
+    * row per source), not a literal CASE. A document with weight w gets
+    * floor(w) copies plus one more iff the first 2 hex chars of
+    * md5(doc_id) fall under frac(w)·256 — deterministic across engines,
+    * reruns, and cluster sizes, and a pure codegen'd predicate + explode:
+    * no RNG state, no shuffle until the final small rollup. */
+  val q83WeightedMix: Q = (s, d) => {
+    import s.implicits._
+    // target mixture by source index mod 4: 2.5×, 1×, 0.25×, drop
+    val weights = (0 until 20).map { i =>
+      val (base, thr) = (i % 4) match {
+        case 0 => (2, "80") // 2.5x: 2 copies + p=128/256
+        case 1 => (1, "00") // keep as-is
+        case 2 => (0, "40") // 0.25x: p=64/256
+        case _ => (0, "00") // drop
+      }
+      (s"src$i", base, thr)
+    }.toDF("source", "base_copies", "thr")
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextFns.tokenCount(col("text")).as("ntoks"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("n_copies",
+        col("base_copies") + when(h2 < col("thr"), 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      // materialize the mixture (copy_no explode), then roll up per source
+      .select(col("source"), col("doc_id"), col("ntoks"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_no"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("docs_kept"),
+        count(lit(1)).as("rows_out"),
+        sum(col("ntoks")).cast("long").as("tokens_out"))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q84
+
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed query term
+    * set — the retrieval scorer behind corpus search and RAG candidate
+    * generation. The corpus is tokenized ONCE; the posting stream is
+    * immediately thinned to the query terms (a codegen'd isin filter at
+    * the scan — the inverted-index access path without materializing an
+    * index), so tf/df/join inputs are hit-sized, not corpus-sized. The
+    * df side is ≤ |query| rows and the corpus stats are a broadcast 1-row
+    * aggregate (the q04 scalar pattern). Top-20 via orderBy+limit =
+    * TakeOrderedAndProject — no global sort, no unpartitioned window.
+    * Scores are rounded to 4 decimals and tie-broken by doc_id so the
+    * ranking is engine-independent. */
+  val q84Bm25: Q = (s, d) => {
+    val k1 = 1.2
+    val b = 0.75
+    val qTerms = Seq("spark", "join", "data")
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).as("dl"))
+    val hits = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .cache() // feeds tf AND df — one tokenize pass
+    val tf = hits.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = hits.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    tf.join(broadcast(df_), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("score_t",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("score_t")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  /** Unigram-LM perplexity scoring: fit a maximum-likelihood unigram model
+    * on the corpus itself, score every document by mean negative
+    * log-likelihood — the classic model-based quality signal (KenLM-style
+    * pipelines use higher orders; the engine shape is identical). ONE
+    * tokenize pass: the per-doc tf table is cached and reused for the
+    * model counts (unigram = sum of tf over docs) and the scoring join, so
+    * nll folds as Σ tf·ln(ct/T) without a second corpus scan. The unigram
+    * side is vocabulary-sized and unbounded at 100 TB — no broadcast hint,
+    * AQE picks the join strategy; the grand total is a broadcast 1-row
+    * scalar (q04 pattern). */
+  val q85Perplexity: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val uni = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+    val tot = uni.agg(sum(col("ct")).cast("double").as("total"))
+    tf.join(uni, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_toks"),
+        round(-sum(col("tf") * log(col("ct") / col("total"))) / sum(col("tf")), 4).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** Deterministic shard plan — the manifest a training-shard export
+    * writes (see [[graft.sources.ShardExport]] for the writer itself):
+    * shard = md5(doc_id) first byte mod 8, so assignment is stable across
+    * engines/reruns and balanced regardless of doc_id patterns (a plain
+    * `doc_id % 8` collapses under strided ids — the q43 lesson). Output is
+    * the per-shard manifest: document count, token count, id range. */
+  val q86ShardPlan: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).as("ntoks"),
+        graft.sources.ShardExport.shardAssignment(col("doc_id"), 8).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntoks")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, Q] = Map(
+    "q82_bloom_decontam" -> q82BloomDecontam,
+    "q83_weighted_mix"   -> q83WeightedMix,
+    "q84_bm25"           -> q84Bm25,
+    "q85_perplexity"     -> q85Perplexity,
+    "q86_shard_plan"     -> q86ShardPlan,
+  )
+
+  private val tokCol =
+    """string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"""
+
+  def oracle: Map[String, String] = Map(
+    "q82_bloom_decontam" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokCol AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+         |     for i in range(1, len(toks) - 3)])) AS g
+         |  FROM t WHERE len(toks) >= 5),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50)
+         |SELECT sh.doc_id, count(*) AS n_hits
+         |FROM sh JOIN ev ON sh.g = ev.g
+         |WHERE sh.doc_id >= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q83_weighted_mix" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, len($tokCol) AS ntoks,
+         |    CAST(substr(source, 4) AS INT) % 4 AS grp,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, ntoks,
+         |    CASE grp WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+         |      + CASE WHEN h2 < (CASE grp WHEN 0 THEN '80' WHEN 2 THEN '40' ELSE '00' END)
+         |             THEN 1 ELSE 0 END AS n_copies
+         |  FROM w)
+         |SELECT source, count(*) AS docs_kept,
+         |  CAST(sum(n_copies) AS BIGINT) AS rows_out,
+         |  CAST(sum(n_copies * ntoks) AS BIGINT) AS tokens_out
+         |FROM c WHERE n_copies > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id, len($tokCol) AS dl FROM documents),
+         |hits AS (
+         |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
+         |h AS (SELECT * FROM hits WHERE term IN ('spark', 'join', 'data')),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl)
+         |SELECT doc_id, round(sum(
+         |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+         |  ), 4) AS bm25
+         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q85_perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS total FROM uni)
+         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+         |  round(-sum(tf.tf * ln(uni.ct / tot.total)) / sum(tf.tf), 4) AS nll
+         |FROM tf JOIN uni USING (term) CROSS JOIN tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_shard_plan" ->
+      s"""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($tokCol)) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

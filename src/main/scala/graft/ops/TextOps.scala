@@ -284,50 +284,17 @@ object TextOps {
     * query; collisions are vanishing and the string-exact oracle would
     * catch one at test scale). */
   val q69Contamination: Q = (s, d) => {
-    // distinct 5-gram hashes per doc, one JVM kernel pass: FNV-1a runs over
-    // the token window directly — no per-gram string join, no interpreted
-    // HOF slicing (measured ~4× over the wordShingles expression form on
-    // this query). Distinctness is by hash; a collision would merge two
-    // grams and the string-exact oracle would catch the miscount.
-    val gram5 = udf { (s: String) =>
-      if (s == null) Array.empty[Long]
-      else {
-        val toks = s.split(' ')
-        if (toks.length < 5) Array.empty[Long]
-        else {
-          val n = toks.length - 4
-          val hs = new Array[Long](n)
-          var i = 0
-          while (i < n) {
-            var h = 0xcbf29ce484222325L
-            var j = i
-            while (j < i + 5) {
-              val t = toks(j)
-              var c = 0
-              while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
-              h ^= ' '.toInt; h *= 0x100000001b3L
-              j += 1
-            }
-            hs(i) = h
-            i += 1
-          }
-          java.util.Arrays.sort(hs)
-          // dedup the sorted hashes in place
-          var w = 0
-          var r = 0
-          while (r < n) {
-            if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
-            r += 1
-          }
-          java.util.Arrays.copyOf(hs, w)
-        }
-      }
-    }
+    // distinct 5-gram hashes per doc, one JVM kernel pass (the shared
+    // TextFns.distinctGramHashes kernel): FNV-1a runs over the token window
+    // directly — no per-gram string join, no interpreted HOF slicing
+    // (measured ~4× over the wordShingles expression form on this query).
+    // Distinctness is by hash; a collision would merge two grams and the
+    // string-exact oracle would catch the miscount.
     // cache: BOTH join branches (eval vocabulary + train side) derive from
     // the gram table — without the barrier the generation runs twice.
     // 16 bytes/row — the persisted gram-index pattern at scale.
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(gram5(TextFns.normText(col("text")))).as("gh"))
+      .select(col("doc_id"), explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
       .cache()
     val eval_ = sh.filter(col("doc_id") < 50).select(col("gh")).distinct()
     sh.filter(col("doc_id") >= 50)

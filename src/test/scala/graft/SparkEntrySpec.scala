@@ -15,7 +15,8 @@ class SparkEntrySpec extends AnyFunSuite {
     ("Similarity", ops.Similarity.queries, ops.Similarity.oracle),
     ("Temporal", ops.Temporal.queries, ops.Temporal.oracle),
     ("Ml", ops.Ml.queries, ops.Ml.oracle),
-    ("Multimodal", ops.Multimodal.queries, ops.Multimodal.oracle))
+    ("Multimodal", ops.Multimodal.queries, ops.Multimodal.oracle),
+    ("Scoring", ops.Scoring.queries, ops.Scoring.oracle))
 
   test("no query key is defined by two modules (++ would shadow one)") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }

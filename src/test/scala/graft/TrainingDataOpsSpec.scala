@@ -124,4 +124,104 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def md5hex2(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(1).map(b => f"${b & 0xff}%02x").mkString
+
+  private def toksOf(text: String): Array[String] =
+    text.trim.replaceAll("\\s+", " ").split(" ")
+
+  test("q82: bloom prefilter + exact verify equals the full exact join (q69 restricted)") {
+    // the sketch admits false positives; the verify join must remove every
+    // one of them, so q82 == q69's contaminated subset exactly
+    val exact = ops.TextOps.q69Contamination(spark, sf)
+      .filter(col("n_overlap") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = ops.Scoring.q82BloomDecontam(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(got == exact)
+  }
+
+  test("q83: mixture multiplicities match a driver-side md5 reference") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val ref = docs.map { case (id, src, text) =>
+      val grp = src.drop(3).toInt % 4
+      val (base, thr) = grp match {
+        case 0 => (2, "80"); case 1 => (1, "00"); case 2 => (0, "40"); case _ => (0, "00")
+      }
+      val n = base + (if (md5hex2(id) < thr) 1 else 0)
+      (src, id, toksOf(text).length.toLong, n)
+    }.filter(_._4 > 0).groupBy(_._1).map { case (src, rs) =>
+      src -> (rs.map(_._2).distinct.length.toLong, rs.map(_._4.toLong).sum,
+        rs.map(r => r._3 * r._4).sum)
+    }
+    val got = ops.Scoring.q83WeightedMix(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref)
+    // the mixture must actually up- AND down-sample: grp0 sources emit more
+    // rows than docs, grp2 fewer than 25, grp3 none
+    assert(got("src0")._2 > got("src0")._1, "src0 should be upsampled")
+    assert(!got.contains("src3"), "src3 has weight 0 and must be dropped")
+  }
+
+  test("q84/q85: BM25 and perplexity match independent driver-side references") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), toksOf(r.getString(1))))
+    // BM25 reference
+    val qTerms = Seq("spark", "join", "data")
+    val nDocs = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / nDocs
+    val dfT = qTerms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    val scores = docs.map { case (id, toks) =>
+      val s = qTerms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          val idf = math.log((nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1)
+          idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * toks.length / avgdl))
+        }
+      }.sum
+      (id, s)
+    }.filter(_._2 > 0)
+    val top = scores.map { case (id, s) =>
+      (id, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    val gotBm = ops.Scoring.q84Bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotBm.length == 20)
+    gotBm.zip(top).foreach { case ((gid, gs), (wid, ws)) =>
+      assert(gid == wid && math.abs(gs - ws) <= 2e-4, s"doc $gid: $gs vs $wid: $ws")
+    }
+    // perplexity reference: mean negative log-likelihood under the
+    // corpus-fit unigram model
+    val uni = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = uni.values.sum.toDouble
+    val gotP = ops.Scoring.q85Perplexity(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(gotP.length == docs.length)
+    val byId = docs.toMap
+    gotP.foreach { case (id, nToks, nll) =>
+      val toks = byId(id)
+      assert(nToks == toks.length)
+      val want = -toks.map(t => math.log(uni(t) / total)).sum / toks.length
+      assert(math.abs(nll - want) <= 2e-4, s"doc $id: nll $nll vs $want")
+      assert(nll > 0)
+    }
+  }
+
+  test("q86: shard plan covers all docs with balanced md5 shards") {
+    val got = ops.Scoring.q86ShardPlan(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == (0L until 8L), "all 8 shards present")
+    assert(got.map(_._2).sum == 500L, "every doc assigned exactly once")
+    got.foreach { case (sh, n, toks, lo, hi) =>
+      assert(n > 0 && toks > 0 && lo <= hi, s"shard $sh degenerate")
+    }
+  }
 }

@@ -41,7 +41,7 @@ object Scoring {
       .select(col("doc_id"), explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
       .cache()
     val evalG = sh.filter(col("doc_id") < 50).select(col("gh")).distinct()
-    val sketch = evalG.stat.bloomFilter("gh", 1L << 16, 0.01)
+    val sketch = BloomSketch.build(evalG, "gh")
     val bc = s.sparkContext.broadcast(sketch)
     val mightContain = udf { (g: Long) => bc.value.mightContainLong(g) }
     sh.filter(col("doc_id") >= 50)

@@ -118,6 +118,45 @@ object Incremental {
     q
   }
 
+  /** Continuous DECONTAMINATION (the streaming tier of q82): each
+    * micro-batch's documents are probed against a persisted eval-set Bloom
+    * sketch ([[graft.ops.BloomSketch]]); any document with an admitted
+    * 5-gram routes to `quarantineDir`, the rest append to `cleanDir`.
+    * Sketch-only decision — no false negatives, so contaminated documents
+    * NEVER reach the clean output; ~fpp of clean documents quarantine
+    * spuriously, the conservative trade a streaming gate wants (the exact
+    * batch tier, q82's verify join, re-checks quarantine offline). The
+    * probe is one UDF over the per-doc gram-hash array — no explode, no
+    * shuffle: a pure scan pass per batch, with the fixed-size sketch
+    * broadcast once. Exactly-once per input file via the checkpoint. */
+  def continuousDecontam(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, cleanDir: String,
+      quarantineDir: String, sketchDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val sketch = graft.ops.BloomSketch.load(spark, sketchDir)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val hit = udf { (ghs: Seq[Long]) =>
+      ghs != null && ghs.exists(bc.value.mightContainLong)
+    }
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = batch.withColumn("contaminated",
+          hit(graft.functions.TextFns.distinctGramHashes(col("text"), 5))).cache()
+        flagged.filter(!col("contaminated")).drop("contaminated")
+          .write.mode("append").parquet(cleanDir)
+        flagged.filter(col("contaminated")).drop("contaminated")
+          .write.mode("append").parquet(quarantineDir)
+        flagged.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Custom stateful streaming operator (§2.9's stateful-ops completion):
     * per-user running statistics maintained across micro-batches via
     * flatMapGroupsWithState — the Spark-native form of the reference's

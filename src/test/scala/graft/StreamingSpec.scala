@@ -154,6 +154,38 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("continuous decontamination quarantines sketch hits, passes clean docs, resumes") {
+    val base = Files.createTempDirectory("graft-decontam").toString
+    val in = s"$base/in"; val clean = s"$base/clean"
+    val quar = s"$base/quarantine"; val sk = s"$base/sketch"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // eval set: one held-out document; sketch over its distinct 5-gram hashes
+    val evalText = "held out benchmark question answer pair secret eval " * 4
+    val evalGrams = Seq(evalText).toDF("text")
+      .select(explode(graft.functions.TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+    graft.ops.BloomSketch.save(spark,
+      graft.ops.BloomSketch.build(evalGrams, "gh"), sk)
+
+    // batch 1: doc 1 embeds a verbatim eval span (contaminated), doc 2 clean
+    Seq((1L, "prefix words " + evalText + " suffix words"),
+      (2L, ("totally unrelated clean training content here now " * 6).trim))
+      .toDF("doc_id", "text").write.parquet(s"$in/b1")
+    Incremental.continuousDecontam(spark, s"$in/*", docSchema, clean, quar, sk, ck)
+    assert(spark.read.parquet(quar).select("doc_id").as[Long].collect().toSeq == Seq(1L),
+      "doc embedding an eval span must quarantine (no false negatives)")
+    assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSeq == Seq(2L))
+
+    // batch 2: one more clean doc; re-run resumes from the checkpoint
+    Seq((3L, ("other fresh clean words flowing through the gate " * 6).trim))
+      .toDF("doc_id", "text").write.parquet(s"$in/b2")
+    Incremental.continuousDecontam(spark, s"$in/*", docSchema, clean, quar, sk, ck)
+    assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L), "resume must process only the new file")
+    assert(spark.read.parquet(quar).count() == 1)
+  }
+
   test("watermarked windowed aggregation over the events table matches the batch form") {
     val evSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

@@ -179,6 +179,55 @@ object Scoring {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------- q87
+
+  /** Deterministic stratified sampling: exactly k uniform-random documents
+    * per source, reproducible across engines/reruns/cluster sizes — rank
+    * by md5(doc_id) within each stratum and keep the k smallest (a random
+    * permutation without RNG state; q67/q83 sample by RATE, this samples
+    * by exact COUNT). Runs through the engine's native bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator — no per-group window sort, one
+    * shuffle — certifying the custom physical plan on a second production
+    * shape beyond q58. */
+  val q87StratifiedSample: Q = (s, d) => {
+    import graft.plans.TopKPerGroup
+    val hashed = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+    TopKPerGroup(hashed, Seq("source"),
+      Seq(TopKPerGroup.Key("h"), TopKPerGroup.Key("doc_id")), 5)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  /** Count-min-sketch heavy hitters with exact verify — the sketch-tier
+    * frequent-items operator (heavy token/URL/n-gram detection without a
+    * full-vocabulary shuffle). The CMS builds DISTRIBUTED
+    * (`stat.countMinSketch` merges per-partition sketches) and broadcasts;
+    * a map-side probe keeps only occurrences whose estimate reaches the
+    * threshold — CMS only OVERESTIMATES, so no true heavy hitter is ever
+    * dropped — and the exact groupBy count on the surviving stream removes
+    * the overestimates: output is EXACT (the q82 sketch-then-verify
+    * pattern). At 100 TB the probe thins the aggregation input to the
+    * heavy tail; the sketch is fixed-size regardless of vocabulary. */
+  val q88HeavyHitters: Q = (s, d) => {
+    val threshold = 900L
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+    val cms = toks.stat.countMinSketch("term", 0.0001, 0.99, 7)
+    val bc = s.sparkContext.broadcast(cms)
+    val mightBeHeavy = udf { (t: String) =>
+      t != null && bc.value.estimateCount(t) >= threshold
+    }
+    toks.filter(mightBeHeavy(col("term")))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy(col("term"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, Q] = Map(
@@ -187,6 +236,8 @@ object Scoring {
     "q84_bm25"           -> q84Bm25,
     "q85_perplexity"     -> q85Perplexity,
     "q86_shard_plan"     -> q86ShardPlan,
+    "q87_stratified_sample" -> q87StratifiedSample,
+    "q88_heavy_hitters"  -> q88HeavyHitters,
   )
 
   private val tokCol =
@@ -252,5 +303,16 @@ object Scoring {
          |  CAST(sum(len($tokCol)) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q87_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    "q88_heavy_hitters" ->
+      s"""SELECT term, count(*) AS n FROM (
+         |  SELECT unnest($tokCol) AS term FROM documents)
+         |GROUP BY 1 HAVING count(*) >= 900 ORDER BY 1""".stripMargin,
   )
 }

@@ -130,6 +130,11 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       .digest(id.toString.getBytes("UTF-8"))
       .take(1).map(b => f"${b & 0xff}%02x").mkString
 
+  private def md5hex32(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
   private def toksOf(text: String): Array[String] =
     text.trim.replaceAll("\\s+", " ").split(" ")
 
@@ -213,6 +218,34 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       assert(math.abs(nll - want) <= 2e-4, s"doc $id: nll $nll vs $want")
       assert(nll > 0)
     }
+  }
+
+  test("q87: stratified sample takes exactly 5 per source via the native top-k plan") {
+    val df = ops.Scoring.q87StratifiedSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"expected the native operator:\n$plan")
+    assert(!plan.toLowerCase.contains("window"), "no window sort on the sample path")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.groupBy(_._1).forall(_._2.length == 5), "exactly 5 docs per source")
+    // reference selection: k smallest md5 per stratum
+    val want = Tables.documents(spark, sf).select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (md5hex32(r._2), r._2)).take(5).toSeq
+      }.toSet
+    assert(got.toSet == want)
+  }
+
+  test("q88: CMS prefilter + exact verify equals the exact heavy-hitter set") {
+    val exact = Tables.documents(spark, sf)
+      .select(explode(functions.TextFns.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 900)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = ops.Scoring.q88HeavyHitters(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixture should contain heavy tokens")
+    assert(got == exact, "sketch overestimates must be removed by the exact verify")
   }
 
   test("q86: shard plan covers all docs with balanced md5 shards") {

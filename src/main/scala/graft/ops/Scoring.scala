@@ -228,6 +228,29 @@ object Scoring {
       .orderBy(col("term"))
   }
 
+  // ---------------------------------------------------------------- q89
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * top-k documents by key u^(1/w) — here ranked by the ln-monotone
+    * equivalent ln(u)/w — where w = n_chars (longer documents
+    * proportionally likelier) and u is a deterministic uniform derived
+    * from md5(doc_id) (13 hex chars → [0,1) at 2⁻⁵² grain). Completes the
+    * sampling family: q67/q83 sample by rate, q87 by exact count per
+    * stratum, q89 by weight without replacement — all RNG-state-free and
+    * engine-reproducible. One TakeOrdered pass (no global sort); the
+    * classic distributed one-pass weighted sample. */
+  val q89WeightedSample: Q = (s, d) => {
+    // u = (first 52 md5 bits + 0.5) / 2^52 — exact in double on both engines
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), (log(u) / col("n_chars")).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, Q] = Map(
@@ -238,6 +261,7 @@ object Scoring {
     "q86_shard_plan"     -> q86ShardPlan,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
+    "q89_weighted_sample" -> q89WeightedSample,
   )
 
   private val tokCol =
@@ -314,5 +338,12 @@ object Scoring {
       s"""SELECT term, count(*) AS n FROM (
          |  SELECT unnest($tokCol) AS term FROM documents)
          |GROUP BY 1 HAVING count(*) >= 900 ORDER BY 1""".stripMargin,
+    "q89_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |        / 4503599627370496.0) / n_chars AS k
+        |  FROM documents ORDER BY k DESC, doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -25,8 +25,9 @@ object ShardExport {
   def shardAssignment(id: Column, nShards: Int): Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long") % nShards
 
-  /** Write `df` as `outDir/shard=K/part-*.parquet`. Returns the shard
-    * manifest (shard, n_docs, files written are asserted in the spec). */
+  /** Write `df` as `outDir/shard=K/part-*.parquet` (layout, file-size
+    * bound, and round-trip asserted in ShardExportSpec; the q86 query is
+    * the matching manifest). */
   def write(df: DataFrame, idCol: String, outDir: String,
       nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20): Unit = {
     df.withColumn("shard", shardAssignment(col(idCol), nShards))

@@ -248,6 +248,28 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got == exact, "sketch overestimates must be removed by the exact verify")
   }
 
+  test("q89: weighted sample matches the A-Res reference and favors heavy docs") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def uOf(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+    }
+    val want = docs.map { case (id, w) => (id, w, math.log(uOf(id)) / w) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(20).map(t => (t._1, t._2)).toSet
+    val got = ops.Scoring.q89WeightedSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 20 && got.toSet == want)
+    // weight-proportional selection must visibly favor long documents
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("q86: shard plan covers all docs with balanced md5 shards") {
     val got = ops.Scoring.q86ShardPlan(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

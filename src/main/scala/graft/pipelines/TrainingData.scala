@@ -1,0 +1,102 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.ops.{BloomSketch, Dedup}
+import graft.sources.ShardExport
+
+/** END-TO-END training-data preparation — the full composition a
+  * pretraining-data team actually runs, wired from the engine's certified
+  * operators into one callable pipeline:
+  *
+  *   quality gate → exact dedup → fuzzy canonicalization   (Dedup.cleanCorpus, q79)
+  *   → eval-set decontamination                            (BloomSketch probe, q82 tier)
+  *   → weighted source mixing                              (q83 semantics)
+  *   → hash-sharded, size-bounded parquet export           (ShardExport, q86 twin)
+  *
+  * Every stage is deterministic (md5-derived decisions, no RNG state), so
+  * the whole pipeline is reproducible run-to-run and cluster-size-
+  * independent; each stage's semantics are oracle-certified through its
+  * query twin, and the composition itself is integration-tested with
+  * planted clones / near-dups / contaminated docs
+  * (TrainingDataPipelineSpec).
+  *
+  * Scale notes: the funnel never collects data to the driver — the only
+  * driver values are the stage counts in the returned summary and the
+  * fixed-size Bloom sketch. Dedup is candidates-by-bucket (MinHash bands →
+  * ConnectedComponents), the decontamination probe is a broadcast-sketch
+  * scan filter, mixing is a broadcast join + explode, and the export is
+  * one shuffle. */
+object TrainingData {
+
+  /** Default mixing config: keep every source as-is. */
+  def flatWeights(spark: SparkSession, sources: Seq[String]): DataFrame = {
+    import spark.implicits._
+    sources.map(src => (src, 1, "00")).toDF("source", "base_copies", "thr")
+  }
+
+  /** Run the full pipeline.
+    *
+    * @param docs     corpus with (doc_id: long, text, source, n_chars)
+    * @param evalDocs held-out eval corpus with a text column; its distinct
+    *                 5-gram hashes become the decontamination sketch
+    * @param weights  mixing config (source, base_copies: int, thr: 2-hex
+    *                 string) — a doc gets base_copies (+1 iff
+    *                 md5(doc_id) prefix < thr) copies
+    * @param outDir   shard export destination (`outDir/shard=K/...`)
+    * @return funnel summary (stage, docs) — input, clean, decontaminated,
+    *         mixed rows, plus per-stage detail persisted nowhere else
+    */
+  def run(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
+      weights: DataFrame, outDir: String, nShards: Int = 8,
+      maxRecordsPerFile: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val input = docs.cache()
+
+    // 1. quality gate + exact dedup + fuzzy canonicalization (q79)
+    val disposition = Dedup.cleanCorpus(input)
+    val clean = input.join(
+      disposition.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
+
+    // 2. decontamination: sketch the eval set's gram vocabulary, probe the
+    // clean corpus map-side (q82's streaming-tier decision: conservative,
+    // no false negatives)
+    val evalGrams = evalDocs
+      .select(explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .distinct()
+    val sketch = BloomSketch.build(evalGrams, "gh")
+    val bc = spark.sparkContext.broadcast(sketch)
+    val contaminated = udf { (ghs: Seq[Long]) =>
+      ghs != null && ghs.exists(bc.value.mightContainLong)
+    }
+    val decontaminated = clean
+      .filter(!contaminated(TextFns.distinctGramHashes(col("text"), 5)))
+      .cache()
+
+    // 3. weighted mixing (q83 semantics): deterministic per-doc multiplicity
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val mixed = decontaminated
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("n_copies",
+        col("base_copies") + when(h2 < col("thr"), 1).otherwise(0))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_no"))
+
+    // 4. shard export: copies of the same doc share a shard (assignment is
+    // by doc_id), files bounded, id-sorted
+    ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile)
+
+    val summary = Seq(
+      ("input", input.count()),
+      ("clean", clean.count()),
+      ("decontaminated", decontaminated.count()),
+      ("mixed_rows", spark.read.parquet(outDir).count()),
+    ).toDF("stage", "docs")
+    decontaminated.unpersist()
+    input.unpersist()
+    summary
+  }
+}

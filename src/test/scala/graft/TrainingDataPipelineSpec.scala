@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.TrainingData
+import graft.sources.ShardExport
+
+/** Integration test for the full training-data pipeline composition:
+  * planted clones, near-dups, short docs, and a contaminated doc must be
+  * dropped at the right stages; survivors mix and shard deterministically. */
+class TrainingDataPipelineSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def md5hex2(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(1).map(b => f"${b & 0xff}%02x").mkString
+
+  test("pipeline drops clones, near-dups, short and contaminated docs; shards the rest") {
+    val evalText = "held out benchmark question answer pair secret eval items " * 5
+    val longText = (tag: String) =>
+      (s"alpha$tag beta$tag gamma$tag delta$tag epsilon$tag zeta$tag eta$tag theta$tag " * 6).trim
+    val rows = Seq.newBuilder[(Long, String, String)]
+    rows += ((1L, longText("one"), "srcA"))
+    rows += ((2L, longText("one"), "srcA")) // exact clone of 1
+    rows += ((3L, longText("one") + " smalltail", "srcA")) // near-dup of 1
+    rows += ((4L, "too short", "srcA")) // quality gate
+    rows += ((5L, "prefix " + evalText + " suffix", "srcB")) // contaminated
+    (6L to 25L).foreach(i => rows += ((i, longText(s"u$i"), if (i % 2 == 0) "srcA" else "srcB")))
+    val docs = rows.result().toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val evalDocs = Seq(evalText).toDF("text")
+    val weights = Seq(("srcA", 2, "80"), ("srcB", 1, "00"))
+      .toDF("source", "base_copies", "thr")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tdp").toString
+
+    val summary = TrainingData.run(spark, docs, evalDocs, weights, outDir,
+        nShards = 8, maxRecordsPerFile = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // funnel: 25 in; -1 exact clone, -1 near-dup, -1 short => 22 clean;
+    // -1 contaminated => 21
+    assert(summary("input") == 25L)
+    assert(summary("clean") == 22L, s"clean stage: $summary")
+    assert(summary("decontaminated") == 21L, s"decontam stage: $summary")
+
+    val out = spark.read.parquet(outDir).cache()
+    val outDocs = out.select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(!outDocs.exists(Seq(2L, 3L, 4L, 5L).contains(_)),
+      "dropped docs must not reach the shards")
+    assert(outDocs == (Seq(1L) ++ (6L to 25L)), s"unexpected survivors: $outDocs")
+
+    // mixing reference: srcA 2+(h2<80), srcB 1 copy
+    val srcOf = (Seq((1L, "srcA")) ++ (6L to 25L).map(i =>
+      i -> (if (i % 2 == 0) "srcA" else "srcB"))).toMap
+    val wantRows = srcOf.map { case (id, src) =>
+      if (src == "srcA") 2L + (if (md5hex2(id) < "80") 1L else 0L) else 1L
+    }.sum
+    assert(summary("mixed_rows") == wantRows)
+    assert(out.count() == wantRows)
+
+    // copies of a doc stay in one md5-assigned shard
+    val bad = out.filter(
+      col("shard") =!= ShardExport.shardAssignment(col("doc_id"), 8)).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+}

@@ -251,6 +251,35 @@ object Scoring {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q90
+
+  /** Table profiler — the engine twin of the reference's pandas
+    * `.info()`/`.describe()`/`.head()` preview cells
+    * (preview_data.ipynb, preview_file_downloads.ipynb): per-column
+    * non-null count, distinct count, and lexicographic min/max (values
+    * cast to string FIRST on both engines so the comparison semantics are
+    * identical), in ONE corpus pass — the aggregate expands map-side
+    * (partial aggregation per metric), never one scan per column. The
+    * distinct counts are exact here; at 100 TB swap in approx_count_
+    * distinct per column (the q62 HLL tier) for a single-pass sketch
+    * profile. */
+  val q90Profile: Q = (s, d) => {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val flat = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    Tables.documents(s, d)
+      .agg(flat.head, flat.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stacked) " +
+        "AS (column_name, n_nonnull, n_distinct, min_val, max_val)")
+      .orderBy(col("column_name"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, Q] = Map(
@@ -262,6 +291,7 @@ object Scoring {
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
     "q89_weighted_sample" -> q89WeightedSample,
+    "q90_profile"        -> q90Profile,
   )
 
   private val tokCol =
@@ -345,5 +375,11 @@ object Scoring {
         |        / 4503599627370496.0) / n_chars AS k
         |  FROM documents ORDER BY k DESC, doc_id LIMIT 20)
         |ORDER BY doc_id""".stripMargin,
+    "q90_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min(CAST($c AS VARCHAR)) AS min_val, max(CAST($c AS VARCHAR)) AS max_val
+         |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
   )
 }

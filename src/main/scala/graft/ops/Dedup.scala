@@ -113,7 +113,7 @@ object Dedup {
 
   /** The q38 pipeline over an arbitrary (doc_id, text, ...) frame — shared
     * by the table-reading form and the composed cleaning pipeline/tests. */
-  private[ops] def minhashPairsOf(input: DataFrame): DataFrame = {
+  private[graft] def minhashPairsOf(input: DataFrame): DataFrame = {
     // cache = materialization barrier: without it CollapseProject re-inlines
     // the signature computation into every downstream reference (16 band
     // expressions + 2 verification joins → ~20× the work, measured). At

@@ -55,10 +55,14 @@ object TrainingData {
     import spark.implicits._
     val input = docs.cache()
 
-    // 1. quality gate + exact dedup + fuzzy canonicalization (q79)
+    // 1. quality gate + exact dedup + fuzzy canonicalization (q79).
+    // cache: the clean set feeds BOTH the funnel count and the
+    // decontamination scan — without the barrier the whole dedup candidate
+    // generation (MinHash pairs + components) replays per consumer
     val disposition = Dedup.cleanCorpus(input)
     val clean = input.join(
-      disposition.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
+        disposition.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
+      .cache()
 
     // 2. decontamination: sketch the eval set's gram vocabulary, probe the
     // clean corpus map-side (q82's streaming-tier decision: conservative,
@@ -96,6 +100,7 @@ object TrainingData {
       ("mixed_rows", spark.read.parquet(outDir).count()),
     ).toDF("stage", "docs")
     decontaminated.unpersist()
+    clean.unpersist()
     input.unpersist()
     summary
   }

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: measured scaling evidence for the dedup stack. Inflates
+  * the sf0.1 documents table 1×/4×/16× with DISJOINT-vocabulary copies
+  * (every token gets a per-copy prefix, so copies share no shingles — the
+  * candidate structure per copy matches the original corpus, not a
+  * pathological all-duplicates blowup) and times exact dedup, MinHash
+  * candidate generation + verify, and connected components at each
+  * multiplier. Near-linear wall-clock and pair growth is the evidence
+  * that the bucketed plans hold under corpus growth; quadratic growth
+  * would indict the candidate generation.
+  * Run: sbt "runMain graft.tools.ScaleSmoke /root/testdata/sf0.1" */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val base = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val n = base.count()
+    for (mult <- Seq(1, 4, 16)) {
+      val scaled: DataFrame = (0 until mult).map { k =>
+        base.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
+          col("n_chars"))
+      }.reduce(_ unionByName _).cache()
+      val rows = scaled.count() // materialize outside the timers
+      println(s"[scale] ===== mult=$mult rows=$rows =====")
+      time(s"mult=$mult exact dedup")(
+        scaled.groupBy(md5(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+          .write.format("noop").mode("overwrite").save())
+      val pairs = time(s"mult=$mult minhash pairs (cand+verify)") {
+        val p = graft.ops.Dedup.minhashPairsOf(scaled).cache()
+        val c = p.count()
+        println(s"[scale] mult=$mult pair count: $c")
+        p
+      }
+      time(s"mult=$mult connected components")(
+        graft.ops.ConnectedComponents.run(pairs.select(col("doc_a"), col("doc_b")))
+          .write.format("noop").mode("overwrite").save())
+      pairs.unpersist()
+      scaled.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -69,6 +69,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq("a b", "b c", "c d"))
   }
 
+  test("property: gram hash kernel agrees with wordShingles on count and equality structure") {
+    // the FNV kernel must see exactly the distinct n-grams the declarative
+    // shingle expression produces — same count, and equal shingle sets ⇔
+    // equal hash sets (random token strings, n = 2..5)
+    val rnd = new scala.util.Random(0x6AA5)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 40) {
+      val n = 2 + rnd.nextInt(4)
+      val toks = Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+      val text = toks.mkString(" ")
+      val kernel = TextFns.distinctGramHashKernel(n)(text)
+      val shingles = Seq(text).toDF("t")
+        .select(TextFns.wordShingles($"t", n).as("s")).head().getSeq[String](0)
+      assert(kernel.length == shingles.distinct.length,
+        s"trial $trial n=$n: ${kernel.length} hashes vs ${shingles.distinct.length} shingles")
+      // permuting the SAME token multiset differently must change the set
+      // only when the shingle set changes (hash = function of shingle)
+      val text2 = rnd.shuffle(toks).mkString(" ")
+      val kernel2 = TextFns.distinctGramHashKernel(n)(text2)
+      val shingles2 = Seq(text2).toDF("t")
+        .select(TextFns.wordShingles($"t", n).as("s")).head().getSeq[String](0)
+      assert((kernel.toSet == kernel2.toSet) == (shingles.toSet == shingles2.toSet),
+        s"trial $trial n=$n: hash-set equality must track shingle-set equality")
+    }
+  }
+
   test("bpe pre-tokens split contractions, words, numbers, punctuation") {
     val got = Seq("I'll pay 42 dollars, obviously!").toDF("t")
       .select(TextFns.bpeTokens($"t").as("toks")).head().getSeq[String](0)

@@ -40,7 +40,8 @@ object IvfIndex {
     * nearest cell. `emb` must have columns (vec_id: long,
     * embedding: array<float>). */
   def build(spark: SparkSession, emb: DataFrame, nCells: Int = 32,
-      seed: Long = 7L, maxFitRows: Long = 50000L): IvfIndex = {
+      seed: Long = 7L, maxFitRows: Long = 50000L,
+      initMode: String = "random"): IvfIndex = {
     import spark.implicits._
     val n = emb.count() // parquet metadata count when emb is a plain scan
     val sampled =
@@ -52,7 +53,7 @@ object IvfIndex {
     // 5 seeded random-init iterations: the codebook partitions space, it
     // does not need a converged objective (q45 scale notes)
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode("random").fit(features)
+      .setK(nCells).setSeed(seed).setMaxIter(5).setInitMode(initMode).fit(features)
     features.unpersist()
     val centroids = km.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)

@@ -72,10 +72,11 @@ class DedupSpec extends AnyFunSuite {
     val hits = ivf.count { case (v, nn) => exact.get(v).contains(nn) }
     val recall = hits.toDouble / exact.size
     info(s"IVF top-1 agreement with exact: $recall")
-    // KMeans codebook (32 cells, 4 probes) on 500 UNIFORM vectors — the
+    // KMeans codebook (32 cells, 12 probes) on 500 UNIFORM vectors — the
     // adversarial case for IVF (no cluster structure to exploit). Any
-    // regression below this floor means the quantizer broke.
-    assert(recall >= 0.6, s"IVF top-1 recall $recall")
+    // regression below this floor means the quantizer or probe schedule
+    // broke (probe 12 measured 0.81 at sf0.1, tools.ExperimentIvf).
+    assert(recall >= 0.7, s"IVF top-1 recall $recall")
   }
 
   test("exact cosine pairs match brute force computed independently") {

@@ -40,4 +40,38 @@ class ShardExportSpec extends AnyFunSuite {
       col("shard") =!= ShardExport.shardAssignment(col("doc_id"), 8)).count()
     assert(mismatched == 0, s"$mismatched rows landed in the wrong shard")
   }
+
+  test("compaction rewrites many small files into few range-partitioned ones") {
+    import graft.sources.Compaction
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    // fragment: ~25 rows/file → ~20 small files
+    docs.repartition(20).write.option("maxRecordsPerFile", 25).parquet(in)
+    val smallFiles = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(smallFiles >= 20, s"fixture should be fragmented, got $smallFiles files")
+
+    val planned = Compaction.compact(spark, in, out, "doc_id",
+      targetBytes = Compaction.dataBytes(spark, in) / 4 + 1)
+    val outFiles = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(planned <= 4 && outFiles.length == planned,
+      s"expected $planned compacted files, got ${outFiles.length}")
+
+    // rows conserve, and files cover DISJOINT sorted id ranges (the
+    // range layout that makes footer pruning effective)
+    val back = spark.read.parquet(out)
+    assert(back.count() == n)
+    val ranges = outFiles.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA < loB, "file id ranges overlap")
+      case _ =>
+    }
+  }
 }

@@ -225,18 +225,45 @@ object Similarity {
     * min/max affine scale to 0..255 codes. `floor`, not `round`, so the
     * code values are cross-engine exact (no decimal half-boundary
     * divergence); the oracle recomputes the identical affine+floor and the
-    * code SUM certifies every code value. Narrow per-row expressions — a
-    * pure scan pass at any scale. */
+    * code SUM certifies every code value. One primitive-array kernel pass
+    * per vector — a pure scan at any scale. The round-4 expression form
+    * inlined `array_min`/`array_max` INSIDE the `transform` lambda, so
+    * CollapseProject re-evaluated the whole-array min/max once PER ELEMENT,
+    * interpreted — O(dim²) per row (measured 3.5 s at sf0.1 for what is a
+    * 2000-row × 64-dim scan; the kernel is the q43 primitive-array lesson
+    * applied again). Same float-space min/max then double-widened affine
+    * math, so results are bit-identical to the old plan and the oracle. */
   val q70Quantize: Q = (s, d) => {
-    val v = col("embedding")
-    val vmin = array_min(v).cast("double")
-    val vmax = array_max(v).cast("double")
-    val scale = lit(255.0) / (vmax - vmin)
-    val codes = transform(v, x => floor((x.cast("double") - vmin) * scale).cast("long"))
+    val quantKernel = udf { (v: Array[Float]) =>
+      if (v == null || v.isEmpty) None
+      else {
+        var mn = v(0)
+        var mx = v(0)
+        var i = 1
+        while (i < v.length) {
+          val x = v(i)
+          if (x < mn) mn = x
+          if (x > mx) mx = x
+          i += 1
+        }
+        val vmin = mn.toDouble
+        val vmax = mx.toDouble
+        var sum = 0L
+        if (vmax > vmin) {
+          val scale = 255.0 / (vmax - vmin)
+          i = 0
+          while (i < v.length) {
+            sum += math.floor((v(i).toDouble - vmin) * scale).toLong
+            i += 1
+          }
+        }
+        Some((vmin, vmax, sum))
+      }
+    }
     Tables.embeddings(s, d)
-      .select(col("vec_id"), vmin.as("vmin"), vmax.as("vmax"),
-        when(vmax > vmin,
-          aggregate(codes, lit(0L), (a, b) => a + b)).otherwise(lit(0L)).as("code_sum"))
+      .select(col("vec_id"), quantKernel(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q._1").as("vmin"), col("q._2").as("vmax"),
+        col("q._3").as("code_sum"))
       .orderBy(col("vec_id"))
   }
 

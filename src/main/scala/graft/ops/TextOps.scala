@@ -215,60 +215,69 @@ object TextOps {
   /** Repetition quality signals (the Gopher-rule family a pretraining
     * pipeline filters on): per document, the fraction of all token
     * occurrences taken by the single most frequent unigram/bigram, and the
-    * fraction of trigram occurrences that are repeats. Three explode →
-    * count pipelines keyed on (doc_id, gram) — the shuffle key is composite
-    * so hot documents spread across reducers; per-doc reduction is a
-    * partial-aggregated groupBy, never a per-doc window over raw grams. */
+    * fraction of trigram occurrences that are repeats. The statistic is
+    * doc-LOCAL, so it is computed doc-locally: one JVM kernel pass per
+    * document (a per-n hash-count map bounded by doc length) — no gram
+    * explode, no shuffle at all before the final presentation sort. The
+    * round-4 form exploded every gram occurrence into (doc_id, n, hash)
+    * rows and re-assembled per-doc stats through two groupBys and a pivot:
+    * three shuffles of a corpus-sized intermediate to recompute what each
+    * map task already had in hand (measured 2.2 s → scan-bound at sf0.1).
+    * At 100 TB this is the difference between a map-only pass and
+    * shuffling ~3 rows per corpus token. Gram identity is 64-bit FNV-1a
+    * over the token window, collision scope is a single document, and a
+    * collision would miscount vs the string-exact oracle loudly. */
   val q68Repetition: Q = (s, d) => {
-    // ONE corpus pass: a JVM kernel emits every (n, gram) occurrence for
-    // n = 1..3 (non-distinct — counts need repeats; and a kernel, not
-    // nested slice/array_join HOFs, which evaluate interpreted per gram —
-    // measured 4× on this query). Then one shuffle on the composite
-    // (doc_id, n, gram) key and a pivot of the tiny per-doc stats table.
-    // grams ship as 64-bit FNV-1a hashes, not strings: the shuffle key is
-    // (doc_id, n, 8 bytes) and no gram text is ever materialized. A
-    // collision would merge two gram counts and fail the string-exact
-    // oracle loudly (same trade as q69's gram index).
-    val gramsKernel = udf { (s: String) =>
-      if (s == null) Array.empty[(Int, Long)]
-      else {
-        val toks = s.split(' ')
-        val tokHash = toks.map { t =>
-          var h = 0xcbf29ce484222325L
-          var c = 0
-          while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
-          h
-        }
-        val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)](toks.length * 3)
-        def mix(a: Long, b: Long): Long = { var h = a ^ (b + 0x9e3779b97f4a7c15L); h *= 0x100000001b3L; h }
-        var i = 0
-        while (i < toks.length) { out += ((1, tokHash(i))); i += 1 }
-        i = 0
-        while (i + 1 < toks.length) { out += ((2, mix(tokHash(i), tokHash(i + 1)))); i += 1 }
-        i = 0
-        while (i + 2 < toks.length) {
-          out += ((3, mix(mix(tokHash(i), tokHash(i + 1)), tokHash(i + 2)))); i += 1
-        }
-        out.toArray
-      }
-    }
     // exact integer counts, not rounded ratios: arbitrary small-integer
     // ratios land on decimal half-boundaries where double rounding diverges
-    // cross-engine (the round(avg,4) trap); consumers divide themselves
+    // cross-engine (the round(avg,4) trap); consumers divide themselves.
+    // Docs with < 3 tokens have no trigram tier and are excluded (the
+    // oracle's inner join across the three tiers does the same).
+    val statsKernel = udf { (s: String) =>
+      if (s == null) None
+      else {
+        val toks = s.split(' ')
+        if (toks.length < 3) None
+        else {
+          val tokHash = toks.map { t =>
+            var h = 0xcbf29ce484222325L
+            var c = 0
+            while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
+            h
+          }
+          def mix(a: Long, b: Long): Long = { var h = a ^ (b + 0x9e3779b97f4a7c15L); h *= 0x100000001b3L; h }
+          // (top, tot, dup) for n-grams of the given order in one map pass
+          def tier(n: Int): (Long, Long, Long) = {
+            val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+            var i = 0
+            val lim = toks.length - (n - 1)
+            while (i < lim) {
+              var h = tokHash(i)
+              var j = 1
+              while (j < n) { h = mix(h, tokHash(i + j)); j += 1 }
+              val slot = m.get(h)
+              if (slot == null) m.put(h, Array(1L)) else slot(0) += 1L
+              i += 1
+            }
+            var top = 0L
+            val it = m.values().iterator()
+            while (it.hasNext) { val c = it.next()(0); if (c > top) top = c }
+            (top, lim.toLong, lim.toLong - m.size)
+          }
+          val (top1, tot1, _) = tier(1)
+          val (top2, tot2, _) = tier(2)
+          val (_, tot3, dup3) = tier(3)
+          Some((top1, tot1, top2, tot2, dup3, tot3))
+        }
+      }
+    }
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(gramsKernel(TextFns.normText(col("text")))).as("g"))
-      .select(col("doc_id"), col("g._1").as("n"), col("g._2").as("g"))
-      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(max(col("c")).as("top"), sum(col("c")).as("tot"),
-        (sum(col("c")) - count(lit(1))).as("dup"))
-      .groupBy(col("doc_id")).pivot("n", Seq(1, 2, 3))
-      .agg(first(col("top")).as("top"), first(col("tot")).as("tot"),
-        first(col("dup")).as("dup"))
+      .select(col("doc_id"), statsKernel(TextFns.normText(col("text"))).as("r"))
+      .filter(col("r").isNotNull)
       .select(col("doc_id"),
-        col("1_top").as("top1"), col("1_tot").as("tot1"),
-        col("2_top").as("top2"), col("2_tot").as("tot2"),
-        col("3_dup").as("dup3"), col("3_tot").as("tot3"))
+        col("r._1").as("top1"), col("r._2").as("tot1"),
+        col("r._3").as("top2"), col("r._4").as("tot2"),
+        col("r._5").as("dup3"), col("r._6").as("tot3"))
       .orderBy(col("doc_id"))
   }
 

@@ -348,6 +348,94 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicated-SUBSTRING dedup (the ExactSubstr mode of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" — the one
+    * dedup tier that removes text WITHIN documents instead of dropping
+    * whole documents): any 8-token span that occurs more than once in the
+    * corpus (across documents or repeated within one) is duplicated text,
+    * and every token covered by such a span is removed. Per document this
+    * reports total tokens, covered tokens, and the md5 of the cleaned
+    * (uncovered-tokens-only) text; fully-covered documents yield a null
+    * fingerprint.
+    *
+    * Shape at 100 TB: one kernel map pass emits (start, span-hash-64) per
+    * token position (no span strings materialized — 12 bytes per corpus
+    * token); the duplicate-span vocabulary is a partial-aggregated count
+    * ≥ 2 (map-side combine absorbs the within-doc repeats); the semi-join
+    * back is AQE-broadcastable because real corpora have a SMALL dup-span
+    * vocabulary relative to the span stream; covered positions reduce
+    * per-doc through a length-bounded collect_list. No all-pairs stage
+    * anywhere — this is the fixed-K approximation of the suffix-array
+    * construction, which is the standard distributed deployment. Span
+    * identity is 64-bit FNV-1a over the token window (q69's gram-index
+    * trade: a collision would mark a unique span duplicated and fail the
+    * string-exact oracle loudly). */
+  val q91SubstrDedup: Q = (s, d) => substrDedup(Tables.documents(s, d))
+
+  /** The ExactSubstr pass over an arbitrary (doc_id, text) frame — unit
+    * tests plant shared spans / full clones / unique docs against it. */
+  def substrDedup(input: DataFrame, K: Int = 8): DataFrame = {
+    val spanKernel = udf { (t: String) =>
+      if (t == null) Array.empty[(Int, Long)]
+      else {
+        val toks = t.split(' ')
+        val n = toks.length - (K - 1)
+        if (n <= 0) Array.empty[(Int, Long)]
+        else {
+          val th = toks.map { w =>
+            var h = 0xcbf29ce484222325L
+            var c = 0
+            while (c < w.length) { h ^= w.charAt(c); h *= 0x100000001b3L; c += 1 }
+            h
+          }
+          Array.tabulate(n) { i =>
+            var h = th(i)
+            var j = 1
+            while (j < K) {
+              h = { var x = h ^ (th(i + j) + 0x9e3779b97f4a7c15L); x *= 0x100000001b3L; x }
+              j += 1
+            }
+            (i + 1, h) // 1-based start, matching the SQL oracle's slicing
+          }
+        }
+      }
+    }
+    // (n_tokens, n_covered, cleaned text or None when everything is covered
+    // — md5(null) is null on both engines, matching string_agg-of-nothing)
+    val cleanKernel = udf { (t: String, starts: Seq[Int]) =>
+      val toks = t.split(' ')
+      val cov = new Array[Boolean](toks.length)
+      if (starts != null) starts.foreach { st =>
+        var p = st - 1
+        val end = math.min(p + K, toks.length)
+        while (p < end) { cov(p) = true; p += 1 }
+      }
+      var nCov = 0L
+      cov.foreach(c => if (c) nCov += 1)
+      val kept =
+        if (nCov == toks.length) None
+        else Some(toks.iterator.zipWithIndex.collect { case (w, i) if !cov(i) => w }.mkString(" "))
+      (toks.length.toLong, nCov, kept)
+    }
+    val norm = TextFns.normText(col("text"))
+    // cache: the span table feeds BOTH the dup-vocabulary count and the
+    // join back (the q69 barrier pattern — one generation pass, not two)
+    val spans = input
+      .select(col("doc_id"), explode(spanKernel(norm)).as("sp"))
+      .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
+      .cache()
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
+      .filter(col("nocc") >= 2).select(col("h"))
+    val perDoc = spans.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
+    input
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), cleanKernel(norm, col("starts")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("n_cov"),
+        md5(col("r._3")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q38_minhash_dedup"   -> q38MinhashDedup,
     "q79_clean_pipeline"  -> q79CleanPipeline,
@@ -355,6 +443,7 @@ object Dedup {
     "q40_simhash_dedup"   -> q40SimhashDedup,
     "q56_dedup_canonical" -> q41DedupCanonical,
     "q78_incr_dedup"      -> q78IncrementalDedup,
+    "q91_substr_dedup"    -> q91SubstrDedup,
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
@@ -363,6 +452,29 @@ object Dedup {
       |               for i in range(1, greatest(len(toks) - 1, 1))])""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // String-exact recomputation: every 8-token span with corpus count >= 2,
+    // positions covered by any such span, and the cleaned-text md5 over the
+    // uncovered tokens in position order (string_agg skips the covered ones;
+    // all-covered docs aggregate nothing -> NULL -> md5 NULL, both engines).
+    "q91_substr_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS st, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + 7], ' ') AS span FROM sp0),
+        |d AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+        |ds AS (SELECT sp.doc_id, sp.st FROM sp JOIN d USING (span)),
+        |cov AS (SELECT DISTINCT doc_id, st + o AS p FROM ds, range(0, 8) r(o)),
+        |tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM t),
+        |tok AS (SELECT doc_id, p, toks[p] AS tk FROM tok0)
+        |SELECT tok.doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
+        |  md5(string_agg(CASE WHEN cov.p IS NULL THEN tok.tk END, ' ' ORDER BY tok.p)) AS clean_fp
+        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exhaustive Hamming<=3 over md5-based 48-bit simhashes. Equals the
     // engine's banded candidate set by pigeonhole (4 bands, radius 3), so
     // this certifies BOTH the signature computation and the LSH layout.

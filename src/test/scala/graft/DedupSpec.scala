@@ -91,4 +91,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got == truth)
     assert(got.nonEmpty)
   }
+
+  test("substr dedup removes exactly the tokens covered by repeated 8-token spans") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // the planted dup span
+    val docs = Seq(
+      // A and B share `shared` at different offsets; their other tokens are unique
+      (0L, s"a1 a2 $shared a3 a4"),
+      (1L, s"$shared b1 b2 b3 b4 b5"),
+      // C is globally unique -> untouched
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      // D and E are exact 10-token clones -> every position is covered by
+      // some repeated span -> null fingerprint
+      (3L, (1 to 10).map(i => s"d$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"d$i").mkString(" ")),
+      // F is shorter than one span -> no spans, untouched
+      (5L, "f1 f2 f3"),
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.substrDedup(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), Option(r.getString(3)))))
+      .toMap
+    assert(got(0L) == ((12L, 8L, Some(md5Hex("a1 a2 a3 a4")))))
+    assert(got(1L) == ((13L, 8L, Some(md5Hex("b1 b2 b3 b4 b5")))))
+    assert(got(2L) == ((10L, 0L, Some(md5Hex("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))))
+    assert(got(3L) == ((10L, 10L, None)))
+    assert(got(4L) == ((10L, 10L, None)))
+    assert(got(5L) == ((3L, 0L, Some(md5Hex("f1 f2 f3")))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

@@ -90,6 +90,28 @@ object Relational {
            approx_count_distinct(col("l_suppkey"), rsd = 0.02).as("n_supps"))
   }
 
+  /** A5's deterministic sketch tier: per-group distinct counts through the
+    * NATIVE [[graft.plans.KmvDistinct]] TypedImperativeAggregate (bottom-k
+    * of the md5-derived uniform the sampling family already uses). Unlike
+    * HLL (q62), the sketch is deterministic, so the estimate itself is
+    * ORACLE-CHECKED — DuckDB recomputes the identical bottom-256 and
+    * floor((k-1)/u_k) — while keeping the 100 TB shape: bounded k-entry
+    * state, map-side partials, ≤ k doubles shipped per group. The exact
+    * per-group countDistinct rides along so the report shows sketch vs
+    * truth side by side. */
+  val q92KmvDistinct: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    // u = (first 52 md5 bits + 0.5) / 2^52 — exact in double on both engines
+    val u = (conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), u.as("u"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kmv_distinct(u, 256)").as("kmv_nd"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Top-k per group via ranking window (A7, bertopicTest.py:93-100 top words
     * per topic). Window partitioned by the group key — parallel across
     * groups, no global sort. */
@@ -391,6 +413,7 @@ object Relational {
     "q04_ratio_of_total"  -> q04RatioOfTotal,
     "q05_distinct_count"  -> q05DistinctCount,
     "q62_approx_distinct" -> q62ApproxDistinct,
+    "q92_kmv_distinct"    -> q92KmvDistinct,
     "q06_topk_per_group"  -> q06TopkPerGroup,
     "q07_sort"            -> q07Sort,
     "q08_topk"            -> q08Topk,
@@ -413,6 +436,28 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    // The KMV sketch recomputed exactly: distinct md5-uniforms per group,
+    // bottom-256, floor((k-1)/u_k) when saturated, exact count below k.
+    "q92_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |      / 4503599627370496.0 AS u
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, u,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+        |  FROM h),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    CAST(CASE WHEN max(nd) < 256 THEN max(nd)
+        |      ELSE floor(255.0 / max(CASE WHEN rn = 256 THEN u END)) END AS BIGINT) AS kmv_nd
+        |  FROM r GROUP BY 1)
+        |SELECT e.l_returnflag, e.kmv_nd, x.exact_nd
+        |FROM e JOIN (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
+        |             FROM lineitem GROUP BY 1) x USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q58_topk_native" ->
       """SELECT lang, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,

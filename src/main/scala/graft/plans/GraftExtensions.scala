@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dmsToDecimalDescriptor)
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
+    e.injectFunction(GraftExtensions.kmvDistinctDescriptor)
     // custom Rule[LogicalPlan]: declarative top-k window → bounded-heap plan
     e.injectOptimizerRule(_ => TopKRewrite)
     // custom whole-operator strategies
@@ -38,6 +39,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSim(children(0), children(1)))
 
+  private[plans] val kmvDistinctDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_distinct"),
+    new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+    (children: Seq[Expression]) => KmvDistinct(children(0), children(1)))
+
   /** Register the engine functions, optimizer rule, and planner strategies
     * on an already-built session (covers the driver-constructed sessions in
     * Verify/Bench/tests). */
@@ -46,6 +53,10 @@ object GraftExtensions {
       "dms_to_decimal", exprs => DmsToDecimal(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    // native aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry into an AggregateExpression during resolution
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct", exprs => KmvDistinct(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("html_post_text",
       (html: String) => graft.functions.Html.postText(html))
     // winnowing fingerprint for SQL users: normalize exactly like

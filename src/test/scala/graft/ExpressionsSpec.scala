@@ -118,6 +118,46 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(0) && rows(3).isNullAt(0) && rows(4).isNullAt(0))
   }
 
+  // -- KmvDistinct: the native TypedImperativeAggregate ---------------------
+
+  /** The md5 uniform the engine's sampling/sketch family uses. */
+  private def mdUniform(c: org.apache.spark.sql.Column) =
+    (conv(substring(md5(c.cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+
+  test("KmvDistinct is exact below k and within the KMV error bound above it") {
+    val df = (1 to 5000).map(_.toLong).toDF("id")
+      .select(col("id"), mdUniform(col("id")).as("u"))
+    // exact tier: k larger than the distinct count
+    val small = df.filter(col("id") <= 100)
+      .agg(expr("kmv_distinct(u, 256)")).head().getLong(0)
+    assert(small == 100L)
+    // sketch tier: 5000 distinct at k=256 (rel std err ~1/sqrt(254) ~ 6.3%)
+    val est = df.agg(expr("kmv_distinct(u, 256)")).head().getLong(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.2, s"estimate $est")
+  }
+
+  test("KmvDistinct is partitioning-invariant (merge is order/shape independent)") {
+    val base = (1 to 3000).map(i => (i % 7, i.toLong)).toDF("g", "id")
+      .select(col("g"), mdUniform(col("id")).as("u"))
+    def run(parts: Int): Map[Int, Long] =
+      base.repartition(parts).groupBy(col("g"))
+        .agg(expr("kmv_distinct(u, 64)").as("e"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val one = run(1)
+    assert(one == run(13) && one == run(32))
+    // duplicates don't move the estimate: the state is distinct-valued
+    val dup = base.union(base).union(base).groupBy(col("g"))
+      .agg(expr("kmv_distinct(u, 64)").as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dup == one)
+  }
+
+  test("KmvDistinct ignores nulls and returns 0 for an empty group") {
+    val df = Seq[java.lang.Double](null, null).toDF("u")
+    assert(df.agg(expr("kmv_distinct(u, 16)")).head().getLong(0) == 0L)
+  }
+
   test("CosineSim compiles under CODEGEN_ONLY (no interpreted fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

@@ -42,4 +42,54 @@ object Compaction {
       .write.mode("overwrite").parquet(outDir)
     nFiles
   }
+
+  /** Z-ORDER compaction — the multi-column data-skipping layout: rows are
+    * laid out along a Morton (bit-interleaved) curve over TWO numeric
+    * columns, so every output file covers a small RECTANGLE in (a, b)
+    * space and parquet footer min/max prunes point/range reads on EITHER
+    * column (a single-column sort prunes only its own column; the second
+    * column spans the full range in every file).
+    *
+    * Construction is the production one (Delta/Iceberg OPTIMIZE ZORDER):
+    * each column is rank-normalized to an 8-bit bucket via SAMPLED
+    * quantile boundaries (`approxQuantile` — one bounded-memory sketch
+    * pass; 255 boundary doubles broadcast in the closure), buckets are
+    * bit-interleaved into a 16-bit z-value, and the rewrite is the same
+    * ONE range shuffle as [[compact]], keyed on z. Rank normalization —
+    * not raw bits — keeps the curve balanced under skew: each bucket holds
+    * ~1/256 of the rows by construction, so file rectangles stay uniform
+    * regardless of the value distribution. */
+  def zorderCompact(spark: SparkSession, inDir: String, outDir: String,
+      colA: String, colB: String, targetBytes: Long = 128L << 20): Int = {
+    val bytes = dataBytes(spark, inDir)
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val probs = (1 until 256).map(_.toDouble / 256).toArray
+    val Seq(boundsA, boundsB) =
+      Seq(colA, colB).map(c => df.stat.approxQuantile(c, probs, 0.01))
+    def bucket(bounds: Array[Double]) = udf { (v: Double) =>
+      // first bucket whose upper boundary admits v: binarySearch insertion
+      // point == count of boundaries < v (ties land left, off-by-one safe)
+      val i = java.util.Arrays.binarySearch(bounds, v)
+      if (i >= 0) i else -(i + 1)
+    }
+    val interleave = udf { (a: Int, b: Int) =>
+      var z = 0
+      var bit = 0
+      while (bit < 8) {
+        z |= ((a >> bit) & 1) << (2 * bit + 1)
+        z |= ((b >> bit) & 1) << (2 * bit)
+        bit += 1
+      }
+      z
+    }
+    df.withColumn("__z",
+        interleave(bucket(boundsA)(col(colA).cast("double")),
+          bucket(boundsB)(col(colB).cast("double"))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

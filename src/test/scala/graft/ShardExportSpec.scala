@@ -74,4 +74,38 @@ class ShardExportSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("z-order compaction confines every file to a rectangle in BOTH columns") {
+    import graft.sources.Compaction
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val in = s"$base/in"; val zout = s"$base/z"; val sout = s"$base/s"
+    // two decorrelated uniform-ish columns (deterministic, no RNG state)
+    val rows = (0 until 8192).map { i =>
+      (((i * 2654435761L) % 1024).toInt, ((i * 40503L) % 1024).toInt)
+    }
+    rows.toDF("a", "b").repartition(16).write.parquet(in)
+    val target = Compaction.dataBytes(spark, in) / 8 + 1
+
+    Compaction.zorderCompact(spark, in, zout, "a", "b", targetBytes = target)
+    Compaction.compact(spark, in, sout, "a", targetBytes = target) // baseline
+
+    def avgWidth(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val widths = files.map { f =>
+        val mm = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+        (mm.getDouble(1) - mm.getDouble(0)) / 1023.0
+      }
+      widths.sum / widths.length
+    }
+    assert(spark.read.parquet(zout).count() == 8192)
+    // z-order: every file is narrow in BOTH dimensions -> footer min/max
+    // prunes range reads on either column
+    assert(avgWidth(zout, "a") <= 0.5, s"z a-width ${avgWidth(zout, "a")}")
+    assert(avgWidth(zout, "b") <= 0.8, s"z b-width ${avgWidth(zout, "b")}")
+    // single-column sort: the secondary column spans ~everything per file
+    assert(avgWidth(sout, "b") >= 0.85, s"sorted b-width ${avgWidth(sout, "b")}")
+  }
 }

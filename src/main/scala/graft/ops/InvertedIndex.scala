@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Persistable INVERTED INDEX — the retrieval twin of the persisted
+  * MinHash index (fuzzy dedup) and Bloom sketch (decontamination): build
+  * once over the corpus, save as plain parquet, serve BM25 queries from
+  * the index WITHOUT re-reading the corpus text. This is the production
+  * split of q84 (which tokenizes inline): index build is the one corpus
+  * pass, and each query is then hit-sized, not corpus-sized.
+  *
+  * Layout (all plain parquet — no engine-private format, readable by any
+  * tool):
+  *   - `postings/`  (term, doc_id, tf) — range-partitioned and sorted BY
+  *     TERM, so a term lookup footer-prunes to ~one file (the disk shape
+  *     of a postings list without a custom format);
+  *   - `doclens/`   (doc_id, dl);
+  *   - `stats/`     one row (n_docs, avgdl).
+  *
+  * Scale: build is tokenize → partial-agg count keyed on (term, doc_id) —
+  * one shuffle; the term-range write is the same layout pass as
+  * [[graft.sources.Compaction]]. Queries filter postings with a codegen'd
+  * isin at the scan (PushedFilters on the sorted term column), join the
+  * ≤|query|-row df side broadcast, and take top-k via TakeOrdered. */
+object InvertedIndex {
+
+  /** One corpus pass → the three index tables under `dir`. */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      nPostingFiles: Int = 8): Unit = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .cache() // feeds postings AND doclens — one tokenize pass
+    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(nPostingFiles, col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    toks.unpersist()
+  }
+
+  /** BM25 top-k over a saved index — the corpus text is never touched.
+    * Same math, rounding, and tie-break as the inline q84 scorer. */
+  def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*)) // footer-pruned on the sorted term
+    val doclens = spark.read.parquet(s"$dir/doclens")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val df_ = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(df_), Seq("term"))
+      .join(doclens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("score_t",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("score_t")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -280,12 +280,29 @@ object Scoring {
       .orderBy(col("column_name"))
   }
 
+  // ---------------------------------------------------------------- q93
+
+  /** BM25 THROUGH THE PERSISTED INVERTED INDEX (ops.InvertedIndex): build
+    * the postings/doclens/stats tables to disk, then answer the q84 query
+    * from the index alone — the corpus text is read exactly once (the
+    * build) and never by the search. Same math, rounding, and tie-break
+    * as q84, so the same oracle certifies the round trip through the
+    * on-disk layout. This is the deployable retrieval shape: at 100 TB
+    * the build is one tokenize + one (term, doc_id) shuffle, and each
+    * query reads only footer-pruned term-range posting files. */
+  val q93Bm25Indexed: Q = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-invidx").toString
+    InvertedIndex.build(s, Tables.documents(s, d), dir)
+    InvertedIndex.searchBm25(s, dir, Seq("spark", "join", "data"), k = 20)
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, Q] = Map(
     "q82_bloom_decontam" -> q82BloomDecontam,
     "q83_weighted_mix"   -> q83WeightedMix,
     "q84_bm25"           -> q84Bm25,
+    "q93_bm25_indexed"   -> q93Bm25Indexed,
     "q85_perplexity"     -> q85Perplexity,
     "q86_shard_plan"     -> q86ShardPlan,
     "q87_stratified_sample" -> q87StratifiedSample,
@@ -296,6 +313,22 @@ object Scoring {
 
   private val tokCol =
     """string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"""
+
+  private val bm25Sql =
+    s"""WITH dl AS (
+       |  SELECT doc_id, len($tokCol) AS dl FROM documents),
+       |hits AS (
+       |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
+       |h AS (SELECT * FROM hits WHERE term IN ('spark', 'join', 'data')),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl)
+       |SELECT doc_id, round(sum(
+       |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+       |      * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+       |  ), 4) AS bm25
+       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q82_bloom_decontam" ->
@@ -326,21 +359,10 @@ object Scoring {
          |  CAST(sum(n_copies) AS BIGINT) AS rows_out,
          |  CAST(sum(n_copies * ntoks) AS BIGINT) AS tokens_out
          |FROM c WHERE n_copies > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q84_bm25" ->
-      s"""WITH dl AS (
-         |  SELECT doc_id, len($tokCol) AS dl FROM documents),
-         |hits AS (
-         |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
-         |h AS (SELECT * FROM hits WHERE term IN ('spark', 'join', 'data')),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2),
-         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl)
-         |SELECT doc_id, round(sum(
-         |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
-         |      * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
-         |  ), 4) AS bm25
-         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-         |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q84_bm25" -> bm25Sql,
+    // identical result contract: the index round-trip must reproduce the
+    // inline scorer exactly, so the same oracle certifies both
+    "q93_bm25_indexed" -> bm25Sql,
     "q85_perplexity" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($tokCol) AS term FROM documents),

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.InvertedIndex
+
+/** Persisted inverted index: parquet round trip, term-range layout, and
+  * exact agreement with the inline q84 scorer. */
+class InvertedIndexSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  test("indexed BM25 reproduces the inline scorer exactly from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx-spec").toString
+    InvertedIndex.build(spark, Tables.documents(spark, sf), dir)
+    val fromIndex = InvertedIndex.searchBm25(spark, dir, Seq("spark", "join", "data"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = ops.Scoring.q84Bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inline)
+    assert(fromIndex.size == 20)
+  }
+
+  test("postings files cover disjoint sorted term ranges (footer-prunable)") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx-layout").toString
+    InvertedIndex.build(spark, Tables.documents(spark, sf), dir, nPostingFiles = 4)
+    val files = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "fixture should produce multiple posting files")
+    val ranges = files.map { f =>
+      val terms = spark.read.parquet(f.getAbsolutePath)
+        .select("term").collect().map(_.getString(0))
+      assert(terms.sameElements(terms.sorted), s"${f.getName} not term-sorted")
+      (terms.min, terms.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "term ranges overlap")
+      case _ =>
+    }
+  }
+
+  test("search plan pushes the term filter to the postings scan") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx-plan").toString
+    InvertedIndex.build(spark, Tables.documents(spark, sf), dir)
+    val plan = InvertedIndex.searchBm25(spark, dir, Seq("spark", "join"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"expected term In-filter pushed to the parquet scan:\n$plan")
+  }
+}

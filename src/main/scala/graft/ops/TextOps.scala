@@ -184,11 +184,19 @@ object TextOps {
     * md5 rolling-hash winnow in DuckDB list comprehensions — value-level
     * certification of the MOSS construction. */
   val q66Winnow: Q = (s, d) => {
-    val fp = TextFns.winnowedFingerprints(col("text"), k = 8, w = 4)
-    Tables.documents(s, d)
+    // cache: size() and array_min() both reference the fingerprint array,
+    // and CollapseProject would otherwise re-run the md5 rolling-hash
+    // kernel once PER REFERENCE (the q38/q40 signature-table pattern;
+    // measured ~2x on this query). The cached column is doc_id + a small
+    // string array — bounded by the winnowed print count, not the text.
+    val prints = Tables.documents(s, d)
       .select(col("doc_id"),
-        size(fp).as("n_prints"),
-        array_min(fp).as("min_print"))
+        TextFns.winnowedFingerprints(col("text"), k = 8, w = 4).as("fp"))
+      .cache()
+    prints
+      .select(col("doc_id"),
+        size(col("fp")).as("n_prints"),
+        array_min(col("fp")).as("min_print"))
       .orderBy(col("doc_id"))
   }
 

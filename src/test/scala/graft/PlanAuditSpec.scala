@@ -69,11 +69,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // intended nested-loop plans: q44's q<>c non-equi condition, and the
     // broadcast cross-joins with a 1-row scalar total (the q04 pattern,
     // also q57's corpus count and q50's topic-pct total)
-    // q84/q85 add the same broadcast-1-row-scalar shape (corpus stats /
-    // unigram grand total)
+    // q84/q85/q93 add the same broadcast-1-row-scalar shape (corpus stats /
+    // unigram grand total / persisted index stats)
     val allowedNestedLoop =
       Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info",
-        "q84_bm25", "q85_perplexity")
+        "q84_bm25", "q85_perplexity", "q93_bm25_indexed")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

@@ -132,6 +132,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     val jumpAfter = math.max(1, maxIter / 2)
+    try {
     while (!converged && iter < maxIter) {
       val propagated = edges
         .join(labels.withColumnRenamed("vertex", "dst_id"), col("dst") === col("dst_id"))
@@ -163,5 +164,12 @@ object ConnectedComponents {
         s"ConnectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter; silent truncation would mislabel components")
     labels
+    } finally {
+      // the final labels frame is an eager localCheckpoint — it no longer
+      // references these caches, so they release immediately (the session
+      // must not accumulate per-invocation edge caches)
+      edges.unpersist()
+      p.unpersist()
+    }
   }
 }

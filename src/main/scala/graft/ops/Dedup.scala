@@ -129,12 +129,14 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+    Caching.materializeAndRelease(
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8),
+      docs)
   }
 
   /** (doc_id, band, bhash) LSH bucket rows of a signature table
@@ -197,13 +199,15 @@ object Dedup {
           col("x.nsh") <= col("y.nsh") * 2 && col("y.nsh") <= col("x.nsh") * 2)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= t)
-      .orderBy(col("doc_a"), col("doc_b"))
+    Caching.materializeAndRelease(
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= t)
+        .orderBy(col("doc_a"), col("doc_b")),
+      docs)
   }
 
   private val SimBits = 48
@@ -283,11 +287,13 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
       .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    Caching.materializeAndRelease(
+      cand
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      docs)
   }
 
   /** Canonicalization: collapse near-duplicate PAIRS into components and
@@ -401,8 +407,13 @@ object Dedup {
       }
     }
     // (n_tokens, n_covered, cleaned text or None when everything is covered
-    // — md5(null) is null on both engines, matching string_agg-of-nothing)
+    // — md5(null) is null on both engines, matching string_agg-of-nothing).
+    // null text never reaches this kernel (filtered below, matching the
+    // oracle: unnest over len(NULL) emits nothing, so null-text docs have
+    // no output row); the guard keeps the kernel total anyway.
     val cleanKernel = udf { (t: String, starts: Seq[Int]) =>
+      if (t == null) null
+      else {
       val toks = t.split(' ')
       val cov = new Array[Boolean](toks.length)
       if (starts != null) starts.foreach { st =>
@@ -416,6 +427,7 @@ object Dedup {
         if (nCov == toks.length) None
         else Some(toks.iterator.zipWithIndex.collect { case (w, i) if !cov(i) => w }.mkString(" "))
       (toks.length.toLong, nCov, kept)
+      }
     }
     val norm = TextFns.normText(col("text"))
     // cache: the span table feeds BOTH the dup-vocabulary count and the
@@ -428,12 +440,15 @@ object Dedup {
       .filter(col("nocc") >= 2).select(col("h"))
     val perDoc = spans.join(dup, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
-    input
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), cleanKernel(norm, col("starts")).as("r"))
-      .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("n_cov"),
-        md5(col("r._3")).as("clean_fp"))
-      .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(
+      input
+        .filter(col("text").isNotNull) // oracle twin: null-text docs emit no row
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), cleanKernel(norm, col("starts")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("n_cov"),
+          md5(col("r._3")).as("clean_fp"))
+        .orderBy(col("doc_id")),
+      spans)
   }
 
   def queries: Map[String, Q] = Map(

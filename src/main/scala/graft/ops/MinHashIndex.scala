@@ -50,11 +50,13 @@ object MinHashIndex {
         Seq("band", "bhash"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
-    cand
-      .join(fresh.select(col("doc_id").as("batch_id"), col("hs").as("hs_a")), Seq("batch_id"))
-      .join(corpus.select(col("doc_id").as("corpus_id"), col("hs").as("hs_b")), Seq("corpus_id"))
-      .select(col("batch_id"), col("corpus_id"),
-        round(Dedup.jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    Caching.materializeAndRelease(
+      cand
+        .join(fresh.select(col("doc_id").as("batch_id"), col("hs").as("hs_a")), Seq("batch_id"))
+        .join(corpus.select(col("doc_id").as("corpus_id"), col("hs").as("hs_b")), Seq("corpus_id"))
+        .select(col("batch_id"), col("corpus_id"),
+          round(Dedup.jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+      corpus, fresh)
   }
 }

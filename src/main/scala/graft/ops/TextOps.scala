@@ -157,13 +157,15 @@ object TextOps {
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    tf.join(df, Seq("term"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
-      .orderBy(col("doc_id"), col("rn"))
+    Caching.materializeAndRelease(
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rn")),
+      tf)
   }
 
   /** BPE-style pre-tokenization counts next to whitespace counts (the
@@ -193,11 +195,13 @@ object TextOps {
       .select(col("doc_id"),
         TextFns.winnowedFingerprints(col("text"), k = 8, w = 4).as("fp"))
       .cache()
-    prints
-      .select(col("doc_id"),
-        size(col("fp")).as("n_prints"),
-        array_min(col("fp")).as("min_print"))
-      .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(
+      prints
+        .select(col("doc_id"),
+          size(col("fp")).as("n_prints"),
+          array_min(col("fp")).as("min_print"))
+        .orderBy(col("doc_id")),
+      prints)
   }
 
   /** Deterministic per-stratum hash sampling (the training-data MIXING
@@ -314,12 +318,14 @@ object TextOps {
       .select(col("doc_id"), explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
       .cache()
     val eval_ = sh.filter(col("doc_id") < 50).select(col("gh")).distinct()
-    sh.filter(col("doc_id") >= 50)
-      .join(eval_.withColumn("hit", lit(1)), Seq("gh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
-      .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(
+      sh.filter(col("doc_id") >= 50)
+        .join(eval_.withColumn("hit", lit(1)), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .orderBy(col("doc_id")),
+      sh)
   }
 
   /** URL / email scrubbing (the PII-redaction pass a pretraining pipeline
@@ -415,11 +421,13 @@ object TextOps {
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(16)
       .select(col("tok"), lit(1).as("iv"))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("iv").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
-      .orderBy(col("doc_id"))
+    Caching.materializeAndRelease(
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+        .orderBy(col("doc_id")),
+      toks)
   }
 
   def queries: Map[String, Q] = Map(

@@ -94,8 +94,10 @@ object Pipelines {
     // inference and row parse happen in ONE pass each, vs per-record concat
     val withName = detected.withColumn("json", from_json(col("payload"),
       parsed.schema))
-    withName.select(col("filename") +: parsed.schema.fieldNames.toIndexedSeq.map(f =>
-      col(s"json.`$f`").as(f)): _*)
+    graft.ops.Caching.materializeAndRelease(
+      withName.select(col("filename") +: parsed.schema.fieldNames.toIndexedSeq.map(f =>
+        col(s"json.`$f`").as(f)): _*),
+      detected)
   }
 
   /** J2 (ID_matching_metadata.py / create_metadata_df.py): match metadata to

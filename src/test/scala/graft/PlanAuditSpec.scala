@@ -6,10 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * 100 TB deployment depends on — predicate pushdown into the parquet scan,
   * column pruning, broadcast joins for small sides, pre-aggregation below
   * joins, and no accidental cartesian products anywhere in the surface. */
-class PlanAuditSpec extends AnyFunSuite {
+class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   lazy val spark = SparkTestSession.get
   private val sf = "/root/testdata/sf0.001"
+
+  // audit the REAL computation plans: with the default cache lifecycle the
+  // builders return an eager localCheckpoint (a LogicalRDD scan), which
+  // would hide the join/shuffle/pushdown shape from every assertion below
+  // — and silently blind the whole-surface cartesian sweep
+  override def beforeAll(): Unit = {
+    spark.conf.set(graft.ops.Caching.PassthroughKey, "true")
+    super.beforeAll()
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset(graft.ops.Caching.PassthroughKey)
+    super.afterAll()
+  }
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString

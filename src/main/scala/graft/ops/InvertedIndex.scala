@@ -27,22 +27,25 @@ import graft.functions.TextFns
   * ≤|query|-row df side broadcast, and take top-k via TakeOrdered. */
 object InvertedIndex {
 
-  /** One corpus pass → the three index tables under `dir`. */
+  /** One corpus pass → the three index tables under `dir`.
+    *
+    * doclens/stats come from the DOCS frame (tokenCount per row, count(*)
+    * over rows), exactly mirroring the inline q84 scorer — NOT from the
+    * exploded token stream, which would silently drop docs that tokenize
+    * to nothing and skew n_docs/avgdl away from the inline/oracle
+    * contract on such corpora. */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
       nPostingFiles: Int = 8): Unit = {
-    val toks = docs
+    docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      .cache() // feeds postings AND doclens — one tokenize pass
-    toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .repartitionByRange(nPostingFiles, col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/postings")
-    toks.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/doclens")
-    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dls = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
+    dls.write.mode("overwrite").parquet(s"$dir/doclens")
+    dls.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
-    toks.unpersist()
   }
 
   /** BM25 top-k over a saved index — the corpus text is never touched.

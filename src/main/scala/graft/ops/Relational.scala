@@ -96,19 +96,20 @@ object Relational {
     * HLL (q62), the sketch is deterministic, so the estimate itself is
     * ORACLE-CHECKED — DuckDB recomputes the identical bottom-256 and
     * floor((k-1)/u_k) — while keeping the 100 TB shape: bounded k-entry
-    * state, map-side partials, ≤ k doubles shipped per group. The exact
-    * per-group countDistinct rides along so the report shows sketch vs
-    * truth side by side. */
+    * state, map-side partials, ≤ k doubles shipped per group. Sketch-only
+    * on purpose: an exact countDistinct ride-along would force the
+    * Expand-based multi-distinct plan and a full-cardinality shuffle —
+    * at 100 TB the ride-along costs more than the sketch saves. The
+    * sketch-vs-truth comparison lives in KmvDistinctSpec instead. */
   val q92KmvDistinct: Q = (s, d) => {
     graft.plans.GraftExtensions.register(s)
     // u = (first 52 md5 bits + 0.5) / 2^52 — exact in double on both engines
     val u = (conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
       .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
     Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_partkey"), u.as("u"))
+      .select(col("l_returnflag"), u.as("u"))
       .groupBy(col("l_returnflag"))
-      .agg(expr("kmv_distinct(u, 256)").as("kmv_nd"),
-        countDistinct(col("l_partkey")).as("exact_nd"))
+      .agg(expr("kmv_distinct(u, 256)").as("kmv_nd"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -448,15 +449,11 @@ object Relational {
         |  SELECT l_returnflag, u,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY u) AS rn,
         |    count(*) OVER (PARTITION BY l_returnflag) AS nd
-        |  FROM h),
-        |e AS (
-        |  SELECT l_returnflag,
-        |    CAST(CASE WHEN max(nd) < 256 THEN max(nd)
-        |      ELSE floor(255.0 / max(CASE WHEN rn = 256 THEN u END)) END AS BIGINT) AS kmv_nd
-        |  FROM r GROUP BY 1)
-        |SELECT e.l_returnflag, e.kmv_nd, x.exact_nd
-        |FROM e JOIN (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
-        |             FROM lineitem GROUP BY 1) x USING (l_returnflag)
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  CAST(CASE WHEN max(nd) < 256 THEN max(nd)
+        |    ELSE floor(255.0 / max(CASE WHEN rn = 256 THEN u END)) END AS BIGINT) AS kmv_nd
+        |FROM r GROUP BY 1
         |ORDER BY l_returnflag""".stripMargin,
     "q58_topk_native" ->
       """SELECT lang, doc_id, n_chars FROM (

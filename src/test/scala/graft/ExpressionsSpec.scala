@@ -158,6 +158,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.agg(expr("kmv_distinct(u, 16)")).head().getLong(0) == 0L)
   }
 
+  test("KmvDistinct q92 shape: sketch vs exact truth per group (lineitem)") {
+    // the sketch-vs-exact comparison that used to ride along inside q92 —
+    // moved here because the exact countDistinct forces the Expand-based
+    // multi-distinct plan + full-cardinality shuffle the sketch exists to
+    // avoid (the registered q92 is sketch-only by design)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val u = mdUniform(col("l_partkey"))
+    val rows = li
+      .select(col("l_returnflag"), col("l_partkey"), u.as("u"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kmv_distinct(u, 256)").as("kmv_nd"),
+        countDistinct(col("l_partkey")).as("exact_nd"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("kmv_nd").toDouble
+      val ex = r.getAs[Long]("exact_nd").toDouble
+      // k=256 → rel std err ~1/sqrt(254) ≈ 6.3%; 3σ bound (exact below k)
+      assert(math.abs(est - ex) / ex <= 0.2,
+        s"group ${r.get(0)}: kmv=$est exact=$ex")
+    }
+  }
+
   test("CosineSim compiles under CODEGEN_ONLY (no interpreted fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

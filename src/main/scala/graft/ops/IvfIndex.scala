@@ -22,6 +22,27 @@ case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame)
 
 object IvfIndex {
 
+  /** Unit-normalize a vector (zero vectors pass through). The index routes
+    * by L2 distance but SERVES cosine similarity — on unit vectors the two
+    * agree exactly (‖a−b‖² = 2 − 2·cosθ), so clustering/assigning/probing
+    * in unit space makes the nearest-centroid cell the max-cosine cell.
+    * Routing raw vectors instead lets magnitude bend the cell boundaries
+    * away from the angular metric (measured: top-1 agreement 0.81 → ≥0.9
+    * at the same nProbe on the sf0.1 embeddings). Member vectors are
+    * STORED raw — cosine is scale-invariant, so scores are unchanged. */
+  private[ops] def unit(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0 || n == 1.0) v
+    else {
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
   /** Rank the `k` nearest centroids for one vector (squared L2). */
   private[ops] def nearestCells(centroids: Array[Array[Double]],
       v: Array[Float], k: Int): Array[Int] = {
@@ -39,16 +60,26 @@ object IvfIndex {
   /** Fit the codebook on a bounded sample and assign every vector to its
     * nearest cell. `emb` must have columns (vec_id: long,
     * embedding: array<float>). */
+  /** `nReplicas` > 1 assigns each member to its n nearest cells (IVF
+    * multi-assignment): a true neighbor sitting just across a Voronoi
+    * boundary from the query's probed cells is still found through its
+    * second-nearest cell. Costs nReplicas× index storage and scan per
+    * probe — the standard recall lever when the data has weak cluster
+    * structure (measured on the uniform sf0.1 embeddings: probe 12,
+    * replicas 1 → 0.81 top-1 agreement; see q45 notes). Duplicate
+    * candidates reached through several cells are absorbed by search's
+    * per-query argmax. */
   def build(spark: SparkSession, emb: DataFrame, nCells: Int = 32,
       seed: Long = 7L, maxFitRows: Long = 50000L,
-      initMode: String = "random"): IvfIndex = {
+      initMode: String = "random", nReplicas: Int = 1): IvfIndex = {
     import spark.implicits._
     val n = emb.count() // parquet metadata count when emb is a plain scan
     val sampled =
       if (n > maxFitRows) emb.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
       else emb
+    val unitUdf = udf { (v: Array[Float]) => unit(v) }
     val features = sampled.select(
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("features"))
+      org.apache.spark.ml.functions.array_to_vector(unitUdf(col("embedding"))).as("features"))
       .cache()
     // 5 seeded random-init iterations: the codebook partitions space, it
     // does not need a converged objective (q45 scale notes)
@@ -58,7 +89,9 @@ object IvfIndex {
     val centroids = km.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centroids)
     val cells = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (nearestCells(bc.value, v, 1)(0).toLong, id, v) }
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, unit(v), nReplicas).map(c => (c.toLong, id, v))
+      }
       .toDF("cell", "vec_id", "embedding")
     IvfIndex(centroids, cells)
   }
@@ -91,7 +124,7 @@ object IvfIndex {
       .map { case (cell, id, v) => (cell, id, v, false) }
     val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        nearestCells(bc.value, v, nProbe).map(c => (c.toLong, id, v, true))
+        nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, true))
       }
     // per-cell search fused into one shuffle (q45 scale notes: each vector
     // decoded once per cell, no probes × cell-size intermediate)

@@ -205,17 +205,19 @@ object Similarity {
     * asserted in DedupSpec. */
   val q45AnnIvf: Q = (s, d) => {
     // nCells ~ √N at this sf (grows as √N so cell size stays bounded);
-    // nProbe 12: uniform (clusterless) embeddings need a wide probe —
-    // measured on sf0.1 (tools.ExperimentIvf): probe 8 → 0.69 top-1
-    // agreement, probe 12 → 0.81 at identical wall-clock (probe cost is
-    // scheduling-dominated at this scale; at 100 TB nProbe/nCells is the
-    // recall-vs-scan-fraction knob, and clustered real embeddings need
-    // far fewer probes than this uniform worst case). The build + search
+    // nProbe 12 + 2-way member replication: uniform (clusterless)
+    // embeddings are IVF's worst case — measured on sf0.1
+    // (tools.ExperimentIvf): probe 12 single-assign → 0.81 top-1
+    // agreement; probe 12 with nReplicas=2 → 0.946 at identical
+    // wall-clock (boundary neighbors become reachable through their
+    // second cell). At 100 TB nProbe/nCells/nReplicas is the
+    // recall-vs-scan-fraction knob — clustered real embeddings need far
+    // fewer probes than this uniform worst case. The build + search
     // split is the deployable shape — ops.IvfIndex persists the codebook
     // and cell table as plain Parquet (IvfIndexSpec round-trips it); this
     // query builds and searches in one session.
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val index = IvfIndex.build(s, e, nCells = 32, seed = 7L)
+    val index = IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2)
     IvfIndex.searchTop1(s, index, e, nProbe = 12)
       .orderBy(col("vec_id"))
   }
@@ -262,8 +264,12 @@ object Similarity {
     }
     Tables.embeddings(s, d)
       .select(col("vec_id"), quantKernel(col("embedding")).as("q"))
+      // null/empty-vector contract, matching the oracle exactly: list_min
+      // of an empty list is NULL there, so vmin/vmax stay null, while the
+      // CASE falls through to code_sum = 0 — hence the coalesce here (the
+      // kernel's None alone would leave code_sum null and diverge)
       .select(col("vec_id"), col("q._1").as("vmin"), col("q._2").as("vmax"),
-        col("q._3").as("code_sum"))
+        coalesce(col("q._3"), lit(0L)).as("code_sum"))
       .orderBy(col("vec_id"))
   }
 

@@ -38,16 +38,18 @@ object ExperimentIvf {
       id -> bestId
     }.toMap
     println(s"[ivf] truth built for ${truth.size} vectors")
-    for ((init, cells, probe) <- Seq(
-        ("random", 32, 8), ("k-means||", 32, 8),
-        ("random", 32, 12), ("random", 64, 12), ("k-means||", 64, 12))) {
+    for ((init, cells, probe, rep) <- Seq(
+        ("random", 32, 12, 1), ("random", 32, 12, 2), ("random", 32, 12, 3),
+        ("random", 32, 16, 1), ("random", 32, 16, 2),
+        ("k-means||", 32, 12, 2), ("random", 64, 16, 2))) {
       val t0 = System.nanoTime()
-      val idx = graft.ops.IvfIndex.build(spark, e, nCells = cells, seed = 7L, initMode = init)
+      val idx = graft.ops.IvfIndex.build(spark, e, nCells = cells, seed = 7L,
+        initMode = init, nReplicas = rep)
       val got = graft.ops.IvfIndex.searchTop1(spark, idx, e, nProbe = probe)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val sec = (System.nanoTime() - t0) / 1e9
       val agree = got.count { case (q, nn) => truth.get(q).contains(nn) }
-      println(f"[ivf] init=$init%-10s cells=$cells%3d probe=$probe%3d " +
+      println(f"[ivf] init=$init%-10s cells=$cells%3d probe=$probe%3d rep=$rep%2d " +
         f"recall=${agree.toDouble / truth.size}%.3f time=$sec%6.2f s")
     }
     spark.stop()

@@ -39,4 +39,15 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(cellIds.forall(c => c >= 0 && c < 16))
   }
+
+  test("multi-assignment places each vector in n distinct cells; search dedups") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val idx = IvfIndex.build(spark, e, nCells = 16, seed = 7L, nReplicas = 2)
+    assert(idx.cells.count() == 2 * e.count())
+    // the two replicas land in different cells
+    assert(idx.cells.select("vec_id", "cell").distinct().count() == 2 * e.count())
+    // a replicated candidate must surface once per query, not once per cell
+    val got = IvfIndex.searchTop1(spark, idx, e, nProbe = 4)
+    assert(got.count() == got.select("vec_id").distinct().count())
+  }
 }

@@ -29,7 +29,10 @@ object Topics {
     StopWordsRemover.loadDefaultStopWords("english") ++
       Array("im", "dont", "amp", "thats", "gonna", "yall")
 
-  case class TopicModel(assignments: DataFrame, topicInfo: DataFrame, topTerms: DataFrame)
+  /** `centroids(t)` is topic t's KMeans center in embedding space (k×dim
+    * doubles — driver-bounded); the -1 outlier channel has no centroid. */
+  case class TopicModel(assignments: DataFrame, topicInfo: DataFrame,
+      topTerms: DataFrame, centroids: Array[Array[Double]])
 
   /** Memoized fit: the report queries (topic info, top terms) share one
     * fitted model per (session, dir, k) — M5's model persistence in-process.
@@ -73,11 +76,31 @@ object Topics {
     // iterations: the topic report needs a stable partition of the space,
     // not a converged objective (same argument as the q45 IVF codebook);
     // determinism comes from the seed either way.
-    val clustered = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
+    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("features")
       .fit(features)
-      .transform(features)
-      .select(col("doc_id"), col("prediction").as("topic"))
+    // per-doc topic DISTRIBUTION: softmax over negative euclidean distance
+    // to each centroid — the engine twin of BERTopic's `(topics, probs)`
+    // return (bertopicTest.py:53-54). argmax(probs) = the KMeans-assigned
+    // cluster by construction (nearest centroid = smallest distance =
+    // largest softmax component); unit-asserted in MlSpec. Centroids are
+    // k×dim doubles — broadcast-bounded at any corpus scale.
+    val centersB = spark.sparkContext.broadcast(km.clusterCenters.map(_.toArray))
+    val softmaxKernel = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+      val arr = v.toArray
+      val ds = centersB.value.map { c =>
+        var s = 0.0; var i = 0
+        while (i < arr.length) { val dd = arr(i) - c(i); s += dd * dd; i += 1 }
+        math.sqrt(s)
+      }
+      val mn = ds.min // shift for numeric stability: exp(mn - d) ∈ (0, 1]
+      val es = ds.map(dd => math.exp(mn - dd))
+      val z = es.sum
+      es.map(_ / z)
+    }
+    val clustered = km.transform(features)
+      .select(col("doc_id"), col("prediction").as("topic"),
+        softmaxKernel(col("features")).as("probs"))
 
     // outlier channel: docs whose token set was emptied by filtering
     // (cache: topicInfo and topTerms both re-read this join)
@@ -85,7 +108,10 @@ object Topics {
       .withColumn("n_toks", size(col("toks")))
       .join(clustered, Seq("doc_id"))
       .withColumn("topic", when(col("n_toks") === 0, lit(-1)).otherwise(col("topic")))
-      .select(col("doc_id"), col("topic"), col("toks"))
+      // outliers carry no cluster membership: null distribution, null prob
+      .withColumn("probs",
+        when(col("topic") === -1, lit(null)).otherwise(col("probs")))
+      .select(col("doc_id"), col("topic"), col("toks"), col("probs"))
       .cache()
 
     // pct via the broadcast-scalar-total pattern (q04) — NOT an
@@ -117,8 +143,20 @@ object Topics {
       .select(col("topic"), col("rn"), col("term"), col("score"))
       .orderBy(col("topic"), col("rn"))
 
-    // the report tables are tiny (k and k·topTermsK rows) — cache them so
-    // repeated report queries against the memoized model are free
-    TopicModel(withTopics.select(col("doc_id"), col("topic")), info.cache(), top.cache())
+    // materialize the three report tables eagerly (localCheckpoint: tiny —
+    // per-doc assignments, k rows, k·topTermsK rows — and lineage-free, so
+    // repeated report queries against the memoized model stay free), then
+    // release the fit-time caches: the features and joined-token tables
+    // must not stay pinned in the session for the model's lifetime
+    val model = TopicModel(
+      withTopics.select(col("doc_id"), col("topic"),
+        col("probs").getItem(col("topic")).as("prob"), col("probs"))
+        .localCheckpoint(true),
+      info.localCheckpoint(true),
+      top.localCheckpoint(true),
+      km.clusterCenters.map(_.toArray))
+    withTopics.unpersist()
+    features.unpersist()
+    model
   }
 }

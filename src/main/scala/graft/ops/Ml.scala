@@ -30,10 +30,32 @@ object Ml {
   val q51TopicTerms: Q = (s, d) =>
     Topics.fit(s, d).topTerms
 
+  /** M3's distribution half: per-doc assigned topic + softmax confidence —
+    * the `(topics, probs)` pair BERTopic's fit_transform returns
+    * (bertopicTest.py:53-54). Outliers (-1) carry a null prob: they have
+    * no cluster membership. Rows-only driver check (model output);
+    * prob ∈ (0,1], Σprobs = 1, argmax = topic are unit-asserted (MlSpec). */
+  val q94TopicProbs: Q = (s, d) =>
+    Topics.fit(s, d).assignments
+      .select(col("doc_id"), col("topic"), round(col("prob"), 6).as("prob"))
+      .orderBy(col("doc_id"))
+
+  /** K6 viz data: topic-similarity heatmap table (the data behind the
+    * reference's visualize_heatmap, bertopicTest.py:153-158). k×k rows —
+    * trivially small; the companion 2D maps/hierarchy live in
+    * [[graft.ml.TopicViz.save]] (sinks, exercised in TopicVizSpec).
+    * Rows-only driver check (model output); symmetry/diagonal/range
+    * invariants are unit-asserted. */
+  val q95TopicHeatmap: Q = (s, d) =>
+    graft.ml.TopicViz.heatmap(s, Topics.fit(s, d))
+      .orderBy(col("topic_a"), col("topic_b"))
+
   def queries: Map[String, Q] = Map(
     "q49_embed_docs"  -> q49EmbedDocs,
     "q50_topic_info"  -> q50TopicInfo,
     "q51_topic_terms" -> q51TopicTerms,
+    "q94_topic_probs" -> q94TopicProbs,
+    "q95_topic_heatmap" -> q95TopicHeatmap,
   )
 
   def oracle: Map[String, String] = Map.empty

@@ -75,4 +75,32 @@ class MlSpec extends AnyFunSuite {
     assert(m2.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
       m.assignments.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
+
+  test("topic probabilities: valid distribution, argmax = assigned topic") {
+    val m = Topics.fit(spark, sf, k = 5)
+    val rows = m.assignments.collect()
+    assert(rows.nonEmpty)
+    var sawOutlier = false
+    rows.foreach { r =>
+      val topic = r.getInt(1)
+      if (topic == -1) {
+        sawOutlier = true
+        assert(r.isNullAt(2) && r.isNullAt(3), "outliers carry no distribution")
+      } else {
+        val prob = r.getDouble(2)
+        val probs = r.getSeq[Double](3)
+        assert(probs.forall(p => p > 0.0 && p <= 1.0))
+        assert(math.abs(probs.sum - 1.0) < 1e-9, s"sum=${probs.sum}")
+        assert(probs.indexOf(probs.max) == topic,
+          s"argmax ${probs.indexOf(probs.max)} != assigned $topic")
+        assert(prob == probs(topic), "prob column must be the assigned component")
+      }
+    }
+    // the q94 surface: one row per doc, prob null iff topic = -1
+    val q = SparkEntry.queries("q94_topic_probs")(spark, sf).collect()
+    assert(q.length == rows.length)
+    q.foreach(r => assert(r.isNullAt(2) == (r.getInt(1) == -1)))
+    if (!sawOutlier)
+      System.err.println("[MlSpec] note: fixture produced no -1 outlier doc")
+  }
 }

@@ -51,6 +51,29 @@ object ScaleSmoke {
       time(s"mult=$mult connected components")(
         graft.ops.ConnectedComponents.run(pairs.select(col("doc_a"), col("doc_b")))
           .write.format("noop").mode("overwrite").save())
+      // r5 operators: the q91 span stream, the q88 CMS build+probe, and the
+      // inverted-index build — each must grow linearly with the corpus
+      time(s"mult=$mult exactsubstr (q91 span stream)")(
+        graft.ops.Dedup.substrDedup(scaled.select(col("doc_id"), col("text")))
+          .write.format("noop").mode("overwrite").save())
+      time(s"mult=$mult cms heavy hitters (q88 shape)") {
+        // disjoint per-copy vocabularies: per-term counts match the base
+        // corpus at every multiplier, so the threshold stays fixed
+        val toks = scaled.select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        val cms = toks.stat.countMinSketch("term", 0.0001, 0.99, 7)
+        val bc = spark.sparkContext.broadcast(cms)
+        val mightBeHeavy = udf { (t: String) =>
+          t != null && bc.value.estimateCount(t) >= 900L
+        }
+        toks.filter(mightBeHeavy(col("term")))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 900L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"mult=$mult inverted index build") {
+        val dir = java.nio.file.Files.createTempDirectory("smoke-invidx").toString
+        graft.ops.InvertedIndex.build(spark, scaled.select(col("doc_id"), col("text")), dir)
+      }
       pairs.unpersist()
       scaled.unpersist()
     }

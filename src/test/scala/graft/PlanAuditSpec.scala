@@ -114,6 +114,20 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("q92: sketch-only — the Expand-based multi-distinct plan must not return") {
+    // the exact-countDistinct ride-along forced Expand + a full-cardinality
+    // shuffle; the registered query is sketch-only by design (the exact
+    // comparison lives in ExpressionsSpec)
+    val p = plan("q92_kmv_distinct")
+    assert(!p.contains("Expand"), s"q92 plans an Expand (multi-distinct ride-along?):\n$p")
+  }
+
+  test("q93: term lookup reaches the postings scan as a pushed In-filter") {
+    val p = plan("q93_bm25_indexed")
+    assert(p.contains("In(term"), s"postings isin must push to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df/doclen joins must broadcast:\n$p")
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q03_group_count")
     // two HashAggregates (partial + final) around the exchange

@@ -113,6 +113,75 @@ object IvfIndex {
     IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
   }
 
+  /** Top-k in-probed-cells neighbors per query vector:
+    * (vec_id, rn, nn_id, cos) with rn 1..k ranked by cosine (doc-id
+    * tie-break). Same fused one-shuffle probe as [[searchTop1]]; each cell
+    * emits its k best per query (bounded insertion, no per-cell sort of
+    * the member list beyond k), the global merge is a window over the
+    * ≤ nProbe·k candidate rows per query — bounded input, never the
+    * corpus. Replicated members reached through several probed cells
+    * collapse via max before ranking. */
+  def searchTopK(spark: SparkSession, index: IvfIndex, queries: DataFrame,
+      k: Int = 3, nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val members = index.cells.as[(Long, Long, Array[Float])]
+      .map { case (cell, id, v) => (cell, id, v, false) }
+    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, true))
+      }
+    val cand = members.union(probes)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val qry = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, id, v, isProbe) =>
+          var i = 0; var s2 = 0.0
+          while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+          val entry = (id, v, math.sqrt(s2))
+          if (isProbe) qry += entry else mem += entry
+        }
+        qry.iterator.flatMap { case (qid, qv, qn) =>
+          // bounded k-best insertion: ids/sims sorted best-first
+          val bestId = new Array[Long](k)
+          val bestCos = Array.fill(k)(Double.NegativeInfinity)
+          var n = 0
+          var j = 0
+          while (j < mem.length) {
+            val (cid, cv, cn) = mem(j)
+            if (cid != qid) {
+              var dp = 0.0; var x = 0
+              while (x < qv.length) { dp += qv(x).toDouble * cv(x); x += 1 }
+              val cos = dp / (qn * cn)
+              if (n < k || cos > bestCos(k - 1) ||
+                  (cos == bestCos(k - 1) && cid < bestId(k - 1))) {
+                var p = math.min(n, k - 1)
+                while (p > 0 && (bestCos(p - 1) < cos ||
+                    (bestCos(p - 1) == cos && bestId(p - 1) > cid))) {
+                  bestCos(p) = bestCos(p - 1); bestId(p) = bestId(p - 1); p -= 1
+                }
+                bestCos(p) = cos; bestId(p) = cid
+                if (n < k) n += 1
+              }
+            }
+            j += 1
+          }
+          (0 until n).iterator.map(i => (qid, bestId(i), bestCos(i)))
+        }
+      }
+      .toDF("vec_id", "cand_id", "cos_raw")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_raw").desc, col("cand_id"))
+    cand
+      // replicas of the same candidate from different probed cells
+      .groupBy(col("vec_id"), col("cand_id")).agg(max(col("cos_raw")).as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("cand_id").as("nn_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
   /** Best in-probed-cells neighbor per query vector: (vec_id, nn_id, cos).
     * `queries` must have columns (vec_id, embedding); a query vector never
     * matches itself. */

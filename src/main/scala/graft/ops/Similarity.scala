@@ -232,6 +232,25 @@ object Similarity {
   private val ivfMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** M8's ANN top-K: the ranked-list form of q45 (q44 is the exact brute
+    * tier). Same session-persistent index, same fused probe shuffle; each
+    * probed cell contributes its bounded k-best and the global merge
+    * ranks ≤ nProbe·k candidate rows per query — never the corpus.
+    * Approximate by construction → rows-only; the exact-top-1 ∈ ANN-top-3
+    * containment floor is asserted in DedupSpec. */
+  val q96AnnTopk: Q = (s, d) => {
+    val dir = ivfMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val t = java.nio.file.Files.createTempDirectory("graft-ivf-q45").toString
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.save(s, IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2), t)
+      t
+    })
+    IvfIndex.searchTopK(s, IvfIndex.load(s, dir),
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        k = 3, nProbe = 12)
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** Int8 scalar quantization of the embedding column (the storage form a
     * large embedding corpus ships in — 4× smaller than float32): per-vector
     * min/max affine scale to 0..255 codes. `floor`, not `round`, so the
@@ -306,6 +325,7 @@ object Similarity {
     "q43_cosine_pairs" -> q43CosinePairs,
     "q44_knn_brute"    -> q44KnnBrute,
     "q45_ann_ivf"      -> q45AnnIvf,
+    "q96_ann_topk"     -> q96AnnTopk,
     "q74_embed_dedup"  -> q74EmbedDedup,
   )
 

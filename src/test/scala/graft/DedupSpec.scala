@@ -78,6 +78,24 @@ class DedupSpec extends AnyFunSuite {
     // quantizer, replication, or probe schedule broke (probe 12 + rep 2
     // measured 0.946 at sf0.1, tools.ExperimentIvf).
     assert(recall >= 0.85, s"IVF top-1 recall $recall")
+
+    // ranked-list form (q96): rn is 1..3 per query, ordered by cosine,
+    // and the exact top-1 neighbor appears in the ANN top-3 at least as
+    // often as it is ranked first
+    val topk = ops.Similarity.q96AnnTopk(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(topk.size == exact.size)
+    topk.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val contained = topk.count { case (q, rows) =>
+      rows.exists(r => exact.get(q).contains(r.getLong(2)))
+    }
+    val r3 = contained.toDouble / exact.size
+    info(s"exact top-1 contained in ANN top-3: $r3")
+    assert(r3 >= recall && r3 >= 0.85, s"top-3 containment $r3")
   }
 
   test("exact cosine pairs match brute force computed independently") {

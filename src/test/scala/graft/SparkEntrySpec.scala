@@ -36,7 +36,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // q94/q95: topic-model outputs (softmax distribution, centroid heatmap)
     // — invariants unit-asserted in MlSpec/TopicVizSpec
-    assert(rowsOnly == Set("q45_ann_ivf", "q49_embed_docs",
+    assert(rowsOnly == Set("q45_ann_ivf", "q96_ann_topk", "q49_embed_docs",
       "q50_topic_info", "q51_topic_terms", "q62_approx_distinct",
       "q80_approx_pct", "q94_topic_probs", "q95_topic_heatmap"),
       s"undocumented rows-only queries: $rowsOnly — every new operator needs an oracle " +

@@ -155,14 +155,22 @@ object TextOps {
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+    // top-3 via the native bounded-heap operator (third production use
+    // beyond q58/q87): map-side partial top-k thins the exchange to ≤3
+    // rows per doc per partition, and no per-doc full term sort happens —
+    // the rank window then runs over ≤3 rows per group, reusing the
+    // operator's hash distribution (local sort only, no second exchange)
+    val top = graft.plans.TopKPerGroup(scored, Seq("doc_id"),
+      Seq(graft.plans.TopKPerGroup.Key("tfidf", desc = true),
+        graft.plans.TopKPerGroup.Key("term")), 3)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     Caching.materializeAndRelease(
-      tf.join(df, Seq("term"))
-        .crossJoin(broadcast(nDocs))
-        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      top
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
         .orderBy(col("doc_id"), col("rn")),
       tf)

@@ -121,6 +121,14 @@ case class TopKPerGroupExec(
     }, preservesPartitioning = true)
   }
 
+  /** Row-filtering only — the child's partitioning survives, so a
+    * downstream operator clustered on the same keys (e.g. a rank window
+    * over the ≤ k kept rows per group, q57) does NOT re-shuffle. Without
+    * this override SparkPlan defaults to UnknownPartitioning and
+    * EnsureRequirements inserts a redundant exchange. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 }

@@ -114,6 +114,18 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("q57: ranking runs through the native bounded-heap operator") {
+    val p = plan("q57_tfidf")
+    assert(p.contains("TopKPerGroup"), s"q57 must use the heap operator:\n$p")
+    // the rank window reuses the operator's hash distribution: no hash
+    // exchange between the window (printed above) and the operator (below)
+    val wIdx = p.indexOf("Window")
+    val tIdx = p.indexOf("TopKPerGroup")
+    assert(wIdx >= 0 && tIdx > wIdx, s"expected Window over TopKPerGroup:\n$p")
+    assert(!p.substring(wIdx, tIdx).contains("Exchange hashpartitioning"),
+      s"window must not re-shuffle the operator output:\n$p")
+  }
+
   test("q92: sketch-only — the Expand-based multi-distinct plan must not return") {
     // the exact-countDistinct ride-along forced Expand + a full-cardinality
     // shuffle; the registered query is sketch-only by design (the exact

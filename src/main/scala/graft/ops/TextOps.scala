@@ -88,6 +88,37 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style rule gate (Rae et al. 2021, "Scaling Language Models" —
+    * the document-level heuristic filter every pretraining pipeline runs
+    * before model-based scoring; q34 scores, THIS one decides): word-count
+    * bounds, mean-word-length bounds, stopword presence, symbol-to-word
+    * ratio → a keep/drop verdict per document. All four signals and the
+    * verdict are integer/4-decimal exact, so the DuckDB oracle certifies
+    * the GATE itself, not just the features. Pure codegen'd scan — at
+    * 100 TB this is a predicate pass, no shuffle (the final orderBy is
+    * presentation-only). Thresholds are corpus-calibrated (the synthetic
+    * docs run 10-99 words) so both outcomes occur at test scale; the rule
+    * STRUCTURE is the production shape. */
+  val q97GopherRules: Q = (s, d) => {
+    val toks = TextFns.tokens(col("text"))
+    val nW = size(toks).cast("long")
+    val norm = TextFns.normText(col("text"))
+    val meanW = round(length(regexp_replace(norm, " ", "")).cast("double") / nW, 4)
+    val stopHits = (array_contains(toks, "the").cast("long")
+      + array_contains(toks, "a").cast("long")
+      + array_contains(toks, "of").cast("long"))
+    val symbolRatio = round(
+      (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double") / nW, 4)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        nW.as("n_words"),
+        meanW.as("mean_wlen"),
+        stopHits.as("stop_hits"),
+        (nW.between(30, 90) && meanW.between(3.0, 10.0) &&
+          stopHits >= 1 && symbolRatio <= 0.1).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID heuristic (north-star): stopword-marker voting. The corpus
     * is synthetic so the markers key on the generator's vocabulary; the
     * operator shape (per-language marker hit counts → argmax) is the real
@@ -456,12 +487,33 @@ object TextOps {
     "q32_string_funcs"  -> q32StringFuncs,
     "q33_lang_stats"    -> q33LangStats,
     "q34_quality"       -> q34Quality,
+    "q97_gopher_rules"  -> q97GopherRules,
     "q35_lang_id"       -> q35LangId,
     "q36_dedup_exact"   -> q36DedupExact,
     "q37_dedup_summary" -> q37DedupSummary,
   )
 
   def oracle: Map[String, String] = Map(
+    // The rule gate recomputed signal by signal: identical tokenization,
+    // identical rounding BEFORE the threshold comparisons, verdict as 0/1.
+    "q97_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(length(replace(array_to_string(toks, ' '), ' ', '')) * 1.0 / len(toks), 4) AS mean_wlen,
+        |    CAST(list_contains(toks, 'the') AS BIGINT)
+        |      + CAST(list_contains(toks, 'a') AS BIGINT)
+        |      + CAST(list_contains(toks, 'of') AS BIGINT) AS stop_hits,
+        |    round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) AS symbol_ratio
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_wlen, stop_hits,
+        |  CAST(CASE WHEN n_words BETWEEN 30 AND 90 AND mean_wlen BETWEEN 3 AND 10
+        |    AND stop_hits >= 1 AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q77_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok

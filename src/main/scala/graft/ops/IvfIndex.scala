@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * cell). Both persist as plain Parquet: no engine-private format, any
   * Spark session can `load` and serve.
   *
-  * Search: each query probes its `nProbe` nearest cells; per-cell search is
-  * fused into ONE shuffle via groupByKey over members ∪ probes with a
-  * primitive-array cosine kernel (see q45's scale notes).
+  * Search: each query probes its `nProbe` nearest cells; the member scan is
+  * first pruned to the batch's probed-cell set (a partition filter on the
+  * saved cell-partitioned layout — unprobed cells are never read), then
+  * per-cell search is fused into ONE shuffle via groupByKey over
+  * members ∪ probes with a primitive-array cosine kernel (see q45's scale
+  * notes).
   */
 case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame)
 
@@ -97,13 +100,18 @@ object IvfIndex {
   }
 
   /** Persist as plain Parquet: `dir/centroids` (cell, centroid) and
-    * `dir/cells` (cell, vec_id, embedding). */
+    * `dir/cells` (vec_id, embedding) PARTITIONED BY cell — one directory
+    * per cell, so a search that probes p of nCells cells partition-prunes
+    * to the p probed directories and never reads the rest of the index
+    * (the layout that makes "serve from the index" true at 100 TB: the
+    * scan cost is the probed fraction, not the corpus). Cell count is
+    * bounded (the codebook size), so the directory fan-out is too. */
   def save(spark: SparkSession, index: IvfIndex, dir: String): Unit = {
     import spark.implicits._
     index.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.cells.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
@@ -111,6 +119,37 @@ object IvfIndex {
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
     IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
+  }
+
+  /** Probe assignment + pruned member scan, shared by both search entry
+    * points. The probed-cell set is DRIVER-BOUNDED (≤ nCells distinct
+    * values, independent of corpus and batch size), so collecting it is
+    * safe at any scale; filtering the cell table on it becomes a PARTITION
+    * filter when the index was loaded from [[save]]'s partitionBy("cell")
+    * layout — unprobed cells are never read, so a small query batch scans
+    * only its probed fraction of the index. Costs one extra narrow pass
+    * over the query embeddings to enumerate the probed cells. The select
+    * normalizes column order and the cell type (partition-column read-back
+    * is int, fresh builds are long). */
+  private def probedMembersAndProbes(spark: SparkSession, index: IvfIndex,
+      queries: DataFrame, nProbe: Int)
+      : (org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)],
+         org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)]) = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, true))
+      }
+    val probedCells = probes.map(_._1).distinct().collect().sorted
+    val members =
+      if (probedCells.isEmpty) spark.emptyDataset[(Long, Long, Array[Float], Boolean)]
+      else index.cells
+        .filter(col("cell").isInCollection(probedCells))
+        .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
+        .as[(Long, Long, Array[Float])]
+        .map { case (cell, id, v) => (cell, id, v, false) }
+    (members, probes)
   }
 
   /** Top-k in-probed-cells neighbors per query vector:
@@ -124,13 +163,7 @@ object IvfIndex {
   def searchTopK(spark: SparkSession, index: IvfIndex, queries: DataFrame,
       k: Int = 3, nProbe: Int = 8): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(index.centroids)
-    val members = index.cells.as[(Long, Long, Array[Float])]
-      .map { case (cell, id, v) => (cell, id, v, false) }
-    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, true))
-      }
+    val (members, probes) = probedMembersAndProbes(spark, index, queries, nProbe)
     val cand = members.union(probes)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -188,13 +221,7 @@ object IvfIndex {
   def searchTop1(spark: SparkSession, index: IvfIndex, queries: DataFrame,
       nProbe: Int = 8): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(index.centroids)
-    val members = index.cells.as[(Long, Long, Array[Float])]
-      .map { case (cell, id, v) => (cell, id, v, false) }
-    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, true))
-      }
+    val (members, probes) = probedMembersAndProbes(spark, index, queries, nProbe)
     // per-cell search fused into one shuffle (q45 scale notes: each vector
     // decoded once per cell, no probes × cell-size intermediate)
     members.union(probes)

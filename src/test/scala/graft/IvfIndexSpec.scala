@@ -40,6 +40,25 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(cellIds.forall(c => c >= 0 && c < 16))
   }
 
+  test("search on a loaded index partition-prunes to the probed cells") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val built = IvfIndex.build(spark, e, nCells = 16, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    IvfIndex.save(spark, built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val batch = e.filter(col("vec_id") < 3)
+    val result = IvfIndex.searchTop1(spark, loaded, batch, nProbe = 2)
+    val plan = result.queryExecution.executedPlan.toString
+    // the cells scan must carry a non-empty partition filter on cell —
+    // the layout contract that keeps a small batch from reading the index
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected a partition filter on cell in:\n$plan")
+    // pruning must not change answers: same results as the in-memory index
+    val unpruned = IvfIndex.searchTop1(spark, built, batch, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(result.collect().map(_.toSeq).toSet == unpruned && unpruned.nonEmpty)
+  }
+
   test("multi-assignment places each vector in n distinct cells; search dedups") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val idx = IvfIndex.build(spark, e, nCells = 16, seed = 7L, nReplicas = 2)

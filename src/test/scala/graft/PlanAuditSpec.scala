@@ -140,6 +140,16 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"df/doclen joins must broadcast:\n$p")
   }
 
+  test("q45: the IVF member scan partition-prunes on the probed cells") {
+    // the saved index is cell-partitioned (IvfIndex.save) and search filters
+    // on the batch's probed-cell set — the scan must carry that as a
+    // PARTITION filter, not a post-scan predicate, so a small batch reads
+    // only its probed fraction of the index
+    val p = plan("q45_ann_ivf")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a partition filter on cell in q45's member scan:\n$p")
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q03_group_count")
     // two HashAggregates (partial + final) around the exchange

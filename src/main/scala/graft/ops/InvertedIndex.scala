@@ -27,13 +27,16 @@ import graft.functions.TextFns
   * ≤|query|-row df side broadcast, and take top-k via TakeOrdered. */
 object InvertedIndex {
 
-  /** One corpus pass → the three index tables under `dir`.
+  /** Two corpus passes (postings, doclens) → the three index tables under
+    * `dir`.
     *
-    * doclens/stats come from the DOCS frame (tokenCount per row, count(*)
-    * over rows), exactly mirroring the inline q84 scorer — NOT from the
-    * exploded token stream, which would silently drop docs that tokenize
-    * to nothing and skew n_docs/avgdl away from the inline/oracle
-    * contract on such corpora. */
+    * doclens comes from the DOCS frame (tokenCount per row), exactly
+    * mirroring the inline q84 scorer — NOT from the exploded token stream,
+    * which would silently drop docs that tokenize to nothing and skew
+    * n_docs/avgdl away from the inline/oracle contract on such corpora
+    * (hence the second pass). stats then READS BACK the just-written
+    * doclens parquet — a doc-count-sized scan, never a third tokenize of
+    * the corpus. */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
       nPostingFiles: Int = 8): Unit = {
     docs
@@ -42,9 +45,10 @@ object InvertedIndex {
       .repartitionByRange(nPostingFiles, col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/postings")
-    val dls = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
-    dls.write.mode("overwrite").parquet(s"$dir/doclens")
-    dls.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+    spark.read.parquet(s"$dir/doclens")
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 

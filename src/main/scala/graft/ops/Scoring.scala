@@ -296,20 +296,16 @@ object Scoring {
     * on-disk layout. This is the deployable retrieval shape: at 100 TB
     * the build is one tokenize + one (term, doc_id) shuffle, and each
     * query reads only footer-pruned term-range posting files. */
-  private val invIdxMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
   val q93Bm25Indexed: Q = (s, d) => {
     // Build ONCE per (session, dataset) — the index is a persistent
     // artifact (a sink, like K7's shard export), so repeated queries serve
     // from the existing files; only the first invocation pays the corpus
-    // pass. This is the deployed contract: build amortizes over every
+    // pass (SessionArtifacts: single-flight build, dirs reaped at JVM
+    // exit). This is the deployed contract: build amortizes over every
     // query that follows.
-    val dir = invIdxMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val t = java.nio.file.Files.createTempDirectory("graft-invidx").toString
+    val dir = SessionArtifacts.dir("invidx", s, d) { t =>
       InvertedIndex.build(s, Tables.documents(s, d), t)
-      t
-    })
+    }
     InvertedIndex.searchBm25(s, dir, Seq("spark", "join", "data"), k = 20)
   }
 

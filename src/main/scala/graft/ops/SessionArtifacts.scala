@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once ON-DISK session artifacts (IVF index, inverted index,
+  * embedding table): the deployed contract for model/index-backed queries is
+  * "build + persist once per (session, dataset), serve every query from the
+  * saved artifact" — a plain-parquet scan, never a session-pinned
+  * corpus-sized cache (at 100 TB a pinned cache is the wrong artifact; a
+  * partitioned parquet layout prunes and evicts for free).
+  *
+  * Two hygiene guarantees the bare TrieMap-of-dirs memos lacked:
+  *   - the FIRST build per key runs exactly once — concurrent first calls
+  *     must not each run the expensive build and leak the loser's directory
+  *     (the stored lazy holder serializes forcing, so losers of the
+  *     map-insert race still force the winner's build);
+  *   - every created directory is registered with one JVM shutdown hook for
+  *     best-effort recursive deletion, so a long-lived host does not
+  *     accumulate per-session index dirs.
+  */
+object SessionArtifacts {
+
+  // lazy holder: TrieMap.getOrElseUpdate may race and construct two holders,
+  // but exactly one is stored and returned to every caller — and only the
+  // stored one is ever forced, so the build body runs once per key
+  private final class Holder(mk: () => String) { lazy val value: String = mk() }
+
+  private val holders =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Holder]
+
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }
+    }, "graft-session-artifacts-cleanup"))
+    true
+  }
+
+  /** The artifact directory for (kind, session, dataset); `build` runs once,
+    * receiving a fresh temp dir to populate. */
+  def dir(kind: String, spark: SparkSession, dataset: String)(build: String => Unit): String = {
+    val key = (kind, spark.sparkContext.applicationId, dataset)
+    holders.getOrElseUpdate(key, new Holder(() => {
+      hookInstalled
+      val t = java.nio.file.Files.createTempDirectory(s"graft-$kind")
+      registered.add(t)
+      build(t.toString)
+      t.toString
+    })).value
+  }
+}

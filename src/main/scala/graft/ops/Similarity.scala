@@ -218,19 +218,18 @@ object Similarity {
     // the first-after-build — serves from the LOADED on-disk index, so
     // the production search path is what runs and what the bench times;
     // the codebook fit amortizes over every query that follows.
-    val dir = ivfMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val t = java.nio.file.Files.createTempDirectory("graft-ivf-q45").toString
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      IvfIndex.save(s, IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2), t)
-      t
-    })
-    IvfIndex.searchTop1(s, IvfIndex.load(s, dir),
+    IvfIndex.searchTop1(s, IvfIndex.load(s, ivfDir(s, d)),
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), nProbe = 12)
       .orderBy(col("vec_id"))
   }
 
-  private val ivfMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  /** Once-per-(session, dataset) IVF index build+save (SessionArtifacts:
+    * single-flight first build, dirs reaped at JVM exit). */
+  private def ivfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    SessionArtifacts.dir("ivf-q45", s, d) { t =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.save(s, IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2), t)
+    }
 
   /** M8's ANN top-K: the ranked-list form of q45 (q44 is the exact brute
     * tier). Same session-persistent index, same fused probe shuffle; each
@@ -239,13 +238,7 @@ object Similarity {
     * Approximate by construction → rows-only; the exact-top-1 ∈ ANN-top-3
     * containment floor is asserted in DedupSpec. */
   val q96AnnTopk: Q = (s, d) => {
-    val dir = ivfMemo.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val t = java.nio.file.Files.createTempDirectory("graft-ivf-q45").toString
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      IvfIndex.save(s, IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2), t)
-      t
-    })
-    IvfIndex.searchTopK(s, IvfIndex.load(s, dir),
+    IvfIndex.searchTopK(s, IvfIndex.load(s, ivfDir(s, d)),
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         k = 3, nProbe = 12)
       .orderBy(col("vec_id"), col("rn"))

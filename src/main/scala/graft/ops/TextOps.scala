@@ -88,36 +88,65 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Gopher-style rule gate (Rae et al. 2021, "Scaling Language Models" —
-    * the document-level heuristic filter every pretraining pipeline runs
-    * before model-based scoring; q34 scores, THIS one decides): word-count
-    * bounds, mean-word-length bounds, stopword presence, symbol-to-word
-    * ratio → a keep/drop verdict per document. All four signals and the
-    * verdict are integer/4-decimal exact, so the DuckDB oracle certifies
-    * the GATE itself, not just the features. Pure codegen'd scan — at
-    * 100 TB this is a predicate pass, no shuffle (the final orderBy is
-    * presentation-only). Thresholds are corpus-calibrated (the synthetic
-    * docs run 10-99 words) so both outcomes occur at test scale; the rule
-    * STRUCTURE is the production shape. */
-  val q97GopherRules: Q = (s, d) => {
+  /** Gopher-style rule-gate calibration (Rae et al. 2021, "Scaling
+    * Language Models"): word-count bounds, mean-word-length bounds, minimum
+    * stopword presence, symbol-to-word ratio cap. The DEFAULTS are q97's
+    * corpus-calibrated instance (the synthetic docs run 10-99 words, so
+    * both outcomes occur at test scale); pipelines pass their own. */
+  case class RuleGateConfig(
+      minWords: Long = 30L, maxWords: Long = 90L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      stopwords: Seq[String] = Seq("the", "a", "of"), minStopHits: Long = 1L,
+      symbol: String = "#", maxSymbolRatio: Double = 0.1)
+
+  private def ruleGateSignals(cfg: RuleGateConfig) = {
     val toks = TextFns.tokens(col("text"))
     val nW = size(toks).cast("long")
     val norm = TextFns.normText(col("text"))
     val meanW = round(length(regexp_replace(norm, " ", "")).cast("double") / nW, 4)
-    val stopHits = (array_contains(toks, "the").cast("long")
-      + array_contains(toks, "a").cast("long")
-      + array_contains(toks, "of").cast("long"))
+    val stopHits = cfg.stopwords.map(w => array_contains(toks, w).cast("long"))
+      .reduceOption(_ + _).getOrElse(lit(0L))
     val symbolRatio = round(
-      (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("double") / nW, 4)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        nW.as("n_words"),
-        meanW.as("mean_wlen"),
-        stopHits.as("stop_hits"),
-        (nW.between(30, 90) && meanW.between(3.0, 10.0) &&
-          stopHits >= 1 && symbolRatio <= 0.1).cast("long").as("keep"))
-      .orderBy(col("doc_id"))
+      (length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(cfg.symbol), ""))).cast("double") / nW, 4)
+    (nW, meanW, stopHits, symbolRatio)
   }
+
+  /** The gate's keep/drop DECISION as a filter predicate — the form a
+    * pipeline composes (pipelines.TrainingData stage 0). Pure codegen'd
+    * scan: at 100 TB this is a predicate pass, no shuffle. Null-text docs
+    * are DROPPED (null signals propagate null through the conjunction;
+    * coalesce pins the verdict to false — mirrored by the oracle's CASE,
+    * which emits 0 for them). */
+  def ruleGateKeep(cfg: RuleGateConfig = RuleGateConfig()): org.apache.spark.sql.Column = {
+    val (nW, meanW, stopHits, symbolRatio) = ruleGateSignals(cfg)
+    coalesce(
+      nW.between(cfg.minWords, cfg.maxWords) &&
+        meanW.between(cfg.minMeanWordLen, cfg.maxMeanWordLen) &&
+        stopHits >= cfg.minStopHits && symbolRatio <= cfg.maxSymbolRatio,
+      lit(false))
+  }
+
+  /** The gate as a REPORT: per-doc signals + verdict over a
+    * (doc_id, text) frame. All four signals and the verdict are
+    * integer/4-decimal exact, so the DuckDB oracle certifies the GATE
+    * itself, not just the features; the rule STRUCTURE is the production
+    * shape. */
+  def ruleGate(docs: org.apache.spark.sql.DataFrame,
+      cfg: RuleGateConfig = RuleGateConfig()): org.apache.spark.sql.DataFrame = {
+    val (nW, meanW, stopHits, _) = ruleGateSignals(cfg)
+    docs.select(col("doc_id"),
+      nW.as("n_words"),
+      meanW.as("mean_wlen"),
+      stopHits.as("stop_hits"),
+      ruleGateKeep(cfg).cast("long").as("keep"))
+  }
+
+  /** q34 scores, THIS one decides: the document-level heuristic filter
+    * every pretraining pipeline runs before model-based scoring —
+    * [[ruleGate]] at its calibrated defaults. */
+  val q97GopherRules: Q = (s, d) =>
+    ruleGate(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   /** Language-ID heuristic (north-star): stopword-marker voting. The corpus
     * is synthetic so the markers key on the generator's vocabulary; the

@@ -4,14 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.ops.{BloomSketch, Dedup}
+import graft.ops.{BloomSketch, Dedup, TextOps}
 import graft.sources.ShardExport
 
 /** END-TO-END training-data preparation — the full composition a
   * pretraining-data team actually runs, wired from the engine's certified
   * operators into one callable pipeline:
   *
-  *   quality gate → exact dedup → fuzzy canonicalization   (Dedup.cleanCorpus, q79)
+  *   rule gate (parameterized Gopher-style heuristics)     (TextOps.ruleGate, q97)
+  *   → quality gate → exact dedup → fuzzy canonicalization (Dedup.cleanCorpus, q79)
   *   → eval-set decontamination                            (BloomSketch probe, q82 tier)
   *   → weighted source mixing                              (q83 semantics)
   *   → hash-sharded, size-bounded parquet export           (ShardExport, q86 twin)
@@ -37,6 +38,17 @@ object TrainingData {
     sources.map(src => (src, 1, "00")).toDF("source", "base_copies", "thr")
   }
 
+  /** Default rule-gate calibration for the pipeline: a word-count floor
+    * only — the corpus-profile signals (stopword presence, symbol ratio,
+    * mean word length) are opt-in per corpus, exactly like the thresholds
+    * in the Gopher appendix are re-tuned per source. The gate STRUCTURE is
+    * q97's oracle-certified operator either way. */
+  val DefaultGate: TextOps.RuleGateConfig = TextOps.RuleGateConfig(
+    minWords = 5L, maxWords = Long.MaxValue,
+    minMeanWordLen = 0.0, maxMeanWordLen = Double.MaxValue,
+    stopwords = Nil, minStopHits = 0L,
+    maxSymbolRatio = Double.MaxValue)
+
   /** Run the full pipeline.
     *
     * @param docs     corpus with (doc_id: long, text, source, n_chars)
@@ -46,21 +58,31 @@ object TrainingData {
     *                 string) — a doc gets base_copies (+1 iff
     *                 md5(doc_id) prefix < thr) copies
     * @param outDir   shard export destination (`outDir/shard=K/...`)
-    * @return funnel summary (stage, docs) — input, clean, decontaminated,
-    *         mixed rows, plus per-stage detail persisted nowhere else
+    * @param gate     rule-gate calibration for stage 0 (the q97-certified
+    *                 Gopher-style gate; [[DefaultGate]] keeps only a
+    *                 word-count floor)
+    * @return funnel summary (stage, docs) — input, gated, clean,
+    *         decontaminated, mixed rows, plus per-stage detail persisted
+    *         nowhere else
     */
   def run(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
       weights: DataFrame, outDir: String, nShards: Int = 8,
-      maxRecordsPerFile: Int = 1 << 20): DataFrame = {
+      maxRecordsPerFile: Int = 1 << 20,
+      gate: TextOps.RuleGateConfig = DefaultGate): DataFrame = {
     import spark.implicits._
     val input = docs.cache()
+
+    // 0. RULE GATE — the q97-certified Gopher-style heuristic filter as a
+    // narrow predicate pass (TextOps.ruleGateKeep): no shuffle, runs ahead
+    // of every shuffling stage so dedup/decontam never see gated docs
+    val gated = input.filter(TextOps.ruleGateKeep(gate)).cache()
 
     // 1. quality gate + exact dedup + fuzzy canonicalization (q79).
     // cache: the clean set feeds BOTH the funnel count and the
     // decontamination scan — without the barrier the whole dedup candidate
     // generation (MinHash pairs + components) replays per consumer
-    val disposition = Dedup.cleanCorpus(input)
-    val clean = input.join(
+    val disposition = Dedup.cleanCorpus(gated)
+    val clean = gated.join(
         disposition.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
       .cache()
 
@@ -95,12 +117,14 @@ object TrainingData {
 
     val summary = Seq(
       ("input", input.count()),
+      ("gated", gated.count()),
       ("clean", clean.count()),
       ("decontaminated", decontaminated.count()),
       ("mixed_rows", spark.read.parquet(outDir).count()),
     ).toDF("stage", "docs")
     decontaminated.unpersist()
     clean.unpersist()
+    gated.unpersist()
     input.unpersist()
     summary
   }

@@ -37,13 +37,22 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       .toDF("source", "base_copies", "thr")
     val outDir = java.nio.file.Files.createTempDirectory("graft-tdp").toString
 
+    // the rule gate is PARAMETERIZED per corpus: the planted docs carry no
+    // english stopwords, so this calibration keeps only the word-count and
+    // mean-word-length bounds (doc 4's two words fail the floor)
+    val gate = graft.ops.TextOps.RuleGateConfig(
+      minWords = 30L, maxWords = 1000L,
+      minMeanWordLen = 0.0, maxMeanWordLen = 20.0,
+      stopwords = Nil, minStopHits = 0L,
+      maxSymbolRatio = Double.MaxValue)
     val summary = TrainingData.run(spark, docs, evalDocs, weights, outDir,
-        nShards = 8, maxRecordsPerFile = 10)
+        nShards = 8, maxRecordsPerFile = 10, gate = gate)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // funnel: 25 in; -1 exact clone, -1 near-dup, -1 short => 22 clean;
-    // -1 contaminated => 21
+    // funnel: 25 in; -1 short (rule gate) => 24 gated; -1 exact clone,
+    // -1 near-dup => 22 clean; -1 contaminated => 21
     assert(summary("input") == 25L)
+    assert(summary("gated") == 24L, s"gate stage: $summary")
     assert(summary("clean") == 22L, s"clean stage: $summary")
     assert(summary("decontaminated") == 21L, s"decontam stage: $summary")
 

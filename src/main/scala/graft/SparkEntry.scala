@@ -20,9 +20,19 @@ object SparkEntry {
       ops.Ml.queries ++ ops.Multimodal.queries ++ ops.Scoring.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → driver rows-only check. */
+    * the same parquet tables. Omitted keys → driver rows-only check.
+    * SQL may reference `{GRAFT_OUT}` — Verify substitutes its dump
+    * directory, where the [[oracleSupport]] writers placed model-parameter
+    * tables the SQL recomputes from. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.SemiStructured.oracle ++ ops.TextOps.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Temporal.oracle ++
       ops.Ml.oracle ++ ops.Multimodal.oracle ++ ops.Scoring.oracle
+
+  /** Support-table writers for oracle SQL over model outputs: each runs
+    * after the query dumps and writes parquet under Verify's outDir (the
+    * fitted parameters an oracle needs to recompute a model-backed query
+    * independently). */
+  def oracleSupport: Seq[(SparkSession, String, String) => Unit] =
+    Seq(ops.Ml.writeQ94Support)
 }

@@ -45,6 +45,15 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // model-parameter support tables for oracle SQL that recomputes model
+    // outputs (e.g. q94): written AFTER the dumps so memoized fits reuse
+    if (only.isEmpty || SparkEntry.oracleSql.keySet.exists(only))
+      SparkEntry.oracleSupport.foreach { w =>
+        try w(spark, sfDir, outDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] oracle support failed: ${e.getMessage}")
+        }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -57,8 +66,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -79,28 +79,34 @@ object Topics {
     val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("features")
       .fit(features)
-    // per-doc topic DISTRIBUTION: softmax over negative euclidean distance
-    // to each centroid — the engine twin of BERTopic's `(topics, probs)`
-    // return (bertopicTest.py:53-54). argmax(probs) = the KMeans-assigned
-    // cluster by construction (nearest centroid = smallest distance =
-    // largest softmax component); unit-asserted in MlSpec. Centroids are
-    // k×dim doubles — broadcast-bounded at any corpus scale.
+    // per-doc topic ASSIGNMENT + DISTRIBUTION from ONE kernel: euclidean
+    // distance to each centroid → argmin = the topic, softmax over negative
+    // distance = the probs — the engine twin of BERTopic's
+    // `(topics, probs)` return (bertopicTest.py:53-54). Computing both from
+    // the same distance array makes argmax(probs) = topic true by
+    // CONSTRUCTION (deriving the topic from KMeansModel.transform instead
+    // would couple the invariant to its norm-accelerated distance agreeing
+    // with the direct one — a near-equidistant doc could split them).
+    // Ties break to the lowest topic id. Centroids are k×dim doubles —
+    // broadcast-bounded at any corpus scale; unit-asserted in MlSpec.
     val centersB = spark.sparkContext.broadcast(km.clusterCenters.map(_.toArray))
-    val softmaxKernel = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+    val assignKernel = udf { (v: org.apache.spark.ml.linalg.Vector) =>
       val arr = v.toArray
       val ds = centersB.value.map { c =>
         var s = 0.0; var i = 0
         while (i < arr.length) { val dd = arr(i) - c(i); s += dd * dd; i += 1 }
         math.sqrt(s)
       }
-      val mn = ds.min // shift for numeric stability: exp(mn - d) ∈ (0, 1]
+      var best = 0; var i = 1
+      while (i < ds.length) { if (ds(i) < ds(best)) best = i; i += 1 }
+      val mn = ds(best) // shift for numeric stability: exp(mn - d) ∈ (0, 1]
       val es = ds.map(dd => math.exp(mn - dd))
       val z = es.sum
-      es.map(_ / z)
+      (best, es.map(_ / z))
     }
-    val clustered = km.transform(features)
-      .select(col("doc_id"), col("prediction").as("topic"),
-        softmaxKernel(col("features")).as("probs"))
+    val clustered = features
+      .select(col("doc_id"), assignKernel(col("features")).as("a"))
+      .select(col("doc_id"), col("a._1").as("topic"), col("a._2").as("probs"))
 
     // outlier channel: docs whose token set was emptied by filtering
     // (cache: topicInfo and topTerms both re-read this join)

@@ -99,7 +99,7 @@ class MlSpec extends AnyFunSuite {
     // the q94 surface: one row per doc, prob null iff topic = -1
     val q = SparkEntry.queries("q94_topic_probs")(spark, sf).collect()
     assert(q.length == rows.length)
-    q.foreach(r => assert(r.isNullAt(2) == (r.getInt(1) == -1)))
+    q.foreach(r => assert(r.isNullAt(2) == (r.getLong(1) == -1L)))
     if (!sawOutlier)
       System.err.println("[MlSpec] note: fixture produced no -1 outlier doc")
   }

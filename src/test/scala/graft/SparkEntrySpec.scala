@@ -34,11 +34,11 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("rows-only queries (no oracle) are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q94/q95: topic-model outputs (softmax distribution, centroid heatmap)
-    // — invariants unit-asserted in MlSpec/TopicVizSpec
+    // q95: topic-model output (centroid heatmap) — invariants unit-asserted
+    // in TopicVizSpec (q94 graduated to a support-table oracle in r7)
     assert(rowsOnly == Set("q45_ann_ivf", "q96_ann_topk", "q49_embed_docs",
       "q50_topic_info", "q51_topic_terms", "q62_approx_distinct",
-      "q80_approx_pct", "q94_topic_probs", "q95_topic_heatmap"),
+      "q80_approx_pct", "q95_topic_heatmap"),
       s"undocumented rows-only queries: $rowsOnly — every new operator needs an oracle " +
         "or an explicit entry here with unit invariants")
   }

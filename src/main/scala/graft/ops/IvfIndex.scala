@@ -121,6 +121,19 @@ object IvfIndex {
     IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
   }
 
+  /** The distinct cells a query batch probes (≤ the codebook size): the
+    * serving scan-fraction diagnostic — a search against a saved index
+    * reads only these partitions (tools.ScaleSmoke reports the measured
+    * fraction at growing corpus sizes). */
+  def probedCells(spark: SparkSession, index: IvfIndex, queries: DataFrame,
+      nProbe: Int): Array[Long] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (_, v) => nearestCells(bc.value, unit(v), nProbe).map(_.toLong) }
+      .distinct().collect().sorted
+  }
+
   /** Probe assignment + pruned member scan, shared by both search entry
     * points. The probed-cell set is DRIVER-BOUNDED (≤ nCells distinct
     * values, independent of corpus and batch size), so collecting it is

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * multiplier. Near-linear wall-clock and pair growth is the evidence
   * that the bucketed plans hold under corpus growth; quadratic growth
   * would indict the candidate generation.
-  * Run: sbt "runMain graft.tools.ScaleSmoke /root/testdata/sf0.1" */
+  * Run: sbt "runMain graft.tools.ScaleSmoke /root/testdata/sf0.1 [dedup|ann|all]" */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val section = args.lift(1).getOrElse("all")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -30,7 +31,7 @@ object ScaleSmoke {
     val base = graft.Tables.documents(spark, d)
       .select(col("doc_id"), col("text"), col("n_chars"))
     val n = base.count()
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16) if section == "all" || section == "dedup") {
       val scaled: DataFrame = (0 until mult).map { k =>
         base.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
           regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
@@ -75,6 +76,37 @@ object ScaleSmoke {
         graft.ops.InvertedIndex.build(spark, scaled.select(col("doc_id"), col("text")), dir)
       }
       pairs.unpersist()
+      scaled.unpersist()
+    }
+    // ANN SERVING at growing corpus / fixed query batch: the claim the
+    // r7 cell-partitioned layout has to earn is that search cost follows
+    // the PROBED fraction, not the corpus — so the index grows 1x/4x/16x
+    // (nCells as sqrt-of-N, the production sizing rule), the batch stays
+    // at 4 queries x 12 probes, and we report search wall-clock plus the
+    // measured fraction of member rows the pruned scan reads.
+    val emb = graft.Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    for (mult <- Seq(1, 4, 16) if section == "all" || section == "ann") {
+      val scaled: DataFrame = (0 until mult).map { k =>
+        emb.select((col("vec_id") + lit(k * 10_000_000L)).as("vec_id"), col("embedding"))
+      }.reduce(_ unionByName _).cache()
+      val rows = scaled.count()
+      val nCells = (32 * math.sqrt(mult)).toInt
+      println(s"[scale] ===== ann mult=$mult rows=$rows cells=$nCells =====")
+      val dir = java.nio.file.Files.createTempDirectory("smoke-ivf").toString
+      time(s"mult=$mult ivf build+save")(
+        graft.ops.IvfIndex.save(spark,
+          graft.ops.IvfIndex.build(spark, scaled, nCells = nCells, seed = 7L,
+            nReplicas = 2), dir))
+      val idx = graft.ops.IvfIndex.load(spark, dir)
+      val batch = emb.filter(col("vec_id") < 4)
+      time(s"mult=$mult searchTop1 (batch=4, probe=12)")(
+        graft.ops.IvfIndex.searchTop1(spark, idx, batch, nProbe = 12)
+          .write.format("noop").mode("overwrite").save())
+      val probed = graft.ops.IvfIndex.probedCells(spark, idx, batch, nProbe = 12)
+      val total = idx.cells.count()
+      val read = idx.cells.filter(col("cell").isInCollection(probed)).count()
+      println(f"[scale] mult=$mult probed ${probed.length}/$nCells cells, " +
+        f"scan fraction ${read.toDouble / total}%.3f")
       scaled.unpersist()
     }
     spark.stop()

@@ -57,26 +57,30 @@ class DedupSpec extends AnyFunSuite {
 
   test("IVF ANN top-1 agrees with exact top-1 for a healthy fraction of vectors") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
-    val exact = {
+    // exact 3-nearest for EVERY query (the brute q44 ranking, unrestricted):
+    // rn 1 feeds the top-1 agreement, the full set feeds recall@3
+    val exactRows = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
       e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
           Vectors.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     }
+    val exact = exactRows.collect { case (a, b, 1) => a -> b }.toMap
+    val exact3 = exactRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val ivf = ops.Similarity.q45AnnIvf(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ivf.size == exact.size, "IVF should return one neighbor per vector")
     val hits = ivf.count { case (v, nn) => exact.get(v).contains(nn) }
     val recall = hits.toDouble / exact.size
     info(s"IVF top-1 agreement with exact: $recall")
-    // KMeans codebook (32 cells, 12 probes, 2-way member replication) on
+    // KMeans codebook (32 cells, 16 probes, 2-way member replication) on
     // 500 UNIFORM vectors — the adversarial case for IVF (no cluster
     // structure to exploit). Any regression below this floor means the
-    // quantizer, replication, or probe schedule broke (probe 12 + rep 2
-    // measured 0.946 at sf0.1, tools.ExperimentIvf).
+    // quantizer, replication, or probe schedule broke (probe 16 + rep 2
+    // measured 0.982 at sf0.1, tools.ExperimentIvf).
     assert(recall >= 0.85, s"IVF top-1 recall $recall")
 
     // ranked-list form (q96): rn is 1..3 per query, ordered by cosine,
@@ -96,6 +100,18 @@ class DedupSpec extends AnyFunSuite {
     val r3 = contained.toDouble / exact.size
     info(s"exact top-1 contained in ANN top-3: $r3")
     assert(r3 >= recall && r3 >= 0.85, s"top-3 containment $r3")
+
+    // recall@3: fraction of the true 3-nearest neighbors present in the
+    // ANN top-3 list, averaged over queries — the standard ranked-ANN
+    // metric (containment above only tracks the single best neighbor).
+    // Measured 0.95+ at sf0.001 with probe 16 / rep 2 on uniform vectors.
+    val recallAt3 = topk.map { case (q, rows) =>
+      val ann = rows.map(_.getLong(2)).toSet
+      val truth = exact3.getOrElse(q, Set.empty)
+      ann.intersect(truth).size.toDouble / math.max(truth.size, 1)
+    }.sum / topk.size
+    info(s"ANN recall@3 vs exact top-3: $recallAt3")
+    assert(recallAt3 >= 0.8, s"recall@3 $recallAt3")
   }
 
   test("exact cosine pairs match brute force computed independently") {

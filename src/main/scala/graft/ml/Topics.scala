@@ -30,9 +30,12 @@ object Topics {
       Array("im", "dont", "amp", "thats", "gonna", "yall")
 
   /** `centroids(t)` is topic t's KMeans center in embedding space (k×dim
-    * doubles — driver-bounded); the -1 outlier channel has no centroid. */
+    * doubles — driver-bounded); the -1 outlier channel has no centroid.
+    * `vocab` is the fitted CountVectorizer vocabulary (minDF=2, ≤5000
+    * terms — driver-bounded), the term universe of the report tables. */
   case class TopicModel(assignments: DataFrame, topicInfo: DataFrame,
-      topTerms: DataFrame, centroids: Array[Array[Double]])
+      topTerms: DataFrame, centroids: Array[Array[Double]],
+      vocab: Array[String])
 
   /** Memoized fit: the report queries (topic info, top terms) share one
     * fitted model per (session, dir, k) — M5's model persistence in-process.
@@ -160,7 +163,8 @@ object Topics {
         .localCheckpoint(true),
       info.localCheckpoint(true),
       top.localCheckpoint(true),
-      km.clusterCenters.map(_.toArray))
+      km.clusterCenters.map(_.toArray),
+      vocab)
     withTopics.unpersist()
     features.unpersist()
     model

@@ -22,11 +22,16 @@ object Ml {
   }
 
   /** M3/M4: topic table (topic id incl. -1 outliers, count, pct —
-    * bertopicTest.py:57,107-112 contract). */
+    * bertopicTest.py:57,107-112 contract). Oracle-certified via the
+    * support tables: DuckDB re-derives every doc's assignment from the
+    * exported centroids and counts per topic. */
   val q50TopicInfo: Q = (s, d) =>
     Topics.fit(s, d).topicInfo
 
-  /** M4/A7: per-topic top-5 weighted terms (bertopicTest.py:93-100). */
+  /** M4/A7: per-topic top-5 weighted terms (bertopicTest.py:93-100).
+    * Oracle-certified via the support tables: DuckDB recomputes the
+    * vocabulary-scoped term counts and the c-TF-IDF ranking from the
+    * exported centroids + vocabulary + stopwords. */
   val q51TopicTerms: Q = (s, d) =>
     Topics.fit(s, d).topTerms
 
@@ -46,13 +51,15 @@ object Ml {
         round(col("prob"), 4).as("prob"))
       .orderBy(col("doc_id"))
 
-  /** Oracle support for q94 (run by Verify before the DuckDB compare): the
-    * fitted model PARAMETERS as plain parquet under outDir — per-doc
-    * feature vectors, the k centroids, and the stopword list that defines
-    * the outlier channel. The oracle recomputes everything downstream of
-    * these (tokenize → outlier flag; distance → softmax → argmin → round),
+  /** Oracle support for the topic-model queries (run by Verify before the
+    * DuckDB compare): the fitted model PARAMETERS as plain parquet under
+    * outDir — per-doc feature vectors, the k centroids, the stopword list
+    * that defines the outlier channel, and the fitted vocabulary that
+    * scopes the term reports. The oracle recomputes everything downstream
+    * of these (tokenize → outlier flag; distance → softmax → argmin;
+    * counts → pct; term counts → c-TF-IDF ranking; centroid cosines),
     * certifying the engine's serving math rather than trusting it. */
-  def writeQ94Support(s: org.apache.spark.sql.SparkSession, d: String,
+  def writeTopicSupport(s: org.apache.spark.sql.SparkSession, d: String,
       outDir: String): Unit = {
     import s.implicits._
     val model = Topics.fit(s, d)
@@ -63,14 +70,17 @@ object Ml {
       .write.mode("overwrite").parquet(s"$outDir/q94_support_centroids")
     Topics.CustomStopwords.toSeq.toDF("sw").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/q94_support_stopwords")
+    model.vocab.toSeq.toDF("term").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/q51_support_vocab")
   }
 
   /** K6 viz data: topic-similarity heatmap table (the data behind the
     * reference's visualize_heatmap, bertopicTest.py:153-158). k×k rows —
     * trivially small; the companion 2D maps/hierarchy live in
     * [[graft.ml.TopicViz.save]] (sinks, exercised in TopicVizSpec).
-    * Rows-only driver check (model output); symmetry/diagonal/range
-    * invariants are unit-asserted. */
+    * Oracle-certified: DuckDB recomputes the k×k cosines from the
+    * exported centroids; symmetry/diagonal/range invariants stay
+    * unit-asserted. */
   val q95TopicHeatmap: Q = (s, d) =>
     graft.ml.TopicViz.heatmap(s, Topics.fit(s, d))
       .orderBy(col("topic_a"), col("topic_b"))
@@ -83,50 +93,112 @@ object Ml {
     "q95_topic_heatmap" -> q95TopicHeatmap,
   )
 
-  /** q94's oracle recomputes, in DuckDB, the full serving path given the
-    * exported model parameters: euclidean distance to each centroid
-    * (identical accumulation: element-wise square loop), min-shifted
-    * softmax, argmin topic (ties to the lowest id, matching the kernel's
-    * strict-< scan), and the outlier channel re-derived from documents.text
-    * with the same \W+ tokenize + stopword filter the pipeline fits.
-    * `{GRAFT_OUT}` is substituted by Verify with the dump directory. */
+  /** Shared oracle CTEs: re-derive the per-doc topic ASSIGNMENT in DuckDB
+    * from the exported model parameters — euclidean distance to each
+    * centroid (identical accumulation: element-wise square loop),
+    * min-shifted softmax, argmin topic (ties to the lowest id, matching
+    * the kernel's strict-< scan), and the outlier channel recomputed from
+    * documents.text with the same \W+ tokenize + stopword filter the
+    * pipeline fits. `{GRAFT_OUT}` is substituted by Verify with the dump
+    * directory (where [[writeTopicSupport]] put the parameter tables). */
+  private val assignCtes: String =
+    """WITH f AS (
+      |  SELECT doc_id, embedding
+      |  FROM read_parquet('{GRAFT_OUT}/q94_support_features/*.parquet')),
+      |c AS (
+      |  SELECT ctopic, centroid
+      |  FROM read_parquet('{GRAFT_OUT}/q94_support_centroids/*.parquet')),
+      |sw AS (
+      |  SELECT list(sw) AS sws
+      |  FROM read_parquet('{GRAFT_OUT}/q94_support_stopwords/*.parquet')),
+      |outl AS (
+      |  SELECT d.doc_id,
+      |    len([t for t in regexp_split_to_array(lower(d.text), '\W+')
+      |         if len(t) > 0 AND NOT list_contains(sw.sws, t)]) = 0 AS is_outlier
+      |  FROM documents d CROSS JOIN sw),
+      |dist AS (
+      |  SELECT f.doc_id, c.ctopic,
+      |    sqrt(list_sum([
+      |      (CAST(f.embedding[i] AS DOUBLE) - c.centroid[i]) *
+      |      (CAST(f.embedding[i] AS DOUBLE) - c.centroid[i])
+      |      for i in range(1, len(c.centroid) + 1)])) AS dd
+      |  FROM f CROSS JOIN c),
+      |mn AS (SELECT doc_id, min(dd) AS mnd FROM dist GROUP BY 1),
+      |ez AS (
+      |  SELECT dist.doc_id, ctopic, dd, exp(mn.mnd - dd) AS e
+      |  FROM dist JOIN mn ON dist.doc_id = mn.doc_id),
+      |z AS (SELECT doc_id, sum(e) AS zs FROM ez GROUP BY 1),
+      |best AS (
+      |  SELECT doc_id, ctopic, e FROM (
+      |    SELECT doc_id, ctopic, e,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY dd, ctopic) AS rn
+      |    FROM ez) WHERE rn = 1),
+      |assigned AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN o.is_outlier THEN -1 ELSE b.ctopic END AS topic
+      |  FROM best b JOIN outl o ON b.doc_id = o.doc_id)""".stripMargin
+
+  /** q94: the full distribution; q50: topic sizes + percentages; q51: the
+    * c-TF-IDF top-terms ranking over the vocabulary-scoped token stream;
+    * q95: k×k centroid cosine — all recomputed downstream of the exported
+    * parameters, so the oracle certifies the engine's serving math rather
+    * than trusting it. */
   def oracle: Map[String, String] = Map(
-    "q94_topic_probs" ->
-      """WITH f AS (
-        |  SELECT doc_id, embedding
-        |  FROM read_parquet('{GRAFT_OUT}/q94_support_features/*.parquet')),
-        |c AS (
-        |  SELECT ctopic, centroid
-        |  FROM read_parquet('{GRAFT_OUT}/q94_support_centroids/*.parquet')),
-        |sw AS (
-        |  SELECT list(sw) AS sws
-        |  FROM read_parquet('{GRAFT_OUT}/q94_support_stopwords/*.parquet')),
-        |outl AS (
+    "q94_topic_probs" -> (assignCtes +
+      """
+        |SELECT a.doc_id,
+        |  CAST(a.topic AS BIGINT) AS topic,
+        |  CASE WHEN a.topic = -1 THEN NULL ELSE round(b.e / z.zs, 4) END AS prob
+        |FROM assigned a
+        |JOIN best b ON a.doc_id = b.doc_id
+        |JOIN z ON a.doc_id = z.doc_id
+        |ORDER BY a.doc_id""".stripMargin),
+    "q50_topic_info" -> (assignCtes +
+      """,
+        |counts AS (SELECT topic, count(*) AS n FROM assigned GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM assigned)
+        |SELECT CAST(topic AS INTEGER) AS topic, n,
+        |  round(n * 100.0 / total, 2) AS pct
+        |FROM counts CROSS JOIN tot ORDER BY topic""".stripMargin),
+    "q51_topic_terms" -> (assignCtes +
+      """,
+        |vocab AS (
+        |  SELECT term FROM read_parquet('{GRAFT_OUT}/q51_support_vocab/*.parquet')),
+        |toks AS (
         |  SELECT d.doc_id,
-        |    len([t for t in regexp_split_to_array(lower(d.text), '\W+')
-        |         if len(t) > 0 AND NOT list_contains(sw.sws, t)]) = 0 AS is_outlier
+        |    unnest([t for t in regexp_split_to_array(lower(d.text), '\W+')
+        |            if len(t) > 0 AND NOT list_contains(sw.sws, t)]) AS term
         |  FROM documents d CROSS JOIN sw),
-        |dist AS (
-        |  SELECT f.doc_id, c.ctopic,
-        |    sqrt(list_sum([
-        |      (CAST(f.embedding[i] AS DOUBLE) - c.centroid[i]) *
-        |      (CAST(f.embedding[i] AS DOUBLE) - c.centroid[i])
-        |      for i in range(1, len(c.centroid) + 1)])) AS dd
-        |  FROM f CROSS JOIN c),
-        |mn AS (SELECT doc_id, min(dd) AS mnd FROM dist GROUP BY 1),
-        |ez AS (
-        |  SELECT dist.doc_id, ctopic, dd, exp(mn.mnd - dd) AS e
-        |  FROM dist JOIN mn ON dist.doc_id = mn.doc_id),
-        |z AS (SELECT doc_id, sum(e) AS zs FROM ez GROUP BY 1),
-        |best AS (
-        |  SELECT doc_id, ctopic, e FROM (
-        |    SELECT doc_id, ctopic, e,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY dd, ctopic) AS rn
-        |    FROM ez) WHERE rn = 1)
-        |SELECT b.doc_id,
-        |  CAST(CASE WHEN o.is_outlier THEN -1 ELSE b.ctopic END AS BIGINT) AS topic,
-        |  CASE WHEN o.is_outlier THEN NULL ELSE round(b.e / z.zs, 4) END AS prob
-        |FROM best b JOIN z ON b.doc_id = z.doc_id JOIN outl o ON b.doc_id = o.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
+        |tt AS (
+        |  SELECT a.topic, t.term, count(*) AS tf
+        |  FROM toks t
+        |  JOIN assigned a ON t.doc_id = a.doc_id AND a.topic <> -1
+        |  JOIN vocab v ON t.term = v.term
+        |  GROUP BY 1, 2),
+        |tdf AS (SELECT term, count(DISTINCT topic) AS df_topics FROM tt GROUP BY 1),
+        |scored AS (
+        |  SELECT tt.topic, tt.term, round(tf * ln(11.0 / df_topics), 4) AS score
+        |  FROM tt JOIN tdf ON tt.term = tdf.term),
+        |ranked AS (
+        |  SELECT topic, term, score,
+        |    row_number() OVER (PARTITION BY topic ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT CAST(topic AS INTEGER) AS topic, CAST(rn AS INTEGER) AS rn,
+        |  term, score
+        |FROM ranked WHERE rn <= 5 ORDER BY topic, rn""".stripMargin),
+    "q95_topic_heatmap" ->
+      """WITH c AS (
+        |  SELECT ctopic, centroid
+        |  FROM read_parquet('{GRAFT_OUT}/q94_support_centroids/*.parquet'))
+        |SELECT a.ctopic AS topic_a, b.ctopic AS topic_b,
+        |  round(
+        |    list_sum([a.centroid[i] * b.centroid[i]
+        |              for i in range(1, len(a.centroid) + 1)]) /
+        |    (sqrt(list_sum([a.centroid[i] * a.centroid[i]
+        |                    for i in range(1, len(a.centroid) + 1)])) *
+        |     sqrt(list_sum([b.centroid[i] * b.centroid[i]
+        |                    for i in range(1, len(b.centroid) + 1)]))), 6) AS cos
+        |FROM c a CROSS JOIN c b
+        |ORDER BY topic_a, topic_b""".stripMargin,
   )
 }

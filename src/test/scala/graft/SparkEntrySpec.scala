@@ -34,11 +34,12 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("rows-only queries (no oracle) are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q95: topic-model output (centroid heatmap) — invariants unit-asserted
-    // in TopicVizSpec (q94 graduated to a support-table oracle in r7)
+    // q45/q96: approximate by construction; q49: the embedding IS the model
+    // output (a features-table oracle would be circular); q62/q80: sketches.
+    // The topic reports (q50/q51/q94/q95) graduated to support-table
+    // oracles in r7.
     assert(rowsOnly == Set("q45_ann_ivf", "q96_ann_topk", "q49_embed_docs",
-      "q50_topic_info", "q51_topic_terms", "q62_approx_distinct",
-      "q80_approx_pct", "q95_topic_heatmap"),
+      "q62_approx_distinct", "q80_approx_pct"),
       s"undocumented rows-only queries: $rowsOnly — every new operator needs an oracle " +
         "or an explicit entry here with unit invariants")
   }

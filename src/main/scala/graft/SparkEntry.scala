@@ -34,5 +34,5 @@ object SparkEntry {
     * fitted parameters an oracle needs to recompute a model-backed query
     * independently). */
   def oracleSupport: Seq[(SparkSession, String, String) => Unit] =
-    Seq(ops.Ml.writeTopicSupport)
+    Seq(ops.Ml.writeTopicSupport, ops.Similarity.writeAnnSupport)
 }

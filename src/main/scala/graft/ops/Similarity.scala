@@ -200,9 +200,11 @@ object Similarity {
     * codebook is fit on a bounded SAMPLE (k·dim doubles — broadcastable at
     * any corpus size), members are assigned to their nearest cell, and each
     * query probes its `nProbe` nearest cells. One shuffle keyed on cell —
-    * linear in N·nProbe, vs q43's all-pairs. Approximate by construction →
-    * rows-only driver check; the recall floor vs q44's exact top-1 is
-    * asserted in DedupSpec. */
+    * linear in N·nProbe, vs q43's all-pairs. ORACLE-CERTIFIED given the
+    * index: [[writeAnnSupport]] exports the served codebook + membership
+    * and DuckDB recomputes the whole serving path (probe routing,
+    * candidates, cosine, tie-broken ranking) — the recall floor vs q44's
+    * exact top-1 stays asserted in DedupSpec. */
   val q45AnnIvf: Q = (s, d) => {
     // nCells ~ √N at this sf (grows as √N so cell size stays bounded);
     // nProbe 16 + 2-way member replication: uniform (clusterless)
@@ -232,12 +234,34 @@ object Similarity {
       IvfIndex.save(s, IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2), t)
     }
 
+  /** Oracle support for q45/q96 (run by Verify before the DuckDB compare):
+    * the SERVED index as plain parquet under outDir — the codebook
+    * (cell, centroid) and the cell-membership table (cell, vec_id). Given
+    * these, the serving math is fully deterministic, so DuckDB recomputes
+    * probe routing (unit-space L2 with the kernel's float32 rounding),
+    * candidate generation from the probed cells, raw-vector cosine, and
+    * the id tie-broken ranking — certifying the ANN ANSWERS exactly, not
+    * just a recall floor (the approximation lives in the index, which is
+    * the exported given; everything downstream is checked). */
+  def writeAnnSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit = {
+    import s.implicits._
+    val idx = IvfIndex.load(s, ivfDir(s, d))
+    idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/q45_support_centroids")
+    idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/q45_support_cells")
+  }
+
   /** M8's ANN top-K: the ranked-list form of q45 (q44 is the exact brute
     * tier). Same session-persistent index, same fused probe shuffle; each
     * probed cell contributes its bounded k-best and the global merge
     * ranks ≤ nProbe·k candidate rows per query — never the corpus.
-    * Approximate by construction → rows-only; the exact-top-1 ∈ ANN-top-3
-    * containment floor is asserted in DedupSpec. */
+    * Oracle-certified given the index (see q45); the
+    * exact-top-1 ∈ ANN-top-3 containment and recall@3 floors are
+    * asserted in DedupSpec. */
   val q96AnnTopk: Q = (s, d) => {
     IvfIndex.searchTopK(s, IvfIndex.load(s, ivfDir(s, d)),
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
@@ -329,7 +353,63 @@ object Similarity {
   private def duckNorm(a: String) =
     s"sqrt(${duckDot(a, a)})"
 
+  /** The IVF serving path recomputed over the exported index: unit-space
+    * probe routing (with the kernel's float32 rounding of the normalized
+    * components and its stable squared-L2/cell-id tie-break), candidates
+    * from the probed cells with replica collapse (DISTINCT), raw-vector
+    * cosine, ranking by (cos desc, id asc). `ranked` feeds both the top-1
+    * (q45) and top-3 (q96) selects. */
+  private val annRankedCtes: String =
+    s"""WITH cen AS (
+       |  SELECT cell, centroid
+       |  FROM read_parquet('{GRAFT_OUT}/q45_support_centroids/*.parquet')),
+       |mem AS (
+       |  SELECT cell, vec_id
+       |  FROM read_parquet('{GRAFT_OUT}/q45_support_cells/*.parquet')),
+       |qn AS (
+       |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+       |  FROM embeddings),
+       |qu AS (
+       |  SELECT vec_id,
+       |    [CASE WHEN nrm = 0 THEN x
+       |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
+       |     for x in embedding] AS uv
+       |  FROM qn),
+       |probes AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT qu.vec_id, cen.cell,
+       |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
+       |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+       |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
+       |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
+       |    FROM qu CROSS JOIN cen)
+       |  WHERE prn <= 16),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
+       |  FROM probes p JOIN mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+       |scored AS (
+       |  SELECT c.vec_id, c.cand_id,
+       |    ${duckDot("a.embedding", "b.embedding")} /
+       |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+       |  FROM cand c
+       |  JOIN embeddings a ON c.vec_id = a.vec_id
+       |  JOIN embeddings b ON c.cand_id = b.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, cand_id, cos_raw,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_raw DESC, cand_id) AS rn
+       |  FROM scored)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q45_ann_ivf" -> (annRankedCtes +
+      """
+        |SELECT vec_id, cand_id AS nn_id, round(cos_raw, 4) AS cos
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    "q96_ann_topk" -> (annRankedCtes +
+      """
+        |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
+        |  round(cos_raw, 4) AS cos
+        |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
     "q81_sql_surface" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${duckDot("a.embedding", "b.embedding")} /

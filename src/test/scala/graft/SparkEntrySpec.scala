@@ -34,11 +34,11 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("rows-only queries (no oracle) are exactly the documented set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // q45/q96: approximate by construction; q49: the embedding IS the model
-    // output (a features-table oracle would be circular); q62/q80: sketches.
-    // The topic reports (q50/q51/q94/q95) graduated to support-table
-    // oracles in r7.
-    assert(rowsOnly == Set("q45_ann_ivf", "q96_ann_topk", "q49_embed_docs",
+    // q49: the embedding IS the model output (a features-table oracle
+    // would be circular); q62/q80: randomized sketches. The topic reports
+    // (q50/q51/q94/q95) and the ANN serving paths (q45/q96) graduated to
+    // support-table oracles in r7.
+    assert(rowsOnly == Set("q49_embed_docs",
       "q62_approx_distinct", "q80_approx_pct"),
       s"undocumented rows-only queries: $rowsOnly — every new operator needs an oracle " +
         "or an explicit entry here with unit invariants")

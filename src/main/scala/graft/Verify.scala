@@ -46,8 +46,13 @@ object Verify {
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     // model-parameter support tables for oracle SQL that recomputes model
-    // outputs (e.g. q94): written AFTER the dumps so memoized fits reuse
-    if (only.isEmpty || SparkEntry.oracleSql.keySet.exists(only))
+    // outputs (e.g. q94): written AFTER the dumps so memoized fits reuse.
+    // Only when a support-needing query (SQL references {GRAFT_OUT}) is in
+    // the selection — a dev subset run of plain queries must not pay the
+    // model fits
+    val needsSupport =
+      SparkEntry.oracleSql.collect { case (k, v) if v.contains("{GRAFT_OUT}") => k }.toSet
+    if (only.isEmpty || needsSupport.exists(only))
       SparkEntry.oracleSupport.foreach { w =>
         try w(spark, sfDir, outDir)
         catch { case e: Throwable =>

@@ -216,16 +216,27 @@ object IvfIndex {
           (0 until n).iterator.map(i => (qid, bestId(i), bestCos(i)))
         }
       }
-      .toDF("vec_id", "cand_id", "cos_raw")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos_raw").desc, col("cand_id"))
+    // global merge in ONE exchange: each query's candidate rows (≤ nProbe·k
+    // — bounded, never the corpus) group to one task, which collapses
+    // replicas (max cos per candidate) and ranks by (cos desc, id) in
+    // memory. The previous groupBy-then-window form paid two exchanges
+    // (hash by (vec_id, cand_id), then by vec_id) for the same result.
+    // Rounding matches Column round (HALF_UP).
     cand
-      // replicas of the same candidate from different probed cells
-      .groupBy(col("vec_id"), col("cand_id")).agg(max(col("cos_raw")).as("cos_raw"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("vec_id"), col("rn"), col("cand_id").as("nn_id"),
-        round(col("cos_raw"), 4).as("cos"))
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val best = scala.collection.mutable.HashMap.empty[Long, Double]
+        it.foreach { case (_, cid, cos) =>
+          if (!best.get(cid).exists(_ >= cos)) best(cid) = cos
+        }
+        best.toSeq.sortBy { case (cid, cos) => (-cos, cid) }.take(k)
+          .iterator.zipWithIndex.map { case ((cid, cos), i) =>
+            (qid, i + 1, cid,
+              java.math.BigDecimal.valueOf(cos)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+          }
+      }
+      .toDF("vec_id", "rn", "nn_id", "cos")
   }
 
   /** Best in-probed-cells neighbor per query vector: (vec_id, nn_id, cos).

@@ -250,8 +250,9 @@ object Similarity {
     idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/q45_support_centroids")
+    // membership is corpus-sized — parallel write (only the k-row
+    // codebook coalesces)
     idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
-      .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/q45_support_cells")
   }
 

@@ -150,6 +150,15 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"expected a partition filter on cell in q45's member scan:\n$p")
   }
 
+  test("q96: the ranked merge costs one exchange beyond the cell shuffle") {
+    // fused probe shuffle (by cell) + one bounded per-query merge (by
+    // vec_id) — the r7 rework removed the extra (vec_id, cand_id) exchange
+    // the groupBy-then-window form paid
+    val p = plan("q96_ann_topk")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"expected at most 2 hash exchanges (cell probe + query merge), got $n:\n$p")
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q03_group_count")
     // two HashAggregates (partial + final) around the exchange

@@ -52,6 +52,29 @@ object InvertedIndex {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Append a document batch to a SAVED index without re-reading the
+    * indexed corpus — the continuous-ingest maintenance op: the batch's
+    * postings write as NEW term-range-sorted files next to the existing
+    * ones (term lookups still footer-prune per file), doclens appends, and
+    * stats recomputes from the full doclens table (a doc-count-sized scan,
+    * never a corpus re-tokenize). Postings are per-doc (no corpus-level
+    * fit), so an appended index serves EXACTLY the same scores as a fresh
+    * build over the union corpus (asserted in InvertedIndexSpec). */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      nPostingFiles: Int = 8): Unit = {
+    docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(nPostingFiles, col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").parquet(s"$dir/postings")
+    docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$dir/doclens")
+    spark.read.parquet(s"$dir/doclens")
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
   /** BM25 top-k over a saved index — the corpus text is never touched.
     * Same math, rounding, and tie-break as the inline q84 scorer. */
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],

@@ -121,6 +121,30 @@ object IvfIndex {
     IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
   }
 
+  /** Append new vectors to a SAVED index without refitting the codebook —
+    * the continuous-ingest maintenance op (the incremental-MinHashIndex
+    * pattern applied to ANN): each new vector routes to its `nReplicas`
+    * nearest cells with the SAME unit-space routing as [[build]] and
+    * appends into the cell-partitioned layout, so searches serve appended
+    * vectors exactly like built ones (same probing, same pruning). One
+    * narrow pass over the new batch + a partitioned append — the corpus
+    * already in the index is never touched. Codebook drift is the
+    * documented limit: the codebook partitions space and does not need a
+    * converged objective, so drift degrades recall slowly; periodic
+    * [[build]] re-centers it. */
+  def append(spark: SparkSession, dir: String, emb: DataFrame,
+      nReplicas: Int = 1): Unit = {
+    import spark.implicits._
+    val idx = load(spark, dir)
+    val bc = spark.sparkContext.broadcast(idx.centroids)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, unit(v), nReplicas).map(c => (c.toLong, id, v))
+      }
+      .toDF("cell", "vec_id", "embedding")
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+  }
+
   /** The distinct cells a query batch probes (≤ the codebook size): the
     * serving scan-fraction diagnostic — a search against a saved index
     * reads only these partitions (tools.ScaleSmoke reports the measured

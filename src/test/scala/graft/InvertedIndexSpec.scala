@@ -41,6 +41,23 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append equals a fresh build over the union corpus") {
+    val docs = Tables.documents(spark, sf)
+    val dirInc = java.nio.file.Files.createTempDirectory("invidx-append").toString
+    InvertedIndex.build(spark, docs.filter(col("doc_id") % 2 === 0), dirInc)
+    InvertedIndex.append(spark, docs.filter(col("doc_id") % 2 === 1), dirInc)
+    val dirFull = java.nio.file.Files.createTempDirectory("invidx-full").toString
+    InvertedIndex.build(spark, docs, dirFull)
+    val terms = Seq("spark", "join", "data")
+    val inc = InvertedIndex.searchBm25(spark, dirInc, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = InvertedIndex.searchBm25(spark, dirFull, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // postings are per-doc and stats recompute from the full doclens, so
+    // incremental maintenance changes NOTHING about the served scores
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("search plan pushes the term filter to the postings scan") {
     val dir = java.nio.file.Files.createTempDirectory("invidx-plan").toString
     InvertedIndex.build(spark, Tables.documents(spark, sf), dir)

@@ -59,6 +59,26 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(result.collect().map(_.toSeq).toSet == unpruned && unpruned.nonEmpty)
   }
 
+  test("append routes new vectors into the saved layout; search serves them") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    IvfIndex.save(spark,
+      IvfIndex.build(spark, e.filter(col("vec_id") % 2 === 0), nCells = 16, seed = 7L), dir)
+    IvfIndex.append(spark, dir, e.filter(col("vec_id") % 2 === 1))
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.cells.count() == e.count())
+    // appended vectors serve exactly like built ones: an exact copy of an
+    // appended vector (fresh query id, so self-exclusion doesn't bite)
+    // must come back with cosine 1 — same routing, same probed cells
+    val queries = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id + 1000000L, v) }.toDF("vec_id", "embedding")
+    val got = IvfIndex.searchTop1(spark, idx, queries, nProbe = 4).collect()
+    assert(got.length == 5)
+    got.foreach(r => assert(r.getDouble(2) == 1.0, s"expected cos 1.0: $r"))
+  }
+
   test("multi-assignment places each vector in n distinct cells; search dedups") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val idx = IvfIndex.build(spark, e, nCells = 16, seed = 7L, nReplicas = 2)

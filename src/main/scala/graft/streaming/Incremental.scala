@@ -157,6 +157,31 @@ object Incremental {
     q
   }
 
+  /** Continuous ANN INGEST (M8 in incremental form — the third persisted-
+    * index streaming maintainer beside fuzzy dedup and decontamination):
+    * each micro-batch of new vectors routes into the SAVED IVF index via
+    * [[graft.ops.IvfIndex.append]] — the same unit-space routing as the
+    * offline build, no codebook refit, the indexed corpus never re-read.
+    * The index is the operator's state, plain parquet shared with the
+    * batch API (q45/q96 serve appended vectors unchanged). Exactly-once
+    * per input file via the checkpoint; codebook drift is the documented
+    * limit (periodic offline rebuild re-centers the cells). */
+  def continuousAnnIngest(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, indexDir: String,
+      checkpointDir: String, nReplicas: Int = 1): StreamingQuery = {
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.IvfIndex.append(batch.sparkSession, indexDir, batch, nReplicas)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Custom stateful streaming operator (§2.9's stateful-ops completion):
     * per-user running statistics maintained across micro-batches via
     * flatMapGroupsWithState — the Spark-native form of the reference's

@@ -186,6 +186,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(quar).count() == 1)
   }
 
+  test("continuous ANN ingest appends micro-batches into the saved index, resumes") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft-annstream").toString
+    val in = s"$base/in"; val idx = s"$base/index"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // offline build over the even half; odd vectors stream in afterwards
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    graft.ops.IvfIndex.save(spark,
+      graft.ops.IvfIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+        nCells = 16, seed = 7L), idx)
+    val built = spark.read.parquet(s"$idx/cells").count()
+
+    val b1 = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
+    b1.write.parquet(s"$in/b1")
+    Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck)
+    val after1 = spark.read.parquet(s"$idx/cells").count()
+    assert(after1 == built + b1.count())
+
+    // re-run with no new files: checkpoint makes it a no-op
+    Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck)
+    assert(spark.read.parquet(s"$idx/cells").count() == after1)
+
+    // an exact copy of an ingested vector (fresh id) is served by the
+    // batch search against the maintained index
+    val loaded = graft.ops.IvfIndex.load(spark, idx)
+    val queries = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id + 1000000L, v) }.toDF("vec_id", "embedding")
+    val got = graft.ops.IvfIndex.searchTop1(spark, loaded, queries, nProbe = 4).collect()
+    assert(got.length == 5)
+    got.foreach(r => assert(r.getDouble(2) == 1.0, s"expected cos 1.0: $r"))
+  }
+
   test("watermarked windowed aggregation over the events table matches the batch form") {
     val evSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

@@ -107,6 +107,12 @@ object ScaleSmoke {
       val read = idx.cells.filter(col("cell").isInCollection(probed)).count()
       println(f"[scale] mult=$mult probed ${probed.length}/$nCells cells, " +
         f"scan fraction ${read.toDouble / total}%.3f")
+      // maintenance cost must follow the BATCH, not the index: appending a
+      // fixed 100-vector batch should stay flat as the index grows 16x
+      time(s"mult=$mult append 100-vector batch")(
+        graft.ops.IvfIndex.append(spark, dir,
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+            .select((col("vec_id") + 90_000_000L).as("vec_id"), col("embedding"))))
       scaled.unpersist()
     }
     spark.stop()

@@ -12,6 +12,23 @@ class TrainingDataOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.get
   private val sf = "/root/testdata/sf0.001"
 
+  test("rule gate: null-text docs get keep=0 (not null); predicate form drops them") {
+    import spark.implicits._
+    val passing = ("the quick brown fox jumps over a lazy dog of note " * 4).trim
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, passing), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.ruleGate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the oracle's CASE emits 0 for null text — the engine must match, not
+    // propagate null through the conjunction
+    assert(!out(1L).isNullAt(4) && out(1L).getLong(4) == 0L)
+    assert(out(2L).getLong(4) == 1L, s"calibrated text must pass: ${out(2L)}")
+    assert(out(3L).getLong(4) == 0L)
+    val kept = docs.filter(graft.ops.TextOps.ruleGateKeep())
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
   test("q74: embedding dedup components match brute-force union-find over >=0.4 cosine pairs") {
     // exhaustive truth: all-pairs cosine in-test, then driver-side union-find
     val vecs = Tables.embeddings(spark, sf)

@@ -145,6 +145,23 @@ object IvfIndex {
       .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
   }
 
+  /** Rewrite an appended index into a freshly compacted layout: the many
+    * small per-cell files a streaming-append history leaves behind (each
+    * [[append]] adds ≥1 file per touched cell) become ONE file per cell —
+    * the [[graft.sources.Compaction]] small-files maintenance applied to
+    * the index artifact. Hash-partitioning by cell puts each cell wholly
+    * in one task, so the partitioned write emits exactly one file per cell
+    * directory. Non-destructive: writes a complete, equivalent index under
+    * `destDir` (object-store-friendly — no in-place rewrite). */
+  def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
+    spark.read.parquet(s"$dir/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/centroids")
+    spark.read.parquet(s"$dir/cells")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$destDir/cells")
+  }
+
   /** The distinct cells a query batch probes (≤ the codebook size): the
     * serving scan-fraction diagnostic — a search against a saved index
     * reads only these partitions (tools.ScaleSmoke reports the measured

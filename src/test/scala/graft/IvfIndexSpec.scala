@@ -79,6 +79,31 @@ class IvfIndexSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(2) == 1.0, s"expected cos 1.0: $r"))
   }
 
+  test("compactTo collapses append residue to one file per cell; search unchanged") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    IvfIndex.save(spark,
+      IvfIndex.build(spark, e.filter(col("vec_id") < 200), nCells = 8, seed = 7L), dir)
+    IvfIndex.append(spark, dir, e.filter(col("vec_id").between(200, 349)))
+    IvfIndex.append(spark, dir, e.filter(col("vec_id") >= 350))
+    def filesPerCell(d: String): Map[String, Int] =
+      new java.io.File(s"$d/cells").listFiles().filter(_.getName.startsWith("cell=")).map { cd =>
+        cd.getName -> cd.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    assert(filesPerCell(dir).values.exists(_ > 1), "appends should leave multiple files")
+    val dest = java.nio.file.Files.createTempDirectory("graft-ivf-compacted").toString
+    IvfIndex.compactTo(spark, dir, dest)
+    val after = filesPerCell(dest)
+    assert(after.nonEmpty && after.values.forall(_ == 1), s"expected one file per cell: $after")
+    // equivalence: identical search results from the compacted layout
+    val q = e.filter(col("vec_id") < 20)
+    val a = IvfIndex.searchTop1(spark, IvfIndex.load(spark, dir), q, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    val b = IvfIndex.searchTop1(spark, IvfIndex.load(spark, dest), q, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("multi-assignment places each vector in n distinct cells; search dedups") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val idx = IvfIndex.build(spark, e, nCells = 16, seed = 7L, nReplicas = 2)

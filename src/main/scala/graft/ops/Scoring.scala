@@ -286,6 +286,36 @@ object Scoring {
       .orderBy(col("column_name"))
   }
 
+  // ---------------------------------------------------------------- q98
+
+  /** Data-EXPECTATIONS check (the deequ-style validation gate a
+    * training-data pipeline runs before ingest; q90 profiles, THIS one
+    * validates): violation counts for a declared rule set — id
+    * uniqueness, text presence, n_chars self-consistency and bounds,
+    * language whitelist — shaped for scale as per-id partial aggregation
+    * (map-side combine, ONE shuffle on doc_id) followed by a single
+    * global reduce; uniqueness comes from the per-id counts, so no
+    * countDistinct Expand plan. The rule thresholds are calibrated so
+    * both zero and non-zero violation counts occur on the test corpus. */
+  val q98Expectations: Q = (s, d) => {
+    val flags = Tables.documents(s, d).select(col("doc_id"),
+      when(col("text").isNull, 1L).otherwise(0L).as("nt"),
+      when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L).as("lm"),
+      when(!col("n_chars").between(1, 500), 1L).otherwise(0L).as("nc"),
+      when(!coalesce(col("lang").isin("en", "es", "de", "fr"), lit(false)), 1L)
+        .otherwise(0L).as("bl"))
+    val perId = flags.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("nt"), sum(col("lm")).as("lm"),
+        sum(col("nc")).as("nc"), sum(col("bl")).as("bl"))
+    perId.agg(
+      sum(col("c")).as("n_rows"),
+      sum(col("c") - 1).as("dup_ids"),
+      sum(col("nt")).as("null_text"),
+      sum(col("lm")).as("len_mismatch"),
+      sum(col("nc")).as("bad_n_chars"),
+      sum(col("bl")).as("bad_lang"))
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** BM25 THROUGH THE PERSISTED INVERTED INDEX (ops.InvertedIndex): build
@@ -322,6 +352,7 @@ object Scoring {
     "q88_heavy_hitters"  -> q88HeavyHitters,
     "q89_weighted_sample" -> q89WeightedSample,
     "q90_profile"        -> q90Profile,
+    "q98_expectations"   -> q98Expectations,
   )
 
   private val tokCol =
@@ -416,5 +447,23 @@ object Scoring {
          |  min(CAST($c AS VARCHAR)) AS min_val, max(CAST($c AS VARCHAR)) AS max_val
          |FROM documents""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // identical rule set, identical null fall-through (CASE ELSE 0 matches
+    // Spark's otherwise(0)); sums cast back from HUGEINT
+    "q98_expectations" ->
+      """WITH p AS (
+        |  SELECT doc_id, count(*) AS c,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS lm,
+        |    sum(CASE WHEN n_chars NOT BETWEEN 1 AND 500 THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN lang IS NULL OR lang NOT IN ('en', 'es', 'de', 'fr')
+        |        THEN 1 ELSE 0 END) AS bl
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(c - 1) AS BIGINT) AS dup_ids,
+        |  CAST(sum(nt) AS BIGINT) AS null_text,
+        |  CAST(sum(lm) AS BIGINT) AS len_mismatch,
+        |  CAST(sum(nc) AS BIGINT) AS bad_n_chars,
+        |  CAST(sum(bl) AS BIGINT) AS bad_lang
+        |FROM p""".stripMargin,
   )
 }

@@ -32,7 +32,11 @@ object SparkEntry {
   /** Support-table writers for oracle SQL over model outputs: each runs
     * after the query dumps and writes parquet under Verify's outDir (the
     * fitted parameters an oracle needs to recompute a model-backed query
-    * independently). */
-  def oracleSupport: Seq[(SparkSession, String, String) => Unit] =
-    Seq(ops.Ml.writeTopicSupport, ops.Similarity.writeAnnSupport)
+    * independently). Keyed by the queries each writer supports, so a
+    * subset Verify run pays only the fits its selection needs. */
+  def oracleSupport: Seq[(Set[String], (SparkSession, String, String) => Unit)] =
+    Seq(
+      (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
+        "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
+      (Set("q45_ann_ivf", "q96_ann_topk"), ops.Similarity.writeAnnSupport))
 }

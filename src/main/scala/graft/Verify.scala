@@ -47,18 +47,16 @@ object Verify {
     pool.shutdown()
     // model-parameter support tables for oracle SQL that recomputes model
     // outputs (e.g. q94): written AFTER the dumps so memoized fits reuse.
-    // Only when a support-needing query (SQL references {GRAFT_OUT}) is in
-    // the selection — a dev subset run of plain queries must not pay the
-    // model fits
-    val needsSupport =
-      SparkEntry.oracleSql.collect { case (k, v) if v.contains("{GRAFT_OUT}") => k }.toSet
-    if (only.isEmpty || needsSupport.exists(only))
-      SparkEntry.oracleSupport.foreach { w =>
+    // Per-writer scoping — a subset run pays only the fits its selected
+    // queries' oracles actually read (a q94-only run must not build the
+    // IVF index, nor a q45-only run the topic model)
+    SparkEntry.oracleSupport.foreach { case (keys, w) =>
+      if (only.isEmpty || keys.exists(only))
         try w(spark, sfDir, outDir)
         catch { case e: Throwable =>
           System.err.println(s"[verify] oracle support failed: ${e.getMessage}")
         }
-      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

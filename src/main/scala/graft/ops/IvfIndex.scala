@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * members ∪ probes with a primitive-array cosine kernel (see q45's scale
   * notes).
   */
-case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame)
+/** `nReplicas` is the build-time multi-assignment factor — PART OF THE
+  * INDEX (persisted by save, restored by load): append must route new
+  * vectors with the same replication or appended vectors silently get
+  * less reachability than built ones. */
+case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame,
+    nReplicas: Int = 1)
 
 object IvfIndex {
 
@@ -96,7 +101,7 @@ object IvfIndex {
         nearestCells(bc.value, unit(v), nReplicas).map(c => (c.toLong, id, v))
       }
       .toDF("cell", "vec_id", "embedding")
-    IvfIndex(centroids, cells)
+    IvfIndex(centroids, cells, nReplicas)
   }
 
   /** Persist as plain Parquet: `dir/centroids` (cell, centroid) and
@@ -111,6 +116,8 @@ object IvfIndex {
     index.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq(index.nReplicas).toDF("n_replicas").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
     index.cells.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
 
@@ -118,7 +125,11 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
-    IvfIndex(centroids, spark.read.parquet(s"$dir/cells"))
+    // pre-meta layouts (r6 and earlier) were single-assignment
+    val nReplicas =
+      try spark.read.parquet(s"$dir/meta").collect().head.getInt(0)
+      catch { case _: Throwable => 1 }
+    IvfIndex(centroids, spark.read.parquet(s"$dir/cells"), nReplicas)
   }
 
   /** Append new vectors to a SAVED index without refitting the codebook —
@@ -128,18 +139,21 @@ object IvfIndex {
     * appends into the cell-partitioned layout, so searches serve appended
     * vectors exactly like built ones (same probing, same pruning). One
     * narrow pass over the new batch + a partitioned append — the corpus
-    * already in the index is never touched. Codebook drift is the
-    * documented limit: the codebook partitions space and does not need a
-    * converged objective, so drift degrades recall slowly; periodic
-    * [[build]] re-centers it. */
-  def append(spark: SparkSession, dir: String, emb: DataFrame,
-      nReplicas: Int = 1): Unit = {
+    * already in the index is never touched. The replication factor comes
+    * from the INDEX's persisted metadata, never from the caller: an
+    * append that under-replicated relative to build would silently give
+    * appended vectors less reachability than built ones. Codebook drift
+    * is the documented limit: the codebook partitions space and does not
+    * need a converged objective, so drift degrades recall slowly;
+    * periodic [[build]] re-centers it. */
+  def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
     import spark.implicits._
     val idx = load(spark, dir)
     val bc = spark.sparkContext.broadcast(idx.centroids)
+    val rep = idx.nReplicas
     emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        nearestCells(bc.value, unit(v), nReplicas).map(c => (c.toLong, id, v))
+        nearestCells(bc.value, unit(v), rep).map(c => (c.toLong, id, v))
       }
       .toDF("cell", "vec_id", "embedding")
       .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
@@ -151,13 +165,22 @@ object IvfIndex {
     * the [[graft.sources.Compaction]] small-files maintenance applied to
     * the index artifact. Hash-partitioning by cell puts each cell wholly
     * in one task, so the partitioned write emits exactly one file per cell
-    * directory. Non-destructive: writes a complete, equivalent index under
-    * `destDir` (object-store-friendly — no in-place rewrite). */
+    * directory. Also RECONCILES streaming-replay residue: a driver failure
+    * between an [[append]]'s parquet commit and its checkpoint can
+    * duplicate a batch (foreachBatch is at-least-once), and compaction
+    * drops the duplicate (cell, vec_id) rows — replicas of a vector live
+    * in DIFFERENT cells, so this removes only true re-appends.
+    * Non-destructive: writes a complete, equivalent index under `destDir`
+    * (object-store-friendly — no in-place rewrite). */
   def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
     spark.read.parquet(s"$dir/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/centroids")
+    try spark.read.parquet(s"$dir/meta").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/meta")
+    catch { case _: Throwable => () } // pre-meta layout: load defaults to 1
     spark.read.parquet(s"$dir/cells")
       .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
+      .dropDuplicates("cell", "vec_id")
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$destDir/cells")
   }
@@ -241,8 +264,13 @@ object IvfIndex {
               var dp = 0.0; var x = 0
               while (x < qv.length) { dp += qv(x).toDouble * cv(x); x += 1 }
               val cos = dp / (qn * cn)
-              if (n < k || cos > bestCos(k - 1) ||
-                  (cos == bestCos(k - 1) && cid < bestId(k - 1))) {
+              // NaN (zero-norm member or query) never enters the k-best —
+              // same contract as searchTop1, whose > comparison drops it;
+              // unguarded, the n < k arm would admit it and the merge's
+              // BigDecimal rounding throws on NaN
+              if (!java.lang.Double.isNaN(cos) &&
+                  (n < k || cos > bestCos(k - 1) ||
+                  (cos == bestCos(k - 1) && cid < bestId(k - 1)))) {
                 var p = math.min(n, k - 1)
                 while (p > 0 && (bestCos(p - 1) < cos ||
                     (bestCos(p - 1) == cos && bestId(p - 1) > cid))) {

@@ -161,18 +161,23 @@ object Incremental {
     * index streaming maintainer beside fuzzy dedup and decontamination):
     * each micro-batch of new vectors routes into the SAVED IVF index via
     * [[graft.ops.IvfIndex.append]] — the same unit-space routing as the
-    * offline build, no codebook refit, the indexed corpus never re-read.
-    * The index is the operator's state, plain parquet shared with the
-    * batch API (q45/q96 serve appended vectors unchanged). Exactly-once
-    * per input file via the checkpoint; codebook drift is the documented
+    * offline build, no codebook refit, the indexed corpus never re-read;
+    * replication comes from the index's persisted metadata. The index is
+    * the operator's state, plain parquet shared with the batch API
+    * (q45/q96 serve appended vectors unchanged). Delivery is
+    * AT-LEAST-ONCE on failure replay (foreachBatch's contract: a crash
+    * between the parquet commit and the checkpoint re-appends that
+    * batch); duplicates never change top-1 answers (argmax) and
+    * [[graft.ops.IvfIndex.compactTo]] reconciles them exactly — run it as
+    * the periodic maintenance step. Codebook drift is the documented
     * limit (periodic offline rebuild re-centers the cells). */
   def continuousAnnIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
-      checkpointDir: String, nReplicas: Int = 1): StreamingQuery = {
+      checkpointDir: String): StreamingQuery = {
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.IvfIndex.append(batch.sparkSession, indexDir, batch, nReplicas)
+        graft.ops.IvfIndex.append(batch.sparkSession, indexDir, batch)
         ()
       }
       .option("checkpointLocation", checkpointDir)

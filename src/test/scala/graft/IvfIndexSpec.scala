@@ -104,6 +104,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("zero-norm vectors never crash or rank: NaN cosines are dropped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() - 0.5f))) :+ ((99L, Array.fill(8)(0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = IvfIndex.build(spark, emb, nCells = 4, seed = 7L)
+    // cos with a zero-norm side is NaN: it must be dropped (searchTop1's >
+    // comparison drops it; searchTopK's k-best insertion must too, or the
+    // merge's BigDecimal rounding would throw on NaN)
+    val topk = IvfIndex.searchTopK(spark, idx, emb, k = 3, nProbe = 4).collect()
+    assert(topk.nonEmpty)
+    assert(!topk.exists(_.getLong(2) == 99L), "zero member must never rank")
+    assert(!topk.exists(_.getLong(0) == 99L), "zero query must emit no rows")
+    val top1 = IvfIndex.searchTop1(spark, idx, emb, nProbe = 4).collect()
+    assert(top1.nonEmpty)
+    assert(!top1.exists(r => r.getLong(0) == 99L || r.getLong(1) == 99L))
+  }
+
+  test("append uses the index's persisted replication factor") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-meta").toString
+    IvfIndex.save(spark,
+      IvfIndex.build(spark, e.filter(col("vec_id") < 250), nCells = 16, seed = 7L,
+        nReplicas = 2), dir)
+    assert(IvfIndex.load(spark, dir).nReplicas == 2)
+    val batch = e.filter(col("vec_id").between(250, 259))
+    IvfIndex.append(spark, dir, batch)
+    // each appended vector got TWO cell rows — build-time replication, not
+    // a caller-supplied default
+    val appended = IvfIndex.load(spark, dir).cells
+      .filter(col("vec_id").between(250, 259))
+    assert(appended.count() == 2 * batch.count())
+    assert(appended.select("vec_id", "cell").distinct().count() == 2 * batch.count())
+  }
+
   test("multi-assignment places each vector in n distinct cells; search dedups") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val idx = IvfIndex.build(spark, e, nCells = 16, seed = 7L, nReplicas = 2)

@@ -26,6 +26,32 @@ class MinHashIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("generic Compaction is the index's maintenance op: append residue collapses, queries unchanged") {
+    // continuousFuzzyDedup appends per-batch signature files into the index
+    // dir; the index is a FLAT parquet table, so sources.Compaction.compact
+    // (not index-specific code) is its small-files maintenance — pin that
+    val dir = java.nio.file.Files.createTempDirectory("mhidx-append").toString
+    val docs = Tables.documents(spark, sf)
+    MinHashIndex.save(MinHashIndex.build(docs.filter(col("doc_id") < 100)), dir)
+    MinHashIndex.build(docs.filter(col("doc_id").between(100, 199)))
+      .write.mode("append").parquet(dir)
+    MinHashIndex.build(docs.filter(col("doc_id").between(200, 249)))
+      .write.mode("append").parquet(dir)
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) > 1, "appends should leave multiple files")
+    val before = MinHashIndex.query(MinHashIndex.load(spark, dir),
+        docs.filter(col("doc_id") >= 250))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compacted = java.nio.file.Files.createTempDirectory("mhidx-compact").toString
+    graft.sources.Compaction.compact(spark, dir, compacted, "doc_id")
+    assert(parquetFiles(compacted) == 1, "small index should compact to one file")
+    val after = MinHashIndex.query(MinHashIndex.load(spark, compacted),
+        docs.filter(col("doc_id") >= 250))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before && after.nonEmpty)
+  }
+
   test("index round-trips through parquet and finds exactly the cross-boundary pairs") {
     val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
     val docs = Tables.documents(spark, sf)

@@ -58,6 +58,30 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(inc == full && inc.nonEmpty)
   }
 
+  test("generic Compaction restores the postings term-range layout after appends") {
+    // append writes the batch's postings as new term-range files — correct
+    // but accumulating; Compaction.compact keyed on term re-establishes
+    // few files covering disjoint sorted term ranges, scores unchanged
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("invidx-resid").toString
+    InvertedIndex.build(spark, docs.filter(col("doc_id") < 250), dir, nPostingFiles = 2)
+    InvertedIndex.append(spark, docs.filter(col("doc_id") >= 250), dir, nPostingFiles = 2)
+    val terms = Seq("spark", "join", "data")
+    val before = InvertedIndex.searchBm25(spark, dir, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dest = java.nio.file.Files.createTempDirectory("invidx-comp").toString
+    graft.sources.Compaction.compact(spark, s"$dir/postings", s"$dest/postings", "term")
+    graft.sources.Compaction.compact(spark, s"$dir/doclens", s"$dest/doclens", "doc_id")
+    spark.read.parquet(s"$dir/stats").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/stats")
+    def files(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/postings") > files(s"$dest/postings"))
+    val after = InvertedIndex.searchBm25(spark, dest, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
   test("search plan pushes the term filter to the postings scan") {
     val dir = java.nio.file.Files.createTempDirectory("invidx-plan").toString
     InvertedIndex.build(spark, Tables.documents(spark, sf), dir)

@@ -222,9 +222,16 @@ object Similarity {
     // path is what runs and what the bench times; the codebook fit
     // amortizes over every query that follows.
     IvfIndex.searchTop1(s, IvfIndex.load(s, ivfDir(s, d)),
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), nProbe = 16)
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        nProbe = AnnNProbe)
       .orderBy(col("vec_id"))
   }
+
+  /** The ONE probe-count knob for the full-corpus ANN queries: the engine
+    * kernels (q45/q96) and the DuckDB oracle's `prn <=` cut interpolate
+    * this same constant, so a sweep-driven retune can't silently desync
+    * the cross-engine compare (r7 advice). */
+  private[graft] val AnnNProbe = 16
 
   /** Once-per-(session, dataset) IVF index build+save (SessionArtifacts:
     * single-flight first build, dirs reaped at JVM exit). */
@@ -249,11 +256,11 @@ object Similarity {
     val idx = IvfIndex.load(s, ivfDir(s, d))
     idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/q45_support_centroids")
+      .write.mode("overwrite").parquet(s"$outDir/_support/q45_support_centroids")
     // membership is corpus-sized — parallel write (only the k-row
     // codebook coalesces)
     idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
-      .write.mode("overwrite").parquet(s"$outDir/q45_support_cells")
+      .write.mode("overwrite").parquet(s"$outDir/_support/q45_support_cells")
   }
 
   /** M8's ANN top-K: the ranked-list form of q45 (q44 is the exact brute
@@ -266,7 +273,7 @@ object Similarity {
   val q96AnnTopk: Q = (s, d) => {
     IvfIndex.searchTopK(s, IvfIndex.load(s, ivfDir(s, d)),
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        k = 3, nProbe = 16)
+        k = 3, nProbe = AnnNProbe)
       .orderBy(col("vec_id"), col("rn"))
   }
 
@@ -363,10 +370,10 @@ object Similarity {
   private val annRankedCtes: String =
     s"""WITH cen AS (
        |  SELECT cell, centroid
-       |  FROM read_parquet('{GRAFT_OUT}/q45_support_centroids/*.parquet')),
+       |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_centroids/*.parquet')),
        |mem AS (
        |  SELECT cell, vec_id
-       |  FROM read_parquet('{GRAFT_OUT}/q45_support_cells/*.parquet')),
+       |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_cells/*.parquet')),
        |qn AS (
        |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
        |  FROM embeddings),
@@ -384,7 +391,7 @@ object Similarity {
        |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
        |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
        |    FROM qu CROSS JOIN cen)
-       |  WHERE prn <= 16),
+       |  WHERE prn <= $AnnNProbe),
        |cand AS (
        |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
        |  FROM probes p JOIN mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
@@ -399,7 +406,8 @@ object Similarity {
        |  SELECT vec_id, cand_id, cos_raw,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_raw DESC, cand_id) AS rn
-       |  FROM scored)""".stripMargin
+       |  FROM scored
+       |  WHERE NOT isnan(cos_raw))""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q45_ann_ivf" -> (annRankedCtes +

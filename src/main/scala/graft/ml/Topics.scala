@@ -47,6 +47,12 @@ object Topics {
     fitted.getOrElseUpdate((spark.sparkContext.applicationId, dir, k, topTermsK),
       fitUncached(spark, dir, k, topTermsK))
 
+  /** Cap on the rows the iterative KMeans fit reads (the codebook
+    * sample-fit bound — see the fit-input note in [[fitUncached]]). Test
+    * corpora sit far below it, so the certified report hashes are
+    * unaffected; at corpus scale the fit cost is bounded by this, not N. */
+  private[graft] val maxFitRows: Long = 50000L
+
   /** Fit the pipeline and produce the three reference report tables. */
   private def fitUncached(spark: SparkSession, dir: String, k: Int, topTermsK: Int): TopicModel = {
     val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -79,9 +85,21 @@ object Topics {
     // iterations: the topic report needs a stable partition of the space,
     // not a converged objective (same argument as the q45 IVF codebook);
     // determinism comes from the seed either way.
+    // SAMPLE-FIT (the IvfIndex.build maxFitRows pattern): the centroids
+    // partition space — they don't need every row, so the iterative fit
+    // reads a bounded seeded sample and only the single-pass assign kernel
+    // below touches the full corpus. At 100× scale the 5 KMeans iterations
+    // cost 5 passes over maxFitRows rows, not 5 corpus passes. Below the
+    // bound the sample IS the corpus (sample() would change the fit input
+    // ordering and thus the report hashes for nothing).
+    val nDocs = features.count() // materializes the cache in the same pass
+    val fitInput =
+      if (nDocs > maxFitRows)
+        features.sample(withReplacement = false, maxFitRows.toDouble / nDocs, 42L)
+      else features
     val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setInitMode("random")
       .setFeaturesCol("features")
-      .fit(features)
+      .fit(fitInput)
     // per-doc topic ASSIGNMENT + DISTRIBUTION from ONE kernel: euclidean
     // distance to each centroid → argmin = the topic, softmax over negative
     // distance = the probs — the engine twin of BERTopic's

@@ -204,10 +204,21 @@ object IvfIndex {
     * safe at any scale; filtering the cell table on it becomes a PARTITION
     * filter when the index was loaded from [[save]]'s partitionBy("cell")
     * layout — unprobed cells are never read, so a small query batch scans
-    * only its probed fraction of the index. Costs one extra narrow pass
-    * over the query embeddings to enumerate the probed cells. The select
+    * only its probed fraction of the index. The select
     * normalizes column order and the cell type (partition-column read-back
-    * is int, fresh builds are long). */
+    * is int, fresh builds are long).
+    *
+    * The probe routing is computed ONCE: the flatMap feeds both the
+    * collected probed-cell set and the search union, so without a barrier
+    * the query embeddings would be scanned twice per search (once for the
+    * collect, once lazily under the shuffle). localCheckpoint(eager)
+    * materializes the routed probes in the block manager
+    * (MEMORY_AND_DISK — spills, never OOMs) and truncates lineage, so the
+    * query side is READ EXACTLY ONCE and the union serves from blocks.
+    * Size is nProbe rows per query vector — proportional to the query
+    * BATCH, not the corpus (the full-corpus certification queries are the
+    * worst case and still only nProbe× their own input). Blocks free with
+    * the dataset (ContextCleaner). */
   private def probedMembersAndProbes(spark: SparkSession, index: IvfIndex,
       queries: DataFrame, nProbe: Int)
       : (org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)],
@@ -218,6 +229,7 @@ object IvfIndex {
       .flatMap { case (id, v) =>
         nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, true))
       }
+      .localCheckpoint(true)
     val probedCells = probes.map(_._1).distinct().collect().sorted
     val members =
       if (probedCells.isEmpty) spark.emptyDataset[(Long, Long, Array[Float], Boolean)]

@@ -53,25 +53,30 @@ object Ml {
 
   /** Oracle support for the topic-model queries (run by Verify before the
     * DuckDB compare): the fitted model PARAMETERS as plain parquet under
-    * outDir — per-doc feature vectors, the k centroids, the stopword list
-    * that defines the outlier channel, and the fitted vocabulary that
-    * scopes the term reports. The oracle recomputes everything downstream
-    * of these (tokenize → outlier flag; distance → softmax → argmin;
-    * counts → pct; term counts → c-TF-IDF ranking; centroid cosines),
-    * certifying the engine's serving math rather than trusting it. */
+    * `$outDir/_support/` — per-doc feature vectors, the k centroids, the
+    * stopword list that defines the outlier channel, and the fitted
+    * vocabulary that scopes the term reports. The oracle recomputes
+    * everything downstream of these (tokenize → outlier flag; distance →
+    * softmax → argmin; counts → pct; term counts → c-TF-IDF ranking;
+    * centroid cosines), certifying the engine's serving math rather than
+    * trusting it. The nested `_support` dir keeps the parameter tables out
+    * of the driver checker's query enumeration (it treats every top-level
+    * parquet dir in outDir as a query result — array-typed columns crash
+    * its pandas sort); the same layout as the ANN support tables
+    * (Similarity.writeAnnSupport). */
   def writeTopicSupport(s: org.apache.spark.sql.SparkSession, d: String,
       outDir: String): Unit = {
     import s.implicits._
     val model = Topics.fit(s, d)
     Embed.embedDocuments(s, d)
-      .write.mode("overwrite").parquet(s"$outDir/q94_support_features")
+      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_features")
     model.centroids.zipWithIndex.map { case (c, t) => (t, c) }.toSeq
       .toDF("ctopic", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/q94_support_centroids")
+      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_centroids")
     Topics.CustomStopwords.toSeq.toDF("sw").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/q94_support_stopwords")
+      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_stopwords")
     model.vocab.toSeq.toDF("term").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/q51_support_vocab")
+      .write.mode("overwrite").parquet(s"$outDir/_support/q51_support_vocab")
   }
 
   /** K6 viz data: topic-similarity heatmap table (the data behind the
@@ -104,13 +109,13 @@ object Ml {
   private val assignCtes: String =
     """WITH f AS (
       |  SELECT doc_id, embedding
-      |  FROM read_parquet('{GRAFT_OUT}/q94_support_features/*.parquet')),
+      |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_features/*.parquet')),
       |c AS (
       |  SELECT ctopic, centroid
-      |  FROM read_parquet('{GRAFT_OUT}/q94_support_centroids/*.parquet')),
+      |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_centroids/*.parquet')),
       |sw AS (
       |  SELECT list(sw) AS sws
-      |  FROM read_parquet('{GRAFT_OUT}/q94_support_stopwords/*.parquet')),
+      |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_stopwords/*.parquet')),
       |outl AS (
       |  SELECT d.doc_id,
       |    len([t for t in regexp_split_to_array(lower(d.text), '\W+')
@@ -163,7 +168,7 @@ object Ml {
     "q51_topic_terms" -> (assignCtes +
       """,
         |vocab AS (
-        |  SELECT term FROM read_parquet('{GRAFT_OUT}/q51_support_vocab/*.parquet')),
+        |  SELECT term FROM read_parquet('{GRAFT_OUT}/_support/q51_support_vocab/*.parquet')),
         |toks AS (
         |  SELECT d.doc_id,
         |    unnest([t for t in regexp_split_to_array(lower(d.text), '\W+')
@@ -189,7 +194,7 @@ object Ml {
     "q95_topic_heatmap" ->
       """WITH c AS (
         |  SELECT ctopic, centroid
-        |  FROM read_parquet('{GRAFT_OUT}/q94_support_centroids/*.parquet'))
+        |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_centroids/*.parquet'))
         |SELECT a.ctopic AS topic_a, b.ctopic AS topic_b,
         |  round(
         |    list_sum([a.centroid[i] * b.centroid[i]

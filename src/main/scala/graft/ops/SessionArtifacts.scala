@@ -43,6 +43,12 @@ object SessionArtifacts {
     true
   }
 
+  /** The already-built artifact directory for (kind, session, dataset), if
+    * a [[dir]] call has populated one — a read-only peek for diagnostics
+    * and tests (never builds). */
+  def existing(kind: String, spark: SparkSession, dataset: String): Option[String] =
+    holders.get((kind, spark.sparkContext.applicationId, dataset)).map(_.value)
+
   /** The artifact directory for (kind, session, dataset); `build` runs once,
     * receiving a fresh temp dir to populate. */
   def dir(kind: String, spark: SparkSession, dataset: String)(build: String => Unit): String = {

@@ -233,6 +233,15 @@ object Similarity {
     * the cross-engine compare (r7 advice). */
   private[graft] val AnnNProbe = 16
 
+  /** q99's serving knobs: batch size × nProbe < nCells (10·3 < 32) BY
+    * CONSTRUCTION, so the probed-cell partition filter selects a strict
+    * subset of the index no matter how the batch routes — the query's
+    * whole point is certifying the PRUNED path (see [[q99AnnServe]]).
+    * Interpolated into both the kernel call and the oracle's `prn <=`
+    * cut, like [[AnnNProbe]]. */
+  private[graft] val ServeNProbe = 3
+  private[graft] val ServeBatchMaxId = 10L
+
   /** Once-per-(session, dataset) IVF index build+save (SessionArtifacts:
     * single-flight first build, dirs reaped at JVM exit). */
   private def ivfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
@@ -274,6 +283,26 @@ object Similarity {
     IvfIndex.searchTopK(s, IvfIndex.load(s, ivfDir(s, d)),
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         k = 3, nProbe = AnnNProbe)
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** M8's PRODUCTION serving shape, certified: a fixed small query batch
+    * (10 vectors) against the saved full-corpus index. q45/q96 use the
+    * whole corpus as the batch, which probes every cell — correct, but the
+    * partition-pruned read path they're built for never prunes there. Here
+    * batch × nProbe < nCells by construction ([[ServeNProbe]]), so the
+    * member scan's partition filter selects a STRICT subset of the cell
+    * directories (plan- and subset-asserted in IvfIndexSpec/PlanAuditSpec)
+    * — at 100 TB this scan cost is the probed fraction of the index, not
+    * the corpus. Same oracle pattern as q45/q96: given the exported index,
+    * DuckDB recomputes routing, candidates, cosine, and ranking for the
+    * batch, so the pruned path's ANSWERS are hash-certified, not just its
+    * plan shape. */
+  val q99AnnServe: Q = (s, d) => {
+    IvfIndex.searchTopK(s, IvfIndex.load(s, ivfDir(s, d)),
+        Tables.embeddings(s, d).filter(col("vec_id") < ServeBatchMaxId)
+          .select(col("vec_id"), col("embedding")),
+        k = 3, nProbe = ServeNProbe)
       .orderBy(col("vec_id"), col("rn"))
   }
 
@@ -352,6 +381,7 @@ object Similarity {
     "q44_knn_brute"    -> q44KnnBrute,
     "q45_ann_ivf"      -> q45AnnIvf,
     "q96_ann_topk"     -> q96AnnTopk,
+    "q99_ann_serve"    -> q99AnnServe,
     "q74_embed_dedup"  -> q74EmbedDedup,
   )
 
@@ -365,9 +395,11 @@ object Similarity {
     * probe routing (with the kernel's float32 rounding of the normalized
     * components and its stable squared-L2/cell-id tie-break), candidates
     * from the probed cells with replica collapse (DISTINCT), raw-vector
-    * cosine, ranking by (cos desc, id asc). `ranked` feeds both the top-1
-    * (q45) and top-3 (q96) selects. */
-  private val annRankedCtes: String =
+    * cosine, ranking by (cos desc, id asc). `ranked` feeds the top-1
+    * (q45) and top-3 (q96) selects over the full-corpus batch, and q99's
+    * pruned small-batch serve via `batchWhere`/`nProbe` (the engine calls
+    * interpolate the same constants, so the compare can't desync). */
+  private def annRankedCtes(batchWhere: String, nProbe: Int): String =
     s"""WITH cen AS (
        |  SELECT cell, centroid
        |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_centroids/*.parquet')),
@@ -376,7 +408,7 @@ object Similarity {
        |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_cells/*.parquet')),
        |qn AS (
        |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
-       |  FROM embeddings),
+       |  FROM embeddings $batchWhere),
        |qu AS (
        |  SELECT vec_id,
        |    [CASE WHEN nrm = 0 THEN x
@@ -391,7 +423,7 @@ object Similarity {
        |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
        |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
        |    FROM qu CROSS JOIN cen)
-       |  WHERE prn <= $AnnNProbe),
+       |  WHERE prn <= $nProbe),
        |cand AS (
        |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
        |  FROM probes p JOIN mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
@@ -410,11 +442,17 @@ object Similarity {
        |  WHERE NOT isnan(cos_raw))""".stripMargin
 
   def oracle: Map[String, String] = Map(
-    "q45_ann_ivf" -> (annRankedCtes +
+    "q45_ann_ivf" -> (annRankedCtes("", AnnNProbe) +
       """
         |SELECT vec_id, cand_id AS nn_id, round(cos_raw, 4) AS cos
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin),
-    "q96_ann_topk" -> (annRankedCtes +
+    "q96_ann_topk" -> (annRankedCtes("", AnnNProbe) +
+      """
+        |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
+        |  round(cos_raw, 4) AS cos
+        |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
+    "q99_ann_serve" -> (
+      annRankedCtes(s"WHERE vec_id < $ServeBatchMaxId", ServeNProbe) +
       """
         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
         |  round(cos_raw, 4) AS cos

@@ -150,6 +150,26 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"expected a partition filter on cell in q45's member scan:\n$p")
   }
 
+  test("q99: the small-batch serve probes a STRICT subset of the index cells") {
+    // q45/q96 use the whole corpus as the query batch, so every cell is
+    // probed and the partition filter selects everything — q99 is the
+    // production shape (10 queries × 3 probes < 32 cells by construction),
+    // and the scan must both CARRY the partition filter and SELECT fewer
+    // partitions than the index has
+    val p = plan("q99_ann_serve")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a partition filter on cell in q99's member scan:\n$p")
+    val probed = graft.ops.IvfIndex.probedCells(spark,
+      graft.ops.IvfIndex.load(spark, graft.ops.SessionArtifacts.existing("ivf-q45", spark, sf)
+        .getOrElse(fail("q45 index dir missing after planning q99"))),
+      Tables.embeddings(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+        .select("vec_id", "embedding"),
+      nProbe = 3)
+    assert(probed.length < 32 && probed.nonEmpty,
+      s"expected a strict subset of the 32 cells, probed ${probed.length}")
+  }
+
   test("q96: the ranked merge costs one exchange beyond the cell shuffle") {
     // fused probe shuffle (by cell) + one bounded per-query merge (by
     // vec_id) — the r7 rework removed the extra (vec_id, cand_id) exchange

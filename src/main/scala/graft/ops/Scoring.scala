@@ -316,6 +316,27 @@ object Scoring {
       sum(col("bl")).as("bad_lang"))
   }
 
+  /** The row-level half of the q98 gate, shared with
+    * [[graft.pipelines.TrainingData.run]]'s admission stage: flags each doc
+    * ADMISSIBLE iff its id is unique in the batch, its text is present, and
+    * n_chars is self-consistent — the structural rules every downstream
+    * stage depends on (dedup keys on doc_id, gates read text, mixing
+    * multiplies by md5(doc_id)). q98's remaining rules (n_chars bounds,
+    * language whitelist) are corpus-calibrated report thresholds, not
+    * admission structure. Same scale shape as q98: per-id partial
+    * aggregation, ONE shuffle on doc_id, then a co-partitioned join back
+    * (no countDistinct Expand, no window over the corpus). Appends a
+    * boolean `_expect_ok`; callers split/drop it. */
+  def expectationsChecked(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val idCounts = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("_id_n"))
+    docs.join(idCounts, Seq("doc_id"))
+      .withColumn("_expect_ok",
+        col("_id_n") === 1 && col("text").isNotNull &&
+          col("n_chars") === length(col("text")))
+      .drop("_id_n")
+  }
+
   // ---------------------------------------------------------------- q93
 
   /** BM25 THROUGH THE PERSISTED INVERTED INDEX (ops.InvertedIndex): build

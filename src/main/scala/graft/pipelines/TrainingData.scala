@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.ops.{BloomSketch, Dedup, TextOps}
+import graft.ops.{BloomSketch, Dedup, Scoring, TextOps}
 import graft.sources.ShardExport
 
 /** END-TO-END training-data preparation — the full composition a
@@ -61,21 +61,48 @@ object TrainingData {
     * @param gate     rule-gate calibration for stage 0 (the q97-certified
     *                 Gopher-style gate; [[DefaultGate]] keeps only a
     *                 word-count floor)
-    * @return funnel summary (stage, docs) — input, gated, clean,
-    *         decontaminated, mixed rows, plus per-stage detail persisted
-    *         nowhere else
+    * @param quarantineDir where rows breaching the data EXPECTATIONS
+    *                 (duplicate doc_id, null text, inconsistent n_chars —
+    *                 the q98-certified gate's structural rules) are
+    *                 written; None (the default) makes any breach FAIL the
+    *                 run instead — a corrupt batch should stop a
+    *                 training-data export, not silently shrink it
+    * @return funnel summary (stage, docs) — input, validated, gated,
+    *         clean, decontaminated, mixed rows, plus per-stage detail
+    *         persisted nowhere else
     */
   def run(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
       weights: DataFrame, outDir: String, nShards: Int = 8,
       maxRecordsPerFile: Int = 1 << 20,
-      gate: TextOps.RuleGateConfig = DefaultGate): DataFrame = {
+      gate: TextOps.RuleGateConfig = DefaultGate,
+      quarantineDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val input = docs.cache()
+
+    // -1. EXPECTATIONS GATE (the q98-certified deequ-style validation as
+    // admission control): the structural rules every later stage depends
+    // on are checked BEFORE any stage runs. Breaches either fail the run
+    // (default — garbage in must not become training data out) or
+    // quarantine for offline triage; either way no breaching row proceeds.
+    val checked = Scoring.expectationsChecked(input).cache()
+    val breached = checked.filter(!col("_expect_ok"))
+    val nBreached = breached.count()
+    if (nBreached > 0) quarantineDir match {
+      case Some(qd) => breached.drop("_expect_ok")
+        .write.mode("overwrite").parquet(qd)
+      case None =>
+        checked.unpersist(); input.unpersist()
+        throw new IllegalStateException(
+          s"expectations breach: $nBreached rows (duplicate doc_id, null " +
+            "text, or inconsistent n_chars); pass quarantineDir to divert " +
+            "instead of failing")
+    }
+    val validated = checked.filter(col("_expect_ok")).drop("_expect_ok").cache()
 
     // 0. RULE GATE — the q97-certified Gopher-style heuristic filter as a
     // narrow predicate pass (TextOps.ruleGateKeep): no shuffle, runs ahead
     // of every shuffling stage so dedup/decontam never see gated docs
-    val gated = input.filter(TextOps.ruleGateKeep(gate)).cache()
+    val gated = validated.filter(TextOps.ruleGateKeep(gate)).cache()
 
     // 1. quality gate + exact dedup + fuzzy canonicalization (q79).
     // cache: the clean set feeds BOTH the funnel count and the
@@ -117,6 +144,7 @@ object TrainingData {
 
     val summary = Seq(
       ("input", input.count()),
+      ("validated", validated.count()),
       ("gated", gated.count()),
       ("clean", clean.count()),
       ("decontaminated", decontaminated.count()),
@@ -125,6 +153,8 @@ object TrainingData {
     decontaminated.unpersist()
     clean.unpersist()
     gated.unpersist()
+    validated.unpersist()
+    checked.unpersist()
     input.unpersist()
     summary
   }

@@ -49,9 +49,11 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
         nShards = 8, maxRecordsPerFile = 10, gate = gate)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // funnel: 25 in; -1 short (rule gate) => 24 gated; -1 exact clone,
-    // -1 near-dup => 22 clean; -1 contaminated => 21
+    // funnel: 25 in, all structurally valid => 25 validated; -1 short
+    // (rule gate) => 24 gated; -1 exact clone, -1 near-dup => 22 clean;
+    // -1 contaminated => 21
     assert(summary("input") == 25L)
+    assert(summary("validated") == 25L, s"validated stage: $summary")
     assert(summary("gated") == 24L, s"gate stage: $summary")
     assert(summary("clean") == 22L, s"clean stage: $summary")
     assert(summary("decontaminated") == 21L, s"decontam stage: $summary")
@@ -76,5 +78,50 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       col("shard") =!= ShardExport.shardAssignment(col("doc_id"), 8)).count()
     assert(bad == 0)
     out.unpersist()
+  }
+
+  // a batch with structural breaches: doc 2 duplicates doc 1's id, doc 4
+  // lies about its length, doc 5 has no text — only 3 and 6 are
+  // admissible (their texts are unrelated, so dedup keeps both)
+  private def breachedDocs = {
+    val longA = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val longB = ("north south east west river mountain valley plain " * 8).trim
+    Seq(
+      (1L, longA + " one", "srcA", (longA + " one").length),
+      (1L, longA + " dup", "srcA", (longA + " dup").length), // duplicate id
+      (3L, longA + " three", "srcA", (longA + " three").length),
+      (4L, longA + " four", "srcA", 7),                      // n_chars lie
+      (5L, null.asInstanceOf[String], "srcA", 12),           // null text
+      (6L, longB + " six", "srcB", (longB + " six").length),
+    ).toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  test("expectations gate FAILS the run on a breached batch by default") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tdp-fail").toString
+    val ex = intercept[IllegalStateException] {
+      TrainingData.run(spark, breachedDocs, Seq("completely unrelated held out eval question answer text").toDF("text"),
+        TrainingData.flatWeights(spark, Seq("srcA", "srcB")), outDir)
+    }
+    assert(ex.getMessage.contains("expectations breach: 4 rows"), ex.getMessage)
+  }
+
+  test("expectations gate quarantines breaching rows and admits the rest") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tdp-q").toString
+    val qDir = java.nio.file.Files.createTempDirectory("graft-tdp-quar").toString + "/q"
+    val summary = TrainingData.run(spark, breachedDocs,
+        Seq("completely unrelated held out eval question answer text").toDF("text"),
+        TrainingData.flatWeights(spark, Seq("srcA", "srcB")), outDir,
+        quarantineDir = Some(qDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary("input") == 6L)
+    assert(summary("validated") == 2L, s"only docs 3 and 6 admit: $summary")
+    val quarantined = spark.read.parquet(qDir)
+    assert(quarantined.count() == 4L)
+    assert(quarantined.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 1L, 4L, 5L))
+    // no breaching row reaches the shards
+    val shipped = spark.read.parquet(outDir).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(shipped == Seq(3L, 6L), s"unexpected shards: $shipped")
   }
 }

@@ -168,16 +168,38 @@ object Incremental {
     * AT-LEAST-ONCE on failure replay (foreachBatch's contract: a crash
     * between the parquet commit and the checkpoint re-appends that
     * batch); duplicates never change top-1 answers (argmax) and
-    * [[graft.ops.IvfIndex.compactTo]] reconciles them exactly — run it as
-    * the periodic maintenance step. Codebook drift is the documented
-    * limit (periodic offline rebuild re-centers the cells). */
+    * [[graft.ops.IvfIndex.compactTo]] reconciles them exactly —
+    * `compactEvery` automates that maintenance: every N appended batches
+    * the index is compacted into a sibling directory and swapped in, so
+    * the per-cell file count stays bounded by N×(files per append) and
+    * replay-duplicated rows are reconciled ON CADENCE, not by an operator
+    * remembering to run a tool. The cadence keys off the CHECKPOINTED
+    * batchId, so it survives restarts (a replayed batch re-lands on the
+    * same schedule). The swap is two renames through the Hadoop
+    * FileSystem — effectively atomic on HDFS/posix; an object-store
+    * deployment would indirect through a manifest pointer instead
+    * (documented trade; the layout itself is store-agnostic parquet).
+    * Codebook drift is the documented limit (periodic offline rebuild
+    * re-centers the cells). */
   def continuousAnnIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery = {
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.IvfIndex.append(batch.sparkSession, indexDir, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.ops.IvfIndex.append(s, indexDir, batch)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val path = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val compacted = new org.apache.hadoop.fs.Path(s"${indexDir}_compacting")
+          val retired = new org.apache.hadoop.fs.Path(s"${indexDir}_retired")
+          fs.delete(compacted, true); fs.delete(retired, true)
+          graft.ops.IvfIndex.compactTo(s, indexDir, compacted.toString)
+          require(fs.rename(path, retired) && fs.rename(compacted, path),
+            s"index swap failed for $indexDir")
+          fs.delete(retired, true)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

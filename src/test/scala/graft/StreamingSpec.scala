@@ -222,6 +222,57 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getDouble(2) == 1.0, s"expected cos 1.0: $r"))
   }
 
+  test("ANN ingest compaction cadence bounds per-cell files and reconciles replay") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft-anncompact").toString
+    val in = s"$base/in"; val idx = s"$base/index"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    graft.ops.IvfIndex.save(spark,
+      graft.ops.IvfIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+        nCells = 8, seed = 7L), idx)
+    val built = spark.read.parquet(s"$idx/cells").count()
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(s"$idx/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map { cd =>
+          cd.getName -> cd.listFiles().count(_.getName.endsWith(".parquet"))
+        }.toMap
+
+    // batch 0 (cadence 2): appends land, no compaction yet
+    val b1 = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
+    b1.write.parquet(s"$in/b1")
+    Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
+      compactEvery = 2)
+    assert(filesPerCell.values.exists(_ > 1),
+      "append residue expected before the cadence fires")
+
+    // simulate foreachBatch's at-least-once replay: a crash AFTER b2's
+    // parquet commit but BEFORE its checkpoint — the orphaned append is on
+    // disk, and the restarted stream re-appends the same batch
+    val b2 = e.filter(col("vec_id") % 2 === 1 && col("vec_id") >= 100)
+    graft.ops.IvfIndex.append(spark, idx, b2) // the orphaned commit
+    b2.write.parquet(s"$in/b2")
+    Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
+      compactEvery = 2)
+
+    // batchId 1 completed the cadence: one file per cell, replay residue gone
+    val after = filesPerCell
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"expected one file per cell after compaction: $after")
+    val cells = spark.read.parquet(s"$idx/cells")
+    assert(cells.count() == built + b1.count() + b2.count(),
+      "replayed rows must be reconciled exactly once")
+    assert(cells.select("cell", "vec_id").distinct().count() == cells.count())
+    // the swapped-in index still serves
+    val got = graft.ops.IvfIndex.searchTop1(spark,
+      graft.ops.IvfIndex.load(spark, idx),
+      e.filter(col("vec_id") < 5), nProbe = 4).collect()
+    assert(got.length == 5)
+  }
+
   test("watermarked windowed aggregation over the events table matches the batch form") {
     val evSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** HTML→text post extraction (SURVEY C8/C9; reference
   * /root/reference/code/htmlConverter.py:12-43).
@@ -21,8 +20,11 @@ import org.apache.spark.sql.functions.udf
   *      (htmlConverter.py:43); no wrapper → empty string (:18-19).
   *
   * Scale: a pure per-row scalar — narrow map, no shuffle, parallel across
-  * partitions. Registered as a UDF; the per-row cost is the string scan
-  * itself, which whole-stage codegen would not improve materially.
+  * partitions. The Column/SQL form is a native codegen expression
+  * ([[graft.plans.HtmlPostText]]): the scan kernel itself is plain JVM
+  * code either way, but the expression keeps the CALLING projection inside
+  * whole-stage codegen (the old UDF forced an interpreted boundary and a
+  * String serialization shim per row).
   */
 object Html {
 
@@ -131,8 +133,9 @@ object Html {
     wrappers.mkString(" ")
   }
 
-  /** Column form: `html_post_text(html)`. */
-  val htmlPostText = udf((html: String) => postText(html))
-
-  def html_post_text(c: Column): Column = htmlPostText(c)
+  /** Column form: `html_post_text(html)` — the native expression. */
+  def html_post_text(c: Column): Column = {
+    import org.apache.spark.sql.graft.GraftInternal
+    GraftInternal.column(graft.plans.HtmlPostText(GraftInternal.expression(c)))
+  }
 }

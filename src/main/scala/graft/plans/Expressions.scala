@@ -86,6 +86,58 @@ case class DmsToDecimal(child: Expression) extends UnaryExpression {
   override def prettyName: String = "dms_to_decimal"
 }
 
+/** Static kernel behind [[HtmlPostText]]: the tolerant single-pass HTML
+  * scanner ([[graft.functions.Html.postText]]) bridged to UTF8String.
+  * The scanner itself stays plain JVM code (a stateful character walk
+  * gains nothing from codegen); what the expression buys over the old UDF
+  * is the BOUNDARY — no Scala-UDF serialization shim, and the projection
+  * that calls it stays inside whole-stage codegen, so an extract →
+  * tokenize → filter pipeline (q30/q79 shape) compiles to one loop. */
+object HtmlPostTextKernel {
+  def postText(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.functions.Html.postText(if (s == null) null else s.toString))
+}
+
+/** `html_post_text(html)` as a native expression. Contract matches the
+  * reference converter and the previous UDF exactly: never null — a null
+  * or wrapper-less page extracts to the empty string
+  * (htmlConverter.py:18-19), so the output is a total function of the
+  * input and downstream non-empty filters do the dropping. */
+case class HtmlPostText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"html_post_text expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  // override eval, not nullSafeEval: null INPUT produces a VALUE ("")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HtmlPostTextKernel.postText(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cls = HtmlPostTextKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = $cls.postText(
+          ${childGen.isNull} ? null : ${childGen.value});
+        """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlPostText =
+    copy(child = newChild)
+
+  override def prettyName: String = "html_post_text"
+}
+
 /** Static kernel behind [[CosineSim]]. Reads `ArrayData` directly — no
   * array materialization, no boxing — and fuses the three accumulators in
   * one pass. Each accumulator sums in index order, so results are

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dmsToDecimalDescriptor)
     e.injectFunction(GraftExtensions.cosineSimDescriptor)
     e.injectFunction(GraftExtensions.kmvDistinctDescriptor)
+    e.injectFunction(GraftExtensions.htmlPostTextDescriptor)
     // custom Rule[LogicalPlan]: declarative top-k window → bounded-heap plan
     e.injectOptimizerRule(_ => TopKRewrite)
     // custom whole-operator strategies
@@ -45,6 +46,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
     (children: Seq[Expression]) => KmvDistinct(children(0), children(1)))
 
+  private[plans] val htmlPostTextDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("html_post_text"),
+    new ExpressionInfo(classOf[HtmlPostText].getName, "html_post_text"),
+    (children: Seq[Expression]) => HtmlPostText(children.head))
+
   /** Register the engine functions, optimizer rule, and planner strategies
     * on an already-built session (covers the driver-constructed sessions in
     * Verify/Bench/tests). */
@@ -57,8 +64,10 @@ object GraftExtensions {
     // registry into an AggregateExpression during resolution
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_distinct", exprs => KmvDistinct(exprs(0), exprs(1)), "scala_udf")
-    spark.udf.register("html_post_text",
-      (html: String) => graft.functions.Html.postText(html))
+    // native expression (was a Scala UDF pre-r9): SQL users get the same
+    // codegen form as the Column API
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_post_text", exprs => HtmlPostText(exprs.head), "scala_udf")
     // winnowing fingerprint for SQL users: normalize exactly like
     // TextFns.normText (collapse \s+ to single spaces, trim the single
     // boundary space the collapse can leave), then the MOSS kernel

@@ -115,6 +115,89 @@ object ScaleSmoke {
             .select((col("vec_id") + 90_000_000L).as("vec_id"), col("embedding"))))
       scaled.unpersist()
     }
+    // PROBE-SCHEDULE SWEEP at 16x/64x: as the corpus grows, nCells grows
+    // as sqrt(N) and the question is what FRACTION of cells a query must
+    // probe to hold top-1 agreement — the recall-vs-scan-fraction
+    // frontier that decides the production schedule. Copies are
+    // INDEPENDENT uniform vectors (hash-synthesized, same distribution as
+    // the base): duplicating OR jittering the base would plant a
+    // same-cell near-twin for every query, making any schedule read as
+    // perfect recall (measured: the jittered variant scored 1.000
+    // everywhere).
+    if (section == "all" || section == "probe") {
+      import spark.implicits._
+      val baseVecs = emb.as[(Long, Array[Float])]
+      for (mult <- Seq(16, 64)) {
+        val scaled = (0 until mult).map { k =>
+          if (k == 0) baseVecs
+          else baseVecs.map { case (id, v) =>
+            val out = new Array[Float](v.length)
+            var i = 0
+            while (i < v.length) {
+              // splitmix-style hash of (copy, id, component) -> [-0.5, 0.5)
+              var h = (id + k.toLong * 10_000_000L) * 0x9E3779B97F4A7C15L +
+                i.toLong * 0xBF58476D1CE4E5B9L
+              h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+              out(i) = (((h & 0xFFFFFFL).toDouble / (1 << 24)) - 0.5).toFloat
+              i += 1
+            }
+            (id + k * 10_000_000L, out)
+          }
+        }.reduce(_ union _).toDF("vec_id", "embedding").cache()
+        val rows = scaled.count()
+        val nCells = (32 * math.sqrt(mult)).toInt
+        println(s"[scale] ===== probe sweep mult=$mult rows=$rows cells=$nCells =====")
+        val dir = java.nio.file.Files.createTempDirectory("smoke-probe").toString
+        time(s"mult=$mult ivf build+save (cells=$nCells)")(
+          graft.ops.IvfIndex.save(spark,
+            graft.ops.IvfIndex.build(spark, scaled, nCells = nCells, seed = 7L,
+              nReplicas = 2), dir))
+        val idx = graft.ops.IvfIndex.load(spark, dir)
+        val batch = scaled.filter(col("vec_id") < 200).cache()
+        // exact truth for the batch, driver-side (200 x N x dim flops)
+        val all = scaled.as[(Long, Array[Float])].collect()
+        val qs = batch.as[(Long, Array[Float])].collect()
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          dp / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val truth = qs.map { case (qid, qv) =>
+          var bid = Long.MaxValue; var bcos = Double.NegativeInfinity
+          all.foreach { case (cid, cv) =>
+            if (cid != qid) {
+              val c = cos(qv, cv)
+              if (c > bcos || (c == bcos && cid < bid)) { bcos = c; bid = cid }
+            }
+          }
+          qid -> bid
+        }.toMap
+        // per-query scan share is nProbe/nCells × cell balance; report the
+        // balance once so the frac→cost mapping is honest
+        val sizes = idx.cells.groupBy(col("cell")).count()
+          .select(max(col("count")), avg(col("count"))).head()
+        println(f"[scale] mult=$mult cell balance max/avg=" +
+          f"${sizes.getLong(0).toDouble / sizes.getDouble(1)}%.2f")
+        for (frac <- Seq(0.0625, 0.125, 0.25, 0.5)) {
+          val nProbe = math.max(8, math.round(frac * nCells).toInt)
+          val got = graft.ops.IvfIndex.searchTop1(spark, idx, batch, nProbe = nProbe)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val agree = got.count { case (q, nn) => truth.get(q).contains(nn) }
+          // per-QUERY scan fraction: each query reads its own nProbe cells
+          // (the 200-query batch union would read nearly all cells — the
+          // pruned-read story for small batches lives in the ann section
+          // and q99; here the question is recall per scanned fraction)
+          println(f"[scale] mult=$mult frac=$frac%.4f probe=$nProbe%3d " +
+            f"agreement=${agree.toDouble / truth.size}%.3f " +
+            f"perQueryScanFraction=${nProbe.toDouble / nCells}%.3f")
+        }
+        batch.unpersist()
+        scaled.unpersist()
+      }
+    }
     spark.stop()
   }
 }

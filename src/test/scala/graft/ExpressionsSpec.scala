@@ -181,6 +181,34 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("HtmlPostText compiles under CODEGEN_ONLY and keeps the UDF's null contract") {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      graft.plans.GraftExtensions.register(spark)
+      val rows = Seq(
+        Some("""<div class="post--card--wrapper">Hello <b>world</b></div>"""),
+        Some("""<div class="other">nope</div>"""),
+        None)
+        .toDF("html")
+        // compose with built-ins: the whole projection must stay codegen'd
+        .select(upper(expr("html_post_text(html)")).as("t"))
+        .collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("HELLO WORLD", "", ""),
+        "null and wrapper-less pages extract to the empty string")
+      // eval (interpreted) path agrees — constant folding uses it
+      assert(graft.plans.HtmlPostText(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.StringType))
+        .eval(null).toString == "")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("CosineSim compiles under CODEGEN_ONLY (no interpreted fallback)") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

@@ -55,6 +55,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("probeSchedule's floor binds at the certified index size") {
+    // the q45/q96 oracle SQL interpolates AnnNProbe literally; the engine
+    // calls probeSchedule(nCells) — at the certified 32-cell index the two
+    // MUST coincide or the cross-engine compare silently desyncs
+    assert(graft.ops.Similarity.probeSchedule(32) == graft.ops.Similarity.AnnNProbe)
+    // and the fraction takes over past the floor (the production schedule)
+    assert(graft.ops.Similarity.probeSchedule(128) == 32)
+    assert(graft.ops.Similarity.probeSchedule(256) == 64)
+  }
+
   test("IVF ANN top-1 agrees with exact top-1 for a healthy fraction of vectors") {
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     // exact 3-nearest for EVERY query (the brute q44 ranking, unrestricted):

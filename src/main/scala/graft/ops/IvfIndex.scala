@@ -218,7 +218,14 @@ object IvfIndex {
     * Size is nProbe rows per query vector — proportional to the query
     * BATCH, not the corpus (the full-corpus certification queries are the
     * worst case and still only nProbe× their own input). Blocks free with
-    * the dataset (ContextCleaner). */
+    * the dataset (ContextCleaner) — Dataset.persist would leak instead
+    * (CacheManager pins it for the session; no caller-visible unpersist
+    * point exists once the search DataFrame is returned). Known trade:
+    * lineage truncation means an executor lost mid-search fails the job
+    * instead of recomputing the probes — acceptable for a bounded batch
+    * (retry re-runs the search); the pre-r9 alternative re-scanned the
+    * query embeddings every search on EVERY run to buy recovery on the
+    * rare one. */
   private def probedMembersAndProbes(spark: SparkSession, index: IvfIndex,
       queries: DataFrame, nProbe: Int)
       : (org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)],

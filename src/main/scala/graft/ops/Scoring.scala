@@ -326,15 +326,26 @@ object Scoring {
     * admission structure. Same scale shape as q98: per-id partial
     * aggregation, ONE shuffle on doc_id, then a co-partitioned join back
     * (no countDistinct Expand, no window over the corpus). Appends a
-    * boolean `_expect_ok`; callers split/drop it. */
+    * boolean `_expect_ok`; callers split/drop it.
+    *
+    * Null hygiene — the gate must never LOSE a row (a validator that
+    * drops what it can't judge recreates the silent-shrink failure it
+    * exists to prevent): the join back is NULL-SAFE (`<=>` — a plain
+    * equi-join would drop null-id rows from both outcomes), a null
+    * doc_id is itself a breach, and the flag is coalesced to false so
+    * three-valued logic (null n_chars) lands in the breached set rather
+    * than in neither filter. */
   def expectationsChecked(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val idCounts = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("_id_n"))
-    docs.join(idCounts, Seq("doc_id"))
+    val idCounts = docs.groupBy(col("doc_id").as("_exp_id"))
+      .agg(count(lit(1)).as("_id_n"))
+    docs.join(idCounts, col("doc_id") <=> col("_exp_id"))
       .withColumn("_expect_ok",
-        col("_id_n") === 1 && col("text").isNotNull &&
-          col("n_chars") === length(col("text")))
-      .drop("_id_n")
+        coalesce(
+          col("doc_id").isNotNull && col("_id_n") === 1 &&
+            col("text").isNotNull && col("n_chars") === length(col("text")),
+          lit(false)))
+      .drop("_exp_id", "_id_n")
   }
 
   // ---------------------------------------------------------------- q93

@@ -43,22 +43,31 @@ object SessionArtifacts {
     true
   }
 
+  // dirs whose build COMPLETED — existing() reads this, never a Holder:
+  // forcing a holder's lazy val would run (or block on) the build, which
+  // is exactly what a read-only peek must not do
+  private val completed =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
   /** The already-built artifact directory for (kind, session, dataset), if
-    * a [[dir]] call has populated one — a read-only peek for diagnostics
-    * and tests (never builds). */
+    * a [[dir]] call has COMPLETED its build — a read-only peek for
+    * diagnostics and tests: never builds, never blocks on an in-flight or
+    * previously-failed build. */
   def existing(kind: String, spark: SparkSession, dataset: String): Option[String] =
-    holders.get((kind, spark.sparkContext.applicationId, dataset)).map(_.value)
+    completed.get((kind, spark.sparkContext.applicationId, dataset))
 
   /** The artifact directory for (kind, session, dataset); `build` runs once,
     * receiving a fresh temp dir to populate. */
   def dir(kind: String, spark: SparkSession, dataset: String)(build: String => Unit): String = {
     val key = (kind, spark.sparkContext.applicationId, dataset)
-    holders.getOrElseUpdate(key, new Holder(() => {
+    val v = holders.getOrElseUpdate(key, new Holder(() => {
       hookInstalled
       val t = java.nio.file.Files.createTempDirectory(s"graft-$kind")
       registered.add(t)
       build(t.toString)
       t.toString
     })).value
+    completed.putIfAbsent(key, v)
+    v
   }
 }

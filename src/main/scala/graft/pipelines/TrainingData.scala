@@ -87,16 +87,18 @@ object TrainingData {
     val checked = Scoring.expectationsChecked(input).cache()
     val breached = checked.filter(!col("_expect_ok"))
     val nBreached = breached.count()
-    if (nBreached > 0) quarantineDir match {
-      case Some(qd) => breached.drop("_expect_ok")
-        .write.mode("overwrite").parquet(qd)
-      case None =>
-        checked.unpersist(); input.unpersist()
-        throw new IllegalStateException(
-          s"expectations breach: $nBreached rows (duplicate doc_id, null " +
-            "text, or inconsistent n_chars); pass quarantineDir to divert " +
-            "instead of failing")
+    if (nBreached > 0 && quarantineDir.isEmpty) {
+      checked.unpersist(); input.unpersist()
+      throw new IllegalStateException(
+        s"expectations breach: $nBreached rows (duplicate or null doc_id, " +
+          "null text, or inconsistent n_chars); pass quarantineDir to " +
+          "divert instead of failing")
     }
+    // ALWAYS overwrite the quarantine dir when one is given — a clean run
+    // must clear a previous run's quarantined rows, or triage tooling
+    // reads stale breaches as this run's
+    quarantineDir.foreach(qd =>
+      breached.drop("_expect_ok").write.mode("overwrite").parquet(qd))
     val validated = checked.filter(col("_expect_ok")).drop("_expect_ok").cache()
 
     // 0. RULE GATE — the q97-certified Gopher-style heuristic filter as a

@@ -103,17 +103,17 @@ object HtmlPostTextKernel {
   * reference converter and the previous UDF exactly: never null — a null
   * or wrapper-less page extracts to the empty string
   * (htmlConverter.py:18-19), so the output is a total function of the
-  * input and downstream non-empty filters do the dropping. */
-case class HtmlPostText(child: Expression) extends UnaryExpression {
+  * input and downstream non-empty filters do the dropping.
+  * ImplicitCastInputTypes keeps the UDF's coercion: a SQL NULL literal
+  * (NullType) or castable argument is cast to string at analysis, not
+  * rejected. */
+case class HtmlPostText(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
-  override def checkInputDataTypes() = {
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"html_post_text expects STRING, got ${child.dataType.catalogString}")
-  }
+  // type inferred: AbstractDataType is private[sql], but the inherited
+  // signature accepts Seq(StringType) by inference
+  override def inputTypes = Seq(StringType)
 
   // override eval, not nullSafeEval: null INPUT produces a VALUE ("")
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =

@@ -46,11 +46,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
     (children: Seq[Expression]) => KmvDistinct(children(0), children(1)))
 
+  private[plans] def htmlPostTextBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 1)
+      throw org.apache.spark.sql.graft.GraftInternal
+        .wrongNumArgs("html_post_text", 1, children.length)
+    HtmlPostText(children.head)
+  }
+
   private[plans] val htmlPostTextDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("html_post_text"),
     new ExpressionInfo(classOf[HtmlPostText].getName, "html_post_text"),
-    (children: Seq[Expression]) => HtmlPostText(children.head))
+    htmlPostTextBuilder _)
 
   /** Register the engine functions, optimizer rule, and planner strategies
     * on an already-built session (covers the driver-constructed sessions in
@@ -67,7 +74,7 @@ object GraftExtensions {
     // native expression (was a Scala UDF pre-r9): SQL users get the same
     // codegen form as the Column API
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "html_post_text", exprs => HtmlPostText(exprs.head), "scala_udf")
+      "html_post_text", htmlPostTextBuilder, "scala_udf")
     // winnowing fingerprint for SQL users: normalize exactly like
     // TextFns.normText (collapse \s+ to single spaces, trim the single
     // boundary space the collapse can leave), then the MOSS kernel

@@ -184,16 +184,23 @@ object Incremental {
   def continuousAnnIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
       checkpointDir: String, compactEvery: Int = 0): StreamingQuery = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compacted = new org.apache.hadoop.fs.Path(s"${indexDir}_compacting")
+    val retired = new org.apache.hadoop.fs.Path(s"${indexDir}_retired")
+    // crash recovery BEFORE the stream starts: a death between the two
+    // swap renames leaves the live dir missing and the complete index in
+    // _retired — restore it so the replayed batch's append can load; a
+    // leftover _compacting is always safe to discard (the live dir still
+    // has everything, compaction redoes it on the next cadence)
+    if (!fs.exists(path) && fs.exists(retired))
+      require(fs.rename(retired, path), s"failed to restore $indexDir from retired")
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         graft.ops.IvfIndex.append(s, indexDir, batch)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          val path = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val compacted = new org.apache.hadoop.fs.Path(s"${indexDir}_compacting")
-          val retired = new org.apache.hadoop.fs.Path(s"${indexDir}_retired")
           fs.delete(compacted, true); fs.delete(retired, true)
           graft.ops.IvfIndex.compactTo(s, indexDir, compacted.toString)
           require(fs.rename(path, retired) && fs.rename(compacted, path),

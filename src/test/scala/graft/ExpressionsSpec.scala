@@ -201,6 +201,13 @@ class ExpressionsSpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.expressions.Literal(null,
           org.apache.spark.sql.types.StringType))
         .eval(null).toString == "")
+      // SQL coercion parity with the old UDF: a bare NULL literal
+      // (NullType) implicit-casts instead of failing analysis
+      assert(spark.sql("SELECT html_post_text(NULL)").head().getString(0) == "")
+      // and arity errors are analysis errors, not head-of-empty-list
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT html_post_text()").head()
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)

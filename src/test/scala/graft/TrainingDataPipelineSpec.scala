@@ -81,47 +81,66 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
   }
 
   // a batch with structural breaches: doc 2 duplicates doc 1's id, doc 4
-  // lies about its length, doc 5 has no text — only 3 and 6 are
-  // admissible (their texts are unrelated, so dedup keeps both)
+  // lies about its length, doc 5 has no text, one row has a NULL id, doc
+  // 8 has a NULL n_chars — only 3 and 6 are admissible (their texts are
+  // unrelated, so dedup keeps both). The null-id and null-n_chars rows
+  // are the three-valued-logic traps: a gate that only handles non-null
+  // breaches silently LOSES them instead of quarantining.
   private def breachedDocs = {
     val longA = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
     val longB = ("north south east west river mountain valley plain " * 8).trim
     Seq(
-      (1L, longA + " one", "srcA", (longA + " one").length),
-      (1L, longA + " dup", "srcA", (longA + " dup").length), // duplicate id
-      (3L, longA + " three", "srcA", (longA + " three").length),
-      (4L, longA + " four", "srcA", 7),                      // n_chars lie
-      (5L, null.asInstanceOf[String], "srcA", 12),           // null text
-      (6L, longB + " six", "srcB", (longB + " six").length),
+      (Option(1L), Option(longA + " one"), "srcA", Option((longA + " one").length)),
+      (Option(1L), Option(longA + " dup"), "srcA", Option((longA + " dup").length)), // duplicate id
+      (Option(3L), Option(longA + " three"), "srcA", Option((longA + " three").length)),
+      (Option(4L), Option(longA + " four"), "srcA", Option(7)),    // n_chars lie
+      (Option(5L), None: Option[String], "srcA", Option(12)),      // null text
+      (Option(6L), Option(longB + " six"), "srcB", Option((longB + " six").length)),
+      (None: Option[Long], Option(longB + " seven"), "srcB",
+        Option((longB + " seven").length)),                        // null id
+      (Option(8L), Option(longA + " eight"), "srcA", None: Option[Int]), // null n_chars
     ).toDF("doc_id", "text", "source", "n_chars")
   }
+
+  private val cleanEval =
+    Seq("completely unrelated held out eval question answer text").toDF("text")
 
   test("expectations gate FAILS the run on a breached batch by default") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-tdp-fail").toString
     val ex = intercept[IllegalStateException] {
-      TrainingData.run(spark, breachedDocs, Seq("completely unrelated held out eval question answer text").toDF("text"),
+      TrainingData.run(spark, breachedDocs, cleanEval,
         TrainingData.flatWeights(spark, Seq("srcA", "srcB")), outDir)
     }
-    assert(ex.getMessage.contains("expectations breach: 4 rows"), ex.getMessage)
+    assert(ex.getMessage.contains("expectations breach: 6 rows"), ex.getMessage)
   }
 
   test("expectations gate quarantines breaching rows and admits the rest") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-tdp-q").toString
     val qDir = java.nio.file.Files.createTempDirectory("graft-tdp-quar").toString + "/q"
-    val summary = TrainingData.run(spark, breachedDocs,
-        Seq("completely unrelated held out eval question answer text").toDF("text"),
+    val summary = TrainingData.run(spark, breachedDocs, cleanEval,
         TrainingData.flatWeights(spark, Seq("srcA", "srcB")), outDir,
         quarantineDir = Some(qDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(summary("input") == 6L)
+    assert(summary("input") == 8L)
     assert(summary("validated") == 2L, s"only docs 3 and 6 admit: $summary")
     val quarantined = spark.read.parquet(qDir)
-    assert(quarantined.count() == 4L)
-    assert(quarantined.select("doc_id").as[Long].collect().sorted.toSeq ==
-      Seq(1L, 1L, 4L, 5L))
+    // all six breaches accounted for — INCLUDING the null-id and
+    // null-n_chars rows (input == validated + quarantined: no row is lost)
+    assert(quarantined.count() == 6L)
+    assert(quarantined.select("doc_id").as[Option[Long]].collect().sorted.toSeq ==
+      Seq(None, Some(1L), Some(1L), Some(4L), Some(5L), Some(8L)))
     // no breaching row reaches the shards
     val shipped = spark.read.parquet(outDir).select("doc_id").distinct()
       .as[Long].collect().sorted.toSeq
     assert(shipped == Seq(3L, 6L), s"unexpected shards: $shipped")
+
+    // a subsequent CLEAN run over the same quarantine dir clears it —
+    // stale breaches must not read as this run's
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft-tdp-q2").toString
+    TrainingData.run(spark, breachedDocs.filter(col("doc_id").isin(3L, 6L)),
+      cleanEval, TrainingData.flatWeights(spark, Seq("srcA", "srcB")),
+      outDir2, quarantineDir = Some(qDir))
+    assert(spark.read.parquet(qDir).count() == 0L,
+      "clean run must clear the quarantine dir")
   }
 }

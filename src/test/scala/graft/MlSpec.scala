@@ -13,6 +13,28 @@ class MlSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  test("oracle support writers confine every table to outDir/_support") {
+    // regression guard for the r8 checker breakage: a support table
+    // written FLAT into Verify's outDir is enumerated as a query by the
+    // driver checker, and array-typed columns crash its pandas sort —
+    // every parameter table must land under the nested _support dir
+    val out = java.nio.file.Files.createTempDirectory("graft-support").toString
+    SparkEntry.oracleSupport.foreach { case (_, w) => w(spark, sf, out) }
+    val top = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(top == Set("_support"), s"unexpected top-level entries: $top")
+    val tables = new java.io.File(s"$out/_support").listFiles().map(_.getName).toSet
+    assert(tables == Set("q94_support_features", "q94_support_centroids",
+      "q94_support_stopwords", "q51_support_vocab",
+      "q45_support_centroids", "q45_support_cells"), tables)
+    // and the SQL side: every {GRAFT_OUT} read resolves under _support/
+    SparkEntry.oracleSql.values.foreach { sql =>
+      """\{GRAFT_OUT\}/([^'\s]+)""".r.findAllMatchIn(sql).foreach { m =>
+        assert(m.group(1).startsWith("_support/"),
+          s"oracle SQL reads outside _support: ${m.group(1)}")
+      }
+    }
+  }
+
   test("embedder output is deterministic, 64-dim, L2-normalized (embeddings.py:119 invariant)") {
     val a = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))
     val b = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))

@@ -38,6 +38,7 @@ object SparkEntry {
     Seq(
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
-      (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve"),
-        ops.Similarity.writeAnnSupport))
+      (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq"),
+        ops.Similarity.writeAnnSupport),
+      (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport))
 }

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQ8 serving tier for the IVF index (M8 at 100 TB bandwidth): the member
+  * scan is the cost of an ANN search once cells are pruned, and scanning
+  * float32 embeddings is 4× the bytes the same ranking information needs.
+  * This tier derives a scalar-quantized copy of a saved [[IvfIndex]] —
+  * per-vector affine int8 codes (the q70-certified quantization: min/max
+  * affine, `floor`, cross-engine exact) stored as BINARY, one byte per
+  * dimension — and serves top-k in two stages:
+  *
+  *   1. QUANTIZED COARSE SCAN over the probed cells: decode-on-the-fly
+  *      approximate cosine (double math over the affine-decoded values —
+  *      deterministic, so the oracle recomputes it exactly), bounded
+  *      per-cell best, one-exchange merge → a per-query SHORTLIST of
+  *      `shortlist` candidates ranked by approximate score.
+  *   2. EXACT RERANK of the shortlist only: the collected candidate-id set
+  *      (driver-bounded: batch × shortlist) filters the RAW index cells —
+  *      partition-pruned to the probed cells AND row-group-pruned by the
+  *      vec_id In-filter — so full-precision vectors are read for the
+  *      shortlist, never the corpus. Final ranking is exact cosine.
+  *
+  * At 100 TB the coarse scan reads ~1/4 the bytes of the float index and
+  * the rerank reads a bounded candidate set; recall is governed by the
+  * shortlist factor (a shortlist ≥ k·4 recovered exact agreement with the
+  * float tier on the uniform test embeddings — IvfSqSpec). This is a
+  * SERVING-shape API: the query batch and batch×shortlist are assumed
+  * driver-bounded (the q99 small-batch contract).
+  */
+object IvfSq {
+
+  /** Derive the SQ8 tier from a saved [[IvfIndex]] directory: copies
+    * `centroids`/`meta` (same routing — probe schedules transfer) and
+    * writes `sqcells/` partitioned by cell with (vec_id, codes: binary,
+    * vmin, vmax). One narrow pass over the index; one file per cell
+    * (hash-partitioned like [[IvfIndex.compactTo]]). */
+  def quantizeTo(spark: SparkSession, indexDir: String, destDir: String): Unit = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/centroids")
+    try spark.read.parquet(s"$indexDir/meta").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/meta")
+    catch { case _: Throwable => () }
+    spark.read.parquet(s"$indexDir/cells")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (cell, id, v) =>
+        val (codes, vmin, vmax) = quantize(v)
+        (cell, id, codes, vmin, vmax)
+      }
+      .toDF("cell", "vec_id", "codes", "vmin", "vmax")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$destDir/sqcells")
+  }
+
+  /** q70's affine int8 quantization (same floor semantics, so the scheme
+    * is already oracle-certified component-wise): code_i = floor((v_i -
+    * vmin) * 255 / (vmax - vmin)), all-zero codes for constant vectors. */
+  private[graft] def quantize(v: Array[Float]): (Array[Byte], Double, Double) = {
+    var mn = v(0); var mx = v(0); var i = 1
+    while (i < v.length) {
+      val x = v(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val vmin = mn.toDouble; val vmax = mx.toDouble
+    val codes = new Array[Byte](v.length)
+    if (vmax > vmin) {
+      val scale = 255.0 / (vmax - vmin)
+      i = 0
+      while (i < v.length) {
+        codes(i) = math.floor((v(i).toDouble - vmin) * scale).toByte
+        i += 1
+      }
+    }
+    (codes, vmin, vmax)
+  }
+
+  /** Affine decode of one component — THE contract shared with the oracle
+    * SQL (vmin + code * ((vmax - vmin) / 255)): double math, same
+    * operation order, so approximate scores are bit-comparable. */
+  @inline private[ops] def decode(code: Byte, vmin: Double, scale: Double): Double =
+    vmin + (code & 0xff).toDouble * scale
+
+  /** Two-stage top-k: quantized coarse scan → exact rerank. `sqDir` is a
+    * [[quantizeTo]] output; `rawDir` the float [[IvfIndex]] it derives
+    * from (rerank source). Output (vec_id, rn, nn_id, cos) like
+    * [[IvfIndex.searchTopK]], ranked by EXACT cosine. */
+  def searchTopK(spark: SparkSession, sqDir: String, rawDir: String,
+      queries: DataFrame, k: Int = 3, nProbe: Int = 8,
+      shortlist: Int = 12): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$sqDir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // one probes pass, like IvfIndex.probedMembersAndProbes (same routing
+    // kernel, same localCheckpoint barrier — query side read once)
+    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        IvfIndex.nearestCells(bc.value, IvfIndex.unit(v), nProbe)
+          .map(c => (c.toLong, id, v))
+      }
+      .localCheckpoint(true)
+    val probedCells = probes.map(_._1).distinct().collect().sorted
+    if (probedCells.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rn", "nn_id", "cos")
+
+    // ---- stage 1: quantized coarse scan (partition-pruned, fused per cell)
+    // unified row: (cell, id, codes|null, vmin, vmax, rawVec|null) — probes
+    // carry the raw vector, members the codes
+    val sqMembers = spark.read.parquet(s"$sqDir/sqcells")
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("codes"), col("vmin"), col("vmax"))
+      .as[(Long, Long, Array[Byte], Double, Double)]
+      .map { case (cell, id, codes, vmin, vmax) =>
+        (cell, id, codes, vmin, vmax, null: Array[Float]) }
+    val probeRows = probes.map { case (cell, id, v) =>
+      (cell, id, null: Array[Byte], 0.0, 0.0, v) }
+    val coarse = sqMembers.union(probeRows)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Double, Double)]
+        val qry = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, id, codes, vmin, vmax, raw) =>
+          if (raw != null) {
+            var s2 = 0.0; var i = 0
+            while (i < raw.length) { s2 += raw(i).toDouble * raw(i); i += 1 }
+            qry += ((id, raw, math.sqrt(s2)))
+          } else mem += ((id, codes, vmin, vmax))
+        }
+        qry.iterator.flatMap { case (qid, qv, qn) =>
+          val bestId = new Array[Long](shortlist)
+          val bestSc = Array.fill(shortlist)(Double.NegativeInfinity)
+          var n = 0
+          var j = 0
+          while (j < mem.length) {
+            val (cid, codes, vmin, vmax) = mem(j)
+            if (cid != qid) {
+              val scale = (vmax - vmin) / 255.0
+              var dot = 0.0; var m2 = 0.0; var x = 0
+              while (x < qv.length) {
+                val d = decode(codes(x), vmin, scale)
+                dot += qv(x).toDouble * d; m2 += d * d; x += 1
+              }
+              val sc = dot / (qn * math.sqrt(m2))
+              if (!java.lang.Double.isNaN(sc) &&
+                  (n < shortlist || sc > bestSc(shortlist - 1) ||
+                  (sc == bestSc(shortlist - 1) && cid < bestId(shortlist - 1)))) {
+                var p = math.min(n, shortlist - 1)
+                while (p > 0 && (bestSc(p - 1) < sc ||
+                    (bestSc(p - 1) == sc && bestId(p - 1) > cid))) {
+                  bestSc(p) = bestSc(p - 1); bestId(p) = bestId(p - 1); p -= 1
+                }
+                bestSc(p) = sc; bestId(p) = cid
+                if (n < shortlist) n += 1
+              }
+            }
+            j += 1
+          }
+          (0 until n).iterator.map(i => (qid, bestId(i), bestSc(i)))
+        }
+      }
+    // merge per query in ONE exchange (replica collapse by max, top-s)
+    val short = coarse
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val best = scala.collection.mutable.HashMap.empty[Long, Double]
+        it.foreach { case (_, cid, sc) =>
+          if (!best.get(cid).exists(_ >= sc)) best(cid) = sc
+        }
+        best.toSeq.sortBy { case (cid, sc) => (-sc, cid) }.take(shortlist)
+          .iterator.map { case (cid, _) => (qid, cid) }
+      }
+      .localCheckpoint(true) // feeds both the collected id set and the join
+
+    // ---- stage 2: exact rerank of the shortlist only
+    // candidate ids are driver-bounded (batch × shortlist); the raw read
+    // partition-prunes to the probed cells and row-group-prunes on the
+    // pushed vec_id In-filter — full-precision bytes for the shortlist,
+    // never the corpus
+    val candIds = short.map(_._2).distinct().collect().sorted
+    val rawCands = spark.read.parquet(s"$rawDir/cells")
+      .filter(col("cell").isInCollection(probedCells) &&
+        col("vec_id").isInCollection(candIds))
+      .select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"))
+      .dropDuplicates("nn_id") // multi-assignment replicas
+    val queryVecs = queries
+      .select(col("vec_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_raw").desc, col("nn_id"))
+    short.toDF("vec_id", "nn_id")
+      .join(broadcast(rawCands), Seq("nn_id"))
+      .join(broadcast(queryVecs), Seq("vec_id"))
+      .withColumn("cos_raw", graft.functions.Vectors.cosine(col("q_emb"), col("c_emb")))
+      .filter(!isnan(col("cos_raw")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+}

@@ -256,6 +256,13 @@ object Similarity {
   private[graft] val ServeNProbe = 3
   private[graft] val ServeBatchMaxId = 10L
 
+  /** q100's knobs: the SQ tier probes more cells than q99 (the quantized
+    * scan is the cheap stage — that's its point) and reranks a 4×k
+    * shortlist exactly. Interpolated into kernel AND oracle, like
+    * [[AnnNProbe]]. */
+  private[graft] val SqNProbe = 8
+  private[graft] val SqShortlist = 12
+
   /** Once-per-(session, dataset) IVF index build+save (SessionArtifacts:
     * single-flight first build, dirs reaped at JVM exit). */
   private def ivfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
@@ -319,6 +326,45 @@ object Similarity {
           .select(col("vec_id"), col("embedding")),
         k = 3, nProbe = ServeNProbe)
       .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** M8's BANDWIDTH tier, certified: the SQ8 two-stage serve
+    * ([[IvfSq]]) — quantized coarse scan over the probed cells (4× fewer
+    * bytes than the float index) → exact rerank of the bounded shortlist
+    * (partition- AND row-group-pruned raw read). Same small-batch shape
+    * as q99. The entire path is deterministic given the exported indexes
+    * (affine decode is the q70-certified scheme), so DuckDB recomputes
+    * routing, approximate scoring, the shortlist cut, and the exact
+    * rerank — the two-stage ANSWERS are hash-certified. */
+  val q100AnnSq: Q = (s, d) => {
+    IvfSq.searchTopK(s, sqDir(s, d), ivfDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < ServeBatchMaxId)
+          .select(col("vec_id"), col("embedding")),
+        k = 3, nProbe = SqNProbe, shortlist = SqShortlist)
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** Once-per-(session, dataset) SQ8 derivation of the q45 index. */
+  private def sqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    SessionArtifacts.dir("ivf-sq", s, d) { t =>
+      IvfSq.quantizeTo(s, ivfDir(s, d), t)
+    }
+
+  /** Oracle support for q100: the served SQ index as plain parquet (codes
+    * re-exported as list<int> for the oracle's arithmetic — the engine
+    * serves the binary form; the VALUES are identical). Routing reuses
+    * q45's exported centroids (same codebook by construction). */
+  def writeAnnSqSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit = {
+    import s.implicits._
+    s.read.parquet(s"${sqDir(s, d)}/sqcells")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("codes"), col("vmin"), col("vmax"))
+      .as[(Long, Long, Array[Byte], Double, Double)]
+      .map { case (c, id, codes, mn, mx) =>
+        (c, id, codes.map(b => b & 0xff).toSeq, mn, mx) }
+      .toDF("cell", "vec_id", "codes", "vmin", "vmax")
+      .write.mode("overwrite").parquet(s"$outDir/_support/q100_support_sqcells")
   }
 
   /** Int8 scalar quantization of the embedding column (the storage form a
@@ -397,6 +443,7 @@ object Similarity {
     "q45_ann_ivf"      -> q45AnnIvf,
     "q96_ann_topk"     -> q96AnnTopk,
     "q99_ann_serve"    -> q99AnnServe,
+    "q100_ann_sq"      -> q100AnnSq,
     "q74_embed_dedup"  -> q74EmbedDedup,
   )
 
@@ -472,6 +519,72 @@ object Similarity {
         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
         |  round(cos_raw, 4) AS cos
         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
+    // The SQ8 two-stage serve recomputed end-to-end: unit-space routing
+    // (q45's exported centroids — same codebook), affine decode of the
+    // exported codes (q70's scheme: vmin + code·(vmax−vmin)/255, double
+    // math, index order), approximate-cosine shortlist cut, exact-cosine
+    // rerank of the shortlist only. Every stage mirrors the engine
+    // kernel's arithmetic and (score, id) tie-breaks.
+    "q100_ann_sq" -> {
+      val dec = "(a.vmin + a.codes[i] * ((a.vmax - a.vmin) / 255.0))"
+      s"""WITH cen AS (
+         |  SELECT cell, centroid
+         |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_centroids/*.parquet')),
+         |sqm AS (
+         |  SELECT cell, vec_id, codes, vmin, vmax
+         |  FROM read_parquet('{GRAFT_OUT}/_support/q100_support_sqcells/*.parquet')),
+         |qn AS (
+         |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id < $ServeBatchMaxId),
+         |qu AS (
+         |  SELECT vec_id,
+         |    [CASE WHEN nrm = 0 THEN x
+         |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
+         |     for x in embedding] AS uv
+         |  FROM qn),
+         |probes AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT qu.vec_id, cen.cell,
+         |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
+         |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+         |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
+         |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
+         |    FROM qu CROSS JOIN cen)
+         |  WHERE prn <= $SqNProbe),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id, m.codes, m.vmin, m.vmax
+         |  FROM probes p JOIN sqm m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+         |ascore AS (
+         |  SELECT a.vec_id, a.cand_id,
+         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * $dec
+         |              for i in range(1, len(a.codes) + 1)]) /
+         |    (${duckNorm("e.embedding")} *
+         |     sqrt(list_sum([$dec * $dec
+         |                    for i in range(1, len(a.codes) + 1)]))) AS appr
+         |  FROM cand a JOIN embeddings e ON a.vec_id = e.vec_id),
+         |short AS (
+         |  SELECT vec_id, cand_id FROM (
+         |    SELECT vec_id, cand_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY appr DESC, cand_id) AS srn
+         |    FROM ascore WHERE NOT isnan(appr))
+         |  WHERE srn <= $SqShortlist),
+         |rr AS (
+         |  SELECT s.vec_id, s.cand_id,
+         |    ${duckDot("a.embedding", "b.embedding")} /
+         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+         |  FROM short s
+         |  JOIN embeddings a ON s.vec_id = a.vec_id
+         |  JOIN embeddings b ON s.cand_id = b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, cand_id, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_raw DESC, cand_id) AS rn
+         |  FROM rr WHERE NOT isnan(cos_raw))
+         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
+         |  round(cos_raw, 4) AS cos
+         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+    },
     "q81_sql_surface" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${duckDot("a.embedding", "b.embedding")} /

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IvfIndex, IvfSq}
+
+/** The SQ8 serving tier: quantize a saved IVF index, search in two stages
+  * (quantized coarse scan → exact rerank), and the result must match the
+  * float tier wherever the shortlist recovers the true candidates. */
+class IvfSqSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val dirs: (String, String) = {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val raw = java.nio.file.Files.createTempDirectory("graft-sq-raw").toString
+    IvfIndex.save(spark,
+      IvfIndex.build(spark, e, nCells = 16, seed = 7L, nReplicas = 2), raw)
+    val sq = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    IvfSq.quantizeTo(spark, raw, sq)
+    (raw, sq)
+  }
+
+  test("quantizeTo derives a complete, cell-partitioned SQ layout") {
+    val (raw, sq) = dirs
+    val rawCells = spark.read.parquet(s"$raw/cells")
+    val sqCells = spark.read.parquet(s"$sq/sqcells")
+    assert(sqCells.count() == rawCells.count(), "1:1 with the raw index incl. replicas")
+    // codes are one byte per dimension; bounds are per-vector floats
+    val r = sqCells.select("codes", "vmin", "vmax").head()
+    assert(r.getAs[Array[Byte]](0).length ==
+      rawCells.select("embedding").head().getSeq[Float](0).length)
+    assert(r.getDouble(1) <= r.getDouble(2))
+    // same codebook: routing transfers between the tiers
+    assert(spark.read.parquet(s"$sq/centroids").count() == 16)
+    val perCell = new java.io.File(s"$sq/sqcells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.listFiles()
+        .count(_.getName.endsWith(".parquet")))
+    assert(perCell.nonEmpty && perCell.forall(_ == 1), "one file per cell")
+  }
+
+  test("quantize kernel matches the q70 affine-floor contract") {
+    val v = Array(0.1f, -0.3f, 0.7f, 0.0f)
+    val (codes, vmin, vmax) = IvfSq.quantize(v)
+    assert(vmin == -0.3f.toDouble && vmax == 0.7f.toDouble)
+    val scale = 255.0 / (vmax - vmin)
+    v.indices.foreach { i =>
+      assert((codes(i) & 0xff) == math.floor((v(i).toDouble - vmin) * scale).toInt)
+    }
+    // constant vector: zero codes, decode reproduces the constant
+    val (cz, zmin, zmax) = IvfSq.quantize(Array(0.5f, 0.5f))
+    assert(cz.forall(_ == 0) && zmin == zmax)
+  }
+
+  test("two-stage search matches the float tier's top-k on a small batch") {
+    val (raw, sq) = dirs
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val batch = e.filter(col("vec_id") < 10)
+    val got = IvfSq.searchTopK(spark, sq, raw, batch, k = 3, nProbe = 8,
+      shortlist = 12).collect().map(_.toSeq).toSet
+    val float = IvfIndex.searchTopK(spark, IvfIndex.load(spark, raw), batch,
+      k = 3, nProbe = 8).collect().map(_.toSeq).toSet
+    // rerank is exact cosine over the shortlist: wherever the quantized
+    // shortlist contains the float tier's top-3 (it does at 4x headroom on
+    // this data), the ranked answers are IDENTICAL
+    assert(got == float, s"sq=${got.size} float=${float.size}")
+  }
+
+  test("the coarse scan partition-prunes and the rerank reads only the shortlist") {
+    val (raw, sq) = dirs
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val batch = e.filter(col("vec_id") < 3)
+    val result = IvfSq.searchTopK(spark, sq, raw, batch, k = 3, nProbe = 2,
+      shortlist = 12)
+    val plan = result.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"raw rerank scan must partition-prune on cell:\n$plan")
+    assert(plan.contains("In(vec_id") || plan.contains("vec_id IN"),
+      s"rerank scan must push the shortlist id filter:\n$plan")
+    assert(result.count() > 0)
+  }
+}

@@ -25,7 +25,8 @@ class MlSpec extends AnyFunSuite {
     val tables = new java.io.File(s"$out/_support").listFiles().map(_.getName).toSet
     assert(tables == Set("q94_support_features", "q94_support_centroids",
       "q94_support_stopwords", "q51_support_vocab",
-      "q45_support_centroids", "q45_support_cells"), tables)
+      "q45_support_centroids", "q45_support_cells",
+      "q100_support_sqcells"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves under _support/
     SparkEntry.oracleSql.values.foreach { sql =>
       """\{GRAFT_OUT\}/([^'\s]+)""".r.findAllMatchIn(sql).foreach { m =>

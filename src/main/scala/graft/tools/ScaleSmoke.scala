@@ -124,26 +124,33 @@ object ScaleSmoke {
     // same-cell near-twin for every query, making any schedule read as
     // perfect recall (measured: the jittered variant scored 1.000
     // everywhere).
-    if (section == "all" || section == "probe") {
+    // mult× corpus of INDEPENDENT uniform vectors (copy 0 = the base):
+    // hash-synthesized per (copy, id, component), same distribution as the
+    // base — shared by the probe sweep and the sq-tier sections
+    def independentCopies(mult: Int): DataFrame = {
       import spark.implicits._
       val baseVecs = emb.as[(Long, Array[Float])]
-      for (mult <- Seq(16, 64)) {
-        val scaled = (0 until mult).map { k =>
-          if (k == 0) baseVecs
-          else baseVecs.map { case (id, v) =>
-            val out = new Array[Float](v.length)
-            var i = 0
-            while (i < v.length) {
-              // splitmix-style hash of (copy, id, component) -> [-0.5, 0.5)
-              var h = (id + k.toLong * 10_000_000L) * 0x9E3779B97F4A7C15L +
-                i.toLong * 0xBF58476D1CE4E5B9L
-              h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-              out(i) = (((h & 0xFFFFFFL).toDouble / (1 << 24)) - 0.5).toFloat
-              i += 1
-            }
-            (id + k * 10_000_000L, out)
+      (0 until mult).map { k =>
+        if (k == 0) baseVecs
+        else baseVecs.map { case (id, v) =>
+          val out = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            // splitmix-style hash of (copy, id, component) -> [-0.5, 0.5)
+            var h = (id + k.toLong * 10_000_000L) * 0x9E3779B97F4A7C15L +
+              i.toLong * 0xBF58476D1CE4E5B9L
+            h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+            out(i) = (((h & 0xFFFFFFL).toDouble / (1 << 24)) - 0.5).toFloat
+            i += 1
           }
-        }.reduce(_ union _).toDF("vec_id", "embedding").cache()
+          (id + k * 10_000_000L, out)
+        }
+      }.reduce(_ union _).toDF("vec_id", "embedding")
+    }
+    if (section == "all" || section == "probe") {
+      import spark.implicits._
+      for (mult <- Seq(16, 64)) {
+        val scaled = independentCopies(mult).cache()
         val rows = scaled.count()
         val nCells = (32 * math.sqrt(mult)).toInt
         println(s"[scale] ===== probe sweep mult=$mult rows=$rows cells=$nCells =====")
@@ -197,6 +204,44 @@ object ScaleSmoke {
         batch.unpersist()
         scaled.unpersist()
       }
+    }
+    // SQ8 TIER at 16x: the bandwidth claim, measured — the quantized
+    // index's on-disk bytes vs the float index, and the two-stage serve
+    // vs the float serve on the same batch/probes (answers must agree:
+    // the rerank is exact over a 4x-k shortlist). Independent copies:
+    // duplicated copies let the codes dictionary-compress across twins
+    // and inflate the byte ratio to 22x — not the honest claim.
+    if (section == "all" || section == "sq") {
+      import spark.implicits._
+      val mult = 16
+      val scaled = independentCopies(mult).cache()
+      val rows = scaled.count()
+      val nCells = (32 * math.sqrt(mult)).toInt
+      println(s"[scale] ===== sq tier mult=$mult rows=$rows cells=$nCells =====")
+      val raw = java.nio.file.Files.createTempDirectory("smoke-sq-raw").toString
+      graft.ops.IvfIndex.save(spark,
+        graft.ops.IvfIndex.build(spark, scaled, nCells = nCells, seed = 7L,
+          nReplicas = 2), raw)
+      val sq = java.nio.file.Files.createTempDirectory("smoke-sq").toString
+      time(s"mult=$mult quantizeTo")(
+        graft.ops.IvfSq.quantizeTo(spark, raw, sq))
+      def dirBytes(d: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+        walk(new java.io.File(d))
+      }
+      val rawB = dirBytes(s"$raw/cells"); val sqB = dirBytes(s"$sq/sqcells")
+      println(f"[scale] index bytes: float=$rawB sq=$sqB ratio=${rawB.toDouble / sqB}%.2f")
+      val batch = emb.filter(col("vec_id") < 10)
+      val fl = time(s"mult=$mult float searchTopK (batch=10, probe=16)")(
+        graft.ops.IvfIndex.searchTopK(spark,
+          graft.ops.IvfIndex.load(spark, raw), batch, k = 3, nProbe = 16)
+          .collect().map(_.toSeq).toSet)
+      val qz = time(s"mult=$mult sq searchTopK (batch=10, probe=16, shortlist=12)")(
+        graft.ops.IvfSq.searchTopK(spark, sq, raw, batch, k = 3, nProbe = 16,
+          shortlist = 12).collect().map(_.toSeq).toSet)
+      println(s"[scale] sq answers match float tier: ${qz == fl} (${qz.size} rows)")
+      scaled.unpersist()
     }
     spark.stop()
   }

@@ -22,12 +22,20 @@ import org.apache.spark.sql.functions._
   *      vec_id In-filter — so full-precision vectors are read for the
   *      shortlist, never the corpus. Final ranking is exact cosine.
   *
-  * At 100 TB the coarse scan reads ~1/4 the bytes of the float index and
-  * the rerank reads a bounded candidate set; recall is governed by the
-  * shortlist factor (a shortlist ≥ k·4 recovered exact agreement with the
-  * float tier on the uniform test embeddings — IvfSqSpec). This is a
-  * SERVING-shape API: the query batch and batch×shortlist are assumed
-  * driver-bounded (the q99 small-batch contract).
+  * At 100 TB the coarse scan reads ~1/4 the bytes of the float index
+  * (measured 3.34× on disk at 16×, ScaleSmoke sq) and the rerank reads a
+  * bounded candidate set; recall is governed by the shortlist factor (a
+  * shortlist ≥ k·4 recovered exact agreement with the float tier on the
+  * uniform test embeddings — IvfSqSpec). This is a SERVING-shape API:
+  * the query batch and batch×shortlist are assumed driver-bounded (the
+  * q99 small-batch contract).
+  *
+  * Maintenance: the SQ copy is a DERIVED artifact of a raw-index
+  * snapshot — [[IvfIndex.append]]/compaction on the raw index leave it
+  * stale (appended vectors are served by the float tier but invisible to
+  * the SQ coarse scan until re-derivation). Re-run [[quantizeTo]] on the
+  * compaction cadence: it is one narrow pass over the index, the same
+  * cost class as the compaction itself.
   */
 object IvfSq {
 

@@ -179,6 +179,18 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(n <= 2, s"expected at most 2 hash exchanges (cell probe + query merge), got $n:\n$p")
   }
 
+  test("q99/q100: both serving tiers stay within the 2-exchange budget") {
+    // q99: cell shuffle + query merge. q100: the SQ coarse scan's cell
+    // shuffle + the shortlist merge — the exact rerank must add ZERO
+    // exchanges (broadcast joins on the bounded candidate set; the rank
+    // window reuses the merge's vec_id partitioning)
+    for (q <- Seq("q99_ann_serve", "q100_ann_sq")) {
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= 2, s"$q: expected at most 2 hash exchanges, got $n:\n$p")
+    }
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q03_group_count")
     // two HashAggregates (partial + final) around the exchange

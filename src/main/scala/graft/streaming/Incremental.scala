@@ -181,9 +181,16 @@ object Incremental {
     * (documented trade; the layout itself is store-agnostic parquet).
     * Codebook drift is the documented limit (periodic offline rebuild
     * re-centers the cells). */
+  /** `sqDir`: when set, the [[graft.ops.IvfSq]] bandwidth tier is
+    * RE-DERIVED after each cadence compaction (same swap discipline), so
+    * the quantized copy tracks the ingested index instead of going stale
+    * — the operational answer to IvfSq's derived-artifact note. Between
+    * compactions the SQ tier lags by the appended batches (bounded by
+    * the cadence), which is the usual serving-index refresh contract. */
   def continuousAnnIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
-      checkpointDir: String, compactEvery: Int = 0): StreamingQuery = {
+      checkpointDir: String, compactEvery: Int = 0,
+      sqDir: Option[String] = None): StreamingQuery = {
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val compacted = new org.apache.hadoop.fs.Path(s"${indexDir}_compacting")
@@ -206,6 +213,14 @@ object Incremental {
           require(fs.rename(path, retired) && fs.rename(compacted, path),
             s"index swap failed for $indexDir")
           fs.delete(retired, true)
+          sqDir.foreach { sd =>
+            val sqPath = new org.apache.hadoop.fs.Path(sd)
+            val sqNew = new org.apache.hadoop.fs.Path(s"${sd}_deriving")
+            fs.delete(sqNew, true)
+            graft.ops.IvfSq.quantizeTo(s, indexDir, sqNew.toString)
+            fs.delete(sqPath, true)
+            require(fs.rename(sqNew, sqPath), s"sq swap failed for $sd")
+          }
         }
         ()
       }

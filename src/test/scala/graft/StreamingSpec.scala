@@ -241,13 +241,20 @@ class StreamingSpec extends AnyFunSuite {
           cd.getName -> cd.listFiles().count(_.getName.endsWith(".parquet"))
         }.toMap
 
+    // the SQ tier rides the cadence: derived fresh at each compaction
+    val sq = s"$base/sq"
+    graft.ops.IvfSq.quantizeTo(spark, idx, sq)
+    val sqBefore = spark.read.parquet(s"$sq/sqcells").count()
+
     // batch 0 (cadence 2): appends land, no compaction yet
     val b1 = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
     b1.write.parquet(s"$in/b1")
     Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
-      compactEvery = 2)
+      compactEvery = 2, sqDir = Some(sq))
     assert(filesPerCell.values.exists(_ > 1),
       "append residue expected before the cadence fires")
+    assert(spark.read.parquet(s"$sq/sqcells").count() == sqBefore,
+      "no compaction yet -> the SQ tier lags (bounded by the cadence)")
 
     // simulate foreachBatch's at-least-once replay: a crash AFTER b2's
     // parquet commit but BEFORE its checkpoint — the orphaned append is on
@@ -256,7 +263,7 @@ class StreamingSpec extends AnyFunSuite {
     graft.ops.IvfIndex.append(spark, idx, b2) // the orphaned commit
     b2.write.parquet(s"$in/b2")
     Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
-      compactEvery = 2)
+      compactEvery = 2, sqDir = Some(sq))
 
     // batchId 1 completed the cadence: one file per cell, replay residue gone
     val after = filesPerCell
@@ -271,6 +278,12 @@ class StreamingSpec extends AnyFunSuite {
       graft.ops.IvfIndex.load(spark, idx),
       e.filter(col("vec_id") < 5), nProbe = 4).collect()
     assert(got.length == 5)
+    // the SQ tier was re-derived at the compaction: 1:1 with the
+    // reconciled index, and the two-stage serve answers from it
+    assert(spark.read.parquet(s"$sq/sqcells").count() == cells.count())
+    val sqGot = graft.ops.IvfSq.searchTopK(spark, sq, idx,
+      e.filter(col("vec_id") < 5), k = 1, nProbe = 4).collect()
+    assert(sqGot.length == 5)
   }
 
   test("watermarked windowed aggregation over the events table matches the batch form") {

@@ -36,6 +36,8 @@ object SparkEntry {
     * subset Verify run pays only the fits its selection needs. */
   def oracleSupport: Seq[(Set[String], (SparkSession, String, String) => Unit)] =
     Seq(
+      (Set("q49_embed_docs", "q50_topic_info", "q51_topic_terms",
+        "q94_topic_probs", "q95_topic_heatmap"), ops.Ml.writeEmbedSupport),
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
       (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq"),

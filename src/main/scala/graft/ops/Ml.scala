@@ -64,12 +64,21 @@ object Ml {
     * parquet dir in outDir as a query result — array-typed columns crash
     * its pandas sort); the same layout as the ANN support tables
     * (Similarity.writeAnnSupport). */
+  /** Oracle support for q49 AND the topic oracles' feature input: the
+    * per-doc embedding table (the M1 model output, taken as the given —
+    * everything downstream is recomputed). Split from
+    * [[writeTopicSupport]] so a q49-only Verify run exports the features
+    * without fitting a topic model; the embedding itself is memoized per
+    * (session, dataset), so runs selecting both pay one encode. */
+  def writeEmbedSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit =
+    Embed.embedDocuments(s, d)
+      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_features")
+
   def writeTopicSupport(s: org.apache.spark.sql.SparkSession, d: String,
       outDir: String): Unit = {
     import s.implicits._
     val model = Topics.fit(s, d)
-    Embed.embedDocuments(s, d)
-      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_features")
     model.centroids.zipWithIndex.map { case (c, t) => (t, c) }.toSeq
       .toDF("ctopic", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_centroids")
@@ -149,6 +158,19 @@ object Ml {
     * parameters, so the oracle certifies the engine's serving math rather
     * than trusting it. */
   def oracle: Map[String, String] = Map(
+    // q49 certified GIVEN the embedding (the exported features table —
+    // the one model output among the inputs): DuckDB recomputes the norm
+    // and leading component with the same left-fold double accumulation
+    // as functions.Vectors.norm2, so the normalization invariant and the
+    // report math are checked; only the encoder itself is taken as given
+    // (same contract as the topic/ANN oracles).
+    "q49_embed_docs" ->
+      """SELECT doc_id,
+        |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |                       for x in embedding])), 4) AS norm,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS c0
+        |FROM read_parquet('{GRAFT_OUT}/_support/q94_support_features/*.parquet')
+        |ORDER BY doc_id""".stripMargin,
     "q94_topic_probs" -> (assignCtes +
       """
         |SELECT a.doc_id,

@@ -185,6 +185,51 @@ object IvfIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$destDir/cells")
   }
 
+  /** Bounded best-k insertion ranked by (score desc, id asc); NaN scores
+    * never enter (zero-norm cosines — unguarded they would survive to the
+    * merge, whose BigDecimal rounding throws on NaN). THE single copy of
+    * the tie-break + NaN contract, shared by the float top-k kernel and
+    * the SQ coarse scan so the two can never drift apart (each has an
+    * oracle mirroring exactly this order). */
+  private[ops] final class KBest(k: Int) {
+    private val ids = new Array[Long](k)
+    private val scores = Array.fill(k)(Double.NegativeInfinity)
+    private var n = 0
+    def offer(id: Long, score: Double): Unit = {
+      if (!java.lang.Double.isNaN(score) &&
+          (n < k || score > scores(k - 1) ||
+          (score == scores(k - 1) && id < ids(k - 1)))) {
+        var p = math.min(n, k - 1)
+        while (p > 0 && (scores(p - 1) < score ||
+            (scores(p - 1) == score && ids(p - 1) > id))) {
+          scores(p) = scores(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        scores(p) = score; ids(p) = id
+        if (n < k) n += 1
+      }
+    }
+    def result: Iterator[(Long, Double)] =
+      (0 until n).iterator.map(i => (ids(i), scores(i)))
+  }
+
+  /** Probe routing shared by every serving path (float and SQ): one pass
+    * over the query embeddings — the flatMap is localCheckpoint'ed so the
+    * collected probed-cell set and every downstream consumer read the
+    * BLOCKS, never the source again — plus the driver-bounded distinct
+    * probed-cell set (≤ the codebook size). */
+  private[ops] def routeProbes(spark: SparkSession,
+      centroids: Array[Array[Double]], queries: DataFrame, nProbe: Int)
+      : (org.apache.spark.sql.Dataset[(Long, Long, Array[Float])], Array[Long]) = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v))
+      }
+      .localCheckpoint(true)
+    (probes, probes.map(_._1).distinct().collect().sorted)
+  }
+
   /** The distinct cells a query batch probes (≤ the codebook size): the
     * serving scan-fraction diagnostic — a search against a saved index
     * reads only these partitions (tools.ScaleSmoke reports the measured
@@ -214,30 +259,25 @@ object IvfIndex {
     * collect, once lazily under the shuffle). localCheckpoint(eager)
     * materializes the routed probes in the block manager
     * (MEMORY_AND_DISK — spills, never OOMs) and truncates lineage, so the
-    * query side is READ EXACTLY ONCE and the union serves from blocks.
-    * Size is nProbe rows per query vector — proportional to the query
-    * BATCH, not the corpus (the full-corpus certification queries are the
-    * worst case and still only nProbe× their own input). Blocks free with
-    * the dataset (ContextCleaner) — Dataset.persist would leak instead
-    * (CacheManager pins it for the session; no caller-visible unpersist
-    * point exists once the search DataFrame is returned). Known trade:
-    * lineage truncation means an executor lost mid-search fails the job
-    * instead of recomputing the probes — acceptable for a bounded batch
-    * (retry re-runs the search); the pre-r9 alternative re-scanned the
-    * query embeddings every search on EVERY run to buy recovery on the
-    * rare one. */
+    * query side is READ EXACTLY ONCE and the union serves from blocks
+    * ([[routeProbes]]). Size is nProbe rows per query vector —
+    * proportional to the query BATCH, not the corpus (the full-corpus
+    * certification queries are the worst case and still only nProbe×
+    * their own input). Blocks free with the dataset (ContextCleaner) —
+    * Dataset.persist would leak instead (CacheManager pins it for the
+    * session; no caller-visible unpersist point exists once the search
+    * DataFrame is returned). Known trade: lineage truncation means an
+    * executor lost mid-search fails the job instead of recomputing the
+    * probes — acceptable for a bounded batch (retry re-runs the search);
+    * the pre-r9 alternative re-scanned the query embeddings every search
+    * on EVERY run to buy recovery on the rare one. */
   private def probedMembersAndProbes(spark: SparkSession, index: IvfIndex,
       queries: DataFrame, nProbe: Int)
       : (org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)],
          org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)]) = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(index.centroids)
-    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, true))
-      }
-      .localCheckpoint(true)
-    val probedCells = probes.map(_._1).distinct().collect().sorted
+    val (routed, probedCells) = routeProbes(spark, index.centroids, queries, nProbe)
+    val probes = routed.map { case (cell, id, v) => (cell, id, v, true) }
     val members =
       if (probedCells.isEmpty) spark.emptyDataset[(Long, Long, Array[Float], Boolean)]
       else index.cells
@@ -272,36 +312,21 @@ object IvfIndex {
           if (isProbe) qry += entry else mem += entry
         }
         qry.iterator.flatMap { case (qid, qv, qn) =>
-          // bounded k-best insertion: ids/sims sorted best-first
-          val bestId = new Array[Long](k)
-          val bestCos = Array.fill(k)(Double.NegativeInfinity)
-          var n = 0
+          // bounded k-best insertion ([[KBest]]: (cos desc, id asc) with
+          // the NaN guard — zero-norm cosines never enter; the merge's
+          // BigDecimal rounding would throw on NaN)
+          val best = new KBest(k)
           var j = 0
           while (j < mem.length) {
             val (cid, cv, cn) = mem(j)
             if (cid != qid) {
               var dp = 0.0; var x = 0
               while (x < qv.length) { dp += qv(x).toDouble * cv(x); x += 1 }
-              val cos = dp / (qn * cn)
-              // NaN (zero-norm member or query) never enters the k-best —
-              // same contract as searchTop1, whose > comparison drops it;
-              // unguarded, the n < k arm would admit it and the merge's
-              // BigDecimal rounding throws on NaN
-              if (!java.lang.Double.isNaN(cos) &&
-                  (n < k || cos > bestCos(k - 1) ||
-                  (cos == bestCos(k - 1) && cid < bestId(k - 1)))) {
-                var p = math.min(n, k - 1)
-                while (p > 0 && (bestCos(p - 1) < cos ||
-                    (bestCos(p - 1) == cos && bestId(p - 1) > cid))) {
-                  bestCos(p) = bestCos(p - 1); bestId(p) = bestId(p - 1); p -= 1
-                }
-                bestCos(p) = cos; bestId(p) = cid
-                if (n < k) n += 1
-              }
+              best.offer(cid, dp / (qn * cn))
             }
             j += 1
           }
-          (0 until n).iterator.map(i => (qid, bestId(i), bestCos(i)))
+          best.result.map { case (cid, cos) => (qid, cid, cos) }
         }
       }
     // global merge in ONE exchange: each query's candidate rows (≤ nProbe·k

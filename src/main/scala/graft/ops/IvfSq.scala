@@ -53,6 +53,11 @@ object IvfSq {
     catch { case _: Throwable => () }
     spark.read.parquet(s"$indexDir/cells")
       .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
+      // reconcile at-least-once replay residue exactly like compactTo: a
+      // duplicate (cell, vec_id) row would occupy two shortlist slots in
+      // the coarse scan (silent recall loss) and diverge from the q100
+      // oracle's DISTINCT candidates
+      .dropDuplicates("cell", "vec_id")
       .as[(Long, Long, Array[Float])]
       .map { case (cell, id, v) =>
         val (codes, vmin, vmax) = quantize(v)
@@ -103,16 +108,11 @@ object IvfSq {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$sqDir/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-    val bc = spark.sparkContext.broadcast(centroids)
-    // one probes pass, like IvfIndex.probedMembersAndProbes (same routing
-    // kernel, same localCheckpoint barrier — query side read once)
-    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        IvfIndex.nearestCells(bc.value, IvfIndex.unit(v), nProbe)
-          .map(c => (c.toLong, id, v))
-      }
-      .localCheckpoint(true)
-    val probedCells = probes.map(_._1).distinct().collect().sorted
+    // the shared probe pass (IvfIndex.routeProbes): one scan of the query
+    // embeddings, checkpointed — the probed-cell collect, the coarse
+    // union, AND the rerank's query vectors all read the blocks
+    val (probes, probedCells) =
+      IvfIndex.routeProbes(spark, centroids, queries, nProbe)
     if (probedCells.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rn", "nn_id", "cos")
 
@@ -141,9 +141,10 @@ object IvfSq {
           } else mem += ((id, codes, vmin, vmax))
         }
         qry.iterator.flatMap { case (qid, qv, qn) =>
-          val bestId = new Array[Long](shortlist)
-          val bestSc = Array.fill(shortlist)(Double.NegativeInfinity)
-          var n = 0
+          // bounded shortlist via the SHARED insertion helper
+          // (IvfIndex.KBest): one copy of the (score desc, id asc)
+          // tie-break + NaN contract across the float and SQ kernels
+          val best = new IvfIndex.KBest(shortlist)
           var j = 0
           while (j < mem.length) {
             val (cid, codes, vmin, vmax) = mem(j)
@@ -154,22 +155,11 @@ object IvfSq {
                 val d = decode(codes(x), vmin, scale)
                 dot += qv(x).toDouble * d; m2 += d * d; x += 1
               }
-              val sc = dot / (qn * math.sqrt(m2))
-              if (!java.lang.Double.isNaN(sc) &&
-                  (n < shortlist || sc > bestSc(shortlist - 1) ||
-                  (sc == bestSc(shortlist - 1) && cid < bestId(shortlist - 1)))) {
-                var p = math.min(n, shortlist - 1)
-                while (p > 0 && (bestSc(p - 1) < sc ||
-                    (bestSc(p - 1) == sc && bestId(p - 1) > cid))) {
-                  bestSc(p) = bestSc(p - 1); bestId(p) = bestId(p - 1); p -= 1
-                }
-                bestSc(p) = sc; bestId(p) = cid
-                if (n < shortlist) n += 1
-              }
+              best.offer(cid, dot / (qn * math.sqrt(m2)))
             }
             j += 1
           }
-          (0 until n).iterator.map(i => (qid, bestId(i), bestSc(i)))
+          best.result.map { case (cid, sc) => (qid, cid, sc) }
         }
       }
     // merge per query in ONE exchange (replica collapse by max, top-s)
@@ -196,8 +186,16 @@ object IvfSq {
         col("vec_id").isInCollection(candIds))
       .select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"))
       .dropDuplicates("nn_id") // multi-assignment replicas
-    val queryVecs = queries
-      .select(col("vec_id"), col("embedding").as("q_emb"))
+    // query vectors from the checkpointed probes — the caller's queries
+    // DataFrame is never scanned a second time. Per-PARTITION dedup is
+    // globally correct and costs no exchange: all nProbe rows of one
+    // query come from a single flatMap input row (routeProbes), so a
+    // query id never spans partitions; a dropDuplicates would add a hash
+    // exchange and break the 2-exchange serving budget (PlanAuditSpec).
+    val queryVecs = probes.mapPartitions { it =>
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      it.collect { case (_, id, v) if seen.add(id) => (id, v) }
+    }.toDF("vec_id", "q_emb")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos_raw").desc, col("nn_id"))
     short.toDF("vec_id", "nn_id")

@@ -51,19 +51,6 @@ object Ml {
         round(col("prob"), 4).as("prob"))
       .orderBy(col("doc_id"))
 
-  /** Oracle support for the topic-model queries (run by Verify before the
-    * DuckDB compare): the fitted model PARAMETERS as plain parquet under
-    * `$outDir/_support/` — per-doc feature vectors, the k centroids, the
-    * stopword list that defines the outlier channel, and the fitted
-    * vocabulary that scopes the term reports. The oracle recomputes
-    * everything downstream of these (tokenize → outlier flag; distance →
-    * softmax → argmin; counts → pct; term counts → c-TF-IDF ranking;
-    * centroid cosines), certifying the engine's serving math rather than
-    * trusting it. The nested `_support` dir keeps the parameter tables out
-    * of the driver checker's query enumeration (it treats every top-level
-    * parquet dir in outDir as a query result — array-typed columns crash
-    * its pandas sort); the same layout as the ANN support tables
-    * (Similarity.writeAnnSupport). */
   /** Oracle support for q49 AND the topic oracles' feature input: the
     * per-doc embedding table (the M1 model output, taken as the given —
     * everything downstream is recomputed). Split from
@@ -75,6 +62,21 @@ object Ml {
     Embed.embedDocuments(s, d)
       .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_features")
 
+  /** Oracle support for the topic-model queries (run by Verify before the
+    * DuckDB compare): the fitted model PARAMETERS as plain parquet under
+    * `$outDir/_support/` — the k centroids, the stopword list that
+    * defines the outlier channel, and the fitted vocabulary that scopes
+    * the term reports (the per-doc features come from
+    * [[writeEmbedSupport]], whose trigger set is a superset of this
+    * one's). The oracle recomputes everything downstream (tokenize →
+    * outlier flag; distance → softmax → argmin; counts → pct; term
+    * counts → c-TF-IDF ranking; centroid cosines), certifying the
+    * engine's serving math rather than trusting it. The nested
+    * `_support` dir keeps the parameter tables out of the driver
+    * checker's query enumeration (it treats every top-level parquet dir
+    * in outDir as a query result — array-typed columns crash its pandas
+    * sort); the same layout as the ANN support tables
+    * (Similarity.writeAnnSupport). */
   def writeTopicSupport(s: org.apache.spark.sql.SparkSession, d: String,
       outDir: String): Unit = {
     import s.implicits._

@@ -199,9 +199,16 @@ object Incremental {
     // swap renames leaves the live dir missing and the complete index in
     // _retired — restore it so the replayed batch's append can load; a
     // leftover _compacting is always safe to discard (the live dir still
-    // has everything, compaction redoes it on the next cadence)
+    // has everything, compaction redoes it on the next cadence). The SQ
+    // tier gets the same discipline.
     if (!fs.exists(path) && fs.exists(retired))
       require(fs.rename(retired, path), s"failed to restore $indexDir from retired")
+    sqDir.foreach { sd =>
+      val sqPath = new org.apache.hadoop.fs.Path(sd)
+      val sqRetired = new org.apache.hadoop.fs.Path(s"${sd}_retired")
+      if (!fs.exists(sqPath) && fs.exists(sqRetired))
+        require(fs.rename(sqRetired, sqPath), s"failed to restore $sd from retired")
+    }
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -216,10 +223,16 @@ object Incremental {
           sqDir.foreach { sd =>
             val sqPath = new org.apache.hadoop.fs.Path(sd)
             val sqNew = new org.apache.hadoop.fs.Path(s"${sd}_deriving")
-            fs.delete(sqNew, true)
+            val sqRetired = new org.apache.hadoop.fs.Path(s"${sd}_retired")
+            fs.delete(sqNew, true); fs.delete(sqRetired, true)
             graft.ops.IvfSq.quantizeTo(s, indexDir, sqNew.toString)
-            fs.delete(sqPath, true)
+            // same rename-to-retired discipline as the index swap: a
+            // crash in the window leaves the old copy in _retired for
+            // the startup recovery, never a missing serving dir
+            if (fs.exists(sqPath))
+              require(fs.rename(sqPath, sqRetired), s"sq retire failed for $sd")
             require(fs.rename(sqNew, sqPath), s"sq swap failed for $sd")
+            fs.delete(sqRetired, true)
           }
         }
         ()

@@ -14,10 +14,27 @@ object IvfSqProps extends Properties("IvfSq") {
       Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
     }
 
-  property("codes cover 0..255 and never escape it") =
+  property("extreme components use the extreme codes; codes are monotone") =
     forAll(genVec) { v =>
-      val (codes, _, _) = IvfSq.quantize(v)
-      codes.forall(c => (c & 0xff) >= 0 && (c & 0xff) <= 255)
+      val (codes, vmin, vmax) = IvfSq.quantize(v)
+      if (vmax == vmin) codes.forall(_ == 0)
+      else {
+        // the range is actually used — the min component's code is
+        // exactly 0 ((vmin-vmin)*scale is exact) and the max component's
+        // is 255 or 254 ((vmax-vmin)*(255/(vmax-vmin)) can land a ULP
+        // below 255 before the floor; the oracle floors identically, so
+        // 254 is a shared contract, not an error) — and floor of the
+        // monotone affine map is monotone. A constant- or shuffled-code
+        // implementation fails this.
+        val atMin = v.indexWhere(_.toDouble == vmin)
+        val atMax = v.indexWhere(_.toDouble == vmax)
+        (codes(atMin) & 0xff) == 0 && (codes(atMax) & 0xff) >= 254 &&
+          v.indices.forall { i =>
+            v.indices.forall { j =>
+              v(i) > v(j) || (codes(i) & 0xff) <= (codes(j) & 0xff)
+            }
+          }
+      }
     }
 
   property("bounds bracket every component") =

@@ -30,6 +30,59 @@ case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame,
 
 object IvfIndex {
 
+  /** Marker file that COMMITS a version directory of a maintained index
+    * (see [[resolve]]): its creation is the atomic publish point — no
+    * rename window, no partially-visible swap. */
+  private[graft] val CommitMarker = "COMMITTED"
+  private[graft] val VersionsSubdir = "versions"
+
+  /** Resolve a (possibly maintained) index directory to the layout that
+    * should be SERVED: if `dir/versions/` holds committed snapshots
+    * (`v<batchId>` dirs containing a [[CommitMarker]] — written by the
+    * streaming compaction cadence, [[graft.streaming.Incremental
+    * .continuousAnnIngest]]), the highest-numbered committed one wins;
+    * otherwise `dir` itself is the plain [[save]] layout. Readers hold the
+    * resolved IMMUTABLE snapshot path for their whole query lifetime, so a
+    * compaction committing a newer version mid-query cannot yank files out
+    * from under them (the maintainer retains the previous snapshot for one
+    * full cadence before reclaiming it — an in-flight reader of the old
+    * snapshot finishes; only a query older than a whole cadence can lose
+    * its files and needs a plain retry). Uncommitted version dirs (crash
+    * mid-compaction) are ignored and redone on replay. */
+  def resolve(spark: SparkSession, dir: String): String = {
+    val vroot = new org.apache.hadoop.fs.Path(dir, VersionsSubdir)
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) dir
+    else {
+      val committed = fs.listStatus(vroot).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+        .sortBy(_.getName)
+      if (committed.isEmpty) dir else committed.last.toString
+    }
+  }
+
+  /** The meta table is absent on pre-r7 layouts (single-assignment era) —
+    * ONLY that case may default; a transient read failure on a real meta
+    * must propagate (a silently dropped n_replicas makes later appends
+    * under-replicate relative to build — the exact failure the scaladoc
+    * warns about). */
+  private def isMissingPath(e: Throwable): Boolean = e match {
+    case _: java.io.FileNotFoundException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.getCondition != null && a.getCondition.startsWith("PATH_NOT_FOUND")
+    case _ => false
+  }
+
+  private def readMetaReplicas(spark: SparkSession, dir: String): Option[Int] =
+    try Some(spark.read.parquet(s"$dir/meta").collect().head.getInt(0))
+    catch { case e: Throwable if isMissingPath(e) => None }
+
+  private[ops] def copyMetaIfPresent(spark: SparkSession, srcDir: String,
+      destDir: String): Unit =
+    try spark.read.parquet(s"$srcDir/meta").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/meta")
+    catch { case e: Throwable if isMissingPath(e) => () }
+
   /** Unit-normalize a vector (zero vectors pass through). The index routes
     * by L2 distance but SERVES cosine similarity — on unit vectors the two
     * agree exactly (‖a−b‖² = 2 − 2·cosθ), so clustering/assigning/probing
@@ -122,14 +175,13 @@ object IvfIndex {
   }
 
   def load(spark: SparkSession, dir: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val d = resolve(spark, dir)
+    val centroids = spark.read.parquet(s"$d/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
     // pre-meta layouts (r6 and earlier) were single-assignment
-    val nReplicas =
-      try spark.read.parquet(s"$dir/meta").collect().head.getInt(0)
-      catch { case _: Throwable => 1 }
-    IvfIndex(centroids, spark.read.parquet(s"$dir/cells"), nReplicas)
+    val nReplicas = readMetaReplicas(spark, d).getOrElse(1)
+    IvfIndex(centroids, spark.read.parquet(s"$d/cells"), nReplicas)
   }
 
   /** Append new vectors to a SAVED index without refitting the codebook —
@@ -148,7 +200,8 @@ object IvfIndex {
     * periodic [[build]] re-centers it. */
   def append(spark: SparkSession, dir: String, emb: DataFrame): Unit = {
     import spark.implicits._
-    val idx = load(spark, dir)
+    val d = resolve(spark, dir)
+    val idx = load(spark, d)
     val bc = spark.sparkContext.broadcast(idx.centroids)
     val rep = idx.nReplicas
     emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -156,7 +209,7 @@ object IvfIndex {
         nearestCells(bc.value, unit(v), rep).map(c => (c.toLong, id, v))
       }
       .toDF("cell", "vec_id", "embedding")
-      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+      .write.partitionBy("cell").mode("append").parquet(s"$d/cells")
   }
 
   /** Rewrite an appended index into a freshly compacted layout: the many
@@ -173,16 +226,42 @@ object IvfIndex {
     * Non-destructive: writes a complete, equivalent index under `destDir`
     * (object-store-friendly — no in-place rewrite). */
   def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
-    spark.read.parquet(s"$dir/centroids").coalesce(1)
+    val d = resolve(spark, dir)
+    spark.read.parquet(s"$d/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/centroids")
-    try spark.read.parquet(s"$dir/meta").coalesce(1)
-      .write.mode("overwrite").parquet(s"$destDir/meta")
-    catch { case _: Throwable => () } // pre-meta layout: load defaults to 1
-    spark.read.parquet(s"$dir/cells")
+    copyMetaIfPresent(spark, d, destDir) // pre-meta layout: load defaults to 1
+    spark.read.parquet(s"$d/cells")
       .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
       .dropDuplicates("cell", "vec_id")
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$destDir/cells")
+  }
+
+  /** REBUILD the codebook from the index's CURRENT contents — the
+    * drift-recovery maintenance op [[append]]'s scaladoc promises: a
+    * stream of appends whose distribution wanders away from the build-time
+    * sample leaves the old cells straddling the new mass (recall decays
+    * slowly — the codebook only partitions space — but it decays), and no
+    * amount of compaction fixes it because compaction keeps the codebook.
+    * rebuildTo refits KMeans on a bounded sample of what the index holds
+    * NOW (deduped across replicas), reassigns every member with the
+    * index's own replication factor, and writes a complete equivalent
+    * index at `destDir` — same non-destructive contract as [[compactTo]],
+    * so the streaming cadence can publish it with the same versioned
+    * commit. Cost class: the KMeans fit is bounded by `maxFitRows`
+    * (broadcastable sample, like [[build]]); reassignment is the same one
+    * narrow pass + partitioned write a compaction already pays. */
+  def rebuildTo(spark: SparkSession, dir: String, destDir: String,
+      seed: Long = 7L, maxFitRows: Long = 50000L): Unit = {
+    val d = resolve(spark, dir)
+    val idx = load(spark, d)
+    val members = spark.read.parquet(s"$d/cells")
+      .select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id") // collapse replicas; build() re-replicates
+    save(spark,
+      build(spark, members, nCells = idx.centroids.length, seed = seed,
+        maxFitRows = maxFitRows, nReplicas = idx.nReplicas),
+      destDir)
   }
 
   /** Bounded best-k insertion ranked by (score desc, id asc); NaN scores
@@ -212,22 +291,51 @@ object IvfIndex {
       (0 until n).iterator.map(i => (ids(i), scores(i)))
   }
 
-  /** Probe routing shared by every serving path (float and SQ): one pass
-    * over the query embeddings — the flatMap is localCheckpoint'ed so the
-    * collected probed-cell set and every downstream consumer read the
-    * BLOCKS, never the source again — plus the driver-bounded distinct
-    * probed-cell set (≤ the codebook size). */
+  /** Probe routing shared by every serving path (float and SQ), plus the
+    * driver-bounded distinct probed-cell set (≤ the codebook size).
+    *
+    * `checkpoint = true` (the SMALL-BATCH serving shape, q99/q100): the
+    * routed flatMap is localCheckpoint'ed eagerly, so the collected
+    * probed-cell set and every downstream consumer read the BLOCKS — the
+    * query side is scanned exactly once, at a footprint of nProbe rows per
+    * query vector (trivial for a serving batch). Lineage truncation means
+    * an executor lost mid-search fails the search instead of recomputing —
+    * acceptable when a retry is one bounded batch.
+    *
+    * `checkpoint = false` (the CORPUS-SCALE certification batches, q45/
+    * q96): materializing nProbe× the whole corpus into executor
+    * MEMORY_AND_DISK is exactly where that trade is worst — the footprint
+    * is largest and an executor loss then fails the biggest job. Instead
+    * the probed-cell set comes from a VECTOR-FREE projection pass (cell
+    * ids only — no embedding ever leaves the scan) and the probe rows stay
+    * lazy: the query side is scanned twice (once narrow, once under the
+    * shuffle), buying full lineage recovery and zero block-manager
+    * footprint for the runs where both matter. */
   private[ops] def routeProbes(spark: SparkSession,
-      centroids: Array[Array[Double]], queries: DataFrame, nProbe: Int)
+      centroids: Array[Array[Double]], queries: DataFrame, nProbe: Int,
+      checkpoint: Boolean = true)
       : (org.apache.spark.sql.Dataset[(Long, Long, Array[Float])], Array[Long]) = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
-    val probes = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val routed = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v))
       }
-      .localCheckpoint(true)
-    (probes, probes.map(_._1).distinct().collect().sorted)
+    if (checkpoint) {
+      val probes = routed.localCheckpoint(true)
+      (probes, probes.map(_._1).distinct().collect().sorted)
+    } else {
+      val cells = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          it.foreach { case (_, v) =>
+            nearestCells(bc.value, unit(v), nProbe).foreach(c => seen.add(c.toLong))
+          }
+          seen.iterator
+        }
+        .distinct().collect().sorted
+      (routed, cells)
+    }
   }
 
   /** The distinct cells a query batch probes (≤ the codebook size): the
@@ -272,11 +380,12 @@ object IvfIndex {
     * the pre-r9 alternative re-scanned the query embeddings every search
     * on EVERY run to buy recovery on the rare one. */
   private def probedMembersAndProbes(spark: SparkSession, index: IvfIndex,
-      queries: DataFrame, nProbe: Int)
+      queries: DataFrame, nProbe: Int, checkpointProbes: Boolean)
       : (org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)],
          org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)]) = {
     import spark.implicits._
-    val (routed, probedCells) = routeProbes(spark, index.centroids, queries, nProbe)
+    val (routed, probedCells) =
+      routeProbes(spark, index.centroids, queries, nProbe, checkpointProbes)
     val probes = routed.map { case (cell, id, v) => (cell, id, v, true) }
     val members =
       if (probedCells.isEmpty) spark.emptyDataset[(Long, Long, Array[Float], Boolean)]
@@ -296,10 +405,13 @@ object IvfIndex {
     * ≤ nProbe·k candidate rows per query — bounded input, never the
     * corpus. Replicated members reached through several probed cells
     * collapse via max before ranking. */
+  /** `checkpointProbes = false` for corpus-scale query batches — see
+    * [[routeProbes]] for the trade. */
   def searchTopK(spark: SparkSession, index: IvfIndex, queries: DataFrame,
-      k: Int = 3, nProbe: Int = 8): DataFrame = {
+      k: Int = 3, nProbe: Int = 8, checkpointProbes: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (members, probes) = probedMembersAndProbes(spark, index, queries, nProbe)
+    val (members, probes) =
+      probedMembersAndProbes(spark, index, queries, nProbe, checkpointProbes)
     val cand = members.union(probes)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -356,9 +468,10 @@ object IvfIndex {
     * `queries` must have columns (vec_id, embedding); a query vector never
     * matches itself. */
   def searchTop1(spark: SparkSession, index: IvfIndex, queries: DataFrame,
-      nProbe: Int = 8): DataFrame = {
+      nProbe: Int = 8, checkpointProbes: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (members, probes) = probedMembersAndProbes(spark, index, queries, nProbe)
+    val (members, probes) =
+      probedMembersAndProbes(spark, index, queries, nProbe, checkpointProbes)
     // per-cell search fused into one shuffle (q45 scale notes: each vector
     // decoded once per cell, no probes × cell-size intermediate)
     members.union(probes)

@@ -46,12 +46,13 @@ object IvfSq {
     * (hash-partitioned like [[IvfIndex.compactTo]]). */
   def quantizeTo(spark: SparkSession, indexDir: String, destDir: String): Unit = {
     import spark.implicits._
-    spark.read.parquet(s"$indexDir/centroids").coalesce(1)
+    val src = IvfIndex.resolve(spark, indexDir)
+    spark.read.parquet(s"$src/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/centroids")
-    try spark.read.parquet(s"$indexDir/meta").coalesce(1)
-      .write.mode("overwrite").parquet(s"$destDir/meta")
-    catch { case _: Throwable => () }
-    spark.read.parquet(s"$indexDir/cells")
+    // only a genuinely ABSENT meta (pre-r7 layout) may be skipped; any
+    // other failure propagates (IvfIndex.copyMetaIfPresent)
+    IvfIndex.copyMetaIfPresent(spark, src, destDir)
+    spark.read.parquet(s"$src/cells")
       .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
       // reconcile at-least-once replay residue exactly like compactTo: a
       // duplicate (cell, vec_id) row would occupy two shortlist slots in
@@ -102,11 +103,23 @@ object IvfSq {
     * [[quantizeTo]] output; `rawDir` the float [[IvfIndex]] it derives
     * from (rerank source). Output (vec_id, rn, nn_id, cos) like
     * [[IvfIndex.searchTopK]], ranked by EXACT cosine. */
+  /** `maxCandidates` SELF-ENFORCES the serving contract (batch ×
+    * `shortlist` candidate ids collect to the driver): an oversized query
+    * batch fails fast with the budget in the message instead of silently
+    * ballooning the driver — the bound is an invariant, not a caller
+    * obligation buried in a comment. */
   def searchTopK(spark: SparkSession, sqDir: String, rawDir: String,
       queries: DataFrame, k: Int = 3, nProbe: Int = 8,
-      shortlist: Int = 12): DataFrame = {
+      shortlist: Int = 12, maxCandidates: Int = 1 << 20): DataFrame = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$sqDir/centroids")
+    // resolve BOTH tiers to their committed snapshots up front: the whole
+    // two-stage serve then reads immutable version dirs (see
+    // IvfIndex.resolve; cells never move between the raw index and its SQ
+    // derivation — same codebook — so tier skew during a compaction window
+    // only delays visibility of the newest appends, never misranks)
+    val sqD = IvfIndex.resolve(spark, sqDir)
+    val rawD = IvfIndex.resolve(spark, rawDir)
+    val centroids = spark.read.parquet(s"$sqD/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
     // the shared probe pass (IvfIndex.routeProbes): one scan of the query
     // embeddings, checkpointed — the probed-cell collect, the coarse
@@ -119,7 +132,7 @@ object IvfSq {
     // ---- stage 1: quantized coarse scan (partition-pruned, fused per cell)
     // unified row: (cell, id, codes|null, vmin, vmax, rawVec|null) — probes
     // carry the raw vector, members the codes
-    val sqMembers = spark.read.parquet(s"$sqDir/sqcells")
+    val sqMembers = spark.read.parquet(s"$sqD/sqcells")
       .filter(col("cell").isInCollection(probedCells))
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
         col("codes"), col("vmin"), col("vmax"))
@@ -181,7 +194,12 @@ object IvfSq {
     // pushed vec_id In-filter — full-precision bytes for the shortlist,
     // never the corpus
     val candIds = short.map(_._2).distinct().collect().sorted
-    val rawCands = spark.read.parquet(s"$rawDir/cells")
+    require(candIds.length <= maxCandidates,
+      s"SQ serve shortlist exceeded the driver budget: ${candIds.length} distinct " +
+        s"candidates > maxCandidates=$maxCandidates — the two-stage serve is a " +
+        s"SMALL-BATCH API (collected ids are bounded by batch × shortlist); shrink " +
+        s"the query batch or raise maxCandidates deliberately")
+    val rawCands = spark.read.parquet(s"$rawD/cells")
       .filter(col("cell").isInCollection(probedCells) &&
         col("vec_id").isInCollection(candIds))
       .select(col("vec_id").as("nn_id"), col("embedding").as("c_emb"))

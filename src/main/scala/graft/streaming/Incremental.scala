@@ -175,64 +175,91 @@ object Incremental {
     * replay-duplicated rows are reconciled ON CADENCE, not by an operator
     * remembering to run a tool. The cadence keys off the CHECKPOINTED
     * batchId, so it survives restarts (a replayed batch re-lands on the
-    * same schedule). The swap is two renames through the Hadoop
-    * FileSystem — effectively atomic on HDFS/posix; an object-store
-    * deployment would indirect through a manifest pointer instead
-    * (documented trade; the layout itself is store-agnostic parquet).
+    * same schedule).
+    *
+    * PUBLICATION is versioned, not a rename swap: each compaction writes
+    * `dir/versions/v<batchId>/` and then creates its COMMITTED marker —
+    * a single file create is the atomic publish point, there is NO window
+    * in which the serving layout is absent (the earlier two-rename swap
+    * had one: a reader resolving mid-swap, or a crash between the
+    * renames, saw a missing dir). [[graft.ops.IvfIndex.resolve]] serves
+    * the highest committed version; readers hold their resolved immutable
+    * snapshot for the query lifetime, and the PREVIOUS snapshot is
+    * retained for one full cadence before reclamation, so in-flight
+    * searches against it finish (only a query outliving a whole cadence
+    * needs a retry). A crash mid-compaction leaves an uncommitted version
+    * dir that resolve ignores and the replayed cadence redoes — no
+    * startup recovery step, no renames at all (object-store friendly).
     * Codebook drift is the documented limit (periodic offline rebuild
     * re-centers the cells). */
   /** `sqDir`: when set, the [[graft.ops.IvfSq]] bandwidth tier is
-    * RE-DERIVED after each cadence compaction (same swap discipline), so
-    * the quantized copy tracks the ingested index instead of going stale
-    * — the operational answer to IvfSq's derived-artifact note. Between
-    * compactions the SQ tier lags by the appended batches (bounded by
-    * the cadence), which is the usual serving-index refresh contract. */
+    * RE-DERIVED after each cadence compaction (same versioned-commit
+    * discipline), so the quantized copy tracks the ingested index instead
+    * of going stale — the operational answer to IvfSq's derived-artifact
+    * note. Between compactions the SQ tier lags by the appended batches
+    * (bounded by the cadence), which is the usual serving-index refresh
+    * contract. */
+  /** `rebuildEvery`: every Mth cadence compaction becomes a full
+    * [[graft.ops.IvfIndex.rebuildTo]] — codebook refit on the CURRENT
+    * contents, the automated answer to append-drift (the refit sample is
+    * bounded, so the extra cost over a plain compaction is one
+    * broadcast-sized KMeans fit). Keyed off the checkpointed batchId like
+    * the compaction cadence, so a replayed batch re-lands on the same
+    * schedule and rewrites the same version. */
   def continuousAnnIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
       checkpointDir: String, compactEvery: Int = 0,
-      sqDir: Option[String] = None): StreamingQuery = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val compacted = new org.apache.hadoop.fs.Path(s"${indexDir}_compacting")
-    val retired = new org.apache.hadoop.fs.Path(s"${indexDir}_retired")
-    // crash recovery BEFORE the stream starts: a death between the two
-    // swap renames leaves the live dir missing and the complete index in
-    // _retired — restore it so the replayed batch's append can load; a
-    // leftover _compacting is always safe to discard (the live dir still
-    // has everything, compaction redoes it on the next cadence). The SQ
-    // tier gets the same discipline.
-    if (!fs.exists(path) && fs.exists(retired))
-      require(fs.rename(retired, path), s"failed to restore $indexDir from retired")
-    sqDir.foreach { sd =>
-      val sqPath = new org.apache.hadoop.fs.Path(sd)
-      val sqRetired = new org.apache.hadoop.fs.Path(s"${sd}_retired")
-      if (!fs.exists(sqPath) && fs.exists(sqRetired))
-        require(fs.rename(sqRetired, sqPath), s"failed to restore $sd from retired")
+      sqDir: Option[String] = None, rebuildEvery: Int = 0): StreamingQuery = {
+    import graft.ops.IvfIndex.{CommitMarker, VersionsSubdir}
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // commit a freshly-written version dir, then reclaim snapshots older
+    // than the PREVIOUS one (kept a full cadence for in-flight readers)
+    def commitAndRetain(root: String, version: org.apache.hadoop.fs.Path): Unit = {
+      require(fs.createNewFile(new org.apache.hadoop.fs.Path(version, CommitMarker)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(version, CommitMarker)),
+        s"failed to commit $version")
+      val vroot = new org.apache.hadoop.fs.Path(root, VersionsSubdir)
+      val committed = fs.listStatus(vroot).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+        .sortBy(_.getName)
+      committed.dropRight(2).foreach(p => fs.delete(p, true))
+      // the pre-versioning base layout (cells/centroids/meta — sqcells for
+      // the SQ tier) is the oldest snapshot of all: once two committed
+      // versions exist it has been stale ≥ one cadence
+      if (committed.length >= 2)
+        fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
+          .filter(_.getName != VersionsSubdir)
+          .foreach(p => fs.delete(p, true))
     }
+
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         graft.ops.IvfIndex.append(s, indexDir, batch)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          fs.delete(compacted, true); fs.delete(retired, true)
-          graft.ops.IvfIndex.compactTo(s, indexDir, compacted.toString)
-          require(fs.rename(path, retired) && fs.rename(compacted, path),
-            s"index swap failed for $indexDir")
-          fs.delete(retired, true)
+          // version name = batchId → a replayed cadence batch rewrites the
+          // SAME version (deleted first if half-written) — idempotent
+          val v = new org.apache.hadoop.fs.Path(
+            s"$indexDir/$VersionsSubdir/v${"%012d".format(batchId)}")
+          fs.delete(v, true)
+          // every rebuildEvery-th compaction refits the codebook on the
+          // current contents (drift recovery); count is derived from the
+          // checkpointed batchId, so replay is schedule-stable
+          val nthCompaction = (batchId + 1) / compactEvery
+          if (rebuildEvery > 0 && nthCompaction % rebuildEvery == 0)
+            graft.ops.IvfIndex.rebuildTo(s, indexDir, v.toString)
+          else
+            graft.ops.IvfIndex.compactTo(s, indexDir, v.toString)
+          commitAndRetain(indexDir, v)
           sqDir.foreach { sd =>
-            val sqPath = new org.apache.hadoop.fs.Path(sd)
-            val sqNew = new org.apache.hadoop.fs.Path(s"${sd}_deriving")
-            val sqRetired = new org.apache.hadoop.fs.Path(s"${sd}_retired")
-            fs.delete(sqNew, true); fs.delete(sqRetired, true)
-            graft.ops.IvfSq.quantizeTo(s, indexDir, sqNew.toString)
-            // same rename-to-retired discipline as the index swap: a
-            // crash in the window leaves the old copy in _retired for
-            // the startup recovery, never a missing serving dir
-            if (fs.exists(sqPath))
-              require(fs.rename(sqPath, sqRetired), s"sq retire failed for $sd")
-            require(fs.rename(sqNew, sqPath), s"sq swap failed for $sd")
-            fs.delete(sqRetired, true)
+            val sv = new org.apache.hadoop.fs.Path(
+              s"$sd/$VersionsSubdir/v${"%012d".format(batchId)}")
+            fs.delete(sv, true)
+            graft.ops.IvfSq.quantizeTo(s, indexDir, sv.toString)
+            commitAndRetain(sd, sv)
           }
         }
         ()

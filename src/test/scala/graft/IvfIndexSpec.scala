@@ -150,4 +150,72 @@ class IvfIndexSpec extends AnyFunSuite {
     val got = IvfIndex.searchTop1(spark, idx, e, nProbe = 4)
     assert(got.count() == got.select("vec_id").distinct().count())
   }
+
+  test("rebuildTo recenters a drifted codebook and recovers top-1 agreement") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(19L)
+    def cluster(center: Array[Double], n: Int, idBase: Long, noise: Double) =
+      (0 until n).map { i =>
+        (idBase + i, center.map(x => (x + rnd.nextGaussian() * noise).toFloat))
+      }
+    def unitDir(seedArr: Array[Double]) = {
+      val n = math.sqrt(seedArr.map(x => x * x).sum); seedArr.map(_ / n * 10.0)
+    }
+    // build-time distribution: ONE region; the codebook's 4 cells all carve it
+    val a0 = unitDir(Array.fill(dim)(rnd.nextGaussian()))
+    val seedSet = cluster(a0, 100, 0L, 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString
+    IvfIndex.save(spark,
+      IvfIndex.build(spark, seedSet.toDF("vec_id", "embedding"), nCells = 4, seed = 5L),
+      dir)
+    // drifted appends: FOUR tight clusters centered on the MIDPOINTS
+    // between pairs of stale centroids — i.e. ON the Voronoi boundaries
+    // of the build-time codebook. A far-away cluster would land whole in
+    // one stale cell (recall unharmed — the codebook only partitions
+    // space); drift hurts exactly when new mass STRADDLES a stale
+    // boundary, splitting true neighbors across two cells that nProbe=1
+    // never probes together.
+    val stale = IvfIndex.load(spark, dir).centroids
+    val driftPairs = Seq((0, 1), (2, 3), (0, 2), (1, 3))
+    val drifted = driftPairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val mid = unitDir(stale(a).zip(stale(b)).map { case (x, y) => x + y })
+      cluster(mid, 75, 1000L + i * 100, 0.05)
+    }
+    IvfIndex.append(spark, dir, drifted.toSeq.toDF("vec_id", "embedding"))
+
+    // exact top-1 (brute force in the test) over the full indexed corpus
+    val all = (seedSet ++ drifted).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = drifted.filter(_._1 % 25 == 0) // 12 drifted probes
+    def exactTop1(q: (Long, Array[Float])): Long =
+      all.filter(_._1 != q._1)
+        .map { case (id, v) => (id, cos(q._2, v)) }
+        .maxBy { case (id, c) => (c, -id) }._1
+    def agreement(d: String): Double = {
+      val got = IvfIndex.searchTop1(spark, IvfIndex.load(spark, d),
+          queries.toSeq.toDF("vec_id", "embedding"), nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      queries.count(q => got.get(q._1).contains(exactTop1(q))).toDouble / queries.size
+    }
+    val before = agreement(dir)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivf-rebuilt").toString
+    IvfIndex.rebuildTo(spark, dir, rebuilt)
+    val after = agreement(rebuilt)
+    assert(after > before,
+      s"rebuild must recover drift-degraded agreement: before=$before after=$after")
+    assert(after >= 0.9, s"rebuilt codebook should align cells to the data: $after")
+    // rebuild preserves contents and replication exactly
+    val src = IvfIndex.load(spark, dir); val dst = IvfIndex.load(spark, rebuilt)
+    assert(dst.nReplicas == src.nReplicas)
+    assert(dst.cells.select("vec_id").distinct().count() ==
+      src.cells.select("vec_id").distinct().count())
+  }
 }

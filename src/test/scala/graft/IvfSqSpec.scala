@@ -68,6 +68,63 @@ class IvfSqSpec extends AnyFunSuite {
     assert(got == float, s"sq=${got.size} float=${float.size}")
   }
 
+  test("oversized serving batches fail fast on the self-enforced candidate budget") {
+    val (raw, sq) = dirs
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // the whole corpus as a "serving" batch with a deliberately tiny budget:
+    // the collect bound must trip with the contract in the message, never
+    // silently balloon the driver
+    val ex = intercept[IllegalArgumentException] {
+      IvfSq.searchTopK(spark, sq, raw, e, k = 3, nProbe = 8,
+        shortlist = 12, maxCandidates = 10).count()
+    }
+    assert(ex.getMessage.contains("maxCandidates=10") &&
+      ex.getMessage.contains("SMALL-BATCH"), ex.getMessage)
+    // a genuinely small batch sails through the same budget
+    assert(IvfSq.searchTopK(spark, sq, raw, e.filter(col("vec_id") < 2),
+      k = 3, nProbe = 2, shortlist = 3, maxCandidates = 10).count() > 0)
+  }
+
+  test("clustered data: recall@3 vs the float tier clears the floor at 4k shortlist") {
+    import spark.implicits._
+    // mixture-of-Gaussians — the shape real embedding corpora have (the
+    // uniform sf embeddings are the SQ tier's EASY case for agreement
+    // because true neighbors are far apart; tight clusters stress the
+    // quantized coarse scan with many near-ties inside one cell)
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(8) {
+      val c = Array.fill(32)(rnd.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x / n) * 8.0)
+    }
+    val emb = (0 until 600).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.25).toFloat))
+    }.toDF("vec_id", "embedding")
+    val raw = java.nio.file.Files.createTempDirectory("graft-sq-clustered-raw").toString
+    IvfIndex.save(spark,
+      IvfIndex.build(spark, emb, nCells = 8, seed = 3L, nReplicas = 2), raw)
+    val sq = java.nio.file.Files.createTempDirectory("graft-sq-clustered").toString
+    IvfSq.quantizeTo(spark, raw, sq)
+
+    val batch = emb.filter(col("vec_id") < 30)
+    val k = 3
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("vec_id").cast("long"), col("nn_id").cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+    val sqTop = topSets(IvfSq.searchTopK(spark, sq, raw, batch, k = k,
+      nProbe = 4, shortlist = 4 * k))
+    val floatTop = topSets(IvfIndex.searchTopK(spark, IvfIndex.load(spark, raw),
+      batch, k = k, nProbe = 4))
+    val recall = floatTop.map { case (q, f) =>
+      (sqTop.getOrElse(q, Set.empty) & f).size.toDouble / f.size
+    }.sum / floatTop.size
+    // floor documented in NOTES (shortlist-vs-recall trade): 4×k headroom
+    // must recover ≥0.9 of the float tier's top-3 on clustered data
+    assert(recall >= 0.9, s"recall@3 vs float tier = $recall")
+  }
+
   test("the coarse scan partition-prunes and the rerank reads only the shortlist") {
     val (raw, sq) = dirs
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))

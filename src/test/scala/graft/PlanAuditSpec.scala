@@ -191,6 +191,20 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("q74: dedup edges come from the persisted index, not an embeddings block sweep") {
+    // the r10 rework: edge generation reads the session's SAVED dedup index
+    // (cell-pair bound + per-cell sweep) — the plan must scan the index
+    // artifact and must NOT scan the embeddings table (the old O(N²) block
+    // sweep read embeddings.parquet directly and replicated every row to
+    // every block task)
+    val p = graft.ops.Similarity.ivfDedupEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-ivf-dedup"),
+      s"q74 edges must scan the persisted dedup index:\n$p")
+    assert(!p.contains("embeddings.parquet"),
+      s"q74 edges must not re-scan the embeddings table:\n$p")
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q03_group_count")
     // two HashAggregates (partial + final) around the exchange

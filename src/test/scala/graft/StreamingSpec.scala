@@ -235,8 +235,14 @@ class StreamingSpec extends AnyFunSuite {
       graft.ops.IvfIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
         nCells = 8, seed = 7L), idx)
     val built = spark.read.parquet(s"$idx/cells").count()
+    // all live-layout reads go through resolve: pre-compaction that is the
+    // base dir, post-compaction the committed version snapshot (resolve
+    // returns an FS-qualified URI — strip the scheme for java.io checks)
+    def localPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    def live: String = graft.ops.IvfIndex.resolve(spark, idx)
     def filesPerCell: Map[String, Int] =
-      new java.io.File(s"$idx/cells").listFiles()
+      new java.io.File(s"${localPath(live)}/cells").listFiles()
         .filter(_.getName.startsWith("cell=")).map { cd =>
           cd.getName -> cd.listFiles().count(_.getName.endsWith(".parquet"))
         }.toMap
@@ -253,7 +259,8 @@ class StreamingSpec extends AnyFunSuite {
       compactEvery = 2, sqDir = Some(sq))
     assert(filesPerCell.values.exists(_ > 1),
       "append residue expected before the cadence fires")
-    assert(spark.read.parquet(s"$sq/sqcells").count() == sqBefore,
+    assert(spark.read.parquet(
+        s"${graft.ops.IvfIndex.resolve(spark, sq)}/sqcells").count() == sqBefore,
       "no compaction yet -> the SQ tier lags (bounded by the cadence)")
 
     // simulate foreachBatch's at-least-once replay: a crash AFTER b2's
@@ -269,21 +276,150 @@ class StreamingSpec extends AnyFunSuite {
     val after = filesPerCell
     assert(after.nonEmpty && after.values.forall(_ == 1),
       s"expected one file per cell after compaction: $after")
-    val cells = spark.read.parquet(s"$idx/cells")
+    val live1 = live // snapshot: later asserts compare against THIS version
+    assert(live1 != idx && live1.contains("versions/v"),
+      s"compaction must publish a committed version snapshot, got $live1")
+    val cells = spark.read.parquet(s"$live1/cells")
     assert(cells.count() == built + b1.count() + b2.count(),
       "replayed rows must be reconciled exactly once")
     assert(cells.select("cell", "vec_id").distinct().count() == cells.count())
-    // the swapped-in index still serves
+    // the PREVIOUS snapshot (the base layout) survives the commit for one
+    // cadence: an in-flight reader that resolved before the compaction can
+    // still finish against its files
+    assert(new java.io.File(s"$idx/cells").exists(),
+      "previous snapshot must be retained one cadence for in-flight readers")
+    // the committed index serves
     val got = graft.ops.IvfIndex.searchTop1(spark,
       graft.ops.IvfIndex.load(spark, idx),
       e.filter(col("vec_id") < 5), nProbe = 4).collect()
     assert(got.length == 5)
     // the SQ tier was re-derived at the compaction: 1:1 with the
     // reconciled index, and the two-stage serve answers from it
-    assert(spark.read.parquet(s"$sq/sqcells").count() == cells.count())
+    assert(spark.read.parquet(
+      s"${graft.ops.IvfIndex.resolve(spark, sq)}/sqcells").count() == cells.count())
     val sqGot = graft.ops.IvfSq.searchTopK(spark, sq, idx,
       e.filter(col("vec_id") < 5), k = 1, nProbe = 4).collect()
     assert(sqGot.length == 5)
+
+    // an UNCOMMITTED version (crash mid-compaction) must be invisible to
+    // resolve — the replayed cadence would redo it
+    val crashed = new java.io.File(s"$idx/versions/v999999999999")
+    crashed.mkdirs()
+    assert(graft.ops.IvfIndex.resolve(spark, idx) == live1,
+      "uncommitted version dirs must be ignored by resolve")
+
+    // a SECOND cadence reclaims snapshots older than the previous one:
+    // run two more batches so the cadence fires again, then the base
+    // layout (now stale two cadences) must be gone
+    crashed.delete()
+    // two separate runs: AvailableNow folds all pending files into ONE
+    // batch, so landing b3+b4 together would be a single batchId and the
+    // cadence (every 2nd batch) would not fire
+    val b3 = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    b3.write.parquet(s"$in/b3")
+    Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
+      compactEvery = 2, sqDir = Some(sq))
+    val b4 = e.filter(col("vec_id") % 2 === 0 && col("vec_id") >= 50 && col("vec_id") < 100)
+      .withColumn("vec_id", col("vec_id") + 20000)
+    b4.write.parquet(s"$in/b4")
+    Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
+      compactEvery = 2, sqDir = Some(sq))
+    val live2 = graft.ops.IvfIndex.resolve(spark, idx)
+    assert(live2 != live1, "second cadence must commit a newer version")
+    assert(!new java.io.File(s"$idx/cells").exists(),
+      "base layout must be reclaimed once it is two cadences stale")
+    assert(new java.io.File(localPath(live1)).exists(),
+      "the immediately-previous version must still be retained")
+    assert(spark.read.parquet(s"$live2/cells").count() ==
+      built + b1.count() + b2.count() + b3.count() + b4.count())
+  }
+
+  test("rebuild cadence refits a drift-degraded codebook; plain compaction does not") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(23L)
+    def unitDir() = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n * 10.0)
+    }
+    def cluster(center: Array[Double], n: Int, idBase: Long, noise: Double) =
+      (0 until n).map { i =>
+        (idBase + i, center.map(x => (x + rnd.nextGaussian() * noise).toFloat))
+      }
+    val seedSet = cluster(unitDir(), 100, 0L, 0.5)
+    // drifted batches: tight clusters ON the stale codebook's Voronoi
+    // boundaries (midpoints of centroid pairs) — mass that STRADDLES two
+    // stale cells, which is the drift that actually degrades nProbe=1
+    // recall (a far-away cluster lands whole in one cell and loses
+    // nothing). Both maintained indexes are built identically below
+    // (same data, same seed), so one throwaway fit yields their shared
+    // stale centroids.
+    val stale = graft.ops.IvfIndex.build(spark,
+      seedSet.toDF("vec_id", "embedding"), nCells = 4, seed = 5L).centroids
+    def mid(a: Int, b: Int): Array[Double] = {
+      val m = stale(a).zip(stale(b)).map { case (x, y) => x + y }
+      val n = math.sqrt(m.map(x => x * x).sum); m.map(_ / n * 10.0)
+    }
+    val driftedA = cluster(mid(0, 1), 75, 1000L, 0.05) ++ cluster(mid(2, 3), 75, 2000L, 0.05)
+    val driftedB = cluster(mid(0, 2), 75, 3000L, 0.05) ++ cluster(mid(1, 3), 75, 4000L, 0.05)
+
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val base = Files.createTempDirectory("graft-annrebuild").toString
+    val in = s"$base/in"; new java.io.File(in).mkdirs()
+    driftedA.toDF("vec_id", "embedding").write.parquet(s"$in/b1")
+
+    // two maintained indexes fed the SAME drifted stream: one rebuilds on
+    // the cadence, the control only compacts — the codebook is the ONLY
+    // difference
+    val dirs = Seq("rebuilt" -> 1, "compacted" -> 0).map { case (name, rebuildEvery) =>
+      val idx = s"$base/$name"; val ck = s"$base/ck-$name"
+      graft.ops.IvfIndex.save(spark,
+        graft.ops.IvfIndex.build(spark, seedSet.toDF("vec_id", "embedding"),
+          nCells = 4, seed = 5L), idx)
+      Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
+        compactEvery = 2, rebuildEvery = rebuildEvery)
+      (name, idx, ck, rebuildEvery)
+    }
+    driftedB.toDF("vec_id", "embedding").write.parquet(s"$in/b2")
+    dirs.foreach { case (_, idx, ck, rebuildEvery) =>
+      Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
+        compactEvery = 2, rebuildEvery = rebuildEvery)
+    }
+
+    val all = (seedSet ++ driftedA ++ driftedB).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = (driftedA ++ driftedB).filter(_._1 % 25 == 0)
+    def agreement(idx: String): Double = {
+      val got = graft.ops.IvfIndex.searchTop1(spark,
+          graft.ops.IvfIndex.load(spark, idx),
+          queries.toDF("vec_id", "embedding"), nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      queries.count { q =>
+        val exact = all.filter(_._1 != q._1)
+          .map { case (id, v) => (id, cos(q._2, v)) }
+          .maxBy { case (id, c) => (c, -id) }._1
+        got.get(q._1).contains(exact)
+      }.toDouble / queries.size
+    }
+    val rebuiltIdx = dirs.head._2; val compactedIdx = dirs.last._2
+    // the cadence rebuilt: codebook moved off the build-time centroids
+    assert(graft.ops.IvfIndex.load(spark, rebuiltIdx).centroids.map(_.toSeq).toSet !=
+      graft.ops.IvfIndex.load(spark, compactedIdx).centroids.map(_.toSeq).toSet,
+      "rebuild cadence must refit the codebook (control keeps it)")
+    val (rebuilt, compacted) = (agreement(rebuiltIdx), agreement(compactedIdx))
+    assert(rebuilt > compacted,
+      s"rebuild must recover drifted agreement: rebuilt=$rebuilt compacted=$compacted")
+    assert(rebuilt >= 0.9, s"rebuilt agreement floor: $rebuilt")
   }
 
   test("watermarked windowed aggregation over the events table matches the batch form") {

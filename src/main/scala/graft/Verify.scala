@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Where the [[SparkEntry.oracleSupport]] writers place model-parameter
+    * tables: a SIBLING of the dump dir, not inside it. The driver's
+    * checker enumerates every parquet dir under outDir as a query result,
+    * so support tables inside it — even nested under `_support/` — show
+    * up as one spurious `err` row per run (its pandas sort dies on the
+    * array-typed parameter columns). Outside outDir they are invisible to
+    * the enumeration while the oracle SQL still reads them by absolute
+    * path (`{GRAFT_OUT}_support/...` — the same `{GRAFT_OUT}`
+    * substitution below, so writer and SQL can never disagree on the
+    * location). */
+  def supportDir(outDir: String): String =
+    Paths.get(outDir).toAbsolutePath.toString + "_support"
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
     val sfDir = args(0)

@@ -123,12 +123,7 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
-    val bands = bandsOf(docs)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = bucketedCandidates(bandsOf(docs), Nil)
     Caching.materializeAndRelease(
       cand
         .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
@@ -149,6 +144,70 @@ object Dedup {
           element_at(col("sig"), j * RowsPerBand + r + 1))): _*)
       }: _*)).as(Seq("band", "bhash")))
       .select(col("doc_id"), col("band"), col("bhash"))
+
+  /** LSH bucket rows of a raw (doc_id, text) corpus — the skew
+    * observability hook (ScaleSmoke's skew section reads bucket-size
+    * distributions from it; same sig/band layout the candidate joins key
+    * on). */
+  private[graft] def bandRowsOf(input: DataFrame): DataFrame =
+    bandsOf(input
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSig(col("hs")).as("sig")))
+
+  /** Rows of one LSH bucket a single candidate-sweep task may hold before
+    * the bucket is salted into sub-tasks. 256 → ≤ ~32k pair verifications
+    * per task — small against a task's scan work, so the join's max-task
+    * share tracks the data volume, not the hottest bucket. */
+  private[graft] val BucketCap = 256
+
+  /** SKEW-GUARDED candidate self-join of LSH bucket rows (`doc_id, band,
+    * bhash, carry...`): emits exactly the unordered candidate pairs the
+    * plain `x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id`
+    * self-join would — for EVERY input — while bounding the rows any one
+    * join task sweeps.
+    *
+    * The classic LSH failure this guards: a boilerplate-heavy corpus
+    * (near-identical templates that survive exact dedup) piles one band
+    * hash into a single bucket of m rows, and the plain self-join does all
+    * m²/2 verifications in the ONE task that owns that join key — the
+    * max-task stall that flatlines a 1000-executor cluster behind one
+    * straggler. The guard is TRIANGLE DECOMPOSITION, not dropping: a
+    * bucket bigger than `cap` splits into g = ⌈m/cap⌉ hash-groups; each
+    * row replicates to the g sub-tasks (t1,t2) touching its group, and the
+    * pair (a∈gx, b∈gy) is emitted only in sub-task (min(gx,gy),
+    * max(gx,gy)) — same-group pairs only on the diagonal (gx,gx) — so
+    * every pair appears in EXACTLY one sub-task and per-task rows shrink
+    * to ~2·cap. Recall is untouched (unlike a size cutoff, which silently
+    * loses any pair colliding only in the hot band); total work is
+    * unchanged — it just parallelizes. Buckets at or under `cap` take
+    * g = 1 and degenerate to the plain join bit-for-bit. The bucket-size
+    * pass is one aggregation on the join key the candidates shuffle on
+    * anyway. */
+  private[graft] def bucketedCandidates(bands: DataFrame, carry: Seq[String],
+      cap: Int = BucketCap): DataFrame = {
+    val sizes = bands.groupBy("band", "bhash").agg(count(lit(1)).as("bcnt"))
+    val grouped = bands.join(sizes, Seq("band", "bhash"))
+      .withColumn("ng",
+        greatest(lit(1L), ceil(col("bcnt").cast("double") / cap)).cast("int"))
+      .withColumn("grp", pmod(xxhash64(col("doc_id")), col("ng")).cast("int"))
+      .withColumn("sub", explode(sequence(lit(0), col("ng") - 1)))
+      .withColumn("t1", least(col("grp"), col("sub")))
+      .withColumn("t2", greatest(col("grp"), col("sub")))
+    grouped.as("x").join(grouped.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.t1") === col("y.t1") && col("x.t2") === col("y.t2") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // cross-group pairs co-occur only in their canonical sub-task;
+          // same-group pairs co-occur in every sub-task touching the group
+          // — emit them on the diagonal alone
+          (col("x.grp") =!= col("y.grp") ||
+            (col("x.t1") === col("x.grp") && col("x.t2") === col("x.grp"))))
+      .select((Seq(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")) ++
+        carry.flatMap(c =>
+          Seq(col(s"x.$c").as(s"${c}_a"), col(s"y.$c").as(s"${c}_b")))): _*)
+      .distinct()
+  }
 
   val q38MinhashDedup: Q = (s, d) =>
     minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
@@ -281,15 +340,11 @@ object Dedup {
         shiftrightunsigned(col("simhash"), j * SimBandBits)
           .bitwiseAND(lit((1L << SimBandBits) - 1))): _*))
         .as(Seq("band", "bhash")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
-      .distinct()
+    val cand = bucketedCandidates(bands, Seq("simhash"))
     Caching.materializeAndRelease(
       cand
-        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .withColumn("hamming",
+          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b")),

@@ -60,7 +60,7 @@ object Ml {
   def writeEmbedSupport(s: org.apache.spark.sql.SparkSession, d: String,
       outDir: String): Unit =
     Embed.embedDocuments(s, d)
-      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_features")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q94_support_features")
 
   /** Oracle support for the topic-model queries (run by Verify before the
     * DuckDB compare): the fitted model PARAMETERS as plain parquet under
@@ -83,11 +83,11 @@ object Ml {
     val model = Topics.fit(s, d)
     model.centroids.zipWithIndex.map { case (c, t) => (t, c) }.toSeq
       .toDF("ctopic", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_centroids")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q94_support_centroids")
     Topics.CustomStopwords.toSeq.toDF("sw").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/_support/q94_support_stopwords")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q94_support_stopwords")
     model.vocab.toSeq.toDF("term").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/_support/q51_support_vocab")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q51_support_vocab")
   }
 
   /** K6 viz data: topic-similarity heatmap table (the data behind the
@@ -120,13 +120,13 @@ object Ml {
   private val assignCtes: String =
     """WITH f AS (
       |  SELECT doc_id, embedding
-      |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_features/*.parquet')),
+      |  FROM read_parquet('{GRAFT_OUT}_support/q94_support_features/*.parquet')),
       |c AS (
       |  SELECT ctopic, centroid
-      |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_centroids/*.parquet')),
+      |  FROM read_parquet('{GRAFT_OUT}_support/q94_support_centroids/*.parquet')),
       |sw AS (
       |  SELECT list(sw) AS sws
-      |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_stopwords/*.parquet')),
+      |  FROM read_parquet('{GRAFT_OUT}_support/q94_support_stopwords/*.parquet')),
       |outl AS (
       |  SELECT d.doc_id,
       |    len([t for t in regexp_split_to_array(lower(d.text), '\W+')
@@ -171,7 +171,7 @@ object Ml {
         |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
         |                       for x in embedding])), 4) AS norm,
         |  round(CAST(embedding[1] AS DOUBLE), 4) AS c0
-        |FROM read_parquet('{GRAFT_OUT}/_support/q94_support_features/*.parquet')
+        |FROM read_parquet('{GRAFT_OUT}_support/q94_support_features/*.parquet')
         |ORDER BY doc_id""".stripMargin,
     "q94_topic_probs" -> (assignCtes +
       """
@@ -192,7 +192,7 @@ object Ml {
     "q51_topic_terms" -> (assignCtes +
       """,
         |vocab AS (
-        |  SELECT term FROM read_parquet('{GRAFT_OUT}/_support/q51_support_vocab/*.parquet')),
+        |  SELECT term FROM read_parquet('{GRAFT_OUT}_support/q51_support_vocab/*.parquet')),
         |toks AS (
         |  SELECT d.doc_id,
         |    unnest([t for t in regexp_split_to_array(lower(d.text), '\W+')
@@ -218,7 +218,7 @@ object Ml {
     "q95_topic_heatmap" ->
       """WITH c AS (
         |  SELECT ctopic, centroid
-        |  FROM read_parquet('{GRAFT_OUT}/_support/q94_support_centroids/*.parquet'))
+        |  FROM read_parquet('{GRAFT_OUT}_support/q94_support_centroids/*.parquet'))
         |SELECT a.ctopic AS topic_a, b.ctopic AS topic_b,
         |  round(
         |    list_sum([a.centroid[i] * b.centroid[i]

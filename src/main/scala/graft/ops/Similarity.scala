@@ -446,11 +446,11 @@ object Similarity {
     val idx = IvfIndex.load(s, ivfDir(s, d))
     idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
       .toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/_support/q45_support_centroids")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q45_support_centroids")
     // membership is corpus-sized — parallel write (only the k-row
     // codebook coalesces)
     idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
-      .write.mode("overwrite").parquet(s"$outDir/_support/q45_support_cells")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q45_support_cells")
   }
 
   /** M8's ANN top-K: the ranked-list form of q45 (q44 is the exact brute
@@ -525,7 +525,7 @@ object Similarity {
       .map { case (c, id, codes, mn, mx) =>
         (c, id, codes.map(b => b & 0xff).toSeq, mn, mx) }
       .toDF("cell", "vec_id", "codes", "vmin", "vmax")
-      .write.mode("overwrite").parquet(s"$outDir/_support/q100_support_sqcells")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q100_support_sqcells")
   }
 
   /** Int8 scalar quantization of the embedding column (the storage form a
@@ -625,10 +625,10 @@ object Similarity {
   private def annRankedCtes(batchWhere: String, nProbe: Int): String =
     s"""WITH cen AS (
        |  SELECT cell, centroid
-       |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_centroids/*.parquet')),
+       |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
        |mem AS (
        |  SELECT cell, vec_id
-       |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_cells/*.parquet')),
+       |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet')),
        |qn AS (
        |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
        |  FROM embeddings $batchWhere),
@@ -690,10 +690,10 @@ object Similarity {
       val dec = "(a.vmin + a.codes[i] * ((a.vmax - a.vmin) / 255.0))"
       s"""WITH cen AS (
          |  SELECT cell, centroid
-         |  FROM read_parquet('{GRAFT_OUT}/_support/q45_support_centroids/*.parquet')),
+         |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
          |sqm AS (
          |  SELECT cell, vec_id, codes, vmin, vmax
-         |  FROM read_parquet('{GRAFT_OUT}/_support/q100_support_sqcells/*.parquet')),
+         |  FROM read_parquet('{GRAFT_OUT}_support/q100_support_sqcells/*.parquet')),
          |qn AS (
          |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
          |  FROM embeddings WHERE vec_id < $ServeBatchMaxId),

@@ -67,9 +67,13 @@ object TrainingData {
     *                 written; None (the default) makes any breach FAIL the
     *                 run instead — a corrupt batch should stop a
     *                 training-data export, not silently shrink it
-    * @return funnel summary (stage, docs) — input, validated, gated,
-    *         clean, decontaminated, mixed rows, plus per-stage detail
-    *         persisted nowhere else
+    * @return funnel summary (stage, docs, secs) — input, validated, gated,
+    *         clean, decontaminated, mixed rows, each with the wall-clock
+    *         of the stage's materializing action (the cached stage's one
+    *         count — each stage is counted exactly ONCE, at the moment it
+    *         materializes, and that number is reused in the summary; the
+    *         pre-r10 shape recounted every cached stage in a second pass
+    *         of six driver actions)
     */
   def run(spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
       weights: DataFrame, outDir: String, nShards: Int = 8,
@@ -77,7 +81,17 @@ object TrainingData {
       gate: TextOps.RuleGateConfig = DefaultGate,
       quarantineDir: Option[String] = None): DataFrame = {
     import spark.implicits._
+    // stage timer: wall-clock of the ONE action that materializes a
+    // cached stage — the per-stage scaling signal ScaleSmoke's pipeline
+    // section reads (a stage whose secs stop tracking its input volume is
+    // the fixed bottleneck the funnel must not have)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
     val input = docs.cache()
+    val (nInput, tInput) = timed(input.count())
 
     // -1. EXPECTATIONS GATE (the q98-certified deequ-style validation as
     // admission control): the structural rules every later stage depends
@@ -100,11 +114,13 @@ object TrainingData {
     quarantineDir.foreach(qd =>
       breached.drop("_expect_ok").write.mode("overwrite").parquet(qd))
     val validated = checked.filter(col("_expect_ok")).drop("_expect_ok").cache()
+    val (nValidated, tValidated) = timed(validated.count())
 
     // 0. RULE GATE — the q97-certified Gopher-style heuristic filter as a
     // narrow predicate pass (TextOps.ruleGateKeep): no shuffle, runs ahead
     // of every shuffling stage so dedup/decontam never see gated docs
     val gated = validated.filter(TextOps.ruleGateKeep(gate)).cache()
+    val (nGated, tGated) = timed(gated.count())
 
     // 1. quality gate + exact dedup + fuzzy canonicalization (q79).
     // cache: the clean set feeds BOTH the funnel count and the
@@ -114,6 +130,7 @@ object TrainingData {
     val clean = gated.join(
         disposition.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
       .cache()
+    val (nClean, tClean) = timed(clean.count())
 
     // 2. decontamination: sketch the eval set's gram vocabulary, probe the
     // clean corpus map-side (q82's streaming-tier decision: conservative,
@@ -129,6 +146,7 @@ object TrainingData {
     val decontaminated = clean
       .filter(!contaminated(TextFns.distinctGramHashes(col("text"), 5)))
       .cache()
+    val (nDecontaminated, tDecontaminated) = timed(decontaminated.count())
 
     // 3. weighted mixing (q83 semantics): deterministic per-doc multiplicity
     val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
@@ -142,16 +160,20 @@ object TrainingData {
 
     // 4. shard export: copies of the same doc share a shard (assignment is
     // by doc_id), files bounded, id-sorted
-    ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile)
+    val (_, tExport) = timed(
+      ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile))
+    val nMixed = spark.read.parquet(outDir).count()
 
     val summary = Seq(
-      ("input", input.count()),
-      ("validated", validated.count()),
-      ("gated", gated.count()),
-      ("clean", clean.count()),
-      ("decontaminated", decontaminated.count()),
-      ("mixed_rows", spark.read.parquet(outDir).count()),
-    ).toDF("stage", "docs")
+      ("input", nInput, tInput),
+      ("validated", nValidated, tValidated),
+      ("gated", nGated, tGated),
+      ("clean", nClean, tClean),
+      ("decontaminated", nDecontaminated, tDecontaminated),
+      // mixed_rows' secs = the mix+export action (the count is a cheap
+      // parquet-footer read over what the export just wrote)
+      ("mixed_rows", nMixed, tExport),
+    ).toDF("stage", "docs", "secs")
     decontaminated.unpersist()
     clean.unpersist()
     gated.unpersist()

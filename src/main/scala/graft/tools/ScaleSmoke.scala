@@ -243,6 +243,98 @@ object ScaleSmoke {
       println(s"[scale] sq answers match float tier: ${qz == fl} (${qz.size} rows)")
       scaled.unpersist()
     }
+    // LSH SKEW: a boilerplate-heavy corpus — 20% of docs are one template
+    // plus a doc-unique token, so they SURVIVE exact dedup but pile one
+    // band hash into a single LSH bucket. The claim under test: the
+    // r10 hot-bucket guard (Dedup.bucketedCandidates) bounds the
+    // candidate join's max-task share at ~cap² pairs while the plain
+    // self-join's hot task grows QUADRATICALLY with the template pile
+    // (m²/2 pairs in the one task owning the bucket — the classic skew
+    // stall). Total verify work is the same either way (the pairs really
+    // exist); the guard's job is spreading it.
+    if (section == "all" || section == "skew") {
+      import spark.implicits._
+      val template = (1 to 120).map(i => s"tmplword$i").mkString(" ")
+      val cap = graft.ops.Dedup.BucketCap
+      // bounded base: the hot bucket's pair content is quadratic BY
+      // CONSTRUCTION, so the smoke scales the template pile 1x/4x, not
+      // the whole corpus
+      val skewBase = base.filter(col("doc_id") < 4000)
+      for (mult <- Seq(1, 4)) {
+        val scaled: DataFrame = (0 until mult).map { k =>
+          skewBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"))
+        }.reduce(_ unionByName _)
+        val skewed = scaled.withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(template + " uniq"), col("doc_id"))).otherwise(col("text")))
+          .withColumn("n_chars", length(col("text"))).cache()
+        val rows = skewed.count()
+        println(s"[scale] ===== skew mult=$mult rows=$rows (20% template clones) =====")
+        val bands = graft.ops.Dedup.bandRowsOf(skewed).cache()
+        // analytic max-task share, before vs after: plain join = the
+        // hottest bucket whole; guarded = the worst (group x group)
+        // sub-task of that bucket under the cap's hash split
+        val hot = bands.groupBy(col("band"), col("bhash"))
+          .agg(count(lit(1)).as("m")).agg(max(col("m"))).head.getLong(0)
+        val ng = math.ceil(hot.toDouble / cap).toInt
+        val worstGroup = bands
+          .groupBy(col("band"), col("bhash"),
+            pmod(xxhash64(col("doc_id")), lit(ng.toLong)).as("grp"))
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
+        println(f"[scale] skew mult=$mult hottest bucket m=$hot " +
+          f"plainMaxTaskPairs=${hot * (hot - 1) / 2}%d " +
+          f"guardedMaxTaskPairs<=${worstGroup * worstGroup}%d (ng=$ng)")
+        // measured: the guarded candidate join vs the plain one (cap=inf)
+        time(s"mult=$mult guarded candidates (cap=$cap)")(
+          println(s"[scale] skew mult=$mult candidates: " +
+            graft.ops.Dedup.bucketedCandidates(bands, Nil, cap).count()))
+        time(s"mult=$mult plain candidates (cap=MaxValue)")(
+          println(s"[scale] skew mult=$mult candidates: " +
+            graft.ops.Dedup.bucketedCandidates(bands, Nil, Int.MaxValue).count()))
+        // the full engine path (candidates + exact verify) stays correct
+        // and keeps its wall-clock under the guard
+        time(s"mult=$mult minhash pairs on skewed corpus")(
+          println(s"[scale] skew mult=$mult verified pairs: " +
+            graft.ops.Dedup.minhashPairsOf(skewed).count()))
+        bands.unpersist(); skewed.unpersist()
+      }
+    }
+    // CAPSTONE PIPELINE: TrainingData.run's funnel stage-by-stage at
+    // 1x/4x/16x — the composed gates→dedup→decontam→mix→export path must
+    // grow near-linearly per stage with no fixed bottleneck (the dedup
+    // stack above already has per-operator evidence; this measures the
+    // COMPOSITION, using run()'s own per-stage materialization timers).
+    if (section == "all" || section == "pipeline") {
+      import spark.implicits._
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      // eval set: real corpus texts (copy-0 docs) — decontamination has
+      // genuine hits at every multiplier
+      val evalDocs = docsBase.filter(col("doc_id") % 997 === 0).select(col("text"))
+      val sources = docsBase.select(col("source")).distinct()
+        .as[String].collect().toSeq
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          if (k == 0) docsBase
+          else docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
+            col("source"))
+        }.reduce(_ unionByName _)
+          .withColumn("n_chars", length(col("text"))).cache()
+        val rows = scaled.count()
+        println(s"[scale] ===== pipeline mult=$mult rows=$rows =====")
+        val out = java.nio.file.Files.createTempDirectory("smoke-pipe").toString
+        val summary = time(s"mult=$mult TrainingData.run total")(
+          graft.pipelines.TrainingData.run(spark, scaled, evalDocs,
+            graft.pipelines.TrainingData.flatWeights(spark, sources),
+            out, nShards = 8))
+        summary.collect().foreach(r =>
+          println(f"[scale] pipeline mult=$mult stage=${r.getString(0)}%-15s " +
+            f"docs=${r.getLong(1)}%9d secs=${r.getDouble(2)}%7.2f"))
+        scaled.unpersist()
+      }
+    }
     spark.stop()
   }
 }

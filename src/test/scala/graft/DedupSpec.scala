@@ -164,6 +164,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == ((3L, 0L, Some(md5Hex("f1 f2 f3")))))
   }
 
+  test("hot-bucket guard: salted candidates equal the plain self-join exactly") {
+    import spark.implicits._
+    // a skewed bucket layout: one band hash shared by 60 docs (the
+    // boilerplate-template pile the guard exists for), a 9-doc warm
+    // bucket, scattered cold buckets, and docs colliding in SEVERAL
+    // bands (multi-band multiplicity must still dedupe to one pair)
+    val bands = (
+      (0 until 60).map(i => (i.toLong, 0, 777L)) ++
+      (0 until 9).map(i => ((100 + i).toLong, 1, 888L)) ++
+      (0 until 12).map(i => ((200 + i).toLong, 2, 999L + i / 2)) ++
+      (0 until 60 by 3).map(i => (i.toLong, 3, 555L))
+    ).toDF("doc_id", "band", "bhash")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      ops.Dedup.bucketedCandidates(bands, Nil, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap larger than every bucket = the plain self-join, bit-for-bit
+    val plain = pairs(1000)
+    assert(plain.size == 60 * 59 / 2 + 9 * 8 / 2 + 6, s"fixture: ${plain.size}")
+    // caps that FORCE salting of the hot bucket must not change the set
+    for (cap <- Seq(2, 7, 16, 59)) assert(pairs(cap) == plain, s"cap=$cap")
+    // and the bound must hold: a sub-task holds rows of ≤ 2 hash-groups,
+    // so the per-group split of the hot bucket is the per-task bound
+    // (uneven hash split — allow 2x slack per group)
+    val cap = 8
+    val ng = math.ceil(60.0 / cap).toInt
+    val maxGroup = bands.filter(col("band") === 0)
+      .withColumn("grp", pmod(xxhash64(col("doc_id")), lit(ng.toLong)))
+      .groupBy("grp").count().agg(max("count")).head.getLong(0)
+    assert(maxGroup <= 2L * cap,
+      s"hot bucket must split to ~cap-sized groups: max=$maxGroup cap=$cap")
+    // carried columns survive the salted join intact
+    val carried = ops.Dedup.bucketedCandidates(
+        bands.withColumn("tag", concat(lit("v"), col("doc_id"))), Seq("tag"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(carried.forall { case (a, b, ta, tb) => ta == s"v$a" && tb == s"v$b" })
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -13,25 +13,32 @@ class MlSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
-  test("oracle support writers confine every table to outDir/_support") {
-    // regression guard for the r8 checker breakage: a support table
-    // written FLAT into Verify's outDir is enumerated as a query by the
-    // driver checker, and array-typed columns crash its pandas sort —
-    // every parameter table must land under the nested _support dir
+  test("oracle support writers keep every table OUT of Verify's outDir") {
+    // regression guard for the driver-checker breakage: ANY parquet dir
+    // inside Verify's outDir — flat or nested — is enumerated as a query
+    // by the driver checker (a nested _support dir still produced one
+    // spurious err row per run: its pandas sort dies on array-typed
+    // parameter columns). r10 contract: support tables live in the
+    // SIBLING dir Verify.supportDir(outDir) = s"${outDir}_support",
+    // invisible to the enumeration, and the oracle SQL reads them by
+    // absolute path through the same substitution.
     val out = java.nio.file.Files.createTempDirectory("graft-support").toString
     SparkEntry.oracleSupport.foreach { case (_, w) => w(spark, sf, out) }
-    val top = new java.io.File(out).listFiles().map(_.getName).toSet
-    assert(top == Set("_support"), s"unexpected top-level entries: $top")
-    val tables = new java.io.File(s"$out/_support").listFiles().map(_.getName).toSet
+    val top = Option(new java.io.File(out).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    assert(top.isEmpty, s"support writers must not write inside outDir: $top")
+    val tables = new java.io.File(Verify.supportDir(out))
+      .listFiles().map(_.getName).toSet
     assert(tables == Set("q94_support_features", "q94_support_centroids",
       "q94_support_stopwords", "q51_support_vocab",
       "q45_support_centroids", "q45_support_cells",
       "q100_support_sqcells"), tables)
-    // and the SQL side: every {GRAFT_OUT} read resolves under _support/
+    // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
+    // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>
-      """\{GRAFT_OUT\}/([^'\s]+)""".r.findAllMatchIn(sql).foreach { m =>
+      """\{GRAFT_OUT\}([^'\s]+)""".r.findAllMatchIn(sql).foreach { m =>
         assert(m.group(1).startsWith("_support/"),
-          s"oracle SQL reads outside _support: ${m.group(1)}")
+          s"oracle SQL reads outside the sibling support dir: ${m.group(1)}")
       }
     }
   }

@@ -134,9 +134,13 @@ class StreamingSpec extends AnyFunSuite {
     Seq((1L, baseText), (2L, baseText + "iota"),
       (3L, ("omega psi chi phi upsilon tau sigma rho " * 8).trim))
       .toDF("doc_id", "text").write.parquet(s"$in/b1")
-    Incremental.continuousFuzzyDedup(spark, s"$in/*", docSchema, out, idx, ck)
+    val q1 = Incremental.continuousFuzzyDedup(spark, s"$in/*", docSchema, out, idx, ck)
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
       .toSeq == Seq(1L, 3L), "within-batch near-dup must be dropped")
+    // T3 covers the foreachBatch maintainers too: the drained query's
+    // progress (batches, rows, rate) is readable like any other stream's
+    val fr = Incremental.progressReport(q1)
+    assert(fr.batches >= 1 && fr.rows == 3L && fr.rowsPerSec > 0.0, fr.toString)
 
     // batch 2: doc 4 near-dups INDEXED doc 1, doc 5 is new
     Seq((4L, baseText + "kappa"),
@@ -172,7 +176,9 @@ class StreamingSpec extends AnyFunSuite {
     Seq((1L, "prefix words " + evalText + " suffix words"),
       (2L, ("totally unrelated clean training content here now " * 6).trim))
       .toDF("doc_id", "text").write.parquet(s"$in/b1")
-    Incremental.continuousDecontam(spark, s"$in/*", docSchema, clean, quar, sk, ck)
+    val qd = Incremental.continuousDecontam(spark, s"$in/*", docSchema, clean, quar, sk, ck)
+    val dr = Incremental.progressReport(qd)
+    assert(dr.batches >= 1 && dr.rows == 2L && dr.rowsPerSec > 0.0, dr.toString)
     assert(spark.read.parquet(quar).select("doc_id").as[Long].collect().toSeq == Seq(1L),
       "doc embedding an eval span must quarantine (no false negatives)")
     assert(spark.read.parquet(clean).select("doc_id").as[Long].collect().toSeq == Seq(2L))
@@ -203,7 +209,9 @@ class StreamingSpec extends AnyFunSuite {
 
     val b1 = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
     b1.write.parquet(s"$in/b1")
-    Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck)
+    val qa = Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck)
+    val ar = Incremental.progressReport(qa)
+    assert(ar.batches >= 1 && ar.rows == b1.count() && ar.rowsPerSec > 0.0, ar.toString)
     val after1 = spark.read.parquet(s"$idx/cells").count()
     assert(after1 == built + b1.count())
 

@@ -17,7 +17,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.SemiStructured.queries ++ ops.TextOps.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Temporal.queries ++
-      ops.Ml.queries ++ ops.Multimodal.queries ++ ops.Scoring.queries
+      ops.Ml.queries ++ ops.Multimodal.queries ++ ops.Scoring.queries ++
+      ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -27,7 +28,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.SemiStructured.oracle ++ ops.TextOps.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Temporal.oracle ++
-      ops.Ml.oracle ++ ops.Multimodal.oracle ++ ops.Scoring.oracle
+      ops.Ml.oracle ++ ops.Multimodal.oracle ++ ops.Scoring.oracle ++
+      ops.Curation.oracle
 
   /** Support-table writers for oracle SQL over model outputs: each runs
     * after the query dumps and writes parquet under Verify's outDir (the
@@ -40,7 +42,10 @@ object SparkEntry {
         "q94_topic_probs", "q95_topic_heatmap"), ops.Ml.writeEmbedSupport),
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
-      (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq"),
-        ops.Similarity.writeAnnSupport),
-      (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport))
+      (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq",
+        "q102_ann_filtered"), ops.Similarity.writeAnnSupport),
+      (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport),
+      (Set("q101_quality_classifier"), ops.Curation.writeClassifierSupport),
+      (Set("q103_semdedup", "q104_proto_prune"),
+        ops.Curation.writeDedupIndexSupport))
 }

@@ -188,7 +188,7 @@ object Similarity {
     * recall; the dedup bound needs one cell per vector so every pair lands
     * in exactly one sweep task). nCells grows with the corpus so cell size
     * — and with it the per-task sweep — stays bounded. */
-  private def dedupIvfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[graft] def dedupIvfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     SessionArtifacts.dir("ivf-dedup", s, d) { t =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val n = e.count()
@@ -425,7 +425,7 @@ object Similarity {
 
   /** Once-per-(session, dataset) IVF index build+save (SessionArtifacts:
     * single-flight first build, dirs reaped at JVM exit). */
-  private def ivfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private[ops] def ivfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     SessionArtifacts.dir("ivf-q45", s, d) { t =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       IvfIndex.save(s, IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2), t)
@@ -609,9 +609,9 @@ object Similarity {
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
-  private def duckDot(a: String, b: String) =
+  private[ops] def duckDot(a: String, b: String) =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)])"
-  private def duckNorm(a: String) =
+  private[ops] def duckNorm(a: String) =
     s"sqrt(${duckDot(a, a)})"
 
   /** The IVF serving path recomputed over the exported index: unit-space
@@ -622,13 +622,18 @@ object Similarity {
     * (q45) and top-3 (q96) selects over the full-corpus batch, and q99's
     * pruned small-batch serve via `batchWhere`/`nProbe` (the engine calls
     * interpolate the same constants, so the compare can't desync). */
-  private def annRankedCtes(batchWhere: String, nProbe: Int): String =
+  /** `memSql` overrides the member-set CTE body — the filtered-search
+    * oracle (q102) serves the SAME exported membership restricted by a
+    * metadata predicate, so the only CTE that differs is `mem`. */
+  private[ops] def annRankedCtes(batchWhere: String, nProbe: Int,
+      memSql: Option[String] = None): String =
     s"""WITH cen AS (
        |  SELECT cell, centroid
        |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
        |mem AS (
-       |  SELECT cell, vec_id
-       |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet')),
+       |  ${memSql.getOrElse(
+             "SELECT cell, vec_id\n" +
+             "  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet')")}),
        |qn AS (
        |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
        |  FROM embeddings $batchWhere),

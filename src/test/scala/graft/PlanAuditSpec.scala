@@ -205,6 +205,41 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"q74 edges must not re-scan the embeddings table:\n$p")
   }
 
+  test("q101: classifier scoring is a single narrow scan — no join, no hash shuffle") {
+    // the weights are four broadcast scalars folded into the projection;
+    // anything else (a join against a weights table, a shuffle) would be
+    // the wrong plan class for a 100 TB scoring pass
+    val p = plan("q101_quality_classifier")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring must not hash-shuffle (only the final sort's range exchange):\n$p")
+  }
+
+  test("q102: the filtered member scan prunes partitions AND pushes the label predicate") {
+    val p = plan("q102_ann_filtered")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a partition filter on cell in q102's member scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findFirstIn(p).isDefined,
+      s"expected the label In-predicate pushed into the parquet scan:\n$p")
+  }
+
+  test("q103/q104: cluster-scoped curation reads the index artifact, not the embeddings table") {
+    val members = graft.ops.IvfIndex.load(spark,
+      graft.ops.Similarity.dedupIvfDir(spark, sf)).cells
+      .select(org.apache.spark.sql.functions.col("cell").cast("long").as("cell"),
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val edges = graft.ops.Curation.withinCellEdges(spark, members,
+      graft.ops.Curation.SemDedupCosT).queryExecution.executedPlan.toString
+    assert(edges.contains("graft-ivf-dedup") && !edges.contains("embeddings.parquet"),
+      s"q103 edges must scan the persisted dedup index only:\n$edges")
+    val p = plan("q104_proto_prune")
+    assert(p.contains("graft-ivf-dedup") && !p.contains("embeddings.parquet"),
+      s"q104 must scan the persisted dedup index only:\n$p")
+    assert(p.contains("hashpartitioning(cell"),
+      s"q104's rank window must partition by cell (no global window):\n$p")
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("q03_group_count")
     // two HashAggregates (partial + final) around the exchange

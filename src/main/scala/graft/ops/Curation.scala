@@ -219,6 +219,41 @@ object Curation {
       .toDF("vec_a", "vec_b")
   }
 
+  /** One semantic-dedup ADMISSION step over a bounded batch (the kernel of
+    * [[graft.streaming.Incremental.continuousSemanticDedup]]): drop batch
+    * vectors that near-duplicate (cosine ≥ t) an EARLIER batch vector —
+    * within-batch blocking by 2-way cell assignment under `codebook` (a
+    * boundary pair still meets in a shared second-nearest cell; duplicate
+    * edges across the two cells are harmless to the closure) — or any
+    * member of the persisted index (probe-pruned [[IvfIndex.searchTop1]]:
+    * only the batch's probed cells are read, never the corpus). Returns
+    * the surviving rows of `batch` unchanged. */
+  def semanticAdmit(s: SparkSession, batch: DataFrame, idx: Option[IvfIndex],
+      codebook: Array[Array[Double]], t: Double, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val bcC = s.sparkContext.broadcast(codebook)
+    val blockReplicas = math.min(2, codebook.length)
+    val blocked = batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        IvfIndex.nearestCells(bcC.value, IvfIndex.unit(v), blockReplicas)
+          .map(c => (c.toLong, id, v))
+      }
+      .toDF("cell", "vec_id", "embedding")
+    val selfDups = ConnectedComponents.run(withinCellEdges(s, blocked, t))
+      .filter(col("vertex") =!= col("label"))
+      .select(col("vertex").as("vec_id"))
+    val inBatch = batch.join(selfDups, Seq("vec_id"), "left_anti")
+    idx match {
+      case Some(i) =>
+        val hits = IvfIndex.searchTop1(s, i,
+            inBatch.select(col("vec_id"), col("embedding")), nProbe)
+          .filter(col("cos") >= t).select(col("vec_id"))
+        inBatch.join(hits, Seq("vec_id"), "left_anti")
+      case None => inBatch
+    }
+  }
+
   // ---------------------------------------------------------------- q104
 
   /** Fraction of each cluster's MOST prototypical members to drop. */
@@ -233,11 +268,22 @@ object Curation {
     * global sort). Exact given the exported assignment + codebook, so the
     * oracle certifies the ranking and the cut, not just row counts. */
   val q104ProtoPrune: Q = (s, d) => {
-    import s.implicits._
     val idx = IvfIndex.load(s, Similarity.dedupIvfDir(s, d))
-    val bc = s.sparkContext.broadcast(idx.centroids)
-    val dists = idx.cells
-      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
+    protoPrune(s,
+      idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("embedding")),
+      idx.centroids)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The q104 kernel over an explicit (cell, vec_id, embedding) member
+    * table: one narrow distance pass (broadcast codebook) + the per-cell
+    * rank window + the ceil cut. */
+  private[graft] def protoPrune(s: SparkSession, members: DataFrame,
+      centroids: Array[Array[Double]], frac: Double = PruneFrac): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(centroids)
+    val dists = members
       .as[(Long, Long, Array[Float])]
       .map { case (cell, id, v) =>
         val u = IvfIndex.unit(v)
@@ -254,8 +300,7 @@ object Curation {
       .select(col("vec_id"), col("cell"), round(col("d2"), 4).as("dist2"),
         rn.as("rn"), nCell.as("n_cell"))
       .withColumn("keep",
-        (col("rn") > ceil(lit(PruneFrac) * col("n_cell"))).cast("long"))
-      .orderBy(col("vec_id"))
+        (col("rn") > ceil(lit(frac) * col("n_cell"))).cast("long"))
   }
 
   /** Oracle support for q103/q104: the single-assignment dedup index as

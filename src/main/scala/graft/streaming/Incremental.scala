@@ -118,6 +118,66 @@ object Incremental {
     q
   }
 
+  /** Continuous SEMANTIC dedup (the embedding twin of
+    * [[continuousFuzzyDedup]] — SemDeDup as an ingest admission gate):
+    * each micro-batch of (vec_id, embedding) rows is near-dup-checked
+    * first WITHIN itself and then AGAINST the persisted IVF index via
+    * [[graft.ops.Curation.semanticAdmit]] (probe-pruned search — only the
+    * batch's probed cells are read, never the corpus); survivors append
+    * to `outDir` AND route into the index ([[graft.ops.IvfIndex.append]]),
+    * so corpus embeddings are never re-read. The FIRST batch bootstraps
+    * the index: codebook fit on the batch (bounded sample inside
+    * `IvfIndex.build`), survivors as initial members, single assignment
+    * (the dedup-index convention — [[graft.ops.Similarity.dedupIvfDir]]).
+    * Exactly-once per input file via the checkpoint; the index is the
+    * operator's state, shared with the batch API (q103). */
+  def continuousSemanticDedup(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      indexDir: String, checkpointDir: String, t: Double = 0.9,
+      nProbe: Int = 4): StreamingQuery = {
+    import graft.ops.{Curation, IvfIndex}
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("vec_id"), col("embedding")).cache()
+        val nB = b.count()
+        if (nB > 0L) {
+          val idxOpt = scala.util.Try(IvfIndex.load(s, indexDir)).toOption
+          // codebook size never exceeds the rows it is fit on (a tiny
+          // first batch must not ask KMeans for more centers than points)
+          def fitCells(n: Long): Int =
+            math.min(n, math.min(1024L, math.max(4L, n / 64L))).toInt
+          // blocking codebook: the index's if it exists (batch routing
+          // must agree with member routing), else a fresh fit on the batch
+          val codebook = idxOpt.map(_.centroids).getOrElse(
+            IvfIndex.build(s, b, nCells = fitCells(nB), seed = 7L,
+              nReplicas = 1).centroids)
+          val kept = Curation.semanticAdmit(s, b, idxOpt, codebook, t, nProbe)
+            .cache()
+          val nKept = kept.count()
+          kept.write.mode("append").parquet(outDir)
+          idxOpt match {
+            case Some(_) => IvfIndex.append(s, indexDir, kept)
+            case None if nKept > 0L =>
+              // bootstrap: survivors as initial members (codebook refit on
+              // the kept set — the admission codebook served only blocking)
+              IvfIndex.save(s, IvfIndex.build(s, kept,
+                nCells = fitCells(nKept), seed = 7L, nReplicas = 1), indexDir)
+            case None => () // nothing admitted: bootstrap on a later batch
+          }
+          kept.unpersist()
+        }
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous DECONTAMINATION (the streaming tier of q82): each
     * micro-batch's documents are probed against a persisted eval-set Bloom
     * sketch ([[graft.ops.BloomSketch]]); any document with an admitted

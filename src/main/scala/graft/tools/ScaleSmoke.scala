@@ -335,6 +335,49 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // CURATION: SemDeDup within-cell pair generation and prototype
+    // ranking at 1x/4x/16x over INDEPENDENT uniform copies. nCells grows
+    // linearly with the corpus (the dedup-index sizing rule, n/64), so
+    // cell size — and with it the per-cell sweep and the per-cell rank
+    // window — stays bounded: total within-cell pair count and wall-clock
+    // must grow ~linearly, never quadratically.
+    if (section == "all" || section == "curation") {
+      import spark.implicits._
+      val embBase = graft.Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"))
+      for (mult <- Seq(1, 4, 16)) {
+        val dim = embBase.select(size(col("embedding"))).as[Int].head()
+        val scaled = (0 until mult).map { k =>
+          if (k == 0) embBase
+          else {
+            val c = lit(k * 10_000_000L)
+            embBase.select((col("vec_id") + c).as("vec_id"),
+              transform(sequence(lit(0), lit(dim - 1)), i =>
+                (conv(substring(md5(concat_ws("_", lit(k), col("vec_id"), i)), 1, 8),
+                  16, 10).cast("double") / 4294967295.0 * 2.0 - 1.0).cast("float"))
+                .as("embedding"))
+          }
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        val nCells = math.min(1024L, math.max(8L, rows / 64L)).toInt
+        println(s"[scale] ===== curation mult=$mult rows=$rows cells=$nCells =====")
+        val dir = java.nio.file.Files.createTempDirectory("smoke-cur").toString
+        time(s"mult=$mult dedup index build+save")(
+          graft.ops.IvfIndex.save(spark,
+            graft.ops.IvfIndex.build(spark, scaled, nCells = nCells, seed = 7L,
+              nReplicas = 1), dir))
+        val members = graft.ops.IvfIndex.load(spark, dir).cells
+          .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
+        val edges = time(s"mult=$mult semdedup within-cell pairs")(
+          graft.ops.Curation.withinCellEdges(spark, members, 0.3).count())
+        println(s"[scale] curation mult=$mult within-cell pairs: $edges")
+        time(s"mult=$mult proto-prune rank+cut")(
+          graft.ops.Curation.protoPrune(spark, members,
+            graft.ops.IvfIndex.load(spark, dir).centroids)
+            .write.format("noop").mode("overwrite").save())
+        scaled.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -32,7 +32,8 @@ class MlSpec extends AnyFunSuite {
     assert(tables == Set("q94_support_features", "q94_support_centroids",
       "q94_support_stopwords", "q51_support_vocab",
       "q45_support_centroids", "q45_support_cells",
-      "q100_support_sqcells"), tables)
+      "q100_support_sqcells", "q101_support_weights",
+      "q103_support_cells", "q103_support_centroids"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -158,6 +158,45 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("continuous semantic dedup drops near-dup embeddings within and across batches") {
+    val base = Files.createTempDirectory("graft-semstream").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val idx = s"$base/index"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val dim = 16
+    def oneHot(axis: Int, jitterAxis: Int = -1, jitter: Float = 0f): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(axis) = 1f
+      if (jitterAxis >= 0) v(jitterAxis) = jitter
+      v
+    }
+    // batch 1: vec 2 near-dups vec 1 (cos ≈ 0.999) within the batch;
+    // 3..10 are mutually orthogonal (cos 0)
+    val b1 = Seq(1L -> oneHot(0), 2L -> oneHot(0, 1, 0.05f)) ++
+      (3L to 10L).map(i => i -> oneHot(i.toInt - 1))
+    b1.toDF("vec_id", "embedding").write.parquet(s"$in/b1")
+    Incremental.continuousSemanticDedup(spark, s"$in/*", embSchema, out, idx, ck)
+    assert(spark.read.parquet(out).select("vec_id").as[Long].collect().sorted
+      .toSeq == (1L +: (3L to 10L)), "within-batch near-dup must be dropped (min id kept)")
+
+    // batch 2: vec 11 near-dups INDEXED vec 1; vec 12 is a new direction
+    Seq(11L -> oneHot(0, 2, 0.03f), 12L -> oneHot(10))
+      .toDF("vec_id", "embedding").write.parquet(s"$in/b2")
+    Incremental.continuousSemanticDedup(spark, s"$in/*", embSchema, out, idx, ck)
+    val kept = spark.read.parquet(out).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == (1L +: (3L to 10L)) :+ 12L,
+      s"cross-batch near-dup must be dropped via the index, got $kept")
+
+    // replay with no new files: checkpoint makes it a no-op, and the
+    // index holds exactly the admitted vectors (single assignment)
+    Incremental.continuousSemanticDedup(spark, s"$in/*", embSchema, out, idx, ck)
+    assert(spark.read.parquet(out).count() == 10)
+    assert(spark.read.parquet(s"$idx/cells").select("vec_id").as[Long]
+      .collect().sorted.toSeq == kept)
+  }
+
   test("continuous decontamination quarantines sketch hits, passes clean docs, resumes") {
     val base = Files.createTempDirectory("graft-decontam").toString
     val in = s"$base/in"; val clean = s"$base/clean"

@@ -34,19 +34,22 @@ object Curation {
     * sample; only the broadcast-weights scoring scan touches the corpus. */
   private[ops] val ClassifierMaxFitRows = 50000L
 
-  /** The q34 feature triple, shared by fit and serve so the model scores
-    * exactly the features it was trained on: token count, rounded mean
-    * word length, rounded stopword ratio (rounding BEFORE scoring keeps
-    * the margin cross-engine exact — the oracle recomputes from the same
-    * rounded values). */
-  private def features: (Column, Column, Column) = {
+  /** The feature quadruple, shared by fit and serve so the model scores
+    * exactly the features it was trained on: token count, token count
+    * SQUARED (a concave weighting of (n, n²) lets the linear margin carve
+    * the gate's word-count BAND — without it the distillation tops out
+    * ~0.84 agreement), rounded mean word length, rounded stopword ratio.
+    * Rounding happens BEFORE scoring so the margin is cross-engine exact
+    * (the oracle recomputes from the same rounded values; n and n² are
+    * integral doubles — exact by construction). */
+  private def features: (Column, Column, Column, Column) = {
     val stop = Seq("the", "a", "of", "and", "or", "to", "in")
     val toks = TextFns.tokens(col("text"))
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
     val charsNoSpace =
       length(regexp_replace(TextFns.normText(col("text")), " ", "")).cast("double")
-    (nTok, round(charsNoSpace / nTok, 4), round(nStop / nTok, 4))
+    (nTok, nTok * nTok, round(charsNoSpace / nTok, 4), round(nStop / nTok, 4))
   }
 
   /** Once-per-(session, dataset) logistic-regression fit DISTILLING the
@@ -59,7 +62,7 @@ object Curation {
   private def weightsDir(s: SparkSession, d: String): String =
     SessionArtifacts.dir("quality-lr", s, d) { t =>
       import s.implicits._
-      val (fTok, fWlen, fStop) = features
+      val (fTok, fTok2, fWlen, fStop) = features
       val docs = Tables.documents(s, d)
       val n = docs.count()
       val sampled =
@@ -67,17 +70,18 @@ object Curation {
           docs.sample(withReplacement = false, ClassifierMaxFitRows.toDouble / n, 7L)
         else docs
       val train = sampled
-        .select(fTok.as("f1"), fWlen.as("f2"), fStop.as("f3"),
+        .select(fTok.as("f1"), fTok2.as("f2"), fWlen.as("f3"), fStop.as("f4"),
           TextOps.ruleGateKeep().cast("double").as("label"))
         .na.drop()
         .select(org.apache.spark.ml.functions.array_to_vector(
-          array(col("f1"), col("f2"), col("f3"))).as("features"), col("label"))
+          array(col("f1"), col("f2"), col("f3"), col("f4"))).as("features"),
+          col("label"))
       val lr = new org.apache.spark.ml.classification.LogisticRegression()
         .setMaxIter(100).setRegParam(1e-4).setFitIntercept(true)
       val m = lr.fit(train)
       val w = m.coefficients.toArray
-      Seq((w(0), w(1), w(2), m.intercept))
-        .toDF("w_tokens", "w_wlen", "w_stop", "bias")
+      Seq((w(0), w(1), w(2), w(3), m.intercept))
+        .toDF("w_tokens", "w_tokens2", "w_wlen", "w_stop", "bias")
         .coalesce(1).write.mode("overwrite").parquet(t)
     }
 
@@ -90,10 +94,11 @@ object Curation {
     * the hash path for zero ranking information). */
   val q101QualityClassifier: Q = (s, d) => {
     val r = s.read.parquet(weightsDir(s, d)).collect().head
-    val (w1, w2, w3, b) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    val (fTok, fWlen, fStop) = features
-    val margin = lit(w1) * fTok + lit(w2) * fWlen + lit(w3) * fStop + lit(b)
+    val (w1, w2, w3, w4, b) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val (fTok, fTok2, fWlen, fStop) = features
+    val margin = lit(w1) * fTok + lit(w2) * fTok2 + lit(w3) * fWlen +
+      lit(w4) * fStop + lit(b)
     Tables.documents(s, d)
       .select(col("doc_id"), fTok.cast("long").as("n_tokens"),
         round(margin, 4).as("margin"), (margin > 0).cast("long").as("keep"))
@@ -340,15 +345,16 @@ object Curation {
         |  FROM documents),
         |f AS (
         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(toks) AS DOUBLE) * CAST(len(toks) AS DOUBLE) AS n_tok2,
         |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) AS awl,
         |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4) AS sr
         |  FROM t),
         |w AS (
-        |  SELECT w_tokens, w_wlen, w_stop, bias
+        |  SELECT w_tokens, w_tokens2, w_wlen, w_stop, bias
         |  FROM read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet'))
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
-        |  round(w.w_tokens * f.n_tok + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias, 4) AS margin,
-        |  CAST(w.w_tokens * f.n_tok + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias > 0 AS BIGINT) AS keep
+        |  round(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias, 4) AS margin,
+        |  CAST(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias > 0 AS BIGINT) AS keep
         |FROM f CROSS JOIN w ORDER BY doc_id""".stripMargin,
     // q99's serve CTEs with the member set restricted by the label
     // predicate — the engine's filtered member scan, recomputed.

@@ -66,7 +66,12 @@ object IvfIndex {
     * must propagate (a silently dropped n_replicas makes later appends
     * under-replicate relative to build — the exact failure the scaladoc
     * warns about). */
-  private def isMissingPath(e: Throwable): Boolean = e match {
+  /** Shared by every "absent artifact is a normal state" probe (index
+    * bootstrap on first batch, pre-meta layouts): ONLY the missing-path
+    * case may be treated as absence — a transient read failure on a real
+    * artifact must propagate, or the caller silently rebuilds from
+    * scratch (the r9 advice lesson on the meta copy). */
+  private[graft] def isMissingPath(e: Throwable): Boolean = e match {
     case _: java.io.FileNotFoundException => true
     case a: org.apache.spark.sql.AnalysisException =>
       a.getCondition != null && a.getCondition.startsWith("PATH_NOT_FOUND")

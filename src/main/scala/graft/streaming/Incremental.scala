@@ -96,7 +96,12 @@ object Incremental {
           .select(col("batch_id").as("doc_id")).distinct()
         val inBatch = b.join(selfDups, Seq("doc_id"), "left_anti")
         // against the index (absent on the very first batch)
-        val indexed = scala.util.Try(MinHashIndex.load(s, indexDir)).toOption
+        // absent on the very first batch — ONLY that case may bootstrap; a
+        // transient read failure on a real index must fail the batch, not
+        // silently re-admit the whole corpus as novel
+        val indexed =
+          try Some(MinHashIndex.load(s, indexDir))
+          catch { case e: Throwable if graft.ops.IvfIndex.isMissingPath(e) => None }
         val kept = indexed match {
           case Some(idx) =>
             val hits = MinHashIndex.query(idx, inBatch)
@@ -143,7 +148,10 @@ object Incremental {
         val b = batch.select(col("vec_id"), col("embedding")).cache()
         val nB = b.count()
         if (nB > 0L) {
-          val idxOpt = scala.util.Try(IvfIndex.load(s, indexDir)).toOption
+          // missing-path-only bootstrap probe (see the fuzzy twin above)
+          val idxOpt =
+            try Some(IvfIndex.load(s, indexDir))
+            catch { case e: Throwable if IvfIndex.isMissingPath(e) => None }
           // codebook size never exceeds the rows it is fit on (a tiny
           // first batch must not ask KMeans for more centers than points)
           def fitCells(n: Long): Int =

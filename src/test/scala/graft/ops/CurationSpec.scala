@@ -44,9 +44,10 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val agree = out.count { case (id, k) => gate(id) == k }
     val acc = agree.toDouble / out.size
-    // 3 linear features cannot express the gate's n_words BAND exactly —
-    // a floor, not equality, is the contract (measured 0.84 at sf0.01)
-    assert(acc >= 0.7, s"classifier/gate agreement $acc below floor")
+    // the (n, n²) pair lets the margin carve the gate's n_words band;
+    // exact equality is still not the contract (measured 0.96 at sf0.01,
+    // up from 0.84 with the linear-n feature set)
+    assert(acc >= 0.85, s"classifier/gate agreement $acc below floor")
     assert(out.values.toSet == Set(0L, 1L), "both verdicts must occur")
   }
 

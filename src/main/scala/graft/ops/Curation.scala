@@ -251,6 +251,9 @@ object Curation {
     val inBatch = batch.join(selfDups, Seq("vec_id"), "left_anti")
     idx match {
       case Some(i) =>
+        // searchTop1's cos is round-4 (its serving contract); a true
+        // cosine within 5e-5 of t may round across the cut — pick t away
+        // from a meaningful boundary, as any threshold knob here
         val hits = IvfIndex.searchTop1(s, i,
             inBatch.select(col("vec_id"), col("embedding")), nProbe)
           .filter(col("cos") >= t).select(col("vec_id"))

@@ -135,7 +135,13 @@ object Incremental {
     * `IvfIndex.build`), survivors as initial members, single assignment
     * (the dedup-index convention — [[graft.ops.Similarity.dedupIvfDir]]).
     * Exactly-once per input file via the checkpoint; the index is the
-    * operator's state, shared with the batch API (q103). */
+    * operator's state, shared with the batch API (q103). Failure replay
+    * is AT-LEAST-ONCE within a batch (the foreachBatch contract): a crash
+    * between the parquet append and the checkpoint can duplicate a
+    * batch's rows in `outDir` and its (cell, vec_id) rows in the index —
+    * the same residue class as [[continuousAnnIngest]], reconciled by
+    * [[graft.ops.IvfIndex.compactTo]]'s dropDuplicates on a maintenance
+    * cadence. */
   def continuousSemanticDedup(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       indexDir: String, checkpointDir: String, t: Double = 0.9,

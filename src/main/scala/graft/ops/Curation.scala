@@ -311,6 +311,135 @@ object Curation {
         (col("rn") > ceil(lit(frac) * col("n_cell"))).cast("long"))
   }
 
+  // ---------------------------------------------------------------- q105
+
+  /** DSIR's hashed-feature space (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): bigrams hashed into a
+    * fixed bucket space. The bucket key is the md5 2-hex-char prefix —
+    * 256 buckets, string-keyed, so the engine and the DuckDB oracle hash
+    * identically (the q67 md5-prefix discipline; a numeric modulus would
+    * need a cross-engine hex→int that DuckDB lacks). */
+  private[graft] val DsirTargetLang = "en"
+  private[graft] val DsirBuckets = 256
+
+  /** Whitespace-token bigram stream of `text`, as hashed bucket INDEXES
+    * (0..255 — the md5 first byte), via the native codegen kernel
+    * ([[graft.plans.DsirBuckets]] — the HOF `transform`+`md5` form runs
+    * interpreted per gram and measured 10× slower on exactly this
+    * column). Computed identically at fit and serve (the q101
+    * shared-features discipline); the export/oracle boundary renders the
+    * index as the 2-hex-char string. */
+  private def dsirBuckets: Column =
+    org.apache.spark.sql.graft.GraftInternal.column(
+      graft.plans.DsirBuckets(
+        org.apache.spark.sql.graft.GraftInternal.expression(col("text"))))
+
+  /** Once-per-(session, dataset) DSIR importance model: per-bucket
+    * log-ratio of the target bigram distribution (docs whose lang is
+    * [[DsirTargetLang]] — the reference's own English-only cut,
+    * create_metadata_df.py's lang filter, recast as a soft importance
+    * weight) against the raw corpus distribution, add-1 smoothed. Stored
+    * as MICRO-UNITS (round(ln-ratio · 1e6) as BIGINT) so per-doc weights
+    * are integer sums — order-independent and cross-engine EXACT, with no
+    * libm `ln` on the oracle's hash path (the engine's ln lives only in
+    * this exported fit, which the oracle reads as a given — the q101
+    * weights pattern). One explode + one 256-group aggregation over the
+    * corpus; the model itself is 256 rows. */
+  private def dsirDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("dsir-logratio", s, d) { t =>
+      import s.implicits._
+      val counts = Tables.documents(s, d)
+        .select((col("lang") === DsirTargetLang).as("is_t"),
+          explode(dsirBuckets).as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+          count(lit(1)).as("cr"))
+        .collect()
+      val nt = counts.map(_.getLong(1)).sum.toDouble
+      val nr = counts.map(_.getLong(2)).sum.toDouble
+      counts.toSeq.map { r =>
+        val lr = math.log((r.getLong(1) + 1.0) / (nt + DsirBuckets)) -
+          math.log((r.getLong(2) + 1.0) / (nr + DsirBuckets))
+        (f"${r.getInt(0)}%02x", math.round(lr * 1e6))
+      }.toDF("bucket", "lr_micro")
+        .coalesce(1).write.mode("overwrite").parquet(t)
+    }
+
+  /** M9+ importance-weighted data selection (DSIR): per-doc importance
+    * weight = Σ over its hashed bigrams of the bucket's log-ratio
+    * micro-units; `selected` keeps docs that look more target-like than
+    * raw (w > 0 — a threshold cut, not a global rank, so selection stays
+    * embarrassingly parallel). The serve path is the q101 shape scaled to
+    * a 256-slot model: one narrow scan, the whole model folded into the
+    * projection as an array literal indexed by the bucket byte — no join,
+    * no shuffle (the final ORDER BY is presentation). Integer summation
+    * in array order ⇒ bit-exact regardless of partitioning. */
+  val q105DsirWeights: Q = (s, d) => {
+    // 256-SLOT model array indexed by the bucket byte, fused with the
+    // bigram walk in ONE compiled pass ([[graft.plans.DsirWeight]]): a
+    // string-keyed MAP literal + HOF sum measured 32 s warm at sf0.1
+    // (linear 256-way key scan per gram, interpreted); the native kernel
+    // serves the same scan in ~1 s
+    val slots = new Array[Long](DsirBuckets)
+    s.read.parquet(dsirDir(s, d)).collect()
+      .foreach(r => slots(Integer.parseInt(r.getString(0), 16)) = r.getLong(1))
+    val pair = org.apache.spark.sql.graft.GraftInternal.column(
+      graft.plans.DsirWeight(
+        org.apache.spark.sql.graft.GraftInternal.expression(col("text")), slots))
+    // barrier (the q66 discipline): three output columns derive from the
+    // pair, and CollapseProject would otherwise re-run the bigram kernel
+    // once per reference; the cached column is two longs per doc
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), pair.as("p"))
+      .cache()
+    Caching.materializeAndRelease(
+      scored
+        .select(col("doc_id"),
+          element_at(col("p"), 1).as("n_grams"),
+          element_at(col("p"), 2).as("w_micro"),
+          (element_at(col("p"), 2) > 0).cast("long").as("selected"))
+        .orderBy(col("doc_id")),
+      scored)
+  }
+
+  /** Oracle support for q105: the fitted 256-row log-ratio table. */
+  def writeDsirSupport(s: SparkSession, d: String, outDir: String): Unit =
+    s.read.parquet(dsirDir(s, d)).coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q105_support_logratio")
+
+  // ---------------------------------------------------------------- q106
+
+  /** Negatives per query for q106. */
+  private[graft] val HardNegK = 3
+
+  /** M8's contrastive-mining tier: for each query vector, the top-k
+    * highest-cosine index members whose label DIFFERS from the query's —
+    * hard negatives for embedding/contrastive training (the ANN-mining
+    * shape of e.g. DPR/SimCSE pipelines). Served by the FUSED
+    * group-exclusion kernel ([[IvfIndex.searchTopKExcludingGroup]]):
+    * members come from the q102 label-carrying cell table (partition
+    * filter on the probed cells — each probed cell is read ONCE for the
+    * whole batch, where a per-label loop of filtered searches would read
+    * it once per distinct batch label), and the label-mismatch test runs
+    * per candidate pair inside the cell group. Routing is
+    * label-independent (same codebook), so the result equals the
+    * specification "rank label-mismatched probed-cell members by
+    * (cos desc, id)" — exactly what the oracle recomputes from the
+    * exported index + the embeddings table's labels. */
+  val q106HardNegatives: Q = (s, d) => {
+    val base = IvfIndex.load(s, Similarity.ivfDir(s, d))
+    IvfIndex.searchTopKExcludingGroup(s, base.centroids,
+        s.read.parquet(filteredCellsDir(s, d))
+          .select(col("cell"), col("vec_id"), col("embedding"),
+            col("label").as("grp")),
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") < Similarity.ServeBatchMaxId)
+          .select(col("vec_id"), col("embedding"), col("label").as("grp")),
+        k = HardNegK, nProbe = Similarity.ServeNProbe)
+      .select(col("vec_id"), col("rn"), col("nn_id").as("neg_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   /** Oracle support for q103/q104: the single-assignment dedup index as
     * plain parquet — membership (cell, vec_id) and the codebook. Given
     * these, within-cell pairing, closure, and centroid distances are
@@ -333,6 +462,8 @@ object Curation {
     "q102_ann_filtered"       -> q102AnnFiltered,
     "q103_semdedup"           -> q103SemDedup,
     "q104_proto_prune"        -> q104ProtoPrune,
+    "q105_dsir_weights"       -> q105DsirWeights,
+    "q106_hard_negatives"     -> q106HardNegatives,
   )
 
   import Similarity.{duckDot, duckNorm}
@@ -397,6 +528,83 @@ object Curation {
          |  CAST(reach.vec_id <> min(reach.r) AS BIGINT) AS is_dup
          |FROM reach JOIN mem m ON reach.vec_id = m.vec_id
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Hashed bigram buckets recomputed with the same md5-prefix key; the
+    // per-doc weight is an exact BIGINT sum over the exported micro-unit
+    // log-ratios (the ln lives in the exported fit, not on the hash path).
+    "q105_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 2
+        |    THEN [substr(md5(toks[i] || ' ' || toks[i+1]), 1, 2)
+        |          for i in range(1, len(toks))]
+        |    ELSE [] END AS buckets FROM t),
+        |w AS (
+        |  SELECT bucket, lr_micro
+        |  FROM read_parquet('{GRAFT_OUT}_support/q105_support_logratio/*.parquet')),
+        |u AS (SELECT doc_id, unnest(buckets) AS bucket FROM g),
+        |sums AS (
+        |  SELECT u.doc_id, CAST(sum(w.lr_micro) AS BIGINT) AS w_micro
+        |  FROM u JOIN w USING (bucket) GROUP BY 1)
+        |SELECT g.doc_id, CAST(len(g.buckets) AS BIGINT) AS n_grams,
+        |  coalesce(sums.w_micro, 0) AS w_micro,
+        |  CAST(coalesce(sums.w_micro, 0) > 0 AS BIGINT) AS selected
+        |FROM g LEFT JOIN sums ON g.doc_id = sums.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    // The q99 serve CTEs with labels carried through: members keep their
+    // label (exported index ⋈ embeddings), candidates additionally require
+    // label mismatch against the query's label — everything else (routing,
+    // replica collapse, cosine, tie-break) is the certified ANN path.
+    "q106_hard_negatives" ->
+      s"""WITH cen AS (
+         |  SELECT cell, centroid
+         |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
+         |mem AS (
+         |  SELECT c.cell, c.vec_id, e.label
+         |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet') c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id),
+         |qn AS (
+         |  SELECT vec_id, embedding, label, ${duckNorm("embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id < ${Similarity.ServeBatchMaxId}),
+         |qu AS (
+         |  SELECT vec_id, label,
+         |    [CASE WHEN nrm = 0 THEN x
+         |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
+         |     for x in embedding] AS uv
+         |  FROM qn),
+         |probes AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT qu.vec_id, cen.cell,
+         |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
+         |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+         |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
+         |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
+         |    FROM qu CROSS JOIN cen)
+         |  WHERE prn <= ${Similarity.ServeNProbe}),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
+         |  FROM probes p
+         |  JOIN qu q ON p.vec_id = q.vec_id
+         |  JOIN mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id
+         |    AND m.label <> q.label),
+         |scored AS (
+         |  SELECT c.vec_id, c.cand_id,
+         |    ${duckDot("a.embedding", "b.embedding")} /
+         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+         |  FROM cand c
+         |  JOIN embeddings a ON c.vec_id = a.vec_id
+         |  JOIN embeddings b ON c.cand_id = b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, cand_id, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_raw DESC, cand_id) AS rn
+         |  FROM scored
+         |  WHERE NOT isnan(cos_raw))
+         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS neg_id,
+         |  round(cos_raw, 4) AS cos
+         |FROM ranked WHERE rn <= $HardNegK ORDER BY vec_id, rn""".stripMargin,
     // Unit-space squared centroid distance (float32 unit rounding, the
     // q45 qu-CTE convention), per-cell rank, and the ceil cut recomputed.
     "q104_proto_prune" ->

@@ -446,12 +446,18 @@ object IvfIndex {
           best.result.map { case (cid, cos) => (qid, cid, cos) }
         }
       }
-    // global merge in ONE exchange: each query's candidate rows (≤ nProbe·k
-    // — bounded, never the corpus) group to one task, which collapses
-    // replicas (max cos per candidate) and ranks by (cos desc, id) in
-    // memory. The previous groupBy-then-window form paid two exchanges
-    // (hash by (vec_id, cand_id), then by vec_id) for the same result.
-    // Rounding matches Column round (HALF_UP).
+    rankCandidates(spark, cand, k)
+  }
+
+  /** Global merge in ONE exchange: each query's candidate rows (≤ nProbe·k
+    * — bounded, never the corpus) group to one task, which collapses
+    * replicas (max cos per candidate) and ranks by (cos desc, id) in
+    * memory. The previous groupBy-then-window form paid two exchanges
+    * (hash by (vec_id, cand_id), then by vec_id) for the same result.
+    * Rounding matches Column round (HALF_UP). */
+  private def rankCandidates(spark: SparkSession,
+      cand: org.apache.spark.sql.Dataset[(Long, Long, Double)], k: Int): DataFrame = {
+    import spark.implicits._
     cand
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
@@ -467,6 +473,76 @@ object IvfIndex {
           }
       }
       .toDF("vec_id", "rn", "nn_id", "cos")
+  }
+
+  /** Top-k among probed-cell members whose GROUP tag differs from the
+    * query's — the hard-negative-mining kernel (q106), fused into ONE
+    * search: `members` is a (cell, vec_id, embedding, grp) table (cell-
+    * partitioned on disk ⇒ the isInCollection filter partition-prunes to
+    * the probed cells), `queries` is a small serving batch with its own
+    * grp tags. The exclusion runs per candidate PAIR inside the cell
+    * group, so each probed cell is read ONCE for the whole batch — the
+    * per-group alternative (one label-filtered [[searchTopK]] per
+    * distinct batch group) reads every probed cell once per group, a
+    * (L−1)× read amplification at L groups for identical answers.
+    * Routing, bounded per-cell k-best, replica collapse, and the
+    * (cos desc, id) rank all match [[searchTopK]]. */
+  def searchTopKExcludingGroup(spark: SparkSession,
+      centroids: Array[Array[Double]], members: DataFrame, queries: DataFrame,
+      k: Int = 3, nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val q = queries.select(col("vec_id"), col("embedding"), col("grp"))
+      .as[(Long, Array[Float], Int)]
+    val probes = q.flatMap { case (id, v, g) =>
+      nearestCells(bc.value, unit(v), nProbe).map(c => (c.toLong, id, v, g, true))
+    }
+    // probed-cell set via the vector-free second pass (the
+    // checkpoint-free routeProbes shape — serving batches are small)
+    val cellSet = q.mapPartitions { it =>
+        val seen = scala.collection.mutable.HashSet.empty[Long]
+        it.foreach { case (_, v, _) =>
+          nearestCells(bc.value, unit(v), nProbe).foreach(c => seen.add(c.toLong))
+        }
+        seen.iterator
+      }.distinct().collect().sorted
+    val mem =
+      if (cellSet.isEmpty) spark.emptyDataset[(Long, Long, Array[Float], Int, Boolean)]
+      else members
+        .filter(col("cell").isInCollection(cellSet))
+        .select(col("cell").cast("long").as("cell"), col("vec_id"),
+          col("embedding"), col("grp"))
+        .as[(Long, Long, Array[Float], Int)]
+        .map { case (c, id, v, g) => (c, id, v, g, false) }
+    val cand = mem.union(probes)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val memB = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Float], Double, Int)]
+        val qryB = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Float], Double, Int)]
+        it.foreach { case (_, id, v, g, isProbe) =>
+          var i = 0; var s2 = 0.0
+          while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+          val entry = (id, v, math.sqrt(s2), g)
+          if (isProbe) qryB += entry else memB += entry
+        }
+        qryB.iterator.flatMap { case (qid, qv, qn, qg) =>
+          val best = new KBest(k)
+          var j = 0
+          while (j < memB.length) {
+            val (cid, cv, cn, cg) = memB(j)
+            if (cid != qid && cg != qg) {
+              var dp = 0.0; var x = 0
+              while (x < qv.length) { dp += qv(x).toDouble * cv(x); x += 1 }
+              best.offer(cid, dp / (qn * cn))
+            }
+            j += 1
+          }
+          best.result.map { case (cid, cos) => (qid, cid, cos) }
+        }
+      }
+    rankCandidates(spark, cand, k)
   }
 
   /** Best in-probed-cells neighbor per query vector: (vec_id, nn_id, cos).

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY §2.11: C13 is the designated
@@ -136,6 +136,151 @@ case class HtmlPostText(child: Expression) extends UnaryExpression
     copy(child = newChild)
 
   override def prettyName: String = "html_post_text"
+}
+
+/** Static kernel behind [[DsirBuckets]]/[[DsirWeight]] (q105): one pass
+  * over the text that tokenizes (the exact `TextFns.tokens` semantics:
+  * Java-regex `\s` whitespace runs as separators, leading/trailing
+  * whitespace trimmed) and md5-hashes each adjacent-token bigram to its
+  * bucket byte. The HOF formulation (`transform` + `md5` + `conv` inside
+  * `aggregate`) evaluates every per-gram expression interpreted — measured
+  * 13 s warm at sf0.1 on q105; this kernel does the same math in compiled
+  * JVM code with a thread-local digest and no per-gram allocation beyond
+  * the token bytes. Bigram hashing reuses the previous token's UTF-8
+  * bytes, so each token is materialized once. */
+object DsirMath {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // Java regex \s (no UNICODE_CHARACTER_CLASS): exactly these six chars —
+  // the tokenizer must match TextFns.tokens / the DuckDB oracle bit-for-bit
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Walk tokens; invoke `f(bucket)` for each bigram's md5 first byte. */
+  private def eachBigramBucket(str: String)(f: Int => Unit): Unit = {
+    val md = digests.get()
+    val n = str.length
+    var i = 0
+    var start = -1
+    var prevBytes: Array[Byte] = null
+    while (i <= n) {
+      val atWs = i == n || isWs(str.charAt(i))
+      if (!atWs && start < 0) start = i
+      else if (atWs && start >= 0) {
+        val cur = str.substring(start, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (prevBytes != null) {
+          md.reset()
+          md.update(prevBytes)
+          md.update(' '.toByte)
+          md.update(cur)
+          f(md.digest()(0) & 0xff)
+        }
+        prevBytes = cur
+        start = -1
+      }
+      i += 1
+    }
+  }
+
+  /** Bucket-index array for one document (null text → empty). */
+  def buckets(s: UTF8String): ArrayData = {
+    if (s == null)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyIntArray)
+    val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    eachBigramBucket(s.toString)(out += _)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.result())
+  }
+
+  /** Fused serve path: `[n_grams, Σ slots(bucket)]` for one document. */
+  def weight(s: UTF8String, slots: Array[Long]): ArrayData = {
+    var nGrams = 0L
+    var w = 0L
+    if (s != null)
+      eachBigramBucket(s.toString) { b => nGrams += 1; w += slots(b) }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(nGrams, w))
+  }
+}
+
+/** `dsir_buckets(text)` — the hashed-bigram bucket stream as a native
+  * expression (q105's fit path: explode + count). Never null: empty or
+  * null text yields an empty array, matching the Column formulation's
+  * `when(size >= 2, ...).otherwise(array())`. */
+case class DsirBuckets(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dsir_buckets expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DsirMath.buckets(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cls = DsirMath.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $cls.buckets(${childGen.isNull} ? null : ${childGen.value});
+        """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "dsir_buckets"
+}
+
+/** `dsir_weight(text)` — q105's fused serve kernel: `[n_grams, w_micro]`
+  * under the fitted 256-slot model (carried as a reference object, not a
+  * child — it is configuration, not data). One compiled pass per document;
+  * the caller derives its output columns from the pair. */
+case class DsirWeight(child: Expression, slots: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dsir_weight expects STRING, got ${child.dataType.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DsirMath.weight(child.eval(input).asInstanceOf[UTF8String], slots)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val cls = DsirMath.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val slotsRef = ctx.addReferenceObj("dsirSlots", slots, "long[]")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $cls.weight(${childGen.isNull} ? null : ${childGen.value}, $slotsRef);
+        """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirWeight =
+    copy(child = newChild)
+
+  override def prettyName: String = "dsir_weight"
 }
 
 /** Static kernel behind [[CosineSim]]. Reads `ArrayData` directly — no

@@ -33,7 +33,8 @@ class MlSpec extends AnyFunSuite {
       "q94_support_stopwords", "q51_support_vocab",
       "q45_support_centroids", "q45_support_cells",
       "q100_support_sqcells", "q101_support_weights",
-      "q103_support_cells", "q103_support_centroids"), tables)
+      "q103_support_cells", "q103_support_centroids",
+      "q105_support_logratio"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -223,6 +223,29 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"expected the label In-predicate pushed into the parquet scan:\n$p")
   }
 
+  test("q105: DSIR scoring is a single narrow scan — no join, no hash shuffle") {
+    // the whole 256-bucket model folds into the projection as a broadcast
+    // map literal; a join against the model table or any hash exchange
+    // would be the wrong plan class for a 100 TB selection pass
+    val p = plan("q105_dsir_weights")
+    assert(!p.contains("Join"), s"DSIR scoring must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"DSIR scoring must not hash-shuffle (only the final sort's range exchange):\n$p")
+  }
+
+  test("q106: ONE fused member scan, partition-pruned to the probed cells") {
+    val p = plan("q106_hard_negatives")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a partition filter on cell in q106's member scan:\n$p")
+    // the fused group-exclusion kernel reads the label-carrying cell table
+    // exactly once per batch; a per-label loop of filtered searches would
+    // show one scan per distinct batch label (measured (L−1)× read
+    // amplification for identical answers)
+    val memberScans = "graft-ivf-filtered-cells".r.findAllIn(p).size
+    assert(memberScans == 1,
+      s"expected exactly one member scan, found $memberScans:\n$p")
+  }
+
   test("q103/q104: cluster-scoped curation reads the index artifact, not the embeddings table") {
     val members = graft.ops.IvfIndex.load(spark,
       graft.ops.Similarity.dedupIvfDir(spark, sf)).cells

@@ -111,6 +111,78 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q105: engine weights equal a scala-side recomputation of the DSIR model") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Seq[String] = {
+      val toks = text.trim.replaceAll("\\s+", " ").split(" ", -1).toSeq
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map { p =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest((p(0) + " " + p(1)).getBytes("UTF-8"))
+          .take(1).map(b => f"${b & 0xff}%02x").mkString
+      }.toSeq
+    }
+    // independent model fit: raw/target bucket counts, add-1 smoothing,
+    // micro-unit rounding — the engine's exported math, re-derived
+    val all = docs.flatMap { case (_, t, l) => buckets(t).map((_, l)) }
+    val ct = all.filter(_._2 == Curation.DsirTargetLang).groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    val cr = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val (nt, nr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
+    val lr = cr.keys.map { b =>
+      (b, math.round((math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + Curation.DsirBuckets)) -
+        math.log((cr(b) + 1.0) / (nr + Curation.DsirBuckets))) * 1e6))
+    }.toMap
+    val out = Curation.queries("q105_dsir_weights")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == docs.length, "one row per document")
+    docs.foreach { case (id, t, _) =>
+      val bs = buckets(t)
+      val w = bs.map(lr).sum
+      val (nG, wM, sel) = out(id)
+      assert(nG == bs.length.toLong, s"doc $id n_grams")
+      assert(wM == w, s"doc $id weight: engine $wM vs recomputed $w")
+      assert(sel == (if (w > 0) 1L else 0L), s"doc $id selected")
+    }
+    val sels = out.values.map(_._3).toSet
+    assert(sels == Set(0L, 1L), "both selection verdicts must occur")
+  }
+
+  test("q106: negatives equal the brute label-mismatch ranking over probed cells") {
+    val emb = embMap()
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val idx = IvfIndex.load(spark, Similarity.ivfDir(spark, sf))
+    val cells = idx.cells.select(col("cell").cast("long"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val out = Curation.queries("q106_hard_negatives")(spark, sf)
+      .select(col("vec_id"), col("rn"), col("neg_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    emb.keys.filter(_ < Similarity.ServeBatchMaxId).foreach { q =>
+      val probed = IvfIndex.nearestCells(idx.centroids, IvfIndex.unit(emb(q)),
+        Similarity.ServeNProbe)
+      val expected = probed.toSeq.flatMap(c => cells.getOrElse(c.toLong, Seq.empty))
+        .distinct
+        .filter(c => c != q && labels(c) != labels(q))
+        .map(c => (c, cos(emb(q), emb(c))))
+        .filterNot(_._2.isNaN)
+        .sortBy { case (id, cs) => (-cs, id) }.take(Curation.HardNegK)
+      val got = byQ.getOrElse(q, Array.empty).sortBy(_._2).toSeq
+      assert(got.map(_._3) == expected.map(_._1), s"query $q negative ids")
+      got.map(_._4).zip(expected.map(_._2)).foreach { case (gc, ec) =>
+        val want = BigDecimal(ec).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(gc - want) < 1e-9, s"query $q cos $gc vs $want")
+      }
+      got.foreach { case (_, _, n, _) =>
+        assert(labels(n) != labels(q), s"negative $n shares query $q's label") }
+    }
+  }
+
   test("q104: the cut drops exactly the per-cell closest ceil(frac*n) vectors") {
     val rows = Curation.queries("q104_proto_prune")(spark, sf)
       .select(col("vec_id"), col("cell"), col("dist2"), col("rn"),

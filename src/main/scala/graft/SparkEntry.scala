@@ -48,5 +48,6 @@ object SparkEntry {
       (Set("q101_quality_classifier"), ops.Curation.writeClassifierSupport),
       (Set("q103_semdedup", "q104_proto_prune"),
         ops.Curation.writeDedupIndexSupport),
-      (Set("q105_dsir_weights"), ops.Curation.writeDsirSupport))
+      (Set("q105_dsir_weights"), ops.Curation.writeDsirSupport),
+      (Set("q107_temp_mix"), ops.Curation.writeTempMixSupport))
 }

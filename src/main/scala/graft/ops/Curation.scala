@@ -190,34 +190,74 @@ object Curation {
       .orderBy(col("vec_id"))
   }
 
-  /** Within-cell exact-cosine pair generation: one task per cell (the
-    * cell is the blocking key — single assignment means each unordered
-    * pair is examined exactly once), bounded by the index's cell size. */
+  /** Hot-cell guard bound for [[withinCellEdges]]: cells above this size
+    * split into hash-group sub-tasks (the [[Dedup.bucketedCandidates]]
+    * triangle discipline). The dedup index sizes cells ~64 (nCells =
+    * n/64), so the guard is dormant on the certified path; it exists for
+    * the adversarial case — KMeans imbalance or naturally clustered
+    * embeddings piling one Voronoi cell far past the design size, which
+    * at 100 TB would otherwise stall the stage on one quadratic task. */
+  private[graft] val CellCap = 512
+
+  /** Within-cell exact-cosine pair generation: the cell is the blocking
+    * key — single assignment means each unordered pair is examined
+    * exactly once. Cells ≤ `cap` sweep in one task; a hot cell of m
+    * members splits into ⌈m/cap⌉ hash-groups and one task per UNORDERED
+    * GROUP PAIR (gi ≤ gj), so per-task work is bounded ~cap² with zero
+    * recall loss: a cross-group pair meets exactly in its (min,max)
+    * task, a same-group pair in every task touching the group but is
+    * emitted only on the diagonal (gi = gj = grp). Exactness under
+    * forced splitting is unit-asserted (`CurationSpec`). The split ships
+    * each member vector ng× through the shuffle — O(m²/cap) rows for a
+    * hot cell, strictly smaller than the O(m²·dim) pair compute that
+    * exactness requires anyway; what the guard changes is the MAX-TASK
+    * share, which is what stalls a stage at scale. */
   private[graft] def withinCellEdges(s: SparkSession, members: DataFrame,
-      t: Double): DataFrame = {
+      t: Double, cap: Int = CellCap): DataFrame = {
     import s.implicits._
-    members.as[(Long, Long, Array[Float])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        rows.foreach { case (_, id, v) =>
+    val sizes = members.groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
+    val tasks = members.join(sizes, Seq("cell"))
+      .withColumn("ng",
+        greatest(lit(1L), ceil(col("ccnt").cast("double") / cap)).cast("int"))
+      .withColumn("grp", pmod(xxhash64(col("vec_id")), col("ng")).cast("int"))
+      .withColumn("sub", explode(sequence(lit(0), col("ng") - 1)))
+      .select(col("cell"), least(col("grp"), col("sub")).as("t1"),
+        greatest(col("grp"), col("sub")).as("t2"), col("grp"),
+        col("vec_id"), col("embedding"))
+    tasks.as[(Long, Int, Int, Int, Long, Array[Float])]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroups { (key: (Long, Int, Int), rows) =>
+        val (_, t1, t2) = key
+        val a = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        rows.foreach { case (_, _, _, grp, id, v) =>
           var i = 0; var s2 = 0.0
           while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
-          mem += ((id, v, math.sqrt(s2)))
+          if (grp == t1) a += ((id, v, math.sqrt(s2)))
+          else b += ((id, v, math.sqrt(s2)))
         }
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < mem.length) {
-          var j = i + 1
-          while (j < mem.length) {
-            val (ia, va, na) = mem(i); val (ib, vb, nb) = mem(j)
-            var dp = 0.0; var k = 0
-            while (k < va.length) { dp += va(k).toDouble * vb(k); k += 1 }
-            if (dp / (na * nb) >= t)
-              out += ((math.min(ia, ib), math.max(ia, ib)))
-            j += 1
+        def emit(x: (Long, Array[Float], Double), y: (Long, Array[Float], Double)): Unit = {
+          val (ia, va, na) = x; val (ib, vb, nb) = y
+          var dp = 0.0; var k = 0
+          while (k < va.length) { dp += va(k).toDouble * vb(k); k += 1 }
+          if (dp / (na * nb) >= t)
+            out += ((math.min(ia, ib), math.max(ia, ib)))
+        }
+        if (t1 == t2) { // diagonal: all rows share grp = t1; sweep all pairs
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) { emit(a(i), a(j)); j += 1 }
+            i += 1
           }
-          i += 1
+        } else { // off-diagonal: only cross-group pairs belong to this task
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < b.length) { emit(a(i), b(j)); j += 1 }
+            i += 1
+          }
         }
         out.iterator
       }
@@ -440,6 +480,84 @@ object Curation {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- q107
+
+  /** Temperature for the language-rebalancing mixture. τ = 0.5 means the
+    * per-lang sampling mass is the SQUARE ROOT of its token share,
+    * renormalized — the standard multilingual-pretraining rebalance
+    * (upweight tail languages, damp the head). sqrt is IEEE-correctly
+    * rounded, so the fit is reproducible bit-for-bit; the value is
+    * deliberately not a free knob (τ ≠ 0.5 would put libm `pow` in the
+    * fit — still exported, still oracle-safe, but no longer bit-stable
+    * across libm builds). */
+  private[graft] val MixTau = 0.5
+
+  /** Fraction of the corpus token mass the rebalanced sample targets. */
+  private[graft] val MixBudgetFrac = 0.5
+
+  /** Once-per-(session, dataset) temperature-mixture fit: per-language
+    * token mass → share^τ renormalized → per-language admit RATE that
+    * spends a [[MixBudgetFrac]] token budget at the rebalanced
+    * proportions (capped at 1 — a tail language whose rebalanced
+    * allocation exceeds its supply keeps everything; the budget is a
+    * target, not a constraint solver, matching the published practice).
+    * Rates export as 16-bit integer thresholds (round(rate·65536)) so
+    * the admit test is an INTEGER compare against the first 4 md5 hex
+    * chars — deterministic across engines, reruns, and partitionings
+    * (the q83/q86 hash-admit discipline; no RNG state). One aggregation
+    * over the corpus; the model is one row per language. */
+  private[ops] def tempMixDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("temp-mix", s, d) { t =>
+      import s.implicits._
+      val agg = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text"))).cast("long").as("tokens_in"))
+        .collect()
+      val total = agg.map(_.getLong(2)).sum.toDouble
+      val mass = agg.map(r => math.sqrt(r.getLong(2) / total)) // share^τ, τ=0.5
+      val z = mass.sum
+      val budget = total * MixBudgetFrac
+      agg.toSeq.zip(mass).map { case (r, m) =>
+        val p = m / z
+        val toks = r.getLong(2)
+        val rate = if (toks == 0L) 1.0 else math.min(1.0, p * budget / toks)
+        (r.getString(0), r.getLong(1), toks,
+          math.round(p * 1e6), math.min(65536L, math.round(rate * 65536)))
+      }.toDF("lang", "n_docs", "tokens_in", "p_micro", "thr16")
+        .coalesce(1).write.mode("overwrite").parquet(t)
+    }
+
+  /** M9+ temperature-rebalanced language mixture (the τ-sampling of
+    * multilingual pretraining, cf. mBERT/XLM-R exponent-smoothed
+    * sampling): per-doc deterministic admit under the fitted per-lang
+    * rate, reported as a per-language funnel (docs/tokens in vs kept).
+    * The serve path is one narrow scan + a broadcast join against the
+    * ≤|langs|-row rate table + the final small rollup — no corpus
+    * shuffle before the aggregate's own map-side combine. Unlike q83
+    * (static mixing config), the rates here are FIT from the corpus and
+    * exported, the q101/q105 model-artifact pattern. */
+  val q107TempMix: Q = (s, d) => {
+    val rates = s.read.parquet(tempMixDir(s, d)).select(col("lang"), col("thr16"))
+    val h16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), TextFns.tokenCount(col("text")).as("ntoks"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("admitted", (h16 < col("thr16")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntoks")).cast("long").as("tokens_in"),
+        sum(col("admitted")).cast("long").as("docs_kept"),
+        sum(col("ntoks") * col("admitted")).cast("long").as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle support for q107: the fitted per-language rate table. */
+  def writeTempMixSupport(s: SparkSession, d: String, outDir: String): Unit =
+    s.read.parquet(tempMixDir(s, d)).coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q107_support_rates")
+
   /** Oracle support for q103/q104: the single-assignment dedup index as
     * plain parquet — membership (cell, vec_id) and the codebook. Given
     * these, within-cell pairing, closure, and centroid distances are
@@ -464,6 +582,7 @@ object Curation {
     "q104_proto_prune"        -> q104ProtoPrune,
     "q105_dsir_weights"       -> q105DsirWeights,
     "q106_hard_negatives"     -> q106HardNegatives,
+    "q107_temp_mix"           -> q107TempMix,
   )
 
   import Similarity.{duckDot, duckNorm}
@@ -605,6 +724,24 @@ object Curation {
          |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS neg_id,
          |  round(cos_raw, 4) AS cos
          |FROM ranked WHERE rn <= $HardNegK ORDER BY vec_id, rn""".stripMargin,
+    // Same tokenization as q83's oracle; admit = integer compare of the
+    // first 4 md5 hex chars against the EXPORTED threshold (the fit's
+    // sqrt/renormalize math lives in the exported table, not on the hash
+    // path), then the per-language funnel rollup.
+    "q107_temp_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS ntoks,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h16
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, thr16
+        |  FROM read_parquet('{GRAFT_OUT}_support/q107_support_rates/*.parquet'))
+        |SELECT w.lang, count(*) AS n_docs,
+        |  CAST(sum(ntoks) AS BIGINT) AS tokens_in,
+        |  CAST(sum(CASE WHEN h16 < thr16 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+        |  CAST(sum(CASE WHEN h16 < thr16 THEN ntoks ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM w JOIN r USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
     // Unit-space squared centroid distance (float32 unit rounding, the
     // q45 qu-CTE convention), per-cell rank, and the ceil cut recomputed.
     "q104_proto_prune" ->

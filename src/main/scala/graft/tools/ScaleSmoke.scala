@@ -377,6 +377,26 @@ object ScaleSmoke {
             .write.format("noop").mode("overwrite").save())
         scaled.unpersist()
       }
+      // hot-cell guard: the adversarial case the per-cell sweep must
+      // survive — ALL vectors landing in one Voronoi cell (clustered
+      // data / KMeans imbalance). Compare the unguarded single-task
+      // sweep against the triangle-split at the production cap: same
+      // edge count, but max-task pair work drops from m²/2 to ~cap².
+      val hot = graft.Tables.embeddings(spark, d)
+        .select(lit(0L).as("cell"), col("vec_id"), col("embedding"))
+        .cache()
+      val m = hot.count()
+      val cap = 512
+      val ng = math.ceil(m.toDouble / cap).toLong
+      println(s"[scale] ===== curation hot cell m=$m cap=$cap ng=$ng =====")
+      val plainEdges = time(s"hot-cell plain sweep (1 task, ${m * (m - 1) / 2} pairs)")(
+        graft.ops.Curation.withinCellEdges(spark, hot, 0.3, cap = Int.MaxValue).count())
+      val guardedEdges = time(s"hot-cell guarded sweep (${ng * (ng + 1) / 2} tasks, " +
+          s"<=${math.ceil(m.toDouble / ng).toLong * math.ceil(m.toDouble / ng).toLong} pairs/task)")(
+        graft.ops.Curation.withinCellEdges(spark, hot, 0.3).count())
+      println(s"[scale] curation hot-cell edges plain=$plainEdges guarded=$guardedEdges" +
+        s" (must be equal)")
+      hot.unpersist()
     }
     spark.stop()
   }

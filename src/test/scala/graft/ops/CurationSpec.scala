@@ -97,6 +97,27 @@ class CurationSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must exercise a non-trivial edge set")
   }
 
+  test("q103: hot-cell guard preserves the exact edge set under forced splitting") {
+    // one giant cell (every vector) plus a forced tiny cap: the triangle
+    // decomposition must still produce each qualifying unordered pair
+    // exactly once — equality against the unguarded single-task sweep,
+    // and no duplicate emissions
+    val emb = embMap()
+    val members = graft.Tables.embeddings(spark, sf)
+      .select(lit(0L).as("cell"), col("vec_id"), col("embedding"))
+    val plain = (for {
+      a <- emb.keys; b <- emb.keys
+      if a < b && cos(emb(a), emb(b)) >= Curation.SemDedupCosT
+    } yield (a, b)).toSet
+    val guarded = Curation.withinCellEdges(spark, members,
+        Curation.SemDedupCosT, cap = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.length == guarded.toSet.size, "duplicate pair emissions")
+    assert(guarded.toSet == plain,
+      s"missing=${(plain -- guarded.toSet).take(5)} extra=${(guarded.toSet -- plain).take(5)}")
+    assert(plain.nonEmpty, "fixture must exercise a non-trivial edge set")
+  }
+
   test("q103: representatives are component minima and stay within the cell") {
     val asg = assignment()
     val rows = Curation.queries("q103_semdedup")(spark, sf)
@@ -109,6 +130,47 @@ class CurationSpec extends AnyFunSuite {
       assert(asg(k) == c, "representative must live in the same cell")
       assert(r.getLong(3) == (if (v == k) 0L else 1L))
     }
+  }
+
+  test("q107: exported rates equal an independent fit; the mix rebalances toward the tail") {
+    val perDoc = graft.Tables.documents(spark, sf)
+      .select(col("lang"), graft.functions.TextFns.tokenCount(col("text")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    val toks = perDoc.groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).sum) }
+    val total = toks.values.sum.toDouble
+    val langs = toks.keys.toSeq.sorted
+    val mass = langs.map(l => math.sqrt(toks(l) / total))
+    val z = mass.sum
+    val budget = total * Curation.MixBudgetFrac
+    val expThr = langs.zip(mass).map { case (l, m) =>
+      val rate =
+        if (toks(l) == 0L) 1.0 else math.min(1.0, (m / z) * budget / toks(l))
+      (l, math.min(65536L, math.round(rate * 65536)))
+    }.toMap
+    val fit = spark.read.parquet(Curation.tempMixDir(spark, sf))
+      .select(col("lang"), col("tokens_in"), col("thr16")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(fit.keySet == toks.keySet)
+    fit.foreach { case (l, (tin, thr)) =>
+      assert(tin == toks(l), s"tokens_in mismatch for $l")
+      assert(thr == expThr(l), s"thr16 mismatch for $l: $thr vs ${expThr(l)}")
+    }
+    // funnel arithmetic + rebalancing direction: the head language loses
+    // token share, some tail language gains (τ=0.5 damps the head)
+    val out = Curation.queries("q107_temp_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    out.foreach { case (l, (nd, tin, dk, tk)) =>
+      assert(dk <= nd && tk <= tin, s"funnel inconsistency for $l")
+      assert(tin == toks(l))
+    }
+    val keptTotal = out.values.map(_._4).sum.toDouble
+    val head = toks.maxBy(_._2)._1
+    def inShare(l: String) = toks(l) / total
+    def outShare(l: String) = out(l)._4 / keptTotal
+    assert(outShare(head) < inShare(head), "head language must be damped")
+    assert(langs.exists(l => l != head && outShare(l) > inShare(l)),
+      "some tail language must gain share")
   }
 
   test("q105: engine weights equal a scala-side recomputation of the DSIR model") {

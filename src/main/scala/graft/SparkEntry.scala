@@ -45,7 +45,8 @@ object SparkEntry {
       (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq",
         "q102_ann_filtered", "q106_hard_negatives"), ops.Similarity.writeAnnSupport),
       (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport),
-      (Set("q101_quality_classifier"), ops.Curation.writeClassifierSupport),
+      (Set("q101_quality_classifier", "q108_quality_retention"),
+        ops.Curation.writeClassifierSupport),
       (Set("q103_semdedup", "q104_proto_prune"),
         ops.Curation.writeDedupIndexSupport),
       (Set("q105_dsir_weights"), ops.Curation.writeDsirSupport),

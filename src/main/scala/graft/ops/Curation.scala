@@ -92,13 +92,21 @@ object Curation {
     * ORDER BY is presentation). Margin stays in log-odds space (linear
     * math only — cross-engine exact; a sigmoid would put libm `exp` on
     * the hash path for zero ranking information). */
-  val q101QualityClassifier: Q = (s, d) => {
+  /** The fitted linear margin column (log-odds space) under the persisted
+    * classifier — 5 broadcast scalars folded into a codegen'd projection;
+    * shared by q101 and the retention policy q108 so both score the
+    * exact expression the oracle recomputes. */
+  private[ops] def marginCol(s: SparkSession, d: String): Column = {
     val r = s.read.parquet(weightsDir(s, d)).collect().head
-    val (w1, w2, w3, w4, b) = (r.getDouble(0), r.getDouble(1),
-      r.getDouble(2), r.getDouble(3), r.getDouble(4))
     val (fTok, fTok2, fWlen, fStop) = features
-    val margin = lit(w1) * fTok + lit(w2) * fTok2 + lit(w3) * fWlen +
-      lit(w4) * fStop + lit(b)
+    lit(r.getDouble(0)) * fTok + lit(r.getDouble(1)) * fTok2 +
+      lit(r.getDouble(2)) * fWlen + lit(r.getDouble(3)) * fStop +
+      lit(r.getDouble(4))
+  }
+
+  val q101QualityClassifier: Q = (s, d) => {
+    val margin = marginCol(s, d)
+    val (fTok, _, _, _) = features
     Tables.documents(s, d)
       .select(col("doc_id"), fTok.cast("long").as("n_tokens"),
         round(margin, 4).as("margin"), (margin > 0).cast("long").as("keep"))
@@ -385,7 +393,7 @@ object Curation {
     * this exported fit, which the oracle reads as a given — the q101
     * weights pattern). One explode + one 256-group aggregation over the
     * corpus; the model itself is 256 rows. */
-  private def dsirDir(s: SparkSession, d: String): String =
+  private[graft] def dsirDir(s: SparkSession, d: String): String =
     SessionArtifacts.dir("dsir-logratio", s, d) { t =>
       import s.implicits._
       val counts = Tables.documents(s, d)
@@ -420,12 +428,7 @@ object Curation {
     // string-keyed MAP literal + HOF sum measured 32 s warm at sf0.1
     // (linear 256-way key scan per gram, interpreted); the native kernel
     // serves the same scan in ~1 s
-    val slots = new Array[Long](DsirBuckets)
-    s.read.parquet(dsirDir(s, d)).collect()
-      .foreach(r => slots(Integer.parseInt(r.getString(0), 16)) = r.getLong(1))
-    val pair = org.apache.spark.sql.graft.GraftInternal.column(
-      graft.plans.DsirWeight(
-        org.apache.spark.sql.graft.GraftInternal.expression(col("text")), slots))
+    val pair = dsirWeightPair(dsirModelSlots(s, dsirDir(s, d)))
     // barrier (the q66 discipline): three output columns derive from the
     // pair, and CollapseProject would otherwise re-run the bigram kernel
     // once per reference; the cached column is two longs per doc
@@ -441,6 +444,26 @@ object Curation {
         .orderBy(col("doc_id")),
       scored)
   }
+
+  /** Load a persisted DSIR log-ratio table (the [[dsirDir]] layout:
+    * 2-hex-char bucket, micro-unit log ratio) into the 256-slot array
+    * the fused kernel indexes by bucket byte. Shared by q105 and the
+    * streaming scorer ([[graft.streaming.Incremental
+    * .continuousDsirScoring]]) so batch and stream can never disagree on
+    * the model decode. */
+  def dsirModelSlots(s: SparkSession, modelDir: String): Array[Long] = {
+    val slots = new Array[Long](DsirBuckets)
+    s.read.parquet(modelDir).collect()
+      .foreach(r => slots(Integer.parseInt(r.getString(0), 16)) = r.getLong(1))
+    slots
+  }
+
+  /** The fused (n_grams, w_micro) scoring column over `text` for a
+    * 256-slot model array — ONE compiled pass per document. */
+  def dsirWeightPair(slots: Array[Long]): Column =
+    org.apache.spark.sql.graft.GraftInternal.column(
+      graft.plans.DsirWeight(
+        org.apache.spark.sql.graft.GraftInternal.expression(col("text")), slots))
 
   /** Oracle support for q105: the fitted 256-row log-ratio table. */
   def writeDsirSupport(s: SparkSession, d: String, outDir: String): Unit =
@@ -553,6 +576,35 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- q108
+
+  /** Quality-aware dedup retention (the FineWeb/DataComp refinement of
+    * min-id canonicalization): within each near-duplicate component
+    * (q56's trigram-Jaccard ≥ 0.8 closure), keep the member the q101
+    * classifier scores HIGHEST — dedup should discard the redundant
+    * copies, not the best-written one. Components come from the
+    * certified MinHash candidates→verify→closure stack (bucketed, never
+    * all-pairs); margins are the q101 broadcast-scalar projection; the
+    * retention pick is a per-component rank window (partitioned by
+    * component — parallel across groups, bounded by group size; the
+    * corpus-side margin scan is narrow and the join against the
+    * component table is duplicate-docs-sized, which AQE broadcasts at
+    * runtime). Ranking uses the ROUNDED margin (the certified q101
+    * output convention) with doc_id as the tie-break, so the pick is
+    * cross-engine deterministic. */
+  val q108QualityRetention: Q = (s, d) => {
+    val comp = ConnectedComponents.run(
+        Dedup.minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("vertex").as("doc_id"), col("label").as("group_id"))
+    val margins = Tables.documents(s, d)
+      .select(col("doc_id"), round(marginCol(s, d), 4).as("margin"))
+    val byGrp = Window.partitionBy(col("group_id"))
+      .orderBy(col("margin").desc, col("doc_id"))
+    comp.join(margins, Seq("doc_id"))
+      .withColumn("keep", (row_number().over(byGrp) === 1).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle support for q107: the fitted per-language rate table. */
   def writeTempMixSupport(s: SparkSession, d: String, outDir: String): Unit =
     s.read.parquet(tempMixDir(s, d)).coalesce(1).write.mode("overwrite")
@@ -583,6 +635,7 @@ object Curation {
     "q105_dsir_weights"       -> q105DsirWeights,
     "q106_hard_negatives"     -> q106HardNegatives,
     "q107_temp_mix"           -> q107TempMix,
+    "q108_quality_retention"  -> q108QualityRetention,
   )
 
   import Similarity.{duckDot, duckNorm}
@@ -724,6 +777,52 @@ object Curation {
          |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS neg_id,
          |  round(cos_raw, 4) AS cos
          |FROM ranked WHERE rn <= $HardNegK ORDER BY vec_id, rn""".stripMargin,
+    // q56's closure CTEs (exhaustive >=0.8-Jaccard pairs + recursive
+    // min-label reach) composed with q101's margin CTEs, then the
+    // per-component argmax by (rounded margin DESC, doc_id).
+    "q108_quality_retention" ->
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, ${Dedup.DuckShingles} AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |comp AS (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY 1),
+         |tf AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+         |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(toks) AS DOUBLE) * CAST(len(toks) AS DOUBLE) AS n_tok2,
+         |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) AS awl,
+         |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4) AS sr
+         |  FROM tf),
+         |w AS (
+         |  SELECT w_tokens, w_tokens2, w_wlen, w_stop, bias
+         |  FROM read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet')),
+         |m AS (
+         |  SELECT doc_id,
+         |    round(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias, 4) AS margin
+         |  FROM f CROSS JOIN w),
+         |rr AS (
+         |  SELECT comp.doc_id, comp.group_id, m.margin,
+         |    row_number() OVER (PARTITION BY comp.group_id
+         |      ORDER BY m.margin DESC, comp.doc_id) AS rn
+         |  FROM comp JOIN m USING (doc_id))
+         |SELECT doc_id, group_id, margin, CAST(rn = 1 AS BIGINT) AS keep
+         |FROM rr ORDER BY doc_id""".stripMargin,
     // Same tokenization as q83's oracle; admit = integer compare of the
     // first 4 md5 hex chars against the EXPORTED threshold (the fit's
     // sqrt/renormalize math lives in the exported table, not on the hash

@@ -108,7 +108,7 @@ object Dedup {
     * recall is 1 — which the oracle's exhaustive scan certifies at sf. */
   /** Shared candidate-generate → verify core of q38/q56: unordered verified
     * pairs (doc_a < doc_b, trigram Jaccard ≥ 0.8). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
     minhashPairsOf(Tables.documents(s, d))
 
   /** The q38 pipeline over an arbitrary (doc_id, text, ...) frame — shared
@@ -517,7 +517,7 @@ object Dedup {
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
-  private val DuckShingles =
+  private[graft] val DuckShingles =
     """list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |               for i in range(1, greatest(len(toks) - 1, 1))])""".stripMargin
 

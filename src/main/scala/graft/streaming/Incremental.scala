@@ -231,6 +231,53 @@ object Incremental {
     q
   }
 
+  /** Continuous DSIR importance scoring (q105 in incremental form): each
+    * micro-batch of ingested documents is scored under the PERSISTED
+    * log-ratio model and routed to `selectedDir` (w > 0 — more
+    * target-like than raw) or `rejectedDir`, with the n-gram count and
+    * micro-unit weight carried as columns. The model is decoded ONCE at
+    * stream start into the 256-slot array the fused codegen kernel
+    * indexes ([[graft.ops.Curation.dsirModelSlots]] — the same decode as
+    * the batch query, so batch and stream scores are bit-identical); the
+    * per-batch work is one compiled scan, no joins, no shuffle, so
+    * stream throughput is scan-bound regardless of corpus history.
+    * Exactly-once per input file via the checkpoint; failure replay is
+    * AT-LEAST-ONCE within a batch (the foreachBatch contract — a crash
+    * between a sink append and the checkpoint can duplicate that batch's
+    * rows in the sinks; integer scoring makes the replayed rows exact
+    * copies, so the downstream exact-dedup pass reconciles them). The
+    * model is deliberately FROZEN for the stream's lifetime: importance
+    * weights must be comparable across the whole ingest, so refreshing
+    * the fit is a restart-with-new-model decision, not a per-batch one. */
+  def continuousDsirScoring(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, modelDir: String,
+      selectedDir: String, rejectedDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val slots = graft.ops.Curation.dsirModelSlots(spark, modelDir)
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // barrier (the q105 discipline): three derived columns; without it
+        // CollapseProject re-runs the bigram kernel once per reference
+        val scored = batch
+          .withColumn("p", graft.ops.Curation.dsirWeightPair(slots))
+          .cache()
+        val routed = scored
+          .withColumn("n_grams", element_at(col("p"), 1))
+          .withColumn("w_micro", element_at(col("p"), 2))
+          .drop("p")
+        routed.filter(col("w_micro") > 0).write.mode("append").parquet(selectedDir)
+        routed.filter(col("w_micro") <= 0).write.mode("append").parquet(rejectedDir)
+        scored.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous ANN INGEST (M8 in incremental form — the third persisted-
     * index streaming maintainer beside fuzzy dedup and decontamination):
     * each micro-batch of new vectors routes into the SAVED IVF index via

@@ -231,6 +231,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(quar).count() == 1)
   }
 
+  test("continuous DSIR scoring routes by the persisted model, matches batch scores, resumes") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft-dsirstream").toString
+    val in = s"$base/in"; val sel = s"$base/selected"
+    val rej = s"$base/rejected"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // the persisted model: the q105 fit on the static corpus
+    val model = graft.ops.Curation.dsirDir(spark, sf)
+    // batch-side truth over the first 40 docs
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40).cache()
+    val batchScores = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        element_at(graft.ops.Curation.dsirWeightPair(
+          graft.ops.Curation.dsirModelSlots(spark, model)), 2).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    docs.filter(col("doc_id") < 20).write.parquet(s"$in/b1")
+    val q1 = Incremental.continuousDsirScoring(spark, s"$in/*", docSchema,
+      model, sel, rej, ck)
+    val pr = Incremental.progressReport(q1)
+    assert(pr.batches >= 1 && pr.rows == 20L, pr.toString)
+    def readScores(dir: String): Map[Long, Long] =
+      spark.read.parquet(dir).select(col("doc_id"), col("w_micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s1 = readScores(sel); val r1 = readScores(rej)
+    assert(s1.keySet.intersect(r1.keySet).isEmpty)
+    assert(s1.values.forall(_ > 0) && r1.values.forall(_ <= 0))
+    assert(s1.nonEmpty && r1.nonEmpty,
+      "fixture must exercise both routes — rebucket the cut if this fires")
+    (s1 ++ r1).foreach { case (id, w) =>
+      assert(w == batchScores(id), s"stream/batch weight mismatch for doc $id")
+    }
+
+    // resume: only the new file is processed, earlier rows not duplicated
+    docs.filter(col("doc_id") >= 20).write.parquet(s"$in/b2")
+    Incremental.continuousDsirScoring(spark, s"$in/*", docSchema, model, sel, rej, ck)
+    val s2 = readScores(sel); val r2 = readScores(rej)
+    assert((s2.keySet ++ r2.keySet) == batchScores.keySet)
+    assert(spark.read.parquet(sel).count() + spark.read.parquet(rej).count() == 40L,
+      "resume must process exactly the new file once")
+    (s2 ++ r2).foreach { case (id, w) => assert(w == batchScores(id)) }
+    docs.unpersist()
+  }
+
   test("continuous ANN ingest appends micro-batches into the saved index, resumes") {
     val sf = "/root/testdata/sf0.001"
     val base = Files.createTempDirectory("graft-annstream").toString

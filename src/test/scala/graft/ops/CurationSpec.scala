@@ -173,6 +173,27 @@ class CurationSpec extends AnyFunSuite {
       "some tail language must gain share")
   }
 
+  test("q108: exactly one keep per group, and it is the margin argmax") {
+    val rows = Curation.queries("q108_quality_retention")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty, "fixture must contain near-dup groups")
+    // groups equal the q56 canonical-group vertex sets
+    val q56 = graft.SparkEntry.queries("q56_dedup_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(_._1).toSet == q56.keySet,
+      "q108 must score exactly the q56 component vertex set")
+    rows.groupBy(_._2).foreach { case (g, mem) =>
+      assert(mem.count(_._4 == 1L) == 1, s"group $g must keep exactly one member")
+      val kept = mem.find(_._4 == 1L).get
+      val best = mem.minBy(m => (-m._3, m._1))
+      assert(kept._1 == best._1,
+        s"group $g kept ${kept._1} but argmax is ${best._1}")
+      // group ids are consistent with the q56 labels
+      mem.foreach { m => assert(q56(m._1) == mem.map(_._1).min) }
+    }
+  }
+
   test("q105: engine weights equal a scala-side recomputation of the DSIR model") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"), col("lang"))

@@ -379,24 +379,51 @@ object Dedup {
 
   /** The composition over an arbitrary (doc_id, text, n_chars) frame —
     * unit tests plant exact clones to exercise the dup_exact branch. */
-  def cleanCorpus(input: DataFrame): DataFrame = {
+  /** @param retentionScores optional (doc_id, score: double) table: when
+    *   given, BOTH dedup tiers keep the HIGHEST-scoring member of each
+    *   duplicate group (doc_id tie-break) instead of the smallest id —
+    *   the q108 quality-aware retention policy as a pipeline mode (score
+    *   with [[graft.ops.Curation.marginCol]] or any per-doc quality
+    *   signal). Docs absent from the table rank below every scored doc
+    *   (a scored duplicate always beats an unscored one). With None the
+    *   constant score degenerates the rank to min-doc_id — bit-identical
+    *   to the historical semantics (q79's oracle still certifies it). */
+  def cleanCorpus(input: DataFrame,
+      retentionScores: Option[DataFrame] = None): DataFrame = {
     val docs = input
       .select(col("doc_id"), col("n_chars"),
         TextFns.fingerprint(col("text")).as("fp"))
-    val rem1 = docs.filter(col("n_chars") >= 220)
-    // exact dedup among quality survivors: keep min doc_id per fingerprint
+    val rem1base = docs.filter(col("n_chars") >= 220)
+    val rem1 = retentionScores match {
+      case None => rem1base.withColumn("rk_score", lit(0.0))
+      case Some(sc) => rem1base
+          .join(sc.select(col("doc_id"), col("score").as("rk_score")),
+            Seq("doc_id"), "left")
+          .na.fill(Map("rk_score" -> Double.MinValue))
+    }
+    // exact dedup among quality survivors: keep the retention-rank winner
+    // per fingerprint (min doc_id when unscored)
     val wfp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val exact = rem1.withColumn("kid", min(col("doc_id")).over(wfp))
-    val dupExact = exact.filter(col("doc_id") =!= col("kid")).select(col("doc_id"))
-    val rem2 = exact.filter(col("doc_id") === col("kid")).select(col("doc_id"))
+      .orderBy(col("rk_score").desc, col("doc_id"))
+    val exact = rem1.withColumn("rn", row_number().over(wfp))
+    val dupExact = exact.filter(col("rn") =!= 1).select(col("doc_id"))
+    val rem2 = exact.filter(col("rn") === 1)
+      .select(col("doc_id"), col("rk_score"))
     // fuzzy canonicalization among remaining docs: both pair endpoints
     // must have survived the earlier gates
     val pairs = minhashPairsOf(input)
-      .join(rem2.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-      .join(rem2.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .join(rem2.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(rem2.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .select(col("doc_a"), col("doc_b"))
+    // component labels stay min-id (the CC contract); the RETENTION pick
+    // within each component is the rank winner, so the component ids are
+    // stable while the survivor follows the policy
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(col("rk_score").desc, col("vertex"))
     val dupFuzzy = ConnectedComponents.run(pairs)
-      .filter(col("vertex") =!= col("label"))
+      .join(rem2.select(col("doc_id").as("vertex"), col("rk_score")), Seq("vertex"))
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") =!= 1)
       .select(col("vertex").as("doc_id"))
     docs.select(col("doc_id"), col("n_chars"))
       .join(dupExact.withColumn("de", lit(1)), Seq("doc_id"), "left")

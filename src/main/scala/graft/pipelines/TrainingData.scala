@@ -61,6 +61,11 @@ object TrainingData {
     * @param gate     rule-gate calibration for stage 0 (the q97-certified
     *                 Gopher-style gate; [[DefaultGate]] keeps only a
     *                 word-count floor)
+    * @param retentionScores optional (doc_id, score) table — when given,
+    *                 both dedup tiers keep the HIGHEST-scoring member of
+    *                 each duplicate group instead of the smallest id (the
+    *                 q108 quality-aware retention policy; see
+    *                 [[graft.ops.Dedup.cleanCorpus]])
     * @param quarantineDir where rows breaching the data EXPECTATIONS
     *                 (duplicate doc_id, null text, inconsistent n_chars —
     *                 the q98-certified gate's structural rules) are
@@ -79,7 +84,8 @@ object TrainingData {
       weights: DataFrame, outDir: String, nShards: Int = 8,
       maxRecordsPerFile: Int = 1 << 20,
       gate: TextOps.RuleGateConfig = DefaultGate,
-      quarantineDir: Option[String] = None): DataFrame = {
+      quarantineDir: Option[String] = None,
+      retentionScores: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     // stage timer: wall-clock of the ONE action that materializes a
     // cached stage — the per-stage scaling signal ScaleSmoke's pipeline
@@ -126,7 +132,7 @@ object TrainingData {
     // cache: the clean set feeds BOTH the funnel count and the
     // decontamination scan — without the barrier the whole dedup candidate
     // generation (MinHash pairs + components) replays per consumer
-    val disposition = Dedup.cleanCorpus(gated)
+    val disposition = Dedup.cleanCorpus(gated, retentionScores)
     val clean = gated.join(
         disposition.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
       .cache()

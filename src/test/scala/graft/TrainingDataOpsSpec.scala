@@ -104,6 +104,32 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       4L -> "low_quality", 5L -> "kept"))
   }
 
+  test("cleanCorpus retention scores flip the survivor in BOTH dedup tiers") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val docs = Seq(
+      (1L, base, base.trim.length),                        // exact group {1,2}
+      (2L, base, base.trim.length),
+      (3L, base + "iota", base.length + 4),                // fuzzy near-dup of the winner
+      (5L, ("omega psi chi phi upsilon tau sigma rho " * 8).trim,
+        ("omega psi chi phi upsilon tau sigma rho " * 8).trim.length)
+    ).toDF("doc_id", "text", "n_chars")
+    // score favors the HIGHER ids — the opposite of min-id retention
+    val scores = Seq((1L, 0.1), (2L, 0.9), (3L, 2.0), (5L, 0.5))
+      .toDF("doc_id", "score")
+    val got = ops.Dedup.cleanCorpus(docs, Some(scores))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact tier: 2 beats 1; fuzzy tier: 3 (score 2.0) beats 2 (0.9)
+    assert(got == Map(1L -> "dup_exact", 2L -> "dup_fuzzy", 3L -> "kept",
+      5L -> "kept"), got.toString)
+    // an unscored duplicate always loses to a scored one
+    val partial = Seq((2L, 0.9), (3L, 0.1), (5L, 0.5)).toDF("doc_id", "score")
+    val got2 = ops.Dedup.cleanCorpus(docs, Some(partial))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(1L) == "dup_exact" && got2(2L) == "kept" && got2(3L) == "dup_fuzzy",
+      got2.toString)
+  }
+
   test("q80: approx percentiles stay within 5% relative error of the exact q72") {
     val exact = ops.Relational.q72Percentiles(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

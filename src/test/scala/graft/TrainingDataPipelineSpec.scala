@@ -105,6 +105,34 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
   private val cleanEval =
     Seq("completely unrelated held out eval question answer text").toDF("text")
 
+  test("quality-aware retention keeps the best-scored clone through the whole pipeline") {
+    val longText = (tag: String) =>
+      (s"alpha$tag beta$tag gamma$tag delta$tag epsilon$tag zeta$tag eta$tag theta$tag " * 6).trim
+    val rows = Seq.newBuilder[(Long, String, String)]
+    rows += ((1L, longText("one"), "srcA"))
+    rows += ((2L, longText("one"), "srcA")) // exact clone of 1
+    (6L to 15L).foreach(i => rows += ((i, longText(s"u$i"), "srcA")))
+    val docs = rows.result().toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val evalDocs = Seq("completely unrelated eval ngram material here " * 4).toDF("text")
+    val weights = TrainingData.flatWeights(spark, Seq("srcA"))
+    val gate = graft.ops.TextOps.RuleGateConfig(
+      minWords = 30L, maxWords = 1000L,
+      minMeanWordLen = 0.0, maxMeanWordLen = 20.0,
+      stopwords = Nil, minStopHits = 0L,
+      maxSymbolRatio = Double.MaxValue)
+    val scores = (Seq((1L, 0.1), (2L, 0.9)) ++ (6L to 15L).map(i => (i, 0.5)))
+      .toDF("doc_id", "score")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tdp-ret").toString
+    TrainingData.run(spark, docs, evalDocs, weights, outDir,
+      nShards = 4, maxRecordsPerFile = 10, gate = gate,
+      retentionScores = Some(scores))
+    val kept = spark.read.parquet(outDir).select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept.contains(2L) && !kept.contains(1L),
+      s"retention must keep the higher-scored clone (got $kept)")
+  }
+
   test("expectations gate FAILS the run on a breached batch by default") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-tdp-fail").toString
     val ex = intercept[IllegalStateException] {

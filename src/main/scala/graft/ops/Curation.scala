@@ -393,23 +393,31 @@ object Curation {
     * this exported fit, which the oracle reads as a given — the q101
     * weights pattern). One explode + one 256-group aggregation over the
     * corpus; the model itself is 256 rows. */
+  /** The DSIR model fit over an explicit (doc_id, text, lang) corpus —
+    * one explode + one 256-group aggregation; only the 256-row model
+    * reaches the driver. Shared by the session artifact and the scaling
+    * smoke (which fits on inflated corpora). */
+  private[graft] def fitDsir(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val counts = docs
+      .select((col("lang") === DsirTargetLang).as("is_t"),
+        explode(dsirBuckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .collect()
+    val nt = counts.map(_.getLong(1)).sum.toDouble
+    val nr = counts.map(_.getLong(2)).sum.toDouble
+    counts.toSeq.map { r =>
+      val lr = math.log((r.getLong(1) + 1.0) / (nt + DsirBuckets)) -
+        math.log((r.getLong(2) + 1.0) / (nr + DsirBuckets))
+      (f"${r.getInt(0)}%02x", math.round(lr * 1e6))
+    }.toDF("bucket", "lr_micro")
+  }
+
   private[graft] def dsirDir(s: SparkSession, d: String): String =
     SessionArtifacts.dir("dsir-logratio", s, d) { t =>
-      import s.implicits._
-      val counts = Tables.documents(s, d)
-        .select((col("lang") === DsirTargetLang).as("is_t"),
-          explode(dsirBuckets).as("bucket"))
-        .groupBy("bucket")
-        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-          count(lit(1)).as("cr"))
-        .collect()
-      val nt = counts.map(_.getLong(1)).sum.toDouble
-      val nr = counts.map(_.getLong(2)).sum.toDouble
-      counts.toSeq.map { r =>
-        val lr = math.log((r.getLong(1) + 1.0) / (nt + DsirBuckets)) -
-          math.log((r.getLong(2) + 1.0) / (nr + DsirBuckets))
-        (f"${r.getInt(0)}%02x", math.round(lr * 1e6))
-      }.toDF("bucket", "lr_micro")
+      fitDsir(s, Tables.documents(s, d))
         .coalesce(1).write.mode("overwrite").parquet(t)
     }
 
@@ -529,25 +537,32 @@ object Curation {
     * chars — deterministic across engines, reruns, and partitionings
     * (the q83/q86 hash-admit discipline; no RNG state). One aggregation
     * over the corpus; the model is one row per language. */
+  /** The temperature-mixture fit over an explicit (doc_id, text, lang)
+    * corpus — one aggregation; only the per-language row set reaches the
+    * driver. Shared by the session artifact and the scaling smoke. */
+  private[graft] def fitTempMix(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val agg = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text"))).cast("long").as("tokens_in"))
+      .collect()
+    val total = agg.map(_.getLong(2)).sum.toDouble
+    val mass = agg.map(r => math.sqrt(r.getLong(2) / total)) // share^τ, τ=0.5
+    val z = mass.sum
+    val budget = total * MixBudgetFrac
+    agg.toSeq.zip(mass).map { case (r, m) =>
+      val p = m / z
+      val toks = r.getLong(2)
+      val rate = if (toks == 0L) 1.0 else math.min(1.0, p * budget / toks)
+      (r.getString(0), r.getLong(1), toks,
+        math.round(p * 1e6), math.min(65536L, math.round(rate * 65536)))
+    }.toDF("lang", "n_docs", "tokens_in", "p_micro", "thr16")
+  }
+
   private[ops] def tempMixDir(s: SparkSession, d: String): String =
     SessionArtifacts.dir("temp-mix", s, d) { t =>
-      import s.implicits._
-      val agg = Tables.documents(s, d)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextFns.tokenCount(col("text"))).cast("long").as("tokens_in"))
-        .collect()
-      val total = agg.map(_.getLong(2)).sum.toDouble
-      val mass = agg.map(r => math.sqrt(r.getLong(2) / total)) // share^τ, τ=0.5
-      val z = mass.sum
-      val budget = total * MixBudgetFrac
-      agg.toSeq.zip(mass).map { case (r, m) =>
-        val p = m / z
-        val toks = r.getLong(2)
-        val rate = if (toks == 0L) 1.0 else math.min(1.0, p * budget / toks)
-        (r.getString(0), r.getLong(1), toks,
-          math.round(p * 1e6), math.min(65536L, math.round(rate * 65536)))
-      }.toDF("lang", "n_docs", "tokens_in", "p_micro", "thr16")
+      fitTempMix(s, Tables.documents(s, d))
         .coalesce(1).write.mode("overwrite").parquet(t)
     }
 
@@ -605,6 +620,37 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q109
+
+  /** Validation share for the leakage-safe split: groups whose md5 2-hex
+    * prefix falls under this go to `val` (0x1a/0x100 ≈ 10.2%). */
+  private[graft] val ValThr = "1a"
+
+  /** Leakage-safe train/validation split (the GroupShuffleSplit
+    * discipline every eval pipeline needs): the unit of assignment is
+    * the NEAR-DUPLICATE COMPONENT (q56's trigram-Jaccard closure), not
+    * the document — a near-dup pair straddling the split boundary leaks
+    * training text into evaluation, the exact failure train/test
+    * contamination checks exist to catch. Docs outside any component
+    * are singleton groups (their own id). Assignment is the
+    * deterministic md5-prefix admit on the GROUP id, so group members
+    * agree by construction (unit-asserted) and the split is stable
+    * across reruns and cluster sizes. The component table is
+    * duplicate-docs-sized — AQE broadcasts the join; everything else is
+    * one narrow pass. */
+  val q109LeakageSplit: Q = (s, d) => {
+    val comp = ConnectedComponents.run(
+        Dedup.minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("vertex").as("doc_id"), col("label").as("grp"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("grp"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        when(substring(md5(col("group_id").cast("string")), 1, 2) < ValThr,
+          "val").otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle support for q107: the fitted per-language rate table. */
   def writeTempMixSupport(s: SparkSession, d: String, outDir: String): Unit =
     s.read.parquet(tempMixDir(s, d)).coalesce(1).write.mode("overwrite")
@@ -636,6 +682,7 @@ object Curation {
     "q106_hard_negatives"     -> q106HardNegatives,
     "q107_temp_mix"           -> q107TempMix,
     "q108_quality_retention"  -> q108QualityRetention,
+    "q109_leakage_split"      -> q109LeakageSplit,
   )
 
   import Similarity.{duckDot, duckNorm}
@@ -823,6 +870,32 @@ object Curation {
          |  FROM comp JOIN m USING (doc_id))
          |SELECT doc_id, group_id, margin, CAST(rn = 1 AS BIGINT) AS keep
          |FROM rr ORDER BY doc_id""".stripMargin,
+    // q56's closure CTEs give the groups; singletons default to their own
+    // id; the split is the md5-prefix admit on the GROUP id.
+    "q109_leakage_split" ->
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, ${Dedup.DuckShingles} AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |comp AS (SELECT doc_id, min(r) AS grp FROM reach GROUP BY 1)
+         |SELECT d.doc_id, coalesce(comp.grp, d.doc_id) AS group_id,
+         |  CASE WHEN substr(md5(CAST(coalesce(comp.grp, d.doc_id) AS VARCHAR)), 1, 2) < '$ValThr'
+         |       THEN 'val' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // Same tokenization as q83's oracle; admit = integer compare of the
     // first 4 md5 hex chars against the EXPORTED threshold (the fit's
     // sqrt/renormalize math lives in the exported table, not on the hash

@@ -398,6 +398,47 @@ object ScaleSmoke {
         s" (must be equal)")
       hot.unpersist()
     }
+    // selection operators (q105 DSIR, q107 temperature mix): fit is one
+    // corpus aggregation (256-group / per-language), serve is one narrow
+    // codegen scan — both must track corpus volume linearly with no
+    // fixed bottleneck. Disjoint-vocabulary inflation as in the dedup
+    // section; lang is preserved so the fits see the original mixture.
+    if (section == "all" || section == "selection") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
+            col("lang"))
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        println(s"[scale] ===== selection mult=$mult rows=$rows =====")
+        val model = time(s"mult=$mult dsir fit (explode + 256-agg)")(
+          graft.ops.Curation.fitDsir(spark, scaled))
+        val slots = new Array[Long](graft.ops.Curation.DsirBuckets)
+        model.collect().foreach(r =>
+          slots(Integer.parseInt(r.getString(0), 16)) = r.getLong(1))
+        time(s"mult=$mult dsir serve (fused kernel scan)")(
+          scaled.select(col("doc_id"),
+            element_at(graft.ops.Curation.dsirWeightPair(slots), 2).as("w"))
+            .write.format("noop").mode("overwrite").save())
+        val rates = time(s"mult=$mult temp-mix fit (per-lang agg)")(
+          graft.ops.Curation.fitTempMix(spark, scaled))
+        time(s"mult=$mult temp-mix serve (admit + funnel)")(
+          scaled
+            .select(col("doc_id"), col("lang"),
+              graft.functions.TextFns.tokenCount(col("text")).as("ntoks"))
+            .join(broadcast(rates.select(col("lang"), col("thr16"))), Seq("lang"))
+            .withColumn("admitted",
+              (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+                .cast("long") < col("thr16")).cast("long"))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("admitted")).as("docs_kept"))
+            .write.format("noop").mode("overwrite").save())
+        scaled.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -233,6 +233,18 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"DSIR scoring must not hash-shuffle (only the final sort's range exchange):\n$p")
   }
 
+  test("q107: the rate table broadcasts; one hash exchange for the rollup") {
+    // the fitted per-language rates are a handful of rows — a sort-merge
+    // join or a second corpus shuffle would be the wrong plan class for
+    // a 100 TB admission pass
+    val p = plan("q107_temp_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rate join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rate join must not sort-merge:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 1,
+      s"expected at most one hash exchange (the funnel rollup), got $hashExchanges:\n$p")
+  }
+
   test("q106: ONE fused member scan, partition-pruned to the probed cells") {
     val p = plan("q106_hard_negatives")
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,

@@ -194,6 +194,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q109: every doc is assigned; near-dup groups never straddle the split") {
+    val rows = Curation.queries("q109_leakage_split")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every document must receive a split")
+    // group coherence: one split per group — the leakage guarantee
+    rows.groupBy(_._2).foreach { case (g, mem) =>
+      assert(mem.map(_._3).distinct.length == 1,
+        s"group $g straddles the split: ${mem.toSeq}")
+    }
+    // the q56 components are the non-singleton groups
+    val q56 = graft.SparkEntry.queries("q56_dedup_canonical")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach { case (doc, g, _) =>
+      assert(g == q56.getOrElse(doc, doc),
+        s"doc $doc group $g must be its component label (or itself)")
+    }
+    // both splits occur and val is minority (10% target, loose band)
+    val valFrac = rows.count(_._3 == "val").toDouble / rows.length
+    assert(valFrac > 0.0 && valFrac < 0.3, s"val fraction $valFrac out of band")
+  }
+
   test("q105: engine weights equal a scala-side recomputation of the DSIR model") {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text"), col("lang"))

@@ -608,8 +608,7 @@ object Curation {
     * output convention) with doc_id as the tie-break, so the pick is
     * cross-engine deterministic. */
   val q108QualityRetention: Q = (s, d) => {
-    val comp = ConnectedComponents.run(
-        Dedup.minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val comp = Dedup.dedupComponents(s, d)
       .select(col("vertex").as("doc_id"), col("label").as("group_id"))
     val margins = Tables.documents(s, d)
       .select(col("doc_id"), round(marginCol(s, d), 4).as("margin"))
@@ -639,8 +638,7 @@ object Curation {
     * duplicate-docs-sized — AQE broadcasts the join; everything else is
     * one narrow pass. */
   val q109LeakageSplit: Q = (s, d) => {
-    val comp = ConnectedComponents.run(
-        Dedup.minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val comp = Dedup.dedupComponents(s, d)
       .select(col("vertex").as("doc_id"), col("label").as("grp"))
     Tables.documents(s, d).select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")

@@ -357,13 +357,29 @@ object Dedup {
     * [[ConnectedComponents]] operator (iterative min-label propagation, one
     * shuffle per iteration, no driver data collect — see its scale notes);
     * this query feeds it the minhash pair set. */
-  val q41DedupCanonical: Q = (s, d) => {
-    // minhashPairs, not q38: the global sort is wasted on edge input
-    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-    ConnectedComponents.run(pairs)
+  /** Once-per-(session, dataset) persisted canonical COMPONENTS of the
+    * MinHash near-dup graph (vertex, label=min-id) — the materialized
+    * signature/component table every dedup pipeline keeps at scale.
+    * Three queries need the same closure (q56 canonicalization, q108
+    * quality retention, q109 leakage-safe split); computing candidates +
+    * verify + iterative closure once per session and serving the
+    * (duplicate-docs-sized) result as parquet is the artifact shape the
+    * ANN chain already uses — the cold pass pays the build, warm
+    * consumers read a tiny table. cleanCorpus keeps its live path: it
+    * closes over arbitrary (gated) inputs, not the corpus table. */
+  private[graft] def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val dir = SessionArtifacts.dir("minhash-components", s, d) { t =>
+      ConnectedComponents.run(
+          minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+        .write.mode("overwrite").parquet(t)
+    }
+    s.read.parquet(dir)
+  }
+
+  val q41DedupCanonical: Q = (s, d) =>
+    dedupComponents(s, d)
       .select(col("vertex").as("doc_id"), col("label").as("keep_id"))
       .orderBy(col("doc_id"))
-  }
 
   /** END-TO-END corpus cleaning — the composed pipeline a pretraining-data
     * user actually runs, as ONE query: quality gate → exact dedup among

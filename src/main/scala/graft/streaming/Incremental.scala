@@ -278,6 +278,40 @@ object Incremental {
     q
   }
 
+  /** Continuous temperature-mix ADMISSION (q107 in incremental form):
+    * each micro-batch of documents is admitted under the PERSISTED
+    * per-language rate table (the q107 fit — broadcast, ≤|languages|
+    * rows) via the same md5-prefix integer compare as the batch query,
+    * so batch and stream decide identically for the same document.
+    * Rejected docs are DROPPED — this is sampling, not gating; there is
+    * nothing to quarantine. The rates are FROZEN for the stream's
+    * lifetime (admission probabilities must be comparable across the
+    * whole ingest; a refreshed mix is a restart-with-new-rates
+    * decision). Exactly-once per input file via the checkpoint; failure
+    * replay is AT-LEAST-ONCE within a batch (exact duplicate rows,
+    * reconciled by downstream exact dedup). */
+  def continuousTempMixAdmit(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, ratesDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    val rates = spark.read.parquet(ratesDir).select(col("lang"), col("thr16"))
+    val h16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.join(broadcast(rates), Seq("lang"))
+          .filter(h16 < col("thr16"))
+          .drop("thr16")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous ANN INGEST (M8 in incremental form — the third persisted-
     * index streaming maintainer beside fuzzy dedup and decontamination):
     * each micro-batch of new vectors routes into the SAVED IVF index via

@@ -279,6 +279,42 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("continuous temp-mix admission matches the batch admit decisions, resumes") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft-mixstream").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val rd = s"$base/rates"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .filter(col("doc_id") < 60).cache()
+    graft.ops.Curation.fitTempMix(spark,
+        Tables.documents(spark, sf).select(col("doc_id"), col("text"), col("lang")))
+      .write.parquet(rd)
+    // batch-side truth: the q107 admit predicate over the same rates
+    val thr = spark.read.parquet(rd).select(col("lang"), col("thr16"))
+    val expected = docs.join(thr, Seq("lang"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") < col("thr16"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < 60, "fixture must split both ways")
+
+    docs.filter(col("doc_id") < 30).write.parquet(s"$in/b1")
+    Incremental.continuousTempMixAdmit(spark, s"$in/*", docSchema, rd, out, ck)
+    val got1 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(got1 == expected.filter(_ < 30), "stream must admit exactly the batch set")
+
+    docs.filter(col("doc_id") >= 30).write.parquet(s"$in/b2")
+    Incremental.continuousTempMixAdmit(spark, s"$in/*", docSchema, rd, out, ck)
+    val got2 = spark.read.parquet(out).select("doc_id").as[Long].collect()
+    assert(got2.length == got2.distinct.length, "resume must not duplicate rows")
+    assert(got2.toSet == expected, "final admitted set must equal the batch set")
+    docs.unpersist()
+  }
+
   test("continuous ANN ingest appends micro-batches into the saved index, resumes") {
     val sf = "/root/testdata/sf0.001"
     val base = Files.createTempDirectory("graft-annstream").toString

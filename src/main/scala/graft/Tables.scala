@@ -22,17 +22,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long via the legacy
-    * conf, then surface a proper TimestampType truncated to micros —
-    * bit-identical to DuckDB's nanosecond value at second/day granularity
-    * (session TZ is UTC on both engines). */
+  /** events.ts has shipped as three physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as Long via the legacy
+    * nanosAsLong conf), plain timestamp[us] without a UTC flag (read as
+    * TIMESTAMP_NTZ), and UTC-adjusted micros (read as TimestampType).
+    * Normalize all three to TimestampType micros so every downstream
+    * operator sees one schema — values are bit-identical to DuckDB's
+    * reading at second/day granularity (session TZ is UTC on both
+    * engines, so NTZ wall-clock == UTC instant). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `div` (integral division) — a double divide would lose precision on
-    // nanosecond epochs (~1.7e18 > 2^53).
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      // `div` (integral division) — a double divide would lose precision
+      // on nanosecond epochs (~1.7e18 > 2^53).
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -181,15 +181,23 @@ object Dedup {
     * to ~2·cap. Recall is untouched (unlike a size cutoff, which silently
     * loses any pair colliding only in the hot band); total work is
     * unchanged — it just parallelizes. Buckets at or under `cap` take
-    * g = 1 and degenerate to the plain join bit-for-bit. The bucket-size
-    * pass is one aggregation on the join key the candidates shuffle on
-    * anyway. */
+    * g = 1 and degenerate to the plain join bit-for-bit.
+    *
+    * Cost shape: the bucket-size pass is a partial-aggregated count on the
+    * join key, and only buckets OVER the cap survive it — for a healthy
+    * corpus that set is empty, so the size table broadcasts for free and
+    * the left join marks every row ng = 1 without a second full-width
+    * shuffle. (The first cut shuffle-joined the full band-row set against
+    * the full size table; at sf that doubled q38's wall-clock for zero
+    * information — hot buckets are the exception, so the guard's data path
+    * should only pay for the exceptions.) */
   private[graft] def bucketedCandidates(bands: DataFrame, carry: Seq[String],
       cap: Int = BucketCap): DataFrame = {
-    val sizes = bands.groupBy("band", "bhash").agg(count(lit(1)).as("bcnt"))
-    val grouped = bands.join(sizes, Seq("band", "bhash"))
+    val hot = bands.groupBy("band", "bhash").agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") > cap)
+    val grouped = bands.join(broadcast(hot), Seq("band", "bhash"), "left")
       .withColumn("ng",
-        greatest(lit(1L), ceil(col("bcnt").cast("double") / cap)).cast("int"))
+        coalesce(ceil(col("bcnt").cast("double") / cap).cast("int"), lit(1)))
       .withColumn("grp", pmod(xxhash64(col("doc_id")), col("ng")).cast("int"))
       .withColumn("sub", explode(sequence(lit(0), col("ng") - 1)))
       .withColumn("t1", least(col("grp"), col("sub")))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -498,7 +499,59 @@ object TextOps {
       toks)
   }
 
+  /** q110: frequent-n-gram boilerplate scrub (the RefinedWeb/CCNet-style
+    * template-removal pass a web-scale corpus needs BEFORE dedup and
+    * quality scoring): a word trigram occurring in ≥ 1% of documents is
+    * template text (navigation, banners, licence footers — content no
+    * model should memorize per-copy), and every token position covered by
+    * a boilerplate-trigram occurrence is dropped from the document.
+    *
+    * Scale shape: one gram pass (narrow posexplode), ONE shuffle for the
+    * document-frequency aggregation, and the boilerplate set joins back
+    * BROADCAST — its size is bounded by construction: at doc-frequency
+    * fraction f, at most (avg grams per doc)/f grams can qualify
+    * (Σ df ≤ total occurrences), independent of corpus size. Coverage is
+    * a per-doc collect_set of dropped positions (bounded by doc length)
+    * and reassembly is the index-aware `filter` HOF — no window, no
+    * second wide join. The relative threshold (df·100 ≥ N, integer math,
+    * cross-engine exact) keeps the same semantics at every corpus size. */
+  val q110Boilerplate: Q = (s, d) =>
+    boilerplateScrubOf(Tables.documents(s, d))
+
+  /** The q110 kernel over an arbitrary (doc_id, text, ...) frame — shared
+    * by the table-reading query and the planted-template unit. */
+  private[graft] def boilerplateScrubOf(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")).cache()
+    val nDocs = docs.count()
+    val grams = docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as(Seq("pos", "gram")))
+    val boiler = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 100 >= lit(nDocs))
+      .select(col("gram"))
+    val cov = grams.join(broadcast(boiler), Seq("gram"))
+      .select(col("doc_id"),
+        explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("cp"))
+      .groupBy(col("doc_id")).agg(collect_set(col("cp")).as("cov"))
+    Caching.materializeAndRelease(
+      docs.join(cov, Seq("doc_id"), "left")
+        .withColumn("cov", coalesce(col("cov"), typedLit(Array.empty[Int])))
+        .withColumn("clean",
+          filter(col("toks"), (_, i) => !array_contains(col("cov"), i)))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (size(col("toks")) - size(col("clean"))).cast("long").as("n_dropped"),
+          concat_ws(" ", col("clean")).as("clean_text"))
+        .orderBy(col("doc_id")),
+      docs)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q110_boilerplate"  -> q110Boilerplate,
     "q30_html_extract"  -> q30HtmlExtract,
     "q75_chunk"         -> q75Chunk,
     "q76_pack"          -> q76Pack,
@@ -523,6 +576,39 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    // Boilerplate scrub recomputed end-to-end: same tokenization, same
+    // trigram construction, the same integer-math threshold (df*100 >= N),
+    // and reassembly by position anti-join — string_agg ORDER BY position
+    // mirrors the engine's index-filtered concat_ws exactly.
+    "q110_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3),
+        |b AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) * 100 >= (SELECT count(*) FROM t)),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + o.o AS cp
+        |  FROM g JOIN b USING (gram), unnest([0, 1, 2]) AS o(o)),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos1, toks[i] AS tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+        |keep AS (
+        |  SELECT k.doc_id, k.pos1, k.tok
+        |  FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.cp = k.pos1 - 1
+        |  WHERE c.doc_id IS NULL)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - count(k.tok) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.pos1), '') AS clean_text
+        |FROM t LEFT JOIN keep k USING (doc_id)
+        |GROUP BY t.doc_id, t.toks
+        |ORDER BY t.doc_id""".stripMargin,
     // The rule gate recomputed signal by signal: identical tokenization,
     // identical rounding BEFORE the threshold comparisons, verdict as 0/1.
     "q97_gopher_rules" ->

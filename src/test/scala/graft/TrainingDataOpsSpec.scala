@@ -313,6 +313,34 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("q110: boilerplate scrub drops planted template trigrams, keeps unique content") {
+    import spark.implicits._
+    val template = "all rights reserved worldwide"  // 4 tokens → 2 trigrams
+    // 150 docs so the 1% relative threshold bites (df·100 ≥ 150 ⇒ df ≥ 2):
+    // 30 share the template (df 30), each with unique content before/after;
+    // 120 are fully unique — every trigram of theirs has df 1 and must
+    // come back verbatim. The filler-template boundary trigrams (e.g.
+    // "alpha7 beta7 all") occur once each and stay under threshold too.
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"alpha$i beta$i $template gamma$i delta$i")
+    } ++ (30 until 150).map { i =>
+      (i.toLong, s"unique$i content$i here$i stays$i intact$i")
+    }).toDF("doc_id", "text")
+    val out = ops.TextOps.boilerplateScrubOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    (0 until 30).foreach { i =>
+      val (n, drop, clean) = out(i.toLong)
+      assert(n == 8 && drop == 4, s"doc $i: template tokens dropped, got $drop of $n")
+      assert(clean == s"alpha$i beta$i gamma$i delta$i",
+        s"doc $i: unique content must survive in order, got '$clean'")
+    }
+    (30 until 150).foreach { i =>
+      val (n, drop, clean) = out(i.toLong)
+      assert(n == 5 && drop == 0 && clean.startsWith(s"unique$i"),
+        s"doc $i must be untouched, got '$clean'")
+    }
+  }
+
   test("q86: shard plan covers all docs with balanced md5 shards") {
     val got = ops.Scoring.q86ShardPlan(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -43,7 +43,8 @@ object SparkEntry {
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
       (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq",
-        "q102_ann_filtered", "q106_hard_negatives"), ops.Similarity.writeAnnSupport),
+        "q102_ann_filtered", "q106_hard_negatives", "q111_sem_decontam"),
+        ops.Similarity.writeAnnSupport),
       (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport),
       (Set("q101_quality_classifier", "q108_quality_retention"),
         ops.Curation.writeClassifierSupport),

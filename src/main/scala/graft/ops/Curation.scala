@@ -669,6 +669,43 @@ object Curation {
       .parquet(s"${graft.Verify.supportDir(outDir)}/q103_support_centroids")
   }
 
+  // ---------------------------------------------------------------- q111
+
+  /** Every 50th vec_id is the held-out benchmark set q111 decontaminates
+    * against (deterministic, so the oracle recomputes the same batch). */
+  private[graft] val DecontamEvalMod = 50
+
+  /** Semantic-contamination cosine floor: matches the corpus-wide q74
+    * near-duplicate threshold — a corpus member this close to a benchmark
+    * item is the same content in different words. */
+  private[graft] val DecontamCos = 0.35
+
+  /** Semantic decontamination (the embedding-space complement of the
+    * n-gram passes q69/q82): flag every corpus member whose cosine to any
+    * held-out benchmark embedding clears [[DecontamCos]] — paraphrased or
+    * lightly-edited benchmark leakage that exact and Bloom n-gram
+    * matching cannot see. Serving shape: the benchmark batch (corpus/50
+    * vectors) probes the persisted q45 IVF index via the THRESHOLD search
+    * ([[IvfIndex.searchThreshold]]) — partition-pruned member scan, one
+    * fused probe shuffle, full over-threshold match set (a decontam pass
+    * must report every hit, so no top-k bound). At 100 TB the scan cost
+    * is the probed fraction of the index; the output is leak-sized, not
+    * corpus-sized. Oracle: the q99 serve CTEs (routing + candidates +
+    * cosine recomputed from the exported index) with the rn-cut replaced
+    * by the threshold predicate on the RAW cosine — same filter-then-
+    * round order as the kernel. */
+  val q111SemDecontam: Q = (s, d) => {
+    val idx = IvfIndex.load(s, Similarity.ivfDir(s, d))
+    IvfIndex.searchThreshold(s, idx,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") % DecontamEvalMod === 0)
+          .select(col("vec_id"), col("embedding")),
+        minCos = DecontamCos,
+        nProbe = Similarity.probeSchedule(idx.centroids.length))
+      .select(col("vec_id"), col("query_id").as("eval_id"), col("cos"))
+      .orderBy(col("vec_id"), col("eval_id"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, Q] = Map(
@@ -681,6 +718,7 @@ object Curation {
     "q107_temp_mix"           -> q107TempMix,
     "q108_quality_retention"  -> q108QualityRetention,
     "q109_leakage_split"      -> q109LeakageSplit,
+    "q111_sem_decontam"       -> q111SemDecontam,
   )
 
   import Similarity.{duckDot, duckNorm}
@@ -870,6 +908,17 @@ object Curation {
          |FROM rr ORDER BY doc_id""".stripMargin,
     // q56's closure CTEs give the groups; singletons default to their own
     // id; the split is the md5-prefix admit on the GROUP id.
+    // The q99 serve CTEs over the exported q45 index, with the ranked cut
+    // replaced by the threshold predicate on the RAW cosine (filter before
+    // round, the kernel's order). ORDER BY is positional: the output
+    // aliases swap the CTE's column names (cand_id → vec_id), and a named
+    // ORDER BY would resolve against the aliases.
+    "q111_sem_decontam" -> (Similarity.annRankedCtes(
+      s"WHERE vec_id % $DecontamEvalMod = 0", Similarity.AnnNProbe) +
+      s"""
+         |SELECT cand_id AS vec_id, vec_id AS eval_id, round(cos_raw, 4) AS cos
+         |FROM scored WHERE NOT isnan(cos_raw) AND cos_raw >= $DecontamCos
+         |ORDER BY 1, 2""".stripMargin),
     "q109_leakage_split" ->
       s"""WITH RECURSIVE
          |t AS (

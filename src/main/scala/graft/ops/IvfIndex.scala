@@ -475,6 +475,63 @@ object IvfIndex {
       .toDF("vec_id", "rn", "nn_id", "cos")
   }
 
+  /** Every probed-cell member with cosine ≥ `minCos` per query — the
+    * THRESHOLD search (semantic-decontamination kernel, q111): unlike
+    * [[searchTopK]] the result is the full over-threshold match set, not
+    * a bounded top-k, because a decontamination pass must surface every
+    * contaminated document, however many there are. Same fused
+    * one-shuffle probe and partition-pruned member scan; per-cell output
+    * is threshold-filtered (matches are rare by construction — a high
+    * `minCos` is the operator's contract), replicas reached through
+    * several probed cells collapse by max cosine in the per-query merge.
+    * Output (query_id, vec_id, cos) with [[searchTopK]]'s HALF_UP
+    * 4-decimal rounding, cos filtered on the RAW value before rounding
+    * (the oracle mirrors that order). */
+  def searchThreshold(spark: SparkSession, index: IvfIndex, queries: DataFrame,
+      minCos: Double, nProbe: Int = 8, checkpointProbes: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (members, probes) =
+      probedMembersAndProbes(spark, index, queries, nProbe, checkpointProbes)
+    val hits = members.union(probes)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val qry = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, id, v, isProbe) =>
+          var i = 0; var s2 = 0.0
+          while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+          val entry = (id, v, math.sqrt(s2))
+          if (isProbe) qry += entry else mem += entry
+        }
+        qry.iterator.flatMap { case (qid, qv, qn) =>
+          mem.iterator.flatMap { case (cid, cv, cn) =>
+            if (cid == qid) Iterator.empty
+            else {
+              var dp = 0.0; var x = 0
+              while (x < qv.length) { dp += qv(x).toDouble * cv(x); x += 1 }
+              val cos = dp / (qn * cn)
+              // NaN (zero-norm) fails the >= and is excluded, like KBest
+              if (cos >= minCos) Iterator.single((qid, cid, cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+    hits.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val best = scala.collection.mutable.HashMap.empty[Long, Double]
+        it.foreach { case (_, cid, cos) =>
+          if (!best.get(cid).exists(_ >= cos)) best(cid) = cos
+        }
+        best.toSeq.sortBy(_._1).iterator.map { case (cid, cos) =>
+          (qid, cid,
+            java.math.BigDecimal.valueOf(cos)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+        }
+      }
+      .toDF("query_id", "vec_id", "cos")
+  }
+
   /** Top-k among probed-cell members whose GROUP tag differs from the
     * query's — the hard-negative-mining kernel (q106), fused into ONE
     * search: `members` is a (cell, vec_id, embedding, grp) table (cell-

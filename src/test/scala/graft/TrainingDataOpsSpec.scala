@@ -341,6 +341,34 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q111: semantic decontam hits are sound (true cosine >= floor) with full recall at this sf") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val evalIds = vecs.keys.filter(_ % ops.Curation.DecontamEvalMod == 0).toSeq
+    val truth = (for {
+      e <- evalIds; (m, mv) <- vecs if m != e
+      if cos(vecs(e), mv) >= ops.Curation.DecontamCos
+    } yield (m, e)).toSet
+    val got = ops.Curation.q111SemDecontam(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every reported pair is a true over-threshold match
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    // at this sf the 16-of-32-cell probe schedule (2 replicas) recovers
+    // the exhaustive set; any future recall loss from retuning must be a
+    // deliberate, visible trade
+    assert(got == truth,
+      s"missed ${truth.diff(got).size} of ${truth.size} true matches")
+  }
+
   test("q86: shard plan covers all docs with balanced md5 shards") {
     val got = ops.Scoring.q86ShardPlan(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -43,9 +43,10 @@ object SparkEntry {
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
       (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq",
-        "q102_ann_filtered", "q106_hard_negatives", "q111_sem_decontam"),
-        ops.Similarity.writeAnnSupport),
+        "q102_ann_filtered", "q106_hard_negatives", "q111_sem_decontam",
+        "q112_ann_pq"), ops.Similarity.writeAnnSupport),
       (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport),
+      (Set("q112_ann_pq"), ops.Similarity.writeAnnPqSupport),
       (Set("q101_quality_classifier", "q108_quality_retention"),
         ops.Curation.writeClassifierSupport),
       (Set("q103_semdedup", "q104_proto_prune"),

@@ -188,14 +188,27 @@ object IvfSq {
       }
       .localCheckpoint(true) // feeds both the collected id set and the join
 
-    // ---- stage 2: exact rerank of the shortlist only
-    // candidate ids are driver-bounded (batch × shortlist); the raw read
-    // partition-prunes to the probed cells and row-group-prunes on the
-    // pushed vec_id In-filter — full-precision bytes for the shortlist,
-    // never the corpus
+    // ---- stage 2: exact rerank of the shortlist only (shared with the
+    // PQ tier — the rerank contract is identical across coarse tiers)
+    exactRerank(spark, rawD, probedCells, short, probes, k, maxCandidates)
+  }
+
+  /** Stage 2 of any two-stage serve (SQ8/PQ): exact rerank of a bounded
+    * per-query shortlist. Candidate ids are driver-bounded (batch ×
+    * shortlist — `maxCandidates` self-enforces it); the raw read
+    * partition-prunes to the probed cells and row-group-prunes on the
+    * pushed vec_id In-filter — full-precision bytes for the shortlist,
+    * never the corpus. Final ranking is exact cosine with the
+    * (cos desc, id asc) contract. */
+  private[ops] def exactRerank(spark: SparkSession, rawD: String,
+      probedCells: Seq[Long],
+      short: org.apache.spark.sql.Dataset[(Long, Long)],
+      probes: org.apache.spark.sql.Dataset[(Long, Long, Array[Float])],
+      k: Int, maxCandidates: Int): DataFrame = {
+    import spark.implicits._
     val candIds = short.map(_._2).distinct().collect().sorted
     require(candIds.length <= maxCandidates,
-      s"SQ serve shortlist exceeded the driver budget: ${candIds.length} distinct " +
+      s"serve shortlist exceeded the driver budget: ${candIds.length} distinct " +
         s"candidates > maxCandidates=$maxCandidates — the two-stage serve is a " +
         s"SMALL-BATCH API (collected ids are bounded by batch × shortlist); shrink " +
         s"the query batch or raise maxCandidates deliberately")

@@ -511,6 +511,47 @@ object Similarity {
       IvfSq.quantizeTo(s, ivfDir(s, d), t)
     }
 
+  /** M8's COMPRESSION end-game, certified: the product-quantized
+    * two-stage serve ([[IvfPq]]) — ADC coarse scan over the probed cells
+    * (8 code bytes per member against 256 float bytes: 32× less scan
+    * bandwidth, the tier a RAM-resident 100 TB index actually keeps hot)
+    * → exact rerank of the bounded shortlist, shared with the SQ tier.
+    * Same small-batch shape and knobs as q100, so the two compression
+    * tiers are directly comparable query-for-query. Deterministic given
+    * the exported codebooks and codes, so DuckDB recomputes routing, the
+    * ordered-sum ADC scores, the shortlist cut, and the exact rerank —
+    * hash-certified end-to-end. */
+  val q112AnnPq: Q = (s, d) => {
+    IvfPq.searchTopK(s, pqDir(s, d), ivfDir(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < ServeBatchMaxId)
+          .select(col("vec_id"), col("embedding")),
+        k = 3, nProbe = SqNProbe, shortlist = SqShortlist)
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** Once-per-(session, dataset) PQ derivation of the q45 index. */
+  private def pqDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    SessionArtifacts.dir("ivf-pq", s, d) { t =>
+      IvfPq.trainTo(s, ivfDir(s, d), t)
+    }
+
+  /** Oracle support for q112: the PQ codebooks and the served code table
+    * (codes re-exported as list<int>; the engine serves the binary form —
+    * the VALUES are identical). Routing reuses q45's exported centroids. */
+  def writeAnnPqSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit = {
+    import s.implicits._
+    s.read.parquet(s"${pqDir(s, d)}/codebooks")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q112_support_codebooks")
+    s.read.parquet(s"${pqDir(s, d)}/pqcells")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Array[Byte])]
+      .map { case (c, id, codes) => (c, id, codes.map(b => b & 0xff).toSeq) }
+      .toDF("cell", "vec_id", "codes")
+      .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q112_support_pqcells")
+  }
+
   /** Oracle support for q100: the served SQ index as plain parquet (codes
     * re-exported as list<int> for the oracle's arithmetic — the engine
     * serves the binary form; the VALUES are identical). Routing reuses
@@ -605,6 +646,7 @@ object Similarity {
     "q96_ann_topk"     -> q96AnnTopk,
     "q99_ann_serve"    -> q99AnnServe,
     "q100_ann_sq"      -> q100AnnSq,
+    "q112_ann_pq"      -> q112AnnPq,
     "q74_embed_dedup"  -> q74EmbedDedup,
   )
 
@@ -751,6 +793,92 @@ object Similarity {
          |  round(cos_raw, 4) AS cos
          |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
     },
+    // The PQ two-stage serve recomputed end-to-end: q45 routing, code →
+    // codebook-centroid expansion per subspace, the ADC score assembled
+    // with the ENGINE'S summation order (per-subspace partials aggregated
+    // through an ORDER BY sub list — list_sum walks it left-to-right, the
+    // kernel's m-ascending double sequence), shortlist cut, exact rerank.
+    // Replicated members collapse via the rn=1-by-cell codes pick (codes
+    // are a pure function of the vector, identical across replicas).
+    "q112_ann_pq" ->
+      s"""WITH cen AS (
+         |  SELECT cell, centroid
+         |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
+         |cb AS (
+         |  SELECT sub, code, centroid,
+         |    list_sum([c * c for c in centroid]) AS c2
+         |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_codebooks/*.parquet')),
+         |pqm AS (
+         |  SELECT cell, vec_id, codes
+         |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_pqcells/*.parquet')),
+         |qn AS (
+         |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+         |  FROM embeddings WHERE vec_id < $ServeBatchMaxId),
+         |qu AS (
+         |  SELECT vec_id,
+         |    [CASE WHEN nrm = 0 THEN x
+         |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
+         |     for x in embedding] AS uv
+         |  FROM qn),
+         |probes AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT qu.vec_id, cen.cell,
+         |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
+         |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+         |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
+         |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
+         |    FROM qu CROSS JOIN cen)
+         |  WHERE prn <= $SqNProbe),
+         |codes1 AS (
+         |  SELECT vec_id, codes FROM (
+         |    SELECT vec_id, codes,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cell) AS crn
+         |    FROM pqm) WHERE crn = 1),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
+         |  FROM probes p JOIN pqm m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+         |subs AS (SELECT DISTINCT sub FROM cb),
+         |mc AS (
+         |  SELECT c.vec_id, c.cand_id, s.sub, k.codes[s.sub + 1] AS code
+         |  FROM cand c JOIN codes1 k ON c.cand_id = k.vec_id CROSS JOIN subs s),
+         |sd AS (
+         |  SELECT mc.vec_id, mc.cand_id, mc.sub,
+         |    list_sum([CAST(e.embedding[mc.sub * len(cb.centroid) + i] AS DOUBLE) *
+         |              cb.centroid[i]
+         |              for i in range(1, len(cb.centroid) + 1)]) AS sdot,
+         |    cb.c2 AS c2
+         |  FROM mc JOIN cb ON cb.sub = mc.sub AND cb.code = mc.code
+         |  JOIN embeddings e ON e.vec_id = mc.vec_id),
+         |adc AS (
+         |  SELECT vec_id, cand_id,
+         |    list_sum(list(sdot ORDER BY sub)) AS dots,
+         |    list_sum(list(c2 ORDER BY sub)) AS m2
+         |  FROM sd GROUP BY vec_id, cand_id),
+         |ascore AS (
+         |  SELECT a.vec_id, a.cand_id, a.dots / (q.nrm * sqrt(a.m2)) AS appr
+         |  FROM adc a JOIN qn q ON a.vec_id = q.vec_id),
+         |short AS (
+         |  SELECT vec_id, cand_id FROM (
+         |    SELECT vec_id, cand_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY appr DESC, cand_id) AS srn
+         |    FROM ascore WHERE NOT isnan(appr))
+         |  WHERE srn <= $SqShortlist),
+         |rr AS (
+         |  SELECT s.vec_id, s.cand_id,
+         |    ${duckDot("a.embedding", "b.embedding")} /
+         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+         |  FROM short s
+         |  JOIN embeddings a ON s.vec_id = a.vec_id
+         |  JOIN embeddings b ON s.cand_id = b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, cand_id, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_raw DESC, cand_id) AS rn
+         |  FROM rr WHERE NOT isnan(cos_raw))
+         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
+         |  round(cos_raw, 4) AS cos
+         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
     "q81_sql_surface" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${duckDot("a.embedding", "b.embedding")} /

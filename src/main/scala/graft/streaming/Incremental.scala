@@ -455,8 +455,17 @@ object Incremental {
   def startMemoryWindowed(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, name: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream.schema(schema).parquet(inDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(inDir)
+    // normalize ts exactly like Tables.events: the testdata's physical
+    // type has shipped as nanos-as-Long, timestamp[us]/NTZ, and UTC micros
+    // across generations — the stream twin must track all three
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     windowedCounts(events)
       .writeStream
       .outputMode("append")

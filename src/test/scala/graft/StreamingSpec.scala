@@ -554,11 +554,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("watermarked windowed aggregation over the events table matches the batch form") {
-    val evSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // schema from the live file, not a hardcoded layout: events.ts has
+    // shipped as nanos-Long, timestamp[us]/NTZ, and UTC micros across
+    // driver testdata generations (Tables.events normalizes all three,
+    // and startMemoryWindowed mirrors it)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evSchema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     // the streaming file source takes a directory, not a single file
     val dir = Files.createTempDirectory("graft-events").toString
     java.nio.file.Files.copy(

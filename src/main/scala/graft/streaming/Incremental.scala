@@ -231,6 +231,56 @@ object Incremental {
     q
   }
 
+  /** Continuous SEMANTIC decontamination (the streaming tier of q111, and
+    * the embedding-space complement of [[continuousDecontam]]): each
+    * micro-batch of ingested embeddings queries a FROZEN, persisted IVF
+    * index of the held-out benchmark set through the threshold kernel
+    * ([[graft.ops.IvfIndex.searchThreshold]]); any vector whose cosine to
+    * some benchmark item clears `t` routes to `quarantineDir` WITH its
+    * evidence (best-match cosine and match count — triage needs to know
+    * how contaminated, not just that), the rest append to `cleanDir`.
+    * Direction is reversed from the batch query (the batch streams AS the
+    * query set against the small eval index, rather than eval querying a
+    * corpus index) — cosine is symmetric, so the flag set is the same,
+    * and the per-batch cost is the probed fraction of a benchmark-sized
+    * index regardless of corpus history. The index is deliberately frozen
+    * for the stream's lifetime: the benchmark is a release artifact, and
+    * a mid-stream index swap would make early and late batches
+    * incomparable. Exactly-once per input file via the checkpoint;
+    * at-least-once within a replayed batch, reconciled downstream like
+    * the DSIR twin (deterministic scores → exact duplicate rows). */
+  def continuousSemanticDecontam(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, cleanDir: String,
+      quarantineDir: String, evalIndexDir: String, checkpointDir: String,
+      t: Double = 0.35, nProbe: Int = 8): StreamingQuery = {
+    import graft.ops.IvfIndex
+    val idx = IvfIndex.load(spark, evalIndexDir)
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.select(col("vec_id"), col("embedding")).cache()
+        if (b.count() > 0L) {
+          val hits = IvfIndex.searchThreshold(s, idx, b, t, nProbe)
+            .groupBy(col("query_id").as("vec_id"))
+            .agg(max(col("cos")).as("max_cos"), count(lit(1)).as("n_matches"))
+          val flagged = b.join(broadcast(hits), Seq("vec_id"), "left").cache()
+          flagged.filter(col("max_cos").isNotNull)
+            .write.mode("append").parquet(quarantineDir)
+          flagged.filter(col("max_cos").isNull).drop("max_cos", "n_matches")
+            .write.mode("append").parquet(cleanDir)
+          flagged.unpersist()
+        }
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous DSIR importance scoring (q105 in incremental form): each
     * micro-batch of ingested documents is scored under the PERSISTED
     * log-ratio model and routed to `selectedDir` (w > 0 — more

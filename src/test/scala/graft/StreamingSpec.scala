@@ -197,6 +197,59 @@ class StreamingSpec extends AnyFunSuite {
       .collect().sorted.toSeq == kept)
   }
 
+  test("continuous semantic decontam quarantines near-benchmark embeddings with evidence, resumes") {
+    val base = Files.createTempDirectory("graft-semdecontam").toString
+    val in = s"$base/in"; val clean = s"$base/clean"
+    val quar = s"$base/quarantine"; val eidx = s"$base/evalIndex"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val dim = 16
+    def oneHot(axis: Int, jitterAxis: Int = -1, jitter: Float = 0f): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(axis) = 1f
+      if (jitterAxis >= 0) v(jitterAxis) = jitter
+      v
+    }
+    // frozen benchmark index: two eval vectors on axes 0 and 1
+    graft.ops.IvfIndex.save(spark, graft.ops.IvfIndex.build(spark,
+      Seq(1000L -> oneHot(0), 1001L -> oneHot(1)).toDF("vec_id", "embedding"),
+      nCells = 2, seed = 7L, nReplicas = 1), eidx)
+
+    // batch 1: vec 1 paraphrases eval 1000 (cos ≈ 0.999), vecs 2-3 far
+    Seq(1L -> oneHot(0, 2, 0.05f), 2L -> oneHot(5), 3L -> oneHot(6))
+      .toDF("vec_id", "embedding").write.parquet(s"$in/b1")
+    val q1 = Incremental.continuousSemanticDecontam(
+      spark, s"$in/*", embSchema, clean, quar, eidx, ck, t = 0.9)
+    val r1 = Incremental.progressReport(q1)
+    assert(r1.batches >= 1 && r1.rows == 3L, r1.toString)
+    val quarRows = spark.read.parquet(quar)
+      .select("vec_id", "max_cos", "n_matches").collect()
+    assert(quarRows.map(_.getLong(0)).toSeq == Seq(1L),
+      "only the near-benchmark vector quarantines")
+    assert(quarRows.head.getDouble(1) > 0.99 && quarRows.head.getLong(2) == 1L,
+      "quarantine carries the evidence columns")
+    assert(spark.read.parquet(clean).select("vec_id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L))
+
+    // batch 2: vec 4 hits the OTHER eval vector, vec 5 clean; resume
+    // processes only the new file
+    Seq(4L -> oneHot(1, 3, 0.02f), 5L -> oneHot(9))
+      .toDF("vec_id", "embedding").write.parquet(s"$in/b2")
+    Incremental.continuousSemanticDecontam(
+      spark, s"$in/*", embSchema, clean, quar, eidx, ck, t = 0.9)
+    assert(spark.read.parquet(quar).select("vec_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 4L))
+    assert(spark.read.parquet(clean).select("vec_id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L, 5L))
+
+    // replay with no new files: checkpoint makes it a no-op
+    Incremental.continuousSemanticDecontam(
+      spark, s"$in/*", embSchema, clean, quar, eidx, ck, t = 0.9)
+    assert(spark.read.parquet(quar).count() == 2 &&
+      spark.read.parquet(clean).count() == 3)
+  }
+
   test("continuous decontamination quarantines sketch hits, passes clean docs, resumes") {
     val base = Files.createTempDirectory("graft-decontam").toString
     val in = s"$base/in"; val clean = s"$base/clean"

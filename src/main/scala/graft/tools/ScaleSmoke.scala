@@ -241,6 +241,21 @@ object ScaleSmoke {
         graft.ops.IvfSq.searchTopK(spark, sq, raw, batch, k = 3, nProbe = 16,
           shortlist = 12).collect().map(_.toSeq).toSet)
       println(s"[scale] sq answers match float tier: ${qz == fl} (${qz.size} rows)")
+      // PQ tier on the same index: the train pass is one narrow scan (like
+      // quantizeTo plus the bounded codebook fits), codes are 8 bytes per
+      // vector, and the two-stage search must stay flat like the SQ tier.
+      // Recall is bought with shortlist headroom (IvfPqSpec curve), so the
+      // smoke reports top-3 overlap with the float tier, not equality.
+      val pq = java.nio.file.Files.createTempDirectory("smoke-pq").toString
+      time(s"mult=$mult pq trainTo")(
+        graft.ops.IvfPq.trainTo(spark, raw, pq))
+      val pqB = dirBytes(s"$pq/pqcells")
+      println(f"[scale] index bytes: float=$rawB pq=$pqB ratio=${rawB.toDouble / pqB}%.2f")
+      val pz = time(s"mult=$mult pq searchTopK (batch=10, probe=16, shortlist=48)")(
+        graft.ops.IvfPq.searchTopK(spark, pq, raw, batch, k = 3, nProbe = 16,
+          shortlist = 48).collect().map(_.toSeq).toSet)
+      val overlap = pz.map(r => (r(0), r(2))).intersect(fl.map(r => (r(0), r(2))))
+      println(s"[scale] pq top-3 overlap with float tier: ${overlap.size}/${fl.size}")
       scaled.unpersist()
     }
     // LSH SKEW: a boilerplate-heavy corpus — 20% of docs are one template
@@ -298,6 +313,39 @@ object ScaleSmoke {
           println(s"[scale] skew mult=$mult verified pairs: " +
             graft.ops.Dedup.minhashPairsOf(skewed).count()))
         bands.unpersist(); skewed.unpersist()
+      }
+    }
+    // BOILERPLATE SCRUB (q110) at 1x/4x/16x. Copies keep the BASE
+    // vocabulary (no per-copy prefix): trigram document frequency and the
+    // corpus size then scale together, so the RELATIVE threshold
+    // (df·100 ≥ N) selects the same boilerplate set at every multiplier —
+    // the operator's scale contract. Everything in the plan is linear
+    // (gram pass, partial-agg df, broadcast coverage join, per-doc
+    // reassembly); the qualifying-gram broadcast stays CONSTANT-sized by
+    // construction (≤ grams-per-doc / df-fraction), which this measures.
+    if (section == "all" || section == "boiler") {
+      // plant a footer template in 2% of docs: at sf0.1 the natural
+      // trigram tail sits UNDER the 1% threshold (the sf0.01 correctness
+      // corpus has a fatter relative tail and scrubs organically), and a
+      // no-hit run never exercises the coverage join/reassembly stages
+      val footer = " smoke footer rights reserved worldwide"
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled: DataFrame = (0 until mult).map { k =>
+          base.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            when(pmod(col("doc_id"), lit(50)) === 0,
+              concat(col("text"), lit(footer))).otherwise(col("text")).as("text"))
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        println(s"[scale] ===== boiler mult=$mult rows=$rows =====")
+        time(s"mult=$mult boilerplate scrub (q110)") {
+          val out = graft.ops.TextOps.boilerplateScrubOf(scaled).cache()
+          val agg = out.agg(count(lit(1)), sum(col("n_dropped")),
+            sum(col("n_tokens"))).head()
+          println(s"[scale] boiler mult=$mult docs=${agg.getLong(0)} " +
+            s"dropped=${agg.getLong(1)}/${agg.getLong(2)} tokens")
+          out.unpersist()
+        }
+        scaled.unpersist()
       }
     }
     // CAPSTONE PIPELINE: TrainingData.run's funnel stage-by-stage at

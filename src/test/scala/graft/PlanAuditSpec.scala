@@ -191,6 +191,37 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("q112: the PQ serving tier stays within the same 2-exchange budget") {
+    // ADC coarse scan's cell shuffle + the shortlist merge; the shared
+    // exact rerank (IvfSq.exactRerank) must add ZERO exchanges, exactly
+    // as in q100 — extraction into a shared helper must not cost a plan
+    val p = plan("q112_ann_pq")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"q112: expected at most 2 hash exchanges, got $n:\n$p")
+  }
+
+  test("q111: the threshold search partition-prunes its member scan") {
+    val p = plan("q111_sem_decontam")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a cell partition filter on q111's member scan:\n$p")
+  }
+
+  test("q110: the boilerplate set joins back broadcast; one df aggregation") {
+    // the join of gram occurrences against the qualifying-gram set must
+    // be BROADCAST (the set is bounded by grams-per-doc / df-fraction
+    // regardless of corpus size) — a shuffle join here would mean the
+    // full band of gram occurrences reshuffles against a tiny side
+    val p = plan("q110_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the qualifying-gram join to broadcast:\n$p")
+    // the gram-occurrence side must never sort-merge against the tiny
+    // qualifying set (the doc-keyed coverage join may choose its own
+    // strategy — it is doc-count-sized on both sides)
+    assert(!p.contains("SortMergeJoin LeftSemi") &&
+      "SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"gram-occurrence join must not sort-merge:\n$p")
+  }
+
   test("q74: dedup edges come from the persisted index, not an embeddings block sweep") {
     // the r10 rework: edge generation reads the session's SAVED dedup index
     // (cell-pair bound + per-cell sweep) — the plan must scan the index

@@ -7,27 +7,48 @@ import org.apache.spark.sql.functions._
   * end-game): where SQ8 ([[IvfSq]]) spends one byte per DIMENSION, PQ
   * spends one byte per SUBSPACE — the 64-dim embedding splits into
   * [[NumSub]] contiguous 8-dim subvectors, each encoded as the id of its
-  * nearest subspace centroid from a [[SubK]]-entry codebook fit on the
-  * index itself (Jégou et al. 2011, the standard ANN compression). At 8
-  * subspaces the code is 8 bytes against 256 float bytes — 32× less scan
-  * bandwidth than the raw index, 8× less than SQ8 — and the coarse scan
-  * never touches a float vector: approximate cosine is assembled from a
-  * per-query lookup table of subspace dot products (ADC — asymmetric
-  * distance computation), O(NumSub) adds per member.
+  * nearest subspace centroid from a [[SubK]]-entry codebook (Jégou et al.
+  * 2011). At 8 subspaces the code is 8 bytes against 256 float bytes —
+  * 32× less scan bandwidth than the raw index, 8× less than SQ8 — and
+  * the coarse scan never touches a float vector: approximate cosine is
+  * assembled from per-query lookup tables (ADC — asymmetric distance
+  * computation), O(NumSub) adds per member.
+  *
+  * RESIDUAL encoding (the IVF-PQ discipline): what gets quantized is not
+  * the vector but its residual against the raw-member MEAN of its
+  * PRIMARY (nearest) cell, x ≈ mean(primary(x)) + r̂. Within a tight
+  * cluster the members differ only by their residuals — encoding raw
+  * vectors would quantize that difference away (all members share codes;
+  * measured recall@3 0.40 at a 4k shortlist on the clustered fixture,
+  * vs 0.57 residual), while residual codes spend their entire resolution
+  * on exactly that difference. Each vector is encoded ONCE, against its
+  * primary cell only; a replica row placed in another cell carries the
+  * SAME codes plus the primary-cell id (an early cut re-encoded replicas
+  * against their second-nearest cell's mean — the large, badly-quantized
+  * residual made the replica estimate noise, and max-collapse kept the
+  * noise: measured recall@3 dropped to 0.19). Scores are therefore a
+  * pure function of the member, identical in every cell that holds it,
+  * which also keeps the per-cell bounded k-best cut lossless for the
+  * global shortlist. The ADC score decomposes as: dot(q, x̂) =
+  * dot(q, mean_p) + Σₘ dot(qₘ, cbₘ[code]) and ‖x̂‖² = ‖mean_p‖² +
+  * Σₘ (2·dot(mean_pₘ, cbₘ[code]) + ‖cbₘ[code]‖²), with the per-primary
+  * terms memoized per (query, primary) / per primary inside the cell
+  * group and the per-member work still O(NumSub) table adds.
   *
   * Serving is the same certified two-stage shape as q100: ADC coarse scan
   * over the probed cells → bounded per-query shortlist → EXACT rerank of
   * the shortlist from the raw index ([[IvfSq.exactRerank]] — shared, so
   * the rerank contract is one piece of code across tiers). Recall is
-  * governed by the shortlist factor exactly as in the SQ tier; the ADC
-  * score only ORDERS the shortlist cut.
+  * governed by the shortlist factor; the ADC score only ORDERS the cut.
   *
-  * Determinism contract with the oracle: codebooks are exported; code
-  * assignment is argmin squared-L2 with the lowest-code tie-break; ADC
-  * accumulates subspace dot products and centroid norms in SUBSPACE ORDER
-  * (m ascending, double math), and the oracle reproduces that exact
-  * summation order via ordered-list aggregation — so the approximate
-  * scores, the shortlist cut, and the exact rerank all hash-match.
+  * Determinism contract with the oracle: cell means, codebooks, and codes
+  * are exported; ADC accumulates the per-subspace terms in SUBSPACE ORDER
+  * into a partial sum that is then added to the per-cell base term — the
+  * oracle reproduces the identical double sequence via ordered-list
+  * aggregation plus the same base-term association. A replica member
+  * reached through several probed cells has DIFFERENT codes per cell
+  * (residuals differ), so replica collapse happens on the SCORE (max),
+  * mirrored by the oracle's max() over per-cell scores.
   *
   * Maintenance: like the SQ tier, the PQ copy is a DERIVED artifact of a
   * raw-index snapshot — re-derive on the compaction cadence. The codebook
@@ -47,10 +68,11 @@ object IvfPq {
   private[graft] val SubK = 16
 
   /** Derive the PQ tier from a saved [[IvfIndex]]: copies
-    * `centroids`/`meta` (routing transfers unchanged), fits [[NumSub]]
-    * per-subspace codebooks on a bounded sample of the index's own
-    * vectors, and writes `codebooks/` (sub, code, centroid) plus
-    * `pqcells/` (vec_id, codes BINARY) partitioned by cell. */
+    * `centroids`/`meta` (routing transfers unchanged), computes the
+    * per-cell raw-member means, fits [[NumSub]] per-subspace codebooks on
+    * a bounded sample of the RESIDUALS, and writes `cellmeans/`
+    * (cell, mean), `codebooks/` (sub, code, centroid), and `pqcells/`
+    * (vec_id, codes BINARY) partitioned by cell. */
   def trainTo(spark: SparkSession, indexDir: String, destDir: String,
       seed: Long = 7L, maxFitRows: Long = 50000L): Unit = {
     import spark.implicits._
@@ -62,28 +84,64 @@ object IvfPq {
     val vecs = spark.read.parquet(s"$src/cells")
       .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
       .dropDuplicates("cell", "vec_id")
+      .as[(Long, Long, Array[Float])]
       .cache()
-    val n = vecs.count()
-    val sampled =
-      if (n > maxFitRows) vecs.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
-      else vecs
-    val fitRows = sampled.select(col("embedding")).cache()
-    val dim = fitRows.head().getSeq[Float](0).length
+    // PRIMARY assignment: every row (replica or not) encodes against the
+    // vector's nearest cell — the same coarse routing the index uses
+    val coarseCen = spark.read.parquet(s"$destDir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val bcCen = spark.sparkContext.broadcast(coarseCen)
+    val withP = vecs.map { case (cell, id, v) =>
+      (cell, id, IvfIndex.nearestCells(bcCen.value, IvfIndex.unit(v), 1)(0).toLong, v)
+    }.cache()
+    vecs.unpersist()
+    // residual anchor: the mean of each cell's PRIMARY members only.
+    // Folding replica members in (an earlier cut) drags the mean toward
+    // NEIGHBORING clusters and inflates every residual — measured
+    // recall@3 0.32 vs 0.57 at a 4k shortlist on the clustered fixture.
+    // Every vector's primary cell has it as a primary member, so the
+    // anchor lookup by pcell always resolves.
+    val means = withP.filter(r => r._1 == r._3)
+      .groupByKey(_._3)
+      .mapGroups { (cell, it) =>
+        var n = 0L
+        var acc: Array[Double] = null
+        it.foreach { case (_, _, _, v) =>
+          if (acc == null) acc = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { acc(i) += v(i); i += 1 }
+          n += 1
+        }
+        var i = 0
+        while (i < acc.length) { acc(i) /= n; i += 1 }
+        (cell, acc)
+      }.cache()
+    val meanMap = means.collect().toMap
+    val bcMean = spark.sparkContext.broadcast(meanMap)
+    means.map { case (cell, m) => (cell, m.toSeq) }.toDF("cell", "mean")
+      .coalesce(1).write.mode("overwrite").parquet(s"$destDir/cellmeans")
+    val n = withP.count()
+    val dim = meanMap.head._2.length
     require(dim % NumSub == 0, s"dim $dim not divisible by $NumSub subspaces")
     val subDim = dim / NumSub
+    val residuals = withP.map { case (cell, id, pcell, v) =>
+      (cell, id, pcell, residual(v, bcMean.value(pcell)))
+    }.cache()
+    withP.unpersist()
+    val sampled =
+      if (n > maxFitRows) residuals.sample(withReplacement = false, maxFitRows.toDouble / n, seed)
+      else residuals
+    val fitRows = sampled.map(_._4).toDF("residual").cache()
     // NumSub independent seeded fits over the same cached sample — each a
-    // SubK-means on one contiguous subvector slice (5 random-init
+    // SubK-means on one contiguous residual slice (5 random-init
     // iterations: codebooks partition the subspace, like the IVF coarse
     // codebook they don't need a converged objective)
     val codebooks: Array[Array[Array[Double]]] = (0 until NumSub).map { m =>
-      val sliceUdf = udf { (v: Array[Float]) =>
-        val a = new Array[Double](subDim)
-        var i = 0
-        while (i < subDim) { a(i) = v(m * subDim + i); i += 1 }
-        a
+      val sliceUdf = udf { (v: Array[Double]) =>
+        java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)
       }
       val feats = fitRows.select(
-        org.apache.spark.ml.functions.array_to_vector(sliceUdf(col("embedding")))
+        org.apache.spark.ml.functions.array_to_vector(sliceUdf(col("residual")))
           .as("features"))
       new org.apache.spark.ml.clustering.KMeans()
         .setK(SubK).setSeed(seed + m).setMaxIter(5).setInitMode("random")
@@ -95,19 +153,29 @@ object IvfPq {
     }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/codebooks")
     val bc = spark.sparkContext.broadcast(codebooks)
-    vecs.as[(Long, Long, Array[Float])]
-      .map { case (cell, id, v) => (cell, id, encode(bc.value, subDim, v)) }
-      .toDF("cell", "vec_id", "codes")
+    residuals
+      .map { case (cell, id, pcell, r) =>
+        (cell, id, pcell, encode(bc.value, subDim, r)) }
+      .toDF("cell", "vec_id", "pcell", "codes")
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$destDir/pqcells")
-    vecs.unpersist()
+    residuals.unpersist()
+    means.unpersist()
+  }
+
+  /** Residual of a raw vector against its cell mean, double math. */
+  private[graft] def residual(v: Array[Float], mean: Array[Double]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { r(i) = v(i).toDouble - mean(i); i += 1 }
+    r
   }
 
   /** Nearest-centroid code per subspace: argmin squared L2, strict `<` so
     * ties resolve to the LOWEST code — the oracle's (distance, code)
     * ordering reproduces it. */
   private[graft] def encode(codebooks: Array[Array[Array[Double]]],
-      subDim: Int, v: Array[Float]): Array[Byte] = {
+      subDim: Int, r: Array[Double]): Array[Byte] = {
     val codes = new Array[Byte](codebooks.length)
     var m = 0
     while (m < codebooks.length) {
@@ -118,7 +186,7 @@ object IvfPq {
         val cen = cb(c)
         var d = 0.0; var i = 0
         while (i < subDim) {
-          val diff = v(m * subDim + i).toDouble - cen(i)
+          val diff = r(m * subDim + i) - cen(i)
           d += diff * diff; i += 1
         }
         if (d < bestD) { bestD = d; bestC = c }
@@ -147,49 +215,80 @@ object IvfPq {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3)).toArray
-    // per-codebook centroid squared norms, index order (the ADC m2 term)
+    // per-codebook centroid squared norms, index order (the ‖r̂ₘ‖² term)
     val cbNorm2 = codebooks.map(_.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     })
+    val meanMap = spark.read.parquet(s"$pqD/cellmeans").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val bcCb = spark.sparkContext.broadcast(codebooks)
     val bcN2 = spark.sparkContext.broadcast(cbNorm2)
+    val bcMean = spark.sparkContext.broadcast(meanMap)
     val (probes, probedCells) =
       IvfIndex.routeProbes(spark, centroids, queries, nProbe)
     if (probedCells.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rn", "nn_id", "cos")
 
-    // ---- stage 1: ADC coarse scan (partition-pruned, fused per cell)
-    // unified row: (cell, id, codes|null, rawVec|null)
+    // pre-compute ‖mean_p‖² for every cell once, driver-side (codebook-
+    // sized, ships in the broadcast)
+    val meanN2Map = meanMap.map { case (c, m) =>
+      var s = 0.0; var i = 0
+      while (i < m.length) { s += m(i) * m(i); i += 1 }
+      c -> s
+    }
+    val bcMeanN2 = spark.sparkContext.broadcast(meanN2Map)
+
+    // ---- stage 1: residual-ADC coarse scan (partition-pruned, fused per
+    // cell). unified row: (cell, id, pcell, codes|null, rawVec|null)
     val pqMembers = spark.read.parquet(s"$pqD/pqcells")
       .filter(col("cell").isInCollection(probedCells))
-      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("codes"))
-      .as[(Long, Long, Array[Byte])]
-      .map { case (cell, id, codes) => (cell, id, codes, null: Array[Float]) }
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("pcell"), col("codes"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .map { case (cell, id, pcell, codes) =>
+        (cell, id, pcell, codes, null: Array[Float]) }
     val probeRows = probes.map { case (cell, id, v) =>
-      (cell, id, null: Array[Byte], v) }
+      (cell, id, -1L, null: Array[Byte], v) }
     val coarse = pqMembers.union(probeRows)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val cbs = bcCb.value
         val n2 = bcN2.value
+        val means = bcMean.value
+        val meanN2s = bcMeanN2.value
         val numSub = cbs.length
-        val subDim = cbs(0)(0).length
-        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        val mem = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
         val qry = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
-        it.foreach { case (_, id, codes, raw) =>
+        it.foreach { case (_, id, pcell, codes, raw) =>
           if (raw != null) {
             var s2 = 0.0; var i = 0
             while (i < raw.length) { s2 += raw(i).toDouble * raw(i); i += 1 }
             qry += ((id, raw, math.sqrt(s2)))
-          } else mem += ((id, codes))
+          } else mem += ((id, pcell, codes))
         }
+        // cross(p)(m)(c) = dot(mean_pₘ, cbₘ[c]) — memoized per PRIMARY
+        // cell present in this group (a cell's members are mostly its own
+        // primaries plus a few neighbors' replicas)
+        val crossMemo = scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
+        def crossFor(pcell: Long): Array[Array[Double]] =
+          crossMemo.getOrElseUpdate(pcell, {
+            val mean = means(pcell)
+            val subDim = mean.length / numSub
+            cbs.indices.map { m =>
+              cbs(m).indices.map { c =>
+                val cen = cbs(m)(c)
+                var d = 0.0; var i = 0
+                while (i < subDim) { d += mean(m * subDim + i) * cen(i); i += 1 }
+                d
+              }.toArray
+            }.toArray
+          })
         qry.iterator.flatMap { case (qid, qv, qn) =>
-          // the per-query ADC lookup table: lut(m)(c) = dot(q_m, cb(m)(c))
-          // — NumSub·SubK small dot products amortized over the cell scan.
-          // Sized per subspace: a KMeans fit may drop an empty cluster, so
-          // codebook lengths are not guaranteed uniform.
+          val subDim = qv.length / numSub
+          // per-query tables: lut(m)(c) = dot(qₘ, cbₘ[c]) and the
+          // memoized per-primary base dot(q, mean_p)
           val lut = cbs.map(cb => new Array[Double](cb.length))
           var m = 0
           while (m < numSub) {
@@ -203,18 +302,31 @@ object IvfPq {
             }
             m += 1
           }
+          val qdmMemo = scala.collection.mutable.HashMap.empty[Long, Double]
+          def qdmFor(pcell: Long): Double =
+            qdmMemo.getOrElseUpdate(pcell, {
+              val mean = means(pcell)
+              var d = 0.0; var i = 0
+              while (i < qv.length) { d += qv(i).toDouble * mean(i); i += 1 }
+              d
+            })
           val best = new IvfIndex.KBest(shortlist)
           var j = 0
           while (j < mem.length) {
-            val (cid, codes) = mem(j)
+            val (cid, pcell, codes) = mem(j)
             if (cid != qid) {
-              // SUBSPACE-ORDER accumulation — the oracle's ordered-list
-              // sum reproduces this exact double sequence
-              var dot = 0.0; var m2 = 0.0; var s = 0
+              // SUBSPACE-ORDER partial sums, then base + partial — the
+              // oracle's base + ordered-list-sum association exactly
+              val cross = crossFor(pcell)
+              var sdot = 0.0; var sm2 = 0.0; var s = 0
               while (s < numSub) {
                 val code = codes(s) & 0xff
-                dot += lut(s)(code); m2 += n2(s)(code); s += 1
+                sdot += lut(s)(code)
+                sm2 += 2.0 * cross(s)(code) + n2(s)(code)
+                s += 1
               }
+              val dot = qdmFor(pcell) + sdot
+              val m2 = meanN2s(pcell) + sm2
               best.offer(cid, dot / (qn * math.sqrt(m2)))
             }
             j += 1
@@ -222,7 +334,10 @@ object IvfPq {
           best.result.map { case (cid, sc) => (qid, cid, sc) }
         }
       }
-    // merge per query in ONE exchange (replica collapse by max, top-s)
+    // merge per query in ONE exchange. A member's score is a pure
+    // function of its primary-cell codes — identical in every cell that
+    // holds a replica — so the max collapse is exact deduplication and
+    // the per-cell bounded k-best above is lossless for the global top-s.
     val short = coarse
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>

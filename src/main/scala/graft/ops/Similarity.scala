@@ -535,20 +535,25 @@ object Similarity {
       IvfPq.trainTo(s, ivfDir(s, d), t)
     }
 
-  /** Oracle support for q112: the PQ codebooks and the served code table
-    * (codes re-exported as list<int>; the engine serves the binary form —
-    * the VALUES are identical). Routing reuses q45's exported centroids. */
+  /** Oracle support for q112: the PQ cell means, codebooks, and the
+    * served code table (codes re-exported as list<int>; the engine serves
+    * the binary form — the VALUES are identical). Routing reuses q45's
+    * exported centroids. */
   def writeAnnPqSupport(s: org.apache.spark.sql.SparkSession, d: String,
       outDir: String): Unit = {
     import s.implicits._
+    s.read.parquet(s"${pqDir(s, d)}/cellmeans")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q112_support_cellmeans")
     s.read.parquet(s"${pqDir(s, d)}/codebooks")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${graft.Verify.supportDir(outDir)}/q112_support_codebooks")
     s.read.parquet(s"${pqDir(s, d)}/pqcells")
-      .select(col("cell").cast("long").as("cell"), col("vec_id"), col("codes"))
-      .as[(Long, Long, Array[Byte])]
-      .map { case (c, id, codes) => (c, id, codes.map(b => b & 0xff).toSeq) }
-      .toDF("cell", "vec_id", "codes")
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        col("pcell"), col("codes"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .map { case (c, id, p, codes) => (c, id, p, codes.map(b => b & 0xff).toSeq) }
+      .toDF("cell", "vec_id", "pcell", "codes")
       .write.mode("overwrite").parquet(s"${graft.Verify.supportDir(outDir)}/q112_support_pqcells")
   }
 
@@ -793,13 +798,15 @@ object Similarity {
          |  round(cos_raw, 4) AS cos
          |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
     },
-    // The PQ two-stage serve recomputed end-to-end: q45 routing, code →
-    // codebook-centroid expansion per subspace, the ADC score assembled
-    // with the ENGINE'S summation order (per-subspace partials aggregated
-    // through an ORDER BY sub list — list_sum walks it left-to-right, the
-    // kernel's m-ascending double sequence), shortlist cut, exact rerank.
-    // Replicated members collapse via the rn=1-by-cell codes pick (codes
-    // are a pure function of the vector, identical across replicas).
+    // The residual-PQ two-stage serve recomputed end-to-end: q45 routing,
+    // code → codebook-centroid expansion per subspace, and the ADC score
+    // assembled with the ENGINE'S exact association — per-subspace
+    // partials aggregated through an ORDER BY sub list (list_sum walks it
+    // left-to-right, the kernel's m-ascending sequence), then added to
+    // the per-(query, PRIMARY-cell) base terms dot(q, mean_p) and
+    // ‖mean_p‖². Every replica row carries the same primary-encoded
+    // codes, so one row per member (the rn=1-by-cell pick) scores it,
+    // and the candidate set is the DISTINCT probed reach.
     "q112_ann_pq" ->
       s"""WITH cen AS (
          |  SELECT cell, centroid
@@ -808,8 +815,11 @@ object Similarity {
          |  SELECT sub, code, centroid,
          |    list_sum([c * c for c in centroid]) AS c2
          |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_codebooks/*.parquet')),
+         |cm AS (
+         |  SELECT cell, mean, list_sum([m * m for m in mean]) AS mn2
+         |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_cellmeans/*.parquet')),
          |pqm AS (
-         |  SELECT cell, vec_id, codes
+         |  SELECT cell, vec_id, pcell, codes
          |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_pqcells/*.parquet')),
          |qn AS (
          |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
@@ -830,8 +840,8 @@ object Similarity {
          |    FROM qu CROSS JOIN cen)
          |  WHERE prn <= $SqNProbe),
          |codes1 AS (
-         |  SELECT vec_id, codes FROM (
-         |    SELECT vec_id, codes,
+         |  SELECT vec_id, pcell, codes FROM (
+         |    SELECT vec_id, pcell, codes,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY cell) AS crn
          |    FROM pqm) WHERE crn = 1),
          |cand AS (
@@ -839,24 +849,31 @@ object Similarity {
          |  FROM probes p JOIN pqm m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
          |subs AS (SELECT DISTINCT sub FROM cb),
          |mc AS (
-         |  SELECT c.vec_id, c.cand_id, s.sub, k.codes[s.sub + 1] AS code
+         |  SELECT c.vec_id, c.cand_id, k.pcell, s.sub, k.codes[s.sub + 1] AS code
          |  FROM cand c JOIN codes1 k ON c.cand_id = k.vec_id CROSS JOIN subs s),
          |sd AS (
-         |  SELECT mc.vec_id, mc.cand_id, mc.sub,
+         |  SELECT mc.vec_id, mc.cand_id, mc.pcell, mc.sub,
          |    list_sum([CAST(e.embedding[mc.sub * len(cb.centroid) + i] AS DOUBLE) *
          |              cb.centroid[i]
          |              for i in range(1, len(cb.centroid) + 1)]) AS sdot,
-         |    cb.c2 AS c2
+         |    2 * list_sum([cm.mean[mc.sub * len(cb.centroid) + i] * cb.centroid[i]
+         |              for i in range(1, len(cb.centroid) + 1)]) + cb.c2 AS mterm
          |  FROM mc JOIN cb ON cb.sub = mc.sub AND cb.code = mc.code
-         |  JOIN embeddings e ON e.vec_id = mc.vec_id),
-         |adc AS (
-         |  SELECT vec_id, cand_id,
-         |    list_sum(list(sdot ORDER BY sub)) AS dots,
-         |    list_sum(list(c2 ORDER BY sub)) AS m2
-         |  FROM sd GROUP BY vec_id, cand_id),
+         |  JOIN embeddings e ON e.vec_id = mc.vec_id
+         |  JOIN cm ON cm.cell = mc.pcell),
+         |pc AS (
+         |  SELECT vec_id, cand_id, pcell,
+         |    list_sum(list(sdot ORDER BY sub)) AS sdots,
+         |    list_sum(list(mterm ORDER BY sub)) AS m2s
+         |  FROM sd GROUP BY vec_id, cand_id, pcell),
          |ascore AS (
-         |  SELECT a.vec_id, a.cand_id, a.dots / (q.nrm * sqrt(a.m2)) AS appr
-         |  FROM adc a JOIN qn q ON a.vec_id = q.vec_id),
+         |  SELECT pc.vec_id, pc.cand_id,
+         |    (list_sum([CAST(q.embedding[i] AS DOUBLE) * cm.mean[i]
+         |               for i in range(1, len(cm.mean) + 1)]) + pc.sdots) /
+         |      (q.nrm * sqrt(cm.mn2 + pc.m2s)) AS appr
+         |  FROM pc
+         |  JOIN cm ON cm.cell = pc.pcell
+         |  JOIN qn q ON q.vec_id = pc.vec_id),
          |short AS (
          |  SELECT vec_id, cand_id FROM (
          |    SELECT vec_id, cand_id,

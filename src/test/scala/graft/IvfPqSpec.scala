@@ -43,17 +43,30 @@ class IvfPqSpec extends AnyFunSuite {
     assert(cb.select("centroid").head().getSeq[Double](0).length == dim / IvfPq.NumSub)
     // same coarse codebook: routing transfers between the tiers
     assert(spark.read.parquet(s"$pq/centroids").count() == 16)
+    // residual anchors: a full-dimension mean for every PRIMARY cell any
+    // member encodes against (cells holding only replica members carry
+    // no anchor — nothing looks one up by a non-primary cell)
+    val cmRows = spark.read.parquet(s"$pq/cellmeans")
+    assert(cmRows.select("mean").head().getSeq[Double](0).length == dim)
+    val anchored = cmRows.select("cell").collect().map(_.getLong(0)).toSet
+    val referenced = pqCells.select("pcell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(referenced.subsetOf(anchored),
+      s"pcells without an anchor: ${referenced.diff(anchored)}")
   }
 
   test("encode picks the nearest subspace centroid with lowest-code tie-break") {
-    // 2 subspaces of 2 dims, 2 codes each, hand-checkable
+    // 2 subspaces of 2 dims, 2 codes each, hand-checkable (encode takes
+    // the RESIDUAL — the per-cell mean is already subtracted upstream)
     val cbs: Array[Array[Array[Double]]] = Array(
       Array(Array(0.0, 0.0), Array(1.0, 1.0)),
       Array(Array(1.0, 0.0), Array(0.0, 1.0)))
-    assert(IvfPq.encode(cbs, 2, Array(0.1f, 0.1f, 0.1f, 0.9f)).toSeq == Seq[Byte](0, 1))
-    assert(IvfPq.encode(cbs, 2, Array(0.9f, 0.8f, 0.9f, 0.2f)).toSeq == Seq[Byte](1, 0))
+    assert(IvfPq.encode(cbs, 2, Array(0.1, 0.1, 0.1, 0.9)).toSeq == Seq[Byte](0, 1))
+    assert(IvfPq.encode(cbs, 2, Array(0.9, 0.8, 0.9, 0.2)).toSeq == Seq[Byte](1, 0))
     // equidistant → lowest code wins (the oracle's (distance, code) order)
-    assert(IvfPq.encode(cbs, 2, Array(0.5f, 0.5f, 0.5f, 0.5f)).toSeq == Seq[Byte](0, 0))
+    assert(IvfPq.encode(cbs, 2, Array(0.5, 0.5, 0.5, 0.5)).toSeq == Seq[Byte](0, 0))
+    // residual helper: double-widened elementwise subtraction
+    assert(IvfPq.residual(Array(1.5f, -0.5f), Array(0.5, 0.5)).toSeq == Seq(1.0, -1.0))
   }
 
   test("two-stage search matches the float tier's top-k on a small batch") {
@@ -136,12 +149,12 @@ class IvfPqSpec extends AnyFunSuite {
         (pqTop.getOrElse(q, Set.empty) & f).size.toDouble / f.size
       }.sum / floatTop.size
     }
-    // PQ cannot separate within-cluster neighbors the way SQ8 can (the
-    // noise that distinguishes them quantizes away — members of one tight
-    // cluster share most code bytes), so recall is bought with shortlist
-    // headroom: measured 0.40 / 0.61 / 0.89 / 1.00 at 4k/8k/16k/32k on
-    // this fixture (NOTES). The spec pins the KNOB, not one point: the
-    // curve must rise monotonically and reach ≥0.95 by 32k.
+    // Within-cluster neighbors differ only by noise, which RAW-vector
+    // codes quantize away (measured 0.40/0.61/0.89/1.00 at 4k/8k/16k/32k
+    // here); primary-cell residual encoding spends the codebook entirely
+    // on that difference and lifts the same curve to measured
+    // 0.57 / 0.82 / 0.98 / 1.00 (NOTES). The spec pins the KNOB, not one
+    // point: the curve must rise monotonically and reach ≥0.95 by 32k.
     val rs = Seq(12, 24, 48, 96).map(s => s -> recallAt(s))
     assert(rs.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
       s"recall must grow with shortlist: $rs")

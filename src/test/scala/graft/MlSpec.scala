@@ -35,7 +35,8 @@ class MlSpec extends AnyFunSuite {
       "q100_support_sqcells", "q101_support_weights",
       "q103_support_cells", "q103_support_centroids",
       "q105_support_logratio", "q107_support_rates",
-      "q112_support_codebooks", "q112_support_pqcells"), tables)
+      "q112_support_codebooks", "q112_support_pqcells",
+      "q112_support_cellmeans"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -675,9 +675,13 @@ object Curation {
     * against (deterministic, so the oracle recomputes the same batch). */
   private[graft] val DecontamEvalMod = 50
 
-  /** Semantic-contamination cosine floor: matches the corpus-wide q74
-    * near-duplicate threshold — a corpus member this close to a benchmark
-    * item is the same content in different words. */
+  /** Semantic-contamination cosine floor. Deliberately LOOSER than q74's
+    * 0.4 near-duplicate threshold (an independent constant — retuning
+    * one does not move the other): decontamination errs toward flagging,
+    * since a missed leak poisons an eval while a spurious flag only
+    * quarantines one document. 0.35 sits just under the synthetic
+    * corpus's top cosine tail so the certified output is non-trivial at
+    * test scale; production embeddings would run ~0.9. */
   private[graft] val DecontamCos = 0.35
 
   /** Semantic decontamination (the embedding-space complement of the

@@ -185,17 +185,23 @@ object Dedup {
     *
     * Cost shape: the bucket-size pass is a partial-aggregated count on the
     * join key, and only buckets OVER the cap survive it — for a healthy
-    * corpus that set is empty, so the size table broadcasts for free and
-    * the left join marks every row ng = 1 without a second full-width
-    * shuffle. (The first cut shuffle-joined the full band-row set against
-    * the full size table; at sf that doubled q38's wall-clock for zero
-    * information — hot buckets are the exception, so the guard's data path
-    * should only pay for the exceptions.) */
+    * corpus that set is empty or tiny, so AQE converts the left join to a
+    * runtime broadcast and every cold row takes ng = 1 without a second
+    * full-width shuffle. (The first cut shuffle-joined the full band-row
+    * set against the full size table; at sf that doubled q38's wall-clock
+    * for zero information.) The broadcast decision is deliberately left
+    * to AQE's RUNTIME size check rather than a `broadcast()` hint: the
+    * hot set is bounded only by bandRows/cap — on exactly the
+    * template-heavy corpus this guard exists for, it can be huge, and a
+    * forced broadcast would OOM the driver on the pathological input.
+    * AQE broadcasts when it is actually small and falls back to a
+    * shuffle join (of the over-cap subset only, still ≪ the first cut's
+    * full size table) when it is not. */
   private[graft] def bucketedCandidates(bands: DataFrame, carry: Seq[String],
       cap: Int = BucketCap): DataFrame = {
     val hot = bands.groupBy("band", "bhash").agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") > cap)
-    val grouped = bands.join(broadcast(hot), Seq("band", "bhash"), "left")
+    val grouped = bands.join(hot, Seq("band", "bhash"), "left")
       .withColumn("ng",
         coalesce(ceil(col("bcnt").cast("double") / cap).cast("int"), lit(1)))
       .withColumn("grp", pmod(xxhash64(col("doc_id")), col("ng")).cast("int"))

@@ -486,9 +486,18 @@ object IvfIndex {
     * several probed cells collapse by max cosine in the per-query merge.
     * Output (query_id, vec_id, cos) with [[searchTopK]]'s HALF_UP
     * 4-decimal rounding, cos filtered on the RAW value before rounding
-    * (the oracle mirrors that order). */
+    * (the oracle mirrors that order).
+    *
+    * `excludeSelf` skips members whose id equals the query id — correct
+    * ONLY when queries and members share one id space (q111: the
+    * benchmark batch IS a corpus subset). When the query batch comes
+    * from a DIFFERENT id space (the streaming twin: corpus vectors
+    * against a benchmark index), numeric id collisions are unrelated
+    * vectors and excluding them silently drops real matches — pass
+    * `excludeSelf = false` there. */
   def searchThreshold(spark: SparkSession, index: IvfIndex, queries: DataFrame,
-      minCos: Double, nProbe: Int = 8, checkpointProbes: Boolean = true): DataFrame = {
+      minCos: Double, nProbe: Int = 8, checkpointProbes: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val (members, probes) =
       probedMembersAndProbes(spark, index, queries, nProbe, checkpointProbes)
@@ -505,7 +514,7 @@ object IvfIndex {
         }
         qry.iterator.flatMap { case (qid, qv, qn) =>
           mem.iterator.flatMap { case (cid, cv, cn) =>
-            if (cid == qid) Iterator.empty
+            if (excludeSelf && cid == qid) Iterator.empty
             else {
               var dp = 0.0; var x = 0
               while (x < qv.length) { dp += qv(x).toDouble * cv(x); x += 1 }

@@ -81,11 +81,11 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$destDir/centroids")
     IvfIndex.copyMetaIfPresent(spark, src, destDir)
     // reconcile at-least-once replay residue exactly like quantizeTo
+    // (no cache of its own: withP below is the only consumer)
     val vecs = spark.read.parquet(s"$src/cells")
       .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
       .dropDuplicates("cell", "vec_id")
       .as[(Long, Long, Array[Float])]
-      .cache()
     // PRIMARY assignment: every row (replica or not) encodes against the
     // vector's nearest cell — the same coarse routing the index uses
     val coarseCen = spark.read.parquet(s"$destDir/centroids")
@@ -94,7 +94,6 @@ object IvfPq {
     val withP = vecs.map { case (cell, id, v) =>
       (cell, id, IvfIndex.nearestCells(bcCen.value, IvfIndex.unit(v), 1)(0).toLong, v)
     }.cache()
-    vecs.unpersist()
     // residual anchor: the mean of each cell's PRIMARY members only.
     // Folding replica members in (an earlier cut) drags the mean toward
     // NEIGHBORING clusters and inflates every residual — measured
@@ -124,9 +123,14 @@ object IvfPq {
     val dim = meanMap.head._2.length
     require(dim % NumSub == 0, s"dim $dim not divisible by $NumSub subspaces")
     val subDim = dim / NumSub
+    // materialize the residual cache BEFORE releasing withP — an eager
+    // unpersist here recomputed the whole scan+dedup+routing pass under
+    // the first KMeans fit (review finding: the heaviest pass of PQ
+    // training silently doubled)
     val residuals = withP.map { case (cell, id, pcell, v) =>
       (cell, id, pcell, residual(v, bcMean.value(pcell)))
     }.cache()
+    residuals.count()
     withP.unpersist()
     val sampled =
       if (n > maxFitRows) residuals.sample(withReplacement = false, maxFitRows.toDouble / n, seed)

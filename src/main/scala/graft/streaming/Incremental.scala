@@ -261,7 +261,12 @@ object Incremental {
         val s = batch.sparkSession
         val b = batch.select(col("vec_id"), col("embedding")).cache()
         if (b.count() > 0L) {
-          val hits = IvfIndex.searchThreshold(s, idx, b, t, nProbe)
+          // excludeSelf = false: corpus vec_ids and benchmark-index ids
+          // are UNRELATED id spaces here — a numeric collision is a real
+          // match, not a self-pair (the batch q111 direction, where the
+          // benchmark is a corpus subset, keeps the default)
+          val hits = IvfIndex.searchThreshold(s, idx, b, t, nProbe,
+              excludeSelf = false)
             .groupBy(col("query_id").as("vec_id"))
             .agg(max(col("cos")).as("max_cos"), count(lit(1)).as("n_matches"))
           val flagged = b.join(broadcast(hits), Seq("vec_id"), "left").cache()

@@ -11,10 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * which cost 13 correctness rows in round 10 — must fail HERE, loudly,
   * in `sbt test`, not vanish from the driver's correctness report.
   *
-  * `limit(1).collect()` is enough to force analysis + execution of each
-  * plan at this sf while keeping the whole sweep cheap; one aggregate
-  * test keeps the suite's test count meaningful (the per-query names are
-  * in the failure message).
+  * Every plan executes to COMPLETION (`toRdd.count()` — no row
+  * conversion, no result collection): a `limit(1)` would stop after the
+  * first non-empty partition, and a generation whose drift lives in a
+  * later file would slip through the very tripwire built to catch it.
+  * One aggregate test keeps the suite's test count meaningful (the
+  * per-query names are in the failure message).
   */
 class QuerySmokeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
@@ -23,7 +25,7 @@ class QuerySmokeSpec extends AnyFunSuite {
   test("every SparkEntry query executes against current testdata") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, sf).limit(1).collect(); None }
+        try { fn(spark, sf).queryExecution.toRdd.count(); None }
         catch { case e: Throwable =>
           Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }

@@ -211,12 +211,17 @@ class StreamingSpec extends AnyFunSuite {
       if (jitterAxis >= 0) v(jitterAxis) = jitter
       v
     }
-    // frozen benchmark index: two eval vectors on axes 0 and 1
+    // frozen benchmark index: two eval vectors on axes 0 and 1. Eval id
+    // 1 deliberately COLLIDES with a streamed corpus id: the two id
+    // spaces are unrelated, and the twin must not treat the collision as
+    // a self-match (the regression a review caught — searchThreshold's
+    // default self-exclusion silently dropped exactly this hit).
     graft.ops.IvfIndex.save(spark, graft.ops.IvfIndex.build(spark,
-      Seq(1000L -> oneHot(0), 1001L -> oneHot(1)).toDF("vec_id", "embedding"),
+      Seq(1L -> oneHot(0), 1001L -> oneHot(1)).toDF("vec_id", "embedding"),
       nCells = 2, seed = 7L, nReplicas = 1), eidx)
 
-    // batch 1: vec 1 paraphrases eval 1000 (cos ≈ 0.999), vecs 2-3 far
+    // batch 1: vec 1 paraphrases eval 1 (cos ≈ 0.999) AND shares its id,
+    // vecs 2-3 far
     Seq(1L -> oneHot(0, 2, 0.05f), 2L -> oneHot(5), 3L -> oneHot(6))
       .toDF("vec_id", "embedding").write.parquet(s"$in/b1")
     val q1 = Incremental.continuousSemanticDecontam(

@@ -518,21 +518,43 @@ object TextOps {
   val q110Boilerplate: Q = (s, d) =>
     boilerplateScrubOf(Tables.documents(s, d))
 
+  /** Positioned trigram rows of a tokenized corpus — shared by the scrub
+    * and the gram-set export. */
+  private def gramRowsOf(docs: DataFrame): DataFrame =
+    docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as(Seq("pos", "gram")))
+
+  /** The qualifying boilerplate grams (df·100 ≥ N, integer math). */
+  private def boilerOf(grams: DataFrame, nDocs: Long): DataFrame =
+    grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 100 >= lit(nDocs))
+      .select(col("gram"))
+
+  /** The corpus's boilerplate gram SET alone (gram: string) — the fit a
+    * batch pass exports so the streaming twin
+    * ([[graft.streaming.Incremental.continuousBoilerplateScrub]]) can
+    * scrub incoming documents map-side under a FROZEN set (the DSIR
+    * frozen-model discipline: per-copy template frequency is a
+    * corpus-global statistic, so the stream serves a batch fit). */
+  private[graft] def boilerplateGramsOf(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")).cache()
+    val nDocs = docs.count()
+    Caching.materializeAndRelease(boilerOf(gramRowsOf(docs), nDocs), docs)
+  }
+
   /** The q110 kernel over an arbitrary (doc_id, text, ...) frame — shared
     * by the table-reading query and the planted-template unit. */
   private[graft] def boilerplateScrubOf(input: DataFrame): DataFrame = {
     val docs = input
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")).cache()
     val nDocs = docs.count()
-    val grams = docs.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .as(Seq("pos", "gram")))
-    val boiler = grams.select(col("gram"), col("doc_id")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * 100 >= lit(nDocs))
-      .select(col("gram"))
+    val grams = gramRowsOf(docs)
+    val boiler = boilerOf(grams, nDocs)
     val cov = grams.join(broadcast(boiler), Seq("gram"))
       .select(col("doc_id"),
         explode(array(col("pos"), col("pos") + 1, col("pos") + 2)).as("cp"))

@@ -231,6 +231,64 @@ object Incremental {
     q
   }
 
+  /** Continuous boilerplate scrub (the streaming tier of q110): each
+    * micro-batch of ingested documents is scrubbed under a FROZEN
+    * boilerplate gram set exported by the batch fit
+    * ([[graft.ops.TextOps.boilerplateGramsOf]]) — template frequency is
+    * a corpus-global statistic, so the stream serves a batch fit rather
+    * than re-estimating per batch (the DSIR frozen-model discipline).
+    * The set is bounded by construction (≤ grams-per-doc / df-fraction,
+    * corpus-size independent), broadcast once; the per-batch work is one
+    * tokenize + hash-probe + rebuild kernel pass — no explode, no
+    * shuffle, throughput scan-bound regardless of corpus history. The
+    * kernel mirrors the batch scrub exactly (same normalization, same
+    * trigram coverage, order-preserving reassembly): stream output on a
+    * corpus equals the batch q110 output given the same gram set, which
+    * StreamingSpec asserts row-for-row. Exactly-once per input file via
+    * the checkpoint. */
+  def continuousBoilerplateScrub(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      gramsDir: String, checkpointDir: String): StreamingQuery = {
+    val grams = spark.read.parquet(gramsDir)
+      .select("gram").collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(grams)
+    val scrub = udf { (text: String) =>
+      if (text == null) null
+      else {
+        // the JVM twin of TextFns.normText (the winnow-registration
+        // pattern): collapse \s+, strip the single boundary space
+        val norm = text.replaceAll("\\s+", " ")
+          .stripPrefix(" ").stripSuffix(" ")
+        val toks = norm.split(" ")
+        val covered = new Array[Boolean](toks.length)
+        var i = 0
+        while (i + 3 <= toks.length) {
+          if (bc.value.contains(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))) {
+            covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
+          }
+          i += 1
+        }
+        val kept = new StringBuilder
+        var nDrop = 0L
+        var j = 0
+        while (j < toks.length) {
+          if (covered(j)) nDrop += 1
+          else {
+            if (kept.nonEmpty) kept.append(' ')
+            kept.append(toks(j))
+          }
+          j += 1
+        }
+        (toks.length.toLong, nDrop, kept.toString)
+      }
+    }
+    runOnce(spark, inDir, schema, outDir, checkpointDir) { df =>
+      df.withColumn("s", scrub(col("text")))
+        .select(col("doc_id"), col("s._1").as("n_tokens"),
+          col("s._2").as("n_dropped"), col("s._3").as("clean_text"))
+    }
+  }
+
   /** Continuous SEMANTIC decontamination (the streaming tier of q111, and
     * the embedding-space complement of [[continuousDecontam]]): each
     * micro-batch of ingested embeddings queries a FROZEN, persisted IVF

@@ -197,6 +197,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().sorted.toSeq == kept)
   }
 
+  test("continuous boilerplate scrub equals the batch q110 output under the exported gram set") {
+    val base = Files.createTempDirectory("graft-boilstream").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val gd = s"$base/grams"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // the q110 unit's planted-template corpus: 30 template carriers + 120
+    // unique docs (threshold df·100 ≥ 150 ⇒ df ≥ 2)
+    val template = "all rights reserved worldwide"
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, s"alpha$i beta$i $template gamma$i delta$i")
+    } ++ (30 until 150).map { i =>
+      (i.toLong, s"unique$i content$i here$i stays$i intact$i")
+    }).toDF("doc_id", "text")
+    // batch fit: the frozen gram set + the batch scrub as ground truth
+    graft.ops.TextOps.boilerplateGramsOf(docs).write.parquet(gd)
+    val batchOut = graft.ops.TextOps.boilerplateScrubOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+    // stream the same corpus in two files; the scrubbed union must equal
+    // the batch output row-for-row (same kernel semantics, frozen set)
+    docs.filter(col("doc_id") < 75).write.parquet(s"$in/b1")
+    Incremental.continuousBoilerplateScrub(spark, s"$in/*", docSchema, out, gd, ck)
+    docs.filter(col("doc_id") >= 75).write.parquet(s"$in/b2")
+    val q2 = Incremental.continuousBoilerplateScrub(spark, s"$in/*", docSchema, out, gd, ck)
+    val r2 = Incremental.progressReport(q2)
+    assert(r2.rows == 75L, s"resume must process only the second file: $r2")
+    val streamOut = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamOut == batchOut,
+      s"stream/batch divergence: ${streamOut.diff(batchOut).take(3)} vs ${batchOut.diff(streamOut).take(3)}")
+    // replay with no new files: checkpoint makes it a no-op
+    Incremental.continuousBoilerplateScrub(spark, s"$in/*", docSchema, out, gd, ck)
+    assert(spark.read.parquet(out).count() == 150)
+  }
+
   test("continuous semantic decontam quarantines near-benchmark embeddings with evidence, resumes") {
     val base = Files.createTempDirectory("graft-semdecontam").toString
     val in = s"$base/in"; val clean = s"$base/clean"

@@ -19,6 +19,18 @@ object TextFns {
     * otherwise survive as a space. */
   def normText(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** The JVM twin of [[normText]] for kernel/UDF code paths (the winnow
+    * SQL registration, the streaming boilerplate scrub): collapse \s+
+    * runs, strip the single boundary space the collapse can leave —
+    * byte-identical to the Column form on every input. ONE shared copy:
+    * a drifted hand-rolled twin silently breaks the stream/batch
+    * row-equality contracts that build on it. Pattern precompiled — this
+    * runs once per document on ingest hot paths. */
+  def normTextJvm(s: String): String =
+    WsRun.matcher(s).replaceAll(" ").stripPrefix(" ").stripSuffix(" ")
+
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 

@@ -196,11 +196,21 @@ object Dedup {
     * forced broadcast would OOM the driver on the pathological input.
     * AQE broadcasts when it is actually small and falls back to a
     * shuffle join (of the over-cap subset only, still ≪ the first cut's
-    * full size table) when it is not. */
+    * full size table) when it is not. If a host session runs with AQE
+    * DISABLED, there is no runtime size check to rely on — then (and
+    * only then) the guard pays one small count job on the hot set and
+    * hints the broadcast itself when the count is safely bounded, so
+    * the full-width sort-merge regression cannot silently return. */
   private[graft] def bucketedCandidates(bands: DataFrame, carry: Seq[String],
       cap: Int = BucketCap): DataFrame = {
-    val hot = bands.groupBy("band", "bhash").agg(count(lit(1)).as("bcnt"))
+    val hotAgg = bands.groupBy("band", "bhash").agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") > cap)
+    val aqeOn = bands.sparkSession.conf
+      .get("spark.sql.adaptive.enabled", "true").toBoolean
+    val hot =
+      if (aqeOn) hotAgg
+      else if (hotAgg.limit(1 << 20).count() < (1 << 20)) broadcast(hotAgg)
+      else hotAgg
     val grouped = bands.join(hot, Seq("band", "bhash"), "left")
       .withColumn("ng",
         coalesce(ceil(col("bcnt").cast("double") / cap).cast("int"), lit(1)))

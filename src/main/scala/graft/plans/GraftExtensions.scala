@@ -75,13 +75,12 @@ object GraftExtensions {
     // codegen form as the Column API
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_post_text", htmlPostTextBuilder, "scala_udf")
-    // winnowing fingerprint for SQL users: normalize exactly like
-    // TextFns.normText (collapse \s+ to single spaces, trim the single
-    // boundary space the collapse can leave), then the MOSS kernel
+    // winnowing fingerprint for SQL users: the shared JVM normText twin,
+    // then the MOSS kernel
     val winnow = graft.functions.TextFns.winnowKernelFn(8, 4)
     spark.udf.register("winnow_fingerprints", (s: String) =>
       if (s == null) null
-      else winnow(s.replaceAll("\\s+", " ").stripPrefix(" ").stripSuffix(" ")))
+      else winnow(graft.functions.TextFns.normTextJvm(s)))
     if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewrite

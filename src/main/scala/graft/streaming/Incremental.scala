@@ -255,11 +255,7 @@ object Incremental {
     val scrub = udf { (text: String) =>
       if (text == null) null
       else {
-        // the JVM twin of TextFns.normText (the winnow-registration
-        // pattern): collapse \s+, strip the single boundary space
-        val norm = text.replaceAll("\\s+", " ")
-          .stripPrefix(" ").stripSuffix(" ")
-        val toks = norm.split(" ")
+        val toks = graft.functions.TextFns.normTextJvm(text).split(" ")
         val covered = new Array[Boolean](toks.length)
         var i = 0
         while (i + 3 <= toks.length) {
@@ -283,9 +279,14 @@ object Incremental {
       }
     }
     runOnce(spark, inDir, schema, outDir, checkpointDir) { df =>
-      df.withColumn("s", scrub(col("text")))
+      // null text mirrors the batch kernel exactly: size(null) is null
+      // under Spark's default sizeOfNull, so n_tokens/n_dropped are null
+      // and concat_ws renders clean_text as "" — the stream/batch
+      // row-equality contract covers the null row too (spec-planted)
+      df.withColumn("s", when(col("text").isNotNull, scrub(col("text"))))
         .select(col("doc_id"), col("s._1").as("n_tokens"),
-          col("s._2").as("n_dropped"), col("s._3").as("clean_text"))
+          col("s._2").as("n_dropped"),
+          coalesce(col("s._3"), lit("")).as("clean_text"))
     }
   }
 

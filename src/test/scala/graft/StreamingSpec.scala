@@ -207,15 +207,20 @@ class StreamingSpec extends AnyFunSuite {
     // the q110 unit's planted-template corpus: 30 template carriers + 120
     // unique docs (threshold df·100 ≥ 150 ⇒ df ≥ 2)
     val template = "all rights reserved worldwide"
+    // doc 149 carries NULL text: both tiers must agree on the null row
+    // too (batch: size(null) → null counts, concat_ws → "")
     val docs = ((0 until 30).map { i =>
       (i.toLong, s"alpha$i beta$i $template gamma$i delta$i")
-    } ++ (30 until 150).map { i =>
+    } ++ (30 until 149).map { i =>
       (i.toLong, s"unique$i content$i here$i stays$i intact$i")
-    }).toDF("doc_id", "text")
+    } ++ Seq((149L, null.asInstanceOf[String]))).toDF("doc_id", "text")
     // batch fit: the frozen gram set + the batch scrub as ground truth
     graft.ops.TextOps.boilerplateGramsOf(docs).write.parquet(gd)
-    val batchOut = graft.ops.TextOps.boilerplateScrubOf(docs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      def nl(i: Int): java.lang.Long = if (r.isNullAt(i)) null else r.getLong(i)
+      (r.getLong(0), nl(1), nl(2), r.getString(3))
+    }.toSet
+    val batchOut = rows(graft.ops.TextOps.boilerplateScrubOf(docs))
 
     // stream the same corpus in two files; the scrubbed union must equal
     // the batch output row-for-row (same kernel semantics, frozen set)
@@ -225,8 +230,7 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = Incremental.continuousBoilerplateScrub(spark, s"$in/*", docSchema, out, gd, ck)
     val r2 = Incremental.progressReport(q2)
     assert(r2.rows == 75L, s"resume must process only the second file: $r2")
-    val streamOut = spark.read.parquet(out)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamOut = rows(spark.read.parquet(out))
     assert(streamOut == batchOut,
       s"stream/batch divergence: ${streamOut.diff(batchOut).take(3)} vs ${batchOut.diff(streamOut).take(3)}")
     // replay with no new files: checkpoint makes it a no-op

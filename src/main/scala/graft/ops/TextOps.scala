@@ -249,6 +249,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q113: tokenizer economics per language — the fertility report that
+    * drives multilingual tokenizer and mixture decisions (a language
+    * whose BPE fertility runs high pays more compute per word and gets
+    * under-represented at a fixed token budget; q107's temperature
+    * rebalance consumes exactly this kind of table). Per language:
+    * document count, whitespace words, BPE-ish tokens (the q65-certified
+    * kernel), fertility = bpe/words, chars-per-token. One narrow kernel
+    * scan + a partial-aggregated groupBy on a low-cardinality key — the
+    * shuffle carries one row per language. */
+  val q113TokEconomics: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(TextFns.bpeTokens(col("text"))).as("n_bpe"),
+        TextFns.tokenCount(col("text")).as("n_ws"),
+        length(col("text")).as("n_chars_raw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        round(sum(col("n_bpe")).cast("double") / sum(col("n_ws")), 4)
+          .as("fertility"),
+        round(sum(col("n_chars_raw")).cast("double") / sum(col("n_bpe")), 4)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+
   /** Winnowing fingerprint profile (north-star rolling-hash document
     * fingerprinting): distinct winnowed fingerprints per document, plus the
     * first fingerprint as a value witness. The oracle recomputes the exact
@@ -583,6 +608,7 @@ object TextOps {
     "q71_scrub"         -> q71Scrub,
     "q73_token_budget"  -> q73TokenBudget,
     "q65_bpe_tokens"    -> q65BpeTokens,
+    "q113_tok_econ"     -> q113TokEconomics,
     "q66_winnow"        -> q66Winnow,
     "q67_hash_sample"   -> q67HashSample,
     "q55_engagement"    -> q55Engagement,
@@ -750,6 +776,21 @@ object TextOps {
          |  len(regexp_extract_all(text, '${TextFns.BpePattern.replace("'", "''")}')) AS n_bpe,
          |  len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_ws
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // q65's kernels re-aggregated per language; integer sums are exact, so
+    // the two rounded ratios divide identical operands on both engines.
+    "q113_tok_econ" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    len(regexp_extract_all(text, '${TextFns.BpePattern.replace("'", "''")}')) AS n_bpe,
+         |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_ws,
+         |    length(text) AS n_chars_raw
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+         |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4) AS fertility,
+         |  round(CAST(sum(n_chars_raw) AS DOUBLE) / sum(n_bpe), 4) AS chars_per_token
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q66_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),

@@ -478,7 +478,8 @@ object Incremental {
   def continuousAnnIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
       checkpointDir: String, compactEvery: Int = 0,
-      sqDir: Option[String] = None, rebuildEvery: Int = 0): StreamingQuery = {
+      sqDir: Option[String] = None, rebuildEvery: Int = 0,
+      pqDir: Option[String] = None): StreamingQuery = {
     import graft.ops.IvfIndex.{CommitMarker, VersionsSubdir}
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -529,6 +530,18 @@ object Incremental {
             fs.delete(sv, true)
             graft.ops.IvfSq.quantizeTo(s, indexDir, sv.toString)
             commitAndRetain(sd, sv)
+          }
+          // the PQ tier re-derives on the same cadence and publication
+          // discipline — cell means, codebooks, and codes all anchor to
+          // the raw snapshot just committed (residuals drift with the
+          // codebook, so a stale PQ copy degrades, never misserves: the
+          // exact rerank reads the raw index)
+          pqDir.foreach { pd =>
+            val pv = new org.apache.hadoop.fs.Path(
+              s"$pd/$VersionsSubdir/v${"%012d".format(batchId)}")
+            fs.delete(pv, true)
+            graft.ops.IvfPq.trainTo(s, indexDir, pv.toString)
+            commitAndRetain(pd, pv)
           }
         }
         ()

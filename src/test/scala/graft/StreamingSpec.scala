@@ -477,16 +477,19 @@ class StreamingSpec extends AnyFunSuite {
           cd.getName -> cd.listFiles().count(_.getName.endsWith(".parquet"))
         }.toMap
 
-    // the SQ tier rides the cadence: derived fresh at each compaction
+    // the SQ and PQ tiers ride the cadence: derived fresh at each
+    // compaction under the same versioned publication
     val sq = s"$base/sq"
     graft.ops.IvfSq.quantizeTo(spark, idx, sq)
     val sqBefore = spark.read.parquet(s"$sq/sqcells").count()
+    val pq = s"$base/pq"
+    graft.ops.IvfPq.trainTo(spark, idx, pq)
 
     // batch 0 (cadence 2): appends land, no compaction yet
     val b1 = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
     b1.write.parquet(s"$in/b1")
     Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
-      compactEvery = 2, sqDir = Some(sq))
+      compactEvery = 2, sqDir = Some(sq), pqDir = Some(pq))
     assert(filesPerCell.values.exists(_ > 1),
       "append residue expected before the cadence fires")
     assert(spark.read.parquet(
@@ -500,7 +503,7 @@ class StreamingSpec extends AnyFunSuite {
     graft.ops.IvfIndex.append(spark, idx, b2) // the orphaned commit
     b2.write.parquet(s"$in/b2")
     Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
-      compactEvery = 2, sqDir = Some(sq))
+      compactEvery = 2, sqDir = Some(sq), pqDir = Some(pq))
 
     // batchId 1 completed the cadence: one file per cell, replay residue gone
     val after = filesPerCell
@@ -530,6 +533,13 @@ class StreamingSpec extends AnyFunSuite {
     val sqGot = graft.ops.IvfSq.searchTopK(spark, sq, idx,
       e.filter(col("vec_id") < 5), k = 1, nProbe = 4).collect()
     assert(sqGot.length == 5)
+    // ... and so was the PQ tier: codes 1:1 with the reconciled index,
+    // anchors present for every primary, and the two-stage serve answers
+    assert(spark.read.parquet(
+      s"${graft.ops.IvfIndex.resolve(spark, pq)}/pqcells").count() == cells.count())
+    val pqGot = graft.ops.IvfPq.searchTopK(spark, pq, idx,
+      e.filter(col("vec_id") < 5), k = 1, nProbe = 4, shortlist = 12).collect()
+    assert(pqGot.length == 5)
 
     // an UNCOMMITTED version (crash mid-compaction) must be invisible to
     // resolve — the replayed cadence would redo it
@@ -549,12 +559,12 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("vec_id", col("vec_id") + 10000)
     b3.write.parquet(s"$in/b3")
     Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
-      compactEvery = 2, sqDir = Some(sq))
+      compactEvery = 2, sqDir = Some(sq), pqDir = Some(pq))
     val b4 = e.filter(col("vec_id") % 2 === 0 && col("vec_id") >= 50 && col("vec_id") < 100)
       .withColumn("vec_id", col("vec_id") + 20000)
     b4.write.parquet(s"$in/b4")
     Incremental.continuousAnnIngest(spark, s"$in/*", embSchema, idx, ck,
-      compactEvery = 2, sqDir = Some(sq))
+      compactEvery = 2, sqDir = Some(sq), pqDir = Some(pq))
     val live2 = graft.ops.IvfIndex.resolve(spark, idx)
     assert(live2 != live1, "second cadence must commit a newer version")
     assert(!new java.io.File(s"$idx/cells").exists(),

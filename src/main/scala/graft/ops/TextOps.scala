@@ -496,6 +496,38 @@ object TextOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** q114: packing-efficiency report — the knob-tuning table for q76's
+    * bin size: for each candidate sequence length, how many bins the
+    * greedy streaming packer produces and the fill rate relative to
+    * ideal (tokens / (bins × size); > 1 means docs overflow their bin
+    * and would truncate or spill, < 1 means tail padding waste). A
+    * training pipeline reads this once per corpus to pick its sequence
+    * length; computing it is three window passes over ONE cached
+    * (source, doc_id, n_tokens) projection — token counting, the
+    * expensive part, happens once. */
+  val q114PackEfficiency: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .cache()
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = Seq(256L, 512L, 1024L).map { sz =>
+      toks
+        .withColumn("bin",
+          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(sz)).cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(sum(col("n_tokens")).as("bin_tokens"))
+        .agg(lit(sz).as("bin_size"),
+          count(lit(1)).as("n_bins"),
+          sum(col("bin_tokens")).as("tokens"),
+          round(sum(col("bin_tokens")).cast("double") / (count(lit(1)) * lit(sz)), 4)
+            .as("fill_rate"))
+    }
+    Caching.materializeAndRelease(
+      per.reduce(_ unionByName _).orderBy(col("bin_size")), toks)
+  }
+
   /** Out-of-vocabulary rate against the corpus-global top-K token
     * vocabulary (K=16 here: the synthetic corpus draws from ~31 distinct
     * tokens, so a smaller K keeps real OOV mass; production uses 10^3-10^5
@@ -609,6 +641,7 @@ object TextOps {
     "q73_token_budget"  -> q73TokenBudget,
     "q65_bpe_tokens"    -> q65BpeTokens,
     "q113_tok_econ"     -> q113TokEconomics,
+    "q114_pack_eff"     -> q114PackEfficiency,
     "q66_winnow"        -> q66Winnow,
     "q67_hash_sample"   -> q67HashSample,
     "q55_engagement"    -> q55Engagement,
@@ -791,6 +824,28 @@ object TextOps {
          |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4) AS fertility,
          |  round(CAST(sum(n_chars_raw) AS DOUBLE) / sum(n_bpe), 4) AS chars_per_token
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // q76's packing CTE evaluated at each candidate size, rolled up to the
+    // per-size efficiency row; integer sums keep fill_rate's operands
+    // identical on both engines.
+    "q114_pack_eff" -> {
+      def one(sz: Long) =
+        s"""SELECT CAST($sz AS BIGINT) AS bin_size,
+           |  CAST(count(*) AS BIGINT) AS n_bins,
+           |  CAST(sum(bin_tokens) AS BIGINT) AS tokens,
+           |  round(CAST(sum(bin_tokens) AS DOUBLE) / (count(*) * $sz), 4) AS fill_rate
+           |FROM (
+           |  SELECT source, bin, sum(n_tokens) AS bin_tokens FROM (
+           |    SELECT source,
+           |      (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $sz AS bin,
+           |      n_tokens FROM t) GROUP BY 1, 2)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens
+         |  FROM documents)
+         |${Seq(256L, 512L, 1024L).map(one).mkString("\nUNION ALL\n")}
+         |ORDER BY bin_size""".stripMargin
+    },
     "q66_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),

@@ -484,13 +484,30 @@ object TextOps {
     * ONE shuffle (the per-source window); the window is PARTITIONED, so no
     * global serialization point — each source packs in parallel, the
     * sharding unit a real pipeline would use. Exact integer outputs. */
+  /** The greedy streaming packer's running token count: per-source
+    * cumulative sum in doc_id order — ONE definition shared by q76 (the
+    * packing itself) and q114 (the efficiency report), so a packer change
+    * can never silently desynchronize the report from the packing. */
+  private def packCum: org.apache.spark.sql.Column =
+    sum(col("n_tokens")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Bin id at `sz` given the cumulative count: a doc starts in the bin
+    * its preceding tokens fill. The twin of [[duckPackBin]]. */
+  private def packBin(sz: Long): org.apache.spark.sql.Column =
+    ((col("cum") - col("n_tokens")) / lit(sz)).cast("long")
+
+  /** The oracle's form of the same packer (q76/q114 share it too). */
+  private def duckPackBin(sz: Long): String =
+    s"""(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $sz""".stripMargin
+
   val q76Pack: Q = (s, d) => {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
       .withColumn("n_tokens", TextFns.tokenCount(col("text")).cast("long"))
-      .withColumn("bin",
-        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(512L)).cast("long"))
+      .withColumn("cum", packCum)
+      .withColumn("bin", packBin(512L))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .orderBy(col("source"), col("bin"))
@@ -506,16 +523,18 @@ object TextOps {
     * (source, doc_id, n_tokens) projection — token counting, the
     * expensive part, happens once. */
   val q114PackEfficiency: Q = (s, d) => {
+    // the cached projection carries the CUMULATIVE count (packCum), so
+    // the per-source window sort is paid ONCE and each per-size pass is a
+    // pure map over it — token counting AND the sort, the expensive
+    // parts, happen once (not once per candidate size)
     val toks = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", packCum)
       .cache()
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val per = Seq(256L, 512L, 1024L).map { sz =>
       toks
-        .withColumn("bin",
-          ((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(sz)).cast("long"))
+        .withColumn("bin", packBin(sz))
         .groupBy(col("source"), col("bin"))
         .agg(sum(col("n_tokens")).as("bin_tokens"))
         .agg(lit(sz).as("bin_size"),
@@ -733,19 +752,18 @@ object TextOps {
         |  md5(array_to_string(toks[chunk_start : chunk_start + 63], ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
     "q76_pack" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
-        |  FROM documents),
-        |b AS (
-        |  SELECT source,
-        |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS bin,
-        |    n_tokens
-        |  FROM t)
-        |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT source,
+         |    ${duckPackBin(512L)} AS bin,
+         |    n_tokens
+         |  FROM t)
+         |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q73_token_budget" ->
       """SELECT source, lang,
         |  CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS tokens,
@@ -836,8 +854,7 @@ object TextOps {
            |FROM (
            |  SELECT source, bin, sum(n_tokens) AS bin_tokens FROM (
            |    SELECT source,
-           |      (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // $sz AS bin,
+           |      ${duckPackBin(sz)} AS bin,
            |      n_tokens FROM t) GROUP BY 1, 2)""".stripMargin
       s"""WITH t AS (
          |  SELECT source, doc_id,

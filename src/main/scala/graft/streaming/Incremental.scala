@@ -475,6 +475,12 @@ object Incremental {
     * broadcast-sized KMeans fit). Keyed off the checkpointed batchId like
     * the compaction cadence, so a replayed batch re-lands on the same
     * schedule and rewrites the same version. */
+  /** `pqDir`: when set, the [[graft.ops.IvfPq]] compression tier is
+    * RE-DERIVED after each cadence compaction, exactly like `sqDir`
+    * (same versioned commit, same lag bound). Cell means, codebooks, and
+    * codes all re-anchor to the raw snapshot just committed; a stale PQ
+    * copy DEGRADES recall, never misserves — the two-stage serve's exact
+    * rerank always reads the raw index. */
   def continuousAnnIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, indexDir: String,
       checkpointDir: String, compactEvery: Int = 0,

@@ -484,6 +484,7 @@ class StreamingSpec extends AnyFunSuite {
     val sqBefore = spark.read.parquet(s"$sq/sqcells").count()
     val pq = s"$base/pq"
     graft.ops.IvfPq.trainTo(spark, idx, pq)
+    val pqBefore = spark.read.parquet(s"$pq/pqcells").count()
 
     // batch 0 (cadence 2): appends land, no compaction yet
     val b1 = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
@@ -495,6 +496,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(
         s"${graft.ops.IvfIndex.resolve(spark, sq)}/sqcells").count() == sqBefore,
       "no compaction yet -> the SQ tier lags (bounded by the cadence)")
+    assert(spark.read.parquet(
+        s"${graft.ops.IvfIndex.resolve(spark, pq)}/pqcells").count() == pqBefore,
+      "no compaction yet -> the PQ tier lags too (re-derives only on the cadence)")
 
     // simulate foreachBatch's at-least-once replay: a crash AFTER b2's
     // parquet commit but BEFORE its checkpoint — the orphaned append is on

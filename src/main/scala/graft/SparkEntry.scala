@@ -18,7 +18,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.SemiStructured.queries ++ ops.TextOps.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Temporal.queries ++
       ops.Ml.queries ++ ops.Multimodal.queries ++ ops.Scoring.queries ++
-      ops.Curation.queries
+      ops.Curation.queries ++ ops.CorpusReports.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -29,7 +29,7 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.SemiStructured.oracle ++ ops.TextOps.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Temporal.oracle ++
       ops.Ml.oracle ++ ops.Multimodal.oracle ++ ops.Scoring.oracle ++
-      ops.Curation.oracle
+      ops.Curation.oracle ++ ops.CorpusReports.oracle
 
   /** Support-table writers for oracle SQL over model outputs: each runs
     * after the query dumps and writes parquet under Verify's outDir (the
@@ -44,7 +44,7 @@ object SparkEntry {
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
       (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq",
         "q102_ann_filtered", "q106_hard_negatives", "q111_sem_decontam",
-        "q112_ann_pq"), ops.Similarity.writeAnnSupport),
+        "q112_ann_pq", "q119_cell_balance"), ops.Similarity.writeAnnSupport),
       (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport),
       (Set("q112_ann_pq"), ops.Similarity.writeAnnPqSupport),
       (Set("q101_quality_classifier", "q108_quality_retention"),

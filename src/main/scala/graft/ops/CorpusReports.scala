@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Corpus-level diagnostic reports — the tables a training-data pipeline
+  * reads BEFORE turning its knobs: duplicate-cluster structure (how much
+  * does dedup buy), token-frequency shape (does the corpus Zipf-decay or
+  * is it template sludge), benchmark saturation (how much of each eval
+  * item already leaks), cross-source duplication (which feeds copy each
+  * other), ANN index balance (is the serving layout skewed), and
+  * context-window fit (what sequence length wastes the least compute).
+  *
+  * Every report is aggregation-shaped: partial-aggregable group-bys over
+  * one scan (no global windows, no driver loops), so each runs at corpus
+  * scale as a handful of map-side-combined shuffles over narrow columns.
+  * (The reference's reporting is notebook-side pandas over collected
+  * frames — preview_data.ipynb — which caps at driver memory; these are
+  * the same reports as engine queries.)
+  */
+object CorpusReports {
+  import Relational.Q
+
+  /** Duplicate-cluster size histogram (exact tier): how many clusters of
+    * each size, how many docs they hold — the report that sizes the dedup
+    * payoff (sum over size>1 of (size-1) docs = removable mass) and
+    * catches template sludge (a fat size-k tail) before the fuzzy tiers
+    * run. Two partial-agg shuffles: fingerprint → cluster size, size →
+    * histogram; output is ≤ max-cluster-size rows. */
+  private[graft] def dupClusterHistOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .groupBy(TextFns.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+      .orderBy(col("csize"))
+
+  // the certification corpus is dup-free (the histogram is its one
+  // all-singletons row — still a certified invariant: every doc accounted
+  // for, no phantom clusters); the size>1 branches are exercised by the
+  // planted-fixture unit in CorpusReportsSpec
+  val q115DupClusterHist: Q = (s, d) => dupClusterHistOf(Tables.documents(s, d))
+
+  /** Token frequency-magnitude histogram per language: bucket terms by
+    * floor(log2(corpus frequency)) and report type/occurrence mass per
+    * bucket — the Zipf-shape evidence (mass should decay geometrically
+    * across buckets; a hump in a high bucket is boilerplate) without a
+    * global rank: a row_number over the vocabulary would be one
+    * unpartitioned window sort, the exact anti-pattern, while this is
+    * term-frequency (partial agg) → bucket (partial agg), both
+    * map-side-combined, output ≤ 64 rows per language. */
+  val q116TokenFreqHist: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      // floor(log2(n)) as INTEGER math (binary-digit count): float log2
+      // puts exact powers of two on a rounding knife-edge — Spark's
+      // ln(n)/ln(2) can land at 2.999… where DuckDB's libm log2 hits 3.0,
+      // silently shifting a bucket boundary between engines
+      .groupBy(col("lang"), (length(bin(col("n"))) - 1).cast("long").as("freq_bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_occurrences"))
+      .orderBy(col("lang"), col("freq_bucket"))
+
+  /** Benchmark saturation (the per-EVAL-item mirror of q69's per-train-doc
+    * contamination): for each eval doc (the q69 eval split, doc_id < 50),
+    * the fraction of its distinct 5-grams that occur ANYWHERE in the train
+    * split — the "is this benchmark already memorizable" report read
+    * before trusting an eval number. The train side joins as a LEFT SEMI
+    * (hit = exists, so the corpus-sized gram table needs no distinct pass
+    * and can't fan out the join); the eval side is 50 docs of grams.
+    * Same shared gram kernel as q69 ([[TextFns.distinctGramHashes]]);
+    * ratio rounded at 4 like the ANN surface. */
+  val q117EvalSaturation: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .cache() // both the eval and train branches read it
+    val evalG = sh.filter(col("doc_id") < 50)
+    val hits = evalG
+      .join(sh.filter(col("doc_id") >= 50).select(col("gh")), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    Caching.materializeAndRelease(
+      evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .na.fill(Map("n_hit" -> 0L))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          round(col("n_hit") / col("n_grams"), 4).as("saturation"))
+        .orderBy(col("doc_id")),
+      sh)
+  }
+
+  /** Cross-source duplication matrix: for every source pair, how many
+    * exact-content fingerprints they share — the feed-provenance report
+    * that finds mirror sites / syndication before mixture weights are
+    * set (two sources sharing half their content should not get two full
+    * weights). (source, fp) dedups first, so the fp self-join fans out at
+    * most (#sources choose 2) per fingerprint — bounded by the source
+    * dimension, never the corpus; output ≤ #sources² rows. */
+  private[graft] def crossSourceDupsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fps = docs
+      .select(col("source"), TextFns.fingerprint(col("text")).as("fp"))
+      .distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // empty on the dup-free certification corpus (a certified negative:
+  // no source pair shares content); the sharing branches are exercised
+  // by the planted-fixture unit in CorpusReportsSpec
+  val q118CrossSourceDups: Q = (s, d) => crossSourceDupsOf(Tables.documents(s, d))
+
+  /** ANN index occupancy: per-cell member share of the certification
+    * index — the layout-balance report behind every serving-cost claim
+    * (partition pruning buys nothing if one cell holds half the corpus;
+    * the probe schedule assumes cells near 1/nCells). Counts REPLICA rows
+    * — that is the layout a probe actually scans. Oracle reads the same
+    * exported index as q45 ({GRAFT_OUT}_support/q45_support_cells), so
+    * the report certifies the served artifact, not a rebuild. */
+  val q119CellBalance: Q = (s, d) => {
+    // codebook-sized after the first partial agg (≤ nCells rows); cached
+    // so the total and the per-cell output pay the index scan once, and
+    // released on return (the Caching lifecycle contract)
+    val cells = IvfIndex.load(s, Similarity.ivfDir(s, d)).cells
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .cache()
+    val total = cells.agg(sum(col("n_members"))).head.getLong(0)
+    Caching.materializeAndRelease(
+      cells
+        .select(col("cell"), col("n_members"),
+          round(col("n_members") / lit(total.toDouble), 4).as("share"))
+        .orderBy(col("cell")),
+      cells)
+  }
+
+  /** Context-window fit per source: token-count percentiles
+    * (percentile_disc — an actual element, exact cross-engine, the q72
+    * discipline) and the doc counts exceeding the candidate context
+    * lengths. Read beside q114's packing-efficiency table: q114 says how
+    * full the bins get, this says how much gets truncated per feed. One
+    * shuffle on source; the sort is per-group inside the aggregate. */
+  val q120CtxFit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), TextFns.tokenCount(col("text")).cast("long").as("ntoks"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ntoks)").cast("long").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY ntoks)").cast("long").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY ntoks)").cast("long").as("p99"),
+        sum(when(col("ntoks") > 512, 1L).otherwise(0L)).as("over_512"),
+        sum(when(col("ntoks") > 1024, 1L).otherwise(0L)).as("over_1024"),
+        sum(when(col("ntoks") > 2048, 1L).otherwise(0L)).as("over_2048"))
+      .orderBy(col("source"))
+
+  def queries: Map[String, Q] = Map(
+    "q115_dup_cluster_hist" -> q115DupClusterHist,
+    "q116_token_freq_hist"  -> q116TokenFreqHist,
+    "q117_eval_saturation"  -> q117EvalSaturation,
+    "q118_cross_source_dups" -> q118CrossSourceDups,
+    "q119_cell_balance"     -> q119CellBalance,
+    "q120_ctx_fit"          -> q120CtxFit,
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q115_dup_cluster_hist" ->
+      """WITH c AS (
+        |  SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |    count(*) AS csize
+        |  FROM documents GROUP BY 1)
+        |SELECT csize, count(*) AS n_clusters, CAST(sum(csize) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q116_token_freq_hist" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT lang, term, count(*) AS n FROM tf GROUP BY 1, 2)
+        |SELECT lang, CAST(length(bin(n)) - 1 AS BIGINT) AS freq_bucket,
+        |  count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_occurrences
+        |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // string-exact recomputation of the hash-kernel gram sets, the q69
+    // pattern: a hash collision in the kernel would miscount against this
+    "q117_eval_saturation" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |     for i in range(1, len(toks) - 3)])) AS g
+        |  FROM t WHERE len(toks) >= 5),
+        |tr AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 50)
+        |SELECT sh.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS saturation
+        |FROM sh LEFT JOIN tr ON sh.g = tr.g
+        |WHERE sh.doc_id < 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q118_cross_source_dups" ->
+      """WITH fps AS (
+        |  SELECT DISTINCT source, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q119_cell_balance" ->
+      """WITH c AS (
+        |  SELECT cell, count(*) AS n_members
+        |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet')
+        |  GROUP BY 1)
+        |SELECT cell, n_members,
+        |  round(n_members / (SELECT CAST(sum(n_members) AS DOUBLE) FROM c), 4) AS share
+        |FROM c ORDER BY cell""".stripMargin,
+    "q120_ctx_fit" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS ntoks
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  quantile_disc(ntoks, 0.5) AS p50, quantile_disc(ntoks, 0.9) AS p90,
+        |  quantile_disc(ntoks, 0.99) AS p99,
+        |  CAST(sum(CASE WHEN ntoks > 512 THEN 1 ELSE 0 END) AS BIGINT) AS over_512,
+        |  CAST(sum(CASE WHEN ntoks > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS over_1024,
+        |  CAST(sum(CASE WHEN ntoks > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS over_2048
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

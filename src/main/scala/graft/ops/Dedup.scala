@@ -198,9 +198,18 @@ object Dedup {
     * shuffle join (of the over-cap subset only, still ≪ the first cut's
     * full size table) when it is not. If a host session runs with AQE
     * DISABLED, there is no runtime size check to rely on — then (and
-    * only then) the guard pays one small count job on the hot set and
-    * hints the broadcast itself when the count is safely bounded, so
-    * the full-width sort-merge regression cannot silently return. */
+    * only then) the guard materializes the hot set ONCE
+    * (localCheckpoint, so the size probe and the join read the same
+    * blocks instead of re-running the aggregation) and hints the
+    * broadcast itself when the count is small enough to be a few MB on
+    * the driver, so the full-width sort-merge regression cannot
+    * silently return. */
+  /** AQE-off broadcast bound on the hot-bucket set, in rows: ~24 B/row ⇒
+    * ≤ ~1.5 MB broadcast. Above it the guard keeps the shuffle join —
+    * the hot set is linear in the corpus on pathological inputs, and a
+    * forced tens-of-MB broadcast is exactly the driver pressure the
+    * guard must not create. */
+  private[graft] val HotBroadcastMaxRows = 1 << 16
   private[graft] def bucketedCandidates(bands: DataFrame, carry: Seq[String],
       cap: Int = BucketCap): DataFrame = {
     val hotAgg = bands.groupBy("band", "bhash").agg(count(lit(1)).as("bcnt"))
@@ -209,8 +218,12 @@ object Dedup {
       .get("spark.sql.adaptive.enabled", "true").toBoolean
     val hot =
       if (aqeOn) hotAgg
-      else if (hotAgg.limit(1 << 20).count() < (1 << 20)) broadcast(hotAgg)
-      else hotAgg
+      else {
+        val mat = hotAgg.localCheckpoint() // one aggregation pass total
+        if (mat.limit(HotBroadcastMaxRows + 1).count() <= HotBroadcastMaxRows)
+          broadcast(mat)
+        else mat
+      }
     val grouped = bands.join(hot, Seq("band", "bhash"), "left")
       .withColumn("ng",
         coalesce(ceil(col("bcnt").cast("double") / cap).cast("int"), lit(1)))

@@ -483,7 +483,8 @@ object IvfIndex {
     * one-shuffle probe and partition-pruned member scan; per-cell output
     * is threshold-filtered (matches are rare by construction — a high
     * `minCos` is the operator's contract), replicas reached through
-    * several probed cells collapse by max cosine in the per-query merge.
+    * several probed cells collapse by a (query, member) max aggregation —
+    * per-group state is one double, never a query's whole match set.
     * Output (query_id, vec_id, cos) with [[searchTopK]]'s HALF_UP
     * 4-decimal rounding, cos filtered on the RAW value before rounding
     * (the oracle mirrors that order).
@@ -526,19 +527,19 @@ object IvfIndex {
           }
         }
       }
-    hits.groupByKey(_._1)
-      .flatMapGroups { (qid, it) =>
-        val best = scala.collection.mutable.HashMap.empty[Long, Double]
-        it.foreach { case (_, cid, cos) =>
-          if (!best.get(cid).exists(_ >= cos)) best(cid) = cos
-        }
-        best.toSeq.sortBy(_._1).iterator.map { case (cid, cos) =>
-          (qid, cid,
-            java.math.BigDecimal.valueOf(cos)
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
-        }
-      }
-      .toDF("query_id", "vec_id", "cos")
+    // Replica collapse as a (query_id, vec_id) → max(cos) hash aggregate,
+    // NOT a per-query group: unlike [[searchTopK]] the match set here is
+    // unbounded by contract (every over-threshold member), so grouping by
+    // query alone holds one query's FULL match set in a task-local map — a
+    // memory cliff for a low threshold or a query parked in a dense region.
+    // Keying by the pair bounds per-group state to one double, partial
+    // (map-side) aggregation combines replicas before the exchange, and
+    // the hash aggregate spills if a batch is ever pathological. Rounding
+    // after the max, on the raw double, HALF_UP — identical to Column
+    // round(_, 4) and to the per-query merge this replaces.
+    hits.toDF("query_id", "vec_id", "cos_raw")
+      .groupBy("query_id", "vec_id")
+      .agg(round(max(col("cos_raw")), 4).as("cos"))
   }
 
   /** Top-k among probed-cell members whose GROUP tag differs from the

@@ -73,8 +73,13 @@ object IvfPq {
     * a bounded sample of the RESIDUALS, and writes `cellmeans/`
     * (cell, mean), `codebooks/` (sub, code, centroid), and `pqcells/`
     * (vec_id, codes BINARY) partitioned by cell. */
+  /** `subK` overrides the per-subspace codebook width (≤ 256 — codes are
+    * one byte). Serving sizes off the exported `codebooks/` table, so any
+    * width runs the same search path; the SubK curve at 16× lives in
+    * ScaleSmoke's `pq-subk` section. */
   def trainTo(spark: SparkSession, indexDir: String, destDir: String,
-      seed: Long = 7L, maxFitRows: Long = 50000L): Unit = {
+      seed: Long = 7L, maxFitRows: Long = 50000L, subK: Int = SubK): Unit = {
+    require(subK >= 2 && subK <= 256, s"subK=$subK out of the one-byte code range")
     import spark.implicits._
     val src = IvfIndex.resolve(spark, indexDir)
     spark.read.parquet(s"$src/centroids").coalesce(1)
@@ -115,7 +120,13 @@ object IvfPq {
         while (i < acc.length) { acc(i) /= n; i += 1 }
         (cell, acc)
       }.cache()
+    // driver-bounded: ≤ nCells × dim doubles, and nCells ∝ √N by the
+    // build sizing — codebook-scale state, same budget class as the
+    // centroid collect, fine at any plausible corpus size
     val meanMap = means.collect().toMap
+    require(meanMap.nonEmpty,
+      "cannot derive a PQ tier from an empty index: no cells with primary " +
+        "members found under the source index (is the snapshot empty?)")
     val bcMean = spark.sparkContext.broadcast(meanMap)
     means.map { case (cell, m) => (cell, m.toSeq) }.toDF("cell", "mean")
       .coalesce(1).write.mode("overwrite").parquet(s"$destDir/cellmeans")
@@ -148,7 +159,7 @@ object IvfPq {
         org.apache.spark.ml.functions.array_to_vector(sliceUdf(col("residual")))
           .as("features"))
       new org.apache.spark.ml.clustering.KMeans()
-        .setK(SubK).setSeed(seed + m).setMaxIter(5).setInitMode("random")
+        .setK(subK).setSeed(seed + m).setMaxIter(5).setInitMode("random")
         .fit(feats).clusterCenters.map(_.toArray)
     }.toArray
     fitRows.unpersist()
@@ -205,10 +216,19 @@ object IvfPq {
   /** Two-stage top-k: ADC coarse scan → exact rerank ([[IvfSq.exactRerank]]).
     * `pqDir` is a [[trainTo]] output; `rawDir` the float [[IvfIndex]] it
     * derives from. Output (vec_id, rn, nn_id, cos) ranked by EXACT cosine,
-    * like the SQ tier. */
+    * like the SQ tier.
+    *
+    * `excludeSelf` skips members whose id equals the query id — correct
+    * ONLY when queries and members share one id space (the q112 shape:
+    * the serving batch is a corpus subset). A query batch from a
+    * DIFFERENT id space makes numeric collisions unrelated vectors, and
+    * excluding them silently drops real matches — pass
+    * `excludeSelf = false` there (the [[IvfIndex.searchThreshold]]
+    * contract). */
   def searchTopK(spark: SparkSession, pqDir: String, rawDir: String,
       queries: DataFrame, k: Int = 3, nProbe: Int = 8,
-      shortlist: Int = 12, maxCandidates: Int = 1 << 20): DataFrame = {
+      shortlist: Int = 12, maxCandidates: Int = 1 << 20,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val pqD = IvfIndex.resolve(spark, pqDir)
     val rawD = IvfIndex.resolve(spark, rawDir)
@@ -318,7 +338,7 @@ object IvfPq {
           var j = 0
           while (j < mem.length) {
             val (cid, pcell, codes) = mem(j)
-            if (cid != qid) {
+            if (!(excludeSelf && cid == qid)) {
               // SUBSPACE-ORDER partial sums, then base + partial — the
               // oracle's base + ordered-list-sum association exactly
               val cross = crossFor(pcell)

@@ -108,9 +108,14 @@ object IvfSq {
     * batch fails fast with the budget in the message instead of silently
     * ballooning the driver — the bound is an invariant, not a caller
     * obligation buried in a comment. */
+  /** `excludeSelf` follows the [[IvfIndex.searchThreshold]] id-space
+    * contract: skip same-id members only when queries and members share
+    * one id space; pass false for a foreign-id query batch, where a
+    * numeric collision is an unrelated vector. */
   def searchTopK(spark: SparkSession, sqDir: String, rawDir: String,
       queries: DataFrame, k: Int = 3, nProbe: Int = 8,
-      shortlist: Int = 12, maxCandidates: Int = 1 << 20): DataFrame = {
+      shortlist: Int = 12, maxCandidates: Int = 1 << 20,
+      excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     // resolve BOTH tiers to their committed snapshots up front: the whole
     // two-stage serve then reads immutable version dirs (see
@@ -161,7 +166,7 @@ object IvfSq {
           var j = 0
           while (j < mem.length) {
             val (cid, codes, vmin, vmax) = mem(j)
-            if (cid != qid) {
+            if (!(excludeSelf && cid == qid)) {
               val scale = (vmax - vmin) / 255.0
               var dot = 0.0; var m2 = 0.0; var x = 0
               while (x < qv.length) {

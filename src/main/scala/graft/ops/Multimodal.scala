@@ -9,15 +9,43 @@ import graft.Tables
   * with typed metadata, decoded/feature-extracted by a batched per-partition
   * operator.
   *
-  * The container has no image/audio codecs, so `decodeFeatures` is a
-  * DETERMINISTIC FAKE — the documented swap point for a real decoder (pixel
-  * dims from headers, frame extraction via a codec lib). Everything around
-  * it is the real engine surface: binary column construction, the struct
-  * metadata schema, batched mapPartitions shape (codec state loads once per
-  * partition), and the frame-sampling explode.
+  * IMAGE decode is REAL where the JDK can do it: `javax.imageio` ships with
+  * Java 17 and reads PNG/BMP/GIF/JPEG/WBMP headlessly with no external
+  * jars, so [[decodeFeatures]] sniffs the magic bytes and decodes matching
+  * blobs to true pixel dimensions, and [[imageStats]] extracts per-channel
+  * statistics. Inputs outside ImageIO's formats (video, audio, exotic
+  * codecs) fall back to the DETERMINISTIC FAKE — still the documented swap
+  * point for a full codec lib. The certification corpus carries text bytes
+  * as `fake/raw` blobs (no magic match ⇒ the sniff costs four byte
+  * compares and never decodes), so q52/q53 stay bit-identical to their
+  * oracles while the decode path is exercised by real generated images in
+  * `MultimodalSpec`.
   */
 object Multimodal {
   import Relational.Q
+
+  /** Magic-byte sniff for the formats the JDK decodes. Cheap (≤ 4 byte
+    * compares) and PRECISE-ENOUGH: a false positive only costs one failed
+    * ImageIO parse (which falls back to the fake); a miss skips real
+    * decode for a format we couldn't decode anyway. */
+  private[graft] def looksDecodable(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4) return false
+    val png = (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    val bmp = b(0) == 'B' && b(1) == 'M'
+    val gif = b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    val jpg = (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    png || bmp || gif || jpg
+  }
+
+  /** Real headless decode via the JDK. None when the bytes aren't a
+    * format ImageIO reads (or are corrupt) — the caller falls back to
+    * the deterministic fake, so a bad blob degrades, never crashes. */
+  private[graft] def tryDecode(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    if (!looksDecodable(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
 
   /** Media table synthesized from documents: (doc_id, media: binary,
     * meta: struct<format, source>). At 100 TB this is the parquet layout —
@@ -31,12 +59,58 @@ object Multimodal {
 
   case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
 
-  /** SWAP POINT: replace the body with a real codec call. The contract —
-    * batch of (id, bytes) in, features out, deterministic per input — is
-    * what the engine tests. */
+  /** Feature decode: REAL for ImageIO formats (true pixel dims, one
+    * frame), deterministic fake otherwise. SWAP POINT for formats beyond
+    * the JDK (video frame counts, audio): replace the fallback branch
+    * with a codec call — the contract (batch of (id, bytes) in, features
+    * out, deterministic per input) is what the engine tests. */
   private def decodeFeatures(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = if (bytes == null) 0 else bytes.length
-    MediaFeatures(id, n, n % 640, n % 480, n % 30 + 1)
+    tryDecode(bytes) match {
+      case Some(img) => MediaFeatures(id, n, img.getWidth, img.getHeight, 1)
+      case None      => MediaFeatures(id, n, n % 640, n % 480, n % 30 + 1)
+    }
+  }
+
+  case class ImageStats(doc_id: Long, decoded: Boolean, width: Int, height: Int,
+      n_channels: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Per-channel image statistics — the feature-extraction stage an image
+    * training pipeline runs after decode (quality filters on brightness /
+    * blank detection, channel normalization constants). Real pixels via
+    * ImageIO; undecodable blobs report decoded = false with zeroed stats
+    * so the pipeline can route them to quarantine instead of crashing.
+    * Batched mapPartitions like [[extractFeatures]] — decoder state (and
+    * a real codec lib's native context) initializes once per partition. */
+  def imageStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file spool per image
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          tryDecode(bytes) match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0.0; var sg = 0.0; var sb = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val np = (w.toLong * h).toDouble
+              ImageStats(id, decoded = true, w, h, img.getRaster.getNumBands,
+                sr / np, sg / np, sb / np)
+            case None =>
+              ImageStats(id, decoded = false, 0, 0, 0, 0.0, 0.0, 0.0)
+          }
+        })
+      }.toDF()
   }
 
   /** Batched per-partition feature extraction (mapPartitions — codec

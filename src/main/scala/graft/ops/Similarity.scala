@@ -241,6 +241,29 @@ object Similarity {
     out.toArray
   }
 
+  /** Per-cell unit-space radii (max member unit-distance to the cell
+    * centroid) — one narrow pass over the index, driver-bounded output
+    * (one double per cell). Shared by [[ivfCellPairEdges]] and the
+    * ScaleSmoke pruning report. */
+  private[graft] def cellRadii(s: org.apache.spark.sql.SparkSession,
+      idx: IvfIndex): Map[Long, Double] = {
+    import s.implicits._
+    val bcC = s.sparkContext.broadcast(idx.centroids)
+    idx.cells
+      .select(col("cell").cast("long").as("cell"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (cell, v) =>
+        val u = IvfIndex.unit(v)
+        val ct = bcC.value(cell.toInt)
+        var s2 = 0.0; var i = 0
+        while (i < u.length) { val dv = u(i).toDouble - ct(i); s2 += dv * dv; i += 1 }
+        (cell, math.sqrt(s2))
+      }
+      .toDF("cell", "dist")
+      .groupBy(col("cell")).agg(max(col("dist")).as("rad"))
+      .as[(Long, Double)].collect().toMap
+  }
+
   /** Index-backed exact pair generation: per-cell unit-space radii (one
     * narrow pass over the index) → driver cell-pair pruning
     * ([[candidateCellPairs]]) → one sweep task per surviving cell pair
@@ -254,21 +277,10 @@ object Similarity {
     require(idx.nReplicas == 1,
       s"dedup edge generation needs a single-assignment index (got nReplicas=${idx.nReplicas})")
     import s.implicits._
-    val bcC = s.sparkContext.broadcast(idx.centroids)
     val members = idx.cells
       .select(col("cell").cast("long").as("cell"), col("vec_id"), col("embedding"))
       .as[(Long, Long, Array[Float])]
-    val radii = members.map { case (cell, _, v) =>
-        val u = IvfIndex.unit(v)
-        val ct = bcC.value(cell.toInt)
-        var s2 = 0.0; var i = 0
-        while (i < u.length) { val dv = u(i).toDouble - ct(i); s2 += dv * dv; i += 1 }
-        (cell, math.sqrt(s2))
-      }
-      .toDF("cell", "dist")
-      .groupBy(col("cell")).agg(max(col("dist")).as("rad"))
-      .as[(Long, Double)].collect().toMap
-    val pairs = candidateCellPairs(idx.centroids, radii, t)
+    val pairs = candidateCellPairs(idx.centroids, cellRadii(s, idx), t)
     val tasksOfCell: Map[Long, Array[Int]] = pairs.zipWithIndex
       .flatMap { case ((p, q), i) => if (p == q) Seq((p.toLong, i)) else Seq((p.toLong, i), (q.toLong, i)) }
       .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
@@ -423,12 +435,27 @@ object Similarity {
   private[graft] val SqNProbe = 8
   private[graft] val SqShortlist = 12
 
+  /** Cell count of the CERTIFICATION index (q45/q96/q99/q100/q102/q111/
+    * q112 all serve from it). Their oracles interpolate the fixed
+    * [[AnnNProbe]] knob while the kernels probe
+    * [[probeSchedule]](nCells); the two agree only while the schedule's
+    * floor binds (nCells / 4 ≤ AnnNProbe) — certified below, so raising
+    * this past 4·AnnNProbe fails the artifact build loudly instead of
+    * silently desyncing kernel and oracle. */
+  private[graft] val CertIvfNCells = 32
+
   /** Once-per-(session, dataset) IVF index build+save (SessionArtifacts:
     * single-flight first build, dirs reaped at JVM exit). */
   private[ops] def ivfDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     SessionArtifacts.dir("ivf-q45", s, d) { t =>
+      require(probeSchedule(CertIvfNCells) == AnnNProbe,
+        s"certification index nCells=$CertIvfNCells makes probeSchedule=" +
+          s"${probeSchedule(CertIvfNCells)} ≠ AnnNProbe=$AnnNProbe: the ANN " +
+          "oracles interpolate AnnNProbe and would silently desync — keep " +
+          "nCells ≤ 4·AnnNProbe or teach the oracles the schedule first")
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      IvfIndex.save(s, IvfIndex.build(s, e, nCells = 32, seed = 7L, nReplicas = 2), t)
+      IvfIndex.save(s, IvfIndex.build(s, e, nCells = CertIvfNCells, seed = 7L,
+        nReplicas = 2), t)
     }
 
   /** Oracle support for q45/q96 (run by Verify before the DuckDB compare):

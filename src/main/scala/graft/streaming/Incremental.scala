@@ -79,21 +79,55 @@ object Incremental {
     * signatures append to the index, so corpus text is never re-read.
     * Exactly-once per input file via the checkpoint; the index is the
     * operator's state, stored as plain Parquet — restartable, inspectable,
-    * and shared with the batch API (q78). */
+    * and shared with the batch API (q78).
+    *
+    * `retentionScores` ((doc_id, score), optional) applies the q108
+    * quality-aware retention policy to the WITHIN-BATCH pick: a doc loses
+    * to a near-dup with a higher score (tie → lower doc_id; unscored docs
+    * rank below every scored one, like [[graft.ops.Dedup.cleanCorpus]]).
+    * DOCUMENTED DIVERGENCE from the batch policy, inherent to admission
+    * streaming: (1) ACROSS batches the first-admitted doc always wins —
+    * an already-shipped survivor cannot be retracted when a higher-scored
+    * near-dup arrives later, where batch cleanCorpus would re-pick; the
+    * reconciliation for that is a periodic batch re-run, not the stream.
+    * (2) Within a batch the pick is pairwise (drop on losing any single
+    * comparison), identical to cleanCorpus's per-component rank window on
+    * clique-shaped groups — the overwhelmingly common near-dup shape —
+    * but on a CHAIN a middle doc can knock out an end doc before itself
+    * losing; running ConnectedComponents per micro-batch would close
+    * that gap at an iterative-job-per-batch cost this maintainer
+    * deliberately avoids. Groups that arrive within one batch as cliques
+    * get exactly the batch keep-set (StreamingSpec asserts it). */
   def continuousFuzzyDedup(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
-      indexDir: String, checkpointDir: String): StreamingQuery = {
+      indexDir: String, checkpointDir: String,
+      retentionScores: Option[DataFrame] = None): StreamingQuery = {
     import graft.ops.MinHashIndex
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val b = batch.cache()
-        // within-batch: the self-query pairs every near-dup (incl. each doc
-        // with itself) — drop docs that duplicate an EARLIER batch doc
-        val selfDups = MinHashIndex.query(MinHashIndex.build(b), b)
-          .filter(col("corpus_id") < col("batch_id"))
-          .select(col("batch_id").as("doc_id")).distinct()
+        // within-batch: the self-query pairs every near-dup in BOTH
+        // orientations — drop each doc that loses its pairwise pick
+        // (retention rank when scored, earliest doc_id otherwise)
+        val selfPairs = MinHashIndex.query(MinHashIndex.build(b), b)
+          .filter(col("corpus_id") =!= col("batch_id"))
+        val selfDups = (retentionScores match {
+          case None => selfPairs.filter(col("corpus_id") < col("batch_id"))
+          case Some(sc) =>
+            val scores = sc.select(col("doc_id"), col("score"))
+            selfPairs
+              .join(scores.select(col("doc_id").as("batch_id"),
+                col("score").as("score_b")), Seq("batch_id"), "left")
+              .join(scores.select(col("doc_id").as("corpus_id"),
+                col("score").as("score_c")), Seq("corpus_id"), "left")
+              .na.fill(Map("score_b" -> Double.MinValue,
+                "score_c" -> Double.MinValue))
+              .filter(col("score_c") > col("score_b") ||
+                (col("score_c") === col("score_b") &&
+                  col("corpus_id") < col("batch_id")))
+        }).select(col("batch_id").as("doc_id")).distinct()
         val inBatch = b.join(selfDups, Seq("doc_id"), "left_anti")
         // against the index (absent on the very first batch)
         // absent on the very first batch — ONLY that case may bootstrap; a

@@ -258,6 +258,96 @@ object ScaleSmoke {
       println(s"[scale] pq top-3 overlap with float tier: ${overlap.size}/${fl.size}")
       scaled.unpersist()
     }
+    // PQ CODE WIDTH (SubK) at 16x: the production-width claim, measured —
+    // the per-subspace codebook fit must stay sample-bounded (flat train
+    // wall-clock: the KMeans fits read the SAME bounded sample at every
+    // width) and recall against the float tier must improve monotonically
+    // as SubK grows 16 → 64 → 256 (finer residual quantization can only
+    // sharpen the ADC shortlist). Same corpus/raw index as the sq section.
+    if (section == "all" || section == "pqsubk") {
+      val mult = 16
+      val scaled = independentCopies(mult).cache()
+      val rows = scaled.count()
+      val nCells = (32 * math.sqrt(mult)).toInt
+      println(s"[scale] ===== pq-subk mult=$mult rows=$rows cells=$nCells =====")
+      val raw = java.nio.file.Files.createTempDirectory("smoke-subk-raw").toString
+      graft.ops.IvfIndex.save(spark,
+        graft.ops.IvfIndex.build(spark, scaled, nCells = nCells, seed = 7L,
+          nReplicas = 2), raw)
+      val batch = emb.filter(col("vec_id") < 10)
+      val fl = graft.ops.IvfIndex.searchTopK(spark,
+          graft.ops.IvfIndex.load(spark, raw), batch, k = 3, nProbe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      var prevOverlap = -1
+      for (subK <- Seq(16, 64, 256)) {
+        val pq = java.nio.file.Files.createTempDirectory(s"smoke-subk$subK").toString
+        time(s"subK=$subK pq trainTo")(
+          graft.ops.IvfPq.trainTo(spark, raw, pq, subK = subK))
+        val pz = time(s"subK=$subK pq searchTopK (batch=10, probe=16, shortlist=48)")(
+          graft.ops.IvfPq.searchTopK(spark, pq, raw, batch, k = 3, nProbe = 16,
+            shortlist = 48).collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+        val overlap = pz.intersect(fl).size
+        println(s"[scale] pq-subk subK=$subK top-3 overlap with float tier: " +
+          s"$overlap/${fl.size}" +
+          (if (overlap < prevOverlap) "  ** NON-MONOTONE **" else ""))
+        prevOverlap = math.max(prevOverlap, overlap)
+      }
+      scaled.unpersist()
+    }
+    // q74 EDGE BOUND AT PRODUCTION THRESHOLD: the certification threshold
+    // (0.4, diffuse vectors) deliberately exercises the cell-pair bound's
+    // WORST regime — most cell pairs qualify. The number that predicts
+    // 100 TB dedup behavior is the pruning factor at a production near-dup
+    // threshold (~0.9) on a corpus with real near-dup structure: 10% of
+    // each copy's vectors are tight jitters of base vectors (the clone
+    // groups a dedup pass exists to find), the rest independent. Report
+    // surviving cell pairs / total, edge count, and edge-generation
+    // wall-clock at 1x/4x/16x for t=0.4 and t=0.9.
+    if (section == "all" || section == "dedup09") {
+      import spark.implicits._
+      val baseVecs = emb.as[(Long, Array[Float])]
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          if (k == 0) baseVecs
+          else baseVecs.map { case (id, v) =>
+            val out = new Array[Float](v.length)
+            var i = 0
+            while (i < v.length) {
+              var h = (id + k.toLong * 10_000_000L) * 0x9E3779B97F4A7C15L +
+                i.toLong * 0xBF58476D1CE4E5B9L
+              h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+              val u = (((h & 0xFFFFFFL).toDouble / (1 << 24)) - 0.5)
+              // every 10th id: a CLONE of the base vector plus 1% jitter
+              // (a true near-dup at t=0.9); the rest: independent draws
+              out(i) =
+                if (id % 10 == 0) (v(i) + u * 0.02).toFloat
+                else u.toFloat
+              i += 1
+            }
+            (id + k * 10_000_000L, out)
+          }
+        }.reduce(_ union _).toDF("vec_id", "embedding").cache()
+        val rows = scaled.count()
+        val nCells = math.min(1024L, math.max(8L, rows / 64L)).toInt
+        println(s"[scale] ===== dedup09 mult=$mult rows=$rows cells=$nCells =====")
+        val dir = java.nio.file.Files.createTempDirectory("smoke-d09").toString
+        graft.ops.IvfIndex.save(spark,
+          graft.ops.IvfIndex.build(spark, scaled, nCells = nCells, seed = 7L,
+            nReplicas = 1), dir)
+        val idx = graft.ops.IvfIndex.load(spark, dir)
+        val radii = graft.ops.Similarity.cellRadii(spark, idx)
+        val totalPairs = nCells.toLong * (nCells + 1) / 2
+        for (t <- Seq(0.4, 0.9)) {
+          val cand = graft.ops.Similarity
+            .candidateCellPairs(idx.centroids, radii, t).length
+          val edges = time(f"mult=$mult t=$t%.1f edge generation")(
+            graft.ops.Similarity.ivfCellPairEdges(spark, idx, t).count())
+          println(f"[scale] dedup09 mult=$mult t=$t%.1f cellPairs=$cand/$totalPairs " +
+            f"(pruned=${1.0 - cand.toDouble / totalPairs}%.3f) edges=$edges")
+        }
+        scaled.unpersist()
+      }
+    }
     // LSH SKEW: a boilerplate-heavy corpus — 20% of docs are one template
     // plus a doc-unique token, so they SURVIVE exact dedup but pile one
     // band hash into a single LSH bucket. The claim under test: the

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CorpusReports
+
+/** The corpus-diagnostic reports on PLANTED fixtures: the certification
+  * corpus is exact-dup-free, so q115's size>1 histogram branches and
+  * q118's sharing matrix are certified there only as negatives — these
+  * units plant the structure and pin the arithmetic. */
+class CorpusReportsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  test("q115 kernel: planted clusters of size 1/2/3 land in the right buckets") {
+    import spark.implicits._
+    // 4 singletons + one pair + one triple (whitespace variants of one
+    // text must fingerprint together — the normText contract)
+    val docs = Seq(
+      (1L, "unique one"), (2L, "unique two"), (3L, "unique three"), (4L, "unique four"),
+      (10L, "dup pair text"), (11L, " dup  pair   text "),
+      (20L, "triple body"), (21L, "triple body"), (22L, "triple  body"))
+      .toDF("doc_id", "text")
+    val got = CorpusReports.dupClusterHistOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 4L, 4L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    // conservation: every doc is in exactly one cluster
+    assert(got.map(_._3).sum == 9L)
+  }
+
+  test("q118 kernel: sources sharing content pair up; direction never double-counts") {
+    import spark.implicits._
+    val docs = Seq(
+      // "mirror" appears in s1, s2, s3 → pairs (s1,s2), (s1,s3), (s2,s3)
+      (1L, "s1", "mirror article"), (2L, "s2", "mirror article"),
+      (3L, "s3", "mirror  article"),
+      // "feed" shared by s1 and s2 only — (s1,s2) rises to 2
+      (4L, "s1", "feed item"), (5L, "s2", "feed item"),
+      // same text twice WITHIN one source: no self-pair
+      (6L, "s4", "inhouse dup"), (7L, "s4", "inhouse dup"),
+      (8L, "s5", "unshared"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusReports.crossSourceDupsOf(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
+  test("q116: bucket boundaries are integer-exact at powers of two") {
+    import spark.implicits._
+    // frequencies 1, 2, 4, 8 — each must land in bucket log2(n) EXACTLY
+    // (the float-log2 knife-edge this kernel's bin-length form avoids)
+    val text = (Seq.fill(8)("eight") ++ Seq.fill(4)("four") ++
+      Seq.fill(2)("two") ++ Seq("one")).mkString(" ")
+    val docs = Seq((1L, "xx", text)).toDF("doc_id", "lang", "text")
+    val got = docs
+      .select(col("lang"), explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"), (length(bin(col("n"))) - 1).cast("long").as("freq_bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_occurrences"))
+      .orderBy(col("freq_bucket"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 4L), (3L, 1L, 8L)))
+  }
+}

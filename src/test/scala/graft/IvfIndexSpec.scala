@@ -104,6 +104,36 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("searchThreshold: a dense query's match set never piles into one task-local map") {
+    import spark.implicits._
+    // adversarial shape for a threshold search: EVERY member is over the
+    // threshold for one query (a benchmark item parked in a dense region /
+    // a low threshold). The replica collapse must be a (query, member)
+    // hash aggregate — per-group state one double — not a per-query group
+    // holding the whole match set in memory.
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val members = (0 until 4000).map { i =>
+      // tight jitter around one direction: all cosines stay near 1
+      (i.toLong, base.map(x => x + (rnd.nextGaussian() * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    // nReplicas = 2: every member sits in two cells, so probing several
+    // cells reaches most members twice — the collapse is actually exercised
+    val idx = IvfIndex.build(spark, members, nCells = 4, seed = 7L, nReplicas = 2)
+    val query = Seq((999999L, base)).toDF("vec_id", "embedding")
+    val hits = IvfIndex.searchThreshold(spark, idx, query, minCos = 0.5,
+      nProbe = 4, excludeSelf = false)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"),
+      s"replica collapse must be a hash aggregate keyed by (query, member):\n$plan")
+    val got = hits.collect()
+    // full recall: every member clears the threshold and appears ONCE
+    assert(got.length == 4000, s"expected 4000 distinct matches, got ${got.length}")
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 4000)
+    assert(got.forall(_.getDouble(2) >= 0.5))
+  }
+
   test("zero-norm vectors never crash or rank: NaN cosines are dropped") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

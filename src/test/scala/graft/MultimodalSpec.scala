@@ -1,0 +1,92 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+/** Real image decode through the JDK (javax.imageio, no external jars):
+  * the fixtures are GENERATED in-test — a BufferedImage encoded to
+  * PNG/BMP/GIF bytes and pushed through the same binary-column path the
+  * queries use — so the decode is end-to-end real with no binary files
+  * checked in. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private def encodeImg(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+    bos.toByteArray
+  }
+
+  /** Solid-color image: known dims, exactly known channel means. */
+  private def solid(w: Int, h: Int, r: Int, g: Int, b: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    img
+  }
+
+  test("extractFeatures decodes real PNG/BMP/GIF dims; non-image bytes take the fake") {
+    import spark.implicits._
+    val textBytes = "just some document text, long enough to matter".getBytes("UTF-8")
+    val rows = Seq(
+      (1L, encodeImg(solid(20, 10, 0, 0, 0), "png")),
+      (2L, encodeImg(solid(7, 5, 0, 0, 0), "bmp")),
+      (3L, encodeImg(solid(33, 9, 0, 0, 0), "gif")),
+      (4L, textBytes))
+    val got = Multimodal.extractFeatures(rows.toDF("doc_id", "media"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(2) == 20 && got(0).getInt(3) == 10 && got(0).getInt(4) == 1)
+    assert(got(1).getInt(2) == 7 && got(1).getInt(3) == 5 && got(1).getInt(4) == 1)
+    assert(got(2).getInt(2) == 33 && got(2).getInt(3) == 9 && got(2).getInt(4) == 1)
+    // the fake arithmetic is the q52-certified contract for opaque bytes
+    val n = textBytes.length
+    assert(got(3).getInt(1) == n && got(3).getInt(2) == n % 640 &&
+      got(3).getInt(3) == n % 480 && got(3).getInt(4) == n % 30 + 1)
+  }
+
+  test("imageStats reports exact channel means for real pixels, quarantine flag otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, encodeImg(solid(16, 16, 200, 100, 50), "png")),
+      (2L, encodeImg(solid(4, 3, 0, 255, 0), "bmp")),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val got = Multimodal.imageStats(rows.toDF("doc_id", "media"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getBoolean(1) && got(0).getInt(2) == 16 && got(0).getInt(3) == 16)
+    assert(got(0).getDouble(5) == 200.0 && got(0).getDouble(6) == 100.0 &&
+      got(0).getDouble(7) == 50.0)
+    assert(got(1).getBoolean(1) && got(1).getDouble(5) == 0.0 &&
+      got(1).getDouble(6) == 255.0 && got(1).getDouble(7) == 0.0)
+    // undecodable: flagged, zeroed, NOT crashed — the quarantine contract
+    assert(!got(2).getBoolean(1) && got(2).getInt(2) == 0)
+  }
+
+  test("corrupt image bytes degrade to the fake instead of failing the job") {
+    import spark.implicits._
+    // a real PNG magic with a truncated body: the sniff says decodable,
+    // ImageIO fails, the operator must fall back deterministically
+    val corrupt = encodeImg(solid(8, 8, 1, 2, 3), "png").take(12)
+    val got = Multimodal.extractFeatures(Seq((1L, corrupt)).toDF("doc_id", "media"))
+      .collect()(0)
+    val n = corrupt.length
+    assert(got.getInt(1) == n && got.getInt(2) == n % 640 && got.getInt(4) == n % 30 + 1)
+    val st = Multimodal.imageStats(Seq((1L, corrupt)).toDF("doc_id", "media"))
+      .collect()(0)
+    assert(!st.getBoolean(1))
+  }
+
+  test("the certification corpus never sniffs as an image (q52/q53 hashes are stable)") {
+    import spark.implicits._
+    val sniffed = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+      .select(col("media")).as[Array[Byte]].collect()
+      .count(Multimodal.looksDecodable)
+    assert(sniffed == 0, s"$sniffed text blobs matched an image magic")
+  }
+}

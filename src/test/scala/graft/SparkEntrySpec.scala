@@ -17,7 +17,8 @@ class SparkEntrySpec extends AnyFunSuite {
     ("Ml", ops.Ml.queries, ops.Ml.oracle),
     ("Multimodal", ops.Multimodal.queries, ops.Multimodal.oracle),
     ("Scoring", ops.Scoring.queries, ops.Scoring.oracle),
-    ("Curation", ops.Curation.queries, ops.Curation.oracle))
+    ("Curation", ops.Curation.queries, ops.Curation.oracle),
+    ("CorpusReports", ops.CorpusReports.queries, ops.CorpusReports.oracle))
 
   test("no query key is defined by two modules (++ would shadow one)") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }

@@ -158,6 +158,55 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("retention-scored streaming dedup matches the batch q108 keep-set for batch-contained groups") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-retdedup").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val idx = s"$base/index"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tmpl = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    // near-dup clique {1, 2, 3}; the retention scores make doc 3 the
+    // winner — the id-order default would keep doc 1, so the test fails
+    // if the policy isn't actually applied. 7 and 9 are scored
+    // singletons, 9 unscored (ranks below every scored doc, like batch).
+    val b1 = Seq(
+      (1L, tmpl + "one"), (2L, tmpl + "two"), (3L, tmpl + "three"),
+      (7L, ("omega psi chi phi upsilon tau sigma rho " * 8).trim),
+      (9L, ("one two three four five six seven eight " * 8).trim))
+    b1.toDF("doc_id", "text").write.parquet(s"$in/b1")
+    val scores = Seq((1L, 0.1), (2L, 0.5), (3L, 0.9), (7L, 0.7))
+      .toDF("doc_id", "score")
+    Incremental.continuousFuzzyDedup(spark, s"$in/*", docSchema, out, idx, ck,
+      retentionScores = Some(scores))
+    val streamKept = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // the batch policy on the same corpus + scores (q108 / cleanCorpus):
+    // keep-set equality is the parity contract for batch-contained groups
+    val batchKept = graft.ops.Dedup.cleanCorpus(
+        b1.toDF("doc_id", "text").withColumn("n_chars", length(col("text"))),
+        Some(scores))
+      .filter(col("status") === "kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamKept == batchKept,
+      s"stream keep-set $streamKept must equal batch keep-set $batchKept")
+    assert(streamKept.contains(3L) && !streamKept.contains(1L),
+      s"retention rank (not id order) must pick the clique survivor: $streamKept")
+
+    // cross-batch divergence (documented in the scaladoc): doc 4 near-dups
+    // INDEXED doc 3 with a HIGHER score — the stream cannot retract the
+    // shipped survivor, so first-admitted wins; batch cleanCorpus over the
+    // full corpus would re-pick doc 4
+    Seq((4L, tmpl + "four")).toDF("doc_id", "text").write.parquet(s"$in/b2")
+    Incremental.continuousFuzzyDedup(spark, s"$in/*", docSchema, out, idx, ck,
+      retentionScores = Some(scores.union(Seq((4L, 1.0)).toDF("doc_id", "score"))))
+    val after = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == streamKept,
+      s"cross-batch: first-admitted survivor must stand, got $after")
+  }
+
   test("continuous semantic dedup drops near-dup embeddings within and across batches") {
     val base = Files.createTempDirectory("graft-semstream").toString
     val in = s"$base/in"; val out = s"$base/out"

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Bench telemetry: turn one or two Bench JSON lines into the NOTES perf
+section — per-query cold-vs-warm deltas (session-artifact attribution) and,
+with a second file, per-query warm ratios vs the reference run.
+
+Usage:
+  tools/bench_report.py BENCH_A.json [BENCH_B.json]
+
+Accepts either a raw Bench stdout line or a driver BENCH_r{N}.json wrapper
+(whose "tail" field holds the line). Output is markdown, ready to paste.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return d
+    # driver wrapper: the bench line lives somewhere inside "tail"
+    text = d.get("tail", raw) if isinstance(d, dict) else raw
+    m = re.search(r'\{"queries_first":.*?"value":[0-9.]+\}', text, re.S)
+    if m:
+        return json.loads(m.group(0).replace("\\n", "").replace('\\"', '"'))
+    # driver tails are head-truncated: recover the per-map fragments
+    out = {}
+    for key in ("queries_first", "queries"):
+        f = re.search(r'\\?"%s\\?":(\{.*?\})' % key, text, re.S)
+        if f:
+            out[key] = json.loads(f.group(1).replace("\\n", "").replace('\\"', '"'))
+    v = re.search(r'\\?"min_total_sec\\?":([0-9.]+)', text)
+    c = re.search(r'\\?"value\\?":([0-9.]+)', text)
+    if "queries" not in out:
+        # last resort: a head-truncated tail — reconstruct the warm map
+        # from the first intact "qNN...":number entry to its closing brace
+        # (queries prints after queries_first, so the surviving map is the
+        # warm one; the severed first entry is dropped)
+        plain = text.replace("\\n", "").replace('\\"', '"')
+        frag = re.search(r'"q[0-9]+[a-z0-9_]*":[0-9.]+(?:,"[^"]+":[0-9.]+)*\}',
+                         plain)
+        if not frag:
+            sys.exit(f"no bench JSON found in {path}")
+        out["queries"] = json.loads("{" + frag.group(0))
+    if v:
+        out["min_total_sec"] = float(v.group(1))
+    if c:
+        out["value"] = float(c.group(1))
+    return out
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    a = load(sys.argv[1])
+    warm = a["queries"]
+    first = a.get("queries_first", {})
+    total_first = sum(first.values()) if first else float(a.get("value", 0))
+    total_warm = sum(warm.values())
+    print(f"## Bench report: {sys.argv[1]}")
+    print(f"- cold first-pass total {total_first:.1f} s, "
+          f"warm min-total {total_warm:.1f} s at {len(warm)} queries")
+    if first:
+        deltas = sorted(((first[q] - warm[q], q) for q in warm if q in first),
+                        reverse=True)
+        print("- top cold−warm deltas (session-artifact / fit cost lives here):")
+        for d, q in deltas[:10]:
+            print(f"    {q:28s} first {first[q]:7.2f}  warm {warm[q]:6.2f}  "
+                  f"delta {d:7.2f}")
+    slow = sorted(warm.items(), key=lambda kv: -kv[1])[:8]
+    print("- slowest warm:", ", ".join(f"{q} {v:.2f}s" for q, v in slow))
+    if len(sys.argv) > 2:
+        b = load(sys.argv[2])
+        bw = b["queries"]
+        common = sorted(set(warm) & set(bw))
+        ratios = sorted(((warm[q] / bw[q] if bw[q] > 0 else float("inf"), q)
+                         for q in common), reverse=True)
+        med = sorted(r for r, _ in ratios)[len(ratios) // 2]
+        print(f"\n## vs {sys.argv[2]} ({len(common)} common queries)")
+        print(f"- suite median warm ratio: {med:.2f} "
+              f"(drift band per NOTES: compare medians, not single readings)")
+        big = [(r, q) for r, q in ratios if r >= 2.0 and warm[q] - bw[q] >= 0.4]
+        if big:
+            print("- >=2x AND >=0.4s absolute warm regressions:")
+            for r, q in big:
+                print(f"    {q:28s} {bw[q]:6.2f} -> {warm[q]:6.2f}  ({r:.2f}x)")
+        else:
+            print("- no >=2x (and >=0.4s absolute) warm regressions")
+
+
+if __name__ == "__main__":
+    main()

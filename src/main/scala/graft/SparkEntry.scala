@@ -52,5 +52,7 @@ object SparkEntry {
       (Set("q103_semdedup", "q104_proto_prune"),
         ops.Curation.writeDedupIndexSupport),
       (Set("q105_dsir_weights"), ops.Curation.writeDsirSupport),
-      (Set("q107_temp_mix"), ops.Curation.writeTempMixSupport))
+      (Set("q107_temp_mix"), ops.Curation.writeTempMixSupport),
+      (Set("q122_lsh_calibration", "q123_lsh_bucket_profile"),
+        ops.Dedup.writeLshSupport))
 }

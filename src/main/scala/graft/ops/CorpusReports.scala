@@ -161,6 +161,63 @@ object CorpusReports {
         sum(when(col("ntoks") > 2048, 1L).otherwise(0L)).as("over_2048"))
       .orderBy(col("source"))
 
+  /** Token-budget waterfill across sources: given a token budget (half
+    * the corpus here — the knob), allocate each source min(its tokens,
+    * fair cap) with the cap chosen so the allocations fill the budget —
+    * the classic max-min fair allocation a mixture planner runs when a
+    * training budget is smaller than the corpus but small sources must
+    * not be crushed by proportional scaling. INTEGER throughout (floor
+    * cap; the < #sources remainder stays unallocated and is visible as
+    * budget − Σ alloc), so the oracle is bit-exact. The boundary search
+    * is closed-form over the source dimension: sort sources by token
+    * count, compute each row's candidate cap from prefix sums, and
+    * exactly one row validates as the waterline. The windows are
+    * unpartitioned BUT over the source-DIMENSION table (≤ #sources rows
+    * after the first partial agg — bounded like q119's cell table, never
+    * the corpus). */
+  val q121BudgetWaterfill: Q = (s, d) => {
+    val perSource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(TextFns.tokenCount(col("text")).cast("long")).as("ntoks"))
+    val total = perSource.agg(sum(col("ntoks"))).head.getLong(0)
+    waterfillOf(perSource, total / 2)
+  }
+
+  private[graft] def waterfillOf(perSource: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("ntoks"), col("source"))
+    val ranked = perSource
+      .withColumn("i", row_number().over(w))
+      .withColumn("pfx", sum(col("ntoks")).over(w))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      // `div`: exact long floor-division (a double `/` would detour the
+      // budget arithmetic through floating point)
+      .withColumn("cap_cand",
+        expr(s"($budget - (pfx - ntoks)) div (k - i + 1)"))
+      .withColumn("prev_ntoks",
+        coalesce(lag(col("ntoks"), 1).over(w), lit(0L)))
+      .cache()
+    // the waterline: first row whose candidate cap binds (cap < its own
+    // tokens) and is consistent with every smaller source running free
+    val boundary = ranked
+      .filter(col("cap_cand") < col("ntoks") && col("prev_ntoks") <= col("cap_cand"))
+      .agg(min(col("i")).as("bi"))
+      .head()
+    val bi =
+      if (boundary.isNullAt(0)) Long.MaxValue
+      else boundary.getInt(0).toLong // min over row_number — an int
+    val capRow =
+      if (bi == Long.MaxValue) Long.MaxValue
+      else ranked.filter(col("i") === bi).head().getAs[Long]("cap_cand")
+    Caching.materializeAndRelease(
+      ranked.select(col("source"), col("ntoks"),
+          when(col("i") < bi, col("ntoks")).otherwise(lit(capRow)).as("alloc"),
+          (col("i") >= bi).as("capped"))
+        .orderBy(col("source")),
+      ranked)
+  }
+
   def queries: Map[String, Q] = Map(
     "q115_dup_cluster_hist" -> q115DupClusterHist,
     "q116_token_freq_hist"  -> q116TokenFreqHist,
@@ -168,6 +225,7 @@ object CorpusReports {
     "q118_cross_source_dups" -> q118CrossSourceDups,
     "q119_cell_balance"     -> q119CellBalance,
     "q120_ctx_fit"          -> q120CtxFit,
+    "q121_budget_waterfill" -> q121BudgetWaterfill,
   )
 
   def oracle: Map[String, String] = Map(
@@ -219,6 +277,34 @@ object CorpusReports {
         |SELECT cell, n_members,
         |  round(n_members / (SELECT CAST(sum(n_members) AS DOUBLE) FROM c), 4) AS share
         |FROM c ORDER BY cell""".stripMargin,
+    // the same closed-form boundary search, windows over the source
+    // dimension; integer `//` division mirrors the kernel's `div` (the
+    // two can only disagree on negative numerators, which the validity
+    // predicate rejects on both sides)
+    "q121_budget_waterfill" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS ntoks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ntoks) AS BIGINT) // 2 AS budget,
+        |               count(*) AS k FROM ps),
+        |r AS (
+        |  SELECT source, ntoks,
+        |    row_number() OVER (ORDER BY ntoks, source) AS i,
+        |    sum(ntoks) OVER (ORDER BY ntoks, source) AS pfx,
+        |    lag(ntoks, 1, CAST(0 AS BIGINT)) OVER (ORDER BY ntoks, source) AS prev_ntoks
+        |  FROM ps),
+        |c AS (
+        |  SELECT r.*, (tot.budget - (pfx - ntoks)) // (tot.k - i + 1) AS cap_cand
+        |  FROM r, tot),
+        |b AS (SELECT min(i) AS bi FROM c
+        |      WHERE cap_cand < ntoks AND prev_ntoks <= cap_cand),
+        |cap AS (SELECT c.cap_cand AS cap FROM c, b WHERE c.i = b.bi)
+        |SELECT source, ntoks,
+        |  CAST(CASE WHEN (SELECT bi FROM b) IS NULL OR i < (SELECT bi FROM b)
+        |       THEN ntoks ELSE (SELECT cap FROM cap) END AS BIGINT) AS alloc,
+        |  coalesce(i >= (SELECT bi FROM b), FALSE) AS capped
+        |FROM c ORDER BY source""".stripMargin,
     "q120_ctx_fit" ->
       """WITH t AS (
         |  SELECT source,

@@ -586,6 +586,86 @@ object Dedup {
       spans)
   }
 
+  /** Fraction of signature components two docs agree on — the MinHash
+    * Jaccard ESTIMATOR itself (E[agreement] = Jaccard). Primitive arrays,
+    * one pass, like [[jaccardSorted]]. */
+  private[ops] val sigAgreement = udf { (a: Array[Long], b: Array[Long]) =>
+    var i = 0; var m = 0
+    while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+    m.toDouble / a.length
+  }
+
+  /** MinHash estimator calibration (q122): per verified near-dup pair,
+    * exact trigram Jaccard vs the 32-component signature estimate and the
+    * absolute error — the report that says whether the LSH operating
+    * point (16 bands × 2 rows at t = 0.8) still matches the corpus, read
+    * before trusting the fuzzy tier's recall at a new data mix. The
+    * candidate/verify path is q38's certified kernel; the oracle
+    * recomputes the estimate from the EXPORTED signature table
+    * ([[writeLshSupport]]) and exact Jaccard from text, so the agreement
+    * arithmetic — and the signature table the serve actually uses — is
+    * cross-engine certified. sf-scale error here is expectedly coarse
+    * (1/32 quantization); the report's production value is the error
+    * DISTRIBUTION at volume. */
+  val q122LshCalibration: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
+    val cand = bucketedCandidates(bandsOf(docs), Nil)
+    Caching.materializeAndRelease(
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"),
+          col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"),
+          col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"),
+          round(sigAgreement(col("sig_a"), col("sig_b")), 4).as("est"))
+        .filter(col("jaccard") >= 0.8)
+        .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 4))
+        .orderBy(col("doc_a"), col("doc_b")),
+      docs)
+  }
+
+  /** LSH bucket-size profile (q123): the persisted-band-table health
+    * report behind the [[BucketCap]] skew guard — bucket sizes bucketed
+    * by binary magnitude (integer log2, the q116 discipline), with type
+    * and row mass per magnitude. A mass hump at or past the cap's
+    * magnitude (2⁸) is the template-sludge signal that the guard is
+    * actually load-bearing on this corpus; all-low magnitudes mean the
+    * guard's triangle split never fires and candidates flow the plain
+    * path. Oracle aggregates the same EXPORTED band table the candidate
+    * join keys on. */
+  val q123LshBucketProfile: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+    bandsOf(docs)
+      .groupBy(col("band"), col("bhash")).agg(count(lit(1)).as("m"))
+      .groupBy((length(bin(col("m"))) - 1).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("m")).as("n_rows"))
+      .orderBy(col("size_bucket"))
+  }
+
+  /** Oracle support for q122/q123: the signature table and its LSH band
+    * rows, as served (signatures are the GIVEN — like the exported ANN
+    * index — while agreement arithmetic, candidate keys, and both
+    * reports' aggregations recompute cross-engine). */
+  def writeLshSupport(s: SparkSession, d: String, outDir: String): Unit = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSig(col("hs")).as("sig")).cache()
+    docs.write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q122_support_sigs")
+    bandsOf(docs).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q123_support_bands")
+    docs.unpersist()
+    ()
+  }
+
   def queries: Map[String, Q] = Map(
     "q38_minhash_dedup"   -> q38MinhashDedup,
     "q79_clean_pipeline"  -> q79CleanPipeline,
@@ -594,6 +674,8 @@ object Dedup {
     "q56_dedup_canonical" -> q41DedupCanonical,
     "q78_incr_dedup"      -> q78IncrementalDedup,
     "q91_substr_dedup"    -> q91SubstrDedup,
+    "q122_lsh_calibration" -> q122LshCalibration,
+    "q123_lsh_bucket_profile" -> q123LshBucketProfile,
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
@@ -602,6 +684,43 @@ object Dedup {
       |               for i in range(1, greatest(len(toks) - 1, 1))])""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // q38's exhaustive exact-Jaccard pair CTE + the estimator recomputed
+    // component-by-component from the exported signature table; abs_err
+    // from the two ROUNDED values (differences of 4-decimal values never
+    // sit on a 5th-decimal half, so the final round is boundary-safe)
+    "q122_lsh_calibration" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |sg AS (SELECT doc_id, sig
+         |       FROM read_parquet('{GRAFT_OUT}_support/q122_support_sigs/*.parquet')),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |e AS (
+         |  SELECT p.doc_a, p.doc_b, p.jaccard,
+         |    round(CAST(len(list_filter(range(1, 33),
+         |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32, 4) AS est
+         |  FROM p
+         |  JOIN sg sa ON sa.doc_id = p.doc_a
+         |  JOIN sg sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, jaccard, est,
+         |  round(abs(est - jaccard), 4) AS abs_err
+         |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    "q123_lsh_bucket_profile" ->
+      """WITH m AS (
+        |  SELECT band, bhash, count(*) AS m
+        |  FROM read_parquet('{GRAFT_OUT}_support/q123_support_bands/*.parquet')
+        |  GROUP BY 1, 2)
+        |SELECT CAST(length(bin(m)) - 1 AS BIGINT) AS size_bucket,
+        |  count(*) AS n_buckets, CAST(sum(m) AS BIGINT) AS n_rows
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // String-exact recomputation: every 8-token span with corpus count >= 2,
     // positions covered by any such span, and the cleaned-text md5 over the
     // uncovered tokens in position order (string_agg skips the covered ones;

@@ -144,9 +144,61 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** A VALID 4×4 24-bit BMP whose 48 pixel bytes are the doc's text bytes
+    * (cycled when shorter) — deterministic binary media the oracle can
+    * reason about arithmetically. 54-byte header (14 file + 40 info),
+    * bottom-up rows, BGR byte order, no row padding (4 px × 3 B = 12 B,
+    * already word-aligned). */
+  private[graft] def bmpOf(text: String): Array[Byte] = {
+    if (text == null || text.isEmpty) return null
+    val out = new Array[Byte](102)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 102); le32(6, 0); le32(10, 54) // file size, reserved, data offset
+    le32(14, 40); le32(18, 4); le32(22, 4) // info size, width, height
+    out(26) = 1; out(28) = 24              // planes, bits per pixel
+    le32(30, 0); le32(34, 48)              // no compression, image size
+    le32(38, 2835); le32(42, 2835); le32(46, 0); le32(50, 0)
+    var k = 0
+    while (k < 48) {
+      out(54 + k) = text.charAt(k % text.length).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Real-decode round trip, hash-certified (q124): synthesize the BMP
+    * above per doc, push it through the SAME `javax.imageio` path any
+    * external image takes ([[imageStats]] — header parse, pixel raster,
+    * channel statistics), and certify against DuckDB recomputing the
+    * channel means directly from the text bytes (pixel byte k is text
+    * byte k mod len; BGR order ⇒ channel c = positions k ≡ 2−c mod 3;
+    * the bottom-up row flip cancels under a whole-image mean). Channel
+    * means are sums of ≤127 over 16 pixels — /16 dyadic, ≤ 4 decimal
+    * digits, so round(…,4) is the identity on both engines and the hash
+    * compare is exact. This is the decode certification q52 could not
+    * give (its corpus bytes are not images — by design): a REAL binary
+    * parse, end-to-end, under the oracle gate. */
+  val q124ImageRoundtrip: Q = (s, d) => {
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), bmp(col("text")).as("media"))
+    imageStats(media)
+      .select(col("doc_id"), col("decoded"), col("width"), col("height"),
+        col("n_channels"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q52_media_features" -> q52MediaFeatures,
     "q53_frame_sample"   -> q53FrameSample,
+    "q124_image_roundtrip" -> q124ImageRoundtrip,
   )
 
   def oracle: Map[String, String] = Map(
@@ -159,5 +211,24 @@ object Multimodal {
         |  SELECT doc_id, unnest(range(0, length(text) % 30 + 1, 4)) AS frame_idx
         |  FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // channel means recomputed from the text bytes that became pixels:
+    // byte k of the 48-byte raster is text byte (k mod len); BGR order
+    // puts channel R at k%3=2, G at 1, B at 0
+    "q124_image_roundtrip" ->
+      """WITH px AS (
+        |  SELECT doc_id, k,
+        |    ord(substr(text, CAST(k % length(text) AS INTEGER) + 1, 1)) AS b
+        |  FROM documents, unnest(range(0, 48)) AS r(k)),
+        |ch AS (
+        |  SELECT doc_id,
+        |    avg(CASE WHEN k % 3 = 2 THEN b END) AS mr,
+        |    avg(CASE WHEN k % 3 = 1 THEN b END) AS mg,
+        |    avg(CASE WHEN k % 3 = 0 THEN b END) AS mb
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS n_channels,
+        |  round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
+        |FROM ch ORDER BY doc_id""".stripMargin,
   )
 }

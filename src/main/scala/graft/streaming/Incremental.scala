@@ -324,6 +324,59 @@ object Incremental {
     }
   }
 
+  /** Continuous benchmark-saturation maintenance (the streaming twin of
+    * q117): the eval suite is FROZEN — its distinct 5-gram hashes are
+    * computed once, keyed by eval doc, and broadcast (benchmark-sized
+    * state, corpus-independent) — and each corpus micro-batch contributes
+    * the eval grams it contains as (eval doc, gram) hit rows appended
+    * through the FILE SINK, so exactly-once comes from the sink's
+    * checkpoint-atomic commit (no foreachBatch replay residue). Per-batch
+    * work is one gram-kernel pass plus a broadcast membership probe —
+    * stateless, no shuffle, scan-bound regardless of corpus history.
+    * Duplicate hits (the same gram seen in later batches) are expected
+    * and collapse in [[evalSaturationReport]]'s aggregation; saturation
+    * is monotone in ingest — the live form of "this eval number is
+    * expiring". */
+  def continuousEvalSaturation(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      evalDocs: DataFrame, hitsDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val byGh: Map[Long, Array[Long]] = evalDocs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (gh, xs) => gh -> xs.map(_._1).sorted }
+    val bc = spark.sparkContext.broadcast(byGh)
+    runOnce(spark, inDir, schema, hitsDir, checkpointDir) { df =>
+      df.select(explode(
+          graft.functions.TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+        .as[Long]
+        .flatMap(gh => bc.value.getOrElse(gh, Array.emptyLongArray).map(ed => (ed, gh)))
+        .toDF("doc_id", "gh")
+    }
+  }
+
+  /** The q117 report over the maintained hit table: per eval doc, total
+    * distinct grams, grams seen anywhere in the ingested corpus, and the
+    * saturation ratio — row-identical to the batch q117 on the same
+    * corpus (StreamingSpec asserts it). dropDuplicates absorbs the
+    * cross-batch repeat hits by design. */
+  def evalSaturationReport(spark: SparkSession, evalDocs: DataFrame,
+      hitsDir: String): DataFrame = {
+    val tot = evalDocs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = spark.read.parquet(hitsDir)
+      .dropDuplicates("doc_id", "gh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .na.fill(Map("n_hit" -> 0L))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit") / col("n_grams"), 4).as("saturation"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Continuous SEMANTIC decontamination (the streaming tier of q111, and
     * the embedding-space complement of [[continuousDecontam]]): each
     * micro-batch of ingested embeddings queries a FROZEN, persisted IVF

@@ -298,38 +298,43 @@ object ScaleSmoke {
     // (0.4, diffuse vectors) deliberately exercises the cell-pair bound's
     // WORST regime — most cell pairs qualify. The number that predicts
     // 100 TB dedup behavior is the pruning factor at a production near-dup
-    // threshold (~0.9) on a corpus with real near-dup structure: 10% of
-    // each copy's vectors are tight jitters of base vectors (the clone
-    // groups a dedup pass exists to find), the rest independent. Report
-    // surviving cell pairs / total, edge count, and edge-generation
+    // threshold (~0.9) on a CLUSTERED corpus — the shape real embedding
+    // spaces have (it is why IVF works at all), and the regime the bound's
+    // math targets: tight clusters ⇒ small cell radii ⇒ the triangle
+    // inequality kills far cell pairs. Fixture: rows/64 clusters (the
+    // dedup-index cell sizing rule, so KMeans can give each cluster its
+    // own cell), anchors = independent random directions (near-orthogonal
+    // in 64-dim), members = anchor + 2% jitter (within-cluster cosines
+    // ≈ 0.99 — true near-dup groups at t=0.9). A diffuse-uniform fixture
+    // measures nothing here: uniform cells have ~unit radii, the bound
+    // provably cannot prune, and the report reads 0 by construction.
+    // Report surviving cell pairs / total, edge count, and edge-generation
     // wall-clock at 1x/4x/16x for t=0.4 and t=0.9.
     if (section == "all" || section == "dedup09") {
       import spark.implicits._
-      val baseVecs = emb.as[(Long, Array[Float])]
+      val dim = 64
       for (mult <- Seq(1, 4, 16)) {
-        val scaled = (0 until mult).map { k =>
-          if (k == 0) baseVecs
-          else baseVecs.map { case (id, v) =>
-            val out = new Array[Float](v.length)
-            var i = 0
-            while (i < v.length) {
-              var h = (id + k.toLong * 10_000_000L) * 0x9E3779B97F4A7C15L +
-                i.toLong * 0xBF58476D1CE4E5B9L
-              h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-              val u = (((h & 0xFFFFFFL).toDouble / (1 << 24)) - 0.5)
-              // every 10th id: a CLONE of the base vector plus 1% jitter
-              // (a true near-dup at t=0.9); the rest: independent draws
-              out(i) =
-                if (id % 10 == 0) (v(i) + u * 0.02).toFloat
-                else u.toFloat
-              i += 1
-            }
-            (id + k * 10_000_000L, out)
+        val rowsWanted = 2000L * mult
+        val scaled = spark.range(rowsWanted).map { id =>
+          val cluster = id / 64
+          val out = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            var h = cluster * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+            h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+            val anchor = ((h & 0xFFFFFFL).toDouble / (1 << 24)) - 0.5
+            var j = id * 0xD6E8FEB86659FD93L + i.toLong * 0xA24BAED4963EE407L
+            j ^= j >>> 33; j *= 0x9E3779B97F4A7C15L; j ^= j >>> 33
+            val jitter = (((j & 0xFFFFFFL).toDouble / (1 << 24)) - 0.5) * 0.02
+            out(i) = (anchor + jitter).toFloat
+            i += 1
           }
-        }.reduce(_ union _).toDF("vec_id", "embedding").cache()
+          (id, out)
+        }.toDF("vec_id", "embedding").cache()
         val rows = scaled.count()
         val nCells = math.min(1024L, math.max(8L, rows / 64L)).toInt
-        println(s"[scale] ===== dedup09 mult=$mult rows=$rows cells=$nCells =====")
+        println(s"[scale] ===== dedup09 mult=$mult rows=$rows cells=$nCells " +
+          s"clusters=${rows / 64} =====")
         val dir = java.nio.file.Files.createTempDirectory("smoke-d09").toString
         graft.ops.IvfIndex.save(spark,
           graft.ops.IvfIndex.build(spark, scaled, nCells = nCells, seed = 7L,

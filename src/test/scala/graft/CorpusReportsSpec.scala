@@ -46,6 +46,28 @@ class CorpusReportsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
   }
 
+  test("q121 kernel: waterfill caps the big sources and drains the budget") {
+    import spark.implicits._
+    // hand-checkable: tokens 10/20/70, budget 50 → boundary at the 70
+    // source, cap = (50 − 30) / 1 = 20; allocations 10 + 20 + 20 = 50
+    val ps = Seq(("a", 10L), ("b", 20L), ("c", 70L)).toDF("source", "ntoks")
+    val got = CorpusReports.waterfillOf(ps, 50L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(("a", 10L, false), ("b", 20L, false), ("c", 20L, true)))
+
+    // equal sources: the boundary binds at row 1, everyone gets the floor
+    // cap, remainder (< #sources) stays unallocated
+    val eq = Seq(("a", 100L), ("b", 100L), ("c", 100L)).toDF("source", "ntoks")
+    val got2 = CorpusReports.waterfillOf(eq, 100L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(got2.forall(_ == (33L, true)))
+
+    // budget covers everything: nobody is capped
+    val free = CorpusReports.waterfillOf(ps, 1000L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(free.toSeq == Seq((10L, false), (20L, false), (70L, false)))
+  }
+
   test("q116: bucket boundaries are integer-exact at powers of two") {
     import spark.implicits._
     // frequencies 1, 2, 4, 8 — each must land in bucket log2(n) EXACTLY

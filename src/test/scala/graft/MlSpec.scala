@@ -36,7 +36,8 @@ class MlSpec extends AnyFunSuite {
       "q103_support_cells", "q103_support_centroids",
       "q105_support_logratio", "q107_support_rates",
       "q112_support_codebooks", "q112_support_pqcells",
-      "q112_support_cellmeans"), tables)
+      "q112_support_cellmeans", "q122_support_sigs",
+      "q123_support_bands"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -206,6 +206,31 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"expected a cell partition filter on q111's member scan:\n$p")
   }
 
+  test("q116: frequency histogram is pure partial aggregation — no window, no sort before agg") {
+    // the whole point of the bin-length bucket design: a rank-based Zipf
+    // report would need one unpartitioned window over the vocabulary;
+    // this plan must stay two map-side-combined aggregations
+    val p = plan("q116_token_freq_hist")
+    assert(!p.contains("Window"), s"q116 must not plan a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial aggs:\n$p")
+  }
+
+  test("q117: the corpus gram table feeds a semi join — no distinct pass over it") {
+    val p = plan("q117_eval_saturation")
+    assert(p.contains("LeftSemi"), s"expected a left-semi hit probe:\n$p")
+  }
+
+  test("q121: the waterfill windows run over the source dimension, after the corpus agg") {
+    // the unpartitioned windows are fine ONLY because their input is the
+    // per-source aggregate (≤ #sources rows); assert the aggregation sits
+    // below the first window so corpus rows never reach it
+    val p = plan("q121_budget_waterfill")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected the per-source aggregate BELOW the window:\n$p")
+  }
+
   test("q110: the boilerplate set joins back broadcast; one df aggregation") {
     // the join of gram occurrences against the qualifying-gram set must
     // be BROADCAST (the set is bounded by grams-per-doc / df-fraction

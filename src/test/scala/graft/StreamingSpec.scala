@@ -246,6 +246,37 @@ class StreamingSpec extends AnyFunSuite {
       .collect().sorted.toSeq == kept)
   }
 
+  test("continuous eval saturation equals batch q117 after the corpus streams through") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-satstream").toString
+    val in = s"$base/in"; val hits = s"$base/hits"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") < 50)
+    // the train split streams in two micro-batches
+    docs.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+      .write.parquet(s"$in/b1")
+    Incremental.continuousEvalSaturation(spark, s"$in/*", docSchema, evalDocs, hits, ck)
+    val mid = Incremental.evalSaturationReport(spark, evalDocs, hits)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    docs.filter(col("doc_id") >= 75).write.parquet(s"$in/b2")
+    Incremental.continuousEvalSaturation(spark, s"$in/*", docSchema, evalDocs, hits, ck)
+    val fin = Incremental.evalSaturationReport(spark, evalDocs, hits)
+    // monotone: more corpus can only raise a doc's hit count
+    fin.select("doc_id", "n_hit").as[(Long, Long)].collect()
+      .foreach { case (id, h) => assert(h >= mid.getOrElse(id, 0L), s"doc $id regressed") }
+    // row-identical to the batch q117 over the full corpus
+    val batch = graft.ops.CorpusReports.q117EvalSaturation(spark, sf)
+    assert(fin.collect().map(_.toSeq).toSeq == batch.collect().map(_.toSeq).toSeq)
+    // replay with no new files: checkpoint makes it a no-op
+    val before = spark.read.parquet(hits).count()
+    Incremental.continuousEvalSaturation(spark, s"$in/*", docSchema, evalDocs, hits, ck)
+    assert(spark.read.parquet(hits).count() == before)
+  }
+
   test("continuous boilerplate scrub equals the batch q110 output under the exported gram set") {
     val base = Files.createTempDirectory("graft-boilstream").toString
     val in = s"$base/in"; val out = s"$base/out"

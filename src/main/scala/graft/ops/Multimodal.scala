@@ -148,7 +148,9 @@ object Multimodal {
     * (cycled when shorter) — deterministic binary media the oracle can
     * reason about arithmetically. 54-byte header (14 file + 40 info),
     * bottom-up rows, BGR byte order, no row padding (4 px × 3 B = 12 B,
-    * already word-aligned). */
+    * already word-aligned). Byte = low byte of the UTF-16 code unit —
+    * identical to DuckDB's ord() ONLY on ASCII text, the same corpus
+    * contract q52's byte-length oracle already relies on. */
   private[graft] def bmpOf(text: String): Array[Byte] = {
     if (text == null || text.isEmpty) return null
     val out = new Array[Byte](102)

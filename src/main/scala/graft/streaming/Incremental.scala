@@ -336,7 +336,10 @@ object Incremental {
     * Duplicate hits (the same gram seen in later batches) are expected
     * and collapse in [[evalSaturationReport]]'s aggregation; saturation
     * is monotone in ingest — the live form of "this eval number is
-    * expiring". */
+    * expiring". Contract: stream the TRAIN split — the maintainer does
+    * not filter eval ids out of the stream (the two id spaces may be
+    * unrelated, the searchThreshold excludeSelf lesson), so streaming
+    * the eval docs themselves would trivially saturate them. */
   def continuousEvalSaturation(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType,
       evalDocs: DataFrame, hitsDir: String, checkpointDir: String): StreamingQuery = {
@@ -360,14 +363,24 @@ object Incremental {
     * distinct grams, grams seen anywhere in the ingested corpus, and the
     * saturation ratio — row-identical to the batch q117 on the same
     * corpus (StreamingSpec asserts it). dropDuplicates absorbs the
-    * cross-batch repeat hits by design. */
+    * cross-batch repeat hits by design. Before any ingest (no hit table
+    * yet) the report is all-zeros rather than an error — only a MISSING
+    * path takes that branch; a transient read failure on a real table
+    * still fails loudly (the bootstrap-probe discipline). */
   def evalSaturationReport(spark: SparkSession, evalDocs: DataFrame,
       hitsDir: String): DataFrame = {
+    import spark.implicits._
     val tot = evalDocs
       .select(col("doc_id"),
         explode(graft.functions.TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = spark.read.parquet(hitsDir)
+    val hitRows =
+      try spark.read.parquet(hitsDir)
+      catch {
+        case e: Throwable if graft.ops.IvfIndex.isMissingPath(e) =>
+          Seq.empty[(Long, Long)].toDF("doc_id", "gh")
+      }
+    val hits = hitRows
       .dropDuplicates("doc_id", "gh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     tot.join(hits, Seq("doc_id"), "left")

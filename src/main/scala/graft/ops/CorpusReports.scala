@@ -218,6 +218,58 @@ object CorpusReports {
       ranked)
   }
 
+  /** Gate-funnel (loss accounting) report: per source, the document counts
+    * surviving each stage of the standard curation cascade — raw → rule
+    * gate (the q97-certified predicate) → exact dedup among gate
+    * survivors (canonical = min doc_id per fingerprint, the q36 contract)
+    * → decontamination (zero 5-gram overlap with the eval split, the q69
+    * contract). The table every production pipeline keeps next to its
+    * output: when a mixture shrinks, this says WHICH stage ate it and
+    * from WHICH feed.
+    *
+    * Composes three certified kernels over ONE cached narrow projection;
+    * the contamination arm runs only over gate survivors (the cascade
+    * order — the report is cheaper than the q69 full pass it mirrors).
+    * All counts integer-exact. */
+  val q127GateFunnel: Q = (s, d) => gateFunnelOf(Tables.documents(s, d))
+
+  /** The funnel over an arbitrary (doc_id, source, text) frame — the unit
+    * tests plant gate-failures / clones / contaminated docs against it.
+    * Eval split = doc_id < 50 (the q69 convention). */
+  private[graft] def gateFunnelOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val train = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.ruleGateKeep().as("keep_gate"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .cache()
+    val canon = train.filter(col("keep_gate"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val evalVocab = docs.filter(col("doc_id") < 50)
+      .select(explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .distinct()
+    val contam = train.filter(col("keep_gate"))
+      .select(col("doc_id"), explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .join(evalVocab, Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val isCanon = col("keep_gate") && col("doc_id") === col("keep_id")
+    Caching.materializeAndRelease(
+      train
+        .join(canon, Seq("fp"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("s1", col("keep_gate").cast("long"))
+        .withColumn("s2", isCanon.cast("long"))
+        .withColumn("s3", (isCanon && !coalesce(col("contaminated"), lit(false))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("s1")).cast("long").as("n_gate"),
+          sum(col("s2")).cast("long").as("n_dedup"),
+          sum(col("s3")).cast("long").as("n_clean"))
+        .orderBy(col("source")),
+      train)
+  }
+
   def queries: Map[String, Q] = Map(
     "q115_dup_cluster_hist" -> q115DupClusterHist,
     "q116_token_freq_hist"  -> q116TokenFreqHist,
@@ -226,9 +278,49 @@ object CorpusReports {
     "q119_cell_balance"     -> q119CellBalance,
     "q120_ctx_fit"          -> q120CtxFit,
     "q121_budget_waterfill" -> q121BudgetWaterfill,
+    "q127_gate_funnel"      -> q127GateFunnel,
   )
 
   def oracle: Map[String, String] = Map(
+    // stage predicates are verbatim q97 (gate), q36 (fingerprint), q69
+    // (string-exact 5-gram overlap) oracle text — the funnel certifies
+    // their COMPOSITION
+    "q127_gate_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, toks, text,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(length(replace(array_to_string(toks, ' '), ' ', '')) * 1.0 / len(toks), 4) AS mean_wlen,
+        |    CAST(list_contains(toks, 'the') AS BIGINT)
+        |      + CAST(list_contains(toks, 'a') AS BIGINT)
+        |      + CAST(list_contains(toks, 'of') AS BIGINT) AS stop_hits,
+        |    round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) AS symbol_ratio
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN n_words BETWEEN 30 AND 90 AND mean_wlen BETWEEN 3 AND 10
+        |      AND stop_hits >= 1 AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS keep_gate
+        |  FROM m WHERE doc_id >= 50),
+        |canon AS (SELECT fp, min(doc_id) AS keep_id FROM k WHERE keep_gate = 1 GROUP BY 1),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |     for i in range(1, len(toks) - 3)])) AS gm
+        |  FROM t WHERE len(toks) >= 5),
+        |ev AS (SELECT DISTINCT gm FROM sh WHERE doc_id < 50),
+        |contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (gm) WHERE sh.doc_id >= 50)
+        |SELECT k.source, count(*) AS n_raw,
+        |  CAST(sum(keep_gate) AS BIGINT) AS n_gate,
+        |  CAST(sum(CASE WHEN keep_gate = 1 AND k.doc_id = canon.keep_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN keep_gate = 1 AND k.doc_id = canon.keep_id
+        |    AND contam.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM k LEFT JOIN canon USING (fp) LEFT JOIN contam ON k.doc_id = contam.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q115_dup_cluster_hist" ->
       """WITH c AS (
         |  SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,

@@ -107,7 +107,12 @@ object Scoring {
     * TakeOrderedAndProject — no global sort, no unpartitioned window.
     * Scores are rounded to 4 decimals and tie-broken by doc_id so the
     * ranking is engine-independent. */
-  val q84Bm25: Q = (s, d) => {
+  val q84Bm25: Q = (s, d) => bm25Top20(s, d)
+
+  /** The q84 scorer as a shared kernel — q84 certifies it directly and
+    * q125's lexical arm reuses it, so the hybrid ranking can never drift
+    * from the certified scorer. */
+  private def bm25Top20(s: SparkSession, d: String): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val qTerms = Seq("spark", "join", "data")
@@ -148,21 +153,31 @@ object Scoring {
     * side is vocabulary-sized and unbounded at 100 TB — no broadcast hint,
     * AQE picks the join strategy; the grand total is a broadcast 1-row
     * scalar (q04 pattern). */
-  val q85Perplexity: Q = (s, d) => {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .cache()
-    val uni = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
-    val tot = uni.agg(sum(col("ct")).cast("double").as("total"))
-    Caching.materializeAndRelease(
-      tf.join(uni, Seq("term"))
-        .crossJoin(broadcast(tot))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).cast("long").as("n_toks"),
-          round(-sum(col("tf") * log(col("ct") / col("total"))) / sum(col("tf")), 4).as("nll"))
-        .orderBy(col("doc_id")),
-      tf)
+  val q85Perplexity: Q = (s, d) => perplexityScores(s, d).orderBy(col("doc_id"))
+
+  /** The per-document NLL score table, fit ONCE per (session, dataset) and
+    * persisted as a parquet artifact (the q49-embedding contract): the
+    * curriculum ordering (q126) consumes the same scores, and a production
+    * pipeline scores once then reuses — recomputing the corpus LM fit per
+    * consumer would double the most expensive pass. */
+  private[graft] def perplexityScores(s: SparkSession, d: String): DataFrame = {
+    val p = SessionArtifacts.dir("nll", s, d) { t =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .cache()
+      val uni = tf.groupBy(col("term")).agg(sum(col("tf")).as("ct"))
+      val tot = uni.agg(sum(col("ct")).cast("double").as("total"))
+      Caching.materializeAndRelease(
+        tf.join(uni, Seq("term"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).cast("long").as("n_toks"),
+            round(-sum(col("tf") * log(col("ct") / col("total"))) / sum(col("tf")), 4).as("nll")),
+        tf)
+        .write.mode("overwrite").parquet(s"$t/scores")
+    }
+    s.read.parquet(s"$p/scores")
   }
 
   // ---------------------------------------------------------------- q86
@@ -371,6 +386,91 @@ object Scoring {
     InvertedIndex.searchBm25(s, dir, Seq("spark", "join", "data"), k = 20)
   }
 
+  // --------------------------------------------------------------- q125
+
+  /** The fixed retrieval query shared by both hybrid arms: its terms feed
+    * the BM25 scorer, its hashing-trick embedding feeds the dense scorer.
+    * One definition so the arms cannot answer different questions. */
+  private[graft] val HybridQueryTerms = Seq("spark", "join", "data")
+  private[graft] def hybridQueryVec: Array[Float] =
+    graft.ml.Embed.encodeBatch(Seq(HybridQueryTerms.mkString(" "))).head
+
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009, k = 60): the lexical top-20 (the q84-certified BM25 kernel)
+    * and the dense top-20 (cosine between the query's hashing-trick
+    * embedding and the q49-certified document embeddings, served from the
+    * persisted session artifact) fuse as Σ 1/(60 + rank) — the standard
+    * score-free combiner RAG retrieval stacks run because it needs no
+    * cross-arm score calibration.
+    *
+    * Scale shape: each arm is its own top-k (TakeOrderedAndProject — no
+    * global sort); ranks are windows over the ALREADY-LIMITED 20-row
+    * frames (the q11 bounded-window discipline); the fusion join is
+    * 20×20-bounded. The dense arm is a full scan of the embedding
+    * artifact here (the certified exact tier, like q44); a production
+    * deployment swaps in the IVF serve (q99) for the same contract.
+    * Both ranks order by the ROUNDED score with doc_id tiebreak, so the
+    * ranking — not just the scores — is engine-independent. */
+  val q125HybridRrf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.GraftInternal
+    val qv = array(hybridQueryVec.map(lit): _*)
+    val lex = bm25Top20(s, d)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val cosCol = GraftInternal.column(graft.plans.CosineSim(
+      GraftInternal.expression(col("embedding")), GraftInternal.expression(qv)))
+    val dense20 = graft.ml.Embed.embedDocuments(s, d)
+      .select(col("doc_id"), round(cosCol, 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense20, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"))
+  }
+
+  /** Oracle support for q125's dense arm: the query embedding as a
+    * (pos, v) table — the doc embeddings themselves ride the q49 export
+    * ([[graft.ops.Ml]] `writeEmbedSupport`). */
+  def writeHybridSupport(s: SparkSession, d: String, outDir: String): Unit = {
+    val qv = hybridQueryVec
+    s.createDataFrame(qv.toSeq.zipWithIndex.map { case (v, i) => (i, v.toDouble) })
+      .toDF("pos", "v")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q125_support_qvec")
+  }
+
+  // --------------------------------------------------------------- q126
+
+  /** Curriculum ordering (perplexity annealing): the deterministic global
+    * training order a pretraining run feeds its shards in — worst
+    * (highest-perplexity) documents first, best last, ties shuffled by
+    * md5 so equal-scoring docs don't cluster by id. The score is the
+    * q85-certified unigram-LM NLL (the canonical curriculum signal).
+    *
+    * The global position comes from [[Ordinal.globalOrdinal]] — the
+    * TeraSort-shaped range-partition + partition-offset plan, NOT a
+    * `row_number` over an unpartitioned window: this is the one query
+    * class that genuinely needs a total order over the corpus, and the
+    * kernel is the scale-correct way to get one. */
+  val q126Curriculum: Q = (s, d) => {
+    val keyed = perplexityScores(s, d)
+      .select(col("doc_id"), col("nll"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("h"))
+    Ordinal.globalOrdinal(keyed,
+        Seq(col("nll").desc, col("h"), col("doc_id")))
+      .select(col("pos"), col("doc_id"), col("nll"))
+      .orderBy(col("pos"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, Q] = Map(
@@ -385,26 +485,46 @@ object Scoring {
     "q89_weighted_sample" -> q89WeightedSample,
     "q90_profile"        -> q90Profile,
     "q98_expectations"   -> q98Expectations,
+    "q125_hybrid_rrf"    -> q125HybridRrf,
+    "q126_curriculum"    -> q126Curriculum,
   )
 
   private val tokCol =
     """string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')"""
 
-  private val bm25Sql =
-    s"""WITH dl AS (
+  // split into CTE body + final select so q125's oracle can extend the
+  // SAME certified scorer text with its fusion stages (one definition)
+  private val bm25Ctes =
+    s"""dl AS (
        |  SELECT doc_id, len($tokCol) AS dl FROM documents),
        |hits AS (
        |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
        |h AS (SELECT * FROM hits WHERE term IN ('spark', 'join', 'data')),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2),
        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
-       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl)
-       |SELECT doc_id, round(sum(
-       |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
-       |      * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
-       |  ), 4) AS bm25
-       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl)""".stripMargin
+
+  private val bm25Select =
+    """SELECT doc_id, round(sum(
+      |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+      |      * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+      |  ), 4) AS bm25
+      |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  private val bm25Sql = s"WITH $bm25Ctes\n$bm25Select"
+
+  // the q85 NLL model as a CTE body — q85 certifies it, q126 orders by it
+  private val nllCtes =
+    s"""toks AS (
+       |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tfq GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS total FROM uni),
+       |nllt AS (
+       |  SELECT tfq.doc_id, CAST(sum(tfq.tf) AS BIGINT) AS n_toks,
+       |    round(-sum(tfq.tf * ln(uni.ct / tot.total)) / sum(tfq.tf), 4) AS nll
+       |  FROM tfq JOIN uni USING (term) CROSS JOIN tot GROUP BY 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q82_bloom_decontam" ->
@@ -440,15 +560,35 @@ object Scoring {
     // inline scorer exactly, so the same oracle certifies both
     "q93_bm25_indexed" -> bm25Sql,
     "q85_perplexity" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS total FROM uni)
-         |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_toks,
-         |  round(-sum(tf.tf * ln(uni.ct / tot.total)) / sum(tf.tf), 4) AS nll
-         |FROM tf JOIN uni USING (term) CROSS JOIN tot
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $nllCtes
+         |SELECT doc_id, n_toks, nll FROM nllt ORDER BY doc_id""".stripMargin,
+    "q126_curriculum" ->
+      s"""WITH $nllCtes
+         |SELECT row_number() OVER (
+         |    ORDER BY nll DESC, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         |  ) AS pos, doc_id, nll
+         |FROM nllt ORDER BY pos""".stripMargin,
+    "q125_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lex_s AS ($bm25Select),
+         |lex AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex_s),
+         |qv AS (SELECT list(v ORDER BY pos) AS q
+         |  FROM read_parquet('{GRAFT_OUT}_support/q125_support_qvec/*.parquet')),
+         |den_s AS (
+         |  SELECT doc_id, round(
+         |      list_sum([CAST(embedding[i] AS DOUBLE) * q[i]
+         |                for i in range(1, len(embedding) + 1)]) /
+         |      (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]))
+         |        * sqrt(list_sum([y * y for y in q]))), 4) AS cos
+         |  FROM read_parquet('{GRAFT_OUT}_support/q94_support_features/*.parquet'), qv
+         |  ORDER BY cos DESC, doc_id LIMIT 20),
+         |den AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank FROM den_s)
+         |SELECT doc_id, lex_rank, dense_rank,
+         |  round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf
+         |FROM lex FULL JOIN den USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q86_shard_plan" ->
       s"""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard,
          |  count(*) AS n_docs,

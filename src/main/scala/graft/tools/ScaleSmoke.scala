@@ -582,6 +582,33 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // GLOBAL ORDINAL (q126's kernel): corpus total order at 1x/4x/16x —
+    // the range-partition + zipWithIndex plan must scale like a
+    // distributed sort (near-linear), with partition count scaling as the
+    // data grows. The naive alternative (unpartitioned row_number window)
+    // is the anti-pattern this kernel exists to avoid.
+    if (section == "all" || section == "ordinal") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("n_chars"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            col("n_chars"))
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        println(s"[scale] ===== ordinal mult=$mult rows=$rows =====")
+        time(s"mult=$mult global ordinal (range + zipWithIndex)") {
+          val pos = graft.ops.Ordinal.globalOrdinal(scaled,
+            Seq(col("n_chars").desc, col("doc_id")), numPartitions = 32 * mult)
+          // materialize + integrity probe: dense 1..N positions sum to
+          // N(N+1)/2 — a dropped or duplicated ordinal cannot hide
+          val got = pos.agg(sum(col("pos")), count(lit(1))).head()
+          val cnt = got.getLong(1)
+          require(got.getLong(0) == cnt * (cnt + 1) / 2, "ordinal not dense 1..N")
+        }
+        scaled.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -84,9 +84,11 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // also q57's corpus count and q50's topic-pct total)
     // q84/q85/q93 add the same broadcast-1-row-scalar shape (corpus stats /
     // unigram grand total / persisted index stats)
+    // q125/q126 compose the q84/q85 kernels, inheriting the same shape
     val allowedNestedLoop =
       Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info",
-        "q84_bm25", "q85_perplexity", "q93_bm25_indexed")
+        "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
+        "q125_hybrid_rrf", "q126_curriculum")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)
@@ -335,5 +337,34 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val p = plan("q03_group_count")
     // two HashAggregates (partial + final) around the exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q126: the ordinal's sort stage is a range exchange; the final plan has no global window") {
+    import org.apache.spark.sql.functions.col
+    // the zipWithIndex hop hides the sort stage behind an RDD scan, so
+    // audit the stage itself for the TeraSort shape…
+    val stagePlan = graft.ops.Ordinal.rangeSortedStage(
+        graft.Tables.documents(spark, sf).select(col("doc_id")),
+        Seq(col("doc_id")), 32)
+      .queryExecution.executedPlan.toString
+    assert(stagePlan.contains("rangepartitioning"),
+      s"q126's total order must come from a range exchange:\n$stagePlan")
+    // …and the full query for the anti-pattern's absence: position
+    // assignment must never be an unpartitioned row_number window
+    val p = plan("q126_curriculum")
+    assert(!p.contains("Window"),
+      s"q126 must take positions from zipWithIndex, not a window:\n$p")
+  }
+
+  test("q125: each fusion arm is TakeOrdered; windows only over the limited frames") {
+    val p = plan("q125_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"both hybrid arms must top-k via TakeOrderedAndProject (no global sort):\n$p")
+  }
+
+  test("q127: the contamination arm joins the eval vocabulary as LEFT SEMI") {
+    val p = plan("q127_gate_funnel")
+    assert(p.contains("LeftSemi"),
+      s"q127's contamination probe must be a semi join (no fan-out):\n$p")
   }
 }

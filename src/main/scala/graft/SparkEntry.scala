@@ -39,9 +39,10 @@ object SparkEntry {
   def oracleSupport: Seq[(Set[String], (SparkSession, String, String) => Unit)] =
     Seq(
       (Set("q49_embed_docs", "q50_topic_info", "q51_topic_terms",
-        "q94_topic_probs", "q95_topic_heatmap", "q125_hybrid_rrf"),
-        ops.Ml.writeEmbedSupport),
-      (Set("q125_hybrid_rrf"), ops.Scoring.writeHybridSupport),
+        "q94_topic_probs", "q95_topic_heatmap", "q125_hybrid_rrf",
+        "q128_hybrid_served"), ops.Ml.writeEmbedSupport),
+      (Set("q125_hybrid_rrf", "q128_hybrid_served"), ops.Scoring.writeHybridSupport),
+      (Set("q128_hybrid_served"), ops.Scoring.writeServedHybridSupport),
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
       (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq",

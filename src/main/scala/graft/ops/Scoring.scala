@@ -373,18 +373,20 @@ object Scoring {
     * on-disk layout. This is the deployable retrieval shape: at 100 TB
     * the build is one tokenize + one (term, doc_id) shuffle, and each
     * query reads only footer-pruned term-range posting files. */
-  val q93Bm25Indexed: Q = (s, d) => {
-    // Build ONCE per (session, dataset) — the index is a persistent
-    // artifact (a sink, like K7's shard export), so repeated queries serve
-    // from the existing files; only the first invocation pays the corpus
-    // pass (SessionArtifacts: single-flight build, dirs reaped at JVM
-    // exit). This is the deployed contract: build amortizes over every
-    // query that follows.
-    val dir = SessionArtifacts.dir("invidx", s, d) { t =>
+  val q93Bm25Indexed: Q = (s, d) =>
+    InvertedIndex.searchBm25(s, invIdxDir(s, d), HybridQueryTerms, k = 20)
+
+  /** Built ONCE per (session, dataset) — the index is a persistent
+    * artifact (a sink, like K7's shard export), so repeated queries serve
+    * from the existing files; only the first invocation pays the corpus
+    * pass (SessionArtifacts: single-flight build, dirs reaped at JVM
+    * exit). This is the deployed contract: build amortizes over every
+    * query that follows — q93 certifies it, q128's lexical arm serves
+    * from it. */
+  private def invIdxDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("invidx", s, d) { t =>
       InvertedIndex.build(s, Tables.documents(s, d), t)
     }
-    InvertedIndex.searchBm25(s, dir, Seq("spark", "join", "data"), k = 20)
-  }
 
   // --------------------------------------------------------------- q125
 
@@ -427,13 +429,86 @@ object Scoring {
       .withColumn("dense_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
       .select(col("doc_id"), col("dense_rank"))
-    lex.join(dense20, Seq("doc_id"), "full_outer")
+    rrfFuse(lex, dense20)
+  }
+
+  /** The RRF combiner shared by q125 (exact arms) and q128 (served
+    * arms): one definition, so the two tiers can never fuse
+    * differently. Inputs are the 20-row ranked arms; the join is
+    * 20×20-bounded. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame =
+    lex.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"))
+
+  // --------------------------------------------------------------- q128
+
+  /** The q128 dense tier's serving knob: nProbe strictly below the
+    * smallest possible codebook (nCells ≥ 8 by the build clamp), so the
+    * probed-cell partition filter always selects a strict subset of the
+    * index — the [[graft.ops.Similarity]] ServeNProbe discipline,
+    * interpolated into both the kernel call and the oracle's `prn <=`
+    * cut so they cannot desync. */
+  private[graft] val DocServeNProbe = 3
+
+  /** Once-per-(session, dataset) IVF index over the DOCUMENT embedding
+    * artifact (64-dim, doc_id-keyed — distinct from the q45 index over
+    * the `embeddings` table): the dense serving tier for document
+    * retrieval. Same sizing/clamp as the dedup index (nCells ∝ N/64,
+    * single assignment). */
+  private[graft] def docIvfDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("ivf-doc", s, d) { t =>
+      val e = graft.ml.Embed.embedDocuments(s, d)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      val n = e.count()
+      val nCells = math.min(1024L, math.max(8L, n / 64L)).toInt
+      IvfIndex.save(s, IvfIndex.build(s, e, nCells = nCells, seed = 11L, nReplicas = 1), t)
+    }
+
+  /** Hybrid retrieval SERVED entirely from persisted artifacts — the
+    * deployable tier of q125 (the q93-vs-q84 relationship, for the whole
+    * hybrid stack): the lexical arm answers from the q93 inverted index
+    * (corpus text never read), the dense arm from the document IVF index
+    * (partition-pruned probe, [[DocServeNProbe]] of ≥ 8 cells), fused by
+    * the SAME [[rrfFuse]] combiner. The dense arm is the ANN
+    * approximation of q125's exact scan — the oracle replays the full
+    * probed path (unit-space routing, pruned member set, raw-vector
+    * cosine rank) from the exported index, so the SERVED answers are
+    * hash-certified, approximation and all. */
+  val q128HybridServed: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val idx = IvfIndex.load(s, docIvfDir(s, d))
+    require(DocServeNProbe < idx.centroids.length,
+      s"serve probe count ${DocServeNProbe} must prune: codebook has ${idx.centroids.length} cells")
+    val dense = IvfIndex.searchTopK(s, idx,
+        Seq((-1L, hybridQueryVec)).toDF("vec_id", "embedding"),
+        k = 20, nProbe = DocServeNProbe)
+      .select(col("nn_id").as("doc_id"), col("rn").as("dense_rank"))
+    val lex = InvertedIndex.searchBm25(s, invIdxDir(s, d), HybridQueryTerms, k = 20)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    rrfFuse(lex, dense)
+  }
+
+  /** Oracle support for q128's dense arm: the document IVF index layout
+    * (cell assignments + codebook) — the oracle recomputes routing,
+    * pruning, and ranking from these plus the q125 query vector and the
+    * q49 embedding export. */
+  def writeServedHybridSupport(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    val idx = IvfIndex.load(s, docIvfDir(s, d))
+    idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id").as("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q128_support_cells")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+      .toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q128_support_centroids")
   }
 
   /** Oracle support for q125's dense arm: the query embedding as a
@@ -487,6 +562,7 @@ object Scoring {
     "q98_expectations"   -> q98Expectations,
     "q125_hybrid_rrf"    -> q125HybridRrf,
     "q126_curriculum"    -> q126Curriculum,
+    "q128_hybrid_served" -> q128HybridServed,
   )
 
   private val tokCol =
@@ -585,6 +661,54 @@ object Scoring {
          |  ORDER BY cos DESC, doc_id LIMIT 20),
          |den AS (SELECT doc_id,
          |  row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank FROM den_s)
+         |SELECT doc_id, lex_rank, dense_rank,
+         |  round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf
+         |FROM lex FULL JOIN den USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    // the SERVED hybrid: same lexical text (the q93-certified round trip
+    // answers identically to the inline scorer), dense arm replayed
+    // through the exported doc-IVF layout — unit-space routing (REAL cast
+    // per element, the engine's float unit()), squared-L2 probe ranking
+    // with cell tiebreak, pruned member set, raw-vector cosine rank —
+    // the annRankedCtes discipline over the q128 exports
+    "q128_hybrid_served" ->
+      s"""WITH $bm25Ctes,
+         |lex_s AS ($bm25Select),
+         |lex AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex_s),
+         |qv AS (SELECT list(v ORDER BY pos) AS q
+         |  FROM read_parquet('{GRAFT_OUT}_support/q125_support_qvec/*.parquet')),
+         |qn2 AS (SELECT sqrt(list_sum([y * y for y in q])) AS qnrm FROM qv),
+         |uq AS (SELECT [CAST(y / qnrm AS REAL) for y in q] AS uv FROM qv, qn2),
+         |cen AS (SELECT cell, centroid
+         |  FROM read_parquet('{GRAFT_OUT}_support/q128_support_centroids/*.parquet')),
+         |probes AS (
+         |  SELECT cell FROM (
+         |    SELECT cen.cell, row_number() OVER (ORDER BY
+         |      list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+         |                (CAST(uv[i] AS DOUBLE) - centroid[i])
+         |                for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
+         |    FROM uq CROSS JOIN cen)
+         |  WHERE prn <= $DocServeNProbe),
+         |mem AS (
+         |  SELECT DISTINCT m.doc_id
+         |  FROM read_parquet('{GRAFT_OUT}_support/q128_support_cells/*.parquet') m
+         |  JOIN probes USING (cell)),
+         |scored AS (
+         |  SELECT e.doc_id,
+         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * q[i]
+         |              for i in range(1, len(e.embedding) + 1)]) /
+         |      (qnrm * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         |                             for x in e.embedding]))) AS cos_raw
+         |  FROM mem
+         |  JOIN read_parquet('{GRAFT_OUT}_support/q94_support_features/*.parquet') e
+         |    USING (doc_id)
+         |  CROSS JOIN qv CROSS JOIN qn2),
+         |den_s AS (
+         |  SELECT doc_id, cos_raw FROM scored WHERE NOT isnan(cos_raw)
+         |  ORDER BY cos_raw DESC, doc_id LIMIT 20),
+         |den AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY cos_raw DESC, doc_id) AS dense_rank FROM den_s)
          |SELECT doc_id, lex_rank, dense_rank,
          |  round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf
          |FROM lex FULL JOIN den USING (doc_id)

@@ -390,6 +390,101 @@ object Incremental {
       .orderBy(col("doc_id"))
   }
 
+  /** Continuous gate-funnel accounting (the streaming twin of q127): each
+    * micro-batch of documents is annotated with its curation-cascade
+    * verdicts — rule gate (stateless predicate), exact-dedup canonical
+    * (within-batch min doc_id per fingerprint, then against the
+    * PERSISTED fingerprint set: first-admitted-wins, the streaming-dedup
+    * admission convention), and decontamination (FROZEN eval gram
+    * vocabulary broadcast as a hash set — the benchmark is a release
+    * artifact, the [[continuousDecontam]] discipline, exact here because
+    * the eval split is benchmark-sized). Per-doc flag rows append to
+    * `flagsDir`; admitted canonical fingerprints append to `fpDir` (the
+    * operator's restartable state). [[gateFunnelReport]] aggregates the
+    * flag table by source — row-identical to the batch q127 when
+    * ingestion is doc_id-ordered (then first-admitted = min doc_id);
+    * out-of-order ingestion diverges only in WHICH clone is canonical,
+    * never in the counts' stage telescoping. Exactly-once per input file
+    * via the checkpoint. */
+  def continuousGateFunnel(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, evalDocs: DataFrame,
+      flagsDir: String, fpDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val evalGh: Set[Long] = evalDocs
+      .select(explode(graft.functions.TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(evalGh)
+    val hit = udf { (ghs: Seq[Long]) =>
+      ghs != null && ghs.exists(bc.value.contains)
+    }
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch
+          .select(col("doc_id"), col("source"), col("text"),
+            graft.ops.TextOps.ruleGateKeep().as("keep_gate"),
+            graft.functions.TextFns.fingerprint(col("text")).as("fp"),
+            hit(graft.functions.TextFns.distinctGramHashes(col("text"), 5))
+              .as("contaminated"))
+          .cache()
+        val batchCanon = b.filter(col("keep_gate"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+        // absent only before the first batch — the bootstrap-probe
+        // discipline: a transient read failure on real state must fail
+        // the batch, not re-admit every clone as canonical
+        val known =
+          try s.read.parquet(fpDir).select(col("fp")).distinct()
+            .withColumn("seen", lit(true))
+          catch {
+            case e: Throwable if graft.ops.IvfIndex.isMissingPath(e) =>
+              Seq.empty[(String, Boolean)].toDF("fp", "seen")
+          }
+        val isCanon = col("keep_gate") && col("doc_id") === col("keep_id") &&
+          !coalesce(col("seen"), lit(false))
+        val flags = b
+          .join(batchCanon, Seq("fp"), "left")
+          .join(known, Seq("fp"), "left")
+          .select(col("doc_id"), col("source"), col("fp"),
+            col("keep_gate").cast("long").as("s1"),
+            isCanon.cast("long").as("s2"),
+            (isCanon && !col("contaminated")).cast("long").as("s3"))
+          .cache()
+        flags.drop("fp").write.mode("append").parquet(flagsDir)
+        flags.filter(col("s2") === 1L).select(col("fp"))
+          .write.mode("append").parquet(fpDir)
+        flags.unpersist()
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** The q127 report over the maintained flag table: per-source survivor
+    * counts through the cascade, schema-identical to the batch query.
+    * Before any ingest (no flag table yet) the report is empty rather
+    * than an error — missing-path-only, like [[evalSaturationReport]]. */
+  def gateFunnelReport(spark: SparkSession, flagsDir: String): DataFrame = {
+    import spark.implicits._
+    val flags =
+      try spark.read.parquet(flagsDir)
+      catch {
+        case e: Throwable if graft.ops.IvfIndex.isMissingPath(e) =>
+          Seq.empty[(Long, String, Long, Long, Long)]
+            .toDF("doc_id", "source", "s1", "s2", "s3")
+      }
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("s1")).cast("long").as("n_gate"),
+        sum(col("s2")).cast("long").as("n_dedup"),
+        sum(col("s3")).cast("long").as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   /** Continuous SEMANTIC decontamination (the streaming tier of q111, and
     * the embedding-space complement of [[continuousDecontam]]): each
     * micro-batch of ingested embeddings queries a FROZEN, persisted IVF

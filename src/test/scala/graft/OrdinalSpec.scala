@@ -93,4 +93,27 @@ class OrdinalSpec extends AnyFunSuite {
     val rrfs = rows.map(_.getDouble(3)).toSeq
     assert(rrfs == rrfs.sorted.reverse)
   }
+
+  test("q128 serves the same lexical arm as q125; dense arm approximates it") {
+    val sf = "/root/testdata/sf0.001"
+    def arms(rows: Array[org.apache.spark.sql.Row]) = (
+      rows.flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getInt(1))).toMap,
+      rows.flatMap(r => if (r.isNullAt(2)) None else Some(r.getLong(0) -> r.getInt(2))).toMap)
+    val exact = Scoring.q125HybridRrf(spark, sf).collect()
+    val served = Scoring.q128HybridServed(spark, sf).collect()
+    val (lexE, denE) = arms(exact)
+    val (lexS, denS) = arms(served)
+    // the lexical arm is the same certified scorer through the index
+    // round-trip: wherever a doc appears in both fused top-10s, its
+    // lex_rank must agree
+    lexS.keySet.intersect(lexE.keySet).foreach { id =>
+      assert(lexS(id) == lexE(id), s"lex_rank diverged for doc $id")
+    }
+    // the served dense arm is an approximation of the exact scan, not a
+    // stranger to it: the two fused top-10s overlap substantially
+    val overlap = served.map(_.getLong(0)).toSet
+      .intersect(exact.map(_.getLong(0)).toSet).size
+    assert(overlap >= 5, s"served/exact fused top-10 overlap only $overlap")
+    assert(denS.nonEmpty, "served dense arm contributed nothing")
+  }
 }

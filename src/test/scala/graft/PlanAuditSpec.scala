@@ -88,7 +88,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val allowedNestedLoop =
       Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info",
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
-        "q125_hybrid_rrf", "q126_curriculum")
+        "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)
@@ -366,5 +366,13 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val p = plan("q127_gate_funnel")
     assert(p.contains("LeftSemi"),
       s"q127's contamination probe must be a semi join (no fan-out):\n$p")
+  }
+
+  test("q128: the served dense arm partition-prunes the doc index; no corpus text scan") {
+    val p = plan("q128_hybrid_served")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected a partition filter on cell in q128's member scan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q128 must answer from artifacts only — corpus text scan found:\n$p")
   }
 }

@@ -771,4 +771,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sKeys.subsetOf(bKeys))
     assert(sKeys.nonEmpty)
   }
+
+  test("continuous gate funnel equals batch q127 under doc_id-ordered ingestion") {
+    val base = Files.createTempDirectory("graft-funnelstream").toString
+    val in = s"$base/in"; val flags = s"$base/flags"
+    val fps = s"$base/fps"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def words(n: Int, w: String) = Seq.fill(n)(w).mkString(" ")
+    val ok = "the " + words(49, "alpha")
+    val ok2 = "a " + words(49, "bravo")
+    // the OrdinalSpec funnel fixture, PLUS a batch-2 clone of a batch-1
+    // canonical — the cross-batch dedup state must catch it
+    val fixture = Seq(
+      (1L, "eval", "the " + words(49, "leak")),
+      (50L, "src0", ok), (51L, "src0", "tiny doc"),
+      (60L, "src1", ok2), (61L, "src1", ok2),
+      (62L, "src1", "the " + words(49, "leak")),
+      (70L, "src2", ok2), // clone of src1's batch-1 canonical
+      (71L, "src2", "the " + words(49, "clean"))
+    ).toDF("doc_id", "source", "text")
+    val evalDocs = fixture.filter(col("doc_id") < 50)
+    // pre-ingest: empty report, not an error
+    assert(Incremental.gateFunnelReport(spark, flags).collect().isEmpty)
+    fixture.filter(col("doc_id") >= 50 && col("doc_id") < 65)
+      .write.parquet(s"$in/b1")
+    Incremental.continuousGateFunnel(spark, s"$in/*", docSchema, evalDocs, flags, fps, ck)
+    fixture.filter(col("doc_id") >= 65).write.parquet(s"$in/b2")
+    Incremental.continuousGateFunnel(spark, s"$in/*", docSchema, evalDocs, flags, fps, ck)
+    val streamed = Incremental.gateFunnelReport(spark, flags)
+      .collect().map(_.toSeq).toSeq
+    val batch = ops.CorpusReports.gateFunnelOf(fixture)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the cross-batch clone (70) was denied canonical by the fp state
+    assert(streamed.find(_.head == "src2").get ==
+      Seq("src2", 2L, 2L, 1L, 1L))
+    // replay with no new files: checkpoint makes it a no-op
+    val before = spark.read.parquet(flags).count()
+    Incremental.continuousGateFunnel(spark, s"$in/*", docSchema, evalDocs, flags, fps, ck)
+    assert(spark.read.parquet(flags).count() == before)
+  }
 }

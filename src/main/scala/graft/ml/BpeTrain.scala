@@ -1,0 +1,121 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Distributed BPE tokenizer TRAINING — the missing half of the engine's
+  * tokenizer stack (q65 applies a fixed BPE-style segmentation; q113
+  * reports its economics; this LEARNS the merge table those consume).
+  *
+  * Classic byte-pair encoding (Sennrich et al. 2016) trains on the WORD
+  * FREQUENCY table, not the corpus: each vocabulary word is a symbol
+  * sequence (initially characters), and each round merges the
+  * highest-weighted adjacent symbol pair. The engine shape follows that
+  * structure exactly:
+  *
+  *   - ONE corpus pass builds the (word, count) table — the only
+  *     corpus-sized job; everything after runs over the VOCABULARY, which
+  *     is Zipf-bounded (orders of magnitude smaller than the corpus and
+  *     sublinear in it).
+  *   - Each merge round is a pair-count aggregation over the vocab table
+  *     (map-side combined) plus a 1-ROW `TakeOrdered` collect (the argmax
+  *     pair — driver state is the merge list, nMerges rows, never data).
+  *   - The merge applies as a narrow map kernel; every `ckptEvery` rounds
+  *     the state localCheckpoints so the lineage (and the replanning cost)
+  *     stays O(ckptEvery) instead of O(rounds).
+  *
+  * At 100 TB the corpus pass dominates and parallelizes trivially; the
+  * loop's per-round cost follows the vocabulary, exactly like the
+  * reference implementations running on one machine over a counted vocab
+  * — except the vocab here may itself be sharded.
+  *
+  * The round-1 pair statistics are the certified q129 surface
+  * ([[graft.ops.TextOps]] `q129PairStats`); `BpeTrainSpec` pins the loop
+  * to the textbook example and asserts round-1 agreement with the query
+  * kernel. Ties break (weight desc, pair asc) so training is
+  * deterministic on any engine.
+  */
+object BpeTrain {
+
+  /** Symbol-pair separator inside the internal pair key — a control char
+    * that tokenized text cannot contain (normText collapses whitespace;
+    * the corpus is text), so "ab"+"c" and "a"+"bc" cannot collide. */
+  private val Sep = ""
+
+  /** The (word, count) base table: the single corpus-sized pass. */
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Adjacent symbol pairs of the current sequences, weighted by word
+    * count: zip_with over the two shifted slices keeps the whole pair
+    * generation inside SQL HOFs (no per-row UDF allocation). */
+  private def pairWeights(state: DataFrame): DataFrame =
+    state
+      .select(explode(expr(
+        "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
+          " (a, b) -> concat(a, chr(1), b))")).as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("weight"))
+
+  /** One merge application: collapse every left-to-right occurrence of
+    * (a, b) adjacent in a symbol sequence into the single symbol a+b —
+    * the standard greedy scan (a merged symbol does not re-pair with the
+    * following symbol within the same pass). */
+  private val applyMerge = udf { (syms: Seq[String], a: String, b: String) =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merges from a (doc_id, text) frame. Returns the
+    * ordered merge list; stops early when no pair repeats (weight < 2 —
+    * merging a unique pair buys nothing). */
+  def fit(docs: DataFrame, nMerges: Int, ckptEvery: Int = 8): Seq[(String, String)] = {
+    var state = wordCounts(docs)
+      .select(expr("filter(split(w, ''), s -> s <> '')").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val top = pairWeights(state)
+        .orderBy(col("weight").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < 2L) done = true
+      else {
+        val Array(a, b) = top(0).getString(0).split(Sep, 2)
+        merges += ((a, b))
+        state = state.select(applyMerge(col("syms"), lit(a), lit(b)).as("syms"), col("n"))
+        round += 1
+        if (round % ckptEvery == 0) state = state.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize a word with a learned merge list (the apply side — unit
+    * parity surface: training then applying must reproduce the training
+    * corpus segmentation). */
+  def segment(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.split("").filter(_.nonEmpty).toSeq
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toSeq
+    }
+    syms
+  }
+}

@@ -648,7 +648,31 @@ object TextOps {
       docs)
   }
 
+  /** q129: BPE-training pair statistics — the round-1 merge table of the
+    * distributed tokenizer trainer ([[graft.ml.BpeTrain]]): adjacent
+    * CHARACTER pairs across the vocabulary, weighted by word frequency,
+    * top-20 by weight with pair tiebreak (the trainer's deterministic
+    * argmax ordering). Shares the trainer's word-count kernel, so the
+    * certified statistics are exactly what `fit` consumes; BpeTrainSpec
+    * pins fit()'s first merge to this table's head row. One corpus
+    * tokenize pass → vocabulary-sized pair aggregation (Zipf-bounded —
+    * the corpus-size-independent shape that makes tokenizer training
+    * cheap at 100 TB). */
+  val q129BpePairs: Q = (s, d) =>
+    graft.ml.BpeTrain.wordCounts(Tables.documents(s, d))
+      // single-char words have no pairs — and must be EXCLUDED before the
+      // index sequence: Spark's sequence(1, 0) DESCENDS (two rows, one a
+      // phantom substr) where the oracle's range(1, 1) is empty
+      .filter(length(col("w")) > 1)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"),
+        col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(20)
+
   def queries: Map[String, Q] = Map(
+    "q129_bpe_pairs"    -> q129BpePairs,
     "q110_boilerplate"  -> q110Boilerplate,
     "q30_html_extract"  -> q30HtmlExtract,
     "q75_chunk"         -> q75Chunk,
@@ -676,6 +700,17 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "q129_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |p AS (
+        |  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, n
+        |  FROM wc WHERE length(w) > 1)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS weight
+        |FROM p GROUP BY 1 ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
     // Boilerplate scrub recomputed end-to-end: same tokenization, same
     // trigram construction, the same integer-math threshold (df*100 >= N),
     // and reassembly by position anti-join — string_agg ORDER BY position

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.BpeTrain
+
+/** The distributed BPE trainer on the textbook fixture (the hug/pug/pun
+  * corpus): learned merges, apply-side parity, early stop, and round-1
+  * agreement with the certified q129 pair-statistics kernel. */
+class BpeTrainSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  // hug x10, pug x5, pun x12, bun x4, hugs x5 — the classic worked example:
+  // pair weights round 1: ug=20, pu=17, un=16, hu=15, gs=5, bu=4
+  private def fixture = {
+    import spark.implicits._
+    val words = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+  }
+
+  test("fit learns the textbook merge sequence deterministically") {
+    val merges = BpeTrain.fit(fixture, nMerges = 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+  }
+
+  test("segment reproduces the trained segmentation") {
+    val merges = BpeTrain.fit(fixture, nMerges = 3)
+    assert(BpeTrain.segment("hugs", merges) == Seq("hug", "s"))
+    assert(BpeTrain.segment("pun", merges) == Seq("p", "un"))
+    // unseen word: merges apply where they match, chars remain elsewhere
+    assert(BpeTrain.segment("gun", merges) == Seq("g", "un"))
+  }
+
+  test("fit stops early when no pair repeats") {
+    import spark.implicits._
+    val unique = Seq((1L, "ab"), (2L, "cd"), (3L, "ef")).toDF("doc_id", "text")
+    // every adjacent pair occurs once — merging buys nothing, loop exits
+    assert(BpeTrain.fit(unique, nMerges = 10).isEmpty)
+  }
+
+  test("round-1 statistics equal the certified q129 kernel's head") {
+    import spark.implicits._
+    // the q129 pair table over the fixture: its top row is the first merge
+    val top = BpeTrain.wordCounts(fixture)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"),
+        col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(1).as[(String, Long)].collect().head
+    assert(top == ("ug", 20L))
+    val first = BpeTrain.fit(fixture, nMerges = 1).head
+    assert(first._1 + first._2 == top._1)
+  }
+
+  test("long-vocabulary run keeps driver state merge-sized and converges") {
+    import spark.implicits._
+    // 40 distinct words over a small alphabet: many productive merges;
+    // the loop's localCheckpoint cadence (every 8) is exercised
+    val words = (0 until 40).map(i => s"pre${(i % 4)}mid${(i % 5)}end")
+    val docs = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(2 + i % 3)((i.toLong, w)) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.fit(docs, nMerges = 20)
+    assert(merges.nonEmpty && merges.size <= 20)
+    // applying the merges shrinks every trained word's symbol count
+    val sampled = words.take(5)
+    sampled.foreach { w =>
+      assert(BpeTrain.segment(w, merges).length < w.length)
+    }
+  }
+}

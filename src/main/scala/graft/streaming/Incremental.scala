@@ -405,7 +405,15 @@ object Incremental {
     * ingestion is doc_id-ordered (then first-admitted = min doc_id);
     * out-of-order ingestion diverges only in WHICH clone is canonical,
     * never in the counts' stage telescoping. Exactly-once per input file
-    * via the checkpoint. */
+    * via the checkpoint.
+    *
+    * Scale note: the per-batch fingerprint lookup joins the batch against
+    * the FULL persisted fp table (corpus-sized at 100 TB). The join side
+    * is one 32-char column and the batch side is small, but a deployment
+    * at that scale should write `fpDir` BUCKETED by fingerprint (the
+    * [[graft.sources.Compaction]] layout discipline) so each batch reads
+    * only its buckets — the contract and the report are unchanged; only
+    * the state layout tightens. */
   def continuousGateFunnel(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, evalDocs: DataFrame,
       flagsDir: String, fpDir: String, checkpointDir: String): StreamingQuery = {

@@ -582,6 +582,28 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // BPE TRAINER (ml.BpeTrain): fit cost at 1x/4x/16x with DISJOINT
+    // vocabulary copies — the corpus pass grows linearly, but the merge
+    // loop must follow the VOCABULARY (x mult here), not the corpus: the
+    // structural claim that makes tokenizer training affordable at 100 TB.
+    if (section == "all" || section == "bpe") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"))
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        println(s"[scale] ===== bpe mult=$mult rows=$rows =====")
+        time(s"mult=$mult bpe fit (8 merges)") {
+          val m = graft.ml.BpeTrain.fit(scaled, nMerges = 8)
+          println(s"[scale] bpe mult=$mult merges=${m.size} " +
+            s"head=${m.headOption.map { case (a, b) => a + "+" + b }.getOrElse("-")}")
+        }
+        scaled.unpersist()
+      }
+    }
     // GLOBAL ORDINAL (q126's kernel): corpus total order at 1x/4x/16x —
     // the range-partition + zipWithIndex plan must scale like a
     // distributed sort (near-linear), with partition count scaling as the

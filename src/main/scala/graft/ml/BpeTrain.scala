@@ -64,7 +64,7 @@ object BpeTrain {
     * (a, b) adjacent in a symbol sequence into the single symbol a+b —
     * the standard greedy scan (a merged symbol does not re-pair with the
     * following symbol within the same pass). */
-  private val applyMerge = udf { (syms: Seq[String], a: String, b: String) =>
+  private[graft] val applyMergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {
@@ -93,7 +93,7 @@ object BpeTrain {
       else {
         val Array(a, b) = top(0).getString(0).split(Sep, 2)
         merges += ((a, b))
-        state = state.select(applyMerge(col("syms"), lit(a), lit(b)).as("syms"), col("n"))
+        state = state.select(applyMergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("n"))
         round += 1
         if (round % ckptEvery == 0) state = state.localCheckpoint(true)
       }

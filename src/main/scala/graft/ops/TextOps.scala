@@ -658,8 +658,10 @@ object TextOps {
     * tokenize pass → vocabulary-sized pair aggregation (Zipf-bounded —
     * the corpus-size-independent shape that makes tokenizer training
     * cheap at 100 TB). */
-  val q129BpePairs: Q = (s, d) =>
-    graft.ml.BpeTrain.wordCounts(Tables.documents(s, d))
+  /** The round-1 pair table over a (w, n) word-count frame, shared by
+    * q129 (the statistics report) and q130 (which merges the head pair). */
+  private def bpeRound1Pairs(wc: DataFrame): DataFrame =
+    wc
       // single-char words have no pairs — and must be EXCLUDED before the
       // index sequence: Spark's sequence(1, 0) DESCENDS (two rows, one a
       // phantom substr) where the oracle's range(1, 1) is empty
@@ -668,11 +670,48 @@ object TextOps {
         "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"),
         col("n"))
       .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("weight"))
+
+  val q129BpePairs: Q = (s, d) =>
+    bpeRound1Pairs(graft.ml.BpeTrain.wordCounts(Tables.documents(s, d)))
       .orderBy(col("weight").desc, col("pair"))
       .limit(20)
 
+  /** q130: first-merge compression report — the effect of applying the
+    * trainer's FIRST learned merge (q129's head pair) across the
+    * vocabulary: words touched, merge occurrences (weighted by word
+    * frequency — each occurrence saves one symbol), total characters
+    * before, total symbols after. This certifies the trainer's merge
+    * KERNEL ([[graft.ml.BpeTrain]] `applyMerge`) cross-engine: the
+    * oracle recomputes the same greedy left-to-right pass with plain
+    * `replace` — on round-1 (single-character symbols) non-overlapping
+    * string replacement IS the greedy pair merge, so the two
+    * implementations must agree occurrence-for-occurrence. One
+    * vocab-sized pass plus a one-row argmax collect (the trainer's own
+    * round shape). */
+  val q130MergeCompression: Q = (s, d) => {
+    val wc = graft.ml.BpeTrain.wordCounts(Tables.documents(s, d))
+      .filter(length(col("w")) > 1)
+      .cache() // argmax AND stats read it — one corpus tokenize pass
+    val top = bpeRound1Pairs(wc)
+      .orderBy(col("weight").desc, col("pair")).limit(1).collect()(0).getString(0)
+    val (a, b) = (top.substring(0, 1), top.substring(1, 2))
+    val occ = length(col("w")) -
+      size(graft.ml.BpeTrain.applyMergeUdf(expr("filter(split(w, ''), s -> s <> '')"),
+        lit(a), lit(b)))
+    Caching.materializeAndRelease(
+      wc.select(col("n"), length(col("w")).cast("long").as("len"), occ.cast("long").as("occ"))
+        .agg(
+          first(lit(top)).as("pair"),
+          sum(when(col("occ") > 0, 1L).otherwise(0L)).cast("long").as("words_hit"),
+          sum(col("n") * col("occ")).cast("long").as("occurrences"),
+          sum(col("n") * col("len")).cast("long").as("chars_before"),
+          (sum(col("n") * col("len")) - sum(col("n") * col("occ"))).cast("long").as("symbols_after")),
+      wc)
+  }
+
   def queries: Map[String, Q] = Map(
     "q129_bpe_pairs"    -> q129BpePairs,
+    "q130_merge_compression" -> q130MergeCompression,
     "q110_boilerplate"  -> q110Boilerplate,
     "q30_html_extract"  -> q30HtmlExtract,
     "q75_chunk"         -> q75Chunk,
@@ -711,6 +750,32 @@ object TextOps {
         |  FROM wc WHERE length(w) > 1)
         |SELECT pair, CAST(sum(n) AS BIGINT) AS weight
         |FROM p GROUP BY 1 ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
+    // round-1 symbols are single characters, so non-overlapping string
+    // replace IS the greedy left-to-right pair merge — the oracle
+    // recomputes the trainer kernel's occurrence count independently
+    "q130_merge_compression" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 1 GROUP BY 1),
+        |pr AS (
+        |  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, n
+        |  FROM wc),
+        |top AS (
+        |  SELECT pair FROM (
+        |    SELECT pair, CAST(sum(n) AS BIGINT) AS weight FROM pr GROUP BY 1)
+        |  ORDER BY weight DESC, pair LIMIT 1),
+        |m AS (
+        |  SELECT n, length(w) AS len,
+        |    length(w) - length(replace(w, (SELECT pair FROM top), 'X')) AS occ
+        |  FROM wc)
+        |SELECT (SELECT pair FROM top) AS pair,
+        |  CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS words_hit,
+        |  CAST(sum(n * occ) AS BIGINT) AS occurrences,
+        |  CAST(sum(n * len) AS BIGINT) AS chars_before,
+        |  CAST(sum(n * len) - sum(n * occ) AS BIGINT) AS symbols_after
+        |FROM m""".stripMargin,
     // Boilerplate scrub recomputed end-to-end: same tokenization, same
     // trigram construction, the same integer-math threshold (df*100 >= N),
     // and reassembly by position anti-join — string_agg ORDER BY position

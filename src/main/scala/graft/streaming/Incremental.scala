@@ -475,7 +475,15 @@ object Incremental {
   /** The q127 report over the maintained flag table: per-source survivor
     * counts through the cascade, schema-identical to the batch query.
     * Before any ingest (no flag table yet) the report is empty rather
-    * than an error — missing-path-only, like [[evalSaturationReport]]. */
+    * than an error — missing-path-only, like [[evalSaturationReport]].
+    *
+    * Replay residue (the foreachBatch contract — a crash between the
+    * flags append and the checkpoint commit replays the batch
+    * AT-LEAST-ONCE) is reconciled here by a per-doc max: a REPLAYED row
+    * can only demote s2/s3 (the first attempt's own fingerprints are in
+    * the state by then, so the clone test re-fails), so max-per-doc
+    * recovers the first attempt's verdict exactly — the same
+    * reconcile-downstream discipline as the DSIR twin. */
   def gateFunnelReport(spark: SparkSession, flagsDir: String): DataFrame = {
     import spark.implicits._
     val flags =
@@ -485,7 +493,10 @@ object Incremental {
           Seq.empty[(Long, String, Long, Long, Long)]
             .toDF("doc_id", "source", "s1", "s2", "s3")
       }
-    flags.groupBy(col("source"))
+    flags
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"), max(col("s3")).as("s3"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_raw"),
         sum(col("s1")).cast("long").as("n_gate"),
         sum(col("s2")).cast("long").as("n_dedup"),

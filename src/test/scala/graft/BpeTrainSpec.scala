@@ -56,6 +56,33 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(first._1 + first._2 == top._1)
   }
 
+  test("merge kernel equals greedy string replace on round-1 symbols (q130's contract)") {
+    import spark.implicits._
+    // the adversarial shapes: overlapping repeats of the same pair,
+    // a == b runs with odd/even length, pair at word boundaries
+    val words = Seq("anana", "aaaa", "aaa", "ababab", "na", "banana")
+    val df = words.map(w => (w, 1L)).toDF("w", "n")
+    def occVia(pair: String) = {
+      val a = pair.substring(0, 1); val b = pair.substring(1, 2)
+      df.select(col("w"),
+          (length(col("w")) - size(BpeTrain.applyMergeUdf(
+            expr("filter(split(w, ''), s -> s <> '')"), lit(a), lit(b)))).as("occ"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    }
+    val an = occVia("an")
+    words.foreach { w =>
+      assert(an(w) == w.length - w.replace("an", "X").length,
+        s"kernel/replace disagree on '$w' for pair 'an'")
+    }
+    val aa = occVia("aa")
+    words.foreach { w =>
+      assert(aa(w) == w.length - w.replace("aa", "X").length,
+        s"kernel/replace disagree on '$w' for pair 'aa'")
+    }
+    // spot-check the greedy semantics directly
+    assert(aa("aaaa") == 2 && aa("aaa") == 1 && an("banana") == 2)
+  }
+
   test("long-vocabulary run keeps driver state merge-sized and converges") {
     import spark.implicits._
     // 40 distinct words over a small alphabet: many productive merges;

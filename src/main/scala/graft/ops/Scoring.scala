@@ -452,8 +452,12 @@ object Scoring {
     * probed-cell partition filter always selects a strict subset of the
     * index — the [[graft.ops.Similarity]] ServeNProbe discipline,
     * interpolated into both the kernel call and the oracle's `prn <=`
-    * cut so they cannot desync. */
-  private[graft] val DocServeNProbe = 3
+    * cut so they cannot desync. 5 is the measured knee of the
+    * recall/scan curve on the sf0.1 78-cell index (`ScaleSmoke hybrid`:
+    * top-20 overlap vs exact 3/7/9/13/17 of 20 at probes 1/2/3/5/8 —
+    * 13/20 while scanning ~6% of cells); q125 remains the exact tier
+    * when full recall is worth a corpus scan. */
+  private[graft] val DocServeNProbe = 5
 
   /** Once-per-(session, dataset) IVF index over the DOCUMENT embedding
     * artifact (64-dim, doc_id-keyed — distinct from the q45 index over

@@ -582,6 +582,33 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // SERVED HYBRID DENSE ARM (q128): top-20 overlap vs the exact scan at
+    // growing probe counts — the operating-point evidence behind
+    // DocServeNProbe (recall bought per probed cell, at sf0.1's 78-cell
+    // doc index).
+    if (section == "all" || section == "hybrid") {
+      import org.apache.spark.sql.graft.GraftInternal
+      val emb = graft.ml.Embed.embedDocuments(spark, d).cache()
+      val qvArr = graft.ops.Scoring.hybridQueryVec
+      val qv = array(qvArr.map(lit): _*)
+      val cosCol = GraftInternal.column(graft.plans.CosineSim(
+        GraftInternal.expression(col("embedding")), GraftInternal.expression(qv)))
+      val exact = emb.select(col("doc_id"), cosCol.as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .collect().map(_.getLong(0)).toSet
+      val idx = graft.ops.IvfIndex.load(spark, graft.ops.Scoring.docIvfDir(spark, d))
+      println(s"[scale] ===== hybrid: doc index ${idx.centroids.length} cells =====")
+      import spark.implicits._
+      for (nProbe <- Seq(1, 2, 3, 5, 8)) {
+        val served = time(s"hybrid dense serve nProbe=$nProbe") {
+          graft.ops.IvfIndex.searchTopK(spark, idx,
+              Seq((-1L, qvArr)).toDF("vec_id", "embedding"), k = 20, nProbe = nProbe)
+            .select(col("nn_id")).as[Long].collect().toSet
+        }
+        println(s"[scale] hybrid nProbe=$nProbe overlap=${served.intersect(exact).size}/20")
+      }
+      emb.unpersist()
+    }
     // BPE TRAINER (ml.BpeTrain): fit cost at 1x/4x/16x with DISJOINT
     // vocabulary copies — the corpus pass grows linearly, but the merge
     // loop must follow the VOCABULARY (x mult here), not the corpus: the

@@ -527,6 +527,58 @@ object Scoring {
       .parquet(s"${graft.Verify.supportDir(outDir)}/q125_support_qvec")
   }
 
+  // --------------------------------------------------------------- q131
+
+  /** Batched multi-query BM25 — the retrieval shape q84/q93/q125/q128
+    * leave open: N queries scored against the corpus in ONE pass (a
+    * serving system answers query BATCHES; per-query re-scans are the
+    * reference's per-item loop anti-pattern). The query workload is
+    * derived deterministically from the corpus itself — the 30 most
+    * frequent terms (frequency desc, term asc), three per query, ten
+    * queries — so both engines construct the identical batch with no
+    * support table.
+    *
+    * Shape: one tokenize pass feeds the term-frequency ranking AND the
+    * hit stream (cached); query terms broadcast into the postings join
+    * (30 rows at any corpus size); scoring is the q84-certified formula;
+    * the top-5-per-query cut runs on the NATIVE TopKPerGroup plan (third
+    * production use — no window sort, per-group heaps), ranked on the
+    * ROUNDED score with doc_id tiebreak (the q125 rank discipline). */
+  val q131BatchedBm25: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .cache() // feeds term ranking, tf, AND df — one tokenize pass
+    val qt = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(30)
+      .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .select(col("term"), expr("(rn - 1) div 3").cast("long").as("query_id"))
+    val hits = toks.join(broadcast(qt), Seq("term")).cache()
+    val tf = hits.groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = hits.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("score_t",
+        col("idf") * col("tf") * 2.2 /
+          (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("score_t")), 4).as("bm25"))
+    Caching.materializeAndRelease(
+      graft.plans.TopKPerGroup(scored, Seq("query_id"),
+          Seq(graft.plans.TopKPerGroup.Key("bm25", desc = true),
+            graft.plans.TopKPerGroup.Key("doc_id")), 5)
+        .orderBy(col("query_id"), col("bm25").desc, col("doc_id")),
+      toks, hits)
+  }
+
   // --------------------------------------------------------------- q126
 
   /** Curriculum ordering (perplexity annealing): the deterministic global
@@ -567,6 +619,7 @@ object Scoring {
     "q125_hybrid_rrf"    -> q125HybridRrf,
     "q126_curriculum"    -> q126Curriculum,
     "q128_hybrid_served" -> q128HybridServed,
+    "q131_batched_bm25"  -> q131BatchedBm25,
   )
 
   private val tokCol =
@@ -717,6 +770,34 @@ object Scoring {
          |  round(coalesce(1.0 / (60 + lex_rank), 0) + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf
          |FROM lex FULL JOIN den USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "q131_batched_bm25" ->
+      s"""WITH dl AS (
+         |  SELECT doc_id, len($tokCol) AS dl FROM documents),
+         |toks AS (
+         |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+         |ranked AS (
+         |  SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rn FROM freq),
+         |qt AS (
+         |  SELECT term, CAST((rn - 1) // 3 AS BIGINT) AS query_id
+         |  FROM ranked WHERE rn <= 30),
+         |h AS (SELECT t.doc_id, t.term, qt.query_id FROM toks t JOIN qt USING (term)),
+         |tfq AS (SELECT query_id, doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |sc AS (
+         |  SELECT query_id, doc_id, round(sum(
+         |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+         |        * tfq.tf * 2.2 / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+         |    ), 4) AS bm25
+         |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT query_id, doc_id, bm25, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM sc)
+         |SELECT query_id, doc_id, bm25 FROM top WHERE rn <= 5
+         |ORDER BY query_id, bm25 DESC, doc_id""".stripMargin,
     "q86_shard_plan" ->
       s"""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard,
          |  count(*) AS n_docs,

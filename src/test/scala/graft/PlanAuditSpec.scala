@@ -88,7 +88,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val allowedNestedLoop =
       Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info",
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
-        "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served")
+        "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served",
+        "q131_batched_bm25")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)
@@ -366,6 +367,14 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val p = plan("q127_gate_funnel")
     assert(p.contains("LeftSemi"),
       s"q127's contamination probe must be a semi join (no fan-out):\n$p")
+  }
+
+  test("q131: batch scoring joins broadcast query terms; top-5 cut is the native plan") {
+    val p = plan("q131_batched_bm25")
+    assert(p.contains("TopKPerGroup ["),
+      s"q131's per-query cut must run on the native plan (no window sort):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q131's 30-row query-term table must broadcast into the postings join:\n$p")
   }
 
   test("q128: the served dense arm partition-prunes the doc index; no corpus text scan") {

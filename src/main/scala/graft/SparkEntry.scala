@@ -40,9 +40,11 @@ object SparkEntry {
     Seq(
       (Set("q49_embed_docs", "q50_topic_info", "q51_topic_terms",
         "q94_topic_probs", "q95_topic_heatmap", "q125_hybrid_rrf",
-        "q128_hybrid_served"), ops.Ml.writeEmbedSupport),
+        "q128_hybrid_served", "q132_hybrid_batch"), ops.Ml.writeEmbedSupport),
       (Set("q125_hybrid_rrf", "q128_hybrid_served"), ops.Scoring.writeHybridSupport),
-      (Set("q128_hybrid_served"), ops.Scoring.writeServedHybridSupport),
+      (Set("q128_hybrid_served", "q132_hybrid_batch"),
+        ops.Scoring.writeServedHybridSupport),
+      (Set("q132_hybrid_batch"), ops.Scoring.writeBatchHybridSupport),
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",
         "q95_topic_heatmap"), ops.Ml.writeTopicSupport),
       (Set("q45_ann_ivf", "q96_ann_topk", "q99_ann_serve", "q100_ann_sq",

@@ -544,7 +544,14 @@ object Scoring {
     * the top-5-per-query cut runs on the NATIVE TopKPerGroup plan (third
     * production use — no window sort, per-group heaps), ranked on the
     * ROUNDED score with doc_id tiebreak (the q125 rank discipline). */
-  val q131BatchedBm25: Q = (s, d) => {
+  val q131BatchedBm25: Q = (s, d) =>
+    batchedBm25Top5(s, d)
+      .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
+
+  /** The q131 kernel as a shared stage — q131 certifies it, q132's
+    * lexical arm reuses it. Returns (query_id, doc_id, bm25), top-5 per
+    * query, unordered. */
+  private def batchedBm25Top5(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val toks = docs
@@ -574,9 +581,84 @@ object Scoring {
     Caching.materializeAndRelease(
       graft.plans.TopKPerGroup(scored, Seq("query_id"),
           Seq(graft.plans.TopKPerGroup.Key("bm25", desc = true),
-            graft.plans.TopKPerGroup.Key("doc_id")), 5)
-        .orderBy(col("query_id"), col("bm25").desc, col("doc_id")),
+            graft.plans.TopKPerGroup.Key("doc_id")), 5),
       toks, hits)
+  }
+
+  // --------------------------------------------------------------- q132
+
+  /** The q131 query batch as driver-side texts: each query's three terms
+    * in rank order — the string the dense arm embeds. 30 rows collected;
+    * bounded by the batch definition, never the corpus. */
+  private[graft] def batchQueryTexts(s: SparkSession, d: String): Seq[(Long, String)] = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(30)
+      .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .select(col("term"), col("rn"))
+      .collect()
+    ranked.groupBy(r => (r.getInt(1) - 1) / 3).toSeq
+      .map { case (qid, rows) =>
+        (qid.toLong, rows.sortBy(_.getInt(1)).map(_.getString(0)).mkString(" "))
+      }.sortBy(_._1)
+  }
+
+  /** Batched HYBRID serve — the retrieval family's capstone: the q131
+    * query batch, each query fused lexical+dense, everything served at
+    * batch scale. The lexical arm is the q131-certified batch scorer;
+    * the dense arm embeds each query's term string (the q49 hashing
+    * embedder) and probes the q128 document IVF index in ONE
+    * multi-query search ([[graft.ops.IvfIndex.searchTopK]] routes the
+    * whole batch in one pass — no per-query rescans); fusion is RRF per
+    * query with a top-3 cut over the ≤10-row per-query fused set.
+    *
+    * Query ids enter the ANN search NEGATED (-1-query_id): the index is
+    * doc_id-keyed and searchTopK's self-exclusion compares raw ids, so a
+    * query_id colliding with a doc_id would silently drop that document
+    * — the exact cross-id-space pitfall the threshold kernel's
+    * excludeSelf flag documents. Negative ids cannot collide. */
+  val q132HybridBatch: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("query_id"))
+    val lex = batchedBm25Top5(s, d)
+      .withColumn("lex_rank",
+        row_number().over(wq.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val texts = batchQueryTexts(s, d)
+    val qembs = texts.map { case (qid, t) =>
+      (qid, graft.ml.Embed.encodeBatch(Seq(t)).head)
+    }
+    val idx = IvfIndex.load(s, docIvfDir(s, d))
+    val dense = IvfIndex.searchTopK(s, idx,
+        qembs.map { case (qid, v) => (-1L - qid, v) }.toDF("vec_id", "embedding"),
+        k = 5, nProbe = DocServeNProbe)
+      .select((lit(-1L) - col("vec_id")).as("query_id"),
+        col("nn_id").as("doc_id"), col("rn").as("dense_rank"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6))
+      .withColumn("fr", row_number().over(wq.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fr") <= 3).drop("fr")
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+
+  /** Oracle support for q132's dense arm: the ten query embeddings as
+    * (query_id, emb: array<double>) — the doc-side exports ride the
+    * q128/q49 writers. */
+  def writeBatchHybridSupport(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    batchQueryTexts(s, d)
+      .map { case (qid, t) =>
+        (qid, graft.ml.Embed.encodeBatch(Seq(t)).head.map(_.toDouble).toSeq)
+      }
+      .toDF("query_id", "emb")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q132_support_qembs")
   }
 
   // --------------------------------------------------------------- q126
@@ -620,6 +702,7 @@ object Scoring {
     "q126_curriculum"    -> q126Curriculum,
     "q128_hybrid_served" -> q128HybridServed,
     "q131_batched_bm25"  -> q131BatchedBm25,
+    "q132_hybrid_batch"  -> q132HybridBatch,
   )
 
   private val tokCol =
@@ -646,6 +729,31 @@ object Scoring {
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   private val bm25Sql = s"WITH $bm25Ctes\n$bm25Select"
+
+  // the q131 batch scorer as a CTE body (through `sc`) — q131 certifies
+  // it, q132's lexical arm extends it
+  private val batchBm25Ctes =
+    s"""dl AS (
+       |  SELECT doc_id, len($tokCol) AS dl FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
+       |freq AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+       |ranked AS (
+       |  SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rn FROM freq),
+       |qt AS (
+       |  SELECT term, CAST((rn - 1) // 3 AS BIGINT) AS query_id
+       |  FROM ranked WHERE rn <= 30),
+       |h AS (SELECT t.doc_id, t.term, qt.query_id FROM toks t JOIN qt USING (term)),
+       |tfq AS (SELECT query_id, doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |sc AS (
+       |  SELECT query_id, doc_id, round(sum(
+       |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+       |        * tfq.tf * 2.2 / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+       |    ), 4) AS bm25
+       |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY 1, 2)""".stripMargin
 
   // the q85 NLL model as a CTE body — q85 certifies it, q126 orders by it
   private val nllCtes =
@@ -771,33 +879,71 @@ object Scoring {
          |FROM lex FULL JOIN den USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q131_batched_bm25" ->
-      s"""WITH dl AS (
-         |  SELECT doc_id, len($tokCol) AS dl FROM documents),
-         |toks AS (
-         |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
-         |freq AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
-         |ranked AS (
-         |  SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rn FROM freq),
-         |qt AS (
-         |  SELECT term, CAST((rn - 1) // 3 AS BIGINT) AS query_id
-         |  FROM ranked WHERE rn <= 30),
-         |h AS (SELECT t.doc_id, t.term, qt.query_id FROM toks t JOIN qt USING (term)),
-         |tfq AS (SELECT query_id, doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2, 3),
-         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |sc AS (
-         |  SELECT query_id, doc_id, round(sum(
-         |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
-         |        * tfq.tf * 2.2 / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
-         |    ), 4) AS bm25
-         |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-         |  GROUP BY 1, 2),
+      s"""WITH $batchBm25Ctes,
          |top AS (
          |  SELECT query_id, doc_id, bm25, row_number() OVER (
          |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
          |  FROM sc)
          |SELECT query_id, doc_id, bm25 FROM top WHERE rn <= 5
          |ORDER BY query_id, bm25 DESC, doc_id""".stripMargin,
+    // batch hybrid: q131's lexical text + the q128 dense-replay discipline
+    // PER QUERY (routing partitioned by query_id), RRF per (query, doc)
+    "q132_hybrid_batch" ->
+      s"""WITH $batchBm25Ctes,
+         |lexr AS (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |  FROM sc),
+         |lex AS (SELECT * FROM lexr WHERE lex_rank <= 5),
+         |qe AS (SELECT query_id, emb
+         |  FROM read_parquet('{GRAFT_OUT}_support/q132_support_qembs/*.parquet')),
+         |qn2 AS (SELECT query_id, sqrt(list_sum([y * y for y in emb])) AS qnrm FROM qe),
+         |uq AS (
+         |  SELECT qe.query_id, [CAST(y / qnrm AS REAL) for y in emb] AS uv
+         |  FROM qe JOIN qn2 USING (query_id)),
+         |cen AS (SELECT cell, centroid
+         |  FROM read_parquet('{GRAFT_OUT}_support/q128_support_centroids/*.parquet')),
+         |probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT uq.query_id, cen.cell, row_number() OVER (
+         |      PARTITION BY uq.query_id ORDER BY
+         |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+         |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
+         |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
+         |    FROM uq CROSS JOIN cen)
+         |  WHERE prn <= $DocServeNProbe),
+         |mem AS (
+         |  SELECT DISTINCT p.query_id, m.doc_id
+         |  FROM read_parquet('{GRAFT_OUT}_support/q128_support_cells/*.parquet') m
+         |  JOIN probes p USING (cell)),
+         |scored2 AS (
+         |  SELECT mem.query_id, e.doc_id,
+         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * qe.emb[i]
+         |              for i in range(1, len(e.embedding) + 1)]) /
+         |      (qn2.qnrm * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+         |                                 for x in e.embedding]))) AS cos_raw
+         |  FROM mem
+         |  JOIN read_parquet('{GRAFT_OUT}_support/q94_support_features/*.parquet') e
+         |    USING (doc_id)
+         |  JOIN qe USING (query_id) JOIN qn2 USING (query_id)),
+         |denr AS (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, doc_id) AS dense_rank
+         |  FROM scored2 WHERE NOT isnan(cos_raw)),
+         |den AS (SELECT * FROM denr WHERE dense_rank <= 5),
+         |fused AS (
+         |  SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+         |    coalesce(lex.doc_id, den.doc_id) AS doc_id, lex_rank, dense_rank,
+         |    round(coalesce(1.0 / (60 + lex_rank), 0)
+         |      + coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf
+         |  FROM lex FULL JOIN den
+         |    ON lex.query_id = den.query_id AND lex.doc_id = den.doc_id),
+         |top3 AS (
+         |  SELECT query_id, doc_id, lex_rank, dense_rank, rrf, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS fr
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_rank, dense_rank, rrf FROM top3 WHERE fr <= 3
+         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
     "q86_shard_plan" ->
       s"""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard,
          |  count(*) AS n_docs,

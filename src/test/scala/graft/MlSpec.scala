@@ -38,7 +38,8 @@ class MlSpec extends AnyFunSuite {
       "q112_support_codebooks", "q112_support_pqcells",
       "q112_support_cellmeans", "q122_support_sigs",
       "q123_support_bands", "q125_support_qvec",
-      "q128_support_cells", "q128_support_centroids"), tables)
+      "q128_support_cells", "q128_support_centroids",
+      "q132_support_qembs"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

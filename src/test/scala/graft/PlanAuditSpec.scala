@@ -89,7 +89,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info",
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
         "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served",
-        "q131_batched_bm25")
+        "q131_batched_bm25", "q132_hybrid_batch")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)
@@ -375,6 +375,17 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"q131's per-query cut must run on the native plan (no window sort):\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"q131's 30-row query-term table must broadcast into the postings join:\n$p")
+  }
+
+  test("q132: the batch dense arm routes ALL queries in one pruned member scan") {
+    val p = plan("q132_hybrid_batch")
+    assert(p.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"expected one partition-pruned member scan for the whole batch:\n$p")
+    // exactly one doc-index member scan — a per-query loop would show ten
+    val memberScans = "graft-ivf-doc".r.findAllIn(plan("q132_hybrid_batch")).size
+    assert(memberScans <= 2, // probe side + member side of the one search
+      s"expected one fused batch search, found $memberScans index scans:\n$p")
   }
 
   test("q128: the served dense arm partition-prunes the doc index; no corpus text scan") {

@@ -18,7 +18,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.SemiStructured.queries ++ ops.TextOps.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Temporal.queries ++
       ops.Ml.queries ++ ops.Multimodal.queries ++ ops.Scoring.queries ++
-      ops.Curation.queries ++ ops.CorpusReports.queries
+      ops.Curation.queries ++ ops.CorpusReports.queries ++ sources.Bucketed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -29,7 +29,7 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.SemiStructured.oracle ++ ops.TextOps.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Temporal.oracle ++
       ops.Ml.oracle ++ ops.Multimodal.oracle ++ ops.Scoring.oracle ++
-      ops.Curation.oracle ++ ops.CorpusReports.oracle
+      ops.Curation.oracle ++ ops.CorpusReports.oracle ++ sources.Bucketed.oracle
 
   /** Support-table writers for oracle SQL over model outputs: each runs
     * after the query dumps and writes parquet under Verify's outDir (the

@@ -200,6 +200,65 @@ object Scoring {
       .orderBy(col("shard"))
   }
 
+  // ---------------------------------------------------------------- q135
+
+  /** q135: CCNet-style perplexity terciles — the classic head/middle/tail
+    * split of a corpus by LM perplexity (head = best-scoring third; CCNet
+    * keeps head+middle, drops tail). Reuses the q85 NLL artifact (score
+    * once, every consumer reads the same table), so the split costs two
+    * scans of a per-doc score table, never a corpus re-tokenize.
+    *
+    * The cuts are `percentile_disc` (the q72 discipline: a discrete
+    * percentile is an ACTUAL element of the column, exact cross-engine —
+    * interpolated percentiles diverge in float), computed in one 1-row agg
+    * and broadcast — NO global sort, no unpartitioned window: at 100 TB a
+    * tercile split must not pay a total ordering when two cut values
+    * suffice. Production swaps percentile_disc for approx_percentile with
+    * the same comparison logic (the q72/q80 exact/approx pairing). */
+  val q135CcnetBuckets: Q = (s, d) => {
+    val nll = perplexityScores(s, d)
+    val cuts = nll.agg(
+      expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll)").as("c1"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll)").as("c2"))
+    nll.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("nll") <= col("c1"), "head")
+          .when(col("nll") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        round(min(col("nll")), 4).as("min_nll"),
+        round(max(col("nll")), 4).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- q136
+
+  /** q136: shard mix-quality report — certifies that the md5 shard
+    * assignment (q86/[[graft.sources.ShardExport]]) MIXES sources, not
+    * just balances counts: per shard, the source-distribution entropy
+    * (nats). A training loader streaming shards sequentially sees each
+    * shard as an unbiased corpus sample only if every shard's mix matches
+    * the global mix — a skewed shard means correlated batches. Shape:
+    * one partial-agg shuffle to (shard, source) cells (≤ shards × sources
+    * rows regardless of corpus size), then shard-level folds — the
+    * report is layout-sized, so it runs after every export at 100 TB. */
+  val q136ShardMix: Q = (s, d) => {
+    val cell = Tables.documents(s, d)
+      .select(graft.sources.ShardExport.shardAssignment(col("doc_id"), 8).as("shard"),
+        col("source"))
+      .groupBy(col("shard"), col("source")).agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy(col("shard"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_sources"))
+    cell.join(tot, Seq("shard"))
+      .groupBy(col("shard"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        max(col("n_sources")).cast("long").as("n_sources"),
+        round(-sum(col("n") / col("tot") * log(col("n") / col("tot"))), 4).as("entropy"))
+      .orderBy(col("shard"))
+  }
+
   // ---------------------------------------------------------------- q87
 
   /** Deterministic stratified sampling: exactly k uniform-random documents
@@ -693,6 +752,8 @@ object Scoring {
     "q93_bm25_indexed"   -> q93Bm25Indexed,
     "q85_perplexity"     -> q85Perplexity,
     "q86_shard_plan"     -> q86ShardPlan,
+    "q135_ccnet_buckets" -> q135CcnetBuckets,
+    "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
     "q89_weighted_sample" -> q89WeightedSample,
@@ -950,6 +1011,38 @@ object Scoring {
          |  CAST(sum(len($tokCol)) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q85 NLL model + the same percentile_disc cuts (identical
+    // constants — the cut is an actual nll element, so both engines pick
+    // the same document's score as the boundary)
+    "q135_ccnet_buckets" ->
+      s"""WITH $nllCtes,
+         |c AS (
+         |  SELECT percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll) AS c1,
+         |    percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll) AS c2
+         |  FROM nllt),
+         |b AS (
+         |  SELECT CASE WHEN nll <= c1 THEN 'head'
+         |              WHEN nll <= c2 THEN 'middle'
+         |              ELSE 'tail' END AS bucket, n_toks, nll
+         |  FROM nllt CROSS JOIN c)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  round(min(nll), 4) AS min_nll, round(max(nll), 4) AS max_nll
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q136_shard_mix" ->
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |cell AS (SELECT shard, source, count(*) AS n FROM a GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT shard, CAST(sum(n) AS BIGINT) AS tot, count(*) AS n_sources
+        |  FROM cell GROUP BY 1)
+        |SELECT cell.shard, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(max(n_sources) AS BIGINT) AS n_sources,
+        |  round(-sum((n / tot) * ln(n / tot)), 4) AS entropy
+        |FROM cell JOIN tot USING (shard)
+        |GROUP BY cell.shard ORDER BY cell.shard""".stripMargin,
     "q87_stratified_sample" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

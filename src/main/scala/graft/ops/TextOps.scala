@@ -594,6 +594,48 @@ object TextOps {
   val q110Boilerplate: Q = (s, d) =>
     boilerplateScrubOf(Tables.documents(s, d))
 
+  /** q133: in-document repetition scrub — collapse every run of
+    * consecutive identical tokens to a single occurrence and report the
+    * longest run. This is the REMEDIATION for the pathology q68 measures
+    * (q68 scores duplicate n-gram mass; Gopher-style gates drop on it —
+    * this pass repairs instead of dropping, the "scrub" tier of the same
+    * policy, complementing q110's corpus-level template scrub with a
+    * purely document-local one).
+    *
+    * Scale shape: a map-ONLY pass — built-in array HOFs (`filter` with the
+    * index lambda, `aggregate` carrying (prev, run, best)), no UDF, no
+    * shuffle except the presentation sort. A token survives iff it differs
+    * from its predecessor, so the output is order-preserving and
+    * idempotent. At 100 TB this runs at scan speed and composes with any
+    * gate (`max_run` is the drop-threshold signal a repetition gate keys
+    * on). */
+  val q133RunCollapse: Q = (s, d) =>
+    runCollapseOf(Tables.documents(s, d))
+
+  /** The q133 kernel over an arbitrary (doc_id, text, ...) frame — shared
+    * with the planted-runs unit. */
+  private[graft] def runCollapseOf(input: DataFrame): DataFrame =
+    input
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      // keep position 0 and every token that breaks its predecessor's run
+      .withColumn("clean",
+        expr("filter(toks, (t, i) -> i = 0 OR t != toks[i - 1])"))
+      // longest run via one fold: (prev token, current run, best run)
+      .withColumn("max_run", expr(
+        """aggregate(toks,
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |  (acc, t) -> named_struct(
+          |    'prev', t,
+          |    'run',  IF(t <=> acc.prev, acc.run + 1, 1),
+          |    'best', greatest(acc.best, IF(t <=> acc.prev, acc.run + 1, 1))),
+          |  acc -> acc.best)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(col("clean"))).cast("long").as("n_collapsed"),
+        col("max_run").cast("long").as("max_run"),
+        concat_ws(" ", col("clean")).as("clean_text"))
+      .orderBy(col("doc_id"))
+
   /** Positioned trigram rows of a tokenized corpus — shared by the scrub
     * and the gram-set export. */
   private def gramRowsOf(docs: DataFrame): DataFrame =
@@ -713,6 +755,7 @@ object TextOps {
     "q129_bpe_pairs"    -> q129BpePairs,
     "q130_merge_compression" -> q130MergeCompression,
     "q110_boilerplate"  -> q110Boilerplate,
+    "q133_run_collapse" -> q133RunCollapse,
     "q30_html_extract"  -> q30HtmlExtract,
     "q75_chunk"         -> q75Chunk,
     "q76_pack"          -> q76Pack,
@@ -809,6 +852,37 @@ object TextOps {
         |FROM t LEFT JOIN keep k USING (doc_id)
         |GROUP BY t.doc_id, t.toks
         |ORDER BY t.doc_id""".stripMargin,
+    // Run collapse replayed relationally: positions + lag give the
+    // keep-set; gaps-and-islands (pos - row_number per token) gives the
+    // longest run — the window-based restatement of the engine's fold.
+    "q133_run_collapse" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks[i] AS tok, i AS pos
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+        |l AS (
+        |  SELECT doc_id, tok, pos,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM u),
+        |runs AS (
+        |  SELECT doc_id, tok,
+        |    pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS isl
+        |  FROM u),
+        |mr AS (
+        |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_run FROM (
+        |    SELECT doc_id, count(*) AS cnt FROM runs GROUP BY doc_id, tok, isl)
+        |  GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(count(*) FILTER (WHERE prev = tok) AS BIGINT) AS n_collapsed,
+        |  mr.max_run,
+        |  string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE prev IS NULL OR tok != prev) AS clean_text
+        |FROM l JOIN mr USING (doc_id)
+        |GROUP BY l.doc_id, mr.max_run
+        |ORDER BY l.doc_id""".stripMargin,
     // The rule gate recomputed signal by signal: identical tokenization,
     // identical rounding BEFORE the threshold comparisons, verdict as 0/1.
     "q97_gopher_rules" ->

@@ -395,4 +395,24 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(!p.contains("documents.parquet"),
       s"q128 must answer from artifacts only — corpus text scan found:\n$p")
   }
+
+  test("q134: the bucketed join needs ZERO exchanges — the write-time layout is the shuffle") {
+    import org.apache.spark.sql.functions.col
+    // force the sort-merge path: a broadcast join would also skip the
+    // shuffle, but for the wrong (size-dependent) reason — the bucketed
+    // layout must carry the co-location on its own
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (docsT, statsT) = graft.sources.Bucketed.tables(spark, sf)
+      val p = spark.table(docsT).join(spark.table(statsT), Seq("doc_id"))
+        .select(col("doc_id"), col("n_chars"), col("n_toks"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"both sides are bucketed on the join key — no exchange may appear:\n$p")
+      assert("SelectedBucketsCount".r.findAllIn(p).size == 2,
+        s"both scans must read as bucketed scans:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

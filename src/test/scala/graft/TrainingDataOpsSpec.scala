@@ -341,6 +341,56 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q133: run collapse keeps one survivor per run, reports the longest run, and is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c a"),      // runs: a×3, b×2 → collapsed 3, max 3
+      (2L, "x y z"),              // no runs
+      (3L, "t t t t t"),          // one run of 5 → "t"
+      (4L, "p  q\tq\nq r")        // whitespace-normalized BEFORE run detection
+    ).toDF("doc_id", "text")
+    val out = ops.TextOps.runCollapseOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((7L, 3L, 3L, "a b c a")),
+      s"interleaved runs collapse per run, later recurrence survives: ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 1L, "x y z")))
+    assert(out(3L) == ((5L, 4L, 5L, "t")))
+    assert(out(4L) == ((5L, 2L, 3L, "p q r")),
+      s"runs split by whitespace only must still collapse: ${out(4L)}")
+    // idempotent: scrubbing the scrubbed text changes nothing
+    val again = ops.TextOps.runCollapseOf(
+        ops.TextOps.runCollapseOf(docs).select(col("doc_id"), col("clean_text").as("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(again.forall(_._2 == 0L), s"second pass must collapse nothing: ${again.mkString(",")}")
+  }
+
+  test("q135: perplexity terciles cover the corpus and order head < tail by nll") {
+    val out = ops.Scoring.q135CcnetBuckets(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("head", "middle", "tail"))
+    val n = Tables.documents(spark, sf).count()
+    assert(out.values.map(_._1).sum == n, "buckets must partition the corpus")
+    // discrete cuts put ties low, so head/middle can exceed n/3 slightly
+    assert(out("head")._1 >= n / 3 && out("head")._1 <= n / 3 + 5, out("head"))
+    assert(out("head")._4 <= out("middle")._3 + 1e-9, "head max nll <= middle min")
+    assert(out("middle")._4 <= out("tail")._3 + 1e-9, "middle max nll <= tail min")
+  }
+
+  test("q136: every shard mixes every source (entropy near the global mix at this sf)") {
+    val rows = ops.Scoring.q136ShardMix(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L until 8L).toSet, "all 8 shards present")
+    val nSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    rows.foreach { r =>
+      // ~60-doc shards over 20 sources: coupon-collector says a shard may
+      // miss a source or two at this sf; the MIX signal is the entropy
+      assert(r.getLong(2) >= nSources - 3, s"shard ${r.getLong(0)} missing many sources: $r")
+      val maxEnt = math.log(nSources.toDouble)
+      assert(r.getDouble(3) > 0.85 * maxEnt && r.getDouble(3) <= maxEnt + 1e-9,
+        s"shard ${r.getLong(0)} entropy ${r.getDouble(3)} far from uniform bound $maxEnt")
+    }
+  }
+
   test("q111: semantic decontam hits are sound (true cosine >= floor) with full recall at this sf") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))

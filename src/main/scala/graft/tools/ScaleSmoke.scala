@@ -658,6 +658,54 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // q134's claim quantified: the SAME join, same data, same conf — once
+    // over plain parquet (join pays two hash exchanges), once over the
+    // bucketBy layout (zero exchanges; the shuffle was paid at write).
+    // Reported: join wall-clock AND the exchange count from the executed
+    // plan, at 1x/4x/16x. Broadcast disabled so the comparison is
+    // SMJ-vs-SMJ (at 100 TB neither side broadcasts anyway).
+    if (section == "all" || section == "bucketed") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            col("source"), col("n_chars"), col("text"))
+        }.reduce(_ unionByName _)
+        val left = scaled.select(col("doc_id"), col("source"), col("n_chars"))
+        val right = scaled.select(col("doc_id"),
+          graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_toks"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-smoke-bucketed").toString
+        def consume(j: DataFrame): Unit = {
+          val r = j.agg(sum(col("n_toks") + col("n_chars")), count(lit(1))).head()
+          require(r.getLong(1) == n * mult, s"join lost rows: ${r.getLong(1)}")
+        }
+        def exchanges(j: DataFrame): Int =
+          "Exchange".r.findAllIn(j.queryExecution.executedPlan.toString).size
+        // plain layout: the join pays its exchanges every run
+        left.write.mode("overwrite").parquet(s"$tmp/l")
+        right.write.mode("overwrite").parquet(s"$tmp/r")
+        val plain = spark.read.parquet(s"$tmp/l")
+          .join(spark.read.parquet(s"$tmp/r"), Seq("doc_id"))
+        println(s"[scale] ===== bucketed mult=$mult rows=${n * mult} " +
+          s"plainExchanges=${exchanges(plain)} =====")
+        time(s"mult=$mult join over plain parquet")(consume(plain))
+        // bucketed layout: shuffle paid once at write time
+        val (lt, rt) = (s"graft_smoke_bl_$mult", s"graft_smoke_br_$mult")
+        left.repartition(32, col("doc_id")).write.format("parquet")
+          .bucketBy(32, "doc_id").sortBy("doc_id")
+          .option("path", s"$tmp/bl").mode("overwrite").saveAsTable(lt)
+        right.repartition(32, col("doc_id")).write.format("parquet")
+          .bucketBy(32, "doc_id").sortBy("doc_id")
+          .option("path", s"$tmp/br").mode("overwrite").saveAsTable(rt)
+        val bucketed = spark.table(lt).join(spark.table(rt), Seq("doc_id"))
+        println(s"[scale] mult=$mult bucketedExchanges=${exchanges(bucketed)}")
+        time(s"mult=$mult join over bucketed layout")(consume(bucketed))
+        spark.sql(s"DROP TABLE $lt"); spark.sql(s"DROP TABLE $rt")
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

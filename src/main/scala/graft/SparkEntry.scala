@@ -42,7 +42,7 @@ object SparkEntry {
         "q94_topic_probs", "q95_topic_heatmap", "q125_hybrid_rrf",
         "q128_hybrid_served", "q132_hybrid_batch"), ops.Ml.writeEmbedSupport),
       (Set("q125_hybrid_rrf", "q128_hybrid_served"), ops.Scoring.writeHybridSupport),
-      (Set("q128_hybrid_served", "q132_hybrid_batch"),
+      (Set("q128_hybrid_served", "q132_hybrid_batch", "q137_domain_waterfill"),
         ops.Scoring.writeServedHybridSupport),
       (Set("q132_hybrid_batch"), ops.Scoring.writeBatchHybridSupport),
       (Set("q50_topic_info", "q51_topic_terms", "q94_topic_probs",

@@ -184,9 +184,9 @@ object CorpusReports {
   }
 
   private[graft] def waterfillOf(perSource: org.apache.spark.sql.DataFrame,
-      budget: Long): org.apache.spark.sql.DataFrame = {
+      budget: Long, keyCol: String = "source"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("ntoks"), col("source"))
+    val w = Window.orderBy(col("ntoks"), col(keyCol))
     val ranked = perSource
       .withColumn("i", row_number().over(w))
       .withColumn("pfx", sum(col("ntoks")).over(w))
@@ -211,11 +211,34 @@ object CorpusReports {
       if (bi == Long.MaxValue) Long.MaxValue
       else ranked.filter(col("i") === bi).head().getAs[Long]("cap_cand")
     Caching.materializeAndRelease(
-      ranked.select(col("source"), col("ntoks"),
+      ranked.select(col(keyCol), col("ntoks"),
           when(col("i") < bi, col("ntoks")).otherwise(lit(capRow)).as("alloc"),
           (col("i") >= bi).as("capped"))
-        .orderBy(col("source")),
+        .orderBy(col(keyCol)),
       ranked)
+  }
+
+  /** q137: the q121 waterfill across embedding-DISCOVERED domains instead
+    * of source labels: domain = a document's cell in the persisted
+    * document IVF index ([[graft.ops.Scoring.docIvfDir]] — the same
+    * artifact the q128 retrieval tier serves from), so the mixture
+    * planner balances topical clusters the corpus actually contains, not
+    * the feed names it arrived under (a source label can hide ten domains
+    * or one domain can span five feeds — DoReMi-style domain balancing
+    * without a proxy model). Costs one corpus token-count pass joined to
+    * the index's assignment table, then the SAME [[waterfillOf]] kernel
+    * on a cells-sized table; the oracle replays the allocation algebra
+    * over the exported cell assignments. */
+  val q137DomainWaterfill: Q = (s, d) => {
+    val idx = IvfIndex.load(s, Scoring.docIvfDir(s, d))
+    val cellOf = idx.cells
+      .select(col("vec_id").as("doc_id"), col("cell").cast("long").as("domain"))
+    val perCell = Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dtoks"))
+      .join(cellOf, Seq("doc_id"))
+      .groupBy(col("domain")).agg(sum(col("dtoks")).as("ntoks"))
+    val total = perCell.agg(sum(col("ntoks"))).head.getLong(0)
+    waterfillOf(perCell, total / 2, keyCol = "domain")
   }
 
   /** Gate-funnel (loss accounting) report: per source, the document counts
@@ -278,8 +301,36 @@ object CorpusReports {
     "q119_cell_balance"     -> q119CellBalance,
     "q120_ctx_fit"          -> q120CtxFit,
     "q121_budget_waterfill" -> q121BudgetWaterfill,
+    "q137_domain_waterfill" -> q137DomainWaterfill,
     "q127_gate_funnel"      -> q127GateFunnel,
   )
+
+  /** The waterfill allocation algebra as DuckDB text, parameterized only
+    * by the per-key token-sum CTE and the key column — ONE definition
+    * serves q121 (sources) and q137 (embedding domains), mirroring the
+    * shared [[waterfillOf]] kernel. */
+  private def waterfillSql(psCte: String, key: String): String =
+    s"""WITH ps AS (
+       |  $psCte),
+       |tot AS (SELECT CAST(sum(ntoks) AS BIGINT) // 2 AS budget,
+       |               count(*) AS k FROM ps),
+       |r AS (
+       |  SELECT $key, ntoks,
+       |    row_number() OVER (ORDER BY ntoks, $key) AS i,
+       |    sum(ntoks) OVER (ORDER BY ntoks, $key) AS pfx,
+       |    lag(ntoks, 1, CAST(0 AS BIGINT)) OVER (ORDER BY ntoks, $key) AS prev_ntoks
+       |  FROM ps),
+       |c AS (
+       |  SELECT r.*, (tot.budget - (pfx - ntoks)) // (tot.k - i + 1) AS cap_cand
+       |  FROM r, tot),
+       |b AS (SELECT min(i) AS bi FROM c
+       |      WHERE cap_cand < ntoks AND prev_ntoks <= cap_cand),
+       |cap AS (SELECT c.cap_cand AS cap FROM c, b WHERE c.i = b.bi)
+       |SELECT $key, ntoks,
+       |  CAST(CASE WHEN (SELECT bi FROM b) IS NULL OR i < (SELECT bi FROM b)
+       |       THEN ntoks ELSE (SELECT cap FROM cap) END AS BIGINT) AS alloc,
+       |  coalesce(i >= (SELECT bi FROM b), FALSE) AS capped
+       |FROM c ORDER BY $key""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // stage predicates are verbatim q97 (gate), q36 (fingerprint), q69
@@ -373,30 +424,20 @@ object CorpusReports {
     // dimension; integer `//` division mirrors the kernel's `div` (the
     // two can only disagree on negative numerators, which the validity
     // predicate rejects on both sides)
-    "q121_budget_waterfill" ->
-      """WITH ps AS (
-        |  SELECT source,
+    "q121_budget_waterfill" -> waterfillSql(
+      """SELECT source,
         |    CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS ntoks
-        |  FROM documents GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ntoks) AS BIGINT) // 2 AS budget,
-        |               count(*) AS k FROM ps),
-        |r AS (
-        |  SELECT source, ntoks,
-        |    row_number() OVER (ORDER BY ntoks, source) AS i,
-        |    sum(ntoks) OVER (ORDER BY ntoks, source) AS pfx,
-        |    lag(ntoks, 1, CAST(0 AS BIGINT)) OVER (ORDER BY ntoks, source) AS prev_ntoks
-        |  FROM ps),
-        |c AS (
-        |  SELECT r.*, (tot.budget - (pfx - ntoks)) // (tot.k - i + 1) AS cap_cand
-        |  FROM r, tot),
-        |b AS (SELECT min(i) AS bi FROM c
-        |      WHERE cap_cand < ntoks AND prev_ntoks <= cap_cand),
-        |cap AS (SELECT c.cap_cand AS cap FROM c, b WHERE c.i = b.bi)
-        |SELECT source, ntoks,
-        |  CAST(CASE WHEN (SELECT bi FROM b) IS NULL OR i < (SELECT bi FROM b)
-        |       THEN ntoks ELSE (SELECT cap FROM cap) END AS BIGINT) AS alloc,
-        |  coalesce(i >= (SELECT bi FROM b), FALSE) AS capped
-        |FROM c ORDER BY source""".stripMargin,
+        |  FROM documents GROUP BY 1""".stripMargin, "source"),
+    // per-DOMAIN token sums come from the exported doc-index cell
+    // assignments (the q128 support table); the allocation algebra is the
+    // SAME shared text as q121's — kernel and oracle cannot desync per key
+    "q137_domain_waterfill" -> waterfillSql(
+      """SELECT CAST(c.cell AS BIGINT) AS domain,
+        |    CAST(sum(len(string_split(trim(regexp_replace(d.text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS ntoks
+        |  FROM documents d
+        |  JOIN read_parquet('{GRAFT_OUT}_support/q128_support_cells/*.parquet') c
+        |    ON c.doc_id = d.doc_id
+        |  GROUP BY 1""".stripMargin, "domain"),
     "q120_ctx_fit" ->
       """WITH t AS (
         |  SELECT source,

@@ -12,6 +12,7 @@ import graft.ops.CorpusReports
 class CorpusReportsSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
 
   test("q115 kernel: planted clusters of size 1/2/3 land in the right buckets") {
     import spark.implicits._
@@ -66,6 +67,27 @@ class CorpusReportsSpec extends AnyFunSuite {
     val free = CorpusReports.waterfillOf(ps, 1000L)
       .collect().map(r => (r.getLong(2), r.getBoolean(3)))
     assert(free.toSeq == Seq((10L, false), (20L, false), (70L, false)))
+  }
+
+  test("q137: domain waterfill partitions the corpus by index cell and respects the budget") {
+    val rows = CorpusReports.q137DomainWaterfill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // domains are exactly the doc index's cells, each doc counted once
+    val idx = graft.ops.IvfIndex.load(spark,
+      graft.ops.Scoring.docIvfDir(spark, sf))
+    assert(rows.map(_._1).toSet ==
+      idx.cells.select(col("cell")).distinct().collect().map(_.getInt(0).toLong).toSet)
+    val total = rows.map(_._2).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.nonEmpty && total > 0)
+    assert(idx.cells.count() == nDocs, "every doc must carry exactly one domain")
+    // allocation obeys the waterfill contract: alloc <= ntoks, uncapped
+    // domains run free, and the total drains the budget up to < #domains
+    val budget = total / 2
+    val alloc = rows.map(_._3).sum
+    assert(rows.forall { case (_, nt, al, capped) => al <= nt && (capped || al == nt) })
+    assert(alloc <= budget && budget - alloc < rows.length,
+      s"allocations must fill the budget modulo the integer remainder: $alloc vs $budget")
   }
 
   test("q116: bucket boundaries are integer-exact at powers of two") {

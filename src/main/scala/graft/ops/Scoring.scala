@@ -644,6 +644,69 @@ object Scoring {
       toks, hits)
   }
 
+  // --------------------------------------------------------------- q138
+
+  /** q138: retrieval evaluation metrics — the report a retrieval stack
+    * ships with its rankings: per query of the q131 batch, recall@5,
+    * MRR@5 and nDCG@5 of the certified batched-BM25 top-5 against a
+    * DETERMINISTIC pseudo-qrel (relevant = documents containing all
+    * three of the query's terms — conjunctive containment, computable
+    * by both engines with no human labels). Evaluation composes three
+    * certified kernels: the q131 scorer (shared stage — the metrics
+    * grade exactly what q131 serves), the tokenize pass (shared cache),
+    * and rank arithmetic on the ROUNDED-score order (the q125 rank
+    * discipline, so ranks are engine-independent).
+    *
+    * Scale shape: labels are a hit-sized distinct + group-count (never
+    * all (query, doc) pairs); the metric folds run on ≤ k rows per query
+    * and the ideal-DCG table on ≤ k rows per query — everything after
+    * the corpus tokenize is batch-sized. nDCG uses natural-log DCG in
+    * the dcg/idcg RATIO (base cancels; both engines fold the same ≤5
+    * terms). */
+  val q138RetrievalMetrics: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .cache() // feeds query derivation AND the label pass
+    val qt = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(30)
+      .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .select(col("term"), expr("(rn - 1) div 3").cast("long").as("query_id"))
+    val rel = toks.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term")).distinct()
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ntq")).filter(col("ntq") === 3)
+      .select(col("query_id"), col("doc_id"))
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val t5 = batchedBm25Top5(s, d).withColumn("rn",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25").desc, col("doc_id"))))
+    Caching.materializeAndRelease(rankingMetricsOf(t5, rel, nrel, k = 5), toks)
+  }
+
+  /** The metric folds alone, over an arbitrary ranking (query_id, doc_id,
+    * rn) and label set — shared by q138 and the hand-computed unit. */
+  private[graft] def rankingMetricsOf(ranked: DataFrame, rel: DataFrame,
+      nrel: DataFrame, k: Int): DataFrame = {
+    val graded = ranked
+      .join(rel.withColumn("isrel", lit(1)), Seq("query_id", "doc_id"), "left")
+      .withColumn("isrel", coalesce(col("isrel"), lit(0)))
+    val m = graded.groupBy(col("query_id")).agg(
+      sum(col("isrel")).cast("long").as(s"hits$k"),
+      coalesce(min(when(col("isrel") === 1, col("rn"))), lit(0)).as("frank"),
+      sum(col("isrel") / log(col("rn") + 1)).as("dcg"))
+    val ideal = nrel
+      .select(col("query_id"), explode(sequence(lit(1), least(col("n_rel"), lit(k)))).as("i"))
+      .groupBy(col("query_id")).agg(sum(lit(1.0) / log(col("i") + 1)).as("idcg"))
+    m.join(nrel, Seq("query_id")).join(ideal, Seq("query_id"))
+      .select(col("query_id"), col("n_rel"), col(s"hits$k"),
+        round(col(s"hits$k") / col("n_rel"), 4).as(s"recall$k"),
+        round(when(col("frank") === 0, lit(0.0))
+          .otherwise(lit(1.0) / col("frank")), 4).as(s"mrr$k"),
+        round(col("dcg") / col("idcg"), 4).as(s"ndcg$k"))
+      .orderBy(col("query_id"))
+  }
+
   // --------------------------------------------------------------- q132
 
   /** The q131 query batch as driver-side texts: each query's three terms
@@ -764,6 +827,7 @@ object Scoring {
     "q128_hybrid_served" -> q128HybridServed,
     "q131_batched_bm25"  -> q131BatchedBm25,
     "q132_hybrid_batch"  -> q132HybridBatch,
+    "q138_retrieval_metrics" -> q138RetrievalMetrics,
   )
 
   private val tokCol =
@@ -947,6 +1011,41 @@ object Scoring {
          |  FROM sc)
          |SELECT query_id, doc_id, bm25 FROM top WHERE rn <= 5
          |ORDER BY query_id, bm25 DESC, doc_id""".stripMargin,
+    // q131's ranking CTEs + the conjunctive pseudo-qrel (all 3 query
+    // terms present) + textbook rank folds; nDCG's natural-log base
+    // cancels in the dcg/idcg ratio on both engines identically
+    "q138_retrieval_metrics" ->
+      s"""WITH $batchBm25Ctes,
+         |top AS (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+         |  FROM sc),
+         |t5 AS (SELECT * FROM top WHERE rn <= 5),
+         |rel AS (
+         |  SELECT query_id, doc_id FROM h GROUP BY 1, 2
+         |  HAVING count(DISTINCT term) = 3),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+         |graded AS (
+         |  SELECT t5.query_id, t5.rn,
+         |    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isrel
+         |  FROM t5 LEFT JOIN rel
+         |    ON rel.query_id = t5.query_id AND rel.doc_id = t5.doc_id),
+         |m AS (
+         |  SELECT query_id,
+         |    CAST(sum(isrel) AS BIGINT) AS hits5,
+         |    coalesce(min(CASE WHEN isrel = 1 THEN rn END), 0) AS frank,
+         |    sum(isrel / ln(rn + 1)) AS dcg
+         |  FROM graded GROUP BY 1),
+         |ideal AS (
+         |  SELECT n.query_id, sum(1.0 / ln(i + 1)) AS idcg
+         |  FROM nrel n, unnest(range(1, least(n.n_rel, 5) + 1)) AS r(i)
+         |  GROUP BY 1)
+         |SELECT m.query_id, n.n_rel, m.hits5,
+         |  round(m.hits5 / n.n_rel, 4) AS recall5,
+         |  round(CASE WHEN m.frank = 0 THEN 0.0 ELSE 1.0 / m.frank END, 4) AS mrr5,
+         |  round(m.dcg / i.idcg, 4) AS ndcg5
+         |FROM m JOIN nrel n USING (query_id) JOIN ideal i USING (query_id)
+         |ORDER BY m.query_id""".stripMargin,
     // batch hybrid: q131's lexical text + the q128 dense-replay discipline
     // PER QUERY (routing partitioned by query_id), RRF per (query, doc)
     "q132_hybrid_batch" ->

@@ -391,6 +391,22 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q138 kernel: hand-computed recall/MRR/nDCG on a planted ranking") {
+    import spark.implicits._
+    val ranked = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (0L, 13L, 4), (0L, 14L, 5),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3)).toDF("query_id", "doc_id", "rn")
+    val rel = Seq((0L, 11L), (0L, 13L), (0L, 99L), (1L, 50L)).toDF("query_id", "doc_id")
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val got = ops.Scoring.rankingMetricsOf(ranked, rel, nrel, 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // q0: hits at ranks 2 and 4 of rel-set {11,13,99} → recall 2/3,
+    // MRR 1/2, nDCG (1/ln3 + 1/ln5)/(1/ln2 + 1/ln3 + 1/ln4) = 0.4982
+    assert(got(0L) == ((3L, 2L, 0.6667, 0.5, 0.4982)), got(0L).toString)
+    // q1: nothing relevant retrieved → all three metrics zero
+    assert(got(1L) == ((1L, 0L, 0.0, 0.0, 0.0)), got(1L).toString)
+  }
+
   test("q111: semantic decontam hits are sound (true cosine >= floor) with full recall at this sf") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))

@@ -615,6 +615,14 @@ object TextOps {
   /** The q133 kernel over an arbitrary (doc_id, text, ...) frame — shared
     * with the planted-runs unit. */
   private[graft] def runCollapseOf(input: DataFrame): DataFrame =
+    runCollapseKernel(input).orderBy(col("doc_id"))
+
+  /** The kernel WITHOUT the presentation sort: a stateless narrow map,
+    * legal as-is inside a streaming micro-batch — the streaming twin
+    * ([[graft.streaming.Incremental.continuousRunCollapse]]) runs this
+    * very Column tree, so stream and batch cannot drift (no JVM re-twin
+    * to keep in sync). */
+  private[graft] def runCollapseKernel(input: DataFrame): DataFrame =
     input
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       // keep position 0 and every token that breaks its predecessor's run
@@ -634,7 +642,6 @@ object TextOps {
         (size(col("toks")) - size(col("clean"))).cast("long").as("n_collapsed"),
         col("max_run").cast("long").as("max_run"),
         concat_ws(" ", col("clean")).as("clean_text"))
-      .orderBy(col("doc_id"))
 
   /** Positioned trigram rows of a tokenized corpus — shared by the scrub
     * and the gram-set export. */

@@ -324,6 +324,21 @@ object Incremental {
     }
   }
 
+  /** Continuous in-document repetition scrub — the streaming twin of q133
+    * and the simplest twin in the family: the kernel is a STATELESS
+    * narrow map with no corpus-global fit (unlike q110's gram set or
+    * q117's frozen suite), so the stream runs the batch kernel's very
+    * Column tree ([[graft.ops.TextOps.runCollapseKernel]]) inside each
+    * micro-batch. Stream output is row-identical to batch BY CONSTRUCTION
+    * — one definition, two execution modes — which StreamingSpec still
+    * asserts (the contract, not the plumbing). Exactly-once per input
+    * file via the checkpoint. */
+  def continuousRunCollapse(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    runOnce(spark, inDir, schema, outDir, checkpointDir)(
+      graft.ops.TextOps.runCollapseKernel)
+
   /** Continuous benchmark-saturation maintenance (the streaming twin of
     * q117): the eval suite is FROZEN — its distinct 5-gram hashes are
     * computed once, keyed by eval doc, and broadcast (benchmark-sized

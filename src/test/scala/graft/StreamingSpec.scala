@@ -318,6 +318,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 150)
   }
 
+  test("continuous run collapse equals the batch q133 output and resumes exactly-once") {
+    val base = Files.createTempDirectory("graft-runcollapse").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // planted runs + a null-text row (the two kernels are ONE definition,
+    // but the contract — row equality incl. the null row — stays pinned)
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, s"tok$i tok$i keep$i keep$i keep$i end$i")
+    } ++ Seq((60L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      def nl(i: Int): java.lang.Long = if (r.isNullAt(i)) null else r.getLong(i)
+      (r.getLong(0), nl(1), nl(2), nl(3), r.getString(4))
+    }.toSet
+    val batchOut = rows(graft.ops.TextOps.runCollapseOf(docs))
+    docs.filter(col("doc_id") < 40).write.parquet(s"$in/b1")
+    Incremental.continuousRunCollapse(spark, s"$in/*", docSchema, out, ck)
+    docs.filter(col("doc_id") >= 40).write.parquet(s"$in/b2")
+    val q2 = Incremental.continuousRunCollapse(spark, s"$in/*", docSchema, out, ck)
+    assert(Incremental.progressReport(q2).rows == 21L,
+      "resume must process only the second file")
+    val streamOut = rows(spark.read.parquet(out))
+    assert(streamOut == batchOut,
+      s"stream/batch divergence: ${streamOut.diff(batchOut).take(3)} vs ${batchOut.diff(streamOut).take(3)}")
+  }
+
   test("continuous semantic decontam quarantines near-benchmark embeddings with evidence, resumes") {
     val base = Files.createTempDirectory("graft-semdecontam").toString
     val in = s"$base/in"; val clean = s"$base/clean"

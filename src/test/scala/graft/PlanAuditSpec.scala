@@ -85,11 +85,14 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // q84/q85/q93 add the same broadcast-1-row-scalar shape (corpus stats /
     // unigram grand total / persisted index stats)
     // q125/q126 compose the q84/q85 kernels, inheriting the same shape
+    // q135 broadcasts its 1-row percentile-cut table; q138 composes the
+    // q131 scorer (its 1-row corpus-stats broadcast) — same scalar shape
     val allowedNestedLoop =
       Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info",
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
         "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served",
-        "q131_batched_bm25", "q132_hybrid_batch")
+        "q131_batched_bm25", "q132_hybrid_batch",
+        "q135_ccnet_buckets", "q138_retrieval_metrics")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)
@@ -394,6 +397,28 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"expected a partition filter on cell in q128's member scan:\n$p")
     assert(!p.contains("documents.parquet"),
       s"q128 must answer from artifacts only — corpus text scan found:\n$p")
+  }
+
+  test("q135: the tercile split is cut-based — no window, no global sort below the 3-row output") {
+    val p = plan("q135_ccnet_buckets")
+    assert(!p.contains("Window"),
+      s"terciles must come from percentile cuts, not a ranking window:\n$p")
+    // exactly one broadcast of the 1-row cut table into the corpus-sized side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the cuts must broadcast:\n$p")
+  }
+
+  test("q137: domains come from the persisted doc-index assignment, not a re-clustering") {
+    val p = plan("q137_domain_waterfill")
+    assert(p.contains("graft-ivf-doc"),
+      s"expected a scan of the doc IVF index artifact:\n$p")
+  }
+
+  test("q138: the per-query rank window partitions on query_id (the term window is limit-30-bounded)") {
+    val p = plan("q138_retrieval_metrics")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(query_id"),
+      s"the per-query rank window must partition on query_id:\n$p")
   }
 
   test("q134: the bucketed join needs ZERO exchanges — the write-time layout is the shuffle") {

@@ -18,7 +18,8 @@ class SparkEntrySpec extends AnyFunSuite {
     ("Multimodal", ops.Multimodal.queries, ops.Multimodal.oracle),
     ("Scoring", ops.Scoring.queries, ops.Scoring.oracle),
     ("Curation", ops.Curation.queries, ops.Curation.oracle),
-    ("CorpusReports", ops.CorpusReports.queries, ops.CorpusReports.oracle))
+    ("CorpusReports", ops.CorpusReports.queries, ops.CorpusReports.oracle),
+    ("Bucketed", sources.Bucketed.queries, sources.Bucketed.oracle))
 
   test("no query key is defined by two modules (++ would shadow one)") {
     val all = modules.flatMap { case (m, qs, _) => qs.keys.map(_ -> m) }

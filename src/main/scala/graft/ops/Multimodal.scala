@@ -197,10 +197,83 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  case class ImageHash(doc_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Average-hash (aHash) of a decoded image: bit p is set iff pixel p's
+    * luminance exceeds the image mean — the classic perceptual fingerprint
+    * (production pipelines hash a downsampled 8×8 grid; here the images ARE
+    * grids ≤ 64 px, enforced). INTEGER throughout: luminance = r+g+b and
+    * the mean compare is `lum·nPixels > total`, so the hash is bit-exact
+    * cross-engine, never float-thresholded. Batched mapPartitions like
+    * [[imageStats]]; undecodable blobs report decoded = false. */
+  def imageAHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          tryDecode(bytes) match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              require(w * h <= 64,
+                s"aHash bit budget: ${w}x$h > 64 px — downsample before hashing")
+              val n = w * h
+              val lum = new Array[Long](n)
+              var total = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+                  lum(y * w + x) = l; total += l
+                  x += 1
+                }
+                y += 1
+              }
+              var hv = 0L
+              var p = 0
+              while (p < n) {
+                if (lum(p) * n > total) hv |= 1L << p
+                p += 1
+              }
+              ImageHash(id, decoded = true, hv)
+            case None => ImageHash(id, decoded = false, -1L)
+          }
+        })
+      }.toDF()
+  }
+
+  /** q139: perceptual-hash image dedup — the media tier of the dedup
+    * family (M6/M7 were text; this is the pipeline that collapses
+    * re-encoded/duplicated images before captioning or training). Each
+    * document's synthesized BMP (the q124 REAL-decode path: actual header
+    * parse, actual pixel raster) is aHashed and duplicates collapse by
+    * hash in one groupBy — bucketed like exact text dedup, NO pairwise
+    * comparison, so the plan is corpus-linear at 100 TB. Near-dup
+    * (hamming ≤ k) extends by banding the 64 hash bits exactly as q38
+    * bands minhash signatures — the same LSH machinery composes; the
+    * certified tier here is the exact-hash bucket. Oracle recomputes every
+    * hash from the text bytes that became pixels (BGR raster, bottom-up
+    * row flip mapped index-by-index — per-pixel positions matter here,
+    * unlike q124's flip-invariant whole-image means). */
+  val q139MediaPhashDedup: Q = (s, d) => {
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), bmp(col("text")).as("media"))
+    imageAHash(media)
+      .filter(col("decoded"))
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical"))
+      .orderBy(col("ahash"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q52_media_features" -> q52MediaFeatures,
     "q53_frame_sample"   -> q53FrameSample,
     "q124_image_roundtrip" -> q124ImageRoundtrip,
+    "q139_media_phash_dedup" -> q139MediaPhashDedup,
   )
 
   def oracle: Map[String, String] = Map(
@@ -232,5 +305,26 @@ object Multimodal {
         |  CAST(3 AS INTEGER) AS n_channels,
         |  round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
         |FROM ch ORDER BY doc_id""".stripMargin,
+    // every aHash recomputed from the text bytes that became pixels.
+    // Image pixel p = (x, y) with y top-down; the BMP raster is
+    // bottom-up, so p's raster pixel index is (3 - p//4)*4 + p%4 and its
+    // BGR bytes sit at raster offsets 3*that + {0,1,2} (mod text length).
+    // Luminance = B+G+R summed as integers; bit p set iff lum*16 > total
+    // — integer compare, no float threshold, same as the kernel.
+    "q139_media_phash_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, p,
+        |    ord(substr(text,
+        |      CAST((3 * ((3 - p // 4) * 4 + p % 4) + c) % length(text) AS INTEGER) + 1,
+        |      1)) AS b
+        |  FROM documents, unnest(range(0, 16)) AS rp(p), unnest(range(0, 3)) AS rc(c)),
+        |lum AS (SELECT doc_id, p, CAST(sum(b) AS BIGINT) AS lum3 FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(lum3) AS BIGINT) AS total FROM lum GROUP BY 1),
+        |hsh AS (
+        |  SELECT lum.doc_id,
+        |    CAST(sum(CASE WHEN lum3 * 16 > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM lum JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT ahash, count(*) AS n_images, min(doc_id) AS canonical
+        |FROM hsh GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -104,6 +104,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).getDouble(5) == mean(2)) // R
   }
 
+  test("q139 kernel: aHash is flat-zero, duplicate-stable, and structured where expected") {
+    import spark.implicits._
+    val rows = Multimodal.imageAHash(Seq(
+        (1L, Multimodal.bmpOf("x" * 48)),      // flat: no pixel above mean
+        (2L, Multimodal.bmpOf("hello world")), // structured
+        (3L, Multimodal.bmpOf("hello world")), // byte-identical duplicate
+        (4L, "not an image".getBytes("UTF-8")) // undecodable
+      ).toDF("doc_id", "media"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((true, 0L)), "a flat image has no above-mean pixel")
+    assert(rows(2L)._1 && rows(2L)._2 != 0L, "structured bytes must set bits")
+    assert(rows(2L) == rows(3L), "identical images must share the hash")
+    assert(rows(4L) == ((false, -1L)), "non-images route to the undecoded branch")
+    // and the dedup tier groups the duplicates under the min canonical id
+    val grouped = Multimodal.imageAHash(Seq(
+        (2L, Multimodal.bmpOf("hello world")), (3L, Multimodal.bmpOf("hello world")))
+        .toDF("doc_id", "media"))
+      .filter(col("decoded"))
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical"))
+      .collect()
+    assert(grouped.length == 1 && grouped(0).getLong(1) == 2L &&
+      grouped(0).getLong(2) == 2L)
+  }
+
   test("the certification corpus never sniffs as an image (q52/q53 hashes are stable)") {
     import spark.implicits._
     val sniffed = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")

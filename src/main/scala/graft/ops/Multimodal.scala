@@ -269,11 +269,52 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
+  /** q140's banding: 4 bands of 4 hash bits. Pigeonhole gives EXACT
+    * recall at the matching threshold: hamming ≤ 3 flipped bits cannot
+    * touch all 4 bands, so every qualifying pair shares at least one
+    * intact band — the candidate join misses nothing (the q91 span
+    * argument, in hash space). */
+  private[graft] val PhashBands = 4
+  private[graft] val PhashBandBits = 4
+  private[graft] val PhashHamMax = PhashBands - 1
+
+  /** q140: NEAR-duplicate images — hamming ≤ 3 on the q139 aHash,
+    * candidates generated by banding the hash bits through the very
+    * [[Dedup.bucketedCandidates]] machinery q38 uses for minhash (shared
+    * guard: hot buckets triangle-split, AQE-aware) and verified by
+    * `bit_count(xor)`. Composition made literal: text LSH and image LSH
+    * run the same candidate engine, so the skew guard and its scale
+    * evidence transfer. The oracle certifies the SEMANTICS (all pairs at
+    * hamming ≤ 3, exhaustive at sf) — banding recall is exact by
+    * pigeonhole, so the relational spec needs no candidate replay. */
+  val q140MediaNearDup: Q = (s, d) => {
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), bmp(col("text")).as("media"))
+    val hashes = imageAHash(media).filter(col("decoded"))
+      .select(col("doc_id"), col("ahash")).cache()
+    val bands = hashes.select(col("doc_id"), posexplode(array(
+        (0 until PhashBands).map(b =>
+          shiftrightunsigned(col("ahash"), b * PhashBandBits)
+            .bitwiseAND(lit((1 << PhashBandBits) - 1))): _*))
+      .as(Seq("band", "bhash")))
+    Caching.materializeAndRelease(
+      Dedup.bucketedCandidates(bands, Nil)
+        .join(hashes.select(col("doc_id").as("doc_a"), col("ahash").as("ha")), Seq("doc_a"))
+        .join(hashes.select(col("doc_id").as("doc_b"), col("ahash").as("hb")), Seq("doc_b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= PhashHamMax)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      hashes)
+  }
+
   def queries: Map[String, Q] = Map(
     "q52_media_features" -> q52MediaFeatures,
     "q53_frame_sample"   -> q53FrameSample,
     "q124_image_roundtrip" -> q124ImageRoundtrip,
     "q139_media_phash_dedup" -> q139MediaPhashDedup,
+    "q140_media_near_dup" -> q140MediaNearDup,
   )
 
   def oracle: Map[String, String] = Map(
@@ -312,19 +353,34 @@ object Multimodal {
     // Luminance = B+G+R summed as integers; bit p set iff lum*16 > total
     // — integer compare, no float threshold, same as the kernel.
     "q139_media_phash_dedup" ->
-      """WITH px AS (
-        |  SELECT doc_id, p,
-        |    ord(substr(text,
-        |      CAST((3 * ((3 - p // 4) * 4 + p % 4) + c) % length(text) AS INTEGER) + 1,
-        |      1)) AS b
-        |  FROM documents, unnest(range(0, 16)) AS rp(p), unnest(range(0, 3)) AS rc(c)),
-        |lum AS (SELECT doc_id, p, CAST(sum(b) AS BIGINT) AS lum3 FROM px GROUP BY 1, 2),
-        |tot AS (SELECT doc_id, CAST(sum(lum3) AS BIGINT) AS total FROM lum GROUP BY 1),
-        |hsh AS (
-        |  SELECT lum.doc_id,
-        |    CAST(sum(CASE WHEN lum3 * 16 > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
-        |  FROM lum JOIN tot USING (doc_id) GROUP BY 1)
+      s"""WITH $phashCtes
         |SELECT ahash, count(*) AS n_images, min(doc_id) AS canonical
         |FROM hsh GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the near-dup SEMANTICS, exhaustively: banding recall is exact by
+    // pigeonhole (<= 3 flipped bits leave one of 4 bands intact), so the
+    // oracle states the hamming predicate over all pairs directly
+    "q140_media_near_dup" ->
+      s"""WITH $phashCtes
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
   )
+
+  // the q139 hash pipeline as a CTE body ending in hsh(doc_id, ahash) —
+  // q139 certifies it, q140's pair predicate builds on the same text
+  private val phashCtes =
+    """px AS (
+      |  SELECT doc_id, p,
+      |    ord(substr(text,
+      |      CAST((3 * ((3 - p // 4) * 4 + p % 4) + c) % length(text) AS INTEGER) + 1,
+      |      1)) AS b
+      |  FROM documents, unnest(range(0, 16)) AS rp(p), unnest(range(0, 3)) AS rc(c)),
+      |lum AS (SELECT doc_id, p, CAST(sum(b) AS BIGINT) AS lum3 FROM px GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(sum(lum3) AS BIGINT) AS total FROM lum GROUP BY 1),
+      |hsh AS (
+      |  SELECT lum.doc_id,
+      |    CAST(sum(CASE WHEN lum3 * 16 > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM lum JOIN tot USING (doc_id) GROUP BY 1)""".stripMargin
 }

@@ -129,6 +129,24 @@ class MultimodalSpec extends AnyFunSuite {
       grouped(0).getLong(2) == 2L)
   }
 
+  test("q140 banding: every hash pair within hamming 3 shares an intact band (exact recall)") {
+    // the pigeonhole claim behind q140's candidate generation, enumerated
+    // exhaustively: <= 3 flipped bits cannot touch all 4 bands of 4 bits
+    val base = 0xBEEFL
+    def bandsOf(h: Long): Seq[Long] =
+      (0 until Multimodal.PhashBands).map(b =>
+        (h >>> (b * Multimodal.PhashBandBits)) & ((1 << Multimodal.PhashBandBits) - 1))
+    val flips = (1 to Multimodal.PhashHamMax).flatMap((0 until 16).combinations)
+    flips.foreach { bs =>
+      val other = bs.foldLeft(base)((h, b) => h ^ (1L << b))
+      assert(bandsOf(base).zip(bandsOf(other)).exists { case (a, b) => a == b },
+        s"no intact band for flipped bits $bs — the candidate join would miss this pair")
+    }
+    // and a 4-bit flip CAN evade every band (the bound is tight)
+    val evader = base ^ 1L ^ (1L << 4) ^ (1L << 8) ^ (1L << 12)
+    assert(!bandsOf(base).zip(bandsOf(evader)).exists { case (a, b) => a == b })
+  }
+
   test("the certification corpus never sniffs as an image (q52/q53 hashes are stable)") {
     import spark.implicits._
     val sniffed = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")

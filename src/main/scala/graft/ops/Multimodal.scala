@@ -309,12 +309,59 @@ object Multimodal {
       hashes)
   }
 
+  /** Star edges of an equality key: every group member links to its min
+    * doc_id — linear in group size (a within-group clique would be
+    * quadratic for the same component structure). */
+  private def starEdges(keyed: DataFrame): DataFrame = {
+    val roots = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("doc_a"))
+    keyed.join(roots, Seq("k"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+  }
+
+  /** q141: CROSS-MODAL dedup — one canonicalization over the union of
+    * text-duplicate edges (q36's exact fingerprint) and image-duplicate
+    * edges (q139's aHash): a document re-posted with retouched text but
+    * the same image, and another sharing that one's text, all collapse
+    * into ONE component (neither modality alone finds the full group —
+    * the transitive bridge is the point, and exactly what a multimodal
+    * training pipeline needs before captioning). Edges are star-shaped
+    * per equality group (linear, never a clique), components via the
+    * engine's [[ConnectedComponents]], singletons keep themselves.
+    * The certification corpus has no exact text clones (by design), so
+    * the text-edge branch and the cross-modal bridging are exercised
+    * with planted fixtures in MultimodalSpec; the oracle still closes
+    * over BOTH edge sets. */
+  val q141CrossModalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bmp = udf { (text: String) => bmpOf(text) }
+    crossModalKeepOf(docs,
+      imageAHash(docs.select(col("doc_id"), bmp(col("text")).as("media"))))
+  }
+
+  /** The q141 kernel over arbitrary (doc_id, text) + (doc_id, decoded,
+    * ahash) frames — shared with the planted-bridge unit. */
+  private[graft] def crossModalKeepOf(docs: DataFrame, hashes: DataFrame): DataFrame = {
+    val textEdges = starEdges(docs.select(col("doc_id"),
+      graft.functions.TextFns.fingerprint(col("text")).as("k")))
+    val imageEdges = starEdges(hashes.filter(col("decoded"))
+      .select(col("doc_id"), col("ahash").cast("string").as("k")))
+    val cc = ConnectedComponents.run(textEdges.unionByName(imageEdges))
+    Caching.materializeAndRelease(
+      docs.select(col("doc_id"))
+        .join(cc.select(col("vertex").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("keep_id"))
+        .orderBy(col("doc_id")))
+  }
+
   def queries: Map[String, Q] = Map(
     "q52_media_features" -> q52MediaFeatures,
     "q53_frame_sample"   -> q53FrameSample,
     "q124_image_roundtrip" -> q124ImageRoundtrip,
     "q139_media_phash_dedup" -> q139MediaPhashDedup,
     "q140_media_near_dup" -> q140MediaNearDup,
+    "q141_cross_modal_dedup" -> q141CrossModalDedup,
   )
 
   def oracle: Map[String, String] = Map(
@@ -366,6 +413,33 @@ object Multimodal {
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
+    // the q56 closure discipline over the UNION of both modality edge
+    // sets (all-pairs within each equality group — same components as
+    // the engine's star edges); singletons keep themselves via the left
+    // join
+    "q141_cross_modal_dedup" ->
+      s"""WITH RECURSIVE
+        |$phashCtes,
+        |tf AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM tf a JOIN tf b ON a.doc_id < b.doc_id AND a.fp = b.fp),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND a.ahash = b.ahash),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM tp
+        |  UNION ALL SELECT doc_b, doc_a FROM tp
+        |  UNION ALL SELECT doc_a, doc_b FROM ip
+        |  UNION ALL SELECT doc_b, doc_a FROM ip),
+        |reach(doc_id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |keep AS (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
+        |FROM documents d LEFT JOIN keep k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 
   // the q139 hash pipeline as a CTE body ending in hsh(doc_id, ahash) —

@@ -147,6 +147,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!bandsOf(base).zip(bandsOf(evader)).exists { case (a, b) => a == b })
   }
 
+  test("q141 kernel: a text edge and an image edge bridge into one component") {
+    import spark.implicits._
+    // 1–2 duplicate TEXT, 2–3 duplicate IMAGE: neither modality alone
+    // groups all three; the cross-modal closure must
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "totally different"), (4L, "loner")).toDF("doc_id", "text")
+    val hashes = Seq((1L, true, 10L), (2L, true, 20L), (3L, true, 20L),
+      (4L, false, -1L)).toDF("doc_id", "decoded", "ahash")
+    val got = Multimodal.crossModalKeepOf(docs, hashes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), got.toString)
+  }
+
   test("the certification corpus never sniffs as an image (q52/q53 hashes are stable)") {
     import spark.implicits._
     val sniffed = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")

@@ -52,7 +52,8 @@ object SparkEntry {
         "q112_ann_pq", "q119_cell_balance"), ops.Similarity.writeAnnSupport),
       (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport),
       (Set("q112_ann_pq"), ops.Similarity.writeAnnPqSupport),
-      (Set("q101_quality_classifier", "q108_quality_retention"),
+      (Set("q101_quality_classifier", "q108_quality_retention",
+        "q142_classifier_calibration"),
         ops.Curation.writeClassifierSupport),
       (Set("q103_semdedup", "q104_proto_prune"),
         ops.Curation.writeDedupIndexSupport),

@@ -118,6 +118,31 @@ object Curation {
     s.read.parquet(weightsDir(s, d)).coalesce(1).write.mode("overwrite")
       .parquet(s"${graft.Verify.supportDir(outDir)}/q101_support_weights")
 
+  // ---------------------------------------------------------------- q142
+
+  /** q142: classifier calibration report — per integer log-odds bin of
+    * the q101 margin, the observed pass rate of the rule gate the
+    * classifier was bootstrapped from ([[TextOps.ruleGateKeep]], its
+    * training label). The reliability table a production pipeline reads
+    * before trusting a learned gate at a new threshold: rates should
+    * climb monotonically with the bin, ~0 in deep-negative bins, ~1 in
+    * deep-positive ones; a flat or folded profile means the margin does
+    * not rank the label and the threshold transfer is unsafe. Bins are
+    * `floor` of the ROUNDED margin (the q101-certified value — floor of
+    * hash-equal doubles is hash-equal; no ntile/window, so the report is
+    * one aggregation over a codegen'd projection at any corpus size). */
+  val q142ClassifierCalibration: Q = (s, d) => {
+    val margin = marginCol(s, d)
+    Tables.documents(s, d)
+      .select(floor(round(margin, 4)).cast("long").as("bin"),
+        TextOps.ruleGateKeep().cast("long").as("label"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("n_gate_pass"),
+        round(sum(col("label")) / count(lit(1)), 4).as("gate_rate"))
+      .orderBy(col("bin"))
+  }
+
   // ---------------------------------------------------------------- q102
 
   /** The metadata predicate q102 certifies (labels come from the
@@ -714,6 +739,7 @@ object Curation {
 
   def queries: Map[String, Q] = Map(
     "q101_quality_classifier" -> q101QualityClassifier,
+    "q142_classifier_calibration" -> q142ClassifierCalibration,
     "q102_ann_filtered"       -> q102AnnFiltered,
     "q103_semdedup"           -> q103SemDedup,
     "q104_proto_prune"        -> q104ProtoPrune,
@@ -749,6 +775,42 @@ object Curation {
         |  round(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias, 4) AS margin,
         |  CAST(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias > 0 AS BIGINT) AS keep
         |FROM f CROSS JOIN w ORDER BY doc_id""".stripMargin,
+    // q101's margin CTE binned + the q97 gate CASE (default config) as
+    // the label — identical rounding order on both sides of both columns
+    "q142_classifier_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(toks) AS DOUBLE) * CAST(len(toks) AS DOUBLE) AS n_tok2,
+        |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) AS awl,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4) AS sr
+        |  FROM t),
+        |w AS (
+        |  SELECT w_tokens, w_tokens2, w_wlen, w_stop, bias
+        |  FROM read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet')),
+        |mg AS (
+        |  SELECT f.doc_id,
+        |    CAST(floor(round(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias, 4)) AS BIGINT) AS bin
+        |  FROM f CROSS JOIN w),
+        |gt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) BETWEEN 30 AND 90
+        |      AND round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) BETWEEN 3 AND 10
+        |      AND (CAST(list_contains(toks, 'the') AS BIGINT)
+        |           + CAST(list_contains(toks, 'a') AS BIGINT)
+        |           + CAST(list_contains(toks, 'of') AS BIGINT)) >= 1
+        |      AND round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) <= 0.1
+        |      THEN 1 ELSE 0 END AS BIGINT) AS label
+        |  FROM t)
+        |SELECT bin, count(*) AS n_docs,
+        |  CAST(sum(label) AS BIGINT) AS n_gate_pass,
+        |  round(sum(label) / count(*), 4) AS gate_rate
+        |FROM mg JOIN gt USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q99's serve CTEs with the member set restricted by the label
     // predicate — the engine's filtered member scan, recomputed.
     "q102_ann_filtered" -> (Similarity.annRankedCtes(

@@ -278,28 +278,51 @@ object Multimodal {
   private[graft] val PhashBandBits = 4
   private[graft] val PhashHamMax = PhashBands - 1
 
-  /** q140: NEAR-duplicate images — hamming ≤ 3 on the q139 aHash,
-    * candidates generated by banding the hash bits through the very
-    * [[Dedup.bucketedCandidates]] machinery q38 uses for minhash (shared
-    * guard: hot buckets triangle-split, AQE-aware) and verified by
-    * `bit_count(xor)`. Composition made literal: text LSH and image LSH
-    * run the same candidate engine, so the skew guard and its scale
-    * evidence transfer. The oracle certifies the SEMANTICS (all pairs at
-    * hamming ≤ 3, exhaustive at sf) — banding recall is exact by
-    * pigeonhole, so the relational spec needs no candidate replay. */
+  /** The q140 probe batch: images of docs < 50 — "today's ingest" (the
+    * q78 incremental-dedup boundary convention). */
+  private[graft] val PhashProbeMaxId = 50L
+
+  /** q140: NEAR-duplicate images of an ingest batch against the corpus —
+    * hamming ≤ 3 on the q139 aHash, candidates by banding the hash bits
+    * (q38's LSH discipline in hash space), verified by `bit_count(xor)`.
+    *
+    * Deliberately the BATCH-vs-corpus shape (q78's), not a whole-corpus
+    * pair enumeration: when a perceptual-hash space saturates (here 5k
+    * synthetic images over 16 bits; in production, template screenshots
+    * / solid-color images over 64 bits), all-pairs output grows
+    * quadratically in cluster size — measured 1.14 M qualifying pairs at
+    * sf0.1, 10 s mostly spent materializing the answer. Whole-corpus
+    * image dedup is served by q139's linear exact-hash groupBy (and
+    * q141's components on top); the NEAR tier is a probe: output and
+    * join cost bound by batch × bucket density. The probe band table
+    * broadcasts (4 rows per probe image). Recall is EXACT by pigeonhole
+    * (≤ 3 flips leave one of 4 bands intact — enumerated in spec), so
+    * the oracle states the hamming predicate over batch × corpus
+    * directly, no candidate replay. In-batch pairs appear once
+    * (doc_a < doc_b); cross pairs as (batch doc, corpus doc). */
   val q140MediaNearDup: Q = (s, d) => {
     val bmp = udf { (text: String) => bmpOf(text) }
     val media = Tables.documents(s, d)
       .select(col("doc_id"), bmp(col("text")).as("media"))
     val hashes = imageAHash(media).filter(col("decoded"))
       .select(col("doc_id"), col("ahash")).cache()
-    val bands = hashes.select(col("doc_id"), posexplode(array(
-        (0 until PhashBands).map(b =>
-          shiftrightunsigned(col("ahash"), b * PhashBandBits)
-            .bitwiseAND(lit((1 << PhashBandBits) - 1))): _*))
-      .as(Seq("band", "bhash")))
+    def bandsOf(h: DataFrame): DataFrame =
+      h.select(col("doc_id"), posexplode(array(
+          (0 until PhashBands).map(b =>
+            shiftrightunsigned(col("ahash"), b * PhashBandBits)
+              .bitwiseAND(lit((1 << PhashBandBits) - 1))): _*))
+        .as(Seq("band", "bhash")))
+    val bands = bandsOf(hashes)
+    val probe = bandsOf(hashes.filter(col("doc_id") < PhashProbeMaxId))
+      .select(col("doc_id").as("doc_a"), col("band"), col("bhash"))
+    val cand = broadcast(probe)
+      .join(bands, Seq("band", "bhash"))
+      .filter(col("doc_id") =!= col("doc_a") &&
+        (col("doc_id") >= PhashProbeMaxId || col("doc_a") < col("doc_id")))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
     Caching.materializeAndRelease(
-      Dedup.bucketedCandidates(bands, Nil)
+      cand
         .join(hashes.select(col("doc_id").as("doc_a"), col("ahash").as("ha")), Seq("doc_a"))
         .join(hashes.select(col("doc_id").as("doc_b"), col("ahash").as("hb")), Seq("doc_b"))
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
@@ -403,14 +426,16 @@ object Multimodal {
       s"""WITH $phashCtes
         |SELECT ahash, count(*) AS n_images, min(doc_id) AS canonical
         |FROM hsh GROUP BY 1 ORDER BY 1""".stripMargin,
-    // the near-dup SEMANTICS, exhaustively: banding recall is exact by
-    // pigeonhole (<= 3 flipped bits leave one of 4 bands intact), so the
-    // oracle states the hamming predicate over all pairs directly
+    // the near-dup SEMANTICS, exhaustively over batch x corpus: banding
+    // recall is exact by pigeonhole (<= 3 flipped bits leave one of 4
+    // bands intact), so the oracle states the hamming predicate directly
     "q140_media_near_dup" ->
       s"""WITH $phashCtes
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |FROM hsh a JOIN hsh b
+        |  ON a.doc_id < 50 AND b.doc_id != a.doc_id
+        |  AND (b.doc_id >= 50 OR a.doc_id < b.doc_id)
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY 1, 2""".stripMargin,
     // the q56 closure discipline over the UNION of both modality edge

@@ -407,6 +407,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 0L, 0.0, 0.0, 0.0)), got(1L).toString)
   }
 
+  test("q142: calibration bins rank the gate label (low bins fail, high bins pass)") {
+    val rows = ops.Curation.q142ClassifierCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.length >= 3, "expected a spread of log-odds bins")
+    assert(rows.forall { case (_, _, rate) => rate >= 0.0 && rate <= 1.0 })
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "bins must partition the corpus")
+    // the classifier was bootstrapped FROM this label: deep-negative bins
+    // must underperform deep-positive ones by a wide margin
+    assert(rows.head._3 + 0.5 <= rows.last._3,
+      s"margin must rank the gate label: ${rows.head} vs ${rows.last}")
+  }
+
   test("q111: semantic decontam hits are sound (true cosine >= floor) with full recall at this sf") {
     val vecs = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))

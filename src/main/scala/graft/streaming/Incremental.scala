@@ -339,6 +339,23 @@ object Incremental {
     runOnce(spark, inDir, schema, outDir, checkpointDir)(
       graft.ops.TextOps.runCollapseKernel)
 
+  /** Continuous media ingest hashing — the streaming twin of q139's hash
+    * stage: decode + aHash each incoming binary blob inside the
+    * micro-batch via the batch kernel itself
+    * ([[graft.ops.Multimodal.imageAHash]] — a stateless mapPartitions,
+    * legal in streaming as-is; decoder state initializes once per
+    * partition exactly as in batch). The output is the per-image hash
+    * table an incremental image-dedup maintains: join a day's hashes
+    * against the persisted corpus hash table and duplicates collapse
+    * without re-decoding history — decode cost follows the INGEST, never
+    * the corpus (the M6-index discipline, media tier). Undecodable blobs
+    * pass through flagged, exactly-once per input file. */
+  def continuousMediaHash(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    runOnce(spark, inDir, schema, outDir, checkpointDir)(
+      graft.ops.Multimodal.imageAHash(_))
+
   /** Continuous benchmark-saturation maintenance (the streaming twin of
     * q117): the eval suite is FROZEN — its distinct 5-gram hashes are
     * computed once, keyed by eval doc, and broadcast (benchmark-sized

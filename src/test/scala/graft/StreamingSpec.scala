@@ -345,6 +345,37 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch divergence: ${streamOut.diff(batchOut).take(3)} vs ${batchOut.diff(streamOut).take(3)}")
   }
 
+  test("continuous media hashing equals the batch aHash table and resumes exactly-once") {
+    val base = Files.createTempDirectory("graft-mediahash").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    import org.apache.spark.sql.types.BinaryType
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    import spark.implicits._
+    // real BMPs (incl. a duplicate pair) + one undecodable blob
+    val media = ((0 until 40).map(i => (i.toLong, graft.ops.Multimodal.bmpOf(s"img $i body"))) ++
+      Seq((40L, graft.ops.Multimodal.bmpOf("img 7 body")),
+        (41L, "not an image".getBytes("UTF-8")))).toDF("doc_id", "media")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val batchOut = rows(graft.ops.Multimodal.imageAHash(media))
+    media.filter(col("doc_id") < 20).write.parquet(s"$in/b1")
+    Incremental.continuousMediaHash(spark, s"$in/*", mediaSchema, out, ck)
+    media.filter(col("doc_id") >= 20).write.parquet(s"$in/b2")
+    val q2 = Incremental.continuousMediaHash(spark, s"$in/*", mediaSchema, out, ck)
+    assert(Incremental.progressReport(q2).rows == 22L,
+      "resume must process only the second file")
+    val streamOut = rows(spark.read.parquet(out))
+    assert(streamOut == batchOut,
+      s"stream/batch divergence: ${streamOut.diff(batchOut).take(3)} vs ${batchOut.diff(streamOut).take(3)}")
+    // the incremental-dedup read: the byte-identical pair shares its hash
+    // (near-identical texts may too — aHash is perceptual, that's its job)
+    val byId = streamOut.map(r => r._1 -> r).toMap
+    assert(byId(7L)._3 == byId(40L)._3 && byId(7L)._2 && byId(40L)._2)
+    assert(streamOut.filter(!_._2).map(_._1) == Set(41L))
+  }
+
   test("continuous semantic decontam quarantines near-benchmark embeddings with evidence, resumes") {
     val base = Files.createTempDirectory("graft-semdecontam").toString
     val in = s"$base/in"; val clean = s"$base/clean"

@@ -643,6 +643,44 @@ object TextOps {
         col("max_run").cast("long").as("max_run"),
         concat_ws(" ", col("clean")).as("clean_text"))
 
+  /** q143: effective token YIELD — what the text-reduction cascade
+    * actually buys, token-weighted per source: raw tokens → after the
+    * in-doc run collapse (q133) → after the corpus boilerplate scrub
+    * (q110, fit on the COLLAPSED corpus — cascade order is part of the
+    * semantics) → the final yield counting only exact-dedup canonical
+    * survivors (q36's fingerprint on the fully-scrubbed text, so
+    * scrub-induced convergence collapses too). q127 accounts DOCUMENTS
+    * per gate; this accounts the TOKENS a trainer will actually see —
+    * the number a mixture planner (q121/q137) should budget against,
+    * not raw corpus size. Composes three certified kernels unchanged;
+    * the oracle recomputes the whole cascade relationally. */
+  val q143TokenYield: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val collapsed = runCollapseKernel(docs)
+      .select(col("doc_id"), col("n_toks").as("n_raw"),
+        (col("n_toks") - col("n_collapsed")).as("n_coll"), col("clean_text"))
+    val scrubbed = boilerplateScrubOf(
+        collapsed.select(col("doc_id"), col("clean_text").as("text")))
+      .select(col("doc_id"),
+        (col("n_tokens") - col("n_dropped")).as("n_scrub"),
+        TextFns.fingerprint(col("clean_text")).as("fp"))
+    val canon = scrubbed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    Caching.materializeAndRelease(
+      docs.select(col("doc_id"), col("source"))
+        .join(collapsed.select(col("doc_id"), col("n_raw"), col("n_coll")), Seq("doc_id"))
+        .join(scrubbed.join(canon, Seq("fp"))
+          .select(col("doc_id"), col("n_scrub"),
+            (col("doc_id") === col("keep_id")).as("is_canon")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_raw")).cast("long").as("n_raw"),
+          sum(col("n_coll")).cast("long").as("n_collapsed"),
+          sum(col("n_scrub")).cast("long").as("n_scrubbed"),
+          sum(when(col("is_canon"), col("n_scrub")).otherwise(lit(0L)))
+            .cast("long").as("n_yield"))
+        .orderBy(col("source")))
+  }
+
   /** Positioned trigram rows of a tokenized corpus — shared by the scrub
     * and the gram-set export. */
   private def gramRowsOf(docs: DataFrame): DataFrame =
@@ -763,6 +801,7 @@ object TextOps {
     "q130_merge_compression" -> q130MergeCompression,
     "q110_boilerplate"  -> q110Boilerplate,
     "q133_run_collapse" -> q133RunCollapse,
+    "q143_token_yield"  -> q143TokenYield,
     "q30_html_extract"  -> q30HtmlExtract,
     "q75_chunk"         -> q75Chunk,
     "q76_pack"          -> q76Pack,
@@ -890,6 +929,55 @@ object TextOps {
         |FROM l JOIN mr USING (doc_id)
         |GROUP BY l.doc_id, mr.max_run
         |ORDER BY l.doc_id""".stripMargin,
+    // the whole cascade relationally: collapse (lag keep-set), boiler df
+    // over the COLLAPSED corpus (q110's CTEs re-rooted on ctoks), exact
+    // fingerprint of the final text, canonical = min doc_id per fp
+    "q143_token_yield" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks[i] AS tok, i AS pos
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+        |l AS (
+        |  SELECT doc_id, tok, pos,
+        |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM u),
+        |ck AS (
+        |  SELECT doc_id, list(tok ORDER BY pos) AS ctoks
+        |  FROM l WHERE prev IS NULL OR tok != prev GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    ctoks[i] || ' ' || ctoks[i+1] || ' ' || ctoks[i+2] AS gram
+        |  FROM ck, unnest(range(1, len(ctoks) - 1)) AS r(i)
+        |  WHERE len(ctoks) >= 3),
+        |b AS (
+        |  SELECT gram FROM g GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) * 100 >= (SELECT count(*) FROM t)),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + o.o AS cp
+        |  FROM g JOIN b USING (gram), unnest([0, 1, 2]) AS o(o)),
+        |tok2 AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos1, ctoks[i] AS tok
+        |  FROM ck, unnest(range(1, len(ctoks) + 1)) AS r(i)),
+        |keep AS (
+        |  SELECT k.doc_id, k.pos1, k.tok
+        |  FROM tok2 k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.cp = k.pos1 - 1
+        |  WHERE c.doc_id IS NULL),
+        |fin AS (
+        |  SELECT ck.doc_id, len(ck.ctoks) AS n_coll,
+        |    count(k.tok) AS n_scrub,
+        |    md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos1), '')) AS fp
+        |  FROM ck LEFT JOIN keep k USING (doc_id) GROUP BY ck.doc_id, ck.ctoks),
+        |cn AS (SELECT fp, min(doc_id) AS keep_id FROM fin GROUP BY 1)
+        |SELECT t.source,
+        |  CAST(sum(len(t.toks)) AS BIGINT) AS n_raw,
+        |  CAST(sum(fin.n_coll) AS BIGINT) AS n_collapsed,
+        |  CAST(sum(fin.n_scrub) AS BIGINT) AS n_scrubbed,
+        |  CAST(sum(CASE WHEN fin.doc_id = cn.keep_id THEN fin.n_scrub ELSE 0 END) AS BIGINT) AS n_yield
+        |FROM t JOIN fin USING (doc_id) JOIN cn USING (fp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The rule gate recomputed signal by signal: identical tokenization,
     // identical rounding BEFORE the threshold comparisons, verdict as 0/1.
     "q97_gopher_rules" ->

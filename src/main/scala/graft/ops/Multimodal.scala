@@ -199,13 +199,21 @@ object Multimodal {
 
   case class ImageHash(doc_id: Long, decoded: Boolean, ahash: Long)
 
-  /** Average-hash (aHash) of a decoded image: bit p is set iff pixel p's
-    * luminance exceeds the image mean — the classic perceptual fingerprint
-    * (production pipelines hash a downsampled 8×8 grid; here the images ARE
-    * grids ≤ 64 px, enforced). INTEGER throughout: luminance = r+g+b and
-    * the mean compare is `lum·nPixels > total`, so the hash is bit-exact
-    * cross-engine, never float-thresholded. Batched mapPartitions like
-    * [[imageStats]]; undecodable blobs report decoded = false. */
+  /** Average-hash (aHash) of a decoded image: bit p is set iff cell p's
+    * mean luminance exceeds the whole-image mean — the classic perceptual
+    * fingerprint. Images of ≤ 64 px hash one bit PER PIXEL (the
+    * certification corpus's 4×4 BMPs: 16-bit hashes, bit-exact against
+    * the oracle); anything larger is average-pooled onto the standard
+    * 8×8 lattice (cell of (x, y) = (x·8/w, y·8/h), floor division) for a
+    * 64-bit hash — a real-sized image hashes, it never fails the task
+    * (undecodable blobs still route to decoded = false). INTEGER
+    * throughout: luminance = r+g+b, and the threshold is the cross-
+    * multiplied compare `cellSum·nPixels > total·cellCount` (reduces to
+    * the old `lum·n > total` when every cell is one pixel), so the hash
+    * is bit-exact cross-engine, never float-thresholded; beyond ~8.8e8
+    * pixels the cross-product nears 2^63, so the rare-giant branch
+    * compares in BigInt rather than silently wrapping. Batched
+    * mapPartitions like [[imageStats]]. */
   def imageAHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -216,26 +224,32 @@ object Multimodal {
           tryDecode(bytes) match {
             case Some(img) =>
               val w = img.getWidth; val h = img.getHeight
-              require(w * h <= 64,
-                s"aHash bit budget: ${w}x$h > 64 px — downsample before hashing")
-              val n = w * h
-              val lum = new Array[Long](n)
+              val n = w.toLong * h
+              val pooled = n > 64
+              val nCells = if (pooled) 64 else n.toInt
+              val sums = new Array[Long](nCells)
+              val cnts = new Array[Long](nCells)
               var total = 0L
               var y = 0
               while (y < h) {
+                val gy = if (pooled) (y.toLong * 8 / h).toInt else y
                 var x = 0
                 while (x < w) {
                   val rgb = img.getRGB(x, y)
                   val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
-                  lum(y * w + x) = l; total += l
+                  val c = if (pooled) gy * 8 + (x.toLong * 8 / w).toInt else y * w + x
+                  sums(c) += l; cnts(c) += 1; total += l
                   x += 1
                 }
                 y += 1
               }
               var hv = 0L
               var p = 0
-              while (p < n) {
-                if (lum(p) * n > total) hv |= 1L << p
+              while (p < nCells) {
+                val above =
+                  if (n <= 800000000L) sums(p) * n > total * cnts(p)
+                  else BigInt(sums(p)) * n > BigInt(total) * cnts(p)
+                if (above) hv |= 1L << p
                 p += 1
               }
               ImageHash(id, decoded = true, hv)
@@ -269,14 +283,25 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
-  /** q140's banding: 4 bands of 4 hash bits. Pigeonhole gives EXACT
-    * recall at the matching threshold: hamming ≤ 3 flipped bits cannot
-    * touch all 4 bands, so every qualifying pair shares at least one
-    * intact band — the candidate join misses nothing (the q91 span
-    * argument, in hash space). */
+  /** q140's banding: 4 bands of `hashBits / 4` hash bits each — the band
+    * COUNT is fixed by the matching threshold (pigeonhole: hamming ≤ 3
+    * flipped bits cannot touch all 4 bands, so every qualifying pair
+    * shares at least one intact band and the candidate join misses
+    * nothing — the q91 span argument, in hash space), while the band
+    * WIDTH derives from the hash width so the certified kernel and the
+    * production shape are the same code path: 4×4-bit bands over the
+    * 16-bit certification hashes, 4×16-bit bands over the 8×8-grid
+    * 64-bit hashes real images pool onto. */
   private[graft] val PhashBands = 4
-  private[graft] val PhashBandBits = 4
   private[graft] val PhashHamMax = PhashBands - 1
+  private[graft] def phashBandBits(hashBits: Int): Int = {
+    require(hashBits % PhashBands == 0, s"hash width $hashBits not divisible into $PhashBands bands")
+    hashBits / PhashBands
+  }
+
+  /** Hash width of the certification corpus's 4×4 BMPs (16 px ⇒ one bit
+    * per pixel); real pooled images are 64. */
+  private[graft] val CorpusHashBits = 16
 
   /** The q140 probe batch: images of docs < 50 — "today's ingest" (the
     * q78 incremental-dedup boundary convention). */
@@ -304,21 +329,30 @@ object Multimodal {
     val bmp = udf { (text: String) => bmpOf(text) }
     val media = Tables.documents(s, d)
       .select(col("doc_id"), bmp(col("text")).as("media"))
-    val hashes = imageAHash(media).filter(col("decoded"))
+    mediaNearDupOf(imageAHash(media), PhashProbeMaxId, CorpusHashBits)
+  }
+
+  /** The q140 kernel over an arbitrary (doc_id, decoded, ahash) frame and
+    * hash width — shared by the certified 16-bit query and the 64-bit
+    * real-image spec (same code path, different band width). */
+  private[graft] def mediaNearDupOf(hashed: DataFrame, probeMaxId: Long,
+      hashBits: Int): DataFrame = {
+    val bandBits = phashBandBits(hashBits)
+    val hashes = hashed.filter(col("decoded"))
       .select(col("doc_id"), col("ahash")).cache()
     def bandsOf(h: DataFrame): DataFrame =
       h.select(col("doc_id"), posexplode(array(
           (0 until PhashBands).map(b =>
-            shiftrightunsigned(col("ahash"), b * PhashBandBits)
-              .bitwiseAND(lit((1 << PhashBandBits) - 1))): _*))
+            shiftrightunsigned(col("ahash"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "bhash")))
     val bands = bandsOf(hashes)
-    val probe = bandsOf(hashes.filter(col("doc_id") < PhashProbeMaxId))
+    val probe = bandsOf(hashes.filter(col("doc_id") < probeMaxId))
       .select(col("doc_id").as("doc_a"), col("band"), col("bhash"))
     val cand = broadcast(probe)
       .join(bands, Seq("band", "bhash"))
       .filter(col("doc_id") =!= col("doc_a") &&
-        (col("doc_id") >= PhashProbeMaxId || col("doc_a") < col("doc_id")))
+        (col("doc_id") >= probeMaxId || col("doc_a") < col("doc_id")))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
     Caching.materializeAndRelease(

@@ -131,20 +131,88 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("q140 banding: every hash pair within hamming 3 shares an intact band (exact recall)") {
     // the pigeonhole claim behind q140's candidate generation, enumerated
-    // exhaustively: <= 3 flipped bits cannot touch all 4 bands of 4 bits
-    val base = 0xBEEFL
-    def bandsOf(h: Long): Seq[Long] =
-      (0 until Multimodal.PhashBands).map(b =>
-        (h >>> (b * Multimodal.PhashBandBits)) & ((1 << Multimodal.PhashBandBits) - 1))
-    val flips = (1 to Multimodal.PhashHamMax).flatMap((0 until 16).combinations)
-    flips.foreach { bs =>
-      val other = bs.foldLeft(base)((h, b) => h ^ (1L << b))
-      assert(bandsOf(base).zip(bandsOf(other)).exists { case (a, b) => a == b },
-        s"no intact band for flipped bits $bs — the candidate join would miss this pair")
+    // exhaustively AT BOTH WIDTHS the kernel runs: <= 3 flipped bits
+    // cannot touch all 4 bands — 4x4-bit bands over the 16-bit
+    // certification hashes, 4x16-bit bands over real pooled 64-bit hashes
+    for (hashBits <- Seq(16, 64)) {
+      val bandBits = Multimodal.phashBandBits(hashBits)
+      val base = if (hashBits == 16) 0xBEEFL else 0xDEADBEEFCAFEF00DL
+      def bandsOf(h: Long): Seq[Long] =
+        (0 until Multimodal.PhashBands).map(b =>
+          (h >>> (b * bandBits)) & ((1L << bandBits) - 1))
+      val flips = (1 to Multimodal.PhashHamMax).flatMap((0 until hashBits).combinations)
+      flips.foreach { bs =>
+        val other = bs.foldLeft(base)((h, b) => h ^ (1L << b))
+        assert(bandsOf(base).zip(bandsOf(other)).exists { case (a, b) => a == b },
+          s"no intact band at width $hashBits for flipped bits $bs — the candidate join would miss this pair")
+      }
+      // and one flip per band CAN evade every band (the bound is tight)
+      val evader = (0 until Multimodal.PhashBands)
+        .foldLeft(base)((h, b) => h ^ (1L << (b * bandBits)))
+      assert(!bandsOf(base).zip(bandsOf(evader)).exists { case (a, b) => a == b })
     }
-    // and a 4-bit flip CAN evade every band (the bound is tight)
-    val evader = base ^ 1L ^ (1L << 4) ^ (1L << 8) ^ (1L << 12)
-    assert(!bandsOf(base).zip(bandsOf(evader)).exists { case (a, b) => a == b })
+  }
+
+  /** Block image: 256×256 whose 8×8 aHash cells are set per the given
+    * 64-bit pattern (cell g bright iff bit g set) — pooled-hash ground
+    * truth by construction. */
+  private def blockImg(pattern: Long): BufferedImage = {
+    val img = new BufferedImage(256, 256, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 256) {
+      var x = 0
+      while (x < 256) {
+        val g = (y / 32) * 8 + (x / 32)
+        img.setRGB(x, y, if (((pattern >>> g) & 1L) == 1L) 0xffffff else 0)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  test("imageAHash pools real-sized images onto the 8x8 grid (no failure, exact bits)") {
+    import spark.implicits._
+    // right half bright -> cells gx >= 4 above the mean -> 0xF0 per row
+    val half = 0xF0F0F0F0F0F0F0F0L
+    val rows = Multimodal.imageAHash(Seq(
+        (1L, encodeImg(blockImg(half), "png")),
+        (2L, encodeImg(blockImg(half), "bmp")),       // lossless re-encode
+        (3L, encodeImg(blockImg(half ^ 1L), "png")),  // one cell inverted
+        (4L, encodeImg(solid(65, 1, 9, 9, 9), "png")) // the old require-fail shape
+      ).toDF("doc_id", "media"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((true, half)), f"pooled hash ${rows(1L)._2}%016x != expected")
+    assert(rows(2L) == rows(1L), "lossless re-encode must hash identically")
+    assert(java.lang.Long.bitCount(rows(3L)._2 ^ half) == 1,
+      "a one-cell edit is hamming 1 on the pooled hash")
+    assert(rows(4L)._1, "a 65-px image must hash, not fail the task")
+  }
+
+  test("jpeg re-encode of a real image stays within the near-dup threshold") {
+    import spark.implicits._
+    val img = blockImg(0xF0F0F0F0F0F0F0F0L)
+    val rows = Multimodal.imageAHash(Seq(
+        (1L, encodeImg(img, "png")), (2L, encodeImg(img, "jpg")))
+      .toDF("doc_id", "media"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ham = java.lang.Long.bitCount(rows(1L) ^ rows(2L))
+    assert(ham <= Multimodal.PhashHamMax,
+      s"jpeg re-encode drifted $ham bits — the production near-dup case must stay findable")
+  }
+
+  test("mediaNearDup kernel at 64-bit width finds the re-encoded/edited pair, skips the far one") {
+    import spark.implicits._
+    val base = 0xF0F0F0F0F0F0F0F0L
+    val hashed = Multimodal.imageAHash(Seq(
+        (1L, encodeImg(blockImg(base), "png")),            // probe (id < 10)
+        (10L, encodeImg(blockImg(base), "bmp")),           // exact re-encode
+        (11L, encodeImg(blockImg(base ^ 0x11L), "png")),   // hamming 2
+        (12L, encodeImg(blockImg(0x00000000FFFFFFFFL), "png")) // far
+      ).toDF("doc_id", "media"))
+    val got = Multimodal.mediaNearDupOf(hashed, probeMaxId = 10L, hashBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 0L), (1L, 11L, 2L)), got.toString)
   }
 
   test("q141 kernel: a text edge and an image edge bridge into one component") {

@@ -60,5 +60,6 @@ object SparkEntry {
       (Set("q105_dsir_weights"), ops.Curation.writeDsirSupport),
       (Set("q107_temp_mix"), ops.Curation.writeTempMixSupport),
       (Set("q122_lsh_calibration", "q123_lsh_bucket_profile"),
-        ops.Dedup.writeLshSupport))
+        ops.Dedup.writeLshSupport),
+      (Set("q145_bpe_segment"), ops.TextOps.writeBpeSupport))
 }

@@ -31,40 +31,53 @@ import graft.functions.TextFns
   * reference implementations running on one machine over a counted vocab
   * — except the vocab here may itself be sharded.
   *
+  * Pair keys are a two-field STRUCT (a, b), never a concatenated string:
+  * a separator-joined key is ambiguous the moment a symbol can contain
+  * the separator, and [[wordCounts]] additionally strips control
+  * characters (whitespace-collapse alone does not exclude them) so the
+  * oracle's separator-framed replay representation is collision-free too.
+  * Symbols are UTF-16 code units on the engine side (Spark's `split`),
+  * matching the corpus's BMP/ASCII contract (the same contract q124's
+  * byte-length oracle relies on).
+  *
   * The round-1 pair statistics are the certified q129 surface
-  * ([[graft.ops.TextOps]] `q129PairStats`); `BpeTrainSpec` pins the loop
-  * to the textbook example and asserts round-1 agreement with the query
-  * kernel. Ties break (weight desc, pair asc) so training is
-  * deterministic on any engine.
+  * ([[graft.ops.TextOps]] `q129PairStats`); the FULL merge table and the
+  * trained segmentation are certified by q145 (DuckDB replays every merge
+  * round over the exported merge list — see `TextOps.q145BpeSegment`).
+  * `BpeTrainSpec` pins the loop to the textbook example and asserts
+  * round-1 agreement with the query kernel. Ties break (weight desc,
+  * (a, b) asc) so training is deterministic on any engine.
   */
 object BpeTrain {
 
-  /** Symbol-pair separator inside the internal pair key — a control char
-    * that tokenized text cannot contain (normText collapses whitespace;
-    * the corpus is text), so "ab"+"c" and "a"+"bc" cannot collide. */
-  private val Sep = ""
-
-  /** The (word, count) base table: the single corpus-sized pass. */
+  /** The (word, count) base table: the single corpus-sized pass. Control
+    * characters are stripped (they survive whitespace collapse but would
+    * poison separator-framed replay representations downstream — and no
+    * tokenizer vocabulary wants them as symbols). */
   private[graft] def wordCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(TextFns.tokens(col("text"))).as("w"))
+    docs.select(explode(TextFns.tokens(col("text"))).as("w0"))
+      .select(regexp_replace(col("w0"), "[\\x00-\\x1f]", "").as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
 
   /** Adjacent symbol pairs of the current sequences, weighted by word
     * count: zip_with over the two shifted slices keeps the whole pair
-    * generation inside SQL HOFs (no per-row UDF allocation). */
+    * generation inside SQL HOFs (no per-row UDF allocation). Keys are
+    * (a, b) structs — unambiguous for any symbol content. */
   private def pairWeights(state: DataFrame): DataFrame =
     state
       .select(explode(expr(
         "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1)," +
-          " (a, b) -> concat(a, chr(1), b))")).as("pair"), col("n"))
+          " (a, b) -> struct(a, b))")).as("pair"), col("n"))
       .groupBy(col("pair")).agg(sum(col("n")).as("weight"))
 
-  /** One merge application: collapse every left-to-right occurrence of
-    * (a, b) adjacent in a symbol sequence into the single symbol a+b —
-    * the standard greedy scan (a merged symbol does not re-pair with the
-    * following symbol within the same pass). */
-  private[graft] val applyMergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+  /** ONE merge pass over one symbol sequence: collapse every
+    * left-to-right occurrence of (a, b) adjacent into the single symbol
+    * a+b — the standard greedy scan (a merged symbol does not re-pair
+    * with the following symbol within the same pass). The single copy of
+    * the kernel: the distributed UDF and the driver-side [[segment]] both
+    * call it, so train-side and apply-side semantics cannot drift. */
+  private[graft] def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < syms.length) {
@@ -73,6 +86,10 @@ object BpeTrain {
       } else { out += syms(i); i += 1 }
     }
     out.toSeq
+  }
+
+  private[graft] val applyMergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+    applyMerge(syms, a, b)
   }
 
   /** Learn `nMerges` merges from a (doc_id, text) frame. Returns the
@@ -87,11 +104,12 @@ object BpeTrain {
     var done = false
     while (round < nMerges && !done) {
       val top = pairWeights(state)
-        .orderBy(col("weight").desc, col("pair"))
+        .orderBy(col("weight").desc, col("pair.a"), col("pair.b"))
         .limit(1).collect()
       if (top.isEmpty || top(0).getLong(1) < 2L) done = true
       else {
-        val Array(a, b) = top(0).getString(0).split(Sep, 2)
+        val pair = top(0).getStruct(0)
+        val (a, b) = (pair.getString(0), pair.getString(1))
         merges += ((a, b))
         state = state.select(applyMergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("n"))
         round += 1
@@ -103,19 +121,9 @@ object BpeTrain {
 
   /** Tokenize a word with a learned merge list (the apply side — unit
     * parity surface: training then applying must reproduce the training
-    * corpus segmentation). */
+    * corpus segmentation). Same kernel as the training UDF, folded. */
   def segment(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Seq[String] = word.split("").filter(_.nonEmpty).toSeq
-    merges.foreach { case (a, b) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-          out += a + b; i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      syms = out.toSeq
-    }
-    syms
+    val chars: Seq[String] = word.split("").filter(_.nonEmpty).toSeq
+    merges.foldLeft(chars) { case (syms, (a, b)) => applyMerge(syms, a, b) }
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -781,7 +781,11 @@ object TextOps {
       .cache() // argmax AND stats read it — one corpus tokenize pass
     val top = bpeRound1Pairs(wc)
       .orderBy(col("weight").desc, col("pair")).limit(1).collect()(0).getString(0)
-    val (a, b) = (top.substring(0, 1), top.substring(1, 2))
+    // split by CODEPOINT: the pair was built with SQL substr (codepoint
+    // semantics), so a supplementary-plane head char spans two UTF-16
+    // units — substring(0, 1) would hand the kernel a broken surrogate
+    val headLen = Character.charCount(top.codePointAt(0))
+    val (a, b) = (top.substring(0, headLen), top.substring(headLen))
     val occ = length(col("w")) -
       size(graft.ml.BpeTrain.applyMergeUdf(expr("filter(split(w, ''), s -> s <> '')"),
         lit(a), lit(b)))
@@ -796,9 +800,65 @@ object TextOps {
       wc)
   }
 
+  /** q145 trains this many merges — far past the round-1 tier q129/q130
+    * certify (multi-character symbols appear within a few rounds on any
+    * natural corpus), small enough that the driver loop stays a few
+    * vocab-sized aggregations. */
+  private[graft] val Q145Merges = 8
+
+  /** Session memo for the fitted merge list: q145 and its support writer
+    * (and a Bench re-pass) share one deterministic fit per (sfDir). */
+  private val bpeMergesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private[graft] def bpeMergesOf(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeMergesMemo.getOrElseUpdate(d,
+      graft.ml.BpeTrain.fit(Tables.documents(s, d), Q145Merges))
+
+  /** q145: the FULL trained tokenizer, certified — fit the distributed
+    * BPE trainer ([[graft.ml.BpeTrain]]) for [[Q145Merges]] rounds, then
+    * segment the entire vocabulary with the learned merge list. q129/q130
+    * certify round 1; here DuckDB REPLAYS every round: the merge list is
+    * exported as oracle support and the oracle folds it over each word
+    * with a recursive CTE on a separator-framed symbol string (symbols
+    * joined by a doubled chr(31) frame; a merge rewrites
+    * `␟a␟␟b␟ → ␟ab␟`, which equals the greedy left-to-right merge scan —
+    * the frame anchors both symbol boundaries, so a symbol whose text
+    * merely CONTAINS a's text as a suffix, or b's as a prefix, cannot
+    * false-match, and single-pass replace's no-rescan-of-output matches
+    * the kernel's no-re-pair rule; consecutive disjoint occurrences each
+    * keep a full frame because the rewrite consumes one ␟ of each
+    * boundary pair and restores it). [[graft.ml.BpeTrain]].wordCounts
+    * strips control characters, so chr(31) cannot occur inside a symbol
+    * and the framing is collision-free. Scale shape: one corpus tokenize
+    * pass, then everything — training rounds AND the final segmentation —
+    * is vocabulary-sized (Zipf-bounded). */
+  val q145BpeSegment: Q = (s, d) => {
+    val merges = bpeMergesOf(s, d)
+    val segUdf = udf { (w: String) =>
+      graft.ml.BpeTrain.segment(w, merges).mkString(" ")
+    }
+    graft.ml.BpeTrain.wordCounts(Tables.documents(s, d))
+      .select(col("w"), col("n").cast("long").as("n"),
+        segUdf(col("w")).as("segmented"))
+      .withColumn("n_syms", size(split(col("segmented"), " ")).cast("long"))
+      .orderBy(col("w"))
+  }
+
+  /** Oracle support for q145: the learned merge list (merge_no 1-based,
+    * a, b) — what the recursive replay folds over. */
+  def writeBpeSupport(s: SparkSession, d: String, outDir: String): Unit = {
+    import s.implicits._
+    bpeMergesOf(s, d).zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("merge_no", "a", "b")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q145_support_merges")
+  }
+
   def queries: Map[String, Q] = Map(
     "q129_bpe_pairs"    -> q129BpePairs,
     "q130_merge_compression" -> q130MergeCompression,
+    "q145_bpe_segment"  -> q145BpeSegment,
     "q110_boilerplate"  -> q110Boilerplate,
     "q133_run_collapse" -> q133RunCollapse,
     "q143_token_yield"  -> q143TokenYield,
@@ -831,22 +891,58 @@ object TextOps {
     "q129_bpe_pairs" ->
       """WITH wc AS (
         |  SELECT w, count(*) AS n FROM (
-        |    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
-        |    FROM documents)
+        |    SELECT regexp_replace(w0, '[\x00-\x1f]', '', 'g') AS w FROM (
+        |      SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w0
+        |      FROM documents))
         |  WHERE length(w) > 0 GROUP BY 1),
         |p AS (
         |  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, n
         |  FROM wc WHERE length(w) > 1)
         |SELECT pair, CAST(sum(n) AS BIGINT) AS weight
         |FROM p GROUP BY 1 ORDER BY weight DESC, pair LIMIT 20""".stripMargin,
+    // the FULL training replay: fold the exported merge list over every
+    // vocabulary word with a recursive CTE. Symbols are framed
+    // ␟␟s1␟␟s2␟␟ (chr(31), stripped from words by the trainer); merge
+    // (a,b) rewrites ␟a␟␟b␟ → ␟ab␟ — both boundaries anchored, so
+    // single-pass replace equals the greedy no-re-pair merge scan, and
+    // each disjoint occurrence keeps a full frame (the rewrite consumes
+    // one ␟ of each boundary pair and restores it)
+    "q145_bpe_segment" ->
+      """WITH RECURSIVE
+        |wc AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT regexp_replace(w0, '[\x00-\x1f]', '', 'g') AS w FROM (
+        |      SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w0
+        |      FROM documents))
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |m AS (SELECT merge_no, a, b
+        |      FROM read_parquet('{GRAFT_OUT}_support/q145_support_merges/*.parquet')),
+        |seg(w, i, r) AS (
+        |  SELECT w, 0,
+        |    chr(31) || chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g')
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT s.w, s.i + 1,
+        |    replace(s.r,
+        |      chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+        |      chr(31) || m.a || m.b || chr(31))
+        |  FROM seg s JOIN m ON m.merge_no = s.i + 1),
+        |fin AS (
+        |  SELECT w, trim(replace(r, chr(31) || chr(31), ' ')) AS segmented
+        |  FROM seg WHERE i = (SELECT count(*) FROM m))
+        |SELECT wc.w, wc.n, fin.segmented,
+        |  CAST(len(string_split(fin.segmented, ' ')) AS BIGINT) AS n_syms
+        |FROM wc JOIN fin USING (w)
+        |ORDER BY w""".stripMargin,
     // round-1 symbols are single characters, so non-overlapping string
     // replace IS the greedy left-to-right pair merge — the oracle
     // recomputes the trainer kernel's occurrence count independently
     "q130_merge_compression" ->
       """WITH wc AS (
         |  SELECT w, count(*) AS n FROM (
-        |    SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
-        |    FROM documents)
+        |    SELECT regexp_replace(w0, '[\x00-\x1f]', '', 'g') AS w FROM (
+        |      SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w0
+        |      FROM documents))
         |  WHERE length(w) > 1 GROUP BY 1),
         |pr AS (
         |  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, n

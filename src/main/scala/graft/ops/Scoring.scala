@@ -698,12 +698,17 @@ object Scoring {
     val ideal = nrel
       .select(col("query_id"), explode(sequence(lit(1), least(col("n_rel"), lit(k)))).as("i"))
       .groupBy(col("query_id")).agg(sum(lit(1.0) / log(col("i") + 1)).as("idcg"))
-    m.join(nrel, Seq("query_id")).join(ideal, Seq("query_id"))
-      .select(col("query_id"), col("n_rel"), col(s"hits$k"),
-        round(col(s"hits$k") / col("n_rel"), 4).as(s"recall$k"),
+    // LEFT joins: a query whose terms never co-occur in one document
+    // (n_rel = 0) must report zero metrics, not vanish from the batch —
+    // a silently shrinking evaluation report under-counts exactly the
+    // queries the retrieval stack serves worst
+    m.join(nrel, Seq("query_id"), "left").join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"), col(s"hits$k"),
+        round(coalesce(col(s"hits$k") / col("n_rel"), lit(0.0)), 4).as(s"recall$k"),
         round(when(col("frank") === 0, lit(0.0))
           .otherwise(lit(1.0) / col("frank")), 4).as(s"mrr$k"),
-        round(col("dcg") / col("idcg"), 4).as(s"ndcg$k"))
+        round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 4).as(s"ndcg$k"))
       .orderBy(col("query_id"))
   }
 
@@ -1040,11 +1045,11 @@ object Scoring {
          |  SELECT n.query_id, sum(1.0 / ln(i + 1)) AS idcg
          |  FROM nrel n, unnest(range(1, least(n.n_rel, 5) + 1)) AS r(i)
          |  GROUP BY 1)
-         |SELECT m.query_id, n.n_rel, m.hits5,
-         |  round(m.hits5 / n.n_rel, 4) AS recall5,
+         |SELECT m.query_id, CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel, m.hits5,
+         |  round(coalesce(m.hits5 / n.n_rel, 0.0), 4) AS recall5,
          |  round(CASE WHEN m.frank = 0 THEN 0.0 ELSE 1.0 / m.frank END, 4) AS mrr5,
-         |  round(m.dcg / i.idcg, 4) AS ndcg5
-         |FROM m JOIN nrel n USING (query_id) JOIN ideal i USING (query_id)
+         |  round(coalesce(m.dcg / i.idcg, 0.0), 4) AS ndcg5
+         |FROM m LEFT JOIN nrel n USING (query_id) LEFT JOIN ideal i USING (query_id)
          |ORDER BY m.query_id""".stripMargin,
     // batch hybrid: q131's lexical text + the q128 dense-replay discipline
     // PER QUERY (routing partitioned by query_id), RRF per (query, doc)

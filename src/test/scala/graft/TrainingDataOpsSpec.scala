@@ -407,6 +407,19 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 0L, 0.0, 0.0, 0.0)), got(1L).toString)
   }
 
+  test("q138 kernel: a query with NO relevant documents reports zero metrics, not a dropped row") {
+    import spark.implicits._
+    val ranked = Seq((0L, 10L, 1), (0L, 11L, 2),
+      (7L, 20L, 1), (7L, 21L, 2)).toDF("query_id", "doc_id", "rn")
+    val rel = Seq((0L, 11L)).toDF("query_id", "doc_id") // query 7: n_rel = 0
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val got = ops.Scoring.rankingMetricsOf(ranked, rel, nrel, 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(0L, 7L), s"the evaluation batch must not shrink: $got")
+    assert(got(7L) == ((0L, 0L, 0.0, 0.0, 0.0)), got(7L).toString)
+  }
+
   test("q142: calibration bins rank the gate label (low bins fail, high bins pass)") {
     val rows = ops.Curation.q142ClassifierCalibration(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))

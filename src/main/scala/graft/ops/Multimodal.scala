@@ -412,6 +412,69 @@ object Multimodal {
         .orderBy(col("doc_id")))
   }
 
+  /** q144: cross-modal NEAR-dup canonicalization — q141 with the edge
+    * sets a production multimodal dedup graph actually has: exact text
+    * fingerprints, exact image hashes, AND hamming ≤ 3 image NEAR-dup
+    * links (the q140 relation), one ConnectedComponents closure over the
+    * union. The near tier is what catches a re-encoded image bridging
+    * two otherwise-separate duplicate groups.
+    *
+    * Scale shape: exact edges stay per-group stars (corpus-linear). The
+    * near edges are built between HASH REPRESENTATIVES, never documents:
+    * distinct hashes → banded self-join (q140's discipline) → verified
+    * hamming ≤ 3 hash pairs → one edge between the two groups' min-doc
+    * reps. Edge count is bounded by the near-neighbor density of the
+    * DISTINCT-hash set — independent of how many documents pile into
+    * each hash bucket, so a saturated perceptual-hash space (the q140
+    * all-pairs trap: 1.14 M doc pairs at sf0.1) contributes each hash
+    * pair ONCE. Components are identical to closing over doc-level
+    * hamming ≤ 3 pairs: same-hash docs are star-connected, and any
+    * cross-hash qualifying doc pair routes through its two reps. */
+  val q144CrossModalNearDup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bmp = udf { (text: String) => bmpOf(text) }
+    crossModalNearKeepOf(docs,
+      imageAHash(docs.select(col("doc_id"), bmp(col("text")).as("media"))),
+      CorpusHashBits)
+  }
+
+  /** The q144 kernel over arbitrary (doc_id, text) + (doc_id, decoded,
+    * ahash) frames — shared with the planted near-bridge unit. */
+  private[graft] def crossModalNearKeepOf(docs: DataFrame, hashed: DataFrame,
+      hashBits: Int): DataFrame = {
+    val bandBits = phashBandBits(hashBits)
+    val hashes = hashed.filter(col("decoded"))
+      .select(col("doc_id"), col("ahash")).cache()
+    val textEdges = starEdges(docs.select(col("doc_id"),
+      graft.functions.TextFns.fingerprint(col("text")).as("k")))
+    val imageEdges = starEdges(
+      hashes.select(col("doc_id"), col("ahash").cast("string").as("k")))
+    // distinct-hash representatives: one row per hash VALUE
+    val reps = hashes.groupBy(col("ahash")).agg(min(col("doc_id")).as("rep")).cache()
+    val bands = reps.select(col("ahash"), col("rep"), posexplode(array(
+        (0 until PhashBands).map(b =>
+          shiftrightunsigned(col("ahash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      .as(Seq("band", "bhash")))
+    val nearEdges = bands.select(col("band"), col("bhash"),
+        col("ahash").as("ha"), col("rep").as("doc_a"))
+      .join(bands.select(col("band"), col("bhash"),
+        col("ahash").as("hb"), col("rep").as("doc_b")), Seq("band", "bhash"))
+      .filter(col("ha") < col("hb"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= PhashHamMax)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = ConnectedComponents.run(
+      textEdges.unionByName(imageEdges).unionByName(nearEdges))
+    Caching.materializeAndRelease(
+      docs.select(col("doc_id"))
+        .join(cc.select(col("vertex").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("keep_id"))
+        .orderBy(col("doc_id")),
+      hashes, reps)
+  }
+
   def queries: Map[String, Q] = Map(
     "q52_media_features" -> q52MediaFeatures,
     "q53_frame_sample"   -> q53FrameSample,
@@ -419,6 +482,7 @@ object Multimodal {
     "q139_media_phash_dedup" -> q139MediaPhashDedup,
     "q140_media_near_dup" -> q140MediaNearDup,
     "q141_cross_modal_dedup" -> q141CrossModalDedup,
+    "q144_cross_modal_near" -> q144CrossModalNearDup,
   )
 
   def oracle: Map[String, String] = Map(
@@ -486,6 +550,34 @@ object Multimodal {
         |       FROM tf a JOIN tf b ON a.doc_id < b.doc_id AND a.fp = b.fp),
         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND a.ahash = b.ahash),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM tp
+        |  UNION ALL SELECT doc_b, doc_a FROM tp
+        |  UNION ALL SELECT doc_a, doc_b FROM ip
+        |  UNION ALL SELECT doc_b, doc_a FROM ip),
+        |reach(doc_id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |keep AS (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
+        |FROM documents d LEFT JOIN keep k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q141's closure with the image predicate widened to hamming <= 3:
+    // the oracle states doc-level near pairs directly (subsuming exact
+    // pairs at hamming 0) — provably the same components as the engine's
+    // star + hash-representative edge structure
+    "q144_cross_modal_near" ->
+      s"""WITH RECURSIVE
+        |$phashCtes,
+        |tf AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM tf a JOIN tf b ON a.doc_id < b.doc_id AND a.fp = b.fp),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
         |e AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM tp
         |  UNION ALL SELECT doc_b, doc_a FROM tp

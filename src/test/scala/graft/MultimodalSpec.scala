@@ -228,6 +228,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), got.toString)
   }
 
+  test("q144 kernel: only a NEAR-dup image edge bridges the text group and the exact-image group") {
+    import spark.implicits._
+    // 1–2 duplicate TEXT; 2's image hash 0x00F0 is hamming-2 from 3's
+    // 0x00F3 (distinct values — only the near tier links them); 3–5
+    // duplicate IMAGE (exact star); 4 unrelated. Expected closure:
+    // {1,2,3,5} one component via text ∪ near ∪ exact, 4 alone. q141's
+    // exact-only closure would leave {1,2} and {3,5} apart.
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "other text"), (4L, "loner"), (5L, "fifth text")).toDF("doc_id", "text")
+    val hashes = Seq((1L, false, -1L), (2L, true, 0x00F0L), (3L, true, 0x00F3L),
+      (4L, true, 0x0F00L), (5L, true, 0x00F3L)).toDF("doc_id", "decoded", "ahash")
+    val near = Multimodal.crossModalNearKeepOf(docs, hashes, hashBits = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(near == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L), near.toString)
+    val exactOnly = Multimodal.crossModalKeepOf(docs, hashes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exactOnly == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 3L),
+      s"control: without the near tier the bridge must NOT exist: $exactOnly")
+  }
+
   test("the certification corpus never sniffs as an image (q52/q53 hashes are stable)") {
     import spark.implicits._
     val sniffed = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")

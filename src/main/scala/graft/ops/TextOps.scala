@@ -654,9 +654,16 @@ object TextOps {
     * the number a mixture planner (q121/q137) should budget against,
     * not raw corpus size. Composes three certified kernels unchanged;
     * the oracle recomputes the whole cascade relationally. */
-  val q143TokenYield: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
+  val q143TokenYield: Q = (s, d) =>
+    tokenYieldOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** The q143 kernel over an arbitrary (doc_id, source, text) frame —
+    * shared by the certified query and the capstone pipeline's run
+    * report ([[graft.pipelines.TrainingData]]), so the tokens a mixture
+    * planner budgets against are computed by the same certified
+    * cascade. */
+  private[graft] def tokenYieldOf(docs: DataFrame): DataFrame = {
     val collapsed = runCollapseKernel(docs)
       .select(col("doc_id"), col("n_toks").as("n_raw"),
         (col("n_toks") - col("n_collapsed")).as("n_coll"), col("clean_text"))

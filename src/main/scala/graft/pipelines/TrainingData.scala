@@ -66,6 +66,13 @@ object TrainingData {
     *                 each duplicate group instead of the smallest id (the
     *                 q108 quality-aware retention policy; see
     *                 [[graft.ops.Dedup.cleanCorpus]])
+    * @param tokenReportDir when given, the run also writes the TOKEN
+    *                 YIELD report (q143's certified cascade — raw →
+    *                 run-collapsed → boilerplate-scrubbed → dedup-
+    *                 canonical tokens per source, computed on the
+    *                 pipeline's input) as parquet there: the number a
+    *                 mixture planner (q121/q137) should budget against
+    *                 is effective tokens, not document counts
     * @param quarantineDir where rows breaching the data EXPECTATIONS
     *                 (duplicate doc_id, null text, inconsistent n_chars —
     *                 the q98-certified gate's structural rules) are
@@ -85,7 +92,8 @@ object TrainingData {
       maxRecordsPerFile: Int = 1 << 20,
       gate: TextOps.RuleGateConfig = DefaultGate,
       quarantineDir: Option[String] = None,
-      retentionScores: Option[DataFrame] = None): DataFrame = {
+      retentionScores: Option[DataFrame] = None,
+      tokenReportDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     // stage timer: wall-clock of the ONE action that materializes a
     // cached stage — the per-stage scaling signal ScaleSmoke's pipeline
@@ -169,6 +177,14 @@ object TrainingData {
     val (_, tExport) = timed(
       ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile))
     val nMixed = spark.read.parquet(outDir).count()
+
+    // run report: token yield of the INPUT corpus through the certified
+    // q143 cascade — what the funnel's document counts are worth in
+    // effective training tokens (computed once, after the export, so it
+    // never contends with the funnel's own caches)
+    tokenReportDir.foreach(dir =>
+      TextOps.tokenYieldOf(input.select(col("doc_id"), col("source"), col("text")))
+        .write.mode("overwrite").parquet(dir))
 
     val summary = Seq(
       ("input", nInput, tInput),

@@ -110,6 +110,35 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(byId(2L).getAs[Double]("new_col") == 42.0)
   }
 
+  test("globalOrdinal under heavy key skew: range sampling splits ties via the tiebreak") {
+    import spark.implicits._
+    // one key value owns 50% of the rows — the shape that melts a naive
+    // range partitioner keyed on the sort column alone. The caller
+    // contract (sortExprs must be a TOTAL order, tiebreak included) is
+    // what lets repartitionByRange split the hot key across partitions:
+    // boundaries are sampled over (k, id), not k.
+    val n = 100000
+    val df = (1 to n).map(i =>
+        (i.toLong, if (i % 2 == 0) 42L else (i * 2654435761L) % 1000))
+      .toDF("id", "k")
+    val parts = 16
+    val sizes = graft.ops.Ordinal
+      .rangeSortedStage(df, Seq(col("k"), col("id")), parts)
+      .rdd.mapPartitions(it => Iterator(it.size)).collect()
+    val mean = n.toDouble / parts
+    info(s"partition sizes under 50% hot key: min=${sizes.min} max=${sizes.max} mean=$mean")
+    assert(sizes.sum == n)
+    assert(sizes.max <= 2 * mean,
+      s"hot key not split: partition sizes ${sizes.mkString(",")} vs mean $mean")
+    // and the ordinal itself stays dense and correctly ordered
+    val got = graft.ops.Ordinal.globalOrdinal(df, Seq(col("k"), col("id")), parts)
+      .select(col("pos"), col("id"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).sorted.toSeq == (1L to n.toLong).toSeq)
+    assert(got.sortBy(_._1).map(t => (t._3, t._2)).toSeq ==
+      got.map(t => (t._3, t._2)).sortBy(identity).toSeq)
+  }
+
   test("q62 HLL approx distinct stays within 5% of the exact counts") {
     val d = "/root/testdata/sf0.001"
     val exact = ops.Relational.q05DistinctCount(spark, d).head()

@@ -45,9 +45,22 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       minMeanWordLen = 0.0, maxMeanWordLen = 20.0,
       stopwords = Nil, minStopHits = 0L,
       maxSymbolRatio = Double.MaxValue)
+    val reportDir = java.nio.file.Files.createTempDirectory("graft-tdy").toString
     val summary = TrainingData.run(spark, docs, evalDocs, weights, outDir,
-        nShards = 8, maxRecordsPerFile = 10, gate = gate)
+        nShards = 8, maxRecordsPerFile = 10, gate = gate,
+        tokenReportDir = Some(reportDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the run report IS the certified q143 cascade on the pipeline input
+    val wantYield = graft.ops.TextOps.tokenYieldOf(
+        docs.select(col("doc_id"), col("source"), col("text")))
+      .collect().map(_.toSeq).toSet
+    val gotYield = spark.read.parquet(reportDir)
+      .select(col("source"), col("n_raw"), col("n_collapsed"),
+        col("n_scrubbed"), col("n_yield"))
+      .collect().map(_.toSeq).toSet
+    assert(gotYield == wantYield, s"token report != q143 kernel: $gotYield vs $wantYield")
+    assert(gotYield.map(_.head).toSet == Set("srcA", "srcB"))
 
     // funnel: 25 in, all structurally valid => 25 validated; -1 short
     // (rule gate) => 24 gated; -1 exact clone, -1 near-dup => 22 clean;

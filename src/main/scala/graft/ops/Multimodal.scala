@@ -303,6 +303,19 @@ object Multimodal {
     * per pixel); real pooled images are 64. */
   private[graft] val CorpusHashBits = 16
 
+  /** Append (band, bhash) rows — [[PhashBands]] per input row — to any
+    * frame with an `ahash` column: the candidate-generation layout every
+    * phash near-dup tier (q140's probe, q144's rep edges, the PhashIndex
+    * serve) equi-joins on. */
+  private[graft] def withPhashBands(h: DataFrame, hashBits: Int): DataFrame = {
+    val bandBits = phashBandBits(hashBits)
+    h.select(col("*"), posexplode(array(
+        (0 until PhashBands).map(b =>
+          shiftrightunsigned(col("ahash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+      .as(Seq("band", "bhash")))
+  }
+
   /** The q140 probe batch: images of docs < 50 — "today's ingest" (the
     * q78 incremental-dedup boundary convention). */
   private[graft] val PhashProbeMaxId = 50L
@@ -337,15 +350,10 @@ object Multimodal {
     * real-image spec (same code path, different band width). */
   private[graft] def mediaNearDupOf(hashed: DataFrame, probeMaxId: Long,
       hashBits: Int): DataFrame = {
-    val bandBits = phashBandBits(hashBits)
     val hashes = hashed.filter(col("decoded"))
       .select(col("doc_id"), col("ahash")).cache()
     def bandsOf(h: DataFrame): DataFrame =
-      h.select(col("doc_id"), posexplode(array(
-          (0 until PhashBands).map(b =>
-            shiftrightunsigned(col("ahash"), b * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1))): _*))
-        .as(Seq("band", "bhash")))
+      withPhashBands(h, hashBits).select(col("doc_id"), col("band"), col("bhash"))
     val bands = bandsOf(hashes)
     val probe = bandsOf(hashes.filter(col("doc_id") < probeMaxId))
       .select(col("doc_id").as("doc_a"), col("band"), col("bhash"))
@@ -442,7 +450,6 @@ object Multimodal {
     * ahash) frames — shared with the planted near-bridge unit. */
   private[graft] def crossModalNearKeepOf(docs: DataFrame, hashed: DataFrame,
       hashBits: Int): DataFrame = {
-    val bandBits = phashBandBits(hashBits)
     val hashes = hashed.filter(col("decoded"))
       .select(col("doc_id"), col("ahash")).cache()
     val textEdges = starEdges(docs.select(col("doc_id"),
@@ -451,11 +458,7 @@ object Multimodal {
       hashes.select(col("doc_id"), col("ahash").cast("string").as("k")))
     // distinct-hash representatives: one row per hash VALUE
     val reps = hashes.groupBy(col("ahash")).agg(min(col("doc_id")).as("rep")).cache()
-    val bands = reps.select(col("ahash"), col("rep"), posexplode(array(
-        (0 until PhashBands).map(b =>
-          shiftrightunsigned(col("ahash"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*))
-      .as(Seq("band", "bhash")))
+    val bands = withPhashBands(reps, hashBits)
     val nearEdges = bands.select(col("band"), col("bhash"),
         col("ahash").as("ha"), col("rep").as("doc_a"))
       .join(bands.select(col("band"), col("bhash"),

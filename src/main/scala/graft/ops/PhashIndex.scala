@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable perceptual-hash index — the media twin of [[MinHashIndex]]
+  * and the PRODUCTION shape of image near-dup at 100 TB: the corpus hash
+  * table is computed once (decode + aHash, the expensive pass), stored as
+  * plain Parquet, and every new ingest batch is matched AGAINST it without
+  * re-decoding history — decode cost follows the ingest, never the corpus.
+  *
+  * Same construction as q139/q140 ([[Multimodal.imageAHash]]: per-pixel
+  * bits ≤ 64 px, 8×8 average-pool above; [[Multimodal.withPhashBands]]:
+  * 4 bands of hashBits/4), so an index built today keeps matching batches
+  * hashed tomorrow, and the pigeonhole recall guarantee (hamming ≤ 3
+  * pairs always share an intact band) carries over unchanged.
+  *
+  * Scale shape: the index is (doc_id, ahash) — corpus-linear, 16 bytes a
+  * row; query() is candidates (band equi-join, broadcast-able batch side)
+  * → verify (`bit_count(xor)` on candidates only). Partition the saved
+  * Parquet by band-bucket prefix for co-located candidate joins at
+  * cluster scale. The streaming twin
+  * ([[graft.streaming.Incremental.continuousMediaNearDup]]) probes each
+  * micro-batch with the same band layout.
+  */
+object PhashIndex {
+
+  /** Hash table (doc_id, ahash) for a (doc_id, media: binary) corpus —
+    * undecodable blobs are dropped here (they have no perceptual
+    * identity; the ingest quarantine flag lives on the q139 tier). */
+  def build(media: DataFrame): DataFrame =
+    Multimodal.imageAHash(media).filter(col("decoded"))
+      .select(col("doc_id"), col("ahash"))
+
+  def save(index: DataFrame, dir: String): Unit =
+    index.write.mode("overwrite").parquet(dir)
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Near-duplicate pairs between a NEW media batch (doc_id, media) and
+    * the indexed corpus: (batch_id, corpus_id, hamming) with hamming ≤
+    * `hamMax` (≤ [[Multimodal.PhashHamMax]] keeps banding recall EXACT;
+    * a larger radius would need more bands). Batch ids matching their own
+    * corpus entry (re-ingest) are excluded by id equality, the same
+    * excludeSelf discipline as the ANN serve. */
+  def query(index: DataFrame, batch: DataFrame, hashBits: Int,
+      hamMax: Int = Multimodal.PhashHamMax): DataFrame = {
+    require(hamMax <= Multimodal.PhashHamMax,
+      s"hamming radius $hamMax exceeds the ${Multimodal.PhashBands}-band recall guarantee")
+    val corpus = index.cache()
+    val fresh = build(batch).cache()
+    val cand = Multimodal.withPhashBands(fresh, hashBits)
+      .select(col("doc_id").as("batch_id"), col("band"), col("bhash"))
+      .join(Multimodal.withPhashBands(corpus, hashBits)
+        .select(col("doc_id").as("corpus_id"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    Caching.materializeAndRelease(
+      cand
+        .join(fresh.select(col("doc_id").as("batch_id"), col("ahash").as("ha")), Seq("batch_id"))
+        .join(corpus.select(col("doc_id").as("corpus_id"), col("ahash").as("hb")), Seq("corpus_id"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= hamMax)
+        .select(col("batch_id"), col("corpus_id"), col("hamming")),
+      corpus, fresh)
+  }
+}

@@ -851,6 +851,64 @@ object TextOps {
       .orderBy(col("w"))
   }
 
+  /** q146: tokenizer FERTILITY by source — pieces per word token under
+    * the q145-trained tokenizer, the metric that tells a pipeline which
+    * domains its tokenizer serves poorly (a source with fertility 2×
+    * the corpus mean pays 2× the sequence length for the same text —
+    * exactly what a vocab retrain or a mixture re-weight should see).
+    * Composes two certified kernels: the q145 segmentation (vocab-sized
+    * UDF apply over the learned merges) broadcast-joined onto per-
+    * (source, word) token counts (one corpus pass, map-side combined),
+    * then one aggregation per source. Scale shape: corpus pass +
+    * vocab-sized apply + source-sized output; nothing quadratic, no
+    * windows. */
+  val q146TokFertility: Q = (s, d) => {
+    val merges = bpeMergesOf(s, d)
+    val nSymsUdf = udf { (w: String) =>
+      graft.ml.BpeTrain.segment(w, merges).length.toLong
+    }
+    val sourceWords = Tables.documents(s, d)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w0"))
+      .select(col("source"), regexp_replace(col("w0"), "[\\x00-\\x1f]", "").as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    val vocabSyms = graft.ml.BpeTrain.wordCounts(Tables.documents(s, d))
+      .select(col("w"), nSymsUdf(col("w")).as("n_syms"))
+    sourceWords.join(broadcast(vocabSyms), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("n") * col("n_syms")).cast("long").as("n_pieces"))
+      .select(col("source"), col("n_tokens"), col("n_pieces"),
+        round(col("n_pieces") / col("n_tokens"), 4).as("fertility"))
+      .orderBy(col("source"))
+  }
+
+  /** The q145 training replay as oracle CTE text ending in
+    * wc(w, n) / m(merge_no, a, b) / fin(w, segmented) — shared by the
+    * q145 certification and q146's fertility aggregation. */
+  private val bpeReplayCtes =
+    """wc AS (
+      |  SELECT w, count(*) AS n FROM (
+      |    SELECT regexp_replace(w0, '[\x00-\x1f]', '', 'g') AS w FROM (
+      |      SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w0
+      |      FROM documents))
+      |  WHERE length(w) > 0 GROUP BY 1),
+      |m AS (SELECT merge_no, a, b
+      |      FROM read_parquet('{GRAFT_OUT}_support/q145_support_merges/*.parquet')),
+      |seg(w, i, r) AS (
+      |  SELECT w, 0,
+      |    chr(31) || chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g')
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT s.w, s.i + 1,
+      |    replace(s.r,
+      |      chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+      |      chr(31) || m.a || m.b || chr(31))
+      |  FROM seg s JOIN m ON m.merge_no = s.i + 1),
+      |fin AS (
+      |  SELECT w, trim(replace(r, chr(31) || chr(31), ' ')) AS segmented
+      |  FROM seg WHERE i = (SELECT count(*) FROM m))""".stripMargin
+
   /** Oracle support for q145: the learned merge list (merge_no 1-based,
     * a, b) — what the recursive replay folds over. */
   def writeBpeSupport(s: SparkSession, d: String, outDir: String): Unit = {
@@ -866,6 +924,7 @@ object TextOps {
     "q129_bpe_pairs"    -> q129BpePairs,
     "q130_merge_compression" -> q130MergeCompression,
     "q145_bpe_segment"  -> q145BpeSegment,
+    "q146_tok_fertility" -> q146TokFertility,
     "q110_boilerplate"  -> q110Boilerplate,
     "q133_run_collapse" -> q133RunCollapse,
     "q143_token_yield"  -> q143TokenYield,
@@ -915,32 +974,33 @@ object TextOps {
     // each disjoint occurrence keeps a full frame (the rewrite consumes
     // one ␟ of each boundary pair and restores it)
     "q145_bpe_segment" ->
-      """WITH RECURSIVE
-        |wc AS (
-        |  SELECT w, count(*) AS n FROM (
-        |    SELECT regexp_replace(w0, '[\x00-\x1f]', '', 'g') AS w FROM (
-        |      SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w0
-        |      FROM documents))
-        |  WHERE length(w) > 0 GROUP BY 1),
-        |m AS (SELECT merge_no, a, b
-        |      FROM read_parquet('{GRAFT_OUT}_support/q145_support_merges/*.parquet')),
-        |seg(w, i, r) AS (
-        |  SELECT w, 0,
-        |    chr(31) || chr(31) || regexp_replace(w, '(.)', '\1' || chr(31) || chr(31), 'g')
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT s.w, s.i + 1,
-        |    replace(s.r,
-        |      chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
-        |      chr(31) || m.a || m.b || chr(31))
-        |  FROM seg s JOIN m ON m.merge_no = s.i + 1),
-        |fin AS (
-        |  SELECT w, trim(replace(r, chr(31) || chr(31), ' ')) AS segmented
-        |  FROM seg WHERE i = (SELECT count(*) FROM m))
+      s"""WITH RECURSIVE
+        |$bpeReplayCtes
         |SELECT wc.w, wc.n, fin.segmented,
         |  CAST(len(string_split(fin.segmented, ' ')) AS BIGINT) AS n_syms
         |FROM wc JOIN fin USING (w)
         |ORDER BY w""".stripMargin,
+    // fertility: the q145 replay's per-word symbol counts, token-weighted
+    // per source — sw recounts (source, word) with the same control-strip
+    "q146_tok_fertility" ->
+      s"""WITH RECURSIVE
+        |$bpeReplayCtes,
+        |sw AS (
+        |  SELECT source, w, count(*) AS n FROM (
+        |    SELECT source, regexp_replace(w0, '[\\x00-\\x1f]', '', 'g') AS w FROM (
+        |      SELECT source,
+        |        unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w0
+        |      FROM documents))
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |sy AS (
+        |  SELECT w, CAST(len(string_split(segmented, ' ')) AS BIGINT) AS n_syms
+        |  FROM fin)
+        |SELECT sw.source,
+        |  CAST(sum(sw.n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(sw.n * sy.n_syms) AS BIGINT) AS n_pieces,
+        |  round(sum(sw.n * sy.n_syms) / sum(sw.n), 4) AS fertility
+        |FROM sw JOIN sy USING (w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // round-1 symbols are single characters, so non-overlapping string
     // replace IS the greedy left-to-right pair merge — the oracle
     // recomputes the trainer kernel's occurrence count independently

@@ -356,6 +356,53 @@ object Incremental {
     runOnce(spark, inDir, schema, outDir, checkpointDir)(
       graft.ops.Multimodal.imageAHash(_))
 
+  /** Continuous media NEAR-dup probing — the streaming twin of the
+    * [[graft.ops.PhashIndex]] serve (and of q140's probe shape): each
+    * micro-batch of (doc_id, media) blobs is decoded + aHashed in-stream
+    * (the batch kernel, stateless), banded, and equi-joined against the
+    * FROZEN corpus band table (a stream-static inner join — the index
+    * side never re-scans); hamming-verified hits append through the file
+    * sink, so exactly-once comes from the sink's checkpoint-atomic
+    * commit. Streaming-legal by construction: no distinct (a pair
+    * sharing k intact bands emits k hit rows — expected, collapsed by
+    * [[mediaNearDupHits]] exactly as the eval-saturation maintainer's
+    * repeats are), no caching, no stateful operator; per-batch cost is
+    * decode + a broadcast-able band join, independent of corpus history.
+    * `bandIndex` is `Multimodal.withPhashBands(PhashIndex.load(...))` —
+    * banded once at start-up (at cluster scale: the band-partitioned
+    * parquet layout the PhashIndex scaladoc prescribes). */
+  def continuousMediaNearDup(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, bandIndex: DataFrame,
+      hitsDir: String, checkpointDir: String,
+      hashBits: Int = 64): StreamingQuery =
+    runOnce(spark, inDir, schema, hitsDir, checkpointDir) { df =>
+      graft.ops.Multimodal.withPhashBands(
+          graft.ops.Multimodal.imageAHash(df).filter(col("decoded")), hashBits)
+        .select(col("doc_id").as("batch_id"), col("ahash").as("ha"),
+          col("band"), col("bhash"))
+        .join(bandIndex.select(col("doc_id").as("corpus_id"),
+          col("ahash").as("hb"), col("band"), col("bhash")), Seq("band", "bhash"))
+        .filter(col("batch_id") =!= col("corpus_id"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= graft.ops.Multimodal.PhashHamMax)
+        .select(col("batch_id"), col("corpus_id"), col("hamming"))
+    }
+
+  /** The maintained near-dup hit table, band-repeats collapsed — row-set
+    * identical to [[graft.ops.PhashIndex.query]] on the same batch ∪
+    * index (StreamingSpec asserts the parity). Missing path (no ingest
+    * yet) reads as empty, the bootstrap-probe discipline. */
+  def mediaNearDupHits(spark: SparkSession, hitsDir: String): DataFrame = {
+    import spark.implicits._
+    val rows =
+      try spark.read.parquet(hitsDir)
+      catch {
+        case e: Throwable if graft.ops.IvfIndex.isMissingPath(e) =>
+          Seq.empty[(Long, Long, Long)].toDF("batch_id", "corpus_id", "hamming")
+      }
+    rows.dropDuplicates("batch_id", "corpus_id")
+  }
+
   /** Continuous benchmark-saturation maintenance (the streaming twin of
     * q117): the eval suite is FROZEN — its distinct 5-gram hashes are
     * computed once, keyed by eval doc, and broadcast (benchmark-sized

@@ -706,6 +706,41 @@ object ScaleSmoke {
       }
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+    // MEDIA NEAR-DUP SERVE (PhashIndex, q140's discipline): the corpus
+    // hash index grows 1x/4x/16x while a FIXED 50-image ingest batch
+    // probes it. The claims: (a) the corpus is decoded exactly once, at
+    // index-build time — the probe never re-decodes history (decode cost
+    // follows ingest); (b) probe wall-clock follows candidate volume
+    // (band-bucket density — at a saturated 16-bit certification hash
+    // space, hits grow ~linearly with the corpus), never corpus decode.
+    if (section == "all" || section == "media") {
+      val bmp = udf { (t: String) => graft.ops.Multimodal.bmpOf(t) }
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      val batch = docsBase.filter(col("doc_id") < 50)
+        .select((col("doc_id") + lit(900_000_000L)).as("doc_id"),
+          bmp(col("text")).as("media")).cache()
+      val nb = batch.count()
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          // per-copy text prefix: copies hash differently, so the index
+          // is mult distinct populations, not mult clones of one
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            bmp(concat(lit(s"c$k "), col("text"))).as("media"))
+        }.reduce(_ unionByName _)
+        val idx = time(s"media mult=$mult index build (decode+hash, paid once)") {
+          val i = graft.ops.PhashIndex.build(scaled).cache()
+          println(s"[scale] media mult=$mult index rows=${i.count()}")
+          i
+        }
+        time(s"media mult=$mult fixed-batch probe ($nb images)") {
+          val h = graft.ops.PhashIndex.query(idx, batch, hashBits = 16)
+          println(s"[scale] media mult=$mult hits=${h.count()}")
+        }
+        idx.unpersist()
+      }
+      batch.unpersist()
+    }
     spark.stop()
   }
 }

@@ -83,6 +83,22 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(aa("aaaa") == 2 && aa("aaa") == 1 && an("banana") == 2)
   }
 
+  test("q146 fertility: pieces-per-token >= 1, internally consistent, totals match q145") {
+    val sf = "/root/testdata/sf0.001"
+    val fert = graft.ops.TextOps.q146TokFertility(spark, sf).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (n, p, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(p >= n, s"pieces < tokens for ${r.getString(0)}")
+      assert(math.abs(f - p.toDouble / n) < 5e-5, s"fertility != pieces/tokens: $r")
+    }
+    // every corpus token is attributed to exactly one source: the
+    // per-source totals must sum to the q145 vocabulary's token mass
+    val q145Total = graft.ops.TextOps.q145BpeSegment(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(fert.map(_.getLong(1)).sum == q145Total)
+  }
+
   test("long-vocabulary run keeps driver state merge-sized and converges") {
     import spark.implicits._
     // 40 distinct words over a small alphabet: many productive merges;

@@ -39,7 +39,7 @@ class MlSpec extends AnyFunSuite {
       "q112_support_cellmeans", "q122_support_sigs",
       "q123_support_bands", "q125_support_qvec",
       "q128_support_cells", "q128_support_centroids",
-      "q132_support_qembs"), tables)
+      "q132_support_qembs", "q145_support_merges"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -228,6 +228,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), got.toString)
   }
 
+  test("PhashIndex: a new batch matches the persisted corpus without re-hashing it") {
+    import spark.implicits._
+    val base = 0xF0F0F0F0F0F0F0F0L
+    val corpus = Seq(
+      (10L, encodeImg(blockImg(base), "png")),
+      (11L, encodeImg(blockImg(0x00000000FFFFFFFFL), "png")),
+      (12L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phidx").toString
+    graft.ops.PhashIndex.save(graft.ops.PhashIndex.build(corpus), dir)
+    val idx = graft.ops.PhashIndex.load(spark, dir)
+    assert(idx.count() == 2, "undecodable blobs carry no perceptual identity")
+    val batch = Seq(
+      (100L, encodeImg(blockImg(base), "bmp")),          // re-encode of 10
+      (101L, encodeImg(blockImg(base ^ 0x11L), "png")),  // hamming 2 from 10
+      (10L, encodeImg(blockImg(base), "png")),           // re-ingest: self-id excluded
+      (102L, encodeImg(blockImg(0x0F0F0F0F00000000L), "png"))) // far
+      .toDF("doc_id", "media")
+    val got = graft.ops.PhashIndex.query(idx, batch, hashBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((100L, 10L, 0L), (101L, 10L, 2L)), got.toString)
+  }
+
   test("q144 kernel: only a NEAR-dup image edge bridges the text group and the exact-image group") {
     import spark.implicits._
     // 1–2 duplicate TEXT; 2's image hash 0x00F0 is hamming-2 from 3's

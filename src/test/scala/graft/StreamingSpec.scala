@@ -376,6 +376,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamOut.filter(!_._2).map(_._1) == Set(41L))
   }
 
+  test("continuous media near-dup probe equals the PhashIndex serve and resumes exactly-once") {
+    val base = Files.createTempDirectory("graft-medianear").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val idxDir = s"$base/idx"
+    new java.io.File(in).mkdirs()
+    import org.apache.spark.sql.types.BinaryType
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    import spark.implicits._
+    // frozen corpus index: 40 4x4 BMPs (16-bit hashes), built + persisted ONCE
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, graft.ops.Multimodal.bmpOf(s"img $i body"))).toDF("doc_id", "media")
+    graft.ops.PhashIndex.save(graft.ops.PhashIndex.build(corpus), idxDir)
+    val idx = graft.ops.PhashIndex.load(spark, idxDir)
+    val bandIdx = graft.ops.Multimodal.withPhashBands(idx, hashBits = 16)
+    // ingest batch: an exact re-post of corpus img 7, fresh images, junk
+    val batch = Seq(
+      (100L, graft.ops.Multimodal.bmpOf("img 7 body")),
+      (101L, graft.ops.Multimodal.bmpOf("something else entirely here")),
+      (102L, "not an image".getBytes("UTF-8")),
+      (103L, graft.ops.Multimodal.bmpOf("img 23 body")),
+      (104L, graft.ops.Multimodal.bmpOf("yet another different text")),
+      (105L, graft.ops.Multimodal.bmpOf("img 7 body"))).toDF("doc_id", "media")
+    batch.filter(col("doc_id") < 103).write.parquet(s"$in/b1")
+    Incremental.continuousMediaNearDup(spark, s"$in/*", mediaSchema, bandIdx, out, ck,
+      hashBits = 16)
+    batch.filter(col("doc_id") >= 103).write.parquet(s"$in/b2")
+    val q2 = Incremental.continuousMediaNearDup(spark, s"$in/*", mediaSchema, bandIdx,
+      out, ck, hashBits = 16)
+    assert(Incremental.progressReport(q2).rows == 3L,
+      "resume must process only the second file")
+    val streamed = Incremental.mediaNearDupHits(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = graft.ops.PhashIndex.query(idx, batch, hashBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == served,
+      s"stream/serve divergence: ${streamed.diff(served)} vs ${served.diff(streamed)}")
+    // the planted exact re-posts are found at hamming 0
+    assert(streamed.contains((100L, 7L, 0L)) && streamed.contains((105L, 7L, 0L)) &&
+      streamed.contains((103L, 23L, 0L)), streamed.toString)
+    // bootstrap: a missing hit table reads as empty, not an error
+    assert(Incremental.mediaNearDupHits(spark, s"$base/nope").count() == 0L)
+  }
+
   test("continuous semantic decontam quarantines near-benchmark embeddings with evidence, resumes") {
     val base = Files.createTempDirectory("graft-semdecontam").toString
     val in = s"$base/in"; val clean = s"$base/clean"

@@ -47,6 +47,35 @@ object Multimodal {
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
 
+  /** Explicit media admission split (the decontam-quarantine discipline
+    * for blobs): `keep` = rows whose bytes decode to real pixels, ready
+    * for the hash/stats tiers; `quarantine` = everything else with a
+    * reason column for offline triage — `no_magic` (not a format the
+    * decoder reads: route to the opaque-features tier or a codec
+    * upgrade) vs `decode_failed` (magic matched but the parse died:
+    * truncated/corrupt upload). One decode pass per row, batched
+    * mapPartitions like every media operator; no row is ever dropped
+    * silently and none can fail the job. */
+  def partitionMedia(media: DataFrame, batchSize: Int = 64)
+      : (DataFrame, DataFrame) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val flagged = media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val reason =
+            if (!looksDecodable(bytes)) "no_magic"
+            else if (tryDecode(bytes).isEmpty) "decode_failed"
+            else ""
+          (id, bytes, reason)
+        })
+      }.toDF("doc_id", "media", "reason").cache()
+    (flagged.filter(col("reason") === "").drop("reason"),
+      flagged.filter(col("reason") =!= ""))
+  }
+
   /** Media table synthesized from documents: (doc_id, media: binary,
     * meta: struct<format, source>). At 100 TB this is the parquet layout —
     * binary blobs columnar-encoded beside their metadata, prunable without

@@ -228,6 +228,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), got.toString)
   }
 
+  test("partitionMedia routes undecodable blobs to quarantine with a triage reason") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, encodeImg(solid(6, 6, 1, 2, 3), "png")),          // real image
+      (2L, Multimodal.bmpOf("tiny corpus image")),           // real 4x4 BMP
+      (3L, "plain text bytes".getBytes("UTF-8")),            // no magic
+      (4L, encodeImg(solid(8, 8, 0, 0, 0), "png").take(12))) // corrupt PNG
+      .toDF("doc_id", "media")
+    val (keep, quarantine) = Multimodal.partitionMedia(rows)
+    assert(keep.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val q = quarantine.select(col("doc_id"), col("reason")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q == Map(3L -> "no_magic", 4L -> "decode_failed"), q.toString)
+    // no row dropped: the split is a partition, not a filter
+    assert(keep.count() + quarantine.count() == 4L)
+  }
+
   test("PhashIndex: a new batch matches the persisted corpus without re-hashing it") {
     import spark.implicits._
     val base = 0xF0F0F0F0F0F0F0F0L

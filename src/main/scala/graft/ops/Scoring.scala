@@ -180,6 +180,53 @@ object Scoring {
     s.read.parquet(s"$p/scores")
   }
 
+  // ---------------------------------------------------------------- q147
+
+  /** q147: BIGRAM-LM perplexity — the tier-2 language-model quality
+    * signal (CCNet scores with a real LM; q85's unigram NLL is tier 1 —
+    * order statistics only; this adds the SEQUENTIAL signal: a document
+    * of common words in impossible orders now scores badly). Model:
+    * maximum-likelihood bigram counts over the corpus with add-1
+    * smoothing over the vocabulary, P(b|a) = (c(a,b)+1)/(c(a,·)+V);
+    * per-doc score = −Σ ln P(w_i|w_{i−1}) / (n_toks−1), docs with ≥ 2
+    * tokens. Integer counts throughout the model; the ln/division fold
+    * follows q85's proven cross-engine arithmetic discipline.
+    *
+    * Scale shape: ONE corpus pass emits per-doc bigram term frequencies
+    * (map-side combined — the q85 tf trick, so the model counts and the
+    * scoring join both fold over (doc, a, b, tf), never the raw token
+    * stream twice); the model tables are Zipf²-sparse (observed bigrams,
+    * not V²) and the left-context totals vocab-sized; V is one broadcast
+    * scalar. No windows, no driver data. */
+  val q147BigramPerplexity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tfb = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+    val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val vocab = docs
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).cast("double").as("v"))
+    Caching.materializeAndRelease(
+      tfb
+        .join(bg, Seq("a", "b"))
+        .join(ca, Seq("a"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_pairs"),
+          round(-sum(col("tf") * log((col("cab") + 1) / (col("ca") + col("v")))) /
+            sum(col("tf")), 4).as("nll2"))
+        .orderBy(col("doc_id")),
+      tfb)
+  }
+
   // ---------------------------------------------------------------- q86
 
   /** Deterministic shard plan — the manifest a training-shard export
@@ -819,6 +866,7 @@ object Scoring {
     "q84_bm25"           -> q84Bm25,
     "q93_bm25_indexed"   -> q93Bm25Indexed,
     "q85_perplexity"     -> q85Perplexity,
+    "q147_bigram_perplexity" -> q147BigramPerplexity,
     "q86_shard_plan"     -> q86ShardPlan,
     "q135_ccnet_buckets" -> q135CcnetBuckets,
     "q136_shard_mix"     -> q136ShardMix,
@@ -933,6 +981,28 @@ object Scoring {
     "q85_perplexity" ->
       s"""WITH $nllCtes
          |SELECT doc_id, n_toks, nll FROM nllt ORDER BY doc_id""".stripMargin,
+    // the bigram model recomputed end-to-end: per-doc adjacent-pair term
+    // frequencies -> global bigram counts -> left-context totals ->
+    // add-1-over-V fold, identical arithmetic order to the engine
+    "q147_bigram_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+        |  FROM t, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |tfb AS (SELECT doc_id, a, b, count(*) AS tf FROM u GROUP BY 1, 2, 3),
+        |bg AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab FROM tfb GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bg GROUP BY 1),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(toks) AS w FROM t))
+        |SELECT tfb.doc_id,
+        |  CAST(sum(tfb.tf) AS BIGINT) AS n_pairs,
+        |  round(-sum(tfb.tf * ln((bg.cab + 1) / (ca.ca + v.v))) / sum(tfb.tf), 4) AS nll2
+        |FROM tfb JOIN bg USING (a, b) JOIN ca USING (a) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_curriculum" ->
       s"""WITH $nllCtes
          |SELECT row_number() OVER (

@@ -92,7 +92,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
         "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served",
         "q131_batched_bm25", "q132_hybrid_batch",
-        "q135_ccnet_buckets", "q138_retrieval_metrics")
+        "q135_ccnet_buckets", "q138_retrieval_metrics",
+        // q147 broadcasts its 1-row vocabulary-size scalar (the q85 shape)
+        "q147_bigram_perplexity")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)
@@ -419,6 +421,21 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(p.contains("Window"), p)
     assert(p.contains("hashpartitioning(query_id"),
       s"the per-query rank window must partition on query_id:\n$p")
+  }
+
+  test("q146: the vocabulary segmentation joins as BROADCAST onto the source-word counts") {
+    // the vocab-sized n_syms table must broadcast: a shuffle join here
+    // would move the corpus-sized (source, word) aggregate for a
+    // Zipf-bounded build side
+    val p = plan("q146_tok_fertility")
+    assert(p.contains("BroadcastHashJoin"), s"vocab side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for a vocab-sized side:\n$p")
+  }
+
+  test("q144: every join in the cross-modal closure is an equi-join (hash or sort-merge)") {
+    val p = plan("q144_cross_modal_near")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the near tier must stay banded — no pair enumeration:\n$p")
   }
 
   test("q134: the bucketed join needs ZERO exchanges — the write-time layout is the shuffle") {

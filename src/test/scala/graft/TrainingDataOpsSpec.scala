@@ -420,6 +420,26 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got(7L) == ((0L, 0L, 0.0, 0.0, 0.0)), got(7L).toString)
   }
 
+  test("q147 bigram NLL: bounded by the smoothing ceiling, pair counts consistent with q85") {
+    val bi = ops.Scoring.q147BigramPerplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val uni = ops.Scoring.q85Perplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .distinct().count()
+    val totalPairs = bi.values.map(_._1).sum
+    assert(bi.nonEmpty && bi.keySet == uni.filter(_._2 >= 2).keySet,
+      "every >=2-token doc scores, none other")
+    bi.foreach { case (id, (nPairs, nll2)) =>
+      assert(nPairs == uni(id) - 1, s"doc $id: n_pairs != n_toks - 1")
+      // add-1 smoothing floor/ceiling: seen-pair prob >= (1+1)/(ca+V)
+      // >= 2/(totalPairs+V); prob <= 1 => 0 < nll2 <= ln((totalPairs+V)/2)
+      assert(nll2 > 0.0 && nll2 <= math.log((totalPairs + v) / 2.0) + 1e-9,
+        s"doc $id: nll2 $nll2 outside the smoothing bounds")
+    }
+  }
+
   test("q142: calibration bins rank the gate label (low bins fail, high bins pass)") {
     val rows = ops.Curation.q142ClassifierCalibration(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))

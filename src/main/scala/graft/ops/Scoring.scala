@@ -664,12 +664,17 @@ object Scoring {
   /** The q131 kernel as a shared stage — q131 certifies it, q132's
     * lexical arm reuses it. Returns (query_id, doc_id, bm25), top-5 per
     * query, unordered. */
-  private def batchedBm25Top5(s: SparkSession, d: String): DataFrame = {
+  /** The q131 kernel. `sharedToks` lets a composing query (q138) hand in
+    * its own cached (doc_id, term) stream so the corpus is tokenized
+    * ONCE per query, not once per stage; ownership (unpersist) stays
+    * with the caller when shared. */
+  private def batchedBm25Top5(s: SparkSession, d: String,
+      sharedToks: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val toks = docs
+    val toks = sharedToks.getOrElse(docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-      .cache() // feeds term ranking, tf, AND df — one tokenize pass
+      .cache()) // feeds term ranking, tf, AND df — one tokenize pass
     val qt = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(30)
       .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("term"))))
@@ -695,7 +700,8 @@ object Scoring {
       graft.plans.TopKPerGroup(scored, Seq("query_id"),
           Seq(graft.plans.TopKPerGroup.Key("bm25", desc = true),
             graft.plans.TopKPerGroup.Key("doc_id")), 5),
-      toks, hits)
+      // a shared toks cache belongs to the caller — release only our own
+      (Seq(hits) ++ (if (sharedToks.isEmpty) Seq(toks) else Nil)): _*)
   }
 
   // --------------------------------------------------------------- q138
@@ -732,7 +738,7 @@ object Scoring {
       .agg(count(lit(1)).as("ntq")).filter(col("ntq") === 3)
       .select(col("query_id"), col("doc_id"))
     val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
-    val t5 = batchedBm25Top5(s, d).withColumn("rn",
+    val t5 = batchedBm25Top5(s, d, sharedToks = Some(toks)).withColumn("rn",
       row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("bm25").desc, col("doc_id"))))
     Caching.materializeAndRelease(rankingMetricsOf(t5, rel, nrel, k = 5), toks)

@@ -226,6 +226,51 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL image resize — the remaining stage of the multimodal quartet
+    * (decode [[imageStats]], feature-extract [[extractFeatures]],
+    * RESIZE, frame-sample q53): decode → nearest-neighbor rescale →
+    * lossless PNG re-encode, all through the JDK, batched mapPartitions
+    * like every media operator. Nearest-neighbor by an explicit integer
+    * source-index map (`src = x·wIn/wOut`, floor) — deterministic and
+    * engine-controlled, no AWT interpolation variance; PNG keeps the
+    * resized pixels bit-exact for downstream decode (q148 certifies the
+    * full decode→resize→encode→decode chain under the oracle gate).
+    * Undecodable blobs pass through with resized = false and their
+    * original bytes — the quarantine contract, a bad blob degrades,
+    * never crashes. */
+  def resizeMedia(media: DataFrame, outW: Int, outH: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(outW > 0 && outH > 0, s"target ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          tryDecode(bytes) match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val out = new java.awt.image.BufferedImage(
+                outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < outH) {
+                val sy = (y.toLong * h / outH).toInt
+                var x = 0
+                while (x < outW) {
+                  out.setRGB(x, y, img.getRGB((x.toLong * w / outW).toInt, sy))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (id, bos.toByteArray, true)
+            case None => (id, bytes, false)
+          }
+        })
+      }.toDF("doc_id", "media", "resized")
+  }
+
   case class ImageHash(doc_id: Long, decoded: Boolean, ahash: Long)
 
   /** Average-hash (aHash) of a decoded image: bit p is set iff cell p's
@@ -449,6 +494,28 @@ object Multimodal {
         .orderBy(col("doc_id")))
   }
 
+  /** q148: the full decode → RESIZE → re-encode → decode chain under the
+    * oracle gate: each document's synthesized 4×4 BMP (the q124 corpus)
+    * is upscaled 2× by [[resizeMedia]] (real BMP parse, nearest-neighbor
+    * map, real PNG encode), and [[imageStats]] then REALLY decodes the
+    * PNG output. Exact 2× nearest-neighbor duplicates every source pixel
+    * exactly 4×, so the resized channel means equal the original ones —
+    * the oracle recomputes them from the text bytes exactly as q124,
+    * with the dims at 8. Any defect anywhere in the chain (resize index
+    * map, PNG round-trip, channel order) breaks the hash. */
+  val q148ResizeRoundtrip: Q = (s, d) => {
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), bmp(col("text")).as("media"))
+    imageStats(resizeMedia(media, 8, 8))
+      .select(col("doc_id"), col("decoded"), col("width"), col("height"),
+        col("n_channels"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q144: cross-modal NEAR-dup canonicalization — q141 with the edge
     * sets a production multimodal dedup graph actually has: exact text
     * fingerprints, exact image hashes, AND hamming ≤ 3 image NEAR-dup
@@ -515,6 +582,7 @@ object Multimodal {
     "q140_media_near_dup" -> q140MediaNearDup,
     "q141_cross_modal_dedup" -> q141CrossModalDedup,
     "q144_cross_modal_near" -> q144CrossModalNearDup,
+    "q148_resize_roundtrip" -> q148ResizeRoundtrip,
   )
 
   def oracle: Map[String, String] = Map(
@@ -595,6 +663,25 @@ object Multimodal {
         |SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
         |FROM documents d LEFT JOIN keep k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q124's recompute with the dims at 8: exact 2x nearest-neighbor
+    // upscale duplicates each source pixel exactly 4x, preserving every
+    // channel mean bit-for-bit through the resize + PNG round trip
+    "q148_resize_roundtrip" ->
+      """WITH px AS (
+        |  SELECT doc_id, k,
+        |    ord(substr(text, CAST(k % length(text) AS INTEGER) + 1, 1)) AS b
+        |  FROM documents, unnest(range(0, 48)) AS r(k)),
+        |ch AS (
+        |  SELECT doc_id,
+        |    avg(CASE WHEN k % 3 = 2 THEN b END) AS mr,
+        |    avg(CASE WHEN k % 3 = 1 THEN b END) AS mg,
+        |    avg(CASE WHEN k % 3 = 0 THEN b END) AS mb
+        |  FROM px GROUP BY 1)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS n_channels,
+        |  round(mr, 4) AS mean_r, round(mg, 4) AS mean_g, round(mb, 4) AS mean_b
+        |FROM ch ORDER BY doc_id""".stripMargin,
     // q141's closure with the image predicate widened to hamming <= 3:
     // the oracle states doc-level near pairs directly (subsuming exact
     // pairs at hamming 0) — provably the same components as the engine's

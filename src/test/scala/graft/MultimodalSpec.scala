@@ -228,6 +228,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), got.toString)
   }
 
+  test("resizeMedia: real decode -> nearest-neighbor rescale -> PNG round trip") {
+    import spark.implicits._
+    val base = 0xF0F0F0F0F0F0F0F0L
+    val rows = Seq(
+      (1L, encodeImg(blockImg(base), "png")),
+      (2L, encodeImg(solid(13, 7, 10, 20, 30), "bmp")),
+      (3L, "opaque non-image".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val resized = Multimodal.resizeMedia(rows, 8, 8).cache()
+    val stats = Multimodal.imageStats(resized).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // real images come back as real decodable 8x8 PNGs
+    assert(stats(1L).getBoolean(1) && stats(1L).getInt(2) == 8 && stats(1L).getInt(3) == 8)
+    assert(stats(2L).getBoolean(1) && stats(2L).getInt(2) == 8)
+    // solid stays solid through the chain (exact channel means)
+    assert(stats(2L).getDouble(5) == 10.0 && stats(2L).getDouble(6) == 20.0 &&
+      stats(2L).getDouble(7) == 30.0)
+    // a BLOCK image's 8x8 nearest-neighbor downscale IS its pooled aHash
+    // grid: hashing the resized image per-pixel must equal pooling the
+    // original (cells are constant, so the picked pixel = the cell mean)
+    val hashes = Multimodal.imageAHash(
+        resized.filter(col("doc_id") === 1L).select(col("doc_id"), col("media")))
+      .collect()
+    assert(hashes(0).getLong(2) == base,
+      f"resized-then-hashed ${hashes(0).getLong(2)}%016x != pooled $base%016x")
+    // undecodable: passed through untouched, flagged
+    val r3 = resized.filter(col("doc_id") === 3L).collect()(0)
+    assert(!r3.getBoolean(2) &&
+      new String(r3.getAs[Array[Byte]](1), "UTF-8") == "opaque non-image")
+    resized.unpersist()
+  }
+
   test("partitionMedia routes undecodable blobs to quarantine with a triage reason") {
     import spark.implicits._
     val rows = Seq(

@@ -99,6 +99,23 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(fert.map(_.getLong(1)).sum == q145Total)
   }
 
+  test("segment preserves content: concatenated symbols always rebuild the word") {
+    // the invariant the q145 oracle replay RELIES on (symbol boundaries
+    // are bookkeeping; the character stream is untouched), checked over
+    // a deterministic pseudo-random vocabulary and merge list
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcd"
+    val words = (0 until 200).map(_ =>
+      (0 until 1 + rnd.nextInt(12)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"), ("b", "a"),
+      ("abcd", "abcd"), ("d", "c"), ("ba", "dc"))
+    words.foreach { w =>
+      val syms = BpeTrain.segment(w, merges)
+      assert(syms.mkString("") == w, s"content lost: '$w' -> $syms")
+      assert(syms.forall(_.nonEmpty))
+    }
+  }
+
   test("long-vocabulary run keeps driver state merge-sized and converges") {
     import spark.implicits._
     // 40 distinct words over a small alphabet: many productive merges;

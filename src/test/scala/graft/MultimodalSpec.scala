@@ -257,6 +257,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!r3.getBoolean(2) &&
       new String(r3.getAs[Array[Byte]](1), "UTF-8") == "opaque non-image")
     resized.unpersist()
+    // same-size resize is the identity on pixels (src index map y*n/n = y):
+    // the aHash of a same-size resized image equals the original's
+    val media8 = Seq((9L, encodeImg(blockImg(0x123456789ABCDEF0L), "png")))
+      .toDF("doc_id", "media")
+    val before = Multimodal.imageAHash(media8).collect()(0).getLong(2)
+    val after = Multimodal.imageAHash(
+        Multimodal.resizeMedia(media8, 256, 256).select(col("doc_id"), col("media")))
+      .collect()(0).getLong(2)
+    assert(after == before, f"identity resize changed the hash: $before%016x -> $after%016x")
   }
 
   test("partitionMedia routes undecodable blobs to quarantine with a triage reason") {

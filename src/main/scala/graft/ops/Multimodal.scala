@@ -494,6 +494,46 @@ object Multimodal {
         .orderBy(col("doc_id")))
   }
 
+  /** Media rule-gate thresholds — the LAION-style admission filter an
+    * image-training pipeline runs on decoded metadata (min payload, min
+    * dimensions, bounded aspect ratio, bounded frame count). Integer
+    * comparisons only; the aspect rule is cross-multiplied
+    * (`max ≤ ratio·min`) so zero dims fail closed instead of dividing. */
+  final case class MediaGateConfig(minBytes: Long = 64L, minDim: Long = 32L,
+      maxAspect: Long = 3L, maxFrames: Long = 24L)
+
+  /** The gate as a column bundle over an [[extractFeatures]]-shaped frame
+    * — shared by the batch query and the streaming twin (one definition,
+    * two execution modes, the run-collapse discipline). */
+  private[graft] def mediaGateFlags(cfg: MediaGateConfig): Seq[org.apache.spark.sql.Column] = {
+    val okSize = (col("n_bytes") >= cfg.minBytes).as("ok_size")
+    val okDims = (col("width") >= cfg.minDim && col("height") >= cfg.minDim).as("ok_dims")
+    val okAspect = (greatest(col("width"), col("height")) <=
+      least(col("width"), col("height")) * cfg.maxAspect).as("ok_aspect")
+    val okFrames = (col("n_frames") <= cfg.maxFrames).as("ok_frames")
+    Seq(okSize, okDims, okAspect, okFrames,
+      (col("n_bytes") >= cfg.minBytes &&
+        col("width") >= cfg.minDim && col("height") >= cfg.minDim &&
+        greatest(col("width"), col("height")) <=
+          least(col("width"), col("height")) * cfg.maxAspect &&
+        col("n_frames") <= cfg.maxFrames).as("keep"))
+  }
+
+  def mediaGate(features: DataFrame,
+      cfg: MediaGateConfig = MediaGateConfig()): DataFrame =
+    features.select(Seq(col("doc_id"), col("n_bytes"), col("width"),
+      col("height"), col("n_frames")) ++ mediaGateFlags(cfg): _*)
+
+  /** q149: media admission gate — the q97 rule-gate discipline on the
+    * MEDIA axis: every blob's decoded metadata ([[extractFeatures]] —
+    * real dims for real images, the certified fake arithmetic for opaque
+    * payloads) against the [[MediaGateConfig]] thresholds, one narrow
+    * map pass, per-rule flags so triage sees WHY a blob failed (the
+    * partitionMedia reason-channel discipline, rule tier). Oracle
+    * recomputes the flags from the byte-length arithmetic. */
+  val q149MediaGate: Q = (s, d) =>
+    mediaGate(extractFeatures(mediaTable(s, d))).orderBy(col("doc_id"))
+
   /** q148: the full decode → RESIZE → re-encode → decode chain under the
     * oracle gate: each document's synthesized 4×4 BMP (the q124 corpus)
     * is upscaled 2× by [[resizeMedia]] (real BMP parse, nearest-neighbor
@@ -583,6 +623,7 @@ object Multimodal {
     "q141_cross_modal_dedup" -> q141CrossModalDedup,
     "q144_cross_modal_near" -> q144CrossModalNearDup,
     "q148_resize_roundtrip" -> q148ResizeRoundtrip,
+    "q149_media_gate" -> q149MediaGate,
   )
 
   def oracle: Map[String, String] = Map(
@@ -663,6 +704,25 @@ object Multimodal {
         |SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
         |FROM documents d LEFT JOIN keep k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // the q52-certified fake-decode arithmetic pushed through the gate
+    // thresholds: all-integer compares, aspect cross-multiplied
+    "q149_media_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INTEGER) AS n_bytes,
+        |    CAST(length(text) % 640 AS INTEGER) AS width,
+        |    CAST(length(text) % 480 AS INTEGER) AS height,
+        |    CAST(length(text) % 30 + 1 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, width, height, n_frames,
+        |  n_bytes >= 64 AS ok_size,
+        |  width >= 32 AND height >= 32 AS ok_dims,
+        |  greatest(width, height) <= least(width, height) * 3 AS ok_aspect,
+        |  n_frames <= 24 AS ok_frames,
+        |  n_bytes >= 64 AND width >= 32 AND height >= 32
+        |    AND greatest(width, height) <= least(width, height) * 3
+        |    AND n_frames <= 24 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q124's recompute with the dims at 8: exact 2x nearest-neighbor
     // upscale duplicates each source pixel exactly 4x, preserving every
     // channel mean bit-for-bit through the resize + PNG round trip

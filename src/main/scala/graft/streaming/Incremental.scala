@@ -356,6 +356,24 @@ object Incremental {
     runOnce(spark, inDir, schema, outDir, checkpointDir)(
       graft.ops.Multimodal.imageAHash(_))
 
+  /** Continuous media admission gate — the streaming twin of q149 (the
+    * media rule gate): each micro-batch's blobs decode to metadata
+    * in-stream (the batch extractFeatures kernel, stateless) and the
+    * gate flags ride along via the SAME column bundle
+    * ([[graft.ops.Multimodal.mediaGateFlags]] — one definition, two
+    * execution modes). Narrow end-to-end: no shuffle, no state; a
+    * malformed blob degrades through the decode fallback, never fails
+    * the stream. Exactly-once per input file via the checkpoint. */
+  def continuousMediaGate(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String,
+      cfg: graft.ops.Multimodal.MediaGateConfig =
+        graft.ops.Multimodal.MediaGateConfig()): StreamingQuery =
+    runOnce(spark, inDir, schema, outDir, checkpointDir) { df =>
+      graft.ops.Multimodal.mediaGate(
+        graft.ops.Multimodal.extractFeatures(df), cfg)
+    }
+
   /** Continuous media NEAR-dup probing — the streaming twin of the
     * [[graft.ops.PhashIndex]] serve (and of q140's probe shape): each
     * micro-batch of (doc_id, media) blobs is decoded + aHashed in-stream

@@ -376,6 +376,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamOut.filter(!_._2).map(_._1) == Set(41L))
   }
 
+  test("continuous media gate equals the batch q149 kernel and resumes exactly-once") {
+    val base = Files.createTempDirectory("graft-mediagate").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    import org.apache.spark.sql.types.BinaryType
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    import spark.implicits._
+    // mixed admission classes: real images (pass/fail dims), opaque text
+    // payloads (the fake-decode arithmetic), a tiny blob failing min-bytes
+    val media = ((0 until 20).map(i =>
+        (i.toLong, (s"opaque payload $i " * (4 + i)).getBytes("UTF-8"))) ++
+      Seq((20L, graft.ops.Multimodal.bmpOf("a real but tiny 4x4 image")),
+        (21L, "x".getBytes("UTF-8")))).toDF("doc_id", "media")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9))).toSet
+    val batchOut = rows(graft.ops.Multimodal.mediaGate(
+      graft.ops.Multimodal.extractFeatures(media)))
+    media.filter(col("doc_id") < 10).write.parquet(s"$in/b1")
+    Incremental.continuousMediaGate(spark, s"$in/*", mediaSchema, out, ck)
+    media.filter(col("doc_id") >= 10).write.parquet(s"$in/b2")
+    val q2 = Incremental.continuousMediaGate(spark, s"$in/*", mediaSchema, out, ck)
+    assert(Incremental.progressReport(q2).rows == 12L,
+      "resume must process only the second file")
+    val streamOut = rows(spark.read.parquet(out))
+    assert(streamOut == batchOut,
+      s"stream/batch divergence: ${streamOut.diff(batchOut).take(3)} vs ${batchOut.diff(streamOut).take(3)}")
+    // the planted failures fail for the planted reasons
+    val byId = streamOut.map(r => r._1 -> r).toMap
+    assert(!byId(20L)._7 && !byId(20L)._10, "4x4 image must fail ok_dims")
+    assert(!byId(21L)._6 && !byId(21L)._10, "1-byte blob must fail ok_size")
+  }
+
   test("continuous media near-dup probe equals the PhashIndex serve and resumes exactly-once") {
     val base = Files.createTempDirectory("graft-medianear").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"

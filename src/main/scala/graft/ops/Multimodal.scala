@@ -288,6 +288,66 @@ object Multimodal {
     * pixels the cross-product nears 2^63, so the rare-giant branch
     * compares in BigInt rather than silently wrapping. Batched
     * mapPartitions like [[imageStats]]. */
+  /** The hash kernel alone — shared by [[imageAHash]] and the fused
+    * single-decode profile pass ([[decodeProfile]]). */
+  private[graft] def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val n = w.toLong * h
+    val pooled = n > 64
+    val nCells = if (pooled) 64 else n.toInt
+    val sums = new Array[Long](nCells)
+    val cnts = new Array[Long](nCells)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val gy = if (pooled) (y.toLong * 8 / h).toInt else y
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+        val c = if (pooled) gy * 8 + (x.toLong * 8 / w).toInt else y * w + x
+        sums(c) += l; cnts(c) += 1; total += l
+        x += 1
+      }
+      y += 1
+    }
+    var hv = 0L
+    var p = 0
+    while (p < nCells) {
+      val above =
+        if (n <= 800000000L) sums(p) * n > total * cnts(p)
+        else BigInt(sums(p)) * n > BigInt(total) * cnts(p)
+      if (above) hv |= 1L << p
+      p += 1
+    }
+    hv
+  }
+
+  /** Fused single-decode profile: everything the media pipeline needs
+    * from one decode of each blob — admission (decoded + triage reason,
+    * [[partitionMedia]]'s channel), gate metadata (bytes/dims), and the
+    * perceptual hash — so the capstone funnel decodes each blob ONCE
+    * where the standalone tiers would decode three times. Bytes ride
+    * along for the export stage (columnar; only keepers are rewritten). */
+  def decodeProfile(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          tryDecode(bytes) match {
+            case Some(img) =>
+              (id, bytes, true, "", n, img.getWidth, img.getHeight, aHashOf(img))
+            case None =>
+              val reason = if (!looksDecodable(bytes)) "no_magic" else "decode_failed"
+              (id, bytes, false, reason, n, 0, 0, -1L)
+          }
+        })
+      }.toDF("doc_id", "media", "decoded", "reason", "n_bytes", "width", "height", "ahash")
+  }
+
   def imageAHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -296,38 +356,8 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
           tryDecode(bytes) match {
-            case Some(img) =>
-              val w = img.getWidth; val h = img.getHeight
-              val n = w.toLong * h
-              val pooled = n > 64
-              val nCells = if (pooled) 64 else n.toInt
-              val sums = new Array[Long](nCells)
-              val cnts = new Array[Long](nCells)
-              var total = 0L
-              var y = 0
-              while (y < h) {
-                val gy = if (pooled) (y.toLong * 8 / h).toInt else y
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
-                  val c = if (pooled) gy * 8 + (x.toLong * 8 / w).toInt else y * w + x
-                  sums(c) += l; cnts(c) += 1; total += l
-                  x += 1
-                }
-                y += 1
-              }
-              var hv = 0L
-              var p = 0
-              while (p < nCells) {
-                val above =
-                  if (n <= 800000000L) sums(p) * n > total * cnts(p)
-                  else BigInt(sums(p)) * n > BigInt(total) * cnts(p)
-                if (above) hv |= 1L << p
-                p += 1
-              }
-              ImageHash(id, decoded = true, hv)
-            case None => ImageHash(id, decoded = false, -1L)
+            case Some(img) => ImageHash(id, decoded = true, aHashOf(img))
+            case None      => ImageHash(id, decoded = false, -1L)
           }
         })
       }.toDF()

@@ -293,7 +293,40 @@ object CorpusReports {
       train)
   }
 
+  /** q150: the DATA CARD — the one-table release report a dataset ships
+    * with (per source: volume, exact-dup rate, mean heuristic quality,
+    * language share), composed from the certified kernels unchanged:
+    * token counts (q31 discipline), exact fingerprints (q36), the q34
+    * quality score (per-doc values rounded first, so the card aggregates
+    * exactly the numbers q34 certifies), and q35's language heuristic
+    * (the `en` branch — CASE-first, so `is_en` equals q35's en label).
+    * One corpus pass + one per-source aggregation; the whole card is
+    * map-side-combinable and source-sized. */
+  val q150DataCard: Q = (s, d) => {
+    val stop = Seq("the", "a", "of", "and", "or", "to", "in")
+    val norm = graft.functions.TextFns.normText(col("text"))
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(toks).cast("long").as("n_tok"),
+        md5(norm).as("fp"),
+        round(least(nTok / 50.0, lit(1.0)) * (lit(1.0) - nStop / nTok), 4)
+          .as("quality"),
+        norm.contains(" the ").cast("double").as("is_en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        round(lit(1.0) - count_distinct(col("fp")) / count(lit(1)).cast("double"), 4)
+          .as("dup_rate"),
+        round(avg(col("quality")), 4).as("mean_quality"),
+        round(avg(col("is_en")), 4).as("en_share"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q150_data_card" -> q150DataCard,
     "q115_dup_cluster_hist" -> q115DupClusterHist,
     "q116_token_freq_hist"  -> q116TokenFreqHist,
     "q117_eval_saturation"  -> q117EvalSaturation,
@@ -333,6 +366,31 @@ object CorpusReports {
        |FROM c ORDER BY $key""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the certified kernels recomposed: q36's fingerprint, q34's quality
+    // (rounded per doc BEFORE the mean, matching the engine), q35's en
+    // branch; all-integer counts elsewhere
+    "q150_data_card" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT source,
+        |    len(toks) AS n_tok,
+        |    md5(norm) AS fp,
+        |    round(least(len(toks) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE)
+        |        / len(toks)), 4) AS quality,
+        |    CASE WHEN contains(norm, ' the ') THEN 1.0 ELSE 0.0 END AS is_en
+        |  FROM t)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 4) AS dup_rate,
+        |  round(avg(quality), 4) AS mean_quality,
+        |  round(avg(is_en), 4) AS en_share
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // stage predicates are verbatim q97 (gate), q36 (fingerprint), q69
     // (string-exact 5-gram overlap) oracle text — the funnel certifies
     // their COMPOSITION

@@ -741,6 +741,40 @@ object ScaleSmoke {
       }
       batch.unpersist()
     }
+    // MEDIA CAPSTONE FUNNEL (pipelines.MediaData): the whole
+    // decode→quarantine→gate→dedup→export composition at 1x/4x/16x.
+    // The claim: per-stage secs track the input volume (the decode
+    // happens ONCE in the profile stage; everything after is
+    // metadata-only until the export rewrites keepers).
+    if (section == "all" || section == "mediapipe") {
+      val bmp = udf { (t: String) => graft.ops.Multimodal.bmpOf(t) }
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            bmp(concat(lit(s"c$k "), col("text"))).as("media"))
+        }.reduce(_ unionByName _)
+        val out = java.nio.file.Files
+          .createTempDirectory(s"graft-smoke-mediapipe$mult").toString + "/out"
+        val t0 = System.nanoTime()
+        val summary = graft.pipelines.MediaData
+          .run(spark, scaled, out, nShards = 8,
+            // 4x4 corpus: admit tiny images. EXACT tier only — the
+            // 16-bit certification hash space saturates, so the
+            // hamming<=3 closure percolates to ONE component (measured:
+            // deduped=1 at every mult); the near tier is smoke-tested
+            // where it belongs, on the 64-bit production width
+            gate = graft.ops.Multimodal.MediaGateConfig(minDim = 1L, minBytes = 1L),
+            nearDup = false, hashBits = 16)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        println(s"[scale] ===== mediapipe mult=$mult total=" +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s =====")
+        summary.foreach { case (st, n, sec) =>
+          println(f"[scale] mediapipe mult=$mult $st%-12s $n%8d ${sec}%7.2f s")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -325,8 +325,40 @@ object CorpusReports {
       .orderBy(col("source"))
   }
 
+  /** q151: dedup BIAS audit — the check FineWeb-class pipelines run
+    * before trusting a dedup pass: exact dedup keeps min-doc_id per
+    * fingerprint group; does what it REMOVES skew in quality? Per
+    * source: removal volume and the mean q34 quality of kept vs removed
+    * documents (null-safe zero when nothing was removed). A large
+    * kept-vs-removed gap means the dedup policy is entangled with the
+    * quality axis and retention should switch to the q108 quality-aware
+    * policy. Certified kernels recomposed (q36 fingerprint, q34 score);
+    * one corpus pass + a fingerprint-group join + one source-sized agg. */
+  val q151DedupBias: Q = (s, d) => {
+    val stop = Seq("the", "a", "of", "and", "or", "to", "in")
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(graft.functions.TextFns.normText(col("text"))).as("fp"),
+        round(least(nTok / 50.0, lit(1.0)) * (lit(1.0) - nStop / nTok), 4)
+          .as("quality"))
+    val canon = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    scored.join(canon, Seq("fp"))
+      .withColumn("kept", col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 0L).otherwise(1L)).cast("long").as("n_removed"),
+        round(avg(when(col("kept"), col("quality"))), 4).as("q_kept"),
+        round(coalesce(avg(when(!col("kept"), col("quality"))), lit(0.0)), 4)
+          .as("q_removed"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q150_data_card" -> q150DataCard,
+    "q151_dedup_bias" -> q151DedupBias,
     "q115_dup_cluster_hist" -> q115DupClusterHist,
     "q116_token_freq_hist"  -> q116TokenFreqHist,
     "q117_eval_saturation"  -> q117EvalSaturation,
@@ -391,6 +423,28 @@ object CorpusReports {
         |  round(avg(quality), 4) AS mean_quality,
         |  round(avg(is_en), 4) AS en_share
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    // kept = min doc_id per q36 fingerprint group; q34 quality on both
+    // branches; avg over an empty removed set coalesces to 0 both sides
+    "q151_dedup_bias" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, fp,
+        |    round(least(len(toks) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE)
+        |        / len(toks)), 4) AS quality
+        |  FROM t),
+        |c AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY 1)
+        |SELECT q.source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q.doc_id = c.keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  round(avg(CASE WHEN q.doc_id = c.keep_id THEN quality END), 4) AS q_kept,
+        |  round(coalesce(avg(CASE WHEN q.doc_id != c.keep_id THEN quality END), 0.0), 4) AS q_removed
+        |FROM q JOIN c USING (fp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // stage predicates are verbatim q97 (gate), q36 (fingerprint), q69
     // (string-exact 5-gram overlap) oracle text — the funnel certifies
     // their COMPOSITION

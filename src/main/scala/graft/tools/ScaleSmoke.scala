@@ -741,6 +741,59 @@ object ScaleSmoke {
       }
       batch.unpersist()
     }
+    // PRODUCTION-WIDTH MEDIA THROUGHPUT (media64): real 256x256 PNGs
+    // through the fused decodeProfile pass and the 64-bit near-dup
+    // funnel — the decode-bound regime the 4x4 certification corpus
+    // cannot exercise. Reports images/sec through the single-decode
+    // profile (the number that prices the 100 TB media pass) and runs
+    // the full funnel with the near tier ON at the width where the hash
+    // space does NOT saturate.
+    if (section == "all" || section == "media64") {
+      import spark.implicits._
+      val pngFor = udf { (seed: Long) =>
+        val img = new java.awt.image.BufferedImage(256, 256,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 256) {
+          var x = 0
+          while (x < 256) {
+            // per-seed block pattern + pixel texture: distinct hashes,
+            // real (non-trivial) PNG entropy
+            val g = (y / 32) * 8 + (x / 32)
+            val on = ((seed * 0x9E3779B97F4A7C15L) >>> (g % 60)) & 1L
+            val base = if (on == 1L) 200 else 40
+            val tex = ((x * 31 + y * 17 + seed) % 32).toInt
+            val v = (base + tex) & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val n64 = 2000
+      val media = spark.range(n64)
+        .select(col("id").as("doc_id"), pngFor(col("id") % (n64 / 2)).as("media"))
+        .cache()
+      media.count() // materialize the PNGs outside the timed region
+      val t0 = System.nanoTime()
+      val prof = graft.ops.Multimodal.decodeProfile(media).cache()
+      val nProf = prof.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] media64 decodeProfile: $nProf images in $secs%.2f s = ${nProf / secs}%.0f img/s (32 threads)")
+      val out = java.nio.file.Files.createTempDirectory("graft-smoke-media64").toString + "/out"
+      val t1 = System.nanoTime()
+      val summary = graft.pipelines.MediaData.run(spark, media, out, nShards = 8,
+          nearDup = true, hashBits = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      println(f"[scale] media64 funnel (near tier ON, 64-bit): $summary " +
+        f"total ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      require(summary("deduped") == n64 / 2,
+        s"64-bit space must NOT percolate: expected ${n64 / 2} distinct, got ${summary("deduped")}")
+      prof.unpersist(); media.unpersist()
+    }
     // MEDIA CAPSTONE FUNNEL (pipelines.MediaData): the whole
     // decode→quarantine→gate→dedup→export composition at 1x/4x/16x.
     // The claim: per-stage secs track the input volume (the decode

@@ -61,5 +61,6 @@ object SparkEntry {
       (Set("q107_temp_mix"), ops.Curation.writeTempMixSupport),
       (Set("q122_lsh_calibration", "q123_lsh_bucket_profile"),
         ops.Dedup.writeLshSupport),
-      (Set("q145_bpe_segment", "q146_tok_fertility"), ops.TextOps.writeBpeSupport))
+      (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve"),
+        ops.TextOps.writeBpeSupport))
 }

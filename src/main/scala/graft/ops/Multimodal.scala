@@ -644,6 +644,32 @@ object Multimodal {
       hashes, reps)
   }
 
+  /** q153: hamming-distance histogram over DISTINCT perceptual hashes —
+    * the LSH operating-point diagnostic for the media tier (q123's role
+    * for text minhash): how the distinct-hash population spreads in
+    * hamming space tells you whether the hamming ≤ 3 threshold (and the
+    * 4-band layout guaranteeing it) separates near-dups from the bulk —
+    * a histogram with mass piling at ≤ 3 means the space is saturating
+    * (the certification corpus's measured percolation) and the near tier
+    * needs a wider hash. Pair enumeration is over DISTINCT hash VALUES
+    * only — bounded by hash-space occupancy, never corpus size (the q144
+    * representative discipline; at the 64-bit production width, sample
+    * the distinct set first if occupancy itself grows large). */
+  val q153HammingHist: Q = (s, d) => {
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val hashes = imageAHash(
+        Tables.documents(s, d).select(col("doc_id"), bmp(col("text")).as("media")))
+      .filter(col("decoded"))
+      .select(col("ahash")).distinct().cache()
+    Caching.materializeAndRelease(
+      hashes.select(col("ahash").as("ha"))
+        .join(hashes.select(col("ahash").as("hb")), col("ha") < col("hb"))
+        .select(bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming")),
+      hashes)
+  }
+
   def queries: Map[String, Q] = Map(
     "q52_media_features" -> q52MediaFeatures,
     "q53_frame_sample"   -> q53FrameSample,
@@ -654,6 +680,7 @@ object Multimodal {
     "q144_cross_modal_near" -> q144CrossModalNearDup,
     "q148_resize_roundtrip" -> q148ResizeRoundtrip,
     "q149_media_gate" -> q149MediaGate,
+    "q153_hamming_hist" -> q153HammingHist,
   )
 
   def oracle: Map[String, String] = Map(
@@ -734,6 +761,14 @@ object Multimodal {
         |SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
         |FROM documents d LEFT JOIN keep k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // distinct-hash pairs from the certified hash CTEs, histogrammed
+    "q153_hamming_hist" ->
+      s"""WITH $phashCtes,
+        |dh AS (SELECT DISTINCT ahash FROM hsh)
+        |SELECT CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming,
+        |  count(*) AS n_pairs
+        |FROM dh a JOIN dh b ON a.ahash < b.ahash
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q52-certified fake-decode arithmetic pushed through the gate
     // thresholds: all-integer compares, aspect cross-multiplied
     "q149_media_gate" ->

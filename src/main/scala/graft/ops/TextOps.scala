@@ -909,6 +909,34 @@ object TextOps {
       |  SELECT w, trim(replace(r, chr(31) || chr(31), ' ')) AS segmented
       |  FROM seg WHERE i = (SELECT count(*) FROM m))""".stripMargin
 
+  /** q152: the BPE COMPRESSION CURVE — total corpus symbol count after
+    * each merge round (round 0 = characters), token-weighted over the
+    * vocabulary: the marginal value of every learned merge, the table a
+    * tokenizer-budget decision reads (where the curve flattens, stop
+    * paying for vocab). ONE vocab-sized pass computes the whole curve
+    * (the fold UDF applies the merge list incrementally and emits all
+    * round sizes at once — no per-round jobs); the oracle reads the SAME
+    * per-round states the q145 replay already materializes (`seg` at
+    * every i), so the certification covers every INTERMEDIATE state of
+    * the trainer, not just the final segmentation. */
+  val q152MergeCurve: Q = (s, d) => {
+    val merges = bpeMergesOf(s, d)
+    val sizesUdf = udf { (w: String) =>
+      var syms: Seq[String] = w.split("").filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.ArrayBuffer[Int](syms.length)
+      merges.foreach { case (a, b) =>
+        syms = graft.ml.BpeTrain.applyMerge(syms, a, b)
+        out += syms.length
+      }
+      out.toSeq
+    }
+    graft.ml.BpeTrain.wordCounts(Tables.documents(s, d))
+      .select(col("n"), posexplode(sizesUdf(col("w"))).as(Seq("merge_no", "n_syms")))
+      .groupBy(col("merge_no").cast("long").as("merge_no"))
+      .agg(sum(col("n") * col("n_syms")).cast("long").as("total_symbols"))
+      .orderBy(col("merge_no"))
+  }
+
   /** Oracle support for q145: the learned merge list (merge_no 1-based,
     * a, b) — what the recursive replay folds over. */
   def writeBpeSupport(s: SparkSession, d: String, outDir: String): Unit = {
@@ -925,6 +953,7 @@ object TextOps {
     "q130_merge_compression" -> q130MergeCompression,
     "q145_bpe_segment"  -> q145BpeSegment,
     "q146_tok_fertility" -> q146TokFertility,
+    "q152_merge_curve"  -> q152MergeCurve,
     "q110_boilerplate"  -> q110Boilerplate,
     "q133_run_collapse" -> q133RunCollapse,
     "q143_token_yield"  -> q143TokenYield,
@@ -980,6 +1009,18 @@ object TextOps {
         |  CAST(len(string_split(fin.segmented, ' ')) AS BIGINT) AS n_syms
         |FROM wc JOIN fin USING (w)
         |ORDER BY w""".stripMargin,
+    // the replay's INTERMEDIATE states, token-weighted: seg holds every
+    // round's framed representation, so the curve is one aggregation
+    // over what q145's certification already materializes
+    "q152_merge_curve" ->
+      s"""WITH RECURSIVE
+        |$bpeReplayCtes
+        |SELECT CAST(seg.i AS BIGINT) AS merge_no,
+        |  CAST(sum(wc.n *
+        |    len(string_split(trim(replace(seg.r, chr(31) || chr(31), ' ')), ' '))) AS BIGINT)
+        |    AS total_symbols
+        |FROM seg JOIN wc USING (w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // fertility: the q145 replay's per-word symbol counts, token-weighted
     // per source — sw recounts (source, word) with the same control-strip
     "q146_tok_fertility" ->

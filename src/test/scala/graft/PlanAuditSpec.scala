@@ -94,7 +94,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q131_batched_bm25", "q132_hybrid_batch",
         "q135_ccnet_buckets", "q138_retrieval_metrics",
         // q147 broadcasts its 1-row vocabulary-size scalar (the q85 shape)
-        "q147_bigram_perplexity")
+        "q147_bigram_perplexity",
+        // q153's ha < hb pair join runs over DISTINCT hash values only —
+        // bounded by hash-space occupancy, the q44-class intended shape
+        "q153_hamming_hist")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

@@ -62,5 +62,6 @@ object SparkEntry {
       (Set("q122_lsh_calibration", "q123_lsh_bucket_profile"),
         ops.Dedup.writeLshSupport),
       (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve"),
-        ops.TextOps.writeBpeSupport))
+        ops.TextOps.writeBpeSupport),
+      (Set("q154_wordvec_neighbors"), ops.Ml.writeWordvecSupport))
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Embed, Topics}
@@ -101,7 +102,49 @@ object Ml {
     graft.ml.TopicViz.heatmap(s, Topics.fit(s, d))
       .orderBy(col("topic_a"), col("topic_b"))
 
+  /** q154: nearest neighbors under the corpus-TRAINED word embedding
+    * ([[graft.ml.WordVec]] — PPMI+SVD, a real model learned from corpus
+    * statistics, not the hashing stand-in): per vocabulary word, the
+    * top-3 neighbors by cosine. Rank on the ROUNDED score (the q125
+    * discipline) with neighbor tiebreak so the order is engine-
+    * independent; zero-norm vectors are excluded on both sides before
+    * any division. Model-backed certification: the fitted vectors export
+    * as oracle support and DuckDB recomputes cosine + ranking from them
+    * end-to-end — only the factorization itself is taken as given (the
+    * KMeans-codebook precedent). Pair enumeration is vocab × vocab —
+    * bounded by the vocabulary, never the corpus. */
+  val q154WordvecNeighbors: Q = (s, d) => {
+    val vecs = graft.ml.WordVec.fitted(s, d)
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(vec, vec, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+      .filter(col("nrm") > 0.0)
+      .cache()
+    val a = vecs.select(col("word"), col("vec").as("va"), col("nrm").as("na"))
+    val b = vecs.select(col("word").as("neighbor"), col("vec").as("vb"),
+      col("nrm").as("nb"))
+    import org.apache.spark.sql.expressions.Window
+    Caching.materializeAndRelease(
+      a.join(b, col("word") =!= col("neighbor"))
+        .withColumn("cos", round(expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("na") * col("nb")), 4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("word")).orderBy(col("cos").desc, col("neighbor"))))
+        .filter(col("rank") <= 3)
+        .select(col("word"), col("neighbor"), col("rank").cast("long").as("rank"),
+          col("cos"))
+        .orderBy(col("word"), col("rank")),
+      vecs)
+  }
+
+  /** Oracle support for q154: the fitted (word, vec) table. */
+  def writeWordvecSupport(s: SparkSession, d: String, outDir: String): Unit =
+    graft.ml.WordVec.fitted(s, d)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q154_support_wordvec")
+
   def queries: Map[String, Q] = Map(
+    "q154_wordvec_neighbors" -> q154WordvecNeighbors,
     "q49_embed_docs"  -> q49EmbedDocs,
     "q50_topic_info"  -> q50TopicInfo,
     "q51_topic_terms" -> q51TopicTerms,
@@ -160,6 +203,26 @@ object Ml {
     * parameters, so the oracle certifies the engine's serving math rather
     * than trusting it. */
   def oracle: Map[String, String] = Map(
+    // cosine + ranking recomputed end-to-end from the exported fitted
+    // vectors; rank on the rounded score with neighbor tiebreak
+    "q154_wordvec_neighbors" ->
+      """WITH v AS (
+        |  SELECT word, vec
+        |  FROM read_parquet('{GRAFT_OUT}_support/q154_support_wordvec/*.parquet')),
+        |n AS (
+        |  SELECT word, sqrt(list_sum([x * x for x in vec])) AS nrm FROM v),
+        |nz AS (SELECT v.word, v.vec, n.nrm FROM v JOIN n USING (word) WHERE n.nrm > 0),
+        |p AS (
+        |  SELECT a.word AS word, b.word AS neighbor,
+        |    round(list_sum([a.vec[i] * b.vec[i]
+        |                    for i in range(1, len(a.vec) + 1)]) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM nz a JOIN nz b ON a.word != b.word),
+        |r AS (
+        |  SELECT word, neighbor, cos, row_number() OVER (
+        |    PARTITION BY word ORDER BY cos DESC, neighbor) AS rank
+        |  FROM p)
+        |SELECT word, neighbor, CAST(rank AS BIGINT) AS rank, cos
+        |FROM r WHERE rank <= 3 ORDER BY word, rank""".stripMargin,
     // q49 certified GIVEN the embedding (the exported features table —
     // the one model output among the inputs): DuckDB recomputes the norm
     // and leading component with the same left-fold double accumulation

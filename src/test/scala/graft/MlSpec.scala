@@ -39,7 +39,8 @@ class MlSpec extends AnyFunSuite {
       "q112_support_cellmeans", "q122_support_sigs",
       "q123_support_bands", "q125_support_qvec",
       "q128_support_cells", "q128_support_centroids",
-      "q132_support_qembs", "q145_support_merges"), tables)
+      "q132_support_qembs", "q145_support_merges",
+      "q154_support_wordvec"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>
@@ -48,6 +49,28 @@ class MlSpec extends AnyFunSuite {
           s"oracle SQL reads outside the sibling support dir: ${m.group(1)}")
       }
     }
+  }
+
+  test("WordVec learns distribution: identical-context words embed close, disjoint ones do not") {
+    import spark.implicits._
+    // dog and cat occur in IDENTICAL contexts -> near-identical PPMI
+    // rows -> cosine ~ 1; qrs lives in a disjoint context set
+    val docs = (0 until 20).flatMap(i => Seq(
+        s"alpha dog beta$i gamma", s"alpha cat beta$i gamma",
+        s"zeta$i qrs omega$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vecs = graft.ml.WordVec.fit(docs, dim = 8).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val dogCat = cos(vecs("dog"), vecs("cat"))
+    val dogQrs = cos(vecs("dog"), vecs("qrs"))
+    assert(dogCat > 0.95, s"identical contexts must embed close: cos(dog,cat)=$dogCat")
+    assert(dogCat > dogQrs + 0.3,
+      s"disjoint contexts must embed apart: cos(dog,cat)=$dogCat vs cos(dog,qrs)=$dogQrs")
   }
 
   test("embedder output is deterministic, 64-dim, L2-normalized (embeddings.py:119 invariant)") {

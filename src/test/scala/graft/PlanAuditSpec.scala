@@ -97,7 +97,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q147_bigram_perplexity",
         // q153's ha < hb pair join runs over DISTINCT hash values only —
         // bounded by hash-space occupancy, the q44-class intended shape
-        "q153_hamming_hist")
+        "q153_hamming_hist",
+        // q154's neighbor join is vocab × vocab — vocabulary-bounded
+        "q154_wordvec_neighbors")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

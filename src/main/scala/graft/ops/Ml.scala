@@ -137,6 +137,49 @@ object Ml {
       vecs)
   }
 
+  /** q155: document similarity under the TRAINED embedding — each doc
+    * embeds as the mean of its tokens' [[graft.ml.WordVec]] vectors
+    * (token INSTANCES, so repetition weights; OOV tokens drop at the
+    * join), and a 10-doc probe batch retrieves its top-3 cosine
+    * neighbors from the corpus. Stronger certification than q154's:
+    * the oracle recomputes the POOLING as well as the serving from the
+    * exported word vectors — only the SVD itself is taken as given.
+    * Scale shape: pooling is one tokenize pass + a broadcast word-vector
+    * join + per-(doc, dim) partial aggregation (map-side combined,
+    * vocab-bounded build side); the serve is probe × corpus with the
+    * probe side 10 rows (the q140 probe discipline). */
+  val q155DocvecSimilar: Q = (s, d) => {
+    val wv = graft.ml.WordVec.fitted(s, d)
+    val dvecs = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .join(broadcast(wv), Seq("word"))
+      .select(col("doc_id"), posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy(col("doc_id"), col("i")).agg(avg(col("x")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, x))), s -> s.x)").as("dv"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+      .filter(col("nrm") > 0.0)
+      .cache()
+    val probe = dvecs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("dv").as("pv"), col("nrm").as("pn"))
+    import org.apache.spark.sql.expressions.Window
+    Caching.materializeAndRelease(
+      broadcast(probe)
+        .join(dvecs, col("probe_id") =!= col("doc_id"))
+        .withColumn("cos", round(expr(
+          "aggregate(zip_with(pv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("pn") * col("nrm")), 4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+          col("cos"))
+        .orderBy(col("probe_id"), col("rank")),
+      dvecs)
+  }
+
   /** Oracle support for q154: the fitted (word, vec) table. */
   def writeWordvecSupport(s: SparkSession, d: String, outDir: String): Unit =
     graft.ml.WordVec.fitted(s, d)
@@ -145,6 +188,7 @@ object Ml {
 
   def queries: Map[String, Q] = Map(
     "q154_wordvec_neighbors" -> q154WordvecNeighbors,
+    "q155_docvec_similar" -> q155DocvecSimilar,
     "q49_embed_docs"  -> q49EmbedDocs,
     "q50_topic_info"  -> q50TopicInfo,
     "q51_topic_terms" -> q51TopicTerms,
@@ -223,6 +267,37 @@ object Ml {
         |  FROM p)
         |SELECT word, neighbor, CAST(rank AS BIGINT) AS rank, cos
         |FROM r WHERE rank <= 3 ORDER BY word, rank""".stripMargin,
+    // pooling AND serving recomputed from the exported word vectors:
+    // per-(doc, dim) token-instance mean -> norm -> probe x corpus
+    // cosine -> rounded-score rank. Only the SVD fit is taken as given.
+    "q155_docvec_similar" ->
+      """WITH v AS (
+        |  SELECT word, vec
+        |  FROM read_parquet('{GRAFT_OUT}_support/q154_support_wordvec/*.parquet')),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |dim AS (
+        |  SELECT tk.doc_id, i, avg(v.vec[i]) AS x
+        |  FROM tk JOIN v USING (word), unnest(range(1, len(v.vec) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |dv AS (
+        |  SELECT doc_id, list(x ORDER BY i) AS dv FROM dim GROUP BY 1),
+        |nz AS (
+        |  SELECT doc_id, dv, sqrt(list_sum([y * y for y in dv])) AS nrm
+        |  FROM dv WHERE sqrt(list_sum([y * y for y in dv])) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS probe_id, b.doc_id,
+        |    round(list_sum([a.dv[i] * b.dv[i]
+        |                    for i in range(1, len(a.dv) + 1)]) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM nz a JOIN nz b ON a.doc_id < 10 AND a.doc_id != b.doc_id),
+        |r AS (
+        |  SELECT probe_id, doc_id, cos, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cos DESC, doc_id) AS rank
+        |  FROM p)
+        |SELECT probe_id, doc_id, CAST(rank AS BIGINT) AS rank, cos
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     // q49 certified GIVEN the embedding (the exported features table —
     // the one model output among the inputs): DuckDB recomputes the norm
     // and leading component with the same left-fold double accumulation

@@ -99,7 +99,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // bounded by hash-space occupancy, the q44-class intended shape
         "q153_hamming_hist",
         // q154's neighbor join is vocab × vocab — vocabulary-bounded
-        "q154_wordvec_neighbors")
+        "q154_wordvec_neighbors",
+        // q155's serve is a 10-row broadcast probe × corpus (q140 shape)
+        "q155_docvec_similar")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

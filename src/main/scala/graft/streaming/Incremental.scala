@@ -356,6 +356,51 @@ object Incremental {
     runOnce(spark, inDir, schema, outDir, checkpointDir)(
       graft.ops.Multimodal.imageAHash(_))
 
+  /** Continuous document EMBEDDING under a FROZEN trained model — model
+    * INFERENCE riding the ingest (the continuousAnnIngest maintainer
+    * routes vectors into the index; this one PRODUCES them): each
+    * incoming document pools the [[graft.ml.WordVec]] vectors of its
+    * tokens (token-instance mean, OOV dropped — q155's pooling, as a
+    * per-row JVM kernel over the broadcast word→vector map, so the
+    * whole stage is a stateless narrow map: no explode, no aggregation,
+    * streaming-legal as-is). The model is trained once in batch and
+    * broadcast (vocab-bounded driver state — the DSIR frozen-model
+    * discipline); per-batch cost is tokenize + hash lookups. Emits
+    * (doc_id, dvec, n_known); n_known = 0 rows carry a zero vector for
+    * downstream quarantine. Exactly-once per input file. */
+  def continuousDocEmbed(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, wordVecs: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val vecMap: Map[String, Array[Double]] = wordVecs
+      .select(col("word"), col("vec")).as[(String, Seq[Double])]
+      .collect().map { case (w, v) => w -> v.toArray }.toMap
+    val dim = vecMap.headOption.map(_._2.length).getOrElse(0)
+    val bc = spark.sparkContext.broadcast(vecMap)
+    runOnce(spark, inDir, schema, outDir, checkpointDir) { df =>
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val toks =
+              if (text == null) Array.empty[String]
+              else graft.functions.TextFns.normTextJvm(text)
+                .split(" ").filter(_.nonEmpty)
+            val sum = new Array[Double](dim)
+            var n = 0
+            toks.foreach { t =>
+              bc.value.get(t).foreach { v =>
+                var i = 0
+                while (i < dim) { sum(i) += v(i); i += 1 }
+                n += 1
+              }
+            }
+            if (n > 0) { var i = 0; while (i < dim) { sum(i) /= n; i += 1 } }
+            (id, sum.toSeq, n.toLong)
+          }
+        }.toDF("doc_id", "dvec", "n_known")
+    }
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

@@ -741,6 +741,28 @@ object ScaleSmoke {
       }
       batch.unpersist()
     }
+    // WORDVEC TRAINING SCALING (wordvec): the PPMI+SVD fit at 1x/4x/16x
+    // corpus. The claim: only the skip-gram pair pass is corpus-sized;
+    // the PPMI matrix and the SVD are VOCAB-bounded, so model cost
+    // decouples from corpus growth (per-copy disjoint vocabularies make
+    // the vocab grow with mult here — the worst case for the claim; a
+    // real corpus re-observes the same words and the matrix stays put).
+    if (section == "all" || section == "wordvec") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            col("text")) // SAME vocab per copy: corpus grows, vocab fixed
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        time(s"wordvec mult=$mult fit (pairs+PPMI+SVD), rows=$rows") {
+          val v = graft.ml.WordVec.fit(scaled)
+          println(s"[scale] wordvec mult=$mult vocab=${v.count()}")
+        }
+        scaled.unpersist()
+      }
+    }
     // PRODUCTION-WIDTH MEDIA THROUGHPUT (media64): real 256x256 PNGs
     // through the fused decodeProfile pass and the 64-bit near-dup
     // funnel — the decode-bound regime the 4x4 certification corpus

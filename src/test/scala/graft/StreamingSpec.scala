@@ -376,6 +376,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamOut.filter(!_._2).map(_._1) == Set(41L))
   }
 
+  test("continuous doc-embed pools the frozen WordVec model, equals batch pooling, resumes") {
+    val base = Files.createTempDirectory("graft-docembed").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    import spark.implicits._
+    // train ONCE in batch on a small corpus; the stream serves the model
+    val train = (0 until 20).flatMap(i => Seq(
+        s"alpha dog beta$i gamma", s"alpha cat beta$i gamma"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val wv = graft.ml.WordVec.fit(train, dim = 8).cache()
+    val vecMap = wv.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    // ingest: known tokens, mixed known/OOV, all-OOV, null text
+    val batch = Seq((100L, "alpha dog gamma"), (101L, "dog unknownword cat"),
+      (102L, "totally novel words"), (103L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    batch.filter(col("doc_id") < 102).write.parquet(s"$in/b1")
+    Incremental.continuousDocEmbed(spark, s"$in/*", docSchema, wv, out, ck)
+    batch.filter(col("doc_id") >= 102).write.parquet(s"$in/b2")
+    val q2 = Incremental.continuousDocEmbed(spark, s"$in/*", docSchema, wv, out, ck)
+    assert(Incremental.progressReport(q2).rows == 2L,
+      "resume must process only the second file")
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1).toArray, r.getLong(2)))).toMap
+    // hand-poolable reference: mean of the known tokens' vectors
+    def mean(words: String*): Array[Double] = {
+      val vs = words.map(vecMap)
+      vs.head.indices.map(i => vs.map(_(i)).sum / vs.size).toArray
+    }
+    def close(a: Array[Double], b: Array[Double]) =
+      a.length == b.length && a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    assert(got(100L)._2 == 3L && close(got(100L)._1, mean("alpha", "dog", "gamma")))
+    assert(got(101L)._2 == 2L && close(got(101L)._1, mean("dog", "cat")),
+      "OOV tokens must drop from the pool")
+    assert(got(102L)._2 == 0L && got(102L)._1.forall(_ == 0.0),
+      "all-OOV docs carry the zero vector + n_known=0 for quarantine")
+    assert(got(103L)._2 == 0L, "null text must not crash the stream")
+  }
+
   test("continuous media gate equals the batch q149 kernel and resumes exactly-once") {
     val base = Files.createTempDirectory("graft-mediagate").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"

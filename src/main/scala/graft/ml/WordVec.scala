@@ -62,11 +62,19 @@ object WordVec {
       .groupBy(col("p.w").as("w"), col("p.c").as("c"))
       .agg(count(lit(1)).as("n_wc"))
       .cache()
-    val nw = pairs.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w"))
-      .filter(col("n_w") >= minCount)
-    val nc = pairs.groupBy(col("c")).agg(sum(col("n_wc")).as("n_c"))
-    val total = pairs.agg(sum(col("n_wc")).cast("double").as("t"))
-    val ppmi = pairs
+    // minCount drops a rare word ENTIRELY — as center and as context —
+    // before any marginal forms: a half-filtered vocabulary would leave
+    // context words without a matrix index (and skew the marginals)
+    val kept = pairs.groupBy(col("w")).agg(sum(col("n_wc")).as("n_all"))
+      .filter(col("n_all") >= minCount).select(col("w"))
+    val kp = pairs
+      .join(kept, Seq("w"))
+      .join(kept.select(col("w").as("c")), Seq("c"))
+      .cache()
+    val nw = kp.groupBy(col("w")).agg(sum(col("n_wc")).as("n_w"))
+    val nc = kp.groupBy(col("c")).agg(sum(col("n_wc")).as("n_c"))
+    val total = kp.agg(sum(col("n_wc")).cast("double").as("t"))
+    val ppmi = kp
       .join(nw, Seq("w")).join(nc, Seq("c")).crossJoin(broadcast(total))
       .withColumn("ppmi",
         greatest(lit(0.0), log(col("n_wc") * col("t") / (col("n_w") * col("n_c")))))
@@ -93,7 +101,7 @@ object WordVec {
       val u = r.vector.toArray
       (vocab(r.index.toInt), u.indices.map(i => u(i) * sqrtS(i)).toArray)
     }.toDF("word", "vec")
-    Caching.materializeAndRelease(vecs, pairs)
+    Caching.materializeAndRelease(vecs, pairs, kp)
   }
 
   /** Session-memoized fit over the documents table — query, support

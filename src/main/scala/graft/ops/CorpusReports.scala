@@ -303,17 +303,13 @@ object CorpusReports {
     * One corpus pass + one per-source aggregation; the whole card is
     * map-side-combinable and source-sized. */
   val q150DataCard: Q = (s, d) => {
-    val stop = Seq("the", "a", "of", "and", "or", "to", "in")
     val norm = graft.functions.TextFns.normText(col("text"))
     val toks = graft.functions.TextFns.tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
     Tables.documents(s, d)
       .select(col("source"),
         size(toks).cast("long").as("n_tok"),
         md5(norm).as("fp"),
-        round(least(nTok / 50.0, lit(1.0)) * (lit(1.0) - nStop / nTok), 4)
-          .as("quality"),
+        TextOps.qualityCol.as("quality"), // the ONE certified q34 kernel
         norm.contains(" the ").cast("double").as("is_en"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -335,15 +331,10 @@ object CorpusReports {
     * policy. Certified kernels recomposed (q36 fingerprint, q34 score);
     * one corpus pass + a fingerprint-group join + one source-sized agg. */
   val q151DedupBias: Q = (s, d) => {
-    val stop = Seq("the", "a", "of", "and", "or", "to", "in")
-    val toks = graft.functions.TextFns.tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         md5(graft.functions.TextFns.normText(col("text"))).as("fp"),
-        round(least(nTok / 50.0, lit(1.0)) * (lit(1.0) - nStop / nTok), 4)
-          .as("quality"))
+        TextOps.qualityCol.as("quality")) // the ONE certified q34 kernel
     val canon = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     scored.join(canon, Seq("fp"))
       .withColumn("kept", col("doc_id") === col("keep_id"))

@@ -41,8 +41,12 @@ object MinHashIndex {
     * (P(candidate) = 1-(1-s²)¹⁶ ≈ 1 for s ≥ 0.8). */
   def query(index: DataFrame, batch: DataFrame, threshold: Double = 0.8): DataFrame = {
     // cache both signature tables: bands + verify each read them twice,
-    // and CollapseProject would re-inline the signature kernels otherwise
-    val corpus = index.cache()
+    // and CollapseProject would re-inline the signature kernels otherwise.
+    // BUT an ALREADY-cached index belongs to the caller — who loads once
+    // and probes many batches; unpersisting it here would evict that
+    // shared cache after the first probe. Cache only what we cached.
+    val indexWasCached = index.storageLevel.useMemory || index.storageLevel.useDisk
+    val corpus = if (indexWasCached) index else index.cache()
     val fresh = build(batch).cache()
     val cand = Dedup.bandsOf(fresh)
       .toDF("batch_id", "band", "bhash")
@@ -57,6 +61,6 @@ object MinHashIndex {
         .select(col("batch_id"), col("corpus_id"),
           round(Dedup.jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold),
-      corpus, fresh)
+      (Seq(fresh) ++ (if (indexWasCached) Nil else Seq(corpus))): _*)
   }
 }

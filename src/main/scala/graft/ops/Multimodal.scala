@@ -284,10 +284,12 @@ object Multimodal {
     * throughout: luminance = r+g+b, and the threshold is the cross-
     * multiplied compare `cellSum·nPixels > total·cellCount` (reduces to
     * the old `lum·n > total` when every cell is one pixel), so the hash
-    * is bit-exact cross-engine, never float-thresholded; beyond ~8.8e8
-    * pixels the cross-product nears 2^63, so the rare-giant branch
-    * compares in BigInt rather than silently wrapping. Batched
-    * mapPartitions like [[imageStats]]. */
+    * is bit-exact cross-engine, never float-thresholded; the guard
+    * bounds both cross-products by 765·n·cntMax (cntMax = the largest
+    * pooled cell, MEASURED — extreme aspect ratios concentrate pixels
+    * into few cells, so an even-split n/64 assumption would under-guard
+    * a 1×n strip) and rare giants compare in BigInt rather than
+    * silently wrapping. Batched mapPartitions like [[imageStats]]. */
   /** The hash kernel alone — shared by [[imageAHash]] and the fused
     * single-decode profile pass ([[decodeProfile]]). */
   private[graft] def aHashOf(img: java.awt.image.BufferedImage): Long = {
@@ -312,10 +314,19 @@ object Multimodal {
       y += 1
     }
     var hv = 0L
+    // overflow guard for the cross-multiplied compare: both products are
+    // bounded by 765·n·cntMax, where cntMax is the LARGEST cell — n/64
+    // only for near-square images; a 1×n strip pools onto a single grid
+    // row and cntMax ≈ n/8, so the bound must use the measured maximum,
+    // not an even-split assumption. Beyond the bound, compare in BigInt.
+    var cntMax = 0L
+    var q = 0
+    while (q < nCells) { if (cnts(q) > cntMax) cntMax = cnts(q); q += 1 }
+    val fast = 765.0 * n * cntMax < 9.0e18
     var p = 0
     while (p < nCells) {
       val above =
-        if (n <= 800000000L) sums(p) * n > total * cnts(p)
+        if (fast) sums(p) * n > total * cnts(p)
         else BigInt(sums(p)) * n > BigInt(total) * cnts(p)
       if (above) hv |= 1L << p
       p += 1
@@ -536,17 +547,16 @@ object Multimodal {
     * — shared by the batch query and the streaming twin (one definition,
     * two execution modes, the run-collapse discipline). */
   private[graft] def mediaGateFlags(cfg: MediaGateConfig): Seq[org.apache.spark.sql.Column] = {
-    val okSize = (col("n_bytes") >= cfg.minBytes).as("ok_size")
-    val okDims = (col("width") >= cfg.minDim && col("height") >= cfg.minDim).as("ok_dims")
-    val okAspect = (greatest(col("width"), col("height")) <=
-      least(col("width"), col("height")) * cfg.maxAspect).as("ok_aspect")
-    val okFrames = (col("n_frames") <= cfg.maxFrames).as("ok_frames")
-    Seq(okSize, okDims, okAspect, okFrames,
-      (col("n_bytes") >= cfg.minBytes &&
-        col("width") >= cfg.minDim && col("height") >= cfg.minDim &&
-        greatest(col("width"), col("height")) <=
-          least(col("width"), col("height")) * cfg.maxAspect &&
-        col("n_frames") <= cfg.maxFrames).as("keep"))
+    // each rule is written ONCE and `keep` composes the same Column
+    // trees — a threshold edit cannot desynchronize keep from its flags
+    val okSize = col("n_bytes") >= cfg.minBytes
+    val okDims = col("width") >= cfg.minDim && col("height") >= cfg.minDim
+    val okAspect = greatest(col("width"), col("height")) <=
+      least(col("width"), col("height")) * cfg.maxAspect
+    val okFrames = col("n_frames") <= cfg.maxFrames
+    Seq(okSize.as("ok_size"), okDims.as("ok_dims"), okAspect.as("ok_aspect"),
+      okFrames.as("ok_frames"),
+      (okSize && okDims && okAspect && okFrames).as("keep"))
   }
 
   def mediaGate(features: DataFrame,

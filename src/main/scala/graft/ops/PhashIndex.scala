@@ -48,7 +48,13 @@ object PhashIndex {
       hamMax: Int = Multimodal.PhashHamMax): DataFrame = {
     require(hamMax <= Multimodal.PhashHamMax,
       s"hamming radius $hamMax exceeds the ${Multimodal.PhashBands}-band recall guarantee")
-    val corpus = index.cache()
+    // an ALREADY-cached index belongs to the CALLER (who loads once and
+    // probes many batches — the module's whole point); unpersisting it
+    // here would evict that shared cache after the first probe. An
+    // uncached (derived) index is cached for the two reads below and
+    // released — we clean up only what we cached.
+    val indexWasCached = index.storageLevel.useMemory || index.storageLevel.useDisk
+    val corpus = if (indexWasCached) index else index.cache()
     val fresh = build(batch).cache()
     val cand = Multimodal.withPhashBands(fresh, hashBits)
       .select(col("doc_id").as("batch_id"), col("band"), col("bhash"))
@@ -65,6 +71,6 @@ object PhashIndex {
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .filter(col("hamming") <= hamMax)
         .select(col("batch_id"), col("corpus_id"), col("hamming")),
-      corpus, fresh)
+      (Seq(fresh) ++ (if (indexWasCached) Nil else Seq(corpus))): _*)
   }
 }

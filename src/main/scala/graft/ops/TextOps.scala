@@ -74,18 +74,30 @@ object TextOps {
   /** Quality scoring (north-star): token count, average word length,
     * stopword ratio → composite score. Mirrors the length/stopword heuristics
     * a pretraining-data pipeline applies before training. */
-  val q34Quality: Q = (s, d) => {
-    val stop = Seq("the", "a", "of", "and", "or", "to", "in")
+  /** The q34 quality heuristic's stopword list and score — ONE
+    * definition: q34 certifies it, q150 (data card) and q151 (dedup-bias
+    * audit) aggregate it. A change here moves all three together; a
+    * textual copy could silently desynchronize the release reports from
+    * the certified per-doc score. Rounded to 4 (the certified value). */
+  private[graft] val QualityStopwords = Seq("the", "a", "of", "and", "or", "to", "in")
+  private[graft] def qualityCol: org.apache.spark.sql.Column = {
     val toks = TextFns.tokens(col("text"))
     val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+    val nStop = size(filter(toks, t => t.isin(QualityStopwords: _*))).cast("double")
+    round(least(nTok / 50.0, lit(1.0)) * (lit(1.0) - nStop / nTok), 4)
+  }
+
+  val q34Quality: Q = (s, d) => {
+    val toks = TextFns.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(QualityStopwords: _*))).cast("double")
     val charsNoSpace = length(regexp_replace(TextFns.normText(col("text")), " ", "")).cast("double")
     Tables.documents(s, d)
       .select(col("doc_id"),
         nTok.cast("long").as("n_tokens"),
         round(charsNoSpace / nTok, 4).as("avg_word_len"),
         round(nStop / nTok, 4).as("stop_ratio"),
-        round(least(nTok / 50.0, lit(1.0)) * (lit(1.0) - nStop / nTok), 4).as("quality"))
+        qualityCol.as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -813,13 +825,24 @@ object TextOps {
     * vocab-sized aggregations. */
   private[graft] val Q145Merges = 8
 
-  /** Session memo for the fitted merge list: q145 and its support writer
-    * (and a Bench re-pass) share one deterministic fit per (sfDir). */
-  private val bpeMergesMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
-  private[graft] def bpeMergesOf(s: SparkSession, d: String): Seq[(String, String)] =
-    bpeMergesMemo.getOrElseUpdate(d,
-      graft.ml.BpeTrain.fit(Tables.documents(s, d), Q145Merges))
+  /** Session memo for the fitted merge list: q145/q146/q152 and the
+    * support writer (and a Bench re-pass) share one deterministic fit.
+    * Routed through [[SessionArtifacts]] — NOT a bare TrieMap — so the
+    * key carries the Spark applicationId (a long-lived JVM that
+    * regenerates the dataset at the same path gets a fresh fit in its
+    * new session) and the Holder guarantees the expensive multi-round
+    * fit runs at most once even under concurrent first callers. */
+  private[graft] def bpeMergesOf(s: SparkSession, d: String): Seq[(String, String)] = {
+    val p = SessionArtifacts.dir("bpemerges", s, d) { t =>
+      import s.implicits._
+      graft.ml.BpeTrain.fit(Tables.documents(s, d), Q145Merges).zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("merge_no", "a", "b")
+        .coalesce(1).write.mode("overwrite").parquet(s"$t/merges")
+    }
+    s.read.parquet(s"$p/merges").orderBy(col("merge_no"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 
   /** q145: the FULL trained tokenizer, certified — fit the distributed
     * BPE trainer ([[graft.ml.BpeTrain]]) for [[Q145Merges]] rounds, then
@@ -872,15 +895,22 @@ object TextOps {
       .select(col("source"), regexp_replace(col("w0"), "[\\x00-\\x1f]", "").as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
-    val vocabSyms = graft.ml.BpeTrain.wordCounts(Tables.documents(s, d))
+      .cache()
+    // the vocabulary IS the distinct words of the per-(source, word)
+    // counts already in hand — deriving it there keeps the query at ONE
+    // corpus tokenize pass (a second wordCounts scan would double the
+    // dominant cost for an identical word set)
+    val vocabSyms = sourceWords.select(col("w")).distinct()
       .select(col("w"), nSymsUdf(col("w")).as("n_syms"))
-    sourceWords.join(broadcast(vocabSyms), Seq("w"))
-      .groupBy(col("source"))
-      .agg(sum(col("n")).cast("long").as("n_tokens"),
-        sum(col("n") * col("n_syms")).cast("long").as("n_pieces"))
-      .select(col("source"), col("n_tokens"), col("n_pieces"),
-        round(col("n_pieces") / col("n_tokens"), 4).as("fertility"))
-      .orderBy(col("source"))
+    Caching.materializeAndRelease(
+      sourceWords.join(broadcast(vocabSyms), Seq("w"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("n_tokens"),
+          sum(col("n") * col("n_syms")).cast("long").as("n_pieces"))
+        .select(col("source"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces") / col("n_tokens"), 4).as("fertility"))
+        .orderBy(col("source")),
+      sourceWords)
   }
 
   /** The q145 training replay as oracle CTE text ending in

@@ -73,6 +73,21 @@ class MlSpec extends AnyFunSuite {
       s"disjoint contexts must embed apart: cos(dog,cat)=$dogCat vs cos(dog,qrs)=$dogQrs")
   }
 
+  test("WordVec minCount drops rare words entirely (center AND context) instead of crashing") {
+    import spark.implicits._
+    // 'rare' appears once beside frequent 'alpha': with minCount = 2 the
+    // pair (alpha, rare) must fold out on BOTH sides before the matrix
+    // forms — a half-filtered vocab used to leave 'rare' as a context
+    // word with no row index and crash the executor task
+    val docs = Seq((1L, "alpha rare"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "beta alpha"), (5L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val vecs = graft.ml.WordVec.fit(docs, dim = 4, minCount = 2).collect()
+    val words = vecs.map(_.getString(0)).toSet
+    assert(words == Set("alpha", "beta"), s"rare word must fold out: $words")
+    assert(vecs.forall(_.getSeq[Double](1).nonEmpty))
+  }
+
   test("embedder output is deterministic, 64-dim, L2-normalized (embeddings.py:119 invariant)") {
     val a = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))
     val b = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))

@@ -198,7 +198,13 @@ object Scoring {
     * stream twice); the model tables are Zipf²-sparse (observed bigrams,
     * not V²) and the left-context totals vocab-sized; V is one broadcast
     * scalar. No windows, no driver data. */
-  val q147BigramPerplexity: Q = (s, d) => {
+  val q147BigramPerplexity: Q = (s, d) =>
+    bigramScores(s, d).orderBy(col("doc_id"))
+
+  /** The memoized bigram score table (doc_id, n_pairs, nll2) — shared by
+    * q147 (the per-doc report) and q156 (the CCNet-style gate over it),
+    * exactly as [[perplexityScores]] serves q85/q126/q135. */
+  private[graft] def bigramScores(s: SparkSession, d: String): DataFrame = {
     // the score table is a compute-once artifact exactly like q85's nll
     // (a pipeline scores the corpus once and every consumer reads the
     // table) — session-memoized through the same SessionArtifacts path
@@ -232,6 +238,32 @@ object Scoring {
         .write.mode("overwrite").parquet(s"$t/scores")
     }
     s.read.parquet(s"$p/scores").orderBy(col("doc_id"))
+  }
+
+  /** q156: the CCNet gate on the BIGRAM model — q135's tercile
+    * discipline (percentile_disc cuts, one broadcast 1-row agg, no
+    * global sort) over the q147 nll2 artifact. CCNet proper buckets on
+    * a real LM's perplexity; q135 approximated with the unigram tier —
+    * this is the same gate reading the sequential signal, so a
+    * word-salad document (common words, impossible orders) now lands in
+    * `tail` where the unigram gate couldn't see it. Artifact shared
+    * with q147: the model fits once per session. */
+  val q156BigramBuckets: Q = (s, d) => {
+    val nll = bigramScores(s, d)
+    val cuts = nll.agg(
+      expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2)").as("c1"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
+    nll.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("nll2") <= col("c1"), "head")
+          .when(col("nll2") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pairs")).cast("long").as("n_pairs"),
+        round(min(col("nll2")), 4).as("min_nll2"),
+        round(max(col("nll2")), 4).as("max_nll2"))
+      .orderBy(col("bucket"))
   }
 
   // ---------------------------------------------------------------- q86
@@ -882,6 +914,7 @@ object Scoring {
     "q147_bigram_perplexity" -> q147BigramPerplexity,
     "q86_shard_plan"     -> q86ShardPlan,
     "q135_ccnet_buckets" -> q135CcnetBuckets,
+    "q156_bigram_buckets" -> q156BigramBuckets,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
@@ -947,6 +980,29 @@ object Scoring {
        |  GROUP BY 1, 2)""".stripMargin
 
   // the q85 NLL model as a CTE body — q85 certifies it, q126 orders by it
+  // the q147 bigram model as a CTE body ending in n2t(doc_id, n_pairs,
+  // nll2-rounded) — q147 certifies it, q156's tercile gate builds on it
+  private val nll2Ctes =
+    """t2 AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |u2 AS (
+      |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+      |  FROM t2, unnest(range(1, len(toks))) AS r(i)
+      |  WHERE len(toks) >= 2),
+      |tfb AS (SELECT doc_id, a, b, count(*) AS tf FROM u2 GROUP BY 1, 2, 3),
+      |bg AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab FROM tfb GROUP BY 1, 2),
+      |cag AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bg GROUP BY 1),
+      |v2 AS (
+      |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+      |    SELECT unnest(toks) AS w FROM t2)),
+      |n2t AS (
+      |  SELECT tfb.doc_id,
+      |    CAST(sum(tfb.tf) AS BIGINT) AS n_pairs,
+      |    round(-sum(tfb.tf * ln((bg.cab + 1) / (cag.ca + v2.v))) / sum(tfb.tf), 4) AS nll2
+      |  FROM tfb JOIN bg USING (a, b) JOIN cag USING (a) CROSS JOIN v2
+      |  GROUP BY 1)""".stripMargin
+
   private val nllCtes =
     s"""toks AS (
        |  SELECT doc_id, unnest($tokCol) AS term FROM documents),
@@ -998,24 +1054,24 @@ object Scoring {
     // frequencies -> global bigram counts -> left-context totals ->
     // add-1-over-V fold, identical arithmetic order to the engine
     "q147_bigram_perplexity" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents),
-        |u AS (
-        |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
-        |  FROM t, unnest(range(1, len(toks))) AS r(i)
-        |  WHERE len(toks) >= 2),
-        |tfb AS (SELECT doc_id, a, b, count(*) AS tf FROM u GROUP BY 1, 2, 3),
-        |bg AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab FROM tfb GROUP BY 1, 2),
-        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bg GROUP BY 1),
-        |v AS (
-        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
-        |    SELECT unnest(toks) AS w FROM t))
-        |SELECT tfb.doc_id,
-        |  CAST(sum(tfb.tf) AS BIGINT) AS n_pairs,
-        |  round(-sum(tfb.tf * ln((bg.cab + 1) / (ca.ca + v.v))) / sum(tfb.tf), 4) AS nll2
-        |FROM tfb JOIN bg USING (a, b) JOIN ca USING (a) CROSS JOIN v
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $nll2Ctes
+        |SELECT doc_id, n_pairs, nll2 FROM n2t ORDER BY doc_id""".stripMargin,
+    // q135's tercile arithmetic over the recomputed bigram table
+    "q156_bigram_buckets" ->
+      s"""WITH $nll2Ctes,
+        |c AS (
+        |  SELECT percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2) AS c1,
+        |    percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
+        |  FROM n2t),
+        |b AS (
+        |  SELECT CASE WHEN nll2 <= c1 THEN 'head'
+        |              WHEN nll2 <= c2 THEN 'middle'
+        |              ELSE 'tail' END AS bucket, n_pairs, nll2
+        |  FROM n2t CROSS JOIN c)
+        |SELECT bucket, count(*) AS n_docs,
+        |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+        |  round(min(nll2), 4) AS min_nll2, round(max(nll2), 4) AS max_nll2
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q126_curriculum" ->
       s"""WITH $nllCtes
          |SELECT row_number() OVER (

@@ -92,7 +92,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
         "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served",
         "q131_batched_bm25", "q132_hybrid_batch",
-        "q135_ccnet_buckets", "q138_retrieval_metrics",
+        "q135_ccnet_buckets", "q156_bigram_buckets", "q138_retrieval_metrics",
         // q147 broadcasts its 1-row vocabulary-size scalar (the q85 shape)
         "q147_bigram_perplexity",
         // q153's ha < hb pair join runs over DISTINCT hash values only —

@@ -69,6 +69,16 @@ class MinHashIndexSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("query leaves a caller-cached index cached (load once, probe many)") {
+    val docs = Tables.documents(spark, sf)
+    val idx = MinHashIndex.build(docs.filter(col("doc_id") < 250)).cache()
+    idx.count()
+    MinHashIndex.query(idx, docs.filter(col("doc_id") >= 250)).collect()
+    assert(idx.storageLevel.useMemory || idx.storageLevel.useDisk,
+      "the caller's index cache must survive a probe")
+    idx.unpersist()
+  }
+
   test("querying an empty batch or disjoint corpus yields no pairs, not an error") {
     val docs = Tables.documents(spark, sf)
     val index = MinHashIndex.build(docs.filter(col("doc_id") < 10))

@@ -307,6 +307,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Set((100L, 10L, 0L), (101L, 10L, 2L)), got.toString)
   }
 
+  test("PhashIndex.query leaves a caller-cached index cached (load once, probe many)") {
+    import spark.implicits._
+    val corpus = Seq((10L, encodeImg(blockImg(0xF0F0F0F0F0F0F0F0L), "png")))
+      .toDF("doc_id", "media")
+    val batch = Seq((100L, encodeImg(blockImg(0xF0F0F0F0F0F0F0F0L), "bmp")))
+      .toDF("doc_id", "media")
+    val idx = graft.ops.PhashIndex.build(corpus).cache()
+    idx.count()
+    graft.ops.PhashIndex.query(idx, batch, hashBits = 64).collect()
+    assert(idx.storageLevel.useMemory || idx.storageLevel.useDisk,
+      "the caller's index cache must survive a probe — evicting it makes " +
+        "every subsequent batch re-scan the corpus index")
+    idx.unpersist()
+  }
+
   test("q144 kernel: only a NEAR-dup image edge bridges the text group and the exact-image group") {
     import spark.implicits._
     // 1–2 duplicate TEXT; 2's image hash 0x00F0 is hamming-2 from 3's

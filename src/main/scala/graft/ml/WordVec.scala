@@ -87,12 +87,17 @@ object WordVec {
     val idx = vocab.zipWithIndex.toMap
     val bIdx = spark.sparkContext.broadcast(idx)
     val nV = vocab.length
+    // row assembly: aggregateByKey with a growable buffer — map-side
+    // combined, so a hot row ("the" has ~vocab contexts) accumulates
+    // incrementally instead of materializing a grouped iterator per key
+    // (the r13 groupByKey shape)
     val rows = ppmi.select(col("w"), col("c"), col("ppmi"))
       .as[(String, String, Double)].rdd
       .map { case (w, c, v) => (bIdx.value(w), (bIdx.value(c), v)) }
-      .groupByKey()
+      .aggregateByKey(scala.collection.mutable.ArrayBuffer.empty[(Int, Double)])(
+        (acc, x) => { acc += x; acc }, (a, b) => { a ++= b; a })
       .map { case (r, cols) =>
-        IndexedRow(r.toLong, MlVectors.sparse(nV, cols.toSeq.sortBy(_._1)))
+        IndexedRow(r.toLong, MlVectors.sparse(nV, cols.sortBy(_._1).toSeq))
       }
     val k = math.min(dim, nV)
     val svd = new IndexedRowMatrix(rows).computeSVD(k, computeU = true)
@@ -101,7 +106,19 @@ object WordVec {
       val u = r.vector.toArray
       (vocab(r.index.toInt), u.indices.map(i => u(i) * sqrtS(i)).toArray)
     }.toDF("word", "vec")
-    Caching.materializeAndRelease(vecs, pairs, kp)
+    // a word whose PPMI row is entirely zero has no matrix row, hence no
+    // U row — but an all-zero row of M factorizes to u_r = 0 exactly
+    // (u_r Σ = m_r V = 0, Σ positive), so its MODEL embedding is the zero
+    // vector. Left-join the vocab back with zero vectors so the exported
+    // table really is "one row per vocabulary word" (r13 ADVICE); the
+    // serving queries exclude zero-NORM vectors before any division, so
+    // neighbor rankings are unchanged while q155's pooling now counts the
+    // word as in-vocab-with-zero-vector rather than silently OOV.
+    val full = vocab.toSeq.toDF("word")
+      .join(vecs, Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("vec"), array_repeat(lit(0.0), lit(k))).as("vec"))
+    Caching.materializeAndRelease(full, pairs, kp)
   }
 
   /** Session-memoized fit over the documents table — query, support

@@ -341,7 +341,11 @@ object CorpusReports {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 0L).otherwise(1L)).cast("long").as("n_removed"),
-        round(avg(when(col("kept"), col("quality"))), 4).as("q_kept"),
+        // symmetric null handling with q_removed: a source whose every
+        // doc is a non-canonical duplicate (its fp minima live in other
+        // sources) reports 0.0, not NULL (r13 ADVICE)
+        round(coalesce(avg(when(col("kept"), col("quality"))), lit(0.0)), 4)
+          .as("q_kept"),
         round(coalesce(avg(when(!col("kept"), col("quality"))), lit(0.0)), 4)
           .as("q_removed"))
       .orderBy(col("source"))
@@ -432,7 +436,7 @@ object CorpusReports {
         |SELECT q.source,
         |  count(*) AS n_docs,
         |  CAST(sum(CASE WHEN q.doc_id = c.keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
-        |  round(avg(CASE WHEN q.doc_id = c.keep_id THEN quality END), 4) AS q_kept,
+        |  round(coalesce(avg(CASE WHEN q.doc_id = c.keep_id THEN quality END), 0.0), 4) AS q_kept,
         |  round(coalesce(avg(CASE WHEN q.doc_id != c.keep_id THEN quality END), 0.0), 4) AS q_removed
         |FROM q JOIN c USING (fp)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

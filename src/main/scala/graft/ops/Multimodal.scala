@@ -55,7 +55,14 @@ object Multimodal {
     * upgrade) vs `decode_failed` (magic matched but the parse died:
     * truncated/corrupt upload). One decode pass per row, batched
     * mapPartitions like every media operator; no row is ever dropped
-    * silently and none can fail the job. */
+    * silently and none can fail the job.
+    *
+    * Caching contract (caller-owns-cache, the MinHashIndex/PhashIndex
+    * convention): this method holds NO cache — a blob-sized frame pinned
+    * inside an operator with no ownership handle would leak corpus-sized
+    * blocks into a long-lived session. A caller consuming BOTH halves
+    * should cache the input (or use [[decodeProfile]], which fuses
+    * admission+gate+hash into one decode) to avoid decoding twice. */
   def partitionMedia(media: DataFrame, batchSize: Int = 64)
       : (DataFrame, DataFrame) = {
     val spark = media.sparkSession
@@ -71,7 +78,7 @@ object Multimodal {
             else ""
           (id, bytes, reason)
         })
-      }.toDF("doc_id", "media", "reason").cache()
+      }.toDF("doc_id", "media", "reason")
     (flagged.filter(col("reason") === "").drop("reason"),
       flagged.filter(col("reason") =!= ""))
   }

@@ -209,35 +209,46 @@ object Scoring {
     // (a pipeline scores the corpus once and every consumer reads the
     // table) — session-memoized through the same SessionArtifacts path
     val p = SessionArtifacts.dir("nll2", s, d) { t =>
-      val docs = Tables.documents(s, d)
-      val tfb = docs
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-            " (a, b) -> struct(a, b))")).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
-        .cache()
-      val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
-      val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-      val vocab = docs
-        .select(explode(TextFns.tokens(col("text"))).as("w"))
-        .agg(count_distinct(col("w")).cast("double").as("v"))
-      Caching.materializeAndRelease(
-        tfb
-          .join(bg, Seq("a", "b"))
-          .join(ca, Seq("a"))
-          .crossJoin(broadcast(vocab))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("tf")).cast("long").as("n_pairs"),
-            round(-sum(col("tf") * log((col("cab") + 1) / (col("ca") + col("v")))) /
-              sum(col("tf")), 4).as("nll2"))
-          .orderBy(col("doc_id")),
-        tfb)
+      bigramNllOf(Tables.documents(s, d))
         .write.mode("overwrite").parquet(s"$t/scores")
     }
     s.read.parquet(s"$p/scores").orderBy(col("doc_id"))
+  }
+
+  /** The q147 bigram-LM scoring kernel over an arbitrary (doc_id, text)
+    * frame — fit + score in one composition, so a PIPELINE (TrainingData's
+    * ppl gate) can run the certified arithmetic on its own current corpus
+    * rather than the memoized documents-table artifact. Returns (doc_id,
+    * n_pairs, nll2); docs with < 2 tokens carry no row (nothing to
+    * score). Same scale shape as q147: ONE corpus pass into the
+    * map-side-combined (doc, a, b, tf) fold, Zipf²-sparse model tables,
+    * one broadcast vocab scalar. */
+  private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
+    val tfb = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+    val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val vocab = docs
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).cast("double").as("v"))
+    Caching.materializeAndRelease(
+      tfb
+        .join(bg, Seq("a", "b"))
+        .join(ca, Seq("a"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_pairs"),
+          round(-sum(col("tf") * log((col("cab") + 1) / (col("ca") + col("v")))) /
+            sum(col("tf")), 4).as("nll2"))
+        .orderBy(col("doc_id")),
+      tfb)
   }
 
   /** q156: the CCNet gate on the BIGRAM model — q135's tercile
@@ -264,6 +275,41 @@ object Scoring {
         round(min(col("nll2")), 4).as("min_nll2"),
         round(max(col("nll2")), 4).as("max_nll2"))
       .orderBy(col("bucket"))
+  }
+
+  /** q157: perplexity-gate LOSS ACCOUNTING — the q127-style per-source
+    * report for the CCNet gate [[graft.pipelines.TrainingData]] runs:
+    * with the q156 tercile cut (c2 = percentile_disc(2/3) over the q147
+    * bigram scores), what does each source LOSE when `tail` drops?
+    * Per source: total docs, scored docs (≥ 2 tokens — unscored docs
+    * pass the gate, nothing to judge them on), dropped docs, and the
+    * mean nll2 of kept-scored vs dropped docs (0.0 when a branch is
+    * empty, the q151 discipline). A source whose n_dropped share is far
+    * above 1/3 is being disproportionately judged word-salad by the
+    * sequential signal — the release-review number a mixture planner
+    * reads next to the q151 dedup-bias audit.
+    *
+    * Scale shape: the score table is the session artifact (model fits
+    * once); the cut is ONE 1-row agg broadcast (no global sort); the
+    * accounting is a doc_id join + one source-sized agg. */
+  val q157PplGateFunnel: Q = (s, d) => {
+    val nll = bigramScores(s, d)
+    val cuts = nll.agg(
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(nll.select(col("doc_id"), col("nll2")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(cuts))
+      .withColumn("dropped", col("nll2").isNotNull && col("nll2") > col("c2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll2").isNotNull.cast("long")).cast("long").as("n_scored"),
+        sum(col("dropped").cast("long")).cast("long").as("n_dropped"),
+        round(coalesce(
+          avg(when(!col("dropped") && col("nll2").isNotNull, col("nll2"))),
+          lit(0.0)), 4).as("nll_kept"),
+        round(coalesce(avg(when(col("dropped"), col("nll2"))), lit(0.0)), 4)
+          .as("nll_dropped"))
+      .orderBy(col("source"))
   }
 
   // ---------------------------------------------------------------- q86
@@ -915,6 +961,7 @@ object Scoring {
     "q86_shard_plan"     -> q86ShardPlan,
     "q135_ccnet_buckets" -> q135CcnetBuckets,
     "q156_bigram_buckets" -> q156BigramBuckets,
+    "q157_ppl_gate_funnel" -> q157PplGateFunnel,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
@@ -1072,6 +1119,23 @@ object Scoring {
         |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
         |  round(min(nll2), 4) AS min_nll2, round(max(nll2), 4) AS max_nll2
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the q156 cut over the recomputed bigram table, accounted per
+    // source: LEFT join keeps unscored (< 2 token) docs as pass-through
+    "q157_ppl_gate_funnel" ->
+      s"""WITH $nll2Ctes,
+        |c AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
+        |  FROM n2t),
+        |j AS (
+        |  SELECT d.source, n.nll2,
+        |    (n.nll2 IS NOT NULL AND n.nll2 > c.c2) AS dropped
+        |  FROM documents d LEFT JOIN n2t n USING (doc_id) CROSS JOIN c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nll2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  round(coalesce(avg(CASE WHEN NOT dropped AND nll2 IS NOT NULL THEN nll2 END), 0.0), 4) AS nll_kept,
+        |  round(coalesce(avg(CASE WHEN dropped THEN nll2 END), 0.0), 4) AS nll_dropped
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_curriculum" ->
       s"""WITH $nllCtes
          |SELECT row_number() OVER (

@@ -12,6 +12,7 @@ import graft.sources.ShardExport
   * operators into one callable pipeline:
   *
   *   rule gate (parameterized Gopher-style heuristics)     (TextOps.ruleGate, q97)
+  *   → CCNet perplexity gate (drop the bigram-LM tail)     (Scoring kernel, q147/q156/q157)
   *   → quality gate → exact dedup → fuzzy canonicalization (Dedup.cleanCorpus, q79)
   *   → eval-set decontamination                            (BloomSketch probe, q82 tier)
   *   → weighted source mixing                              (q83 semantics)
@@ -66,6 +67,20 @@ object TrainingData {
     *                 each duplicate group instead of the smallest id (the
     *                 q108 quality-aware retention policy; see
     *                 [[graft.ops.Dedup.cleanCorpus]])
+    * @param pplGate drop the worst-scoring perplexity tercile before
+    *                 dedup (the CCNet stage: fit the q147 bigram LM on
+    *                 the rule-gated corpus, cut at the q156
+    *                 percentile_disc(2/3) tercile, drop `tail`). Docs
+    *                 with < 2 tokens carry no score and PASS — the gate
+    *                 never judges what it cannot score. q157 is the
+    *                 per-source loss accounting for this stage; the
+    *                 bucket assignment is spec-pinned to q156's
+    *                 (TrainingDataPipelineSpec). Default ON — it is the
+    *                 standard pretraining stage (CCNet, Wenzek et al.)
+    * @param pplScores optional pre-computed (doc_id, nll2) table — a
+    *                 session that already scored the corpus (the q147
+    *                 artifact) passes it here so the pipeline reuses the
+    *                 fit instead of refitting on the gated subset
     * @param tokenReportDir when given, the run also writes the TOKEN
     *                 YIELD report (q143's certified cascade — raw →
     *                 run-collapsed → boilerplate-scrubbed → dedup-
@@ -80,7 +95,7 @@ object TrainingData {
     *                 run instead — a corrupt batch should stop a
     *                 training-data export, not silently shrink it
     * @return funnel summary (stage, docs, secs) — input, validated, gated,
-    *         clean, decontaminated, mixed rows, each with the wall-clock
+    *         ppl_gated, clean, decontaminated, mixed rows, each with the wall-clock
     *         of the stage's materializing action (the cached stage's one
     *         count — each stage is counted exactly ONCE, at the moment it
     *         materializes, and that number is reused in the summary; the
@@ -93,6 +108,8 @@ object TrainingData {
       gate: TextOps.RuleGateConfig = DefaultGate,
       quarantineDir: Option[String] = None,
       retentionScores: Option[DataFrame] = None,
+      pplGate: Boolean = true,
+      pplScores: Option[DataFrame] = None,
       tokenReportDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     // stage timer: wall-clock of the ONE action that materializes a
@@ -136,12 +153,30 @@ object TrainingData {
     val gated = validated.filter(TextOps.ruleGateKeep(gate)).cache()
     val (nGated, tGated) = timed(gated.count())
 
+    // 0.5. CCNet PERPLEXITY GATE (q156's tercile discipline on the q147
+    // bigram LM): score the rule-gated corpus, cut at percentile_disc(2/3)
+    // — ONE 1-row agg broadcast, no global sort — and drop `tail` (the
+    // worst-scoring third: word-salad the rule gate cannot see). Runs
+    // BEFORE dedup so the expensive candidate generation never touches
+    // tail docs; unscored (< 2 token) docs pass through the LEFT join
+    val pplGated = (if (!pplGate) gated else {
+      val scores = pplScores.getOrElse(Scoring.bigramNllOf(gated))
+        .select(col("doc_id"), col("nll2"))
+      val cut = scores.agg(
+        expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
+      gated.join(scores, Seq("doc_id"), "left")
+        .crossJoin(broadcast(cut))
+        .filter(col("nll2").isNull || col("nll2") <= col("c2"))
+        .drop("nll2", "c2")
+    }).cache()
+    val (nPplGated, tPplGated) = timed(pplGated.count())
+
     // 1. quality gate + exact dedup + fuzzy canonicalization (q79).
     // cache: the clean set feeds BOTH the funnel count and the
     // decontamination scan — without the barrier the whole dedup candidate
     // generation (MinHash pairs + components) replays per consumer
-    val disposition = Dedup.cleanCorpus(gated, retentionScores)
-    val clean = gated.join(
+    val disposition = Dedup.cleanCorpus(pplGated, retentionScores)
+    val clean = pplGated.join(
         disposition.filter(col("status") === "kept").select("doc_id"), Seq("doc_id"))
       .cache()
     val (nClean, tClean) = timed(clean.count())
@@ -190,6 +225,7 @@ object TrainingData {
       ("input", nInput, tInput),
       ("validated", nValidated, tValidated),
       ("gated", nGated, tGated),
+      ("ppl_gated", nPplGated, tPplGated),
       ("clean", nClean, tClean),
       ("decontaminated", nDecontaminated, tDecontaminated),
       // mixed_rows' secs = the mix+export action (the count is a cheap
@@ -198,6 +234,7 @@ object TrainingData {
     ).toDF("stage", "docs", "secs")
     decontaminated.unpersist()
     clean.unpersist()
+    pplGated.unpersist()
     gated.unpersist()
     validated.unpersist()
     checked.unpersist()

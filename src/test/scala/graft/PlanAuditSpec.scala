@@ -95,6 +95,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q135_ccnet_buckets", "q156_bigram_buckets", "q138_retrieval_metrics",
         // q147 broadcasts its 1-row vocabulary-size scalar (the q85 shape)
         "q147_bigram_perplexity",
+        // q157 composes q147's vocab scalar + q156's 1-row cut broadcast
+        "q157_ppl_gate_funnel",
         // q153's ha < hb pair join runs over DISTINCT hash values only —
         // bounded by hash-space occupancy, the q44-class intended shape
         "q153_hamming_hist",

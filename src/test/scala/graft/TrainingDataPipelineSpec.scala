@@ -46,9 +46,12 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       stopwords = Nil, minStopHits = 0L,
       maxSymbolRatio = Double.MaxValue)
     val reportDir = java.nio.file.Files.createTempDirectory("graft-tdy").toString
+    // pplGate off: this fixture exercises the OTHER stages (the planted
+    // contaminated doc must reach decontamination, not fall to the LM
+    // tail first); the ppl stage has its own q156-parity test below
     val summary = TrainingData.run(spark, docs, evalDocs, weights, outDir,
         nShards = 8, maxRecordsPerFile = 10, gate = gate,
-        tokenReportDir = Some(reportDir))
+        pplGate = false, tokenReportDir = Some(reportDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // the run report IS the certified q143 cascade on the pipeline input
@@ -68,6 +71,7 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     assert(summary("input") == 25L)
     assert(summary("validated") == 25L, s"validated stage: $summary")
     assert(summary("gated") == 24L, s"gate stage: $summary")
+    assert(summary("ppl_gated") == 24L, s"disabled ppl gate must pass through: $summary")
     assert(summary("clean") == 22L, s"clean stage: $summary")
     assert(summary("decontaminated") == 21L, s"decontam stage: $summary")
 
@@ -144,6 +148,66 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       .collect().toSet
     assert(kept.contains(2L) && !kept.contains(1L),
       s"retention must keep the higher-scored clone (got $kept)")
+  }
+
+  test("ppl gate drops exactly q156's tail bucket on the pipeline input") {
+    // 9 FLUENT docs each repeat their own 8-word phrase 6 times (their
+    // bigrams recur -> head/middle under the bigram LM); 3 SALAD docs use
+    // 40 distinct words once each in a unique order (every bigram count
+    // is 1 -> tail). Texts are pairwise shingle-disjoint, so the dedup
+    // and decontamination stages are pass-through and the ONLY drops in
+    // the funnel are the ppl gate's.
+    val fluent = (1L to 9L).map { i =>
+      (i, (s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i " * 6).trim, "srcA")
+    }
+    val salad = (10L to 12L).map { i =>
+      (i, (1 to 40).map(j => s"w${i}x$j").mkString(" "), "srcB")
+    }
+    val docs = (fluent ++ salad).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val evalDocs = Seq("completely unrelated held out benchmark material").toDF("text")
+    val weights = TrainingData.flatWeights(spark, Seq("srcA", "srcB"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tdp-ppl").toString
+
+    val summary = TrainingData.run(spark, docs, evalDocs, weights, outDir,
+        nShards = 4, maxRecordsPerFile = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the reference assignment IS the q156 kernel on the pipeline input:
+    // score with the certified bigram arithmetic, cut at
+    // percentile_disc(2/3), tail = nll2 > c2
+    val scores = graft.ops.Scoring.bigramNllOf(docs).cache()
+    val c2 = scores
+      .agg(expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)"))
+      .head.getDouble(0)
+    val tail = scores.filter(col("nll2") > c2).select("doc_id")
+      .as[Long].collect().toSet
+    scores.unpersist()
+    assert(tail == (10L to 12L).toSet, s"fixture: salad docs must be tail, got $tail")
+
+    assert(summary("gated") == 12L, s"rule gate must pass all: $summary")
+    assert(summary("ppl_gated") == 12L - tail.size, s"ppl stage: $summary")
+    assert(summary("clean") == summary("ppl_gated"), s"dedup must not drop: $summary")
+    val shipped = spark.read.parquet(outDir).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(shipped == (1L to 12L).toSet.diff(tail),
+      s"exported set must be exactly the non-tail docs: $shipped")
+
+    // a session that already scored the corpus passes the artifact in —
+    // identical decision, no refit
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft-tdp-ppl2").toString
+    val summary2 = TrainingData.run(spark, docs, evalDocs, weights, outDir2,
+        nShards = 4, maxRecordsPerFile = 100,
+        pplScores = Some(graft.ops.Scoring.bigramNllOf(docs)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary2("ppl_gated") == summary("ppl_gated"))
+
+    // gate off: the stage is pass-through
+    val outDir3 = java.nio.file.Files.createTempDirectory("graft-tdp-ppl3").toString
+    val summary3 = TrainingData.run(spark, docs, evalDocs, weights, outDir3,
+        nShards = 4, maxRecordsPerFile = 100, pplGate = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary3("ppl_gated") == 12L && summary3("clean") == 12L)
   }
 
   test("expectations gate FAILS the run on a breached batch by default") {

@@ -661,6 +661,79 @@ object Multimodal {
       hashes, reps)
   }
 
+  /** q158: the UNIFIED multimodal funnel — per-source stage counts of
+    * the one pipeline a multimodal corpus actually runs
+    * ([[graft.pipelines.MultimodalData]]): text rule gate (q97's
+    * certified predicate) → media admission + gate (real decode; a doc
+    * whose media is undecodable or gate-failing drops, a doc WITHOUT
+    * media passes as text-only) → cross-modal NEAR canonicalization
+    * (q144's edge union — exact text fp ∪ exact image hash ∪ hamming ≤ 3
+    * representative edges — so a doc surviving text dedup still folds
+    * when its image near-matches another doc's). The certification
+    * corpus synthesizes the three media classes by doc_id mod 3: real
+    * 4×4 BMP (decodes, hashes), raw text bytes (no image magic —
+    * admission drops the doc), NULL (text-only pass-through), so every
+    * stage moves on the certified input.
+    *
+    * Scale shape: gates are narrow predicate passes (ONE decode per
+    * blob, fused admission+gate+hash via [[decodeProfile]]); the closure
+    * is q144's — star edges per equality group, near edges between
+    * distinct-hash representatives, never doc-pair cliques; the report
+    * is one source-sized aggregation. */
+  val q158MultimodalFunnel: Q = (s, d) => {
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val media = when(col("doc_id") % 3 === 0, bmp(col("text")))
+      .when(col("doc_id") % 3 === 1, encode(col("text"), "UTF-8"))
+    multimodalFunnelOf(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"), media.as("media")),
+      TextOps.RuleGateConfig(),
+      // the 4×4 certification BMPs are 102 bytes — dims floor at 4 admits
+      // them; every other default threshold is exercised by the unit spec
+      MediaGateConfig(minDim = 4),
+      CorpusHashBits)
+  }
+
+  /** The q158 kernel over an arbitrary (doc_id, source, text,
+    * media: binary nullable) frame — shared by the certified query, the
+    * [[graft.pipelines.MultimodalData]] capstone's parity spec, and the
+    * planted-fixture units. Returns per-source (n_raw, n_gate, n_media,
+    * n_canon). */
+  private[graft] def multimodalFunnelOf(docs: DataFrame,
+      textGate: TextOps.RuleGateConfig, mediaCfg: MediaGateConfig,
+      hashBits: Int): DataFrame = {
+    val profile = decodeProfile(docs.filter(col("media").isNotNull)
+        .select(col("doc_id"), col("media")))
+      .withColumn("n_frames", lit(1))
+      .select(Seq(col("doc_id"), col("decoded"), col("ahash")) ++
+        mediaGateFlags(mediaCfg): _*)
+      .select(col("doc_id"),
+        (col("decoded") && col("keep")).as("media_keep"), col("ahash"))
+    val staged = docs
+      .withColumn("keep_gate", TextOps.ruleGateKeep(textGate))
+      .join(profile, Seq("doc_id"), "left")
+      // null media_keep = no media at all = text-only doc: passes
+      .withColumn("keep_media", coalesce(col("media_keep"), lit(true)))
+      .cache()
+    val surv = staged.filter(col("keep_gate") && col("keep_media"))
+    val keep = crossModalNearKeepOf(
+      surv.select(col("doc_id"), col("text")),
+      surv.filter(coalesce(col("media_keep"), lit(false)))
+        .select(col("doc_id"), lit(true).as("decoded"), col("ahash")),
+      hashBits)
+    Caching.materializeAndRelease(
+      staged.join(keep, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("keep_gate").cast("long")).cast("long").as("n_gate"),
+          sum((col("keep_gate") && col("keep_media")).cast("long")).cast("long")
+            .as("n_media"),
+          sum((col("keep_id").isNotNull && col("doc_id") === col("keep_id"))
+            .cast("long")).cast("long").as("n_canon"))
+        .orderBy(col("source")),
+      staged)
+  }
+
   /** q153: hamming-distance histogram over DISTINCT perceptual hashes —
     * the LSH operating-point diagnostic for the media tier (q123's role
     * for text minhash): how the distinct-hash population spreads in
@@ -698,6 +771,7 @@ object Multimodal {
     "q148_resize_roundtrip" -> q148ResizeRoundtrip,
     "q149_media_gate" -> q149MediaGate,
     "q153_hamming_hist" -> q153HammingHist,
+    "q158_multimodal_funnel" -> q158MultimodalFunnel,
   )
 
   def oracle: Map[String, String] = Map(
@@ -852,6 +926,72 @@ object Multimodal {
         |SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
         |FROM documents d LEFT JOIN keep k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // the unified funnel replayed stage by stage: q97's gate predicate
+    // (q127's oracle text), the mod-3 media admission (class 0 = real
+    // BMP decodes and passes the dims-4 gate — flags constant-true at
+    // 102 bytes / 4×4 / 1 frame, the q148 constant-fold discipline;
+    // class 1 = no image magic, the doc drops; class 2 = NULL media,
+    // text-only pass), then q144's closure restricted to survivors
+    "q158_multimodal_funnel" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(length(replace(array_to_string(toks, ' '), ' ', '')) * 1.0 / len(toks), 4) AS mean_wlen,
+        |    CAST(list_contains(toks, 'the') AS BIGINT)
+        |      + CAST(list_contains(toks, 'a') AS BIGINT)
+        |      + CAST(list_contains(toks, 'of') AS BIGINT) AS stop_hits,
+        |    round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) AS symbol_ratio
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN n_words BETWEEN 30 AND 90 AND mean_wlen BETWEEN 3 AND 10
+        |      AND stop_hits >= 1 AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS keep_gate,
+        |    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS keep_media
+        |  FROM m),
+        |s AS (SELECT doc_id, text FROM g WHERE keep_gate = 1 AND keep_media = 1),
+        |px AS (
+        |  SELECT doc_id, p,
+        |    ord(substr(text,
+        |      CAST((3 * ((3 - p // 4) * 4 + p % 4) + c) % length(text) AS INTEGER) + 1,
+        |      1)) AS b
+        |  FROM s, unnest(range(0, 16)) AS rp(p), unnest(range(0, 3)) AS rc(c)
+        |  WHERE doc_id % 3 = 0),
+        |lum AS (SELECT doc_id, p, CAST(sum(b) AS BIGINT) AS lum3 FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(lum3) AS BIGINT) AS total FROM lum GROUP BY 1),
+        |hsh AS (
+        |  SELECT lum.doc_id,
+        |    CAST(sum(CASE WHEN lum3 * 16 > total THEN 1 << p ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM lum JOIN tot USING (doc_id) GROUP BY 1),
+        |tf AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM s),
+        |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM tf a JOIN tf b ON a.doc_id < b.doc_id AND a.fp = b.fp),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM tp
+        |  UNION ALL SELECT doc_b, doc_a FROM tp
+        |  UNION ALL SELECT doc_a, doc_b FROM ip
+        |  UNION ALL SELECT doc_b, doc_a FROM ip),
+        |reach(doc_id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |keep AS (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1)
+        |SELECT g.source, count(*) AS n_raw,
+        |  CAST(sum(keep_gate) AS BIGINT) AS n_gate,
+        |  CAST(sum(keep_gate * keep_media) AS BIGINT) AS n_media,
+        |  CAST(sum(CASE WHEN keep_gate = 1 AND keep_media = 1
+        |    AND coalesce(k.keep_id, g.doc_id) = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canon
+        |FROM g LEFT JOIN keep k ON g.doc_id = k.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   // the q139 hash pipeline as a CTE body ending in hsh(doc_id, ahash) —

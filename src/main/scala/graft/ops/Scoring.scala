@@ -277,6 +277,24 @@ object Scoring {
       .orderBy(col("bucket"))
   }
 
+  /** The CCNet perplexity-gate FILTER as one reusable composition — the
+    * stage both capstones ([[graft.pipelines.TrainingData]],
+    * [[graft.pipelines.MultimodalData]]) run: score `docs` with the q147
+    * bigram kernel (or reuse a session score table when given), cut at
+    * the q156 percentile_disc(2/3) tercile — ONE 1-row agg broadcast, no
+    * global sort — and keep head+middle. Docs with < 2 tokens carry no
+    * score and PASS through the left join: the gate never judges what it
+    * cannot score. */
+  def pplGateKeep(docs: DataFrame, scores: Option[DataFrame] = None): DataFrame = {
+    val sc = scores.getOrElse(bigramNllOf(docs)).select(col("doc_id"), col("nll2"))
+    val cut = sc.agg(
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
+    docs.join(sc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      .filter(col("nll2").isNull || col("nll2") <= col("c2"))
+      .drop("nll2", "c2")
+  }
+
   /** q157: perplexity-gate LOSS ACCOUNTING — the q127-style per-source
     * report for the CCNet gate [[graft.pipelines.TrainingData]] runs:
     * with the q156 tercile cut (c2 = percentile_disc(2/3) over the q147

@@ -1,0 +1,181 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.ops.{BloomSketch, Caching, Multimodal, Scoring, TextOps}
+import graft.sources.ShardExport
+
+/** The UNIFIED multimodal capstone — one funnel over documents that
+  * carry text AND (optionally) media, superseding the sibling
+  * [[TrainingData]] (text-only) and [[MediaData]] (media-only) runs for
+  * a corpus where the two modalities must dedup JOINTLY: a doc that
+  * survives text dedup can still be a near-dup of another doc's image,
+  * and only the q144 cross-modal closure collapses that pair.
+  *
+  *   media profile (ONE decode per blob)          (Multimodal.decodeProfile)
+  *   → text rule gate (q97) + CCNet ppl gate      (Scoring.pplGateKeep, q156/q157)
+  *   → media admission + metadata gate (q149)     (doc drops when its media
+  *     fails; docs WITHOUT media pass as text-only; quarantine channel)
+  *   → cross-modal NEAR canonicalization          (q144's edge union: text fp
+  *     ∪ exact image hash ∪ hamming ≤ 3 representative edges → one CC)
+  *   → eval-set decontamination (optional)        (q82 Bloom tier)
+  *   → weighted source mixing                     (q83 semantics)
+  *   → hash-sharded, size-bounded parquet export  (ShardExport, q86 twin)
+  *
+  * Certification: the funnel's stage semantics are q158's (the
+  * per-source funnel-count query whose oracle replays gate + admission +
+  * closure end-to-end in DuckDB); the composition is pinned to the q158
+  * kernel and exercised with planted fixtures (a pair collapsed ONLY by
+  * the cross-modal near edge) in MultimodalDataPipelineSpec.
+  *
+  * Scale notes: each blob is decoded ONCE (profile fuses admission +
+  * gate metadata + hash); every later stage is metadata-only until the
+  * export rewrites surviving bytes. The closure is star edges per
+  * equality group plus near edges between DISTINCT-hash representatives
+  * — never doc-pair cliques. The only driver values are the funnel
+  * counts; mixing is a broadcast join + explode; the export is one
+  * shuffle.
+  */
+object MultimodalData {
+
+  /** Run the funnel over (doc_id, text, source, media: binary nullable).
+    *
+    * @param evalDocs when given, decontaminate survivors against this
+    *        eval split's 5-gram Bloom sketch (the [[TrainingData]] tier)
+    * @param weights (source, base_copies, thr) mixing config — q83
+    *        semantics, same as [[TrainingData]]
+    * @param textGate rule-gate calibration (q97 structure)
+    * @param mediaGate media-metadata thresholds (q149 structure)
+    * @param pplGate drop the worst bigram-LM tercile of the rule-gated
+    *        corpus (the CCNet stage shared with [[TrainingData]])
+    * @param hashBits perceptual-hash width for the near tier's banding
+    *        (64 for real pooled images)
+    * @param quarantineDir docs whose media fails admission or the
+    *        metadata gate land here with a triage reason (`no_magic` /
+    *        `decode_failed` / `gate`); otherwise counted and dropped
+    * @return funnel summary (stage, docs, secs): input, gated,
+    *         ppl_gated, media_ok, canonical, decontaminated, mixed_rows
+    */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      evalDocs: Option[DataFrame] = None,
+      weights: Option[DataFrame] = None,
+      nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20,
+      textGate: TextOps.RuleGateConfig = TrainingData.DefaultGate,
+      mediaGate: Multimodal.MediaGateConfig = Multimodal.MediaGateConfig(),
+      pplGate: Boolean = true,
+      hashBits: Int = 64,
+      quarantineDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val input = docs.cache()
+    val (nInput, tInput) = timed(input.count())
+
+    // 1. TEXT GATES first — narrow predicate passes, so the decode stage
+    // below only ever touches blobs whose documents can survive at all
+    val gated = input.filter(TextOps.ruleGateKeep(textGate)).cache()
+    val (nGated, tGated) = timed(gated.count())
+    val pplGated =
+      (if (!pplGate) gated else Scoring.pplGateKeep(gated)).cache()
+    val (nPplGated, tPplGated) = timed(pplGated.count())
+
+    // 2. MEDIA PROFILE + ADMISSION + GATE: one decode per surviving blob
+    // (decodeProfile fuses admission, gate metadata, and the hash). A doc
+    // with NULL media is text-only and passes; a doc whose media is
+    // undecodable or gate-failing DROPS (the export is a paired set — a
+    // broken pair is quarantine material, not a silent text-only row)
+    val profile = Multimodal.decodeProfile(
+        pplGated.filter(col("media").isNotNull).select(col("doc_id"), col("media")))
+      .withColumn("n_frames", lit(1))
+      .select(Seq(col("doc_id"), col("decoded"), col("reason"), col("ahash")) ++
+        Multimodal.mediaGateFlags(mediaGate): _*)
+      .select(col("doc_id"), col("ahash"),
+        (col("decoded") && col("keep")).as("media_keep"),
+        when(!col("decoded"), col("reason")).otherwise(lit("gate")).as("fail_reason"))
+      .cache()
+    quarantineDir.foreach(qd =>
+      profile.filter(!col("media_keep"))
+        .join(pplGated.select(col("doc_id"), col("media")), Seq("doc_id"))
+        .select(col("doc_id"), col("media"), col("fail_reason").as("reason"))
+        .write.mode("overwrite").parquet(qd))
+    val mediaOk = pplGated
+      .join(profile.select(col("doc_id"), col("media_keep"), col("ahash")),
+        Seq("doc_id"), "left")
+      .withColumn("keep_media", coalesce(col("media_keep"), lit(true)))
+      .filter(col("keep_media"))
+      .cache()
+    val (nMediaOk, tMediaOk) = timed(mediaOk.count())
+
+    // 3. CROSS-MODAL NEAR CANONICALIZATION (q144): one closure over text
+    // fingerprint edges ∪ exact image-hash edges ∪ hamming ≤ 3
+    // representative edges; each component keeps its min doc_id
+    val keep = Multimodal.crossModalNearKeepOf(
+      mediaOk.select(col("doc_id"), col("text")),
+      mediaOk.filter(coalesce(col("media_keep"), lit(false)))
+        .select(col("doc_id"), lit(true).as("decoded"), col("ahash")),
+      hashBits)
+    val canonical = mediaOk
+      .join(keep.filter(col("doc_id") === col("keep_id")).select("doc_id"),
+        Seq("doc_id"))
+      .drop("media_keep", "keep_media")
+      .cache()
+    val (nCanonical, tCanonical) = timed(canonical.count())
+
+    // 4. optional decontamination (the TrainingData Bloom tier)
+    val decontaminated = (evalDocs match {
+      case None => canonical
+      case Some(ev) =>
+        val evalGrams = ev
+          .select(explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+          .distinct()
+        val sketch = BloomSketch.build(evalGrams, "gh")
+        val bc = spark.sparkContext.broadcast(sketch)
+        val contaminated = udf { (ghs: Seq[Long]) =>
+          ghs != null && ghs.exists(bc.value.mightContainLong)
+        }
+        canonical.filter(!contaminated(TextFns.distinctGramHashes(col("text"), 5)))
+    }).cache()
+    val (nDecontaminated, tDecontaminated) = timed(decontaminated.count())
+
+    // 5. weighted mixing (q83 semantics) + sharded export; flat 1-copy
+    // mix when no weights are given
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val mixed = weights match {
+      case None => decontaminated.withColumn("copy_no", lit(1))
+      case Some(w) =>
+        decontaminated
+          .join(broadcast(w), Seq("source"))
+          .withColumn("n_copies",
+            col("base_copies") + when(h2 < col("thr"), 1).otherwise(0))
+          .filter(col("n_copies") > 0)
+          .withColumn("copy_no", explode(sequence(lit(1), col("n_copies"))))
+          .drop("base_copies", "thr", "n_copies")
+    }
+    val (_, tExport) = timed(
+      ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile))
+    val nMixed = spark.read.parquet(outDir).count()
+
+    val summary = Seq(
+      ("input", nInput, tInput),
+      ("gated", nGated, tGated),
+      ("ppl_gated", nPplGated, tPplGated),
+      ("media_ok", nMediaOk, tMediaOk),
+      ("canonical", nCanonical, tCanonical),
+      ("decontaminated", nDecontaminated, tDecontaminated),
+      ("mixed_rows", nMixed, tExport),
+    ).toDF("stage", "docs", "secs")
+    decontaminated.unpersist()
+    canonical.unpersist()
+    mediaOk.unpersist()
+    profile.unpersist()
+    pplGated.unpersist()
+    gated.unpersist()
+    input.unpersist()
+    summary
+  }
+}

@@ -159,16 +159,8 @@ object TrainingData {
     // worst-scoring third: word-salad the rule gate cannot see). Runs
     // BEFORE dedup so the expensive candidate generation never touches
     // tail docs; unscored (< 2 token) docs pass through the LEFT join
-    val pplGated = (if (!pplGate) gated else {
-      val scores = pplScores.getOrElse(Scoring.bigramNllOf(gated))
-        .select(col("doc_id"), col("nll2"))
-      val cut = scores.agg(
-        expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
-      gated.join(scores, Seq("doc_id"), "left")
-        .crossJoin(broadcast(cut))
-        .filter(col("nll2").isNull || col("nll2") <= col("c2"))
-        .drop("nll2", "c2")
-    }).cache()
+    val pplGated =
+      (if (!pplGate) gated else Scoring.pplGateKeep(gated, pplScores)).cache()
     val (nPplGated, tPplGated) = timed(pplGated.count())
 
     // 1. quality gate + exact dedup + fuzzy canonicalization (q79).

@@ -119,11 +119,30 @@ object BpeTrain {
     merges.toSeq
   }
 
+  /** Code-point symbols of a word — the JVM twin of the SQL-side
+    * `split(w, '')` init at [[fit]] (which Spark evaluates per CODE
+    * POINT, verified against a supplementary-plane probe) and of the
+    * oracle's RE2 `(.)` framing. `String.split("")` is NOT that: it
+    * yields UTF-16 units, shearing a supplementary-plane character into
+    * two lone surrogates — a silent engine/oracle desync on any corpus
+    * with astral content (the r13 verdict's predicted failure class,
+    * reproduced in FunctionsSpec before this fix). */
+  private[graft] def codePointSyms(word: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Tokenize a word with a learned merge list (the apply side — unit
     * parity surface: training then applying must reproduce the training
     * corpus segmentation). Same kernel as the training UDF, folded. */
-  def segment(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    val chars: Seq[String] = word.split("").filter(_.nonEmpty).toSeq
-    merges.foldLeft(chars) { case (syms, (a, b)) => applyMerge(syms, a, b) }
-  }
+  def segment(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(codePointSyms(word)) {
+      case (syms, (a, b)) => applyMerge(syms, a, b)
+    }
 }

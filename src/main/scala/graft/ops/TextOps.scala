@@ -952,7 +952,9 @@ object TextOps {
   val q152MergeCurve: Q = (s, d) => {
     val merges = bpeMergesOf(s, d)
     val sizesUdf = udf { (w: String) =>
-      var syms: Seq[String] = w.split("").filter(_.nonEmpty).toSeq
+      // code-point init (BpeTrain.codePointSyms): String.split("") would
+      // shear supplementary-plane characters into lone surrogates
+      var syms: Seq[String] = graft.ml.BpeTrain.codePointSyms(w)
       val out = scala.collection.mutable.ArrayBuffer[Int](syms.length)
       merges.foreach { case (a, b) =>
         syms = graft.ml.BpeTrain.applyMerge(syms, a, b)
@@ -978,7 +980,64 @@ object TextOps {
       .parquet(s"${graft.Verify.supportDir(outDir)}/q145_support_merges")
   }
 
+  /** The non-ASCII certification fixture (r13 verdict #3) — one row per
+    * divergence class the ASCII corpus contract hides: 2-byte accents,
+    * 3-byte CJK, 4-byte supplementary-plane (math alphanumerics, emoji —
+    * surrogate PAIRS in the JVM, the UTF-16 shear class), NFD-vs-NFC
+    * combining marks (the kernels do NOT normalize: the two spellings
+    * stay distinct, pinned here), and a fingerprint-equal duplicate.
+    * ONE Scala constant feeds BOTH the Spark frame and the oracle's
+    * VALUES list, so engine and oracle can never disagree on the bytes. */
+  private[graft] val UnicodeFixture: Seq[(Long, String)] = Seq(
+    (1L, "café naïve résumé déjà-vu"),
+    (2L, "日本語 の テキスト 分析"),
+    (3L, "😀😀😀 𝕋𝕖𝕩𝕥 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 😀"),
+    (4L, "é vs é composed"),
+    (5L, "año 2024 год 𝛼𝛽𝛾 café"),
+    (6L, "café naïve résumé déjà-vu"))
+
+  /** The two literal merges the q159 BPE-segment leg applies: a Latin
+    * pair and a supplementary-plane pair (the greedy no-re-pair scan on
+    * 😀😀😀 must yield [😀😀, 😀]). */
+  private[graft] val UnicodeMerges: Seq[(String, String)] =
+    Seq(("c", "a"), ("😀", "😀"))
+
+  /** q159: the NON-ASCII kernel contract, oracle-certified — drives
+    * tokenize → char shingles → BPE pre-tokens → BPE segment (code-point
+    * init + the shared greedy merge kernel) → word-gram sets → winnow
+    * fingerprints → dedup fingerprint over [[UnicodeFixture]] PLUS a
+    * corpus slice rewritten with multibyte substitutions (e→é, o→😀 on
+    * doc_id < 10), reconciling Spark's string kernels with DuckDB's
+    * codepoint semantics at the kernel level (the q130 fix pattern,
+    * applied surface-wide — this query is what caught the
+    * `String.split("")` surrogate shear in BpeTrain.segment).
+    * Counts are integers, strings exact; no floats anywhere. */
+  val q159UnicodeKernels: Q = (s, d) => {
+    import s.implicits._
+    val fixture = UnicodeFixture.toDF("fid", "txt")
+    val slice = Tables.documents(s, d).filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100).as("fid"),
+        regexp_replace(regexp_replace(col("text"), "e", "é"), "o", "😀").as("txt"))
+    val segUdf = udf { (w: String) =>
+      graft.ml.BpeTrain.segment(w, UnicodeMerges).mkString(" ")
+    }
+    val norm = graft.functions.TextFns.normText(col("txt"))
+    fixture.unionByName(slice).select(col("fid"),
+        TextFns.tokenCount(col("txt")).cast("long").as("n_toks"),
+        length(norm).cast("long").as("n_chars"),
+        TextFns.fingerprint(col("txt")).as("fp"),
+        element_at(TextFns.charShingles(col("txt"), 3), 1).as("sh3"),
+        size(TextFns.charShingles(col("txt"), 3)).cast("long").as("n_sh3"),
+        size(TextFns.bpeTokens(col("txt"))).cast("long").as("n_bpe"),
+        element_at(TextFns.bpeTokens(col("txt")), 1).as("first_bpe"),
+        size(TextFns.distinctGramHashes(col("txt"), 2)).cast("long").as("n_g2"),
+        segUdf(element_at(TextFns.tokens(col("txt")), 1)).as("seg1"),
+        size(TextFns.winnowedFingerprints(col("txt"), 3, 2)).cast("long").as("n_winnow"))
+      .orderBy(col("fid"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q159_unicode_kernels" -> q159UnicodeKernels,
     "q129_bpe_pairs"    -> q129BpePairs,
     "q130_merge_compression" -> q130MergeCompression,
     "q145_bpe_segment"  -> q145BpeSegment,
@@ -1012,7 +1071,58 @@ object TextOps {
     "q37_dedup_summary" -> q37DedupSummary,
   )
 
+  /** The q159 fixture as a SQL VALUES body — generated from the ONE
+    * Scala constant so the two engines read identical bytes. */
+  private def unicodeValuesSql: String = UnicodeFixture
+    .map { case (fid, t) => s"($fid, '${t.replace("'", "''")}')" }
+    .mkString(", ")
+
   def oracle: Map[String, String] = Map(
+    // every kernel leg replayed codepoint-wise: substr/length are
+    // codepoint-based in DuckDB; the BPE segment leg reuses the q145
+    // chr(31) framing (RE2 '(.)' frames per CODE POINT) with the two
+    // literal merges; winnow = md5 char-grams + sliding pairwise min;
+    // first shingle is positional substr(s,1,3) (array_distinct keeps
+    // first-occurrence order on the engine side)
+    "q159_unicode_kernels" -> (
+      """WITH f(fid, txt) AS (VALUES """ + unicodeValuesSql + """),
+        |c AS (
+        |  SELECT doc_id + 100 AS fid,
+        |    regexp_replace(regexp_replace(text, 'e', 'é', 'g'), 'o', '😀', 'g') AS txt
+        |  FROM documents WHERE doc_id < 10),
+        |a AS (SELECT CAST(fid AS BIGINT) AS fid, txt FROM f
+        |      UNION ALL SELECT fid, txt FROM c),
+        |n AS (SELECT fid, txt, trim(regexp_replace(txt, '\s+', ' ', 'g')) AS s FROM a),
+        |tk AS (SELECT fid, string_split(s, ' ') AS toks FROM n),
+        |wn AS (SELECT fid, CASE WHEN length(s) >= 4
+        |        THEN [md5(substr(s, i, 3)) for i in range(1, length(s) - 1)]
+        |        ELSE [] END AS g FROM n),
+        |sg AS (SELECT fid,
+        |    chr(31) || chr(31) ||
+        |      regexp_replace(string_split(s, ' ')[1], '(.)', '\1' || chr(31) || chr(31), 'g') AS f0
+        |  FROM n),
+        |sg2 AS (SELECT fid,
+        |    replace(f0, chr(31) || 'c' || chr(31) || chr(31) || 'a' || chr(31),
+        |      chr(31) || 'ca' || chr(31)) AS f1 FROM sg),
+        |sg3 AS (SELECT fid,
+        |    replace(f1, chr(31) || '😀' || chr(31) || chr(31) || '😀' || chr(31),
+        |      chr(31) || '😀😀' || chr(31)) AS f2 FROM sg2)
+        |SELECT n.fid,
+        |  CAST(len(tk.toks) AS BIGINT) AS n_toks,
+        |  CAST(length(n.s) AS BIGINT) AS n_chars,
+        |  md5(n.s) AS fp,
+        |  CASE WHEN length(n.s) >= 3 THEN substr(n.s, 1, 3) END AS sh3,
+        |  CAST(CASE WHEN length(n.s) >= 3 THEN len(list_distinct(
+        |    [substr(n.s, i, 3) for i in range(1, length(n.s) - 1)])) ELSE 0 END AS BIGINT) AS n_sh3,
+        |  CAST(len(regexp_extract_all(n.txt, '""" + TextFns.BpePattern.replace("'", "''") + """')) AS BIGINT) AS n_bpe,
+        |  regexp_extract_all(n.txt, '""" + TextFns.BpePattern.replace("'", "''") + """')[1] AS first_bpe,
+        |  CAST(CASE WHEN len(tk.toks) >= 2 THEN len(list_distinct(
+        |    [tk.toks[i] || ' ' || tk.toks[i+1] for i in range(1, len(tk.toks))])) ELSE 0 END AS BIGINT) AS n_g2,
+        |  trim(replace(sg3.f2, chr(31) || chr(31), ' ')) AS seg1,
+        |  CAST(CASE WHEN len(wn.g) >= 2 THEN len(list_distinct(
+        |    [least(wn.g[i], wn.g[i+1]) for i in range(1, len(wn.g))])) ELSE 0 END AS BIGINT) AS n_winnow
+        |FROM n JOIN tk USING (fid) JOIN wn USING (fid) JOIN sg3 USING (fid)
+        |ORDER BY fid""").stripMargin,
     "q129_bpe_pairs" ->
       """WITH wc AS (
         |  SELECT w, count(*) AS n FROM (

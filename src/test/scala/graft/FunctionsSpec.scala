@@ -119,4 +119,93 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](1).toSet)
     assert(dup(0) == dup(1) && dup(0).nonEmpty)
   }
+
+  // ------------------------------------------------------------------
+  // The NON-ASCII text contract (r13 verdict #3): the string kernels must
+  // operate in CODE POINTS — the unit DuckDB's codepoint semantics share —
+  // never UTF-16 units, or a supplementary-plane character silently
+  // desyncs engine from oracle. 😀 (U+1F600) and the mathematical
+  // alphanumerics are surrogate PAIRS in the JVM: any kernel counting or
+  // slicing UTF-16 units reads them as 2.
+  // ------------------------------------------------------------------
+
+  test("non-ASCII: length/tokenCount count code points, not UTF-16 units") {
+    val got = Seq(("😀😀", "café 𝕏 😀😀 x"))
+      .toDF("astral", "mixed")
+      .select(length(TextFns.normText($"astral")).as("n_astral"),
+        TextFns.tokenCount($"mixed").as("n_toks"))
+      .head()
+    assert(got.getInt(0) == 2, s"😀😀 must be 2 code points, got ${got.getInt(0)}")
+    assert(got.getInt(1) == 4, s"4 tokens expected, got ${got.getInt(1)}")
+  }
+
+  test("non-ASCII: charShingles slice by code point and never split a surrogate pair") {
+    // "a😀b c" = 5 code points -> 3 shingles of 3
+    val sh = Seq("a😀b c").toDF("t")
+      .select(TextFns.charShingles($"t", 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("a😀b", "😀b ", "b c"), sh.toString)
+    sh.foreach { s =>
+      assert(s.codePointCount(0, s.length) == 3, s"shingle '$s' is not 3 code points")
+      // boundaries must never cut a pair: a lone surrogate at either end
+      assert(!Character.isLowSurrogate(s.head) && !Character.isHighSurrogate(s.last),
+        s"shingle '$s' splits a surrogate pair")
+    }
+  }
+
+  test("non-ASCII: fingerprint is md5 over the UTF-8 bytes (cross-engine dedup key)") {
+    val got = Seq("café naïve").toDF("t")
+      .select(TextFns.fingerprint($"t")).head().getString(0)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("café naïve".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(got == want)
+  }
+
+  test("non-ASCII: winnow kernel grams by code point (astral input)") {
+    // 5 code points, k=3 w=2 -> 3 grams, 2 windows
+    val s = "𝛂𝛃𝛄δε" // 𝛂𝛃𝛄δε
+    val got = TextFns.winnowKernelFn(3, 2)(s).toSet
+    // brute-force reference computed over code points
+    val cps = s.codePoints().toArray
+    val grams = (0 to cps.length - 3).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(new String(cps, i, 3).getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString)
+    val want = (0 to grams.length - 2).map(j => grams.slice(j, j + 2).min).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("non-ASCII: distinct word-gram hash count equals the string-exact gram count") {
+    val t = "café 日本語 😀 café 日本語"
+    val hashes = TextFns.distinctGramHashKernel(2)(t)
+    val toks = t.split(' ')
+    val want = (0 to toks.length - 2).map(i => toks(i) + " " + toks(i + 1)).distinct
+    assert(hashes.length == want.length, s"${hashes.length} hashes vs ${want.length} grams")
+  }
+
+  test("non-ASCII: BPE pre-tokenizer and segmentation operate on code points") {
+    // pre-tokenizer: letters (incl. CJK, math alphanumerics) vs other
+    val pre = Seq("café 日本語 2024 😀!").toDF("t")
+      .select(TextFns.bpeTokens($"t").as("p")).head().getSeq[String](0)
+    assert(pre == Seq("café", " 日本語", " 2024", " 😀!"),
+      pre.toString)
+    // segment init splits into code points; greedy merge does not re-pair
+    val seg = graft.ml.BpeTrain.segment("😀😀😀",
+      Seq(("😀", "😀")))
+    assert(seg == Seq("😀😀", "😀"), seg.toString)
+    val seg2 = graft.ml.BpeTrain.segment("café", Seq(("c", "a")))
+    assert(seg2 == Seq("ca", "f", "é"), seg2.toString)
+  }
+
+  test("non-ASCII: only ASCII whitespace collapses; U+3000 stays inside its token") {
+    // the \s+ contract both engines share: Java regex \s and RE2 \s are
+    // ASCII — an ideographic space is token CONTENT on both sides
+    val t = "a　b  c"
+    val toks = Seq(t).toDF("t").select(TextFns.tokens($"t").as("k"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("a　b", "c"), toks.toString)
+    assert(TextFns.normTextJvm(t) == "a　b c",
+      "JVM twin must match the Column form on non-ASCII input")
+  }
 }

@@ -368,6 +368,37 @@ object Incremental {
     * discipline); per-batch cost is tokenize + hash lookups. Emits
     * (doc_id, dvec, n_known); n_known = 0 rows carry a zero vector for
     * downstream quarantine. Exactly-once per input file. */
+  /** The q155 pooling (token-instance mean, OOV dropped) as a per-row
+    * JVM kernel over a broadcast word→vector map — ONE copy shared by the
+    * frozen-model maintainer and the refreshing one, so the two serving
+    * modes cannot drift. */
+  private def poolDocs(df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]],
+      dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks =
+            if (text == null) Array.empty[String]
+            else graft.functions.TextFns.normTextJvm(text)
+              .split(" ").filter(_.nonEmpty)
+          val sum = new Array[Double](dim)
+          var n = 0
+          toks.foreach { t =>
+            bc.value.get(t).foreach { v =>
+              var i = 0
+              while (i < dim) { sum(i) += v(i); i += 1 }
+              n += 1
+            }
+          }
+          if (n > 0) { var i = 0; while (i < dim) { sum(i) /= n; i += 1 } }
+          (id, sum.toSeq, n.toLong)
+        }
+      }.toDF("doc_id", "dvec", "n_known")
+  }
+
   def continuousDocEmbed(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, wordVecs: DataFrame,
       outDir: String, checkpointDir: String): StreamingQuery = {
@@ -377,28 +408,93 @@ object Incremental {
       .collect().map { case (w, v) => w -> v.toArray }.toMap
     val dim = vecMap.headOption.map(_._2.length).getOrElse(0)
     val bc = spark.sparkContext.broadcast(vecMap)
-    runOnce(spark, inDir, schema, outDir, checkpointDir) { df =>
-      df.select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions { it =>
-          it.map { case (id, text) =>
-            val toks =
-              if (text == null) Array.empty[String]
-              else graft.functions.TextFns.normTextJvm(text)
-                .split(" ").filter(_.nonEmpty)
-            val sum = new Array[Double](dim)
-            var n = 0
-            toks.foreach { t =>
-              bc.value.get(t).foreach { v =>
-                var i = 0
-                while (i < dim) { sum(i) += v(i); i += 1 }
-                n += 1
-              }
-            }
-            if (n > 0) { var i = 0; while (i < dim) { sum(i) /= n; i += 1 } }
-            (id, sum.toSeq, n.toLong)
-          }
-        }.toDF("doc_id", "dvec", "n_known")
+    runOnce(spark, inDir, schema, outDir, checkpointDir)(poolDocs(_, bc, dim))
+  }
+
+  /** [[continuousDocEmbed]] with a REFRESH CADENCE — the operational
+    * answer to the frozen-model drift limit (a vocabulary shift in the
+    * ingest degrades pooling coverage — new words are OOV under the old
+    * model — until a refit sees them): every `refitEvery`-th batch
+    * refits [[graft.ml.WordVec]] on EVERYTHING ingested so far and
+    * publishes it under the [[graft.ops.IvfIndex.rebuildTo]] versioned-
+    * commit discipline (version dir named by the checkpointed batchId —
+    * idempotent under replay; COMMITTED marker; previous version retained
+    * one full cadence for in-flight readers; a restart resolves the
+    * highest committed version, so the serving model survives the
+    * process). Rows embedded between refits serve the current committed
+    * model — the bounded-lag contract every serving tier here shares
+    * (the SQ/PQ re-derivation note) — and each output row carries
+    * `model_v` so downstream can re-embed stale rows after a refresh.
+    * Exactly-once: each batch writes `outDir/batch=<id>` with overwrite —
+    * a replayed batch rewrites the same path (and re-lands on the same
+    * refit schedule, rewriting the same version dir).
+    *
+    * Scale shape: per-batch cost is the narrow pooling map; the refit is
+    * one corpus-sized pair pass + vocab-bounded factorization (the
+    * WordVec scaling result: fit wall decouples from corpus size), paid
+    * once per cadence. */
+  def continuousDocEmbedRefresh(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, modelDir: String,
+      outDir: String, checkpointDir: String, refitEvery: Int,
+      dim: Int = 16, minCount: Long = 1L): StreamingQuery = {
+    import graft.ops.IvfIndex.{CommitMarker, VersionsSubdir}
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(modelDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def committedVersions: Seq[Path] = {
+      val vroot = new Path(modelDir, VersionsSubdir)
+      if (!fs.exists(vroot)) Seq.empty
+      else fs.listStatus(vroot).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new Path(p, CommitMarker)))
+        .sortBy(_.getName).toSeq
     }
+    // resolve the highest committed model (restart-safe); empty map before
+    // the first refit — every token OOV, zero vectors, n_known = 0
+    def loadServed(s: SparkSession): (Long, Map[String, Array[Double]]) = {
+      import s.implicits._
+      committedVersions.lastOption match {
+        case None => (-1L, Map.empty)
+        case Some(p) =>
+          val m = s.read.parquet(s"$p/vecs")
+            .select(col("word"), col("vec")).as[(String, Seq[Double])]
+            .collect().map { case (w, v) => w -> v.toArray }.toMap
+          (p.getName.stripPrefix("v").toLong, m)
+      }
+    }
+    var (servedV, servedMap) = loadServed(spark)
+    var bc = spark.sparkContext.broadcast(servedMap)
+
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val dimNow = bc.value.headOption.map(_._2.length).getOrElse(dim)
+        poolDocs(batch, bc, dimNow)
+          .withColumn("model_v", lit(servedV))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        if (refitEvery > 0 && (batchId + 1) % refitEvery == 0) {
+          val v = new Path(s"$modelDir/$VersionsSubdir/v${"%012d".format(batchId)}")
+          fs.delete(v, true)
+          graft.ml.WordVec.fit(
+              s.read.schema(schema).parquet(inDir).filter(col("text").isNotNull),
+              dim = dim, minCount = minCount)
+            .write.mode("overwrite").parquet(s"$v/vecs")
+          require(fs.createNewFile(new Path(v, CommitMarker)) ||
+              fs.exists(new Path(v, CommitMarker)),
+            s"failed to commit $v")
+          committedVersions.dropRight(2).foreach(p => fs.delete(p, true))
+          val (nv, nm) = loadServed(s)
+          servedV = nv
+          bc = s.sparkContext.broadcast(nm)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
   }
 
   /** Continuous media admission gate — the streaming twin of q149 (the

@@ -417,6 +417,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(103L)._2 == 0L, "null text must not crash the stream")
   }
 
+  test("doc-embed refresh cadence: vocab shift degrades coverage, the refit recovers it") {
+    val base = Files.createTempDirectory("graft-docembed-refresh").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val model = s"$base/model"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run() = Incremental.continuousDocEmbedRefresh(
+      spark, s"$in/*", docSchema, model, out, ck, refitEvery = 1, dim = 8)
+    def rowsOf(batch: Long) = spark.read.parquet(out)
+      .filter(col("model_v").isNotNull)
+      .where(input_file_name().contains(s"batch=$batch"))
+      .select(col("doc_id"), col("n_known"), col("model_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // era A: the model's first training vocabulary
+    (0 until 20).flatMap(i => Seq(s"alpha dog beta$i gamma", s"alpha cat beta$i gamma"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .write.parquet(s"$in/b1")
+    run()
+    // batch 0 served BEFORE any model exists: zero coverage, version -1
+    assert(rowsOf(0).forall { case (_, n, v) => n == 0L && v == -1L },
+      "pre-refit rows must carry n_known=0 under model_v=-1")
+
+    // era B: a vocabulary SHIFT (plus one era-A doc as the positive
+    // control) — under the v0 model, era-B tokens are all OOV
+    Seq((100L, "alpha dog gamma"),
+      (101L, "nova flux qubit tensor"), (102L, "qubit tensor nova flux"))
+      .toDF("doc_id", "text").write.parquet(s"$in/b2")
+    run()
+    val b1 = rowsOf(1).map(r => r._1 -> r).toMap
+    assert(b1(100L)._2 == 3L && b1(100L)._3 == 0L,
+      s"era-A doc must pool fully under the v0 model: $b1")
+    assert(b1(101L)._2 == 0L && b1(102L)._2 == 0L,
+      s"DEGRADATION: era-B docs are OOV under the era-A model: $b1")
+
+    // after batch 1's refit the model has seen era B — coverage recovers
+    Seq((200L, "nova flux tensor"), (201L, "qubit nova"))
+      .toDF("doc_id", "text").write.parquet(s"$in/b3")
+    run()
+    val b2 = rowsOf(2).map(r => r._1 -> r).toMap
+    assert(b2(200L)._2 == 3L && b2(201L)._2 == 2L,
+      s"RECOVERY: the refreshed model must cover the shifted vocabulary: $b2")
+    assert(b2.values.forall(_._3 == 1L), s"batch 2 must serve model v1: $b2")
+
+    // versioned publication: three refits committed v0/v1/v2; retention
+    // keeps the last two (the previous survives one cadence for in-flight
+    // readers), and every retained version carries the commit marker
+    val versions = new java.io.File(s"$model/versions").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(versions == Seq("v000000000001", "v000000000002"), versions.toString)
+    versions.foreach(v => assert(
+      new java.io.File(s"$model/versions/$v/COMMITTED").exists(), s"$v uncommitted"))
+  }
+
   test("continuous media gate equals the batch q149 kernel and resumes exactly-once") {
     val base = Files.createTempDirectory("graft-mediagate").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"

@@ -351,7 +351,60 @@ object CorpusReports {
       .orderBy(col("source"))
   }
 
+  /** q160: the FULL data card — q150's release report extended with the
+    * QUALITY TIERS a mixture decision actually reads (r13 verdict #7):
+    * per source, alongside volume / dup rate / heuristic quality /
+    * language share, the perplexity-tercile shares under the q156 global
+    * cuts (head_share / tail_share of the source's SCORED docs — a
+    * source whose tail share is far above 1/3 is being judged word-salad
+    * by the sequential signal) and the learned-gate summary under the
+    * q101 classifier (keep share + agreement with the q97 rule gate it
+    * distills — the per-source slice of q142's calibration story: low
+    * agreement on one source means the threshold transfer is unsafe
+    * THERE). All certified kernels recomposed unchanged; ONE corpus pass
+    * (the nll2 artifact joins doc-level; cuts and classifier weights are
+    * broadcast scalars) + one source-sized aggregation. */
+  val q160DataCardFull: Q = (s, d) => {
+    val nll = Scoring.bigramScores(s, d)
+    val cuts = nll.agg(
+      expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2)").as("c1"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
+    val margin = Curation.marginCol(s, d)
+    val norm = graft.functions.TextFns.normText(col("text"))
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        md5(norm).as("fp"),
+        TextOps.qualityCol.as("quality"),
+        norm.contains(" the ").cast("double").as("is_en"),
+        (margin > 0).cast("double").as("clf_keep"),
+        ((margin > 0) === TextOps.ruleGateKeep()).cast("double").as("clf_agree"))
+      .join(nll.select(col("doc_id"), col("nll2")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(cuts))
+      .withColumn("bkt",
+        when(col("nll2").isNull, lit(null).cast("string"))
+          .when(col("nll2") <= col("c1"), "head")
+          .when(col("nll2") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        round(lit(1.0) - count_distinct(col("fp")) / count(lit(1)).cast("double"), 4)
+          .as("dup_rate"),
+        round(avg(col("quality")), 4).as("mean_quality"),
+        round(avg(col("is_en")), 4).as("en_share"),
+        round(coalesce(avg(when(col("bkt").isNotNull,
+          (col("bkt") === "head").cast("double"))), lit(0.0)), 4).as("head_share"),
+        round(coalesce(avg(when(col("bkt").isNotNull,
+          (col("bkt") === "tail").cast("double"))), lit(0.0)), 4).as("tail_share"),
+        round(avg(col("clf_keep")), 4).as("clf_keep_share"),
+        round(avg(col("clf_agree")), 4).as("clf_gate_agree"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q160_data_card_full" -> q160DataCardFull,
     "q150_data_card" -> q150DataCard,
     "q151_dedup_bias" -> q151DedupBias,
     "q115_dup_cluster_hist" -> q115DupClusterHist,
@@ -393,6 +446,69 @@ object CorpusReports {
        |FROM c ORDER BY $key""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // q150's card CTEs + the recomputed bigram model (Scoring.nll2Ctes)
+    // under the q156 cuts + the q101 margin over the exported weights +
+    // the q97 gate CASE — every leg is a certified kernel's oracle text,
+    // recomposed; tercile shares average over SCORED docs only (NULL
+    // bucket rows skip the avg on both engines)
+    "q160_data_card_full" -> (
+      "WITH " + Scoring.nll2Ctes + "," +
+      """
+        |cuts AS (
+        |  SELECT percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2) AS c1,
+        |    percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
+        |  FROM n2t),
+        |t AS (
+        |  SELECT doc_id, source, text,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, text, toks, norm,
+        |    CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(toks) AS DOUBLE) * CAST(len(toks) AS DOUBLE) AS n_tok2,
+        |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) AS awl,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4) AS sr,
+        |    md5(norm) AS fp,
+        |    round(least(len(toks) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE)
+        |        / len(toks)), 4) AS quality,
+        |    CASE WHEN contains(norm, ' the ') THEN 1.0 ELSE 0.0 END AS is_en,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(length(replace(array_to_string(toks, ' '), ' ', '')) * 1.0 / len(toks), 4) AS mean_wlen,
+        |    CAST(list_contains(toks, 'the') AS BIGINT)
+        |      + CAST(list_contains(toks, 'a') AS BIGINT)
+        |      + CAST(list_contains(toks, 'of') AS BIGINT) AS stop_hits,
+        |    round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) AS symbol_ratio
+        |  FROM t),
+        |w AS (
+        |  SELECT w_tokens, w_tokens2, w_wlen, w_stop, bias
+        |  FROM read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet')),
+        |g AS (
+        |  SELECT f.*,
+        |    (w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias > 0) AS clf_keep,
+        |    (n_words BETWEEN 30 AND 90 AND mean_wlen BETWEEN 3 AND 10
+        |      AND stop_hits >= 1 AND symbol_ratio <= 0.1) AS gate_keep
+        |  FROM f CROSS JOIN w),
+        |b AS (
+        |  SELECT g.*,
+        |    CASE WHEN n.nll2 IS NULL THEN NULL
+        |         WHEN n.nll2 <= cuts.c1 THEN 'head'
+        |         WHEN n.nll2 <= cuts.c2 THEN 'middle'
+        |         ELSE 'tail' END AS bkt
+        |  FROM g LEFT JOIN n2t n USING (doc_id) CROSS JOIN cuts)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 4) AS dup_rate,
+        |  round(avg(quality), 4) AS mean_quality,
+        |  round(avg(is_en), 4) AS en_share,
+        |  round(coalesce(avg(CASE WHEN bkt IS NOT NULL
+        |    THEN CASE WHEN bkt = 'head' THEN 1.0 ELSE 0.0 END END), 0.0), 4) AS head_share,
+        |  round(coalesce(avg(CASE WHEN bkt IS NOT NULL
+        |    THEN CASE WHEN bkt = 'tail' THEN 1.0 ELSE 0.0 END END), 0.0), 4) AS tail_share,
+        |  round(avg(CASE WHEN clf_keep THEN 1.0 ELSE 0.0 END), 4) AS clf_keep_share,
+        |  round(avg(CASE WHEN clf_keep = gate_keep THEN 1.0 ELSE 0.0 END), 4) AS clf_gate_agree
+        |FROM b GROUP BY 1 ORDER BY 1""").stripMargin,
     // the certified kernels recomposed: q36's fingerprint, q34's quality
     // (rounded per doc BEFORE the mean, matching the engine), q35's en
     // branch; all-integer counts elsewhere

@@ -1047,7 +1047,7 @@ object Scoring {
   // the q85 NLL model as a CTE body — q85 certifies it, q126 orders by it
   // the q147 bigram model as a CTE body ending in n2t(doc_id, n_pairs,
   // nll2-rounded) — q147 certifies it, q156's tercile gate builds on it
-  private val nll2Ctes =
+  private[ops] val nll2Ctes =
     """t2 AS (
       |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
       |  FROM documents),

@@ -44,8 +44,14 @@ object Topics {
     scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int), TopicModel]
 
   def fit(spark: SparkSession, dir: String, k: Int = 10, topTermsK: Int = 5): TopicModel =
-    fitted.getOrElseUpdate((spark.sparkContext.applicationId, dir, k, topTermsK),
-      fitUncached(spark, dir, k, topTermsK))
+    fitted.getOrElseUpdate((spark.sparkContext.applicationId, dir, k, topTermsK), {
+      // cold-chain attribution on stderr, the SessionArtifacts discipline
+      val t0 = System.nanoTime()
+      val m = fitUncached(spark, dir, k, topTermsK)
+      System.err.println(
+        f"[artifact] kind=topics secs=${(System.nanoTime() - t0) / 1e9}%.2f dataset=$dir")
+      m
+    })
 
   /** Cap on the rows the iterative KMeans fit reads (the codebook
     * sample-fit bound — see the fit-input note in [[fitUncached]]). Test

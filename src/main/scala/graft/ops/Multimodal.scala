@@ -747,10 +747,16 @@ object Multimodal {
     * the distinct set first if occupancy itself grows large). */
   val q153HammingHist: Q = (s, d) => {
     val bmp = udf { (text: String) => bmpOf(text) }
-    val hashes = imageAHash(
+    hammingHistOf(imageAHash(
         Tables.documents(s, d).select(col("doc_id"), bmp(col("text")).as("media")))
-      .filter(col("decoded"))
-      .select(col("ahash")).distinct().cache()
+      .filter(col("decoded")))
+  }
+
+  /** The q153 kernel over any frame with an `ahash` column — shared by
+    * the certified query and [[graft.pipelines.MediaData]]'s optional
+    * run diagnostic (`histDir`). */
+  private[graft] def hammingHistOf(hashed: DataFrame): DataFrame = {
+    val hashes = hashed.select(col("ahash")).distinct().cache()
     Caching.materializeAndRelease(
       hashes.select(col("ahash").as("ha"))
         .join(hashes.select(col("ahash").as("hb")), col("ha") < col("hb"))

@@ -64,7 +64,14 @@ object SessionArtifacts {
       hookInstalled
       val t = java.nio.file.Files.createTempDirectory(s"graft-$kind")
       registered.add(t)
+      // cold-chain attribution (NOTES discipline): every session fit
+      // reports its build wall once, on stderr, so a bench run's cold
+      // first-pass delta decomposes into named artifact costs instead of
+      // an unattributed lump (grep '\[artifact\]' over the run log)
+      val t0 = System.nanoTime()
       build(t.toString)
+      System.err.println(
+        f"[artifact] kind=$kind secs=${(System.nanoTime() - t0) / 1e9}%.2f dataset=$dataset")
       t.toString
     })).value
     completed.putIfAbsent(key, v)

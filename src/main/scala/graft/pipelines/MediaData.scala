@@ -46,6 +46,12 @@ object MediaData {
     *        closure; exact-hash dedup always runs
     * @param hashBits perceptual-hash width for the near tier's banding
     *        (64 for real pooled images; 16 for the 4×4 test corpus)
+    * @param histDir when given, the run also writes the q153 hamming
+    *        histogram of the GATED hash population there — the LSH
+    *        operating-point diagnostic read next to the funnel summary
+    *        (mass piling at ≤ 3 means the hash space is saturating and
+    *        the near tier needs a wider hash). Distinct-hash pairs only,
+    *        computed from hashes already in hand — no extra decode
     * @return funnel summary (stage, docs, secs): input, admitted, gated,
     *         deduped, exported rows
     */
@@ -53,7 +59,8 @@ object MediaData {
       nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20,
       gate: Multimodal.MediaGateConfig = Multimodal.MediaGateConfig(),
       quarantineDir: Option[String] = None,
-      nearDup: Boolean = true, hashBits: Int = 64): DataFrame = {
+      nearDup: Boolean = true, hashBits: Int = 64,
+      histDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -77,6 +84,11 @@ object MediaData {
       .filter(col("keep"))
       .select(col("doc_id"), col("ahash")).cache()
     val (nGated, tGated) = timed(gated.count())
+
+    // run diagnostic: the q153 hamming histogram of the gated hash
+    // population (no extra decode — hashes are already in hand)
+    histDir.foreach(hd =>
+      Multimodal.hammingHistOf(gated).write.mode("overwrite").parquet(hd))
 
     // exact tier (q139): one groupBy on the 64-bit key
     val exactKeep = gated.groupBy(col("ahash")).agg(min(col("doc_id")).as("keep_id"))

@@ -631,6 +631,37 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
+    // round-count-bound by design (per merge: one vocab-sized pair agg +
+    // one 1-row argmax collect + a narrow state rewrite, localCheckpoint
+    // every 8 rounds). The 8-merge section above certifies semantics;
+    // this one measures the per-round CONSTANT at a production-shaped
+    // round count (default 1000; arg 3 overrides) and reports
+    // merges/minute — the number a 32k-vocab training run budgets
+    // against. Not part of "all": it is a many-minute run by design.
+    if (section == "bpe1k") {
+      val nMerges = args.lift(2).map(_.toInt).getOrElse(1000)
+      // the synthetic corpus has ~31 word TYPES (template text), which
+      // exhausts the merge space in ~90 rounds — scale the vocabulary
+      // with the word-prefix trick (mult disjoint copies) so the trainer
+      // state is production-shaped for the full round count
+      val mult = args.lift(3).map(_.toInt).getOrElse(16)
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      val scaled = (0 until mult).map { k =>
+        docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"))
+      }.reduce(_ unionByName _).cache()
+      val nWords = graft.ml.BpeTrain.wordCounts(scaled).count()
+      println(s"[scale] ===== bpe1k vocab=$nWords words (mult=$mult), " +
+        s"target=$nMerges merges =====")
+      val t0 = System.nanoTime()
+      val m = graft.ml.BpeTrain.fit(scaled, nMerges = nMerges)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] bpe1k merges=${m.size} wall=$secs%.1f s " +
+        f"per_round=${secs / m.size}%.3f s merges_per_min=${m.size / (secs / 60)}%.1f")
+      scaled.unpersist()
+    }
     // GLOBAL ORDINAL (q126's kernel): corpus total order at 1x/4x/16x —
     // the range-partition + zipWithIndex plan must scale like a
     // distributed sort (near-linear), with partition count scaling as the

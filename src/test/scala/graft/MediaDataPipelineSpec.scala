@@ -54,9 +54,10 @@ class MediaDataPipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "media")
     val base = java.nio.file.Files.createTempDirectory("graft-mediapipe").toString
     val outDir = s"$base/out"; val quarDir = s"$base/quarantine"
+    val histDir = s"$base/hist"
 
     val summary = MediaData.run(spark, rows, outDir, nShards = 4,
-        quarantineDir = Some(quarDir))
+        quarantineDir = Some(quarDir), histDir = Some(histDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // 7 in; -2 undecodable => 5 admitted; -1 tiny => 4 gated;
     // exact dedup folds 2 into 1 => 3; near tier folds 3 into 1 => 2
@@ -73,6 +74,13 @@ class MediaDataPipelineSpec extends AnyFunSuite {
     // exported rows carry the profile metadata (no re-decode downstream)
     val cols = spark.read.parquet(outDir).columns.toSet
     assert(Set("media", "width", "height", "ahash").subsetOf(cols), cols.toString)
+
+    // run diagnostic: the q153 histogram over the gated DISTINCT hashes
+    // {a, a^0x11, b} — one hamming-2 pair (the near-dup the tier folds)
+    // and two hamming-32 pairs (the far bulk)
+    val hist = spark.read.parquet(histDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(2L -> 1L, 32L -> 2L), hist.toString)
   }
 
   test("media funnel without the near tier keeps hamming-close variants apart") {

@@ -631,6 +631,47 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // UNIFIED MULTIMODAL FUNNEL (q158's pipeline twin): the composed
+    // MultimodalData capstone at 1x/4x/16x over the q158 media synthesis
+    // (mod 3: real BMP / undecodable / text-only). Stage walls must track
+    // input volume — the profile stage decodes each blob once, the
+    // closure is representative-edge shaped, nothing quadratic. pplGate
+    // ON (the default): the bigram fit is the one corpus-sized stage the
+    // text gate adds; its wall should scale ~linearly with rows.
+    if (section == "all" || section == "mmfunnel") {
+      import spark.implicits._
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val bmp = udf { (text: String) => graft.ops.Multimodal.bmpOf(text) }
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          if (k == 0) docsBase
+          else docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
+            col("source"))
+        }.reduce(_ unionByName _)
+          .withColumn("media",
+            when(col("doc_id") % 3 === 0, bmp(col("text")))
+              .when(col("doc_id") % 3 === 1, encode(col("text"), "UTF-8")))
+          .cache()
+        val rows = scaled.count()
+        println(s"[scale] ===== mmfunnel mult=$mult rows=$rows =====")
+        val out = java.nio.file.Files.createTempDirectory("smoke-mmf").toString
+        val summary = time(s"mult=$mult MultimodalData.run total")(
+          graft.pipelines.MultimodalData.run(spark, scaled, s"$out/out",
+            textGate = graft.ops.TextOps.RuleGateConfig(
+              minWords = 5L, maxWords = Long.MaxValue,
+              minMeanWordLen = 0.0, maxMeanWordLen = Double.MaxValue,
+              stopwords = Nil, minStopHits = 0L,
+              maxSymbolRatio = Double.MaxValue),
+            mediaGate = graft.ops.Multimodal.MediaGateConfig(minDim = 4),
+            hashBits = 16))
+        summary.collect().foreach(r =>
+          println(f"[scale] mmfunnel mult=$mult stage=${r.getString(0)}%-15s " +
+            f"docs=${r.getLong(1)}%9d secs=${r.getDouble(2)}%7.2f"))
+        scaled.unpersist()
+      }
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

@@ -63,5 +63,6 @@ object SparkEntry {
         ops.Dedup.writeLshSupport),
       (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve"),
         ops.TextOps.writeBpeSupport),
-      (Set("q154_wordvec_neighbors", "q155_docvec_similar"), ops.Ml.writeWordvecSupport))
+      (Set("q154_wordvec_neighbors", "q155_docvec_similar", "q161_sif_docvec"),
+        ops.Ml.writeWordvecSupport))
 }

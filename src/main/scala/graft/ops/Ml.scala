@@ -180,6 +180,65 @@ object Ml {
       dvecs)
   }
 
+  /** q161: SIF-weighted document embeddings (Arora, Liang & Ma 2017,
+    * "A Simple but Tough-to-Beat Baseline for Sentence Embeddings") —
+    * the standard tier above q155's plain mean: each token instance
+    * contributes its [[graft.ml.WordVec]] vector weighted by
+    * a/(a + p(w)) with a = 1e-3 and p(w) the corpus unigram
+    * probability, so frequent words (whose vectors dominate a plain
+    * mean) are damped toward stopword-invisibility. Published SIF also
+    * removes the first principal component; that half is a FIT (like
+    * the SVD itself) and is deliberately left out so the whole pooling
+    * stays oracle-recomputable from the exported word vectors + corpus
+    * frequencies — the strongest certification available for a
+    * doc-embedding tier. Serve = the q155 probe contract (10 probes,
+    * top-3 by rounded cosine, doc tiebreak).
+    *
+    * Scale shape: one corpus tokenize pass feeds BOTH the frequency
+    * table (vocab-sized, broadcast) and the pooling join; pooling is
+    * per-(doc, dim) partial aggregation, map-side combined; the weight
+    * is two broadcast scalars per word; the serve is a 10-row broadcast
+    * probe × corpus. */
+  val q161SifDocvec: Q = (s, d) => {
+    val wv = graft.ml.WordVec.fitted(s, d)
+    val tf = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+    val freq = tf.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val tot = freq.agg(sum(col("n")).cast("double").as("t"))
+    val dvecs = tf
+      .join(broadcast(wv), Seq("word"))
+      .join(broadcast(freq), Seq("word"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (lit(0.001) / (lit(0.001) + col("n") / col("t"))).as("wt"),
+        posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy(col("doc_id"), col("i"))
+      .agg((sum(col("wt") * col("x")) / count(lit(1))).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, x))), s -> s.x)").as("dv"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(zip_with(dv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+      .filter(col("nrm") > 0.0)
+      .cache()
+    val probe = dvecs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("dv").as("pv"), col("nrm").as("pn"))
+    import org.apache.spark.sql.expressions.Window
+    Caching.materializeAndRelease(
+      broadcast(probe)
+        .join(dvecs, col("probe_id") =!= col("doc_id"))
+        .withColumn("cos", round(expr(
+          "aggregate(zip_with(pv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("pn") * col("nrm")), 4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+          col("cos"))
+        .orderBy(col("probe_id"), col("rank")),
+      dvecs)
+  }
+
   /** Oracle support for q154: the fitted (word, vec) table. */
   def writeWordvecSupport(s: SparkSession, d: String, outDir: String): Unit =
     graft.ml.WordVec.fitted(s, d)
@@ -189,6 +248,7 @@ object Ml {
   def queries: Map[String, Q] = Map(
     "q154_wordvec_neighbors" -> q154WordvecNeighbors,
     "q155_docvec_similar" -> q155DocvecSimilar,
+    "q161_sif_docvec" -> q161SifDocvec,
     "q49_embed_docs"  -> q49EmbedDocs,
     "q50_topic_info"  -> q50TopicInfo,
     "q51_topic_terms" -> q51TopicTerms,
@@ -281,6 +341,41 @@ object Ml {
         |dim AS (
         |  SELECT tk.doc_id, i, avg(v.vec[i]) AS x
         |  FROM tk JOIN v USING (word), unnest(range(1, len(v.vec) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |dv AS (
+        |  SELECT doc_id, list(x ORDER BY i) AS dv FROM dim GROUP BY 1),
+        |nz AS (
+        |  SELECT doc_id, dv, sqrt(list_sum([y * y for y in dv])) AS nrm
+        |  FROM dv WHERE sqrt(list_sum([y * y for y in dv])) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS probe_id, b.doc_id,
+        |    round(list_sum([a.dv[i] * b.dv[i]
+        |                    for i in range(1, len(a.dv) + 1)]) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM nz a JOIN nz b ON a.doc_id < 10 AND a.doc_id != b.doc_id),
+        |r AS (
+        |  SELECT probe_id, doc_id, cos, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY cos DESC, doc_id) AS rank
+        |  FROM p)
+        |SELECT probe_id, doc_id, CAST(rank AS BIGINT) AS rank, cos
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // q155's serve contract with SIF weights: w = a/(a + n/t) from the
+    // corpus unigram table, pooling = sum(w·vec[i])/count per dim —
+    // identical operand order to the engine; only the SVD is given
+    "q161_sif_docvec" ->
+      """WITH v AS (
+        |  SELECT word, vec
+        |  FROM read_parquet('{GRAFT_OUT}_support/q154_support_wordvec/*.parquet')),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |fr AS (SELECT word, count(*) AS n FROM tk GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM fr),
+        |dim AS (
+        |  SELECT tk.doc_id, i,
+        |    sum((0.001 / (0.001 + fr.n / tt.t)) * v.vec[i]) / count(*) AS x
+        |  FROM tk JOIN v USING (word) JOIN fr USING (word) CROSS JOIN tt,
+        |    unnest(range(1, len(v.vec) + 1)) AS r(i)
         |  GROUP BY 1, 2),
         |dv AS (
         |  SELECT doc_id, list(x ORDER BY i) AS dv FROM dim GROUP BY 1),

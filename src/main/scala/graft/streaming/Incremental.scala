@@ -497,6 +497,82 @@ object Incremental {
     q
   }
 
+  /** Continuous CCNet perplexity gate — maintainer #17, the q147/q156
+    * pair serving on the ingest: each incoming document scores under
+    * the FROZEN corpus bigram LM (the q147 arithmetic — add-1 over the
+    * corpus vocabulary, so unseen bigrams and unseen contexts degrade
+    * through the same smoothing the training corpus used) and buckets
+    * against the FROZEN corpus tercile cuts (q156's percentile_disc
+    * values). Emits (doc_id, n_pairs, nll2, bucket); docs with < 2
+    * tokens emit `unscored` with a null score — the gate never judges
+    * what it cannot score (the TrainingData.pplGate contract). A
+    * word-salad document — common words, impossible orders — lands in
+    * `tail` AT INGEST TIME, before it ever reaches a batch pipeline.
+    *
+    * Stateless narrow map over broadcast model tables: the observed
+    * bigram table is Zipf²-sparse (pairs actually seen, never V²) and
+    * the left-context totals are vocab-sized — both driver-collected
+    * and broadcast here (the DSIR frozen-model discipline); at a
+    * web-scale vocabulary swap the broadcast for a stream-static join
+    * on the persisted model tables (the continuousMediaNearDup band
+    * layout). Batch parity: replaying the training corpus reproduces
+    * the q147 score table's rounded values exactly (StreamingSpec). */
+  def continuousPplGate(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, corpus: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val v = corpus
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0).toDouble
+    val pairs = corpus
+      .select(graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .cache()
+    val cabMap = pairs.as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val caMap = pairs.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+      .as[(String, Long)].collect().toMap
+    pairs.unpersist()
+    val cuts = graft.ops.Scoring.bigramNllOf(corpus).agg(
+      expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2)"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)")).head()
+    val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
+    val bcCab = spark.sparkContext.broadcast(cabMap)
+    val bcCa = spark.sparkContext.broadcast(caMap)
+    runOnce(spark, inDir, schema, outDir, checkpointDir) { df =>
+      df.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val ts =
+              if (text == null) Array.empty[String]
+              else graft.functions.TextFns.normTextJvm(text)
+                .split(" ").filter(_.nonEmpty)
+            if (ts.length < 2) (id, 0L, None: Option[Double], "unscored")
+            else {
+              var s = 0.0
+              var i = 0
+              while (i < ts.length - 1) {
+                val cab = bcCab.value.getOrElse((ts(i), ts(i + 1)), 0L)
+                val ca = bcCa.value.getOrElse(ts(i), 0L)
+                s -= math.log((cab + 1).toDouble / (ca + v))
+                i += 1
+              }
+              val nll2 = BigDecimal(s / (ts.length - 1))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val bucket =
+                if (nll2 <= c1) "head" else if (nll2 <= c2) "middle" else "tail"
+              (id, (ts.length - 1).toLong, Some(nll2): Option[Double], bucket)
+            }
+          }
+        }.toDF("doc_id", "n_pairs", "nll2", "bucket")
+    }
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

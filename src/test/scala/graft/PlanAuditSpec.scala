@@ -105,7 +105,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q154's neighbor join is vocab × vocab — vocabulary-bounded
         "q154_wordvec_neighbors",
         // q155's serve is a 10-row broadcast probe × corpus (q140 shape)
-        "q155_docvec_similar")
+        "q155_docvec_similar",
+        // q161 = the q155 probe shape + a 1-row corpus-total broadcast
+        "q161_sif_docvec")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

@@ -14,7 +14,9 @@ import graft.sources.ShardExport
   * survives text dedup can still be a near-dup of another doc's image,
   * and only the q144 cross-modal closure collapses that pair.
   *
-  *   media profile (ONE decode per blob)          (Multimodal.decodeProfile)
+  *   structural expectations gate (q98)           (Scoring.expectationsChecked —
+  *     breaches FAIL the run unless diverted, the TrainingData contract)
+  *   → media profile (ONE decode per blob)        (Multimodal.decodeProfile)
   *   → text rule gate (q97) + CCNet ppl gate      (Scoring.pplGateKeep, q156/q157)
   *   → media admission + metadata gate (q149)     (doc drops when its media
   *     fails; docs WITHOUT media pass as text-only; quarantine channel)
@@ -40,7 +42,9 @@ import graft.sources.ShardExport
   */
 object MultimodalData {
 
-  /** Run the funnel over (doc_id, text, source, media: binary nullable).
+  /** Run the funnel over (doc_id, text, source, n_chars,
+    * media: binary nullable) — the [[TrainingData]] input contract plus
+    * the media column.
     *
     * @param evalDocs when given, decontaminate survivors against this
     *        eval split's 5-gram Bloom sketch (the [[TrainingData]] tier)
@@ -55,8 +59,19 @@ object MultimodalData {
     * @param quarantineDir docs whose media fails admission or the
     *        metadata gate land here with a triage reason (`no_magic` /
     *        `decode_failed` / `gate`); otherwise counted and dropped
-    * @return funnel summary (stage, docs, secs): input, gated,
-    *         ppl_gated, media_ok, canonical, decontaminated, mixed_rows
+    * @param structuralQuarantineDir where rows breaching the q98
+    *        structural expectations (duplicate/null doc_id, null text,
+    *        inconsistent n_chars) are diverted; None (default) FAILS
+    *        the run on any breach — the [[TrainingData]] contract
+    * @param retentionScores optional (doc_id, score) table — each
+    *        cross-modal component keeps its HIGHEST-scoring member
+    *        instead of the smallest id (the q108 retention policy,
+    *        extended to the joint text∪image components)
+    * @param tokenReportDir when given, also writes the q143 token-yield
+    *        report of the input corpus (the [[TrainingData]] run report)
+    * @return funnel summary (stage, docs, secs): input, validated,
+    *         gated, ppl_gated, media_ok, canonical, decontaminated,
+    *         mixed_rows
     */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       evalDocs: Option[DataFrame] = None,
@@ -66,7 +81,10 @@ object MultimodalData {
       mediaGate: Multimodal.MediaGateConfig = Multimodal.MediaGateConfig(),
       pplGate: Boolean = true,
       hashBits: Int = 64,
-      quarantineDir: Option[String] = None): DataFrame = {
+      quarantineDir: Option[String] = None,
+      structuralQuarantineDir: Option[String] = None,
+      retentionScores: Option[DataFrame] = None,
+      tokenReportDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -76,9 +94,26 @@ object MultimodalData {
     val input = docs.cache()
     val (nInput, tInput) = timed(input.count())
 
+    // 0. EXPECTATIONS GATE (q98 structural admission — the TrainingData
+    // contract verbatim: breaches fail the run unless diverted)
+    val checked = Scoring.expectationsChecked(input).cache()
+    val breached = checked.filter(!col("_expect_ok"))
+    val nBreached = breached.count()
+    if (nBreached > 0 && structuralQuarantineDir.isEmpty) {
+      checked.unpersist(); input.unpersist()
+      throw new IllegalStateException(
+        s"expectations breach: $nBreached rows (duplicate or null doc_id, " +
+          "null text, or inconsistent n_chars); pass structuralQuarantineDir " +
+          "to divert instead of failing")
+    }
+    structuralQuarantineDir.foreach(qd =>
+      breached.drop("_expect_ok").write.mode("overwrite").parquet(qd))
+    val validated = checked.filter(col("_expect_ok")).drop("_expect_ok").cache()
+    val (nValidated, tValidated) = timed(validated.count())
+
     // 1. TEXT GATES first — narrow predicate passes, so the decode stage
     // below only ever touches blobs whose documents can survive at all
-    val gated = input.filter(TextOps.ruleGateKeep(textGate)).cache()
+    val gated = validated.filter(TextOps.ruleGateKeep(textGate)).cache()
     val (nGated, tGated) = timed(gated.count())
     val pplGated =
       (if (!pplGate) gated else Scoring.pplGateKeep(gated)).cache()
@@ -113,15 +148,28 @@ object MultimodalData {
 
     // 3. CROSS-MODAL NEAR CANONICALIZATION (q144): one closure over text
     // fingerprint edges ∪ exact image-hash edges ∪ hamming ≤ 3
-    // representative edges; each component keeps its min doc_id
+    // representative edges. Default retention: each component keeps its
+    // min doc_id (keep_id IS the component label); with retentionScores,
+    // each component keeps its highest-scoring member (q108's policy on
+    // the JOINT components — a window per component, component-sized)
     val keep = Multimodal.crossModalNearKeepOf(
       mediaOk.select(col("doc_id"), col("text")),
       mediaOk.filter(coalesce(col("media_keep"), lit(false)))
         .select(col("doc_id"), lit(true).as("decoded"), col("ahash")),
       hashBits)
+    val keptIds = retentionScores match {
+      case None => keep.filter(col("doc_id") === col("keep_id")).select("doc_id")
+      case Some(sc) =>
+        import org.apache.spark.sql.expressions.Window
+        keep.join(sc.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("keep_id"))
+              .orderBy(coalesce(col("score"), lit(Double.MinValue)).desc,
+                col("doc_id"))))
+          .filter(col("rn") === 1).select("doc_id")
+    }
     val canonical = mediaOk
-      .join(keep.filter(col("doc_id") === col("keep_id")).select("doc_id"),
-        Seq("doc_id"))
+      .join(keptIds, Seq("doc_id"))
       .drop("media_keep", "keep_media")
       .cache()
     val (nCanonical, tCanonical) = timed(canonical.count())
@@ -160,8 +208,15 @@ object MultimodalData {
       ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile))
     val nMixed = spark.read.parquet(outDir).count()
 
+    // run report: q143 token yield of the input corpus (the TrainingData
+    // report contract — computed after the export, never contending)
+    tokenReportDir.foreach(dir =>
+      TextOps.tokenYieldOf(input.select(col("doc_id"), col("source"), col("text")))
+        .write.mode("overwrite").parquet(dir))
+
     val summary = Seq(
       ("input", nInput, tInput),
+      ("validated", nValidated, tValidated),
       ("gated", nGated, tGated),
       ("ppl_gated", nPplGated, tPplGated),
       ("media_ok", nMediaOk, tMediaOk),
@@ -175,6 +230,8 @@ object MultimodalData {
     profile.unpersist()
     pplGated.unpersist()
     gated.unpersist()
+    validated.unpersist()
+    checked.unpersist()
     input.unpersist()
     summary
   }

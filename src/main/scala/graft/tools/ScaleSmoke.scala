@@ -650,6 +650,7 @@ object ScaleSmoke {
             regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
             col("source"))
         }.reduce(_ unionByName _)
+          .withColumn("n_chars", length(col("text")))
           .withColumn("media",
             when(col("doc_id") % 3 === 0, bmp(col("text")))
               .when(col("doc_id") % 3 === 1, encode(col("text"), "UTF-8")))

@@ -72,6 +72,7 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
       // text-gate drop: 3 words < minWords 5
       (10L, "too short text", "srcB", null))
     val docs = rows.toDF("doc_id", "text", "source", "media")
+      .withColumn("n_chars", length(col("text")))
     val base = java.nio.file.Files.createTempDirectory("graft-mmpipe").toString
     val outDir = s"$base/out"; val quarDir = s"$base/quarantine"
 
@@ -80,8 +81,9 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
         quarantineDir = Some(quarDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(summary == Map(
-      "input" -> 10L, "gated" -> 9L, "ppl_gated" -> 9L, "media_ok" -> 6L,
-      "canonical" -> 3L, "decontaminated" -> 3L, "mixed_rows" -> 3L),
+      "input" -> 10L, "validated" -> 10L, "gated" -> 9L, "ppl_gated" -> 9L,
+      "media_ok" -> 6L, "canonical" -> 3L, "decontaminated" -> 3L,
+      "mixed_rows" -> 3L),
       summary.toString)
 
     val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
@@ -117,6 +119,7 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
       (5L, "tiny", "srcB", null),
       (6L, text("p6"), "srcA", "garbage bytes".getBytes("UTF-8")))
     val docs = rows.toDF("doc_id", "text", "source", "media")
+      .withColumn("n_chars", length(col("text")))
     val outDir = java.nio.file.Files.createTempDirectory("graft-mmpar").toString + "/out"
     val summary = MultimodalData.run(spark, docs, outDir, nShards = 2,
         textGate = permissiveGate, pplGate = false)
@@ -133,5 +136,48 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
     // survivors {1,2,3,4}: 1–2 near-fold, 3–4 text-fold (5 fails the
     // word floor, 6 drops at media admission) => 2 components
     assert(nCanon == 2L, kernel.mkString(","))
+  }
+
+  test("structural breaches fail the run; retention keeps the best-scored component member") {
+    import spark.implicits._
+    val a = 0xF0F0F0F0F0F0F0F0L
+    // a duplicate doc_id is a q98 breach — the run must FAIL by default
+    val breached = Seq(
+      (1L, text("b1"), "srcA", null.asInstanceOf[Array[Byte]]),
+      (1L, text("b2"), "srcA", null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "text", "source", "media")
+      .withColumn("n_chars", length(col("text")))
+    val failDir = java.nio.file.Files.createTempDirectory("graft-mmfail").toString + "/out"
+    val ex = intercept[IllegalStateException] {
+      MultimodalData.run(spark, breached, failDir, textGate = permissiveGate,
+        pplGate = false)
+    }
+    assert(ex.getMessage.contains("expectations breach: 2 rows"), ex.getMessage)
+
+    // retention: 1 and 2 fold via the cross-modal near edge; with scores
+    // the component keeps the HIGHER-scored member (2), not the min id
+    val rows: Seq[(Long, String, String, Array[Byte])] = Seq(
+      (1L, text("r1"), "srcA", encodeImg(blockImg(a), "png")),
+      (2L, text("r2"), "srcA", encodeImg(blockImg(a ^ 0x3L), "png")),
+      (3L, text("r3"), "srcB", null))
+    val docs = rows.toDF("doc_id", "text", "source", "media")
+      .withColumn("n_chars", length(col("text")))
+    val scores = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5)).toDF("doc_id", "score")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mmret").toString + "/out"
+    val reportDir = java.nio.file.Files.createTempDirectory("graft-mmrep").toString
+    MultimodalData.run(spark, docs, outDir, textGate = permissiveGate,
+      pplGate = false, retentionScores = Some(scores),
+      tokenReportDir = Some(reportDir))
+    val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"retention must keep the best-scored member: $kept")
+    // the run report is the certified q143 cascade on the input
+    val wantYield = graft.ops.TextOps.tokenYieldOf(
+        docs.select(col("doc_id"), col("source"), col("text")))
+      .collect().map(_.toSeq).toSet
+    val gotYield = spark.read.parquet(reportDir)
+      .select(col("source"), col("n_raw"), col("n_collapsed"),
+        col("n_scrubbed"), col("n_yield"))
+      .collect().map(_.toSeq).toSet
+    assert(gotYield == wantYield, s"token report != q143 kernel: $gotYield")
   }
 }

@@ -1036,7 +1036,44 @@ object TextOps {
       .orderBy(col("fid"))
   }
 
+  /** q162: Shannon-ENTROPY quality signals — the distributional
+    * repetitiveness detectors the rule gate's surface ratios can't see
+    * (M9 family, alongside q34/q97/q85/q147): per document, the
+    * character-level entropy of the normalized text (a low value means
+    * few symbols dominate — aaaa-style degenerate content) and the
+    * token-level entropy (low = the same words over and over, even when
+    * each word is long and the mean-word-length gate passes). Exact
+    * integer counts into one ln/division fold per doc (the q85
+    * arithmetic discipline, round 4); char splitting is per CODE POINT
+    * on both engines (the q159-certified contract). One corpus pass per
+    * granularity, map-side combined, no windows, no driver data. */
+  val q162Entropy: Q = (s, d) => entropySignals(Tables.documents(s, d))
+
+  /** The q162 kernel over an arbitrary (doc_id, text) frame — shared
+    * with the discriminative unit (degenerate/repetitive fixtures). */
+  private[graft] def entropySignals(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val norm = TextFns.normText(col("text"))
+    def entropyOf(unit: org.apache.spark.sql.Column) = {
+      val counts = docs
+        .select(col("doc_id"), explode(unit).as("u"))
+        .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("k"))
+      val tot = counts.groupBy(col("doc_id")).agg(sum(col("k")).as("n"))
+      counts.join(tot, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n")).cast("long").as("n"),
+          round(-sum((col("k") / col("n")) * log(col("k") / col("n"))), 4)
+            .as("h"))
+    }
+    val ch = entropyOf(split(norm, ""))
+      .select(col("doc_id"), col("n").as("n_chars"), col("h").as("char_entropy"))
+    val tk = entropyOf(TextFns.tokens(col("text")))
+      .select(col("doc_id"), col("n").as("n_toks"), col("h").as("tok_entropy"))
+    ch.join(tk, Seq("doc_id")).orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q162_entropy" -> q162Entropy,
     "q159_unicode_kernels" -> q159UnicodeKernels,
     "q129_bpe_pairs"    -> q129BpePairs,
     "q130_merge_compression" -> q130MergeCompression,
@@ -1078,6 +1115,30 @@ object TextOps {
     .mkString(", ")
 
   def oracle: Map[String, String] = Map(
+    // both entropies recomputed from integer counts with the same
+    // k/n · ln(k/n) fold; char units via codepoint substr (q159 contract)
+    "q162_entropy" ->
+      """WITH nm AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest([substr(s, i, 1) for i in range(1, length(s) + 1)]) AS u
+        |  FROM nm),
+        |cc AS (SELECT doc_id, u, count(*) AS k FROM ch GROUP BY 1, 2),
+        |ct AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cc GROUP BY 1),
+        |ce AS (
+        |  SELECT cc.doc_id, ct.n AS n_chars,
+        |    round(-sum((k / CAST(ct.n AS DOUBLE)) * ln(k / CAST(ct.n AS DOUBLE))), 4) AS char_entropy
+        |  FROM cc JOIN ct USING (doc_id) GROUP BY 1, 2),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split(s, ' ')) AS u FROM nm),
+        |tc AS (SELECT doc_id, u, count(*) AS k FROM tk GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM tc GROUP BY 1),
+        |te AS (
+        |  SELECT tc.doc_id, tt.n AS n_toks,
+        |    round(-sum((k / CAST(tt.n AS DOUBLE)) * ln(k / CAST(tt.n AS DOUBLE))), 4) AS tok_entropy
+        |  FROM tc JOIN tt USING (doc_id) GROUP BY 1, 2)
+        |SELECT ce.doc_id, ce.n_chars, ce.char_entropy, te.n_toks, te.tok_entropy
+        |FROM ce JOIN te USING (doc_id) ORDER BY doc_id""".stripMargin,
     // every kernel leg replayed codepoint-wise: substr/length are
     // codepoint-based in DuckDB; the BPE segment leg reuses the q145
     // chr(31) framing (RE2 '(.)' frames per CODE POINT) with the two

@@ -490,4 +490,22 @@ class TrainingDataOpsSpec extends AnyFunSuite {
       assert(n > 0 && toks > 0 && lo <= hi, s"shard $sh degenerate")
     }
   }
+
+  test("q162 entropy signals separate degenerate and repetitive docs from healthy text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaa"),                       // one symbol: char H = 0
+      (2L, "spam spam spam spam spam spam"),              // one word:  tok H = 0
+      (3L, "the quick brown fox jumps over a lazy dog"))  // healthy
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.entropySignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(4)))).toMap
+    assert(got(1L)._1 == 0.0, s"single-char doc must read char entropy 0: $got")
+    assert(got(2L)._2 == 0.0, s"single-word doc must read token entropy 0: $got")
+    assert(got(3L)._1 > got(1L)._1 && got(3L)._2 > got(2L)._2,
+      s"healthy text must score above the degenerate fixtures: $got")
+    // token entropy sees what surface ratios miss: doc 2 would PASS a
+    // mean-word-length gate while its token distribution is degenerate
+    assert(got(2L)._1 > 0.0, "repetitive words still have char spread")
+  }
 }

@@ -330,6 +330,72 @@ object Scoring {
       .orderBy(col("source"))
   }
 
+  /** q163: HELD-OUT perplexity — the LM-eval discipline applied to the
+    * engine's own q147 bigram model: fit on the ~75 % train split
+    * (md5(doc_id) prefix ≥ '4' — a HASH split, decorrelated from the
+    * corpus's source-blocked id ranges), score BOTH splits, and report
+    * per source the
+    * train/test mean nll2 and the generalization GAP. A source whose
+    * gap runs far above the corpus's is one whose training split
+    * memorizes rather than generalizes (templated/duplicated content) —
+    * the eval a pipeline runs before trusting any perplexity gate
+    * calibrated on self-scored data (q135/q156 score in-sample; this
+    * measures how much that flatters). Unseen bigrams/contexts degrade
+    * through the same add-1 smoothing (cab=0 / ca=0 folds), so the
+    * arithmetic is total on the test split.
+    *
+    * Scale shape: ONE corpus pass emits the (doc, a, b, tf) fold (the
+    * q147 trick); the model tables are Zipf²-sparse train-split
+    * aggregates; scoring is two broadcast-joins + one per-doc agg; the
+    * report is source-sized. */
+  val q163HeldoutPpl: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    // hash split, NOT modular: the corpus assigns doc_id RANGES per
+    // source, so doc_id % k would put whole sources in one split and
+    // the per-source gap would compare nothing. md5-prefix < '4' ≈ 25 %
+    // test, deterministic cross-engine (the q83 mixing convention)
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+    val tfb = docs
+      .select(col("doc_id"), col("source"), isTest.as("is_test"),
+        TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), col("is_test"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .select(col("doc_id"), col("source"), col("is_test"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("doc_id"), col("source"), col("is_test"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val bg = tfb.filter(!col("is_test"))
+      .groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+    val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val vocab = docs.filter(!isTest)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).cast("double").as("v"))
+    val perDoc = tfb
+      .join(bg, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("source"), col("is_test"))
+      .agg(round(-sum(col("tf") *
+          log((coalesce(col("cab"), lit(0L)) + 1) /
+            (coalesce(col("ca"), lit(0L)) + col("v")))) /
+          sum(col("tf")), 4).as("nll2"))
+    Caching.materializeAndRelease(
+      perDoc.groupBy(col("source"))
+        .agg(sum((!col("is_test")).cast("long")).cast("long").as("n_train"),
+          sum(col("is_test").cast("long")).cast("long").as("n_test"),
+          round(coalesce(avg(when(!col("is_test"), col("nll2"))), lit(0.0)), 4)
+            .as("nll_train"),
+          round(coalesce(avg(when(col("is_test"), col("nll2"))), lit(0.0)), 4)
+            .as("nll_test"))
+        .withColumn("gap", round(col("nll_test") - col("nll_train"), 4))
+        .orderBy(col("source")),
+      tfb)
+  }
+
   // ---------------------------------------------------------------- q86
 
   /** Deterministic shard plan — the manifest a training-shard export
@@ -980,6 +1046,7 @@ object Scoring {
     "q135_ccnet_buckets" -> q135CcnetBuckets,
     "q156_bigram_buckets" -> q156BigramBuckets,
     "q157_ppl_gate_funnel" -> q157PplGateFunnel,
+    "q163_heldout_ppl" -> q163HeldoutPpl,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
@@ -1154,6 +1221,42 @@ object Scoring {
         |  round(coalesce(avg(CASE WHEN NOT dropped AND nll2 IS NOT NULL THEN nll2 END), 0.0), 4) AS nll_kept,
         |  round(coalesce(avg(CASE WHEN dropped THEN nll2 END), 0.0), 4) AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bigram replay with a train/test split: model tables from the
+    // 90 % split, both splits scored with the same add-1 fold (LEFT
+    // joins default unseen counts to 0), per-doc round then avg
+    "q163_heldout_ppl" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u2 AS (
+        |  SELECT doc_id, source, is_test, toks[i] AS a, toks[i + 1] AS b
+        |  FROM t2, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |tfb AS (SELECT doc_id, source, is_test, a, b, count(*) AS tf
+        |        FROM u2 GROUP BY 1, 2, 3, 4, 5),
+        |bg AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab
+        |       FROM tfb WHERE NOT is_test GROUP BY 1, 2),
+        |cag AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bg GROUP BY 1),
+        |v2 AS (
+        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(toks) AS w FROM t2 WHERE NOT is_test)),
+        |pd AS (
+        |  SELECT tfb.doc_id, tfb.source, tfb.is_test,
+        |    round(-sum(tfb.tf *
+        |        ln((coalesce(bg.cab, 0) + 1) / (coalesce(cag.ca, 0) + v2.v))) /
+        |      sum(tfb.tf), 4) AS nll2
+        |  FROM tfb LEFT JOIN bg USING (a, b) LEFT JOIN cag USING (a) CROSS JOIN v2
+        |  GROUP BY 1, 2, 3)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |  round(coalesce(avg(CASE WHEN NOT is_test THEN nll2 END), 0.0), 4) AS nll_train,
+        |  round(coalesce(avg(CASE WHEN is_test THEN nll2 END), 0.0), 4) AS nll_test,
+        |  round(round(coalesce(avg(CASE WHEN is_test THEN nll2 END), 0.0), 4)
+        |    - round(coalesce(avg(CASE WHEN NOT is_test THEN nll2 END), 0.0), 4), 4) AS gap
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_curriculum" ->
       s"""WITH $nllCtes
          |SELECT row_number() OVER (

@@ -99,6 +99,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q157_ppl_gate_funnel",
         // q160 composes the same 1-row cut broadcast onto the q150 card
         "q160_data_card_full",
+        // q163 broadcasts the train-split vocab scalar (the q147 shape)
+        "q163_heldout_ppl",
         // q153's ha < hb pair join runs over DISTINCT hash values only —
         // bounded by hash-space occupancy, the q44-class intended shape
         "q153_hamming_hist",

@@ -734,6 +734,28 @@ object Multimodal {
       staged)
   }
 
+  /** q164: cross-modal COMPONENT-SIZE histogram — q115's dup-cluster
+    * report for the q144 closure: how many documents fold into
+    * components of each size under the text ∪ exact-image ∪ near-image
+    * edge union. The release diagnostic for the joint dedup stage: a
+    * heavy tail here (a few giant components) means the near threshold
+    * is percolating hash space and the canonicalization is about to
+    * over-collapse — checked BEFORE shipping a mix, next to q153's
+    * pairwise view. Costs the q144 closure + one component-sized
+    * aggregation. */
+  val q164CrossModalComponents: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bmp = udf { (text: String) => bmpOf(text) }
+    crossModalNearKeepOf(docs,
+        imageAHash(docs.select(col("doc_id"), bmp(col("text")).as("media"))),
+        CorpusHashBits)
+      .groupBy(col("keep_id")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("csize")).cast("long").as("n_docs"))
+      .orderBy(col("csize"))
+  }
+
   /** q153: hamming-distance histogram over DISTINCT perceptual hashes —
     * the LSH operating-point diagnostic for the media tier (q123's role
     * for text minhash): how the distinct-hash population spreads in
@@ -778,6 +800,7 @@ object Multimodal {
     "q149_media_gate" -> q149MediaGate,
     "q153_hamming_hist" -> q153HammingHist,
     "q158_multimodal_funnel" -> q158MultimodalFunnel,
+    "q164_cross_modal_components" -> q164CrossModalComponents,
   )
 
   def oracle: Map[String, String] = Map(
@@ -998,6 +1021,36 @@ object Multimodal {
         |    AND coalesce(k.keep_id, g.doc_id) = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canon
         |FROM g LEFT JOIN keep k ON g.doc_id = k.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q144 closure (verbatim CTEs) histogrammed by component size —
+    // singletons keep themselves through the left-join coalesce
+    "q164_cross_modal_components" ->
+      s"""WITH RECURSIVE
+        |$phashCtes,
+        |tf AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM tf a JOIN tf b ON a.doc_id < b.doc_id AND a.fp = b.fp),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+        |e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM tp
+        |  UNION ALL SELECT doc_b, doc_a FROM tp
+        |  UNION ALL SELECT doc_a, doc_b FROM ip
+        |  UNION ALL SELECT doc_b, doc_a FROM ip),
+        |reach(doc_id, r) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        |keep AS (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS keep_id
+        |  FROM documents d LEFT JOIN keep k USING (doc_id)),
+        |cs AS (SELECT keep_id, count(*) AS csize FROM lab GROUP BY 1)
+        |SELECT csize, count(*) AS n_components,
+        |  CAST(sum(csize) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   // the q139 hash pipeline as a CTE body ending in hsh(doc_id, ahash) —

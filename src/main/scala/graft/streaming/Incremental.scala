@@ -497,6 +497,98 @@ object Incremental {
     q
   }
 
+  /** Continuous CROSS-MODAL dedup — maintainer #18, the q144 closure as
+    * an ingest admission gate (the [[continuousFuzzyDedup]] discipline on
+    * BOTH modalities at once): each micro-batch of (doc_id, text,
+    * media: binary nullable) is canonicalized first WITHIN itself by the
+    * batch kernel ([[graft.ops.Multimodal.crossModalNearKeepOf]] — full
+    * closure over text-fp ∪ exact-image ∪ hamming ≤ 3 edges, cheap at
+    * batch size), then checked AGAINST the persisted canonical state on
+    * both axes: exact text fingerprint against the fp table, and banded
+    * hamming ≤ 3 against the phash table (the q140 candidate layout).
+    * Survivors land in `outDir` and their fingerprints/hashes append to
+    * the state tables, so neither text nor blobs are ever re-read.
+    *
+    * A doc whose text duplicates history is dropped even when its image
+    * is novel, and vice versa — the joint-modality admission q144 makes
+    * in batch. ACROSS batches the first-admitted doc wins (the
+    * documented admission-streaming divergence of continuousFuzzyDedup:
+    * no retraction, no cross-batch transitivity — the periodic batch
+    * closure is the reconciliation). Exactly-once per input file via
+    * the checkpoint; state is plain parquet, restartable and
+    * inspectable. First batch bootstraps both tables. */
+  def continuousCrossModalDedup(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      fpDir: String, phashDir: String, checkpointDir: String,
+      hashBits: Int = 64): StreamingQuery = {
+    import graft.ops.Multimodal
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.cache()
+        // one decode per blob; undecodable media = no image identity
+        // (the doc still dedups on text — admission noise handling is
+        // the funnel's job, not the dedup maintainer's)
+        val hashed = Multimodal.imageAHash(
+            b.filter(col("media").isNotNull).select(col("doc_id"), col("media")))
+          .filter(col("decoded"))
+          .select(col("doc_id"), col("ahash")).cache()
+        // within-batch: the full q144 closure at batch size
+        val selfKeep = Multimodal.crossModalNearKeepOf(
+          b.select(col("doc_id"), col("text")),
+          hashed.select(col("doc_id"), lit(true).as("decoded"), col("ahash")),
+          hashBits)
+        val inBatch = b
+          .join(selfKeep.filter(col("doc_id") === col("keep_id")).select("doc_id"),
+            Seq("doc_id"))
+          .withColumn("fp", graft.functions.TextFns.fingerprint(col("text")))
+          .cache()
+        // against the persisted state (absent only on the very first
+        // batch — a transient read failure must fail the batch, not
+        // re-admit the corpus as novel)
+        def loadState(dir: String): Option[DataFrame] =
+          try { val df = s.read.parquet(dir); df.head(1); Some(df) }
+          catch { case e: Throwable if graft.ops.IvfIndex.isMissingPath(e) => None }
+        val textHit = loadState(fpDir) match {
+          case Some(fps) => inBatch
+            .join(fps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+            .select(col("doc_id"))
+          case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        }
+        val mediaHit = loadState(phashDir) match {
+          case Some(ph) =>
+            val qBands = Multimodal.withPhashBands(
+                inBatch.select(col("doc_id")).join(hashed, Seq("doc_id")), hashBits)
+              .select(col("band"), col("bhash"), col("doc_id"),
+                col("ahash").as("bh"))
+            val iBands = Multimodal.withPhashBands(
+                ph.select(col("ahash")).distinct(), hashBits)
+              .select(col("band"), col("bhash"), col("ahash").as("ih"))
+            qBands.join(iBands, Seq("band", "bhash"))
+              .filter(bit_count(col("bh").bitwiseXOR(col("ih"))) <=
+                Multimodal.PhashHamMax)
+              .select(col("doc_id")).distinct()
+          case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        }
+        val kept = inBatch
+          .join(textHit.unionByName(mediaHit).distinct(), Seq("doc_id"), "left_anti")
+          .cache()
+        kept.drop("fp").write.mode("append").parquet(outDir)
+        kept.select(col("fp"), col("doc_id")).write.mode("append").parquet(fpDir)
+        kept.select(col("doc_id"))
+          .join(hashed, Seq("doc_id"))
+          .write.mode("append").parquet(phashDir)
+        kept.unpersist(); inBatch.unpersist(); hashed.unpersist(); b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous CCNet perplexity gate — maintainer #17, the q147/q156
     * pair serving on the ingest: each incoming document scores under
     * the FROZEN corpus bigram LM (the q147 arithmetic — add-1 over the

@@ -417,6 +417,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(103L)._2 == 0L, "null text must not crash the stream")
   }
 
+  test("continuous cross-modal dedup admits on joint text+image identity across batches") {
+    val base = Files.createTempDirectory("graft-xmodal").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val fpd = s"$base/fp"; val phd = s"$base/phash"
+    new java.io.File(in).mkdirs()
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def img(pattern: Long): Array[Byte] = {
+      val im = new BufferedImage(256, 256, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 256; x <- 0 until 256)
+        im.setRGB(x, y,
+          if (((pattern >>> ((y / 32) * 8 + (x / 32))) & 1L) == 1L) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("media", BinaryType)))
+    val a = 0xF0F0F0F0F0F0F0F0L
+    val far = 0x00000000FFFFFFFFL
+    def run() = Incremental.continuousCrossModalDedup(
+      spark, s"$in/*", docSchema, out, fpd, phd, ck)
+
+    // batch 1: two novel docs (one with media) + a within-batch pair
+    // folded ONLY by the cross-modal near edge (distinct texts,
+    // hamming-2 images)
+    Seq((1L, "alpha one text", img(a)),
+      (2L, "beta two text", img(a ^ 0x11L)),
+      (3L, "gamma three text", null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "text", "media").write.parquet(s"$in/b1")
+    run()
+    val kept1 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(1L, 3L), s"in-batch near-fold must keep min ids: $kept1")
+
+    // batch 2: a text dup of doc 3 (novel image!), an image near-dup of
+    // doc 1 (novel text!), and a genuinely novel doc — the JOINT check
+    // drops the first two on different axes
+    Seq((10L, "gamma three text", img(far)),
+      (11L, "delta eleven text", img(a ^ 0x3L)),
+      (12L, "epsilon twelve text", null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "text", "media").write.parquet(s"$in/b2")
+    run()
+    val kept2 = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 3L, 12L),
+      s"10 is a text dup, 11 a media near-dup — only 12 admits: $kept2")
+
+    // replay with no new files: exactly-once, state unchanged
+    run()
+    assert(spark.read.parquet(out).count() == 3L)
+    assert(spark.read.parquet(fpd).count() == 3L, "one fp row per survivor")
+    assert(spark.read.parquet(phd).count() == 1L, "one hash row per mediated survivor")
+  }
+
   test("continuous ppl gate scores the q147 arithmetic and buckets word-salad to tail") {
     val base = Files.createTempDirectory("graft-pplgate").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"

@@ -201,9 +201,12 @@ object Ml {
     * probe × corpus. */
   val q161SifDocvec: Q = (s, d) => {
     val wv = graft.ml.WordVec.fitted(s, d)
+    // cached: the token-instance frame feeds BOTH the frequency table
+    // and the pooling join — one corpus tokenize pass, not two
     val tf = graft.Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .cache()
     val freq = tf.groupBy(col("word")).agg(count(lit(1)).as("n"))
     val tot = freq.agg(sum(col("n")).cast("double").as("t"))
     val dvecs = tf
@@ -236,7 +239,7 @@ object Ml {
         .select(col("probe_id"), col("doc_id"), col("rank").cast("long").as("rank"),
           col("cos"))
         .orderBy(col("probe_id"), col("rank")),
-      dvecs)
+      dvecs, tf)
   }
 
   /** Oracle support for q154: the fitted (word, vec) table. */

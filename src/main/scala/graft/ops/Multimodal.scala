@@ -714,6 +714,10 @@ object Multimodal {
       .join(profile, Seq("doc_id"), "left")
       // null media_keep = no media at all = text-only doc: passes
       .withColumn("keep_media", coalesce(col("media_keep"), lit(true)))
+      // blob bytes must NOT enter the cache — everything after the
+      // profile is metadata-only (the partitionMedia cache lesson)
+      .select(col("doc_id"), col("source"), col("text"),
+        col("keep_gate"), col("keep_media"), col("media_keep"), col("ahash"))
       .cache()
     val surv = staged.filter(col("keep_gate") && col("keep_media"))
     val keep = crossModalNearKeepOf(

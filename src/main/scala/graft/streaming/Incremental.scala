@@ -515,8 +515,12 @@ object Incremental {
     * documented admission-streaming divergence of continuousFuzzyDedup:
     * no retraction, no cross-batch transitivity — the periodic batch
     * closure is the reconciliation). Exactly-once per input file via
-    * the checkpoint; state is plain parquet, restartable and
-    * inspectable. First batch bootstraps both tables. */
+    * the checkpoint, with the foreachBatch residue class of
+    * [[continuousSemanticDedup]]: a crash between the parquet appends
+    * and the checkpoint can duplicate one batch's rows in `outDir` and
+    * the state tables on replay — reconciled by a dropDuplicates
+    * compaction on a maintenance cadence. State is plain parquet,
+    * restartable and inspectable. First batch bootstraps both tables. */
   def continuousCrossModalDedup(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       fpDir: String, phashDir: String, checkpointDir: String,
@@ -633,6 +637,9 @@ object Incremental {
     val cuts = graft.ops.Scoring.bigramNllOf(corpus).agg(
       expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2)"),
       expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)")).head()
+    require(!cuts.isNullAt(0),
+      "continuousPplGate needs a training corpus with at least one " +
+        "scorable (>= 2 token) document to place the tercile cuts")
     val (c1, c2) = (cuts.getDouble(0), cuts.getDouble(1))
     val bcCab = spark.sparkContext.broadcast(cabMap)
     val bcCa = spark.sparkContext.broadcast(caMap)

@@ -53,7 +53,8 @@ object SparkEntry {
       (Set("q100_ann_sq"), ops.Similarity.writeAnnSqSupport),
       (Set("q112_ann_pq"), ops.Similarity.writeAnnPqSupport),
       (Set("q101_quality_classifier", "q108_quality_retention",
-        "q142_classifier_calibration", "q160_data_card_full"),
+        "q142_classifier_calibration", "q160_data_card_full",
+        "q166_classifier_auc"),
         ops.Curation.writeClassifierSupport),
       (Set("q103_semdedup", "q104_proto_prune"),
         ops.Curation.writeDedupIndexSupport),

@@ -143,6 +143,59 @@ object Curation {
       .orderBy(col("bin"))
   }
 
+  // ---------------------------------------------------------------- q166
+
+  /** q166: per-source classifier AUC — the discrimination metric that
+    * completes q142's calibration report (calibration says the margin's
+    * PROBABILITIES are honest; AUC says the margin RANKS the label at
+    * all, per source — the slice where a learned gate quietly fails on
+    * a domain it never saw). Computed as the exact Mann–Whitney
+    * statistic with midrank tie handling: group docs by (source,
+    * rounded margin), cumulative-count window for the rank floor,
+    * midrank = cum_prev + (n+1)/2, AUC = (Σ_pos midrank −
+    * n_pos(n_pos+1)/2) / (n_pos·n_neg). Every term before the final
+    * division is an exact multiple of ½ far below 2⁻⁵²-loss range, so
+    * the sum is order-independent and the metric is bit-stable
+    * cross-engine — no sampling, no trapezoid approximation. A
+    * single-class source (nothing to rank) reports the chance value
+    * 0.5 by convention.
+    *
+    * Scale shape: one corpus-pass projection (margin is a codegen'd
+    * literal-weight expression), one (source, score) pre-aggregation
+    * — at most |sources|·10⁴·margin-span rows after rounding — then a
+    * source-partitioned window over that AGGREGATED table and a
+    * source-sized report. The window never sees per-doc rows. */
+  val q166ClassifierAuc: Q = (s, d) => {
+    val margin = marginCol(s, d)
+    aucBySource(Tables.documents(s, d)
+      .select(col("source"), round(margin, 4).as("score"),
+        TextOps.ruleGateKeep().cast("long").as("label")))
+  }
+
+  /** The q166 midrank Mann–Whitney fold over an arbitrary (source,
+    * score, label) frame — factored so specs can pin it against a
+    * brute-force pair count on planted fixtures. */
+  private[graft] def aucBySource(scored: DataFrame): DataFrame = {
+    val g1 = scored
+      .groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).cast("long").as("npos"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g1.withColumn("cum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        sum(col("npos")).cast("long").as("n_pos"),
+        sum(col("npos") * (col("cum_prev") + (col("n") + 1) / lit(2.0)))
+          .as("rank_sum"))
+      .select(col("source"), col("n_docs"), col("n_pos"),
+        (col("n_docs") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") === 0 || col("n_docs") === col("n_pos"), 0.5)
+          .otherwise(round(
+            (col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
+              (col("n_pos") * (col("n_docs") - col("n_pos"))), 4)).as("auc"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- q102
 
   /** The metadata predicate q102 certifies (labels come from the
@@ -740,6 +793,7 @@ object Curation {
   def queries: Map[String, Q] = Map(
     "q101_quality_classifier" -> q101QualityClassifier,
     "q142_classifier_calibration" -> q142ClassifierCalibration,
+    "q166_classifier_auc" -> q166ClassifierAuc,
     "q102_ann_filtered"       -> q102AnnFiltered,
     "q103_semdedup"           -> q103SemDedup,
     "q104_proto_prune"        -> q104ProtoPrune,
@@ -811,6 +865,60 @@ object Curation {
         |  round(sum(label) / count(*), 4) AS gate_rate
         |FROM mg JOIN gt USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q142's margin + gate-label CTEs, then the exact midrank
+    // Mann-Whitney fold: per-(source, score) counts, cumulative-count
+    // window over the aggregated table, AUC from the rank sum — every
+    // term an exact half-integer, so only the final division rounds
+    "q166_classifier_auc" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(toks) AS DOUBLE) * CAST(len(toks) AS DOUBLE) AS n_tok2,
+        |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) AS awl,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4) AS sr
+        |  FROM t),
+        |w AS (
+        |  SELECT w_tokens, w_tokens2, w_wlen, w_stop, bias
+        |  FROM read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet')),
+        |sc AS (
+        |  SELECT f.doc_id,
+        |    round(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias, 4) AS score
+        |  FROM f CROSS JOIN w),
+        |gt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) BETWEEN 30 AND 90
+        |      AND round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) BETWEEN 3 AND 10
+        |      AND (CAST(list_contains(toks, 'the') AS BIGINT)
+        |           + CAST(list_contains(toks, 'a') AS BIGINT)
+        |           + CAST(list_contains(toks, 'of') AS BIGINT)) >= 1
+        |      AND round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) <= 0.1
+        |      THEN 1 ELSE 0 END AS BIGINT) AS label
+        |  FROM t),
+        |j AS (
+        |  SELECT d.source, sc.score, gt.label
+        |  FROM sc JOIN gt USING (doc_id) JOIN documents d USING (doc_id)),
+        |g1 AS (
+        |  SELECT source, score, count(*) AS n, CAST(sum(label) AS BIGINT) AS npos
+        |  FROM j GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT source, n, npos,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |  FROM g1),
+        |u AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(npos) AS BIGINT) AS n_pos,
+        |    sum(npos * (cum_prev + (n + 1) / 2.0)) AS rank_sum
+        |  FROM r1 GROUP BY 1)
+        |SELECT source, n_docs, n_pos, n_docs - n_pos AS n_neg,
+        |  CASE WHEN n_pos = 0 OR n_docs = n_pos THEN 0.5
+        |       ELSE round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+        |         / (n_pos * (n_docs - n_pos)), 4) END AS auc
+        |FROM u ORDER BY source""".stripMargin,
     // q99's serve CTEs with the member set restricted by the label
     // predicate — the engine's filtered member scan, recomputed.
     "q102_ann_filtered" -> (Similarity.annRankedCtes(

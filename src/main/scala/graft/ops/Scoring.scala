@@ -396,6 +396,84 @@ object Scoring {
       tfb)
   }
 
+  // ---------------------------------------------------------------- q165
+
+  /** q165: Kneser–Ney bigram perplexity — the tier-3 smoothing upgrade
+    * over q147's add-1 fold (Kneser & Ney 1995; the interpolated
+    * absolute-discount form KenLM ships and CCNet scores with). Add-1
+    * steals far too much mass from seen bigrams when V is large and
+    * backs off to a UNIFORM distribution; KN discounts every seen count
+    * by a fixed D and backs off to the CONTINUATION unigram — how many
+    * distinct contexts a word follows — so "Francisco" (frequent but
+    * only ever after "San") stops looking like a plausible continuation
+    * everywhere. Model, all from the same Zipf²-sparse bigram table:
+    *
+    *   D        = n1 / (n1 + 2·n2)            (Ney's discount estimate:
+    *              n1/n2 = bigram types seen exactly once/twice)
+    *   Pcont(b) = N1+(·,b) / |bigram types|   (distinct left contexts)
+    *   P(b|a)   = ((c(a,b) − D) + D·N1+(a,·)·Pcont(b)) / c(a,·)
+    *
+    * Scoring the fit corpus means every (a,b) is in the model, so the
+    * fold is total (c(a,b) ≥ 1 > D keeps the first term positive; the
+    * interpolation term is positive always). Per-doc score is the q147
+    * contract: −Σ tf·ln P / Σ tf, rounded 4.
+    *
+    * Scale shape identical to q147: ONE corpus pass into the map-side-
+    * combined (doc, a, b, tf) fold; model tables are the observed-bigram
+    * aggregates (context totals and continuation counts are vocab-sized,
+    * D and the type total one broadcast 1-row scalar); scoring is three
+    * shuffle joins on Zipf²-sparse keys + one per-doc agg. No windows,
+    * no driver data. */
+  val q165KnPerplexity: Q = (s, d) => knNllOf(Tables.documents(s, d))
+
+  /** The q165 KN scoring kernel over an arbitrary (doc_id, text) frame
+    * — fit + score in one composition (the [[bigramNllOf]] convention),
+    * so specs can drive it with planted fixtures and a pipeline can run
+    * the certified arithmetic on its own corpus. */
+  private[graft] def knNllOf(docs: DataFrame): DataFrame = {
+    val tfb = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+      .cache()
+    // the bigram count table feeds four downstream aggregates — cache it
+    // (caller-released below) rather than recompute the corpus fold
+    val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+      .cache()
+    // context totals AND distinct-continuation counts in ONE pass over bg
+    val ctx = bg.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val pre = bg.groupBy(col("b")).agg(count(lit(1)).as("n1pre"))
+    // Ney discount + type total: one 1-row agg, broadcast (the q147
+    // vocab-scalar shape). greatest(...,1) guards the degenerate corpus
+    // with no once- or twice-seen bigram types (D would be 0/0)
+    val disc = bg.agg(
+      (sum(when(col("cab") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(when(col("cab") === 1, 1L).otherwise(0L)) +
+          lit(2L) * sum(when(col("cab") === 2, 1L).otherwise(0L)), lit(1L)))
+        .as("dd"),
+      count(lit(1)).cast("double").as("tt"))
+    Caching.materializeAndRelease(
+      tfb
+        .join(bg, Seq("a", "b"))
+        .join(ctx, Seq("a"))
+        .join(pre, Seq("b"))
+        .crossJoin(broadcast(disc))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_pairs"),
+          round(-sum(col("tf") *
+              log(((col("cab") - col("dd")) +
+                col("dd") * col("n1a") * (col("n1pre") / col("tt"))) /
+                col("ca"))) /
+            sum(col("tf")), 4).as("nll_kn"))
+        .orderBy(col("doc_id")),
+      tfb, bg)
+  }
+
   // ---------------------------------------------------------------- q86
 
   /** Deterministic shard plan — the manifest a training-shard export
@@ -1047,6 +1125,7 @@ object Scoring {
     "q156_bigram_buckets" -> q156BigramBuckets,
     "q157_ppl_gate_funnel" -> q157PplGateFunnel,
     "q163_heldout_ppl" -> q163HeldoutPpl,
+    "q165_kn_perplexity" -> q165KnPerplexity,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
@@ -1257,6 +1336,29 @@ object Scoring {
         |  round(round(coalesce(avg(CASE WHEN is_test THEN nll2 END), 0.0), 4)
         |    - round(coalesce(avg(CASE WHEN NOT is_test THEN nll2 END), 0.0), 4), 4) AS gap
         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the KN model recomputed end-to-end from the shared bigram CTEs:
+    // context totals + continuation counts + the Ney discount 1-row
+    // scalar, folded in the engine's exact arithmetic order
+    // ((cab − D) + D·n1a·(n1pre/T)) / ca
+    "q165_kn_perplexity" ->
+      s"""WITH $nll2Ctes,
+        |n1aa AS (SELECT a, CAST(count(*) AS BIGINT) AS n1a FROM bg GROUP BY 1),
+        |pre AS (SELECT b, CAST(count(*) AS BIGINT) AS n1pre FROM bg GROUP BY 1),
+        |disc AS (
+        |  SELECT CAST(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(greatest(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END)
+        |          + 2 * sum(CASE WHEN cab = 2 THEN 1 ELSE 0 END), 1) AS BIGINT) AS dd,
+        |    CAST(count(*) AS DOUBLE) AS tt
+        |  FROM bg),
+        |knt AS (
+        |  SELECT tfb.doc_id, CAST(sum(tfb.tf) AS BIGINT) AS n_pairs,
+        |    round(-sum(tfb.tf * ln(((bg.cab - disc.dd)
+        |        + disc.dd * n1aa.n1a * (pre.n1pre / disc.tt)) / cag.ca))
+        |      / sum(tfb.tf), 4) AS nll_kn
+        |  FROM tfb JOIN bg USING (a, b) JOIN cag USING (a)
+        |    JOIN n1aa USING (a) JOIN pre USING (b) CROSS JOIN disc
+        |  GROUP BY 1)
+        |SELECT doc_id, n_pairs, nll_kn FROM knt ORDER BY doc_id""".stripMargin,
     "q126_curriculum" ->
       s"""WITH $nllCtes
          |SELECT row_number() OVER (

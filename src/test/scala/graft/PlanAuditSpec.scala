@@ -101,6 +101,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q160_data_card_full",
         // q163 broadcasts the train-split vocab scalar (the q147 shape)
         "q163_heldout_ppl",
+        // q165 broadcasts its 1-row Ney-discount scalar (the q147 shape)
+        "q165_kn_perplexity",
         // q153's ha < hb pair join runs over DISTINCT hash values only —
         // bounded by hash-space occupancy, the q44-class intended shape
         "q153_hamming_hist",

@@ -508,4 +508,108 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     // mean-word-length gate while its token distribution is degenerate
     assert(got(2L)._1 > 0.0, "repetitive words still have char spread")
   }
+
+  test("q165 KN kernel: planted corpus matches an independent reference; P(·|a) sums to 1") {
+    import spark.implicits._
+    val fixture = Map(
+      1L -> "a b a b a c", 2L -> "b a b a", 3L -> "c c a b",
+      5L -> "a c a c") // gives ca count 2, so n2 > 0 and D is proper
+    val docs = (fixture.toSeq :+ (4L -> "onetoken")).toDF("doc_id", "text")
+    val got = ops.Scoring.knNllOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // independent reference: plain count maps + the interpolated
+    // absolute-discount formula, written from the paper, not the engine
+    val toks = fixture.map { case (k, v) => k -> v.split(" ").toSeq }
+    val cab = toks.values.flatMap(ts => ts.zip(ts.tail)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1a = cab.groupBy(_._1._1).map { case (a, m) => a -> m.size.toLong }
+    val pre = cab.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val tt = cab.size.toDouble
+    val n1 = cab.values.count(_ == 1L)
+    val n2 = cab.values.count(_ == 2L)
+    val dd = n1.toDouble / math.max(n1 + 2 * n2, 1)
+    assert(dd > 0.0 && dd < 1.0, s"Ney discount must be a proper discount: $dd")
+    def p(a: String, b: String): Double =
+      ((cab((a, b)) - dd) + dd * n1a(a) * (pre(b) / tt)) / ca(a)
+    // the defining property of interpolated KN: a proper conditional —
+    // sum over the continuation vocabulary is 1 for every context
+    ca.keys.foreach { a =>
+      val mass = pre.keys.map { b =>
+        (math.max(cab.getOrElse((a, b), 0L) - dd, 0.0) +
+          dd * n1a(a) * (pre(b) / tt)) / ca(a)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"P(.|$a) sums to $mass, not 1")
+    }
+    toks.foreach { case (id, ts) =>
+      val ps = ts.zip(ts.tail)
+      val exp = BigDecimal(-ps.map(x => math.log(p(x._1, x._2))).sum / ps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, nll) = got(id)
+      assert(n == ps.size, s"doc $id: n_pairs $n != ${ps.size}")
+      assert(math.abs(nll - exp) < 1e-6, s"doc $id: nll_kn $nll != reference $exp")
+    }
+    assert(!got.contains(4L), "a 1-token doc has nothing to score")
+  }
+
+  test("q165 vs q147 on the corpus: same doc set and pair counts, different smoothing") {
+    val kn = ops.Scoring.q165KnPerplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val add1 = ops.Scoring.q147BigramPerplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(kn.keySet == add1.keySet, "both smoothings score exactly the >=2-token docs")
+    kn.foreach { case (id, (n, nll)) =>
+      assert(n == add1(id)._1, s"doc $id: pair counts must agree")
+      assert(nll > 0.0 && java.lang.Double.isFinite(nll), s"doc $id: nll_kn $nll")
+    }
+    // add-1 drains mass from SEEN bigrams toward the uniform V-term, so
+    // on a corpus scored in-model KN should read lower on average — the
+    // reason KN is the production smoothing (direction, not a theorem,
+    // hence corpus-level, not per-doc)
+    val meanKn = kn.values.map(_._2).sum / kn.size
+    val meanAdd1 = add1.values.map(_._2).sum / add1.size
+    assert(meanKn < meanAdd1,
+      s"KN mean nll $meanKn should undercut add-1 $meanAdd1 in-model")
+  }
+
+  test("q166 AUC kernel: midrank fold equals brute-force pair counting; single-class source reads 0.5") {
+    import spark.implicits._
+    val rows = Seq(
+      ("s1", 0.1, 0L), ("s1", 0.2, 0L), ("s1", 0.2, 1L), ("s1", 0.3, 1L),
+      ("s1", 0.3, 0L), ("s1", 0.9, 1L),
+      ("s2", 0.5, 1L), ("s2", 0.6, 1L), // all-positive: nothing to rank
+      ("s3", 0.4, 0L), ("s3", 0.4, 1L), ("s3", 0.4, 0L)) // all tied
+    val got = ops.Curation.aucBySource(rows.toDF("source", "score", "label"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def brute(rs: Seq[(String, Double, Long)]): Double = {
+      val pos = rs.filter(_._3 == 1L).map(_._2)
+      val neg = rs.filter(_._3 == 0L).map(_._2)
+      val s = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      BigDecimal(s / (pos.size * neg.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("s1") == ((6L, 3L, 3L, brute(rows.filter(_._1 == "s1")))))
+    assert(got("s2") == ((2L, 2L, 0L, 0.5)), "single-class source: chance by convention")
+    assert(got("s3")._4 == 0.5, "all-tied scores rank nothing: exactly chance")
+  }
+
+  test("q166 on the corpus: bins partition the docs and the margin ranks its own label") {
+    val rows = ops.Curation.q166ClassifierAuc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "per-source counts must partition the corpus")
+    rows.foreach { case (src, nd, np, nn, auc) =>
+      assert(np + nn == nd, s"$src: pos + neg != docs")
+      assert(auc >= 0.0 && auc <= 1.0, s"$src: AUC $auc out of range")
+    }
+    // the classifier was bootstrapped FROM this label: it must rank it
+    // clearly better than chance on the corpus-weighted average
+    val rankable = rows.filter(r => r._3 > 0 && r._4 > 0)
+    assert(rankable.nonEmpty)
+    val wAuc = rankable.map(r => r._5 * r._2).sum / rankable.map(_._2).sum
+    assert(wAuc > 0.7, s"weighted AUC $wAuc should beat chance decisively")
+  }
 }

@@ -62,7 +62,8 @@ object SparkEntry {
       (Set("q107_temp_mix"), ops.Curation.writeTempMixSupport),
       (Set("q122_lsh_calibration", "q123_lsh_bucket_profile"),
         ops.Dedup.writeLshSupport),
-      (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve"),
+      (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve",
+        "q167_maxmatch_segment"),
         ops.TextOps.writeBpeSupport),
       (Set("q154_wordvec_neighbors", "q155_docvec_similar", "q161_sif_docvec"),
         ops.Ml.writeWordvecSupport))

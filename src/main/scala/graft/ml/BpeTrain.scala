@@ -145,4 +145,29 @@ object BpeTrain {
     merges.foldLeft(codePointSyms(word)) {
       case (syms, (a, b)) => applyMerge(syms, a, b)
     }
+
+  /** Greedy longest-prefix-match segmentation — the WordPiece INFERENCE
+    * rule (Wu et al. 2016; the `tokenizers` WordPiece model's algorithm)
+    * applied against an arbitrary symbol vocabulary: at each position
+    * take the longest vocab entry that prefixes the remaining suffix,
+    * emit it, advance. Codepoint-based throughout (prefix lengths are
+    * counted in codepoints, so an astral symbol can never be sheared —
+    * the [[codePointSyms]] contract). A codepoint absent from the vocab
+    * is emitted as its own symbol (can't happen when the vocab contains
+    * the corpus charset, which [[graft.ops.TextOps]]'s q167 guarantees
+    * by construction). `maxLen` is the longest vocab entry in
+    * codepoints — pass it precomputed so per-word work is
+    * O(len · maxLen), not O(len · |vocab|). */
+  def maxMatch(word: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+    val syms = codePointSyms(word)
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      var l = math.max(1, math.min(maxLen, syms.length - i))
+      while (l > 1 && !vocab.contains(syms.slice(i, i + l).mkString)) l -= 1
+      out += syms.slice(i, i + l).mkString
+      i += l
+    }
+    out.result()
+  }
 }

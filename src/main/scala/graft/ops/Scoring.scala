@@ -424,7 +424,18 @@ object Scoring {
     * D and the type total one broadcast 1-row scalar); scoring is three
     * shuffle joins on Zipf²-sparse keys + one per-doc agg. No windows,
     * no driver data. */
-  val q165KnPerplexity: Q = (s, d) => knNllOf(Tables.documents(s, d))
+  val q165KnPerplexity: Q = (s, d) => knScores(s, d).orderBy(col("doc_id"))
+
+  /** The memoized KN score table (doc_id, n_pairs, nll_kn) — q165 and
+    * the q168 model ladder share one fit, exactly as [[bigramScores]]
+    * serves q147/q156. */
+  private[graft] def knScores(s: SparkSession, d: String): DataFrame = {
+    val p = SessionArtifacts.dir("nllkn", s, d) { t =>
+      knNllOf(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(s"$t/scores")
+    }
+    s.read.parquet(s"$p/scores")
+  }
 
   /** The q165 KN scoring kernel over an arbitrary (doc_id, text) frame
     * — fit + score in one composition (the [[bigramNllOf]] convention),
@@ -472,6 +483,41 @@ object Scoring {
             sum(col("tf")), 4).as("nll_kn"))
         .orderBy(col("doc_id")),
       tfb, bg)
+  }
+
+  // ---------------------------------------------------------------- q168
+
+  /** q168: the LM MODEL LADDER — per-source mean NLL under every
+    * perplexity tier the engine ships (q85 unigram, q147 add-1 bigram,
+    * q165 Kneser–Ney bigram) plus the per-doc mean KN gain over add-1,
+    * in one source-sized report. This is the table a pipeline reads to
+    * decide which tier its quality gate should pay for: if the KN gain
+    * is flat across sources the cheap tier ranks the same docs; a
+    * source where the gain spikes is one whose bigram distribution add-1
+    * mis-smooths (rare-pair-heavy text) and where gate decisions would
+    * genuinely move. Reads the three memoized score artifacts — scoring
+    * happened ONCE per tier for the whole session; this query is three
+    * joins of per-doc score tables and a per-source fold, nothing
+    * corpus-tokenizing. Left joins keep unscorable docs (empty / 1-token)
+    * in n_docs so the report also shows per-tier coverage. */
+  val q168LmLadder: Q = (s, d) => {
+    val uni = perplexityScores(s, d).select(col("doc_id"), col("nll"))
+    val bi = bigramScores(s, d).select(col("doc_id"), col("nll2"))
+    val kn = knScores(s, d).select(col("doc_id"), col("nll_kn"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .join(kn, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nll").isNotNull.cast("long")).cast("long").as("n_uni"),
+        sum(col("nll2").isNotNull.cast("long")).cast("long").as("n_bi"),
+        round(coalesce(avg(col("nll")), lit(0.0)), 4).as("nll_uni"),
+        round(coalesce(avg(col("nll2")), lit(0.0)), 4).as("nll_add1"),
+        round(coalesce(avg(col("nll_kn")), lit(0.0)), 4).as("nll_kn"),
+        round(coalesce(avg(col("nll2") - col("nll_kn")), lit(0.0)), 4)
+          .as("kn_gain"))
+      .orderBy(col("source"))
   }
 
   // ---------------------------------------------------------------- q86
@@ -1126,6 +1172,7 @@ object Scoring {
     "q157_ppl_gate_funnel" -> q157PplGateFunnel,
     "q163_heldout_ppl" -> q163HeldoutPpl,
     "q165_kn_perplexity" -> q165KnPerplexity,
+    "q168_lm_ladder" -> q168LmLadder,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
@@ -1212,6 +1259,28 @@ object Scoring {
       |    CAST(sum(tfb.tf) AS BIGINT) AS n_pairs,
       |    round(-sum(tfb.tf * ln((bg.cab + 1) / (cag.ca + v2.v))) / sum(tfb.tf), 4) AS nll2
       |  FROM tfb JOIN bg USING (a, b) JOIN cag USING (a) CROSS JOIN v2
+      |  GROUP BY 1)""".stripMargin
+
+  /** The q165 KN replay on top of [[nll2Ctes]]'s tfb/bg/cag tables:
+    * continuation counts, the Ney-discount 1-row scalar, and the per-doc
+    * fold in the engine's exact arithmetic order
+    * ((cab − D) + D·n1a·(n1pre/T)) / ca. Shared by q165 and q168. */
+  private[ops] val knCtes =
+    """n1aa AS (SELECT a, CAST(count(*) AS BIGINT) AS n1a FROM bg GROUP BY 1),
+      |pre AS (SELECT b, CAST(count(*) AS BIGINT) AS n1pre FROM bg GROUP BY 1),
+      |disc AS (
+      |  SELECT CAST(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(greatest(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END)
+      |          + 2 * sum(CASE WHEN cab = 2 THEN 1 ELSE 0 END), 1) AS BIGINT) AS dd,
+      |    CAST(count(*) AS DOUBLE) AS tt
+      |  FROM bg),
+      |knt AS (
+      |  SELECT tfb.doc_id, CAST(sum(tfb.tf) AS BIGINT) AS n_pairs,
+      |    round(-sum(tfb.tf * ln(((bg.cab - disc.dd)
+      |        + disc.dd * n1aa.n1a * (pre.n1pre / disc.tt)) / cag.ca))
+      |      / sum(tfb.tf), 4) AS nll_kn
+      |  FROM tfb JOIN bg USING (a, b) JOIN cag USING (a)
+      |    JOIN n1aa USING (a) JOIN pre USING (b) CROSS JOIN disc
       |  GROUP BY 1)""".stripMargin
 
   private val nllCtes =
@@ -1342,23 +1411,29 @@ object Scoring {
     // ((cab − D) + D·n1a·(n1pre/T)) / ca
     "q165_kn_perplexity" ->
       s"""WITH $nll2Ctes,
-        |n1aa AS (SELECT a, CAST(count(*) AS BIGINT) AS n1a FROM bg GROUP BY 1),
-        |pre AS (SELECT b, CAST(count(*) AS BIGINT) AS n1pre FROM bg GROUP BY 1),
-        |disc AS (
-        |  SELECT CAST(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / CAST(greatest(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END)
-        |          + 2 * sum(CASE WHEN cab = 2 THEN 1 ELSE 0 END), 1) AS BIGINT) AS dd,
-        |    CAST(count(*) AS DOUBLE) AS tt
-        |  FROM bg),
-        |knt AS (
-        |  SELECT tfb.doc_id, CAST(sum(tfb.tf) AS BIGINT) AS n_pairs,
-        |    round(-sum(tfb.tf * ln(((bg.cab - disc.dd)
-        |        + disc.dd * n1aa.n1a * (pre.n1pre / disc.tt)) / cag.ca))
-        |      / sum(tfb.tf), 4) AS nll_kn
-        |  FROM tfb JOIN bg USING (a, b) JOIN cag USING (a)
-        |    JOIN n1aa USING (a) JOIN pre USING (b) CROSS JOIN disc
-        |  GROUP BY 1)
+        |$knCtes
         |SELECT doc_id, n_pairs, nll_kn FROM knt ORDER BY doc_id""".stripMargin,
+    // all three tiers recomputed in one statement (the nll / nll2 / KN
+    // CTE families are disjoint by name), left-joined onto documents so
+    // coverage counts include unscorable docs — engine join order
+    "q168_lm_ladder" ->
+      s"""WITH $nllCtes,
+        |$nll2Ctes,
+        |$knCtes,
+        |j AS (
+        |  SELECT d.source, nllt.nll, n2t.nll2, knt.nll_kn
+        |  FROM documents d
+        |  LEFT JOIN nllt USING (doc_id)
+        |  LEFT JOIN n2t USING (doc_id)
+        |  LEFT JOIN knt USING (doc_id))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nll IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+        |  CAST(sum(CASE WHEN nll2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+        |  round(coalesce(avg(nll), 0.0), 4) AS nll_uni,
+        |  round(coalesce(avg(nll2), 0.0), 4) AS nll_add1,
+        |  round(coalesce(avg(nll_kn), 0.0), 4) AS nll_kn,
+        |  round(coalesce(avg(nll2 - nll_kn), 0.0), 4) AS kn_gain
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_curriculum" ->
       s"""WITH $nllCtes
          |SELECT row_number() OVER (

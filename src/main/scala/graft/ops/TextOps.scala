@@ -874,6 +874,47 @@ object TextOps {
       .orderBy(col("w"))
   }
 
+  /** q167: greedy longest-match segmentation — the OTHER production
+    * tokenizer-inference family (WordPiece's MaxMatch rule, Wu et al.
+    * 2016) run against the vocabulary the q145 BPE training induces:
+    * every corpus codepoint plus each learned merge's symbol. BPE
+    * inference replays merge ORDER; MaxMatch ignores order and greedily
+    * takes the longest vocab prefix at each position — the two disagree
+    * exactly where merge priority beats greed (e.g. merges learned
+    * `ab` then `bc`: BPE segments "abc" as `ab c`, MaxMatch agrees; but
+    * vocab {ab, abc…}: MaxMatch grabs the longest regardless of when it
+    * was learned). Shipping both lets a pipeline measure how much the
+    * cheaper order-free inference costs in fidelity before swapping it
+    * in at serve time. Oracle: DuckDB rebuilds the same vocab and walks
+    * each word with a recursive longest-prefix CTE (per-position best
+    * match precomputed with max_by — unique because two equal-length
+    * matches at one position are the same string).
+    *
+    * Scale shape: one corpus tokenize pass into the Zipf-bounded word
+    * counts; the vocab is charset + merges (collected: charset-bounded,
+    * a few hundred rows); segmentation is a vocab-sized UDF apply.
+    * Nothing corpus-quadratic; no windows. */
+  val q167MaxmatchSegment: Q = (s, d) => {
+    val merges = bpeMergesOf(s, d)
+    val wc = graft.ml.BpeTrain.wordCounts(Tables.documents(s, d)).cache()
+    // corpus charset: split('') is codepoint-safe (the q159 probe), and
+    // the collect is alphabet-bounded — NOT vocab- or corpus-sized
+    val singles = wc.select(explode(split(col("w"), "")).as("c"))
+      .distinct().collect().map(_.getString(0))
+    val vocab = singles.toSet ++ merges.map { case (a, b) => a + b }
+    val maxLen = vocab.iterator
+      .map(v => graft.ml.BpeTrain.codePointSyms(v).length).max
+    val segUdf = udf { (w: String) =>
+      graft.ml.BpeTrain.maxMatch(w, vocab, maxLen).mkString(" ")
+    }
+    Caching.materializeAndRelease(
+      wc.select(col("w"), col("n").cast("long").as("n"),
+          segUdf(col("w")).as("segmented"))
+        .withColumn("n_syms", size(split(col("segmented"), " ")).cast("long"))
+        .orderBy(col("w")),
+      wc)
+  }
+
   /** q146: tokenizer FERTILITY by source — pieces per word token under
     * the q145-trained tokenizer, the metric that tells a pipeline which
     * domains its tokenizer serves poorly (a source with fertility 2×
@@ -1079,6 +1120,7 @@ object TextOps {
     "q130_merge_compression" -> q130MergeCompression,
     "q145_bpe_segment"  -> q145BpeSegment,
     "q146_tok_fertility" -> q146TokFertility,
+    "q167_maxmatch_segment" -> q167MaxmatchSegment,
     "q152_merge_curve"  -> q152MergeCurve,
     "q110_boilerplate"  -> q110Boilerplate,
     "q133_run_collapse" -> q133RunCollapse,
@@ -1243,6 +1285,43 @@ object TextOps {
         |  round(sum(sw.n * sy.n_syms) / sum(sw.n), 4) AS fertility
         |FROM sw JOIN sy USING (w)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MaxMatch replayed: rebuild the vocab (corpus codepoints + merge
+    // symbols), precompute the longest vocab match at every word
+    // position (max_by is unambiguous — equal-length matches at one
+    // position are the same string), then a recursive pointer walk
+    // emits the greedy segmentation. DuckDB len/substr/string_split
+    // are codepoint-based, matching the engine's codePointSyms lengths.
+    "q167_maxmatch_segment" ->
+      """WITH RECURSIVE
+        |wc AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT regexp_replace(w0, '[\x00-\x1f]', '', 'g') AS w FROM (
+        |      SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w0
+        |      FROM documents))
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |m AS (SELECT merge_no, a, b
+        |      FROM read_parquet('{GRAFT_OUT}_support/q145_support_merges/*.parquet')),
+        |vocab AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT unnest(string_split(w, '')) AS v FROM wc
+        |    UNION ALL
+        |    SELECT a || b AS v FROM m)),
+        |pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wc),
+        |best AS (
+        |  SELECT p.w, p.i, max_by(v.v, len(v.v)) AS v,
+        |    CAST(max(len(v.v)) AS BIGINT) AS l
+        |  FROM pos p JOIN vocab v ON substr(p.w, p.i, len(v.v)) = v.v
+        |  GROUP BY 1, 2),
+        |walk(w, i, segs) AS (
+        |  SELECT w, CAST(1 AS BIGINT), CAST('' AS VARCHAR) FROM wc
+        |  UNION ALL
+        |  SELECT x.w, x.i + b.l, x.segs || ' ' || b.v
+        |  FROM walk x JOIN best b ON b.w = x.w AND b.i = x.i),
+        |fin AS (SELECT w, trim(segs) AS segmented FROM walk WHERE i = len(w) + 1)
+        |SELECT wc.w, wc.n, fin.segmented,
+        |  CAST(len(string_split(fin.segmented, ' ')) AS BIGINT) AS n_syms
+        |FROM wc JOIN fin USING (w)
+        |ORDER BY w""".stripMargin,
     // round-1 symbols are single characters, so non-overlapping string
     // replace IS the greedy left-to-right pair merge — the oracle
     // recomputes the trainer kernel's occurrence count independently

@@ -132,4 +132,24 @@ class BpeTrainSpec extends AnyFunSuite {
       assert(BpeTrain.segment(w, merges).length < w.length)
     }
   }
+
+  test("maxMatch: greedy longest prefix, codepoint-safe, diverges from merge-order BPE where greed beats priority") {
+    val vocab = Set("a", "b", "c", "bc", "ab")
+    // merge order blocks 'ab' (bc consumed the b first); greed takes it
+    assert(BpeTrain.maxMatch("abc", vocab, 2) == Seq("ab", "c"))
+    assert(BpeTrain.segment("abc", Seq(("b", "c"), ("a", "b"))) == Seq("a", "bc"))
+    // an astral symbol is one codepoint: never sheared, counts as len 1
+    assert(BpeTrain.maxMatch("a😀b", Set("a", "b", "😀"), 2)
+      == Seq("a", "😀", "b"))
+    // a codepoint missing from the vocab is emitted as its own symbol
+    assert(BpeTrain.maxMatch("axb", Set("a", "b"), 1) == Seq("a", "x", "b"))
+    // greedy is leftmost-longest even when a shorter start packs better:
+    // vocab {aa, aab}: 'aaba' -> aab a (3 would need lookahead)
+    assert(BpeTrain.maxMatch("aaba", Set("a", "b", "aa", "aab"), 3)
+      == Seq("aab", "a"))
+    // lossless on every input
+    Seq("abc", "aaba", "zzz", "a😀b").foreach { w =>
+      assert(BpeTrain.maxMatch(w, vocab, 2).mkString("") == w)
+    }
+  }
 }

@@ -596,6 +596,49 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got("s3")._4 == 0.5, "all-tied scores rank nothing: exactly chance")
   }
 
+  test("q167 vs q145: same vocabulary rows, lossless pieces, every piece in the induced vocab") {
+    val mm = ops.TextOps.q167MaxmatchSegment(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val bpe = ops.TextOps.q145BpeSegment(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mm.keySet == bpe.keySet, "both segmenters cover the same word counts")
+    val merges = ops.TextOps.bpeMergesOf(spark, sf)
+    val mergeSyms = merges.map { case (a, b) => a + b }.toSet
+    mm.foreach { case (w, (n, seg, nSyms)) =>
+      assert(n == bpe(w), s"$w: counts must agree")
+      val pieces = seg.split(" ").toSeq
+      assert(pieces.length == nSyms)
+      assert(pieces.mkString("") == w, s"$w: lossless reconstruction")
+      pieces.foreach { p =>
+        assert(mergeSyms.contains(p) ||
+          graft.ml.BpeTrain.codePointSyms(p).length == 1,
+          s"$w: piece '$p' is neither a merge symbol nor a single codepoint")
+      }
+    }
+  }
+
+  test("q168 ladder: coverage ordering, per-source KN gain positive, tiers read from one scoring pass") {
+    val rows = ops.Scoring.q168LmLadder(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "sources partition the corpus")
+    rows.foreach { case (src, nDocs, nUni, nBi, _, add1, kn, gain) =>
+      assert(nUni >= nBi, s"$src: unigram scores a superset of bigram-scorable docs")
+      assert(nBi <= nDocs)
+      if (nBi > 0) {
+        assert(math.abs((add1 - kn) - gain) < 0.05,
+          s"$src: mean-of-diffs must track diff-of-means: $add1 - $kn vs $gain")
+      }
+    }
+    // KN-beats-add-1 is a corpus-level property, not per-source (a tiny
+    // singleton-heavy source can read a hair negative at this sf): the
+    // token-weighted mean gain must be clearly positive
+    val scored = rows.filter(_._4 > 0)
+    val wGain = scored.map(r => r._8 * r._4).sum / scored.map(_._4).sum
+    assert(wGain > 0.0, s"weighted KN gain $wGain must be positive in-model")
+  }
+
   test("q166 on the corpus: bins partition the docs and the margin ranks its own label") {
     val rows = ops.Curation.q166ClassifierAuc(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

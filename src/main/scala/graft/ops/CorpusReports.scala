@@ -403,8 +403,109 @@ object CorpusReports {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q169
+
+  /** q169: Zipf rank–frequency FIT — the quantitative companion to
+    * q116's frequency histogram: OLS of ln(count) on ln(rank) over the
+    * top-K term types, reporting slope (healthy natural text reads near
+    * −1; template sludge reads much shallower, boilerplate-dominated
+    * corpora much steeper), intercept, and R². The one-row table a
+    * corpus review reads next to the data card: a corpus whose head
+    * doesn't Zipf-decay earns different dedup and mixing knobs.
+    *
+    * Determinism: the top-K is TakeOrdered on (count desc, term asc) —
+    * a total order, so both engines pick the same K terms with the same
+    * ranks; the OLS moments are sums of K=100 doubles (magnitude ≤
+    * ln(ct)·ln(K) each), far inside round-4 stability. The rank window
+    * runs over the already-limited K-row frame (statically bounded —
+    * the q11 shape), never the corpus. Scale: one tokenize pass into a
+    * map-side-combined term count, one TakeOrdered, one 1-row fold. */
+  val q169ZipfFit: Q = (s, d) => zipfFitOf(Tables.documents(s, d))
+
+  /** The q169 fit over an arbitrary (doc_id, text) frame — factored so
+    * specs can pin the OLS arithmetic on a planted exactly-Zipfian
+    * fixture (the corpus-level test only asserts decay: synthetic test
+    * data needn't be log-log linear). */
+  private[graft] def zipfFitOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topK = 100
+    val top = docs
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("w")).limit(topK)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("ct").desc, col("w"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("ct").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("k") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("k") * col("sxx") - col("sx") * col("sx"))
+      .select(col("k"),
+        round(col("num") / col("den"), 4).as("slope"),
+        round((col("sy") - (col("num") / col("den")) * col("sx")) / col("k"), 4)
+          .as("intercept"),
+        round((col("num") * col("num")) /
+          (col("den") * (col("k") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("r2"))
+  }
+
+  // ---------------------------------------------------------------- q170
+
+  /** q170: vocabulary GROWTH curve (Heaps' law, raw) — cumulative
+    * distinct term types, documents, and tokens at each decile of the
+    * doc_id axis (ingest order). The table that sizes a tokenizer's
+    * vocab budget: where the curve keeps climbing, new data still buys
+    * new types; where it flattens, the charset is saturated and vocab
+    * spend should stop. Exact integer arithmetic end-to-end.
+    *
+    * Scale shape: "cumulative distinct" WITHOUT any global sort or
+    * window — each term contributes once at its FIRST document
+    * (min(doc_id) per term, one map-side-combined agg), the decile
+    * boundaries are percentile_disc in a single 1-row agg (actual ids,
+    * exact cross-engine), and the cumulative counts fold as 10 tagged
+    * sums against that broadcast row. Three shuffles total at any
+    * corpus size; output is 10 rows. */
+  val q170VocabGrowth: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cutCols = (1 to 10).map(i => expr(
+      s"percentile_disc(${i / 10.0}) WITHIN GROUP (ORDER BY doc_id)").as(s"c$i"))
+    val cuts = broadcast(docs.agg(cutCols.head, cutCols.tail: _*))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val vRow = firstSeen.crossJoin(cuts).agg(
+      (1 to 10).map(i =>
+        sum((col("first_doc") <= col(s"c$i")).cast("long")).as(s"v$i")).head,
+      (2 to 10).map(i =>
+        sum((col("first_doc") <= col(s"c$i")).cast("long")).as(s"v$i")): _*)
+    val dRow = docs
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("ntoks"))
+      .crossJoin(cuts).agg(
+        sum((col("doc_id") <= col("c1")).cast("long")).as("d1"),
+        (2 to 10).map(i =>
+          sum((col("doc_id") <= col(s"c$i")).cast("long")).as(s"d$i")) ++
+        (1 to 10).map(i =>
+          sum(when(col("doc_id") <= col(s"c$i"), col("ntoks")).otherwise(0L))
+            .cast("long").as(s"t$i")): _*)
+    vRow.crossJoin(dRow)
+      .select(explode(array((1 to 10).map(i => struct(
+        lit(i.toLong).as("decile"), col(s"d$i").as("docs_cum"),
+        col(s"t$i").as("tokens_cum"), col(s"v$i").as("vocab_cum"))): _*)).as("r"))
+      .select(col("r.decile"), col("r.docs_cum"), col("r.tokens_cum"),
+        col("r.vocab_cum"))
+      .orderBy(col("decile"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q160_data_card_full" -> q160DataCardFull,
+    "q169_zipf_fit" -> q169ZipfFit,
+    "q170_vocab_growth" -> q170VocabGrowth,
     "q150_data_card" -> q150DataCard,
     "q151_dedup_bias" -> q151DedupBias,
     "q115_dup_cluster_hist" -> q115DupClusterHist,
@@ -446,6 +547,56 @@ object CorpusReports {
        |FROM c ORDER BY $key""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // top-K on a (count desc, term) TOTAL order, then the OLS moment
+    // fold in the engine's exact expression shapes
+    "q169_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |tc AS (SELECT w, count(*) AS ct FROM tf GROUP BY 1),
+        |top AS (SELECT w, ct FROM tc ORDER BY ct DESC, w LIMIT 100),
+        |rk AS (SELECT ct, row_number() OVER (ORDER BY ct DESC, w) AS rank FROM top),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(ct AS DOUBLE)) AS y FROM rk),
+        |s1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM xy),
+        |s2 AS (SELECT s1.*, k * sxy - sx * sy AS num, k * sxx - sx * sx AS den FROM s1)
+        |SELECT k, round(num / den, 4) AS slope,
+        |  round((sy - (num / den) * sx) / k, 4) AS intercept,
+        |  round((num * num) / (den * (k * syy - sy * sy)), 4) AS r2
+        |FROM s2""".stripMargin,
+    // first-occurrence fold against the 1-row decile-cut table: each of
+    // the 10 cumulative counts is a tagged sum, no window, no sort
+    "q170_vocab_growth" -> {
+      val cutDefs = (1 to 10).map(i =>
+        s"percentile_disc(${i / 10.0}) WITHIN GROUP (ORDER BY doc_id) AS c$i")
+        .mkString(",\n    ")
+      val vDefs = (1 to 10).map(i =>
+        s"CAST(sum(CASE WHEN first_doc <= c$i THEN 1 ELSE 0 END) AS BIGINT) AS v$i")
+        .mkString(",\n    ")
+      val dDefs = ((1 to 10).map(i =>
+        s"CAST(sum(CASE WHEN doc_id <= c$i THEN 1 ELSE 0 END) AS BIGINT) AS d$i") ++
+        (1 to 10).map(i =>
+          s"CAST(sum(CASE WHEN doc_id <= c$i THEN ntoks ELSE 0 END) AS BIGINT) AS t$i"))
+        .mkString(",\n    ")
+      def lst(p: String) = (1 to 10).map(i => s"$p$i").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '${"\\"}s+', ' ', 'g')), ' ')) AS w
+         |  FROM documents),
+         |fs AS (SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+         |cuts AS (SELECT $cutDefs FROM documents),
+         |v AS (SELECT $vDefs FROM fs, cuts),
+         |ds AS (
+         |  SELECT doc_id, len(string_split(trim(regexp_replace(text, '${"\\"}s+', ' ', 'g')), ' ')) AS ntoks
+         |  FROM documents),
+         |dd AS (SELECT $dDefs FROM ds, cuts)
+         |SELECT CAST(unnest([${lst("")}]) AS BIGINT) AS decile,
+         |  unnest([${lst("d")}]) AS docs_cum,
+         |  unnest([${lst("t")}]) AS tokens_cum,
+         |  unnest([${lst("v")}]) AS vocab_cum
+         |FROM v, dd ORDER BY decile""".stripMargin
+    },
     // q150's card CTEs + the recomputed bigram model (Scoring.nll2Ctes)
     // under the q156 cuts + the q101 margin over the exported weights +
     // the q97 gate CASE — every leg is a certified kernel's oracle text,

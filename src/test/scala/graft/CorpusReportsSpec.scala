@@ -106,4 +106,59 @@ class CorpusReportsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 4L), (3L, 1L, 8L)))
   }
+
+  test("q169: the corpus head Zipf-decays (negative slope, meaningful fit)") {
+    val r = graft.ops.CorpusReports.q169ZipfFit(spark, sf).collect().head
+    val (k, slope, intercept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val nTypes = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .distinct().count()
+    assert(k == math.min(100L, nTypes), "fit runs over the whole available head")
+    assert(slope < -0.1, s"rank-frequency must decay: slope $slope")
+    assert(intercept > 0.0, s"head frequency must be positive in log space: $intercept")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 is a proportion: $r2")
+  }
+
+  test("q169 kernel: an exactly-Zipfian fixture reads slope -1 with r2 1") {
+    import spark.implicits._
+    // word w_r appears round(1200 / r) times: frequencies 1200/r for
+    // ranks 1..12 — ln(ct) = ln(1200) - ln(rank) exactly up to rounding
+    val text = (1 to 12)
+      .flatMap(r => Seq.fill(1200 / r)(s"w${('a' + r).toChar}"))
+      .mkString(" ")
+    val r = graft.ops.CorpusReports.zipfFitOf(
+      Seq((1L, text)).toDF("doc_id", "text")).collect().head
+    val (k, slope, intercept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(k == 12L)
+    assert(math.abs(slope - (-1.0)) < 0.02, s"slope $slope should read -1")
+    assert(math.abs(intercept - math.log(1200.0)) < 0.05,
+      s"intercept $intercept should read ln(1200)")
+    assert(r2 > 0.999, s"an exact power law must fit: r2 $r2")
+  }
+
+  test("q170: growth curve is monotone and its last decile equals the corpus totals") {
+    val rows = graft.ops.CorpusReports.q170VocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 10L), "one row per decile, ordered")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4,
+        s"cumulative columns must be monotone: $a -> $b")
+    }
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nTokens = docs.select(sum(graft.functions.TextFns.tokenCount(col("text"))))
+      .collect().head.getLong(0)
+    val nTypes = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .distinct().count()
+    assert(rows.last == ((10L, nDocs, nTokens, nTypes)),
+      s"decile 10 must cover the whole corpus: ${rows.last} vs ($nDocs, $nTokens, $nTypes)")
+    // the knee the report exists to expose: early data buys types faster
+    // than late data (strictly sub-linear growth on a natural corpus)
+    val half = rows(4)._4
+    assert(half > rows.last._4 / 2,
+      s"vocab growth must be concave: ${half} types at decile 5 of ${rows.last._4}")
+  }
 }

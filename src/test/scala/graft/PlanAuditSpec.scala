@@ -103,6 +103,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q163_heldout_ppl",
         // q165 broadcasts its 1-row Ney-discount scalar (the q147 shape)
         "q165_kn_perplexity",
+        // q170 folds against its 1-row decile-cut broadcast (q135 shape)
+        "q170_vocab_growth",
         // q153's ha < hb pair join runs over DISTINCT hash values only —
         // bounded by hash-space occupancy, the q44-class intended shape
         "q153_hamming_hist",

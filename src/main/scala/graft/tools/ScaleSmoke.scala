@@ -836,6 +836,27 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // KN LM TIER (knlm): the q165 fit+score pass at growing corpus with
+    // FIXED vocabulary (same-text copies) — the claim the Zipf²-sparse
+    // model design earns: the bigram/continuation/discount tables follow
+    // the VOCABULARY, so only the per-doc scoring join grows with the
+    // corpus and the wall-clock must read linear-at-worst.
+    if (section == "knlm") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            col("text")) // SAME vocab per copy: corpus grows, model fixed
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        time(s"knlm mult=$mult KN fit+score, rows=$rows") {
+          val scored = graft.ops.Scoring.knNllOf(scaled)
+          println(s"[scale] knlm mult=$mult scored=${scored.count()}")
+        }
+        scaled.unpersist()
+      }
+    }
     // PRODUCTION-WIDTH MEDIA THROUGHPUT (media64): real 256x256 PNGs
     // through the fused decodeProfile pass and the 64-bit near-dup
     // funnel — the decode-bound regime the 4x4 certification corpus

@@ -284,9 +284,18 @@ object Scoring {
     * the q156 percentile_disc(2/3) tercile — ONE 1-row agg broadcast, no
     * global sort — and keep head+middle. Docs with < 2 tokens carry no
     * score and PASS through the left join: the gate never judges what it
-    * cannot score. */
-  def pplGateKeep(docs: DataFrame, scores: Option[DataFrame] = None): DataFrame = {
-    val sc = scores.getOrElse(bigramNllOf(docs)).select(col("doc_id"), col("nll2"))
+    * cannot score.
+    *
+    * `smoothing` picks the scoring tier when no score table is given:
+    * "add1" (q147, the default) or "kn" (q165's Kneser–Ney — the tier
+    * the q168 ladder exists to justify; its nll_kn lands in the same
+    * nll2 slot so the cut/filter algebra is one code path). */
+  def pplGateKeep(docs: DataFrame, scores: Option[DataFrame] = None,
+      smoothing: String = "add1"): DataFrame = {
+    val sc = scores.getOrElse(smoothing match {
+      case "kn" => knNllOf(docs).select(col("doc_id"), col("nll_kn").as("nll2"))
+      case _    => bigramNllOf(docs)
+    }).select(col("doc_id"), col("nll2"))
     val cut = sc.agg(
       expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
     docs.join(sc, Seq("doc_id"), "left")
@@ -326,6 +335,34 @@ object Scoring {
           avg(when(!col("dropped") && col("nll2").isNotNull, col("nll2"))),
           lit(0.0)), 4).as("nll_kept"),
         round(coalesce(avg(when(col("dropped"), col("nll2"))), lit(0.0)), 4)
+          .as("nll_dropped"))
+      .orderBy(col("source"))
+  }
+
+  /** q171: the q157 loss accounting under the KN tier — the same
+    * per-source funnel with the cut placed on q165's Kneser–Ney scores
+    * instead of add-1. Read NEXT TO q157: a source whose drop share
+    * moves materially between the two tiers is one where smoothing
+    * choice changes real gate decisions (exactly what q168's kn_gain
+    * flags); where the two tables agree, the cheaper tier is safe.
+    * Same scale shape as q157: session score artifact, ONE 1-row
+    * percentile_disc broadcast, doc_id join, source-sized agg. */
+  val q171KnGateFunnel: Q = (s, d) => {
+    val nll = knScores(s, d)
+    val cuts = nll.agg(
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn)").as("c2"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(nll.select(col("doc_id"), col("nll_kn")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(cuts))
+      .withColumn("dropped", col("nll_kn").isNotNull && col("nll_kn") > col("c2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll_kn").isNotNull.cast("long")).cast("long").as("n_scored"),
+        sum(col("dropped").cast("long")).cast("long").as("n_dropped"),
+        round(coalesce(
+          avg(when(!col("dropped") && col("nll_kn").isNotNull, col("nll_kn"))),
+          lit(0.0)), 4).as("nll_kept"),
+        round(coalesce(avg(when(col("dropped"), col("nll_kn"))), lit(0.0)), 4)
           .as("nll_dropped"))
       .orderBy(col("source"))
   }
@@ -1173,6 +1210,7 @@ object Scoring {
     "q163_heldout_ppl" -> q163HeldoutPpl,
     "q165_kn_perplexity" -> q165KnPerplexity,
     "q168_lm_ladder" -> q168LmLadder,
+    "q171_kn_gate_funnel" -> q171KnGateFunnel,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
@@ -1413,6 +1451,24 @@ object Scoring {
       s"""WITH $nll2Ctes,
         |$knCtes
         |SELECT doc_id, n_pairs, nll_kn FROM knt ORDER BY doc_id""".stripMargin,
+    // the q157 funnel algebra verbatim with the cut and the averages on
+    // the recomputed KN scores
+    "q171_kn_gate_funnel" ->
+      s"""WITH $nll2Ctes,
+        |$knCtes,
+        |c AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn) AS c2
+        |  FROM knt),
+        |j AS (
+        |  SELECT d.source, n.nll_kn,
+        |    (n.nll_kn IS NOT NULL AND n.nll_kn > c.c2) AS dropped
+        |  FROM documents d LEFT JOIN knt n USING (doc_id) CROSS JOIN c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nll_kn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  round(coalesce(avg(CASE WHEN NOT dropped AND nll_kn IS NOT NULL THEN nll_kn END), 0.0), 4) AS nll_kept,
+        |  round(coalesce(avg(CASE WHEN dropped THEN nll_kn END), 0.0), 4) AS nll_dropped
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // all three tiers recomputed in one statement (the nll / nll2 / KN
     // CTE families are disjoint by name), left-joined onto documents so
     // coverage counts include unscorable docs — engine join order

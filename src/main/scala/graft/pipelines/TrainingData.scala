@@ -81,6 +81,10 @@ object TrainingData {
     *                 session that already scored the corpus (the q147
     *                 artifact) passes it here so the pipeline reuses the
     *                 fit instead of refitting on the gated subset
+    * @param pplSmoothing scoring tier when the gate fits its own model:
+    *                 "add1" (q147) or "kn" (q165's Kneser–Ney); the
+    *                 q168 ladder and the q157/q171 funnel pair are the
+    *                 tables that justify the choice per corpus
     * @param tokenReportDir when given, the run also writes the TOKEN
     *                 YIELD report (q143's certified cascade — raw →
     *                 run-collapsed → boilerplate-scrubbed → dedup-
@@ -110,6 +114,7 @@ object TrainingData {
       retentionScores: Option[DataFrame] = None,
       pplGate: Boolean = true,
       pplScores: Option[DataFrame] = None,
+      pplSmoothing: String = "add1",
       tokenReportDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     // stage timer: wall-clock of the ONE action that materializes a
@@ -160,7 +165,8 @@ object TrainingData {
     // BEFORE dedup so the expensive candidate generation never touches
     // tail docs; unscored (< 2 token) docs pass through the LEFT join
     val pplGated =
-      (if (!pplGate) gated else Scoring.pplGateKeep(gated, pplScores)).cache()
+      (if (!pplGate) gated
+       else Scoring.pplGateKeep(gated, pplScores, pplSmoothing)).cache()
     val (nPplGated, tPplGated) = timed(pplGated.count())
 
     // 1. quality gate + exact dedup + fuzzy canonicalization (q79).

@@ -639,6 +639,27 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(wGain > 0.0, s"weighted KN gain $wGain must be positive in-model")
   }
 
+  test("q171 vs q157: identical coverage, upper-tercile drop mass, tail scores above kept") {
+    def byId(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val kn = byId(ops.Scoring.q171KnGateFunnel(spark, sf).collect())
+    val a1 = byId(ops.Scoring.q157PplGateFunnel(spark, sf).collect())
+    assert(kn.keySet == a1.keySet, "both funnels report every source")
+    kn.foreach { case (src, (nDocs, nScored, nDropped, kept, dropped)) =>
+      assert((nDocs, nScored) == ((a1(src)._1, a1(src)._2)),
+        s"$src: coverage is tier-independent")
+      assert(nDropped <= nScored)
+      if (nDropped > 0 && nDropped < nScored)
+        assert(dropped > kept, s"$src: the tail must score worse: $kept vs $dropped")
+    }
+    // the cut is the upper tercile: total drop mass reads ~1/3 of scored
+    val totScored = kn.values.map(_._2).sum
+    val totDropped = kn.values.map(_._3).sum
+    assert(math.abs(totDropped.toDouble / totScored - 1.0 / 3) < 0.05,
+      s"tercile cut: $totDropped of $totScored dropped")
+  }
+
   test("q166 on the corpus: bins partition the docs and the margin ranks its own label") {
     val rows = ops.Curation.q166ClassifierAuc(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

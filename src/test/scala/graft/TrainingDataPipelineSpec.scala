@@ -208,6 +208,24 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
         nShards = 4, maxRecordsPerFile = 100, pplGate = false)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(summary3("ppl_gated") == 12L && summary3("clean") == 12L)
+
+    // the KN tier: same fixture, cut from the q165 kernel — salad docs
+    // (all-singleton bigrams, maximally discounted) must still be the
+    // tail, and the stage's drops must equal that KN tail exactly
+    val knScores = graft.ops.Scoring.knNllOf(docs).cache()
+    val knC2 = knScores
+      .agg(expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn)"))
+      .head.getDouble(0)
+    val knTail = knScores.filter(col("nll_kn") > knC2).select("doc_id")
+      .as[Long].collect().toSet
+    knScores.unpersist()
+    assert(knTail == (10L to 12L).toSet, s"fixture: salad must be KN tail, got $knTail")
+    val outDir4 = java.nio.file.Files.createTempDirectory("graft-tdp-ppl4").toString
+    val summary4 = TrainingData.run(spark, docs, evalDocs, weights, outDir4,
+        nShards = 4, maxRecordsPerFile = 100, pplSmoothing = "kn")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary4("ppl_gated") == 12L - knTail.size,
+      s"KN-tier stage must drop exactly the KN tail: $summary4")
   }
 
   test("expectations gate FAILS the run on a breached batch by default") {

@@ -343,11 +343,10 @@ object CorpusReports {
         sum(when(col("kept"), 0L).otherwise(1L)).cast("long").as("n_removed"),
         // symmetric null handling with q_removed: a source whose every
         // doc is a non-canonical duplicate (its fp minima live in other
-        // sources) reports 0.0, not NULL (r13 ADVICE)
-        round(coalesce(avg(when(col("kept"), col("quality"))), lit(0.0)), 4)
-          .as("q_kept"),
-        round(coalesce(avg(when(!col("kept"), col("quality"))), lit(0.0)), 4)
-          .as("q_removed"))
+        // sources) reports 0.0, not NULL (r13 ADVICE); exact means over
+        // the rounded-4 quality artifact (the q171 boundary trap, r14 #2)
+        ExactMean.mean4(when(col("kept"), col("quality"))).as("q_kept"),
+        ExactMean.mean4(when(!col("kept"), col("quality"))).as("q_removed"))
       .orderBy(col("source"))
   }
 
@@ -392,14 +391,17 @@ object CorpusReports {
         sum(col("n_tok")).cast("long").as("n_tokens"),
         round(lit(1.0) - count_distinct(col("fp")) / count(lit(1)).cast("double"), 4)
           .as("dup_rate"),
-        round(avg(col("quality")), 4).as("mean_quality"),
-        round(avg(col("is_en")), 4).as("en_share"),
-        round(coalesce(avg(when(col("bkt").isNotNull,
-          (col("bkt") === "head").cast("double"))), lit(0.0)), 4).as("head_share"),
-        round(coalesce(avg(when(col("bkt").isNotNull,
-          (col("bkt") === "tail").cast("double"))), lit(0.0)), 4).as("tail_share"),
-        round(avg(col("clf_keep")), 4).as("clf_keep_share"),
-        round(avg(col("clf_agree")), 4).as("clf_gate_agree"))
+        // every share/mean below averages a rounded-4 artifact or a 0/1
+        // indicator — the exact-mean idiom keeps .00005-boundary cells
+        // off the float-summation coin flip (r14 verdict #2)
+        ExactMean.mean4(col("quality")).as("mean_quality"),
+        ExactMean.mean4(col("is_en")).as("en_share"),
+        ExactMean.mean4(when(col("bkt").isNotNull,
+          (col("bkt") === "head").cast("double"))).as("head_share"),
+        ExactMean.mean4(when(col("bkt").isNotNull,
+          (col("bkt") === "tail").cast("double"))).as("tail_share"),
+        ExactMean.mean4(col("clf_keep")).as("clf_keep_share"),
+        ExactMean.mean4(col("clf_agree")).as("clf_gate_agree"))
       .orderBy(col("source"))
   }
 
@@ -651,15 +653,16 @@ object CorpusReports {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
         |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 4) AS dup_rate,
-        |  round(avg(quality), 4) AS mean_quality,
-        |  round(avg(is_en), 4) AS en_share,
-        |  round(coalesce(avg(CASE WHEN bkt IS NOT NULL
-        |    THEN CASE WHEN bkt = 'head' THEN 1.0 ELSE 0.0 END END), 0.0), 4) AS head_share,
-        |  round(coalesce(avg(CASE WHEN bkt IS NOT NULL
-        |    THEN CASE WHEN bkt = 'tail' THEN 1.0 ELSE 0.0 END END), 0.0), 4) AS tail_share,
-        |  round(avg(CASE WHEN clf_keep THEN 1.0 ELSE 0.0 END), 4) AS clf_keep_share,
-        |  round(avg(CASE WHEN clf_keep = gate_keep THEN 1.0 ELSE 0.0 END), 4) AS clf_gate_agree
-        |FROM b GROUP BY 1 ORDER BY 1""").stripMargin,
+        |""" +
+      s"  ${ExactMean.mean4Sql("quality")} AS mean_quality,\n" +
+      s"  ${ExactMean.mean4Sql("is_en")} AS en_share,\n" +
+      s"  ${ExactMean.mean4Sql("CASE WHEN bkt IS NOT NULL THEN " +
+        "CASE WHEN bkt = 'head' THEN 1.0 ELSE 0.0 END END")} AS head_share,\n" +
+      s"  ${ExactMean.mean4Sql("CASE WHEN bkt IS NOT NULL THEN " +
+        "CASE WHEN bkt = 'tail' THEN 1.0 ELSE 0.0 END END")} AS tail_share,\n" +
+      s"  ${ExactMean.mean4Sql("CASE WHEN clf_keep THEN 1.0 ELSE 0.0 END")} AS clf_keep_share,\n" +
+      s"  ${ExactMean.mean4Sql("CASE WHEN clf_keep = gate_keep THEN 1.0 ELSE 0.0 END")} AS clf_gate_agree\n" +
+      "FROM b GROUP BY 1 ORDER BY 1").stripMargin,
     // the certified kernels recomposed: q36's fingerprint, q34's quality
     // (rounded per doc BEFORE the mean, matching the engine), q35's en
     // branch; all-integer counts elsewhere
@@ -687,7 +690,7 @@ object CorpusReports {
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     // kept = min doc_id per q36 fingerprint group; q34 quality on both
     // branches; avg over an empty removed set coalesces to 0 both sides
-    "q151_dedup_bias" ->
+    "q151_dedup_bias" -> (
       """WITH t AS (
         |  SELECT doc_id, source,
         |    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
@@ -703,10 +706,10 @@ object CorpusReports {
         |SELECT q.source,
         |  count(*) AS n_docs,
         |  CAST(sum(CASE WHEN q.doc_id = c.keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
-        |  round(coalesce(avg(CASE WHEN q.doc_id = c.keep_id THEN quality END), 0.0), 4) AS q_kept,
-        |  round(coalesce(avg(CASE WHEN q.doc_id != c.keep_id THEN quality END), 0.0), 4) AS q_removed
-        |FROM q JOIN c USING (fp)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |""".stripMargin +
+      s"  ${ExactMean.mean4Sql("CASE WHEN q.doc_id = c.keep_id THEN quality END")} AS q_kept,\n" +
+      s"  ${ExactMean.mean4Sql("CASE WHEN q.doc_id != c.keep_id THEN quality END")} AS q_removed\n" +
+      "FROM q JOIN c USING (fp)\nGROUP BY 1 ORDER BY 1"),
     // stage predicates are verbatim q97 (gate), q36 (fingerprint), q69
     // (string-exact 5-gram overlap) oracle text — the funnel certifies
     // their COMPOSITION

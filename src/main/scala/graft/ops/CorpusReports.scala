@@ -371,6 +371,14 @@ object CorpusReports {
     val margin = Curation.marginCol(s, d)
     val norm = graft.functions.TextFns.normText(col("text"))
     val toks = graft.functions.TextFns.tokens(col("text"))
+    // the media leg (r14 verdict #7): distinct visual identities per
+    // source — q172's growth curve is the trend, this is the per-source
+    // release number; q164's synthesis (every doc one real BMP decode);
+    // production reads the persisted phash table instead
+    val bmp = udf { (text: String) => Multimodal.bmpOf(text) }
+    val hashed = Multimodal.imageAHash(
+        Tables.documents(s, d).select(col("doc_id"), bmp(col("text")).as("media")))
+      .filter(col("decoded")).select(col("doc_id"), col("ahash"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tok"),
@@ -380,6 +388,7 @@ object CorpusReports {
         (margin > 0).cast("double").as("clf_keep"),
         ((margin > 0) === TextOps.ruleGateKeep()).cast("double").as("clf_agree"))
       .join(nll.select(col("doc_id"), col("nll2")), Seq("doc_id"), "left")
+      .join(hashed, Seq("doc_id"), "left")
       .crossJoin(broadcast(cuts))
       .withColumn("bkt",
         when(col("nll2").isNull, lit(null).cast("string"))
@@ -401,7 +410,8 @@ object CorpusReports {
         ExactMean.mean4(when(col("bkt").isNotNull,
           (col("bkt") === "tail").cast("double"))).as("tail_share"),
         ExactMean.mean4(col("clf_keep")).as("clf_keep_share"),
-        ExactMean.mean4(col("clf_agree")).as("clf_gate_agree"))
+        ExactMean.mean4(col("clf_agree")).as("clf_gate_agree"),
+        count_distinct(col("ahash")).as("n_media_hashes"))
       .orderBy(col("source"))
   }
 
@@ -605,7 +615,7 @@ object CorpusReports {
     // recomposed; tercile shares average over SCORED docs only (NULL
     // bucket rows skip the avg on both engines)
     "q160_data_card_full" -> (
-      "WITH " + Scoring.nll2Ctes + "," +
+      "WITH " + Scoring.nll2Ctes + ",\n" + Multimodal.phashCtes + "," +
       """
         |cuts AS (
         |  SELECT percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2) AS c1,
@@ -661,8 +671,9 @@ object CorpusReports {
       s"  ${ExactMean.mean4Sql("CASE WHEN bkt IS NOT NULL THEN " +
         "CASE WHEN bkt = 'tail' THEN 1.0 ELSE 0.0 END END")} AS tail_share,\n" +
       s"  ${ExactMean.mean4Sql("CASE WHEN clf_keep THEN 1.0 ELSE 0.0 END")} AS clf_keep_share,\n" +
-      s"  ${ExactMean.mean4Sql("CASE WHEN clf_keep = gate_keep THEN 1.0 ELSE 0.0 END")} AS clf_gate_agree\n" +
-      "FROM b GROUP BY 1 ORDER BY 1").stripMargin,
+      s"  ${ExactMean.mean4Sql("CASE WHEN clf_keep = gate_keep THEN 1.0 ELSE 0.0 END")} AS clf_gate_agree,\n" +
+      "  count(DISTINCT hsh.ahash) AS n_media_hashes\n" +
+      "FROM b LEFT JOIN hsh USING (doc_id) GROUP BY 1 ORDER BY 1").stripMargin,
     // the certified kernels recomposed: q36's fingerprint, q34's quality
     // (rounded per doc BEFORE the mean, matching the engine), q35's en
     // branch; all-integer counts elsewhere

@@ -697,11 +697,19 @@ object Multimodal {
   /** The q158 kernel over an arbitrary (doc_id, source, text,
     * media: binary nullable) frame — shared by the certified query, the
     * [[graft.pipelines.MultimodalData]] capstone's parity spec, and the
-    * planted-fixture units. Returns per-source (n_raw, n_gate, n_media,
-    * n_canon). */
+    * planted-fixture units. Returns per-source (n_raw, n_gate, n_ppl,
+    * n_media, n_canon).
+    *
+    * `pplGate` mirrors the pipeline's CCNet stage (r14 verdict #5 — the
+    * one stage the q158 certification couldn't see): the q147 bigram LM
+    * fit ON THE RULE-GATED SURVIVORS, cut at q156's percentile_disc(2/3)
+    * — ONE 1-row broadcast, no global sort — unscored (< 2 token) docs
+    * pass (the [[Scoring.pplGateKeep]] contract verbatim). With it off,
+    * the stage is a pass-through (n_ppl == n_gate) so planted fixtures
+    * can exercise the other stages in isolation. */
   private[graft] def multimodalFunnelOf(docs: DataFrame,
       textGate: TextOps.RuleGateConfig, mediaCfg: MediaGateConfig,
-      hashBits: Int): DataFrame = {
+      hashBits: Int, pplGate: Boolean = true): DataFrame = {
     val profile = decodeProfile(docs.filter(col("media").isNotNull)
         .select(col("doc_id"), col("media")))
       .withColumn("n_frames", lit(1))
@@ -709,7 +717,7 @@ object Multimodal {
         mediaGateFlags(mediaCfg): _*)
       .select(col("doc_id"),
         (col("decoded") && col("keep")).as("media_keep"), col("ahash"))
-    val staged = docs
+    val staged0 = docs
       .withColumn("keep_gate", TextOps.ruleGateKeep(textGate))
       .join(profile, Seq("doc_id"), "left")
       // null media_keep = no media at all = text-only doc: passes
@@ -719,7 +727,25 @@ object Multimodal {
       .select(col("doc_id"), col("source"), col("text"),
         col("keep_gate"), col("keep_media"), col("media_keep"), col("ahash"))
       .cache()
-    val surv = staged.filter(col("keep_gate") && col("keep_media"))
+    // the CCNet leg: fit on the gated survivors, cut at the 2/3
+    // percentile of the ROUNDED scores (exact cross-engine), unscored
+    // docs pass — keep_ppl folds the keep_gate conjunction in so every
+    // downstream stage reads one flag
+    val staged =
+      if (!pplGate) staged0.withColumn("keep_ppl", col("keep_gate"))
+      else {
+        val sc = Scoring.bigramNllOf(
+            staged0.filter(col("keep_gate")).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("nll2"))
+        val cut = sc.agg(expr(
+          "percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
+        staged0.join(sc, Seq("doc_id"), "left")
+          .crossJoin(broadcast(cut))
+          .withColumn("keep_ppl",
+            col("keep_gate") && (col("nll2").isNull || col("nll2") <= col("c2")))
+          .drop("nll2", "c2")
+      }
+    val surv = staged.filter(col("keep_ppl") && col("keep_media"))
     val keep = crossModalNearKeepOf(
       surv.select(col("doc_id"), col("text")),
       surv.filter(coalesce(col("media_keep"), lit(false)))
@@ -730,12 +756,13 @@ object Multimodal {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_raw"),
           sum(col("keep_gate").cast("long")).cast("long").as("n_gate"),
-          sum((col("keep_gate") && col("keep_media")).cast("long")).cast("long")
+          sum(col("keep_ppl").cast("long")).cast("long").as("n_ppl"),
+          sum((col("keep_ppl") && col("keep_media")).cast("long")).cast("long")
             .as("n_media"),
           sum((col("keep_id").isNotNull && col("doc_id") === col("keep_id"))
             .cast("long")).cast("long").as("n_canon"))
         .orderBy(col("source")),
-      staged)
+      staged0)
   }
 
   /** q164: cross-modal COMPONENT-SIZE histogram — q115's dup-cluster
@@ -792,6 +819,51 @@ object Multimodal {
       hashes)
   }
 
+  /** q172: media HASH-SPACE growth curve (r14 verdict #7) — q170's Heaps
+    * diagnostic applied to the near-dup identity space: cumulative
+    * media-bearing documents and cumulative DISTINCT aHash values at
+    * each doc_id decile. q170 sizes the TEXT vocab budget; this curve
+    * answers the media twin: where it keeps climbing, new data still
+    * yields new visual identities; where it flattens, the hash space is
+    * saturating and the near tier is approaching percolation (q164's
+    * component histogram is the over-collapse alarm; this is the
+    * early-warning trend a release review reads first). Certification
+    * synthesis is q164's: every doc's text becomes a real 4×4 BMP
+    * through ONE decode.
+    *
+    * Scale shape (q170's, exactly): each hash contributes at its FIRST
+    * document — min(doc_id) per hash, one map-side-combined agg (at
+    * production this folds over the persisted phash table, no decode);
+    * the decile boundaries are ONE 1-row percentile_disc agg, broadcast;
+    * the cumulative counts are tagged sums against that row. No global
+    * sort, no window; output is 10 rows. */
+  val q172MediaHashGrowth: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val hashed = imageAHash(
+        docs.select(col("doc_id"), bmp(col("text")).as("media")))
+      .filter(col("decoded")).select(col("doc_id"), col("ahash"))
+    val cutCols = (1 to 10).map(i => expr(
+      s"percentile_disc(${i / 10.0}) WITHIN GROUP (ORDER BY doc_id)").as(s"c$i"))
+    val cuts = broadcast(docs.agg(cutCols.head, cutCols.tail: _*))
+    val firstSeen = hashed
+      .groupBy(col("ahash")).agg(min(col("doc_id")).as("first_doc"))
+    val hRow = firstSeen.crossJoin(cuts).agg(
+      sum((col("first_doc") <= col("c1")).cast("long")).as("h1"),
+      (2 to 10).map(i =>
+        sum((col("first_doc") <= col(s"c$i")).cast("long")).as(s"h$i")): _*)
+    val mRow = hashed.crossJoin(cuts).agg(
+      sum((col("doc_id") <= col("c1")).cast("long")).as("m1"),
+      (2 to 10).map(i =>
+        sum((col("doc_id") <= col(s"c$i")).cast("long")).as(s"m$i")): _*)
+    mRow.crossJoin(hRow)
+      .select(explode(array((1 to 10).map(i => struct(
+        lit(i.toLong).as("decile"), col(s"m$i").as("media_cum"),
+        col(s"h$i").as("hashes_cum"))): _*)).as("r"))
+      .select(col("r.decile"), col("r.media_cum"), col("r.hashes_cum"))
+      .orderBy(col("decile"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q52_media_features" -> q52MediaFeatures,
     "q53_frame_sample"   -> q53FrameSample,
@@ -805,6 +877,7 @@ object Multimodal {
     "q153_hamming_hist" -> q153HammingHist,
     "q158_multimodal_funnel" -> q158MultimodalFunnel,
     "q164_cross_modal_components" -> q164CrossModalComponents,
+    "q172_media_hash_growth" -> q172MediaHashGrowth,
   )
 
   def oracle: Map[String, String] = Map(
@@ -960,7 +1033,9 @@ object Multimodal {
         |FROM documents d LEFT JOIN keep k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // the unified funnel replayed stage by stage: q97's gate predicate
-    // (q127's oracle text), the mod-3 media admission (class 0 = real
+    // (q127's oracle text), the CCNet ppl leg (the q147 bigram model fit
+    // on the RULE-GATED survivors, q156's 2/3 cut, unscored docs pass —
+    // r14 verdict #5), the mod-3 media admission (class 0 = real
     // BMP decodes and passes the dims-4 gate — flags constant-true at
     // 102 bytes / 4×4 / 1 frame, the q148 constant-fold discipline;
     // class 1 = no image magic, the doc drops; class 2 = NULL media,
@@ -980,13 +1055,39 @@ object Multimodal {
         |      + CAST(list_contains(toks, 'of') AS BIGINT) AS stop_hits,
         |    round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) AS symbol_ratio
         |  FROM t),
-        |g AS (
+        |g0 AS (
         |  SELECT doc_id, source, text,
         |    CASE WHEN n_words BETWEEN 30 AND 90 AND mean_wlen BETWEEN 3 AND 10
         |      AND stop_hits >= 1 AND symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS keep_gate,
         |    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END AS keep_media
         |  FROM m),
-        |s AS (SELECT doc_id, text FROM g WHERE keep_gate = 1 AND keep_media = 1),
+        |t2 AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM g0 WHERE keep_gate = 1),
+        |u2 AS (
+        |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+        |  FROM t2, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |tfb AS (SELECT doc_id, a, b, count(*) AS tf FROM u2 GROUP BY 1, 2, 3),
+        |bg AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab FROM tfb GROUP BY 1, 2),
+        |cag AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bg GROUP BY 1),
+        |v2 AS (
+        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(toks) AS w FROM t2)),
+        |n2t AS (
+        |  SELECT tfb.doc_id,
+        |    round(-sum(tfb.tf * ln((bg.cab + 1) / (cag.ca + v2.v))) / sum(tfb.tf), 4) AS nll2
+        |  FROM tfb JOIN bg USING (a, b) JOIN cag USING (a) CROSS JOIN v2
+        |  GROUP BY 1),
+        |pc AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
+        |  FROM n2t),
+        |g AS (
+        |  SELECT g0.doc_id, g0.source, g0.text, g0.keep_gate, g0.keep_media,
+        |    CASE WHEN g0.keep_gate = 1
+        |      AND (n.nll2 IS NULL OR n.nll2 <= pc.c2) THEN 1 ELSE 0 END AS keep_ppl
+        |  FROM g0 LEFT JOIN n2t n USING (doc_id) CROSS JOIN pc),
+        |s AS (SELECT doc_id, text FROM g WHERE keep_ppl = 1 AND keep_media = 1),
         |px AS (
         |  SELECT doc_id, p,
         |    ord(substr(text,
@@ -1020,8 +1121,9 @@ object Multimodal {
         |keep AS (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1)
         |SELECT g.source, count(*) AS n_raw,
         |  CAST(sum(keep_gate) AS BIGINT) AS n_gate,
-        |  CAST(sum(keep_gate * keep_media) AS BIGINT) AS n_media,
-        |  CAST(sum(CASE WHEN keep_gate = 1 AND keep_media = 1
+        |  CAST(sum(keep_ppl) AS BIGINT) AS n_ppl,
+        |  CAST(sum(keep_ppl * keep_media) AS BIGINT) AS n_media,
+        |  CAST(sum(CASE WHEN keep_ppl = 1 AND keep_media = 1
         |    AND coalesce(k.keep_id, g.doc_id) = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canon
         |FROM g LEFT JOIN keep k ON g.doc_id = k.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1055,11 +1157,36 @@ object Multimodal {
         |SELECT csize, count(*) AS n_components,
         |  CAST(sum(csize) AS BIGINT) AS n_docs
         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q170's first-occurrence decile fold over the recomputed aHash
+    // table: min(first doc) per hash value, tagged sums against the
+    // 1-row decile-cut table — no window, no sort (r14 verdict #7)
+    "q172_media_hash_growth" -> {
+      val cutDefs = (1 to 10).map(i =>
+        s"percentile_disc(${i / 10.0}) WITHIN GROUP (ORDER BY doc_id) AS c$i")
+        .mkString(",\n    ")
+      val hDefs = (1 to 10).map(i =>
+        s"CAST(sum(CASE WHEN first_doc <= c$i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+        .mkString(",\n    ")
+      val mDefs = (1 to 10).map(i =>
+        s"CAST(sum(CASE WHEN doc_id <= c$i THEN 1 ELSE 0 END) AS BIGINT) AS m$i")
+        .mkString(",\n    ")
+      def lst(p: String) = (1 to 10).map(i => s"$p$i").mkString(", ")
+      s"""WITH $phashCtes,
+         |cuts AS (SELECT $cutDefs FROM documents),
+         |fs AS (SELECT ahash, min(doc_id) AS first_doc FROM hsh GROUP BY 1),
+         |h AS (SELECT $hDefs FROM fs, cuts),
+         |m AS (SELECT $mDefs FROM hsh, cuts)
+         |SELECT unnest(range(1, 11)) AS decile,
+         |  unnest([${lst("m")}]) AS media_cum,
+         |  unnest([${lst("h")}]) AS hashes_cum
+         |FROM m, h ORDER BY decile""".stripMargin
+    },
   )
 
   // the q139 hash pipeline as a CTE body ending in hsh(doc_id, ahash) —
-  // q139 certifies it, q140's pair predicate builds on the same text
-  private val phashCtes =
+  // q139 certifies it, q140's pair predicate builds on the same text;
+  // private[graft] so q160's data-card oracle can splice the same text
+  private[graft] val phashCtes =
     """px AS (
       |  SELECT doc_id, p,
       |    ord(substr(text,

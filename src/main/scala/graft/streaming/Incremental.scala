@@ -486,7 +486,13 @@ object Incremental {
           committedVersions.dropRight(2).foreach(p => fs.delete(p, true))
           val (nv, nm) = loadServed(s)
           servedV = nv
+          // release the superseded model's broadcast blocks — this
+          // batch's pooling already completed (the write above is an
+          // action), so nothing references it; without the destroy,
+          // stale vector maps accumulate across refits (r14 ADVICE)
+          val prev = bc
           bc = s.sparkContext.broadcast(nm)
+          prev.destroy()
         }
         ()
       }
@@ -608,11 +614,15 @@ object Incremental {
     * Stateless narrow map over broadcast model tables: the observed
     * bigram table is Zipf²-sparse (pairs actually seen, never V²) and
     * the left-context totals are vocab-sized — both driver-collected
-    * and broadcast here (the DSIR frozen-model discipline); at a
-    * web-scale vocabulary swap the broadcast for a stream-static join
-    * on the persisted model tables (the continuousMediaNearDup band
-    * layout). Batch parity: replaying the training corpus reproduces
-    * the q147 score table's rounded values exactly (StreamingSpec). */
+    * and broadcast here (the DSIR frozen-model discipline). This is the
+    * SMALL-VOCAB FAST TIER only: the bigram type table grows
+    * superlinearly with corpus size, so at web scale the collect is a
+    * driver OOM — use [[writePplModel]] + [[continuousPplGateJoined]]
+    * (the stream-static-join tier, r14 verdict #3), which never moves
+    * the model through the driver and also serves the KN smoothing the
+    * q168 ladder certifies as the better signal. Batch parity: replaying
+    * the training corpus reproduces the q147 score table's rounded
+    * values exactly (StreamingSpec). */
   def continuousPplGate(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, corpus: DataFrame,
       outDir: String, checkpointDir: String): StreamingQuery = {
@@ -620,14 +630,9 @@ object Incremental {
     val v = corpus
       .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w"))).head().getLong(0).toDouble
-    val pairs = corpus
-      .select(graft.functions.TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-          " (a, b) -> struct(a, b))")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("cab"))
+    // the ONE bigram fold (r14 verdict #6) re-aggregated to corpus counts
+    val pairs = graft.ops.Scoring.bigramFoldOf(corpus)
+      .groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
       .cache()
     val cabMap = pairs.as[(String, String, Long)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
@@ -670,6 +675,170 @@ object Incremental {
           }
         }.toDF("doc_id", "n_pairs", "nll2", "bucket")
     }
+  }
+
+  /** Persist the FROZEN LM model layout the joined ppl-gate tier serves
+    * from (r14 verdict #3 — the continuousMediaNearDup band discipline
+    * applied to the language model). One corpus pass through the shared
+    * [[graft.ops.Scoring.bigramFoldOf]] kernel, then:
+    *
+    *   bigrams/abkt=K/       (a, b, cab)   — hash-bucketed by LEFT token
+    *   contexts/abkt=K/      (a, ca, n1a)  — same bucketing
+    *   continuations/bbkt=K/ (b, n1pre)    — bucketed by RIGHT token
+    *   meta/                 1 row: v, dd, tt, nbkt + the q156 tercile
+    *                         cuts for BOTH smoothing tiers (add-1, KN)
+    *
+    * The bucket column is `pmod(xxhash64(token), nbkt)` — a serving
+    * batch computes its own touched-bucket set (≤ nbkt integers, the
+    * only driver data in the path) and the parquet scan partition-prunes
+    * to just those directories. Size `nBuckets` so one bucket of the
+    * bigram table fits an executor comfortably (~model rows / nbkt);
+    * growing the corpus grows the model, so re-materialize with
+    * proportionally more buckets to hold per-batch join cost flat — the
+    * cuts, discount, and type totals are 1-row scalars either way.
+    * All model quantities carry the q147/q165 certified arithmetic
+    * (counts as longs; D = n1/(n1+2·n2) with the degenerate-corpus
+    * guard; cuts are percentile_disc over the ROUNDED per-doc scores). */
+  def writePplModel(spark: SparkSession, corpus: DataFrame, modelDir: String,
+      nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    import graft.ops.Scoring
+    val tfb = Scoring.bigramFoldOf(corpus).cache()
+    val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab")).cache()
+    val v = corpus
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0).toDouble
+    val disc = bg.agg(
+      (sum(when(col("cab") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(when(col("cab") === 1, 1L).otherwise(0L)) +
+          lit(2L) * sum(when(col("cab") === 2, 1L).otherwise(0L)), lit(1L)))
+        .as("dd"),
+      count(lit(1)).cast("double").as("tt")).head()
+    val cutsA = Scoring.bigramNllOf(corpus).agg(
+      expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2)"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)")).head()
+    val cutsK = Scoring.knNllOf(corpus).agg(
+      expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll_kn)"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn)")).head()
+    require(!cutsA.isNullAt(0),
+      "writePplModel needs a training corpus with at least one scorable " +
+        "(>= 2 token) document to place the tercile cuts")
+    val abkt = pmod(xxhash64(col("a")), lit(nBuckets.toLong)).as("abkt")
+    bg.select(col("a"), col("b"), col("cab"), abkt)
+      .write.mode("overwrite").partitionBy("abkt").parquet(s"$modelDir/bigrams")
+    bg.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+      .select(col("a"), col("ca"), col("n1a"), abkt)
+      .write.mode("overwrite").partitionBy("abkt").parquet(s"$modelDir/contexts")
+    bg.groupBy(col("b")).agg(count(lit(1)).as("n1pre"))
+      .select(col("b"), col("n1pre"),
+        pmod(xxhash64(col("b")), lit(nBuckets.toLong)).as("bbkt"))
+      .write.mode("overwrite").partitionBy("bbkt")
+      .parquet(s"$modelDir/continuations")
+    Seq((v, disc.getDouble(0), disc.getDouble(1), nBuckets.toLong,
+        cutsA.getDouble(0), cutsA.getDouble(1),
+        cutsK.getDouble(0), cutsK.getDouble(1)))
+      .toDF("v", "dd", "tt", "nbkt", "c1_add1", "c2_add1", "c1_kn", "c2_kn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/meta")
+    bg.unpersist(); tfb.unpersist()
+    ()
+  }
+
+  /** Continuous CCNet perplexity gate, STREAM-STATIC-JOIN TIER — the
+    * scale path [[continuousPplGate]]'s scaladoc prescribed and r14's
+    * verdict required built: the frozen model lives in the
+    * [[writePplModel]] bucketed parquet layout and each micro-batch's
+    * bigrams JOIN it — the model never transits the driver, so a
+    * web-scale (corpus-superlinear) bigram table costs executor scans,
+    * not a driver OOM. Per batch: the shared
+    * [[graft.ops.Scoring.bigramFoldOf]] fold (map-side combined), the
+    * touched-bucket set (≤ nbkt integers — the only collect in the
+    * path), partition-pruned scans of just those buckets, three
+    * equi-joins, one per-doc agg. AQE broadcasts the batch side when it
+    * is small — the model side is never broadcast.
+    *
+    * `smoothing` serves either certified tier (r14 verdict #4):
+    *  - "add1": the q147 arithmetic — unseen pairs/contexts degrade
+    *    through (c+1)/(c_a+V) with counts defaulting 0 (the q163
+    *    LEFT-join convention; batch-parity with q147's rounded scores).
+    *  - "kn": the q165 Kneser–Ney fold for IN-MODEL pairs — verbatim
+    *    ((c−D) + D·N1+(a,·)·Pcont(b)) / c(a,·), so replaying the fit
+    *    corpus reproduces q165's rounded scores exactly; a pair the
+    *    model never saw has no continuation mass to interpolate, so
+    *    out-of-model pairs fall back to the add-1 tier's smoothing —
+    *    total, positive, and documented rather than a log(0) surprise.
+    *
+    * Buckets against the meta cuts of the chosen tier; < 2-token docs
+    * emit `unscored` (the gate never judges what it cannot score).
+    * Output schema matches the broadcast tier: (doc_id, n_pairs, nll2,
+    * bucket). foreachBatch residue class of [[continuousSemanticDedup]]:
+    * a crash between the append and the checkpoint can duplicate one
+    * batch's rows on replay. */
+  def continuousPplGateJoined(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, modelDir: String,
+      outDir: String, checkpointDir: String,
+      smoothing: String = "add1"): StreamingQuery = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$modelDir/meta").head()
+    val v = meta.getAs[Double]("v")
+    val dd = meta.getAs[Double]("dd")
+    val tt = meta.getAs[Double]("tt")
+    val nbkt = meta.getAs[Long]("nbkt")
+    val (c1, c2) = smoothing match {
+      case "kn" => (meta.getAs[Double]("c1_kn"), meta.getAs[Double]("c2_kn"))
+      case _    => (meta.getAs[Double]("c1_add1"), meta.getAs[Double]("c2_add1"))
+    }
+    val bg = spark.read.parquet(s"$modelDir/bigrams")
+    val ctx = spark.read.parquet(s"$modelDir/contexts")
+    val pre = spark.read.parquet(s"$modelDir/continuations")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id"), col("text")).cache()
+        val tfb = graft.ops.Scoring.bigramFoldOf(b)
+          .withColumn("abkt", pmod(xxhash64(col("a")), lit(nbkt)))
+          .withColumn("bbkt", pmod(xxhash64(col("b")), lit(nbkt)))
+          .cache()
+        // the touched-bucket sets: bounded by nbkt, never by the model
+        val aB = tfb.select(col("abkt")).distinct().as[Long].collect()
+        val bB = tfb.select(col("bbkt")).distinct().as[Long].collect()
+        val lnP = smoothing match {
+          case "kn" => when(col("cab").isNotNull,
+              log(((col("cab") - lit(dd)) +
+                lit(dd) * col("n1a") * (col("n1pre") / lit(tt))) / col("ca")))
+            .otherwise(log((coalesce(col("cab"), lit(0L)) + 1) /
+              (coalesce(col("ca"), lit(0L)) + lit(v))))
+          case _ => log((coalesce(col("cab"), lit(0L)) + 1) /
+            (coalesce(col("ca"), lit(0L)) + lit(v)))
+        }
+        val scores = tfb
+          .join(bg.filter(col("abkt").isin(aB: _*))
+            .select(col("a"), col("b"), col("cab")), Seq("a", "b"), "left")
+          .join(ctx.filter(col("abkt").isin(aB: _*))
+            .select(col("a"), col("ca"), col("n1a")), Seq("a"), "left")
+          .join(pre.filter(col("bbkt").isin(bB: _*))
+            .select(col("b"), col("n1pre")), Seq("b"), "left")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf")).cast("long").as("n_pairs"),
+            round(-sum(col("tf") * lnP) / sum(col("tf")), 4).as("nll2"))
+        b.select(col("doc_id"))
+          .join(scores, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            col("nll2"),
+            when(col("nll2").isNull, "unscored")
+              .when(col("nll2") <= lit(c1), "head")
+              .when(col("nll2") <= lit(c2), "middle")
+              .otherwise("tail").as("bucket"))
+          .write.mode("append").parquet(outDir)
+        tfb.unpersist(); b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
   }
 
   /** Continuous media admission gate — the streaming twin of q149 (the

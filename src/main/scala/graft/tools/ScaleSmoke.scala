@@ -673,6 +673,48 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // JOINED PPL-GATE SERVING (r14 verdict #3): the stream-static-join
+    // tier must hold per-batch cost ~flat as the MODEL grows — the
+    // broadcast tier's failure mode is exactly that the bigram type
+    // table grows superlinearly with the corpus (disjoint-vocab copies
+    // make that worst-case explicit) and driver-collecting it OOMs.
+    // Protocol: grow the fit corpus 1x/4x/16x, materialize the bucketed
+    // model with nBuckets scaled in proportion (the documented sizing
+    // rule: hold rows-per-bucket constant), then serve the SAME
+    // 200-doc batch through continuousPplGateJoined and time the drain.
+    if (section == "all" || section == "pplserve") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      val probe = docsBase.limit(200).cache()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          if (k == 0) docsBase
+          else docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"))
+        }.reduce(_ unionByName _).cache()
+        val base = java.nio.file.Files.createTempDirectory("smoke-ppls").toString
+        val model = s"$base/model"
+        val nBuckets = 8 * mult
+        time(s"mult=$mult writePplModel nBuckets=$nBuckets")(
+          graft.streaming.Incremental.writePplModel(spark, scaled, model, nBuckets))
+        val modelRows = spark.read.parquet(s"$model/bigrams").count()
+        println(s"[scale] pplserve mult=$mult model_bigram_types=$modelRows")
+        probe.write.parquet(s"$base/in/b1")
+        for (tier <- Seq("add1", "kn")) {
+          time(s"mult=$mult pplserve tier=$tier drain (200-doc batch)")(
+            graft.streaming.Incremental.continuousPplGateJoined(spark,
+              s"$base/in/*", schema, model, s"$base/out_$tier", s"$base/ck_$tier",
+              smoothing = tier))
+        }
+        scaled.unpersist()
+      }
+      probe.unpersist()
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

@@ -125,17 +125,56 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
         textGate = permissiveGate, pplGate = false)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val kernel = Multimodal.multimodalFunnelOf(docs, permissiveGate,
-        Multimodal.MediaGateConfig(), hashBits = 64)
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val (nRaw, nGate, nMedia, nCanon) = kernel.reduce((x, y) =>
-      (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4))
+        Multimodal.MediaGateConfig(), hashBits = 64, pplGate = false)
+      .collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (nRaw, nGate, nPpl, nMedia, nCanon) = kernel.reduce((x, y) =>
+      (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4, x._5 + y._5))
     assert(summary("input") == nRaw)
     assert(summary("gated") == nGate)
+    assert(nPpl == nGate, "ppl off must be a pass-through stage")
     assert(summary("media_ok") == nMedia)
     assert(summary("canonical") == nCanon)
     // survivors {1,2,3,4}: 1–2 near-fold, 3–4 text-fold (5 fails the
     // word floor, 6 drops at media admission) => 2 components
     assert(nCanon == 2L, kernel.mkString(","))
+  }
+
+  test("run() stage counts equal the q158 kernel's WITH the CCNet ppl leg (r14 #5)") {
+    import spark.implicits._
+    val a = 0xF0F0F0F0F0F0F0F0L
+    // FLUENT docs share a repeated phrase structure (their bigrams recur
+    // across the corpus); the WORD-SALAD doc uses the SAME vocabulary in
+    // orders seen nowhere else — the sequential signal the bigram LM
+    // exists to catch — so it alone crosses the tercile cut
+    def fluent(tag: String) =
+      s"alpha beta gamma delta alpha beta gamma delta tag$tag"
+    val salad = "delta alpha gamma beta delta gamma alpha beta delta"
+    val rows: Seq[(Long, String, String, Array[Byte])] = Seq(
+      (1L, fluent("p1"), "srcA", encodeImg(blockImg(a), "png")),
+      (2L, fluent("p2"), "srcA", encodeImg(blockImg(a ^ 0x3L), "png")),
+      (3L, fluent("p3"), "srcB", null),
+      (4L, fluent("p3"), "srcB", null),
+      (5L, salad, "srcB", null),
+      (6L, fluent("p6"), "srcA", null))
+    val docs = rows.toDF("doc_id", "text", "source", "media")
+      .withColumn("n_chars", length(col("text")))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mmppl").toString + "/out"
+    val summary = MultimodalData.run(spark, docs, outDir, nShards = 2,
+        textGate = permissiveGate, pplGate = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kernel = Multimodal.multimodalFunnelOf(docs, permissiveGate,
+        Multimodal.MediaGateConfig(), hashBits = 64, pplGate = true)
+      .collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (nRaw, nGate, nPpl, nMedia, nCanon) = kernel.reduce((x, y) =>
+      (x._1 + y._1, x._2 + y._2, x._3 + y._3, x._4 + y._4, x._5 + y._5))
+    assert(summary("input") == nRaw)
+    assert(summary("gated") == nGate)
+    assert(summary("ppl_gated") == nPpl)
+    assert(summary("media_ok") == nMedia)
+    assert(summary("canonical") == nCanon)
+    assert(nPpl < nGate, s"the tercile cut must drop at least one doc: $nPpl/$nGate")
   }
 
   test("structural breaches fail the run; retention keeps the best-scored component member") {

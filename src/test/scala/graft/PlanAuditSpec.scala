@@ -111,6 +111,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q165_kn_perplexity",
         // q170 folds against its 1-row decile-cut broadcast (q135 shape)
         "q170_vocab_growth",
+        // q172 is q170's fold over the media hash table — same 1-row
+        // decile-cut broadcast
+        "q172_media_hash_growth",
         // q153's ha < hb pair join runs over DISTINCT hash values only —
         // bounded by hash-space occupancy, the q44-class intended shape
         "q153_hamming_hist",

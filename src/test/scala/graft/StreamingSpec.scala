@@ -512,6 +512,67 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("joined ppl gate: stream-static join reproduces q147 AND q165 rounded scores (r14 #3/#4)") {
+    val base = Files.createTempDirectory("graft-pplgate-joined").toString
+    val in = s"$base/in"; val model = s"$base/model"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, s"alpha beta gamma delta alpha beta gamma delta tag$i")
+    }.toDF("doc_id", "text").cache()
+    // the frozen model materializes ONCE into the bucketed layout; both
+    // tiers serve from the same tables
+    Incremental.writePplModel(spark, corpus, model, nBuckets = 8)
+
+    val refA = graft.ops.Scoring.bigramNllOf(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val refK = graft.ops.Scoring.knNllOf(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    corpus.write.parquet(s"$in/b1")
+    Seq((100L, "alpha beta gamma delta"),
+      (101L, "delta alpha gamma beta delta gamma alpha"),
+      (102L, "solo"),
+      // out-of-model mass: unseen pair with seen context, unseen context
+      (103L, "alpha zzz qqq www")).toDF("doc_id", "text")
+      .write.parquet(s"$in/b2")
+
+    def drain(tier: String): Map[Long, (Long, Option[Double], String)] = {
+      val out = s"$base/out_$tier"; val ck = s"$base/ck_$tier"
+      Incremental.continuousPplGateJoined(
+        spark, s"$in/*", docSchema, model, out, ck, smoothing = tier)
+      spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3))))
+        .toMap
+    }
+
+    // add-1 tier: batch parity with the q147 kernel on the replayed corpus
+    val gotA = drain("add1")
+    refA.foreach { case (id, (nPairs, nll2)) =>
+      assert(gotA(id)._1 == nPairs && gotA(id)._2.contains(nll2),
+        s"add1 doc $id: stream ${gotA(id)} != batch ($nPairs, $nll2)")
+    }
+    assert(gotA(100L)._3 != "tail", gotA(100L).toString)
+    assert(gotA(101L)._3 == "tail", s"word-salad must tail: ${gotA(101L)}")
+    assert(gotA(102L)._3 == "unscored" && gotA(102L)._2.isEmpty, gotA(102L).toString)
+    assert(gotA(103L)._2.nonEmpty, "out-of-model pairs must still score")
+
+    // KN tier: batch parity with the q165 kernel (every replayed pair is
+    // in-model, so the serve is the certified fold verbatim)
+    val gotK = drain("kn")
+    refK.foreach { case (id, (nPairs, nllKn)) =>
+      assert(gotK(id)._1 == nPairs && gotK(id)._2.contains(nllKn),
+        s"kn doc $id: stream ${gotK(id)} != batch ($nPairs, $nllKn)")
+    }
+    assert(gotK(102L)._3 == "unscored", gotK(102L).toString)
+    // the out-of-model doc degrades through the documented add-1
+    // fallback — total and positive, never log(0)
+    assert(gotK(103L)._2.exists(x => !x.isNaN && !x.isInfinite), gotK(103L).toString)
+    corpus.unpersist()
+  }
+
   test("doc-embed refresh cadence: vocab shift degrades coverage, the refit recovers it") {
     val base = Files.createTempDirectory("graft-docembed-refresh").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"

@@ -777,15 +777,22 @@ object Multimodal {
   val q164CrossModalComponents: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val bmp = udf { (text: String) => bmpOf(text) }
-    crossModalNearKeepOf(docs,
-        imageAHash(docs.select(col("doc_id"), bmp(col("text")).as("media"))),
-        CorpusHashBits)
+    componentHistOf(crossModalNearKeepOf(docs,
+      imageAHash(docs.select(col("doc_id"), bmp(col("text")).as("media"))),
+      CorpusHashBits))
+  }
+
+  /** The q164 histogram fold over any (doc_id, keep_id) closure — shared
+    * by the certified query and [[graft.pipelines.MultimodalData]]'s
+    * optional run diagnostic (`componentHistDir`, the q153/histDir
+    * precedent): one definition, component-sized cost. */
+  private[graft] def componentHistOf(keep: DataFrame): DataFrame =
+    keep
       .groupBy(col("keep_id")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize"))
       .agg(count(lit(1)).as("n_components"),
         sum(col("csize")).cast("long").as("n_docs"))
       .orderBy(col("csize"))
-  }
 
   /** q153: hamming-distance histogram over DISTINCT perceptual hashes —
     * the LSH operating-point diagnostic for the media tier (q123's role

@@ -69,6 +69,12 @@ object MultimodalData {
     *        extended to the joint text∪image components)
     * @param tokenReportDir when given, also writes the q143 token-yield
     *        report of the input corpus (the [[TrainingData]] run report)
+    * @param componentHistDir when given, also writes the q164
+    *        component-size histogram of THIS run's cross-modal closure
+    *        (the q153/histDir precedent) — the over-collapse release
+    *        diagnostic read next to the funnel summary: mass in large
+    *        components means the near threshold is percolating and the
+    *        export is about to over-collapse
     * @return funnel summary (stage, docs, secs): input, validated,
     *         gated, ppl_gated, media_ok, canonical, decontaminated,
     *         mixed_rows
@@ -84,7 +90,8 @@ object MultimodalData {
       quarantineDir: Option[String] = None,
       structuralQuarantineDir: Option[String] = None,
       retentionScores: Option[DataFrame] = None,
-      tokenReportDir: Option[String] = None): DataFrame = {
+      tokenReportDir: Option[String] = None,
+      componentHistDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -157,6 +164,10 @@ object MultimodalData {
       mediaOk.filter(coalesce(col("media_keep"), lit(false)))
         .select(col("doc_id"), lit(true).as("decoded"), col("ahash")),
       hashBits)
+    // run diagnostic: the q164 histogram of THIS closure (one kernel,
+    // two consumers — the certified query and the release report)
+    componentHistDir.foreach(hd =>
+      Multimodal.componentHistOf(keep).write.mode("overwrite").parquet(hd))
     val keptIds = retentionScores match {
       case None => keep.filter(col("doc_id") === col("keep_id")).select("doc_id")
       case Some(sc) =>

@@ -76,9 +76,10 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft-mmpipe").toString
     val outDir = s"$base/out"; val quarDir = s"$base/quarantine"
 
+    val histDir = s"$base/chist"
     val summary = MultimodalData.run(spark, docs, outDir,
         nShards = 4, textGate = permissiveGate, pplGate = false,
-        quarantineDir = Some(quarDir))
+        quarantineDir = Some(quarDir), componentHistDir = Some(histDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(summary == Map(
       "input" -> 10L, "validated" -> 10L, "gated" -> 9L, "ppl_gated" -> 9L,
@@ -94,6 +95,13 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(quar == Map(7L -> "no_magic", 8L -> "decode_failed", 9L -> "gate"),
       quar.toString)
+
+    // the q164 run diagnostic: survivors {1..6} fold into {1,2} (near
+    // edge), {3,4,5} (text+exact-image chain), {6} — one component each
+    // of sizes 1, 2, 3
+    val hist = spark.read.parquet(histDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hist == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)), hist.toString)
 
     // CONTROL: q141's exact-only closure cannot make the 1–2 bridge —
     // both survive without the near tier

@@ -316,8 +316,10 @@ object CorpusReports {
         sum(col("n_tok")).cast("long").as("n_tokens"),
         round(lit(1.0) - count_distinct(col("fp")) / count(lit(1)).cast("double"), 4)
           .as("dup_rate"),
-        round(avg(col("quality")), 4).as("mean_quality"),
-        round(avg(col("is_en")), 4).as("en_share"))
+        // exact means: quality is a rounded-4 artifact (the q171
+        // boundary class); is_en converted for one-idiom symmetry
+        ExactMean.mean4(col("quality")).as("mean_quality"),
+        ExactMean.mean4(col("is_en")).as("en_share"))
       .orderBy(col("source"))
   }
 
@@ -677,7 +679,7 @@ object CorpusReports {
     // the certified kernels recomposed: q36's fingerprint, q34's quality
     // (rounded per doc BEFORE the mean, matching the engine), q35's en
     // branch; all-integer counts elsewhere
-    "q150_data_card" ->
+    "q150_data_card" -> (
       """WITH t AS (
         |  SELECT source,
         |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
@@ -696,9 +698,10 @@ object CorpusReports {
         |  count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 4) AS dup_rate,
-        |  round(avg(quality), 4) AS mean_quality,
-        |  round(avg(is_en), 4) AS en_share
-        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+        |""".stripMargin +
+      s"  ${ExactMean.mean4Sql("quality")} AS mean_quality,\n" +
+      s"  ${ExactMean.mean4Sql("is_en")} AS en_share\n" +
+      "FROM q GROUP BY 1 ORDER BY 1"),
     // kept = min doc_id per q36 fingerprint group; q34 quality on both
     // branches; avg over an empty removed set coalesces to 0 both sides
     "q151_dedup_bias" -> (

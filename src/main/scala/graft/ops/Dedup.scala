@@ -418,6 +418,35 @@ object Dedup {
       .select(col("vertex").as("doc_id"), col("label").as("keep_id"))
       .orderBy(col("doc_id"))
 
+  /** q174: FUZZY-dedup bias audit — q151's kept-vs-removed quality check
+    * applied to the MINHASH near-dup tier (q56's ≥ 0.8-Jaccard closure)
+    * instead of the exact-fingerprint groups: does what the near-dup
+    * pass REMOVES skew in quality? The FineWeb-class release review runs
+    * exactly this pair of audits — exact and fuzzy tiers can be biased
+    * in opposite directions (boilerplate dups are low-quality; template
+    * near-dups can be the GOOD half of a source), and a large kept-vs-
+    * removed gap on either tier says retention should switch to the
+    * q108 quality-aware policy THERE. Reads the session's persisted
+    * component artifact (closure computed once, every consumer joins a
+    * duplicate-docs-sized table); docs outside the closure keep
+    * themselves. One doc-level left join + one source-sized agg; means
+    * over the rounded-4 quality artifact go through the exact idiom. */
+  val q174FuzzyDedupBias: Q = (s, d) => {
+    val comp = dedupComponents(s, d)
+      .select(col("vertex").as("doc_id"), col("label").as("keep_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextOps.qualityCol.as("quality"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("keep_id").isNull || col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((!col("kept")).cast("long")).cast("long").as("n_removed"),
+        ExactMean.mean4(when(col("kept"), col("quality"))).as("q_kept"),
+        ExactMean.mean4(when(!col("kept"), col("quality"))).as("q_removed"))
+      .orderBy(col("source"))
+  }
+
   /** END-TO-END corpus cleaning — the composed pipeline a pretraining-data
     * user actually runs, as ONE query: quality gate → exact dedup among
     * survivors → fuzzy canonicalization among survivors → per-doc
@@ -672,6 +701,7 @@ object Dedup {
     "q39_ngram_jaccard"   -> q39NgramJaccard,
     "q40_simhash_dedup"   -> q40SimhashDedup,
     "q56_dedup_canonical" -> q41DedupCanonical,
+    "q174_fuzzy_dedup_bias" -> q174FuzzyDedupBias,
     "q78_incr_dedup"      -> q78IncrementalDedup,
     "q91_substr_dedup"    -> q91SubstrDedup,
     "q122_lsh_calibration" -> q122LshCalibration,
@@ -867,5 +897,41 @@ object Dedup {
          |  UNION
          |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src)
          |SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q56 closure (verbatim CTEs) + the q34 quality kernel + the
+    // q151 audit algebra over it; docs outside the closure keep
+    // themselves through the left-join coalesce
+    "q174_fuzzy_dedup_bias" -> (
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |keepq AS (SELECT doc_id, min(r) AS keep_id FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT d.doc_id, d.source,
+         |    round(least(len(string_split(trim(regexp_replace(d.text, '\\s+', ' ', 'g')), ' ')) / 50.0, 1.0) *
+         |      (1.0 - CAST(len(list_filter(string_split(trim(regexp_replace(d.text, '\\s+', ' ', 'g')), ' '),
+         |          x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE)
+         |        / len(string_split(trim(regexp_replace(d.text, '\\s+', ' ', 'g')), ' '))), 4) AS quality,
+         |    coalesce(k.keep_id, d.doc_id) = d.doc_id AS kept
+         |  FROM documents d LEFT JOIN keepq k USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |""".stripMargin +
+      s"  ${graft.ops.ExactMean.mean4Sql("CASE WHEN kept THEN quality END")} AS q_kept,\n" +
+      s"  ${graft.ops.ExactMean.mean4Sql("CASE WHEN NOT kept THEN quality END")} AS q_removed\n" +
+      "FROM q GROUP BY 1 ORDER BY 1"),
   )
 }

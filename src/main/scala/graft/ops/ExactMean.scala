@@ -58,4 +58,26 @@ object ExactMean {
     s"coalesce((CASE WHEN $s < 0 THEN -floor((-2 * $s + $n) / (2.0 * $n)) " +
       s"ELSE floor((2 * $s + $n) / (2.0 * $n)) END) / 10000.0, 0.0)"
   }
+
+  /** Σv as an EXACT ×10⁴ integer for inputs that are exact ≤4-decimal
+    * values (prices, rates, event amounts) — the SUM face of the same
+    * trap: a float sum of 2-dp values is accumulation-order-dependent,
+    * so `round(sum(v), 2)` on a .005-boundary cell is the q171 coin
+    * flip again. Decimal(38,0) accumulation (DuckDB: HUGEINT) so the
+    * corpus-scale sum never overflows a long. */
+  def sumScaled4(v: Column): Column =
+    sum(round(v * lit(10000), 0).cast("decimal(38,0)"))
+
+  def sumScaled4Sql(e: String): String =
+    s"sum(CAST(round(($e) * 10000) AS HUGEINT))"
+
+  /** `round(sum(v), scale)` over exact ≤4-decimal inputs, computed via
+    * [[sumScaled4]] — both engines divide the identical integer once,
+    * so the rounding input is the same double everywhere. NULL over an
+    * empty/all-null input, matching `round(sum(v), scale)`. */
+  def sum4(v: Column, scale: Int): Column =
+    round(sumScaled4(v).cast("double") / lit(10000.0), scale)
+
+  def sum4Sql(e: String, scale: Int): String =
+    s"round(CAST(${sumScaled4Sql(e)} AS DOUBLE) / 10000.0, $scale)"
 }

@@ -31,11 +31,17 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // qty (integers) and base_price (2-dp) float-sum safely: their
+        // TRUE sums are never on a round-2 boundary. disc_price is a sum
+        // of exact 4-dp products and avg_disc a mean — both can land
+        // exactly on the half, so they go through the exact idiom
+        // (ops/ExactMean — the q171 class)
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        ExactMean.sum4(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("sum_disc_price"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        ExactMean.mean4(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -46,7 +52,10 @@ object Relational {
   val q02CorpusSize: Q = (s, d) => {
     Tables.lineitem(s, d).agg(
       count(lit(1)).as("n_files"),
-      round(sum(col("l_extendedprice")) / lit(1e9), 6).as("total_gb"))
+      // /1e9 then round-6 puts the true value's 7th decimal in play —
+      // exact integer sum so both engines divide the same number once
+      round(ExactMean.sumScaled4(col("l_extendedprice")).cast("double") /
+        lit(1e13), 6).as("total_gb"))
   }
 
   /** Value-counts / group-count (A3, bertopicTest.py:107-108 Counter). */
@@ -208,7 +217,10 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      // rev is an exact 4-dp product — sum exactly (the q01 disc_price
+      // class), or a .005-boundary cell flips on summation order
+      .agg(ExactMean.sum4(col("rev"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("n_name"))
   }
 
@@ -472,17 +484,19 @@ object Relational {
         |  FROM documents) WHERE rn <= 3
         |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ${ExactMean.sum4Sql("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
         |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  ${ExactMean.mean4Sql("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_corpus_size" ->
-      "SELECT count(*) AS n_files, round(sum(l_extendedprice) / 1e9, 6) AS total_gb FROM lineitem",
+      ("SELECT count(*) AS n_files, " +
+        s"round(CAST(${ExactMean.sumScaled4Sql("l_extendedprice")} AS DOUBLE)" +
+        " / 1e13, 6) AS total_gb FROM lineitem"),
     "q03_group_count" ->
       "SELECT lang, count(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
     "q04_ratio_of_total" ->
@@ -517,7 +531,8 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
     "q13_join_revenue" ->
-      """SELECT n_name, round(sum(rev), 2) AS revenue, count(*) AS n_orders FROM (
+      s"""SELECT n_name, ${ExactMean.sum4Sql("rev", 2)} AS revenue,
+        |  count(*) AS n_orders FROM (
         |  SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
         |  FROM lineitem GROUP BY 1) li
         |JOIN orders ON l_orderkey = o_orderkey

@@ -386,6 +386,46 @@ object Scoring {
       .orderBy(col("source"))
   }
 
+  /** q173: gate-decision FLIP table between smoothing tiers — the
+    * operational companion to q168's kn_gain and the q157/q171 funnel
+    * pair: per source, how many scored docs actually CHANGE gate
+    * decision when the cut moves from the add-1 scores to the KN scores
+    * (each tier cut at its own percentile_disc(2/3) — the gates as they
+    * would really run). `kn_rescues` = docs the add-1 gate drops that KN
+    * keeps (rare-pair-heavy but coherent text add-1 mis-smooths);
+    * `kn_drops` = the reverse; `flip_rate` over scored docs. A source
+    * with flips ≈ 0 can run the cheap tier safely; a spiking source is
+    * where paying for KN changes real data. Reads the two memoized
+    * score artifacts (one fit per tier per session); two 1-row cut
+    * broadcasts, one doc-level join, one source-sized agg — no sort, no
+    * window. Both tiers score exactly the ≥ 2-token docs, so one
+    * n_scored column covers both. */
+  val q173TierFlips: Q = (s, d) => {
+    val a = bigramScores(s, d).select(col("doc_id"), col("nll2"))
+    val k = knScores(s, d).select(col("doc_id"), col("nll_kn"))
+    val cutA = a.agg(expr(
+      "percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2a"))
+    val cutK = k.agg(expr(
+      "percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn)").as("c2k"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(a, Seq("doc_id"), "left")
+      .join(k, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cutA))
+      .crossJoin(broadcast(cutK))
+      .withColumn("drop_a", col("nll2").isNotNull && col("nll2") > col("c2a"))
+      .withColumn("drop_k", col("nll_kn").isNotNull && col("nll_kn") > col("c2k"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll2").isNotNull.cast("long")).cast("long").as("n_scored"),
+        sum((col("drop_a") && !col("drop_k")).cast("long")).cast("long")
+          .as("kn_rescues"),
+        sum((!col("drop_a") && col("drop_k")).cast("long")).cast("long")
+          .as("kn_drops"),
+        ExactMean.mean4(when(col("nll2").isNotNull,
+          (col("drop_a") =!= col("drop_k")).cast("double"))).as("flip_rate"))
+      .orderBy(col("source"))
+  }
+
   /** q163: HELD-OUT perplexity — the LM-eval discipline applied to the
     * engine's own q147 bigram model: fit on the ~75 % train split
     * (md5(doc_id) prefix ≥ '4' — a HASH split, decorrelated from the
@@ -1216,6 +1256,7 @@ object Scoring {
     "q165_kn_perplexity" -> q165KnPerplexity,
     "q168_lm_ladder" -> q168LmLadder,
     "q171_kn_gate_funnel" -> q171KnGateFunnel,
+    "q173_tier_flips" -> q173TierFlips,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q88_heavy_hitters"  -> q88HeavyHitters,
@@ -1475,6 +1516,34 @@ object Scoring {
         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll_kn IS NOT NULL THEN nll_kn END")} AS nll_kept,
         |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll_kn END")} AS nll_dropped
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the two tier cuts side by side over the recomputed score tables;
+    // flip accounting per source (the scored set is identical for both
+    // tiers — the same >= 2-token fold feeds both models)
+    "q173_tier_flips" ->
+      s"""WITH $nll2Ctes,
+        |$knCtes,
+        |ca AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2a
+        |  FROM n2t),
+        |ck AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn) AS c2k
+        |  FROM knt),
+        |j AS (
+        |  SELECT d.source,
+        |    n.nll2 IS NOT NULL AS scored,
+        |    (n.nll2 IS NOT NULL AND n.nll2 > ca.c2a) AS drop_a,
+        |    (k.nll_kn IS NOT NULL AND k.nll_kn > ck.c2k) AS drop_k
+        |  FROM documents d
+        |  LEFT JOIN n2t n USING (doc_id)
+        |  LEFT JOIN knt k USING (doc_id)
+        |  CROSS JOIN ca CROSS JOIN ck)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN scored THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN drop_a AND NOT drop_k THEN 1 ELSE 0 END) AS BIGINT) AS kn_rescues,
+        |  CAST(sum(CASE WHEN NOT drop_a AND drop_k THEN 1 ELSE 0 END) AS BIGINT) AS kn_drops,
+        |  ${ExactMean.mean4Sql("CASE WHEN scored THEN " +
+          "CASE WHEN drop_a != drop_k THEN 1.0 ELSE 0.0 END END")} AS flip_rate
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // all three tiers recomputed in one statement (the nll / nll2 / KN
     // CTE families are disjoint by name), left-joined onto documents so

@@ -100,6 +100,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q171 is the q157 shape on the KN tier: the q165 Ney-discount
         // scalar + the same 1-row cut broadcast
         "q171_kn_gate_funnel",
+        // q173 compares both tiers' gates: two 1-row cut broadcasts
+        "q173_tier_flips",
         // q158 now carries the CCNet leg (r14 #5): the q147 vocab scalar
         // + the q156 1-row cut broadcast inside the funnel
         "q158_multimodal_funnel",

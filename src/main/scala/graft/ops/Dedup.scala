@@ -542,10 +542,12 @@ object Dedup {
     * string-exact oracle loudly). */
   val q91SubstrDedup: Q = (s, d) => substrDedup(Tables.documents(s, d))
 
-  /** The ExactSubstr pass over an arbitrary (doc_id, text) frame — unit
-    * tests plant shared spans / full clones / unique docs against it. */
-  def substrDedup(input: DataFrame, K: Int = 8): DataFrame = {
-    val spanKernel = udf { (t: String) =>
+  /** (start, span-hash) emitter for every K-token window of a normalized
+    * text — ONE definition shared by [[substrDedup]] (corpus-duplicate
+    * spans) and [[decontamScrub]] (eval-overlap spans): same FNV-1a-64
+    * span identity, same 1-based starts, so both consumers certify
+    * against the same string-exact SQL slicing. */
+  private[graft] def spanKernel(K: Int) = udf { (t: String) =>
       if (t == null) Array.empty[(Int, Long)]
       else {
         val toks = t.split(' ')
@@ -570,12 +572,12 @@ object Dedup {
         }
       }
     }
-    // (n_tokens, n_covered, cleaned text or None when everything is covered
-    // — md5(null) is null on both engines, matching string_agg-of-nothing).
-    // null text never reaches this kernel (filtered below, matching the
-    // oracle: unnest over len(NULL) emits nothing, so null-text docs have
-    // no output row); the guard keeps the kernel total anyway.
-    val cleanKernel = udf { (t: String, starts: Seq[Int]) =>
+  // (n_tokens, n_covered, cleaned text or None when everything is covered
+  // — md5(null) is null on both engines, matching string_agg-of-nothing).
+  // null text never reaches this kernel (filtered by the callers, matching
+  // the oracle: unnest over len(NULL) emits nothing, so null-text docs have
+  // no output row); the guard keeps the kernel total anyway.
+  private[graft] def cleanKernel(K: Int) = udf { (t: String, starts: Seq[Int]) =>
       if (t == null) null
       else {
       val toks = t.split(' ')
@@ -593,11 +595,15 @@ object Dedup {
       (toks.length.toLong, nCov, kept)
       }
     }
+
+  /** The ExactSubstr pass over an arbitrary (doc_id, text) frame — unit
+    * tests plant shared spans / full clones / unique docs against it. */
+  def substrDedup(input: DataFrame, K: Int = 8): DataFrame = {
     val norm = TextFns.normText(col("text"))
     // cache: the span table feeds BOTH the dup-vocabulary count and the
     // join back (the q69 barrier pattern — one generation pass, not two)
     val spans = input
-      .select(col("doc_id"), explode(spanKernel(norm)).as("sp"))
+      .select(col("doc_id"), explode(spanKernel(K)(norm)).as("sp"))
       .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
       .cache()
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
@@ -608,7 +614,57 @@ object Dedup {
       input
         .filter(col("text").isNotNull) // oracle twin: null-text docs emit no row
         .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), cleanKernel(norm, col("starts")).as("r"))
+        .select(col("doc_id"), cleanKernel(K)(norm, col("starts")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("n_cov"),
+          md5(col("r._3")).as("clean_fp"))
+        .orderBy(col("doc_id")),
+      spans)
+  }
+
+  /** q175: span-level DECONTAMINATION — the surgical tier between q69
+    * (report eval overlap) and the drop-the-document gates (q82/q127):
+    * any K-token span of a training document that also occurs in the
+    * held-out set (doc_id < 50, the q69/q82 eval convention) is
+    * contaminated text, and every token it covers is CUT from the
+    * document rather than the document being discarded — the span-removal
+    * decontamination production pipelines run on pretraining corpora so
+    * that one quoted benchmark sentence doesn't cost an otherwise-good
+    * document (the ExactSubstr machinery of Lee et al. 2022 pointed at an
+    * eval index instead of the corpus-duplicate vocabulary). Per training
+    * doc: token count, covered-token count, and the md5 of the cleaned
+    * text (null when everything was contaminated — the caller's drop
+    * signal).
+    *
+    * Shape at 100 TB: identical to [[substrDedup]] — one kernel pass
+    * emits (start, span-hash-64) per token position, the eval side
+    * reduces to its distinct span VOCABULARY (eval sets are tiny relative
+    * to the corpus, so the semi-join broadcasts), covered positions
+    * reduce per doc through a length-bounded collect_list. The streaming
+    * twin ([[graft.streaming.Incremental.continuousDecontamScrub]])
+    * serves the same kernel against a PERSISTED bucketed eval-gram index,
+    * so ingest pays a pruned join, not an index rebuild. */
+  val q175DecontamScrub: Q = (s, d) => decontamScrub(Tables.documents(s, d))
+
+  /** The span-decontamination pass over an arbitrary (doc_id, text)
+    * frame: docs with doc_id < evalMax are the held-out set (they define
+    * the contaminated-span vocabulary and emit no output row); docs at or
+    * above it are scrubbed. */
+  def decontamScrub(input: DataFrame, evalMax: Long = 50, K: Int = 8): DataFrame = {
+    val norm = TextFns.normText(col("text"))
+    // one span-generation pass feeds both sides (the q69 barrier pattern)
+    val spans = input
+      .select(col("doc_id"), explode(spanKernel(K)(norm)).as("sp"))
+      .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
+      .cache()
+    val evalSp = spans.filter(col("doc_id") < evalMax).select(col("h")).distinct()
+    val perDoc = spans.filter(col("doc_id") >= evalMax)
+      .join(evalSp, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
+    Caching.materializeAndRelease(
+      input
+        .filter(col("doc_id") >= evalMax && col("text").isNotNull)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), cleanKernel(K)(norm, col("starts")).as("r"))
         .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("n_cov"),
           md5(col("r._3")).as("clean_fp"))
         .orderBy(col("doc_id")),
@@ -704,6 +760,7 @@ object Dedup {
     "q174_fuzzy_dedup_bias" -> q174FuzzyDedupBias,
     "q78_incr_dedup"      -> q78IncrementalDedup,
     "q91_substr_dedup"    -> q91SubstrDedup,
+    "q175_decontam_scrub" -> q175DecontamScrub,
     "q122_lsh_calibration" -> q122LshCalibration,
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
   )
@@ -751,6 +808,32 @@ object Dedup {
         |SELECT CAST(length(bin(m)) - 1 AS BIGINT) AS size_bucket,
         |  count(*) AS n_buckets, CAST(sum(m) AS BIGINT) AS n_rows
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // String-exact recomputation of the span-level decontamination: the
+    // contaminated-span vocabulary is every 8-token span of an eval doc
+    // (doc_id < 50); training positions covered by one are cut; cleaned-fp
+    // over the uncovered tokens in position order (all-covered -> NULL on
+    // both engines). Same slicing as q91's CTE chain with the dup-count
+    // vocabulary swapped for the eval-membership vocabulary.
+    "q175_decontam_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS st, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + 7], ' ') AS span FROM sp0),
+        |ev AS (SELECT DISTINCT span FROM sp WHERE doc_id < 50),
+        |ds AS (SELECT sp.doc_id, sp.st FROM sp JOIN ev USING (span) WHERE sp.doc_id >= 50),
+        |cov AS (SELECT DISTINCT doc_id, st + o AS p FROM ds, range(0, 8) r(o)),
+        |tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
+        |         FROM t WHERE doc_id >= 50),
+        |tok AS (SELECT doc_id, p, toks[p] AS tk FROM tok0)
+        |SELECT tok.doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
+        |  md5(string_agg(CASE WHEN cov.p IS NULL THEN tok.tk END, ' ' ORDER BY tok.p)) AS clean_fp
+        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // String-exact recomputation: every 8-token span with corpus count >= 2,
     // positions covered by any such span, and the cleaned-text md5 over the
     // uncovered tokens in position order (string_agg skips the covered ones;

@@ -246,6 +246,26 @@ object Scoring {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** [[bigramFoldOf]] one order up: tokenize, window adjacent TRIPLES,
+    * count per doc → (doc_id, a, b, c, tf) for docs with ≥ 3 tokens.
+    * Same single-pass map-side-combined shape; the trigram type table is
+    * sparser still relative to its count total (Zipf³), which is exactly
+    * why the higher-order model's tables stay join-served rather than
+    * broadcast. */
+  private[graft] def trigramFoldOf(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 2)," +
+          " zip_with(slice(toks, 2, size(toks) - 2), slice(toks, 3, size(toks) - 2)," +
+          "          (x, y) -> named_struct('x', x, 'y', y))," +
+          " (a, p) -> named_struct('a', a, 'b', p.x, 'c', p.y))")).as("t"))
+      .select(col("doc_id"), col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .groupBy(col("doc_id"), col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
     val tfb = bigramFoldOf(docs).cache()
     val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
@@ -563,6 +583,128 @@ object Scoring {
             sum(col("tf")), 4).as("nll_kn"))
         .orderBy(col("doc_id")),
       tfb, bg)
+  }
+
+  // ---------------------------------------------------------------- q176
+
+  /** q176: TRIGRAM Kneser–Ney perplexity — the q165 model one order up,
+    * the KenLM direction (production LMs are 4–5-gram KN; order 3 is
+    * where the per-order machinery generalizes or doesn't). Interpolated
+    * absolute discount at the trigram level, backing off into the
+    * CERTIFIED q165 bigram-KN distribution:
+    *
+    *   D3        = n1₃ / (n1₃ + 2·n2₃)      (Ney's estimate over trigram types)
+    *   P3(c|ab)  = ((c(abc) − D3) + D3·N1+(ab,·)·P_KN2(c|b)) / c(ab,·)
+    *
+    * where P_KN2 is exactly the q165 fold — one lower-order definition,
+    * certified once, composed here (scoring the fit corpus keeps every
+    * (b,c) of a seen trigram in the bigram model, so the composition is
+    * total; Σ_c P3(c|ab) = 1 because Σ_c P_KN2(c|b) = 1, which the spec
+    * checks by vocabulary enumeration).
+    *
+    * Scale shape: TWO corpus passes (the bigram and trigram folds — the
+    * trigram pass cannot reuse the bigram table, it needs the triples),
+    * then everything is aggregates of the Zipf³-sparse trigram type
+    * table: contexts c(ab,·) and N1+(ab,·) in one pass, D3 a 1-row
+    * broadcast scalar, P2 a projection of the bigram model tables.
+    * Scoring is four shuffle joins on sparse keys + one per-doc agg. The
+    * model tables follow the VOCABULARY (ScaleSmoke knlm's reading
+    * extends: fixed vocab → flat fit cost through corpus growth); at
+    * 100 TB the trigram table is the big one, which is why it is only
+    * ever join-served (the [[continuousPplGateJoined]] bucketed-layout
+    * discipline would apply verbatim to a served trigram tier). */
+  val q176Kn3Perplexity: Q = (s, d) => kn3Scores(s, d).orderBy(col("doc_id"))
+
+  /** The memoized trigram-KN score table (doc_id, n_tri, nll_kn3) —
+    * q176 and the q177 order ladder share one fit. */
+  private[graft] def kn3Scores(s: SparkSession, d: String): DataFrame = {
+    val p = SessionArtifacts.dir("nllkn3", s, d) { t =>
+      kn3NllOf(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(s"$t/scores")
+    }
+    s.read.parquet(s"$p/scores")
+  }
+
+  /** The q176 trigram-KN kernel over an arbitrary (doc_id, text) frame —
+    * fit + score in one composition (the [[knNllOf]] convention). */
+  private[graft] def kn3NllOf(docs: DataFrame): DataFrame = {
+    // ---- lower order: the q165 bigram-KN model tables, fit on the same
+    // corpus (including 2-token docs — the lower order sees every pair)
+    val tfb = bigramFoldOf(docs).cache()
+    val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab")).cache()
+    val ctx = bg.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val pre = bg.groupBy(col("b")).agg(count(lit(1)).as("n1pre"))
+    val disc = bg.agg(
+      (sum(when(col("cab") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(when(col("cab") === 1, 1L).otherwise(0L)) +
+          lit(2L) * sum(when(col("cab") === 2, 1L).otherwise(0L)), lit(1L)))
+        .as("dd"),
+      count(lit(1)).cast("double").as("tt"))
+    // P_KN2(c|b) as a (b, c, p2) projection of the model tables — the
+    // q165 arithmetic order verbatim
+    val p2 = bg.select(col("a").as("b"), col("b").as("c"), col("cab").as("cbc"))
+      .join(ctx.select(col("a").as("b"), col("ca").as("cb"), col("n1a").as("n1b")), Seq("b"))
+      .join(pre.select(col("b").as("c"), col("n1pre")), Seq("c"))
+      .crossJoin(broadcast(disc))
+      .select(col("b"), col("c"),
+        (((col("cbc") - col("dd")) +
+          col("dd") * col("n1b") * (col("n1pre") / col("tt"))) / col("cb")).as("p2"))
+    // ---- higher order: trigram counts, contexts, the D3 scalar
+    val tft = trigramFoldOf(docs).cache()
+    val tg = tft.groupBy(col("a"), col("b"), col("c"))
+      .agg(sum(col("tf")).as("cabc")).cache()
+    val ctx3 = tg.groupBy(col("a"), col("b"))
+      .agg(sum(col("cabc")).as("cab2"), count(lit(1)).as("n1ab"))
+    val disc3 = tg.agg(
+      (sum(when(col("cabc") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(when(col("cabc") === 1, 1L).otherwise(0L)) +
+          lit(2L) * sum(when(col("cabc") === 2, 1L).otherwise(0L)), lit(1L)))
+        .as("dd3"))
+    Caching.materializeAndRelease(
+      tft
+        .join(tg, Seq("a", "b", "c"))
+        .join(ctx3, Seq("a", "b"))
+        .join(p2, Seq("b", "c"))
+        .crossJoin(broadcast(disc3))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("long").as("n_tri"),
+          round(-sum(col("tf") *
+              log(((col("cabc") - col("dd3")) +
+                col("dd3") * col("n1ab") * col("p2")) / col("cab2"))) /
+            sum(col("tf")), 4).as("nll_kn3"))
+        .orderBy(col("doc_id")),
+      tfb, bg, tft, tg)
+  }
+
+  // ---------------------------------------------------------------- q177
+
+  /** q177: the MODEL-ORDER ladder — per source, mean KN2 vs KN3 NLL on
+    * the trigram-scorable docs and the per-doc order gain (q168's
+    * kn_gain one rung up: q168 justified KN over add-1 WITHIN order 2;
+    * this is the table that justifies — or refuses — paying for order
+    * 3). A source whose order_gain is flat has its gate decisions fully
+    * captured by the bigram tier; a spike marks text whose regularities
+    * are genuinely three tokens long. Reads the two memoized score
+    * artifacts; the comparison restricts the KN2 mean to the SAME
+    * trigram-scored doc set so the columns differ by model order, not by
+    * population (the q163 discipline). All means through the shared
+    * exact idiom (differences of rounded-4 scores are exact multiples of
+    * 1e-4 — the q168 precedent). */
+  val q177Ladder3: Q = (s, d) => {
+    val k2 = knScores(s, d).select(col("doc_id"), col("nll_kn"))
+    val k3 = kn3Scores(s, d).select(col("doc_id"), col("nll_kn3"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(k2, Seq("doc_id"), "left")
+      .join(k3, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nll_kn3").isNotNull.cast("long")).cast("long").as("n_tri_scored"),
+        ExactMean.mean4(when(col("nll_kn3").isNotNull, col("nll_kn"))).as("nll_kn2"),
+        ExactMean.mean4(col("nll_kn3")).as("nll3"),
+        ExactMean.mean4(when(col("nll_kn3").isNotNull,
+          col("nll_kn") - col("nll_kn3"))).as("order_gain"))
+      .orderBy(col("source"))
   }
 
   // ---------------------------------------------------------------- q168
@@ -1254,6 +1396,8 @@ object Scoring {
     "q157_ppl_gate_funnel" -> q157PplGateFunnel,
     "q163_heldout_ppl" -> q163HeldoutPpl,
     "q165_kn_perplexity" -> q165KnPerplexity,
+    "q176_kn3_perplexity" -> q176Kn3Perplexity,
+    "q177_order_ladder" -> q177Ladder3,
     "q168_lm_ladder" -> q168LmLadder,
     "q171_kn_gate_funnel" -> q171KnGateFunnel,
     "q173_tier_flips" -> q173TierFlips,
@@ -1365,6 +1509,38 @@ object Scoring {
       |      / sum(tfb.tf), 4) AS nll_kn
       |  FROM tfb JOIN bg USING (a, b) JOIN cag USING (a)
       |    JOIN n1aa USING (a) JOIN pre USING (b) CROSS JOIN disc
+      |  GROUP BY 1)""".stripMargin
+
+  /** The q176 trigram-KN replay on top of [[nll2Ctes]]'s bg/cag tables
+    * and [[knCtes]]'s n1aa/pre/disc: P_KN2 as a (b, c, p2) projection in
+    * the q165 arithmetic order, then the trigram fold, contexts, the D3
+    * scalar, and the per-doc order-3 fold — engine expression structure
+    * mirrored term for term. Shared by q176 and q177. */
+  private[ops] val kn3Ctes =
+    """p2 AS (
+      |  SELECT bg.a AS b, bg.b AS c,
+      |    ((bg.cab - disc.dd) + disc.dd * n1aa.n1a * (pre.n1pre / disc.tt)) / cag.ca AS p2
+      |  FROM bg JOIN cag USING (a) JOIN n1aa USING (a) JOIN pre USING (b) CROSS JOIN disc),
+      |u3 AS (
+      |  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c
+      |  FROM t2, unnest(range(1, len(toks) - 1)) AS r(i)
+      |  WHERE len(toks) >= 3),
+      |tft AS (SELECT doc_id, a, b, c, count(*) AS tf FROM u3 GROUP BY 1, 2, 3, 4),
+      |tg AS (SELECT a, b, c, CAST(sum(tf) AS BIGINT) AS cabc FROM tft GROUP BY 1, 2, 3),
+      |ctx3 AS (SELECT a, b, CAST(sum(cabc) AS BIGINT) AS cab2,
+      |                CAST(count(*) AS BIGINT) AS n1ab FROM tg GROUP BY 1, 2),
+      |disc3 AS (
+      |  SELECT CAST(sum(CASE WHEN cabc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(greatest(sum(CASE WHEN cabc = 1 THEN 1 ELSE 0 END)
+      |          + 2 * sum(CASE WHEN cabc = 2 THEN 1 ELSE 0 END), 1) AS BIGINT) AS dd3
+      |  FROM tg),
+      |kn3t AS (
+      |  SELECT tft.doc_id, CAST(sum(tft.tf) AS BIGINT) AS n_tri,
+      |    round(-sum(tft.tf * ln(((tg.cabc - disc3.dd3)
+      |        + disc3.dd3 * ctx3.n1ab * p2.p2) / ctx3.cab2))
+      |      / sum(tft.tf), 4) AS nll_kn3
+      |  FROM tft JOIN tg USING (a, b, c) JOIN ctx3 USING (a, b)
+      |    JOIN p2 USING (b, c) CROSS JOIN disc3
       |  GROUP BY 1)""".stripMargin
 
   private val nllCtes =
@@ -1499,6 +1675,27 @@ object Scoring {
       s"""WITH $nll2Ctes,
         |$knCtes
         |SELECT doc_id, n_pairs, nll_kn FROM knt ORDER BY doc_id""".stripMargin,
+    "q176_kn3_perplexity" ->
+      s"""WITH $nll2Ctes,
+        |$knCtes,
+        |$kn3Ctes
+        |SELECT doc_id, n_tri, nll_kn3 FROM kn3t ORDER BY doc_id""".stripMargin,
+    // the two memoized score tables recomputed, KN2 restricted to the
+    // trigram-scored population, exact means of rounded-4 scores and of
+    // their (exact-multiple-of-1e-4) per-doc differences
+    "q177_order_ladder" ->
+      s"""WITH $nll2Ctes,
+        |$knCtes,
+        |$kn3Ctes
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN k3.nll_kn3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_scored,
+        |  ${ExactMean.mean4Sql("CASE WHEN k3.nll_kn3 IS NOT NULL THEN k2.nll_kn END")} AS nll_kn2,
+        |  ${ExactMean.mean4Sql("k3.nll_kn3")} AS nll3,
+        |  ${ExactMean.mean4Sql("CASE WHEN k3.nll_kn3 IS NOT NULL THEN k2.nll_kn - k3.nll_kn3 END")} AS order_gain
+        |FROM documents d
+        |LEFT JOIN knt k2 USING (doc_id)
+        |LEFT JOIN kn3t k3 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q157 funnel algebra verbatim with the cut and the averages on
     // the recomputed KN scores
     "q171_kn_gate_funnel" ->

@@ -841,6 +841,90 @@ object Incremental {
     q
   }
 
+  /** The frozen eval-gram index the streaming decontamination scrub
+    * serves: every distinct K-token span hash of the held-out set, in
+    * the [[writePplModel]] bucketed parquet layout (hash-bucketed so
+    * ingest joins scan only touched buckets). Eval sets are REVISED, not
+    * appended — a new benchmark release rewrites the index wholesale,
+    * which is why this is a batch writer, not a maintainer. The span
+    * kernel is [[graft.ops.Dedup.spanKernel]] — the same definition the
+    * certified batch scrub (q175) and ExactSubstr (q91) run, so the
+    * index is exactly the batch pass's eval vocabulary. */
+  def writeEvalGramIndex(spark: SparkSession, evalDocs: DataFrame,
+      indexDir: String, nBuckets: Int = 64, K: Int = 8): Unit = {
+    import spark.implicits._
+    val norm = graft.functions.TextFns.normText(col("text"))
+    evalDocs.filter(col("text").isNotNull)
+      .select(explode(graft.ops.Dedup.spanKernel(K)(norm)).as("sp"))
+      .select(col("sp._2").as("h")).distinct()
+      .withColumn("hbkt", pmod(xxhash64(col("h")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("hbkt").parquet(s"$indexDir/spans")
+    Seq((nBuckets.toLong, K.toLong)).toDF("nbkt", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    ()
+  }
+
+  /** Continuous span-level decontamination (maintainer #19) — the
+    * streaming twin of q175 ([[graft.ops.Dedup.decontamScrub]]): each
+    * micro-batch of ingested documents is scrubbed against the FROZEN
+    * [[writeEvalGramIndex]] span index — any K-token span that occurs in
+    * the held-out set is cut, and the batch emits (doc_id, n_tokens,
+    * n_cov, clean_text) with the cleaned text ready for downstream
+    * admission (null when the whole doc was contaminated — the drop
+    * signal).
+    *
+    * Scale shape: stream-static join, the [[continuousPplGateJoined]]
+    * discipline — the index never transits the driver (an eval suite of
+    * many benchmarks times paraphrase expansions is NOT broadcast-sized
+    * at 100 TB); per batch it's one span-kernel pass, a touched-bucket
+    * collect (≤ nbkt integers), a partition-pruned semi-join, and a
+    * length-bounded per-doc fold. Batch parity: replaying a corpus
+    * through this maintainer reproduces the batch scrub's (n_tokens,
+    * n_cov, md5) row-for-row, which StreamingSpec asserts. foreachBatch
+    * residue class of [[continuousSemanticDedup]]: a crash between the
+    * append and the checkpoint can duplicate one batch's rows on
+    * replay. */
+  def continuousDecontamScrub(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, indexDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val nbkt = meta.getAs[Long]("nbkt")
+    val k = meta.getAs[Long]("k").toInt
+    val idx = spark.read.parquet(s"$indexDir/spans")
+    val norm = graft.functions.TextFns.normText(col("text"))
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull).cache()
+        val spans = b
+          .select(col("doc_id"), explode(graft.ops.Dedup.spanKernel(k)(norm)).as("sp"))
+          .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
+          .withColumn("hbkt", pmod(xxhash64(col("h")), lit(nbkt)))
+          .cache()
+        // the touched-bucket set: bounded by nbkt, never by the index
+        val touched = spans.select(col("hbkt")).distinct().as[Long].collect()
+        val perDoc = spans
+          .join(idx.filter(col("hbkt").isin(touched: _*)).select(col("h")),
+            Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
+        b.join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            graft.ops.Dedup.cleanKernel(k)(norm, col("starts")).as("r"))
+          .select(col("doc_id"), col("r._1").as("n_tokens"),
+            col("r._2").as("n_cov"), col("r._3").as("clean_text"))
+          .write.mode("append").parquet(outDir)
+        spans.unpersist(); b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

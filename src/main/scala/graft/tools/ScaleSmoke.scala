@@ -899,6 +899,47 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // TRIGRAM KN TIER (kn3): the q176 fit+score pass under the knlm
+    // protocol (same-text copies, FIXED vocabulary) — the trigram model
+    // tables follow the vocabulary too (Zipf³-sparse types), so like the
+    // bigram tier only the per-doc scoring join may grow with the corpus.
+    if (section == "kn3") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            col("text"))
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        time(s"kn3 mult=$mult trigram-KN fit+score, rows=$rows") {
+          val scored = graft.ops.Scoring.kn3NllOf(scaled)
+          println(s"[scale] kn3 mult=$mult scored=${scored.count()}")
+        }
+        scaled.unpersist()
+      }
+    }
+    // SPAN DECONTAMINATION (decontam): the q175 scrub with a FIXED eval
+    // set (the base corpus's doc_id < 50) while the training side grows
+    // 16x — the claim the design earns: the span stream is linear in
+    // corpus tokens, the eval span vocabulary is eval-sized (fixed), the
+    // semi-join broadcasts, so wall-clock must read linear-at-worst.
+    if (section == "decontam") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            col("text")) // copies land at id >= 50: all training side
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        time(s"decontam mult=$mult span scrub, rows=$rows") {
+          val out = graft.ops.Dedup.decontamScrub(scaled)
+          println(s"[scale] decontam mult=$mult scrubbed=${out.count()}")
+        }
+        scaled.unpersist()
+      }
+    }
     // PRODUCTION-WIDTH MEDIA THROUGHPUT (media64): real 256x256 PNGs
     // through the fused decodeProfile pass and the 64-bit near-dup
     // funnel — the decode-bound regime the 4x4 certification corpus

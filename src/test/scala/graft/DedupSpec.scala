@@ -164,6 +164,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == ((3L, 0L, Some(md5Hex("f1 f2 f3")))))
   }
 
+  test("decontam scrub cuts exactly the spans shared with the eval set") {
+    import spark.implicits._
+    val quoted = (1 to 8).map(i => s"e$i").mkString(" ") // the benchmark sentence
+    val docs = Seq(
+      // eval side (doc_id < 3 with evalMax = 3): defines the span vocab,
+      // emits no output row
+      (0L, s"$quoted x1 x2"),
+      (1L, "y1 y2 y3 y4 y5 y6 y7 y8 y9"),
+      // train doc quoting the eval sentence mid-text -> those 8 cut
+      (10L, s"t1 t2 $quoted t3 t4"),
+      // train doc that REPEATS a train-side span but shares nothing with
+      // eval -> untouched (this is the q91/q175 difference)
+      (11L, (1 to 8).map(i => s"r$i").mkString(" ") + " u1"),
+      (12L, (1 to 8).map(i => s"r$i").mkString(" ") + " u2"),
+      // train doc that IS an eval doc verbatim -> fully covered, null fp
+      (13L, "y1 y2 y3 y4 y5 y6 y7 y8 y9"),
+      // too short for a span -> untouched
+      (14L, "z1 z2"),
+    ).toDF("doc_id", "text")
+    val got = ops.Dedup.decontamScrub(docs, evalMax = 3L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), Option(r.getString(3)))))
+      .toMap
+    assert(!got.contains(0L) && !got.contains(1L), "eval docs emit no row")
+    assert(got(10L) == ((12L, 8L, Some(md5Hex("t1 t2 t3 t4")))))
+    assert(got(11L) == ((9L, 0L, Some(md5Hex((1 to 8).map(i => s"r$i").mkString(" ") + " u1")))))
+    assert(got(12L) == ((9L, 0L, Some(md5Hex((1 to 8).map(i => s"r$i").mkString(" ") + " u2")))))
+    assert(got(13L) == ((9L, 9L, None)))
+    assert(got(14L) == ((2L, 0L, Some(md5Hex("z1 z2")))))
+  }
+
   test("hot-bucket guard: salted candidates equal the plain self-join exactly") {
     import spark.implicits._
     // a skewed bucket layout: one band hash shared by 60 docs (the

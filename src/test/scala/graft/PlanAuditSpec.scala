@@ -111,6 +111,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q163_heldout_ppl",
         // q165 broadcasts its 1-row Ney-discount scalar (the q147 shape)
         "q165_kn_perplexity",
+        // q176 composes TWO 1-row discount scalars (the bigram D inside
+        // its P2 projection + the trigram D3); q177 reads both memoized
+        // artifacts, inheriting the same scalar shapes on first fit
+        "q176_kn3_perplexity", "q177_order_ladder",
         // q170 folds against its 1-row decile-cut broadcast (q135 shape)
         "q170_vocab_growth",
         // q172 is q170's fold over the media hash table — same 1-row

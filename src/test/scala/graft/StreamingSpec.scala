@@ -573,6 +573,50 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("decontam scrub maintainer: stream-static join reproduces the q175 batch scrub") {
+    val base = Files.createTempDirectory("graft-decontam-scrub").toString
+    val in = s"$base/in"; val idx = s"$base/idx"
+    val out = s"$base/out"; val ck = s"$base/ck"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val quoted = (1 to 8).map(i => s"e$i").mkString(" ")
+    val evalDocs = Seq(
+      (0L, s"$quoted x1 x2"),
+      (1L, "y1 y2 y3 y4 y5 y6 y7 y8 y9")).toDF("doc_id", "text")
+    // small bucket count so several buckets are genuinely touched/pruned
+    Incremental.writeEvalGramIndex(spark, evalDocs, idx, nBuckets = 8)
+
+    val train = Seq(
+      (10L, s"t1 t2 $quoted t3 t4"),   // quotes the eval sentence -> 8 cut
+      (11L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), // clean -> untouched
+      (12L, "y1 y2 y3 y4 y5 y6 y7 y8 y9"), // IS an eval doc -> all cut
+      (13L, "z1 z2")).toDF("doc_id", "text") // sub-span -> untouched
+    train.filter(col("doc_id") < 12).write.parquet(s"$in/b1")
+    train.filter(col("doc_id") >= 12).write.parquet(s"$in/b2")
+    Incremental.continuousDecontamScrub(spark, s"$in/*", docSchema, idx, out, ck)
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))).toMap
+    // batch parity: the certified q175 kernel over eval+train, row-for-row
+    // (the batch side reports md5(clean); hash the streamed text the same)
+    val ref = ops.Dedup.decontamScrub(evalDocs.union(train), evalMax = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, (nToks, nCov, clean)) =>
+      val (rToks, rCov, rFp) = ref(id)
+      assert(nToks == rToks && nCov == rCov, s"doc $id: ($nToks,$nCov) != ($rToks,$rCov)")
+      assert(clean.map(md5Hex) == rFp, s"doc $id cleaned text != batch fp")
+    }
+    // and the operational read: cut, untouched, dropped, short-doc cases
+    assert(got(10L) == ((12L, 8L, Some("t1 t2 t3 t4"))), got(10L).toString)
+    assert(got(11L)._2 == 0L && got(11L)._3.contains("u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+    assert(got(12L) == ((9L, 9L, None)))
+    assert(got(13L) == ((2L, 0L, Some("z1 z2"))))
+  }
+
   test("doc-embed refresh cadence: vocab shift degrades coverage, the refit recovers it") {
     val base = Files.createTempDirectory("graft-docembed-refresh").toString
     val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
@@ -1203,4 +1247,8 @@ class StreamingSpec extends AnyFunSuite {
     Incremental.continuousGateFunnel(spark, s"$in/*", docSchema, evalDocs, flags, fps, ck)
     assert(spark.read.parquet(flags).count() == before)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

@@ -552,6 +552,83 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L), "a 1-token doc has nothing to score")
   }
 
+  test("q176 trigram-KN kernel: planted corpus matches an independent reference; P(·|ab) sums to 1") {
+    import spark.implicits._
+    val fixture = Map(
+      1L -> "a b c a b c x",
+      2L -> "b c a b c a",
+      3L -> "a b d",
+      5L -> "c a b d c a b")
+    val docs = (fixture.toSeq ++ Seq(4L -> "two toks", 6L -> "one"))
+      .toDF("doc_id", "text")
+    val got = ops.Scoring.kn3NllOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // independent reference, written from the formula: the q165 bigram-KN
+    // model over ALL >=2-token docs (the lower order sees every pair),
+    // then the trigram layer over the >=3-token docs
+    val toks2 = (fixture + (4L -> "two toks")).map { case (k, v) => k -> v.split(" ").toSeq }
+    val cab = toks2.values.flatMap(ts => ts.zip(ts.tail)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1a = cab.groupBy(_._1._1).map { case (a, m) => a -> m.size.toLong }
+    val pre = cab.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val tt = cab.size.toDouble
+    val dd = {
+      val n1 = cab.values.count(_ == 1L); val n2 = cab.values.count(_ == 2L)
+      n1.toDouble / math.max(n1 + 2 * n2, 1)
+    }
+    def p2(b: String, c: String): Double =
+      ((math.max(cab.getOrElse((b, c), 0L) - dd, 0.0)) +
+        dd * n1a(b) * (pre(c) / tt)) / ca(b)
+    val toks3 = fixture.map { case (k, v) => k -> v.split(" ").toSeq }
+    val tri = toks3.values.flatMap(ts =>
+      ts.lazyZip(ts.tail).lazyZip(ts.tail.tail).toSeq).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val cab2 = tri.groupBy(t => (t._1._1, t._1._2)).map { case (k, m) => k -> m.values.sum }
+    val n1ab = tri.groupBy(t => (t._1._1, t._1._2)).map { case (k, m) => k -> m.size.toLong }
+    val d3 = {
+      val n1 = tri.values.count(_ == 1L); val n2 = tri.values.count(_ == 2L)
+      n1.toDouble / math.max(n1 + 2 * n2, 1)
+    }
+    assert(d3 > 0.0 && d3 < 1.0, s"trigram Ney discount must be proper: $d3")
+    def p3(a: String, b: String, c: String): Double =
+      (math.max(tri.getOrElse((a, b, c), 0L) - d3, 0.0) +
+        d3 * n1ab((a, b)) * p2(b, c)) / cab2((a, b))
+    // the defining property one order up: for every seen context (a,b),
+    // the interpolated trigram conditional sums to 1 over the
+    // continuation vocabulary (because P_KN2(·|b) does)
+    cab2.keys.foreach { case (a, b) =>
+      // .toSeq: pre.keys is a Set, and the unseen-continuation terms are
+      // EQUAL doubles — a mapped Set would collapse them before the sum
+      val mass = pre.keys.toSeq.map(c => p3(a, b, c)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"P(.|$a $b) sums to $mass, not 1")
+    }
+    toks3.foreach { case (id, ts) =>
+      val tris = ts.lazyZip(ts.tail).lazyZip(ts.tail.tail).toSeq
+      val exp = BigDecimal(-tris.map(t => math.log(p3(t._1, t._2, t._3))).sum / tris.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, nll) = got(id)
+      assert(n == tris.size, s"doc $id: n_tri $n != ${tris.size}")
+      assert(math.abs(nll - exp) < 1e-6, s"doc $id: nll_kn3 $nll != reference $exp")
+    }
+    assert(!got.contains(4L) && !got.contains(6L),
+      "docs under 3 tokens have no trigram to score")
+  }
+
+  test("q177 on the corpus: order-3 tightens the in-model fit that order 2 certified") {
+    val rows = ops.Scoring.q177Ladder3(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, nDocs, nTri) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nTri <= nDocs, s"$src: $nTri scored of $nDocs")
+      // in-model, the higher order fits tighter on average — the
+      // direction that justifies the ladder (corpus-level, like the
+      // q165-vs-q147 direction check)
+      assert(r.getDouble(5) > 0.0,
+        s"$src: order_gain ${r.getDouble(5)} should be positive in-model")
+    }
+  }
+
   test("q165 vs q147 on the corpus: same doc set and pair counts, different smoothing") {
     val kn = ops.Scoring.q165KnPerplexity(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

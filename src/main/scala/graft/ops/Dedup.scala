@@ -643,7 +643,42 @@ object Dedup {
     * twin ([[graft.streaming.Incremental.continuousDecontamScrub]])
     * serves the same kernel against a PERSISTED bucketed eval-gram index,
     * so ingest pays a pruned join, not an index rebuild. */
-  val q175DecontamScrub: Q = (s, d) => decontamScrub(Tables.documents(s, d))
+  val q175DecontamScrub: Q = (s, d) => decontamScores(s, d).orderBy(col("doc_id"))
+
+  /** The memoized scrub table (doc_id, n_tokens, n_cov, clean_fp) —
+    * q175 and the q178 funnel share one pass (the knScores discipline:
+    * scrub once per session, every consumer reads the same table). */
+  private[graft] def decontamScores(s: SparkSession, d: String): DataFrame = {
+    val p = SessionArtifacts.dir("decontam", s, d) { t =>
+      decontamScrub(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(s"$t/scrub")
+    }
+    s.read.parquet(s"$p/scrub")
+  }
+
+  /** q178: the decontamination FUNNEL — per-source loss accounting of
+    * the q175 scrub, the number a release review reads: how much of
+    * each source was eval-contaminated (docs touched, docs fully gutted,
+    * tokens cut, the cut share). A source with a spiking cut_share is
+    * one whose crawl overlaps the benchmark distribution — the signal
+    * that decides between span-scrubbing it and dropping it from the
+    * mix. One join of the memoized per-doc scrub table with the source
+    * column and a per-source fold; cut_share is one division of two
+    * exact integer sums (bit-identical cross-engine — no float
+    * accumulation reaches the rounding). */
+  val q178DecontamFunnel: Q = (s, d) => {
+    decontamScores(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum((col("n_cov") > 0).cast("long")).cast("long").as("n_affected"),
+        sum(col("clean_fp").isNull.cast("long")).cast("long").as("n_gutted"),
+        sum(col("n_tokens")).cast("long").as("tok_total"),
+        sum(col("n_cov")).cast("long").as("tok_cut"),
+        round(sum(col("n_cov")).cast("double") / sum(col("n_tokens")), 4)
+          .as("cut_share"))
+      .orderBy(col("source"))
+  }
 
   /** The span-decontamination pass over an arbitrary (doc_id, text)
     * frame: docs with doc_id < evalMax are the held-out set (they define
@@ -761,6 +796,7 @@ object Dedup {
     "q78_incr_dedup"      -> q78IncrementalDedup,
     "q91_substr_dedup"    -> q91SubstrDedup,
     "q175_decontam_scrub" -> q175DecontamScrub,
+    "q178_decontam_funnel" -> q178DecontamFunnel,
     "q122_lsh_calibration" -> q122LshCalibration,
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
   )
@@ -769,6 +805,30 @@ object Dedup {
   private[graft] val DuckShingles =
     """list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |               for i in range(1, greatest(len(toks) - 1, 1))])""".stripMargin
+
+  // the q175 scrub as a CTE body ending in scrub(doc_id, n_tokens,
+  // n_cov, clean_fp) — q175 certifies it per doc, q178 folds it by source
+  private val decontamCtes =
+    """t AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |sp0 AS (
+      |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS st, toks
+      |  FROM t WHERE len(toks) >= 8),
+      |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + 7], ' ') AS span FROM sp0),
+      |ev AS (SELECT DISTINCT span FROM sp WHERE doc_id < 50),
+      |ds AS (SELECT sp.doc_id, sp.st FROM sp JOIN ev USING (span) WHERE sp.doc_id >= 50),
+      |cov AS (SELECT DISTINCT doc_id, st + o AS p FROM ds, range(0, 8) r(o)),
+      |tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
+      |         FROM t WHERE doc_id >= 50),
+      |tok AS (SELECT doc_id, p, toks[p] AS tk FROM tok0),
+      |scrub AS (
+      |  SELECT tok.doc_id,
+      |    count(*) AS n_tokens,
+      |    CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
+      |    md5(string_agg(CASE WHEN cov.p IS NULL THEN tok.tk END, ' ' ORDER BY tok.p)) AS clean_fp
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      |  GROUP BY 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // q38's exhaustive exact-Jaccard pair CTE + the estimator recomputed
@@ -813,26 +873,20 @@ object Dedup {
     // (doc_id < 50); training positions covered by one are cut; cleaned-fp
     // over the uncovered tokens in position order (all-covered -> NULL on
     // both engines). Same slicing as q91's CTE chain with the dup-count
-    // vocabulary swapped for the eval-membership vocabulary.
+    // vocabulary swapped for the eval-membership vocabulary. q175
+    // certifies the per-doc table; q178 aggregates the same CTE body.
     "q175_decontam_scrub" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents),
-        |sp0 AS (
-        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS st, toks
-        |  FROM t WHERE len(toks) >= 8),
-        |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + 7], ' ') AS span FROM sp0),
-        |ev AS (SELECT DISTINCT span FROM sp WHERE doc_id < 50),
-        |ds AS (SELECT sp.doc_id, sp.st FROM sp JOIN ev USING (span) WHERE sp.doc_id >= 50),
-        |cov AS (SELECT DISTINCT doc_id, st + o AS p FROM ds, range(0, 8) r(o)),
-        |tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
-        |         FROM t WHERE doc_id >= 50),
-        |tok AS (SELECT doc_id, p, toks[p] AS tk FROM tok0)
-        |SELECT tok.doc_id,
-        |  count(*) AS n_tokens,
-        |  CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
-        |  md5(string_agg(CASE WHEN cov.p IS NULL THEN tok.tk END, ' ' ORDER BY tok.p)) AS clean_fp
-        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      s"""WITH $decontamCtes
+        |SELECT doc_id, n_tokens, n_cov, clean_fp FROM scrub ORDER BY doc_id""".stripMargin,
+    "q178_decontam_funnel" ->
+      s"""WITH $decontamCtes
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN s.n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+        |  CAST(sum(CASE WHEN s.clean_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gutted,
+        |  CAST(sum(s.n_tokens) AS BIGINT) AS tok_total,
+        |  CAST(sum(s.n_cov) AS BIGINT) AS tok_cut,
+        |  round(CAST(sum(s.n_cov) AS DOUBLE) / sum(s.n_tokens), 4) AS cut_share
+        |FROM scrub s JOIN documents d USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // String-exact recomputation: every 8-token span with corpus count >= 2,
     // positions covered by any such span, and the cleaned-text md5 over the

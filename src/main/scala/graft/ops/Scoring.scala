@@ -608,11 +608,12 @@ object Scoring {
     * table: contexts c(ab,·) and N1+(ab,·) in one pass, D3 a 1-row
     * broadcast scalar, P2 a projection of the bigram model tables.
     * Scoring is four shuffle joins on sparse keys + one per-doc agg. The
-    * model tables follow the VOCABULARY (ScaleSmoke knlm's reading
-    * extends: fixed vocab → flat fit cost through corpus growth); at
-    * 100 TB the trigram table is the big one, which is why it is only
-    * ever join-served (the [[continuousPplGateJoined]] bucketed-layout
-    * discipline would apply verbatim to a served trigram tier). */
+    * model tables follow the VOCABULARY (ScaleSmoke kn3: fit+score flat
+    * through 16× corpus growth at fixed vocab); at 100 TB the trigram
+    * table is the big one, which is why it is only ever join-served —
+    * [[graft.streaming.Incremental.continuousPplGateJoined]] serves this
+    * exact model as its `smoothing="kn3"` tier from the bucketed
+    * [[graft.streaming.Incremental.writePplModel]] layout. */
   val q176Kn3Perplexity: Q = (s, d) => kn3Scores(s, d).orderBy(col("doc_id"))
 
   /** The memoized trigram-KN score table (doc_id, n_tri, nll_kn3) —
@@ -705,6 +706,74 @@ object Scoring {
         ExactMean.mean4(when(col("nll_kn3").isNotNull,
           col("nll_kn") - col("nll_kn3"))).as("order_gain"))
       .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------- q179
+
+  /** q179: per-source LM SPECIFICITY — N per-domain bigram models fit in
+    * ONE corpus pass, the CCNet production pattern (CCNet ships one
+    * KenLM per language; a mixture pipeline ships one per domain) made a
+    * single declarative plan: [[bigramFoldOf]] CARRIES the source
+    * column, so the per-source count tables are just a wider grouping
+    * key on the same fold — no per-domain loop, no N jobs, and at 100 TB
+    * the N models cost one shuffle more than one model does. Each doc is
+    * scored under its OWN source's add-1 model and under the global q147
+    * model (identical arithmetic, certified there); the per-source
+    * report is the mean of both and their gap:
+    *
+    *   specificity = mean(nll_global − nll_own)
+    *
+    * — how much better a domain's text is explained by its own LM. A
+    * flat specificity says the source is generic (its docs could come
+    * from anywhere: a candidate for merging mixture buckets); a spike
+    * says the domain has real local regularities (worth its own gate
+    * cuts, its own ppl tercile, maybe its own tokenizer budget — the
+    * per-domain reading q173/q177 decide tiers WITHIN). Scored docs are
+    * the ≥ 2-token set, identical for both models; means through
+    * ExactMean (rounded-4 per-doc scores and their exact-1e-4
+    * differences). */
+  val q179SourceLmSpecificity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val tfb = bigramFoldOf(docs, carry = Seq("source")).cache()
+    // per-source models: the same fold, keyed one column wider
+    val bgs = tfb.groupBy(col("source"), col("a"), col("b"))
+      .agg(sum(col("tf")).as("cab_s"))
+    val cas = bgs.groupBy(col("source"), col("a"))
+      .agg(sum(col("cab_s")).as("ca_s"))
+    val vs = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("w")).cast("double").as("v_s"))
+    // the global q147 model from the same fold
+    val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+    val cag = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val v = docs
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).cast("double").as("v"))
+    val per = tfb
+      .join(bgs, Seq("source", "a", "b"))
+      .join(cas, Seq("source", "a"))
+      .join(vs, Seq("source"))
+      .join(bg, Seq("a", "b"))
+      .join(cag, Seq("a"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        round(-sum(col("tf") *
+            log((col("cab_s") + 1) / (col("ca_s") + col("v_s")))) /
+          sum(col("tf")), 4).as("nll_own"),
+        round(-sum(col("tf") *
+            log((col("cab") + 1) / (col("ca") + col("v")))) /
+          sum(col("tf")), 4).as("nll_glob"))
+    Caching.materializeAndRelease(
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_scored"),
+          ExactMean.mean4(col("nll_own")).as("nll_own"),
+          ExactMean.mean4(col("nll_glob")).as("nll_glob"),
+          ExactMean.mean4(col("nll_glob") - col("nll_own")).as("specificity"))
+        .orderBy(col("source")),
+      tfb)
   }
 
   // ---------------------------------------------------------------- q168
@@ -1398,6 +1467,7 @@ object Scoring {
     "q165_kn_perplexity" -> q165KnPerplexity,
     "q176_kn3_perplexity" -> q176Kn3Perplexity,
     "q177_order_ladder" -> q177Ladder3,
+    "q179_source_lm_specificity" -> q179SourceLmSpecificity,
     "q168_lm_ladder" -> q168LmLadder,
     "q171_kn_gate_funnel" -> q171KnGateFunnel,
     "q173_tier_flips" -> q173TierFlips,
@@ -1680,6 +1750,44 @@ object Scoring {
         |$knCtes,
         |$kn3Ctes
         |SELECT doc_id, n_tri, nll_kn3 FROM kn3t ORDER BY doc_id""".stripMargin,
+    // N per-source add-1 models + the global model, all recomputed from
+    // one source-carried pair fold; per-doc scores under both, exact
+    // means and the exact-1e-4 gap per source
+    "q179_source_lm_specificity" ->
+      s"""WITH td AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |us AS (
+        |  SELECT doc_id, source, toks[i] AS a, toks[i + 1] AS b
+        |  FROM td, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |tfbs AS (SELECT doc_id, source, a, b, count(*) AS tf FROM us GROUP BY 1, 2, 3, 4),
+        |bgs AS (SELECT source, a, b, CAST(sum(tf) AS BIGINT) AS cab_s FROM tfbs GROUP BY 1, 2, 3),
+        |cas AS (SELECT source, a, CAST(sum(cab_s) AS BIGINT) AS ca_s FROM bgs GROUP BY 1, 2),
+        |vsrc AS (
+        |  SELECT source, CAST(count(DISTINCT w) AS DOUBLE) AS v_s FROM (
+        |    SELECT source, unnest(toks) AS w FROM td) GROUP BY 1),
+        |bg2 AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab FROM tfbs GROUP BY 1, 2),
+        |cag2 AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bg2 GROUP BY 1),
+        |vg AS (
+        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(toks) AS w FROM td)),
+        |per AS (
+        |  SELECT tfbs.doc_id, tfbs.source,
+        |    round(-sum(tfbs.tf * ln((bgs.cab_s + 1) / (cas.ca_s + vsrc.v_s)))
+        |      / sum(tfbs.tf), 4) AS nll_own,
+        |    round(-sum(tfbs.tf * ln((bg2.cab + 1) / (cag2.ca + vg.v)))
+        |      / sum(tfbs.tf), 4) AS nll_glob
+        |  FROM tfbs JOIN bgs USING (source, a, b) JOIN cas USING (source, a)
+        |    JOIN vsrc USING (source) JOIN bg2 USING (a, b) JOIN cag2 USING (a)
+        |    CROSS JOIN vg
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_scored,
+        |  ${ExactMean.mean4Sql("nll_own")} AS nll_own,
+        |  ${ExactMean.mean4Sql("nll_glob")} AS nll_glob,
+        |  ${ExactMean.mean4Sql("nll_glob - nll_own")} AS specificity
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // the two memoized score tables recomputed, KN2 restricted to the
     // trigram-scored population, exact means of rounded-4 scores and of
     // their (exact-multiple-of-1e-4) per-doc differences

@@ -115,6 +115,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // its P2 projection + the trigram D3); q177 reads both memoized
         // artifacts, inheriting the same scalar shapes on first fit
         "q176_kn3_perplexity", "q177_order_ladder",
+        // q179 broadcasts the 1-row global-vocabulary scalar (q147 shape)
+        "q179_source_lm_specificity",
         // q170 folds against its 1-row decile-cut broadcast (q135 shape)
         "q170_vocab_growth",
         // q172 is q170's fold over the media hash table — same 1-row

@@ -629,6 +629,22 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 on the corpus: own-source models fit tighter than the global model overall") {
+    val rows = ops.Scoring.q179SourceLmSpecificity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0,
+        s"${r.getString(0)}: NLLs must be positive (${r.getDouble(2)}, ${r.getDouble(3)})")
+    }
+    // direction, doc-weighted across sources: a model fit on its own
+    // domain explains the domain at least as well as the pooled model
+    // does ON AVERAGE (corpus-level like the q165-vs-q147 direction
+    // check — individual sources can read either way)
+    val wSpec = rows.map(r => r.getLong(1) * r.getDouble(4)).sum /
+      rows.map(_.getLong(1)).sum
+    assert(wSpec > 0.0, s"doc-weighted mean specificity $wSpec should be positive")
+  }
+
   test("q165 vs q147 on the corpus: same doc set and pair counts, different smoothing") {
     val kn = ops.Scoring.q165KnPerplexity(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

@@ -417,6 +417,36 @@ object CorpusReports {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------- q180
+
+  /** q180: term BURSTINESS — Church & Gale's dispersion diagnostic over
+    * the frequency head: for each of the top-50 terms by corpus
+    * frequency, cf, document frequency, and burst = cf/df (mean
+    * occurrences per CONTAINING document). Burst ≈ cf/n_docs-uniform for
+    * function words; topical terms and template sludge concentrate
+    * (high burst at high df = boilerplate repeating inside documents —
+    * the q110 scrub's target population; high burst at low df = topical
+    * clumping). Read next to q116's histogram and the q169 Zipf fit as
+    * the third head-shape diagnostic: WHICH heavy terms carry their mass
+    * within few documents rather than across many.
+    *
+    * Determinism: the top-K is a total order on (cf desc, term asc);
+    * burst is ONE division of two exact integers — no float accumulation
+    * reaches the rounding. Scale: one tokenize pass into a map-side-
+    * combined (term, doc) fold (df is the inverted-index count, the
+    * q84/q57 discipline), then TakeOrdered(50) — never a global sort. */
+  val q180Burstiness: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).cast("long").as("cf"),
+        count_distinct(col("doc_id")).as("df"))
+      .select(col("w").as("term"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df"), 4).as("burst"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(50)
+  }
+
   // ---------------------------------------------------------------- q169
 
   /** q169: Zipf rank–frequency FIT — the quantitative companion to
@@ -520,6 +550,7 @@ object CorpusReports {
     "q160_data_card_full" -> q160DataCardFull,
     "q169_zipf_fit" -> q169ZipfFit,
     "q170_vocab_growth" -> q170VocabGrowth,
+    "q180_burstiness" -> q180Burstiness,
     "q150_data_card" -> q150DataCard,
     "q151_dedup_bias" -> q151DedupBias,
     "q115_dup_cluster_hist" -> q115DupClusterHist,
@@ -561,6 +592,19 @@ object CorpusReports {
        |FROM c ORDER BY $key""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // term/doc fold -> cf + distinct-doc df, the (cf desc, term) total
+    // order, one exact-integer division per row
+    "q180_burstiness" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT w AS term, CAST(count(*) AS BIGINT) AS cf,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY 1)
+        |SELECT term, cf, df, round(CAST(cf AS DOUBLE) / df, 4) AS burst
+        |FROM s ORDER BY cf DESC, term LIMIT 50""".stripMargin,
     // top-K on a (count desc, term) TOTAL order, then the OLS moment
     // fold in the engine's exact expression shapes
     "q169_zipf_fit" ->

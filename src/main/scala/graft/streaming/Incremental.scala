@@ -735,12 +735,37 @@ object Incremental {
         pmod(xxhash64(col("b")), lit(nBuckets.toLong)).as("bbkt"))
       .write.mode("overwrite").partitionBy("bbkt")
       .parquet(s"$modelDir/continuations")
+    // the order-3 layer (the q176 model): trigram counts + (a,b) contexts
+    // in the same left-token bucket layout, D3 and the kn3 cuts in meta.
+    // Nullable cuts: a corpus with no >= 3-token doc still serves the
+    // order-2 tiers; requesting smoothing="kn3" against it fails loudly.
+    val tft = Scoring.trigramFoldOf(corpus).cache()
+    val tg = tft.groupBy(col("a"), col("b"), col("c"))
+      .agg(sum(col("tf")).as("cabc")).cache()
+    val disc3 = tg.agg(
+      (sum(when(col("cabc") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(when(col("cabc") === 1, 1L).otherwise(0L)) +
+          lit(2L) * sum(when(col("cabc") === 2, 1L).otherwise(0L)), lit(1L)))
+        .as("dd3")).head()
+    tg.select(col("a"), col("b"), col("c"), col("cabc"), abkt)
+      .write.mode("overwrite").partitionBy("abkt").parquet(s"$modelDir/trigrams")
+    tg.groupBy(col("a"), col("b"))
+      .agg(sum(col("cabc")).as("cab2"), count(lit(1)).as("n1ab"))
+      .select(col("a"), col("b"), col("cab2"), col("n1ab"), abkt)
+      .write.mode("overwrite").partitionBy("abkt").parquet(s"$modelDir/contexts3")
+    val cutsK3 = Scoring.kn3NllOf(corpus).agg(
+      expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll_kn3)"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn3)")).head()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     Seq((v, disc.getDouble(0), disc.getDouble(1), nBuckets.toLong,
         cutsA.getDouble(0), cutsA.getDouble(1),
-        cutsK.getDouble(0), cutsK.getDouble(1)))
-      .toDF("v", "dd", "tt", "nbkt", "c1_add1", "c2_add1", "c1_kn", "c2_kn")
+        cutsK.getDouble(0), cutsK.getDouble(1),
+        disc3.getDouble(0), opt(cutsK3, 0), opt(cutsK3, 1)))
+      .toDF("v", "dd", "tt", "nbkt", "c1_add1", "c2_add1", "c1_kn", "c2_kn",
+        "dd3", "c1_kn3", "c2_kn3")
       .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/meta")
-    bg.unpersist(); tfb.unpersist()
+    tg.unpersist(); tft.unpersist(); bg.unpersist(); tfb.unpersist()
     ()
   }
 
@@ -767,6 +792,14 @@ object Incremental {
     *    model never saw has no continuation mass to interpolate, so
     *    out-of-model pairs fall back to the add-1 tier's smoothing —
     *    total, positive, and documented rather than a log(0) surprise.
+    *  - "kn3": the q176 trigram fold for in-model trigrams (replaying
+    *    the fit corpus reproduces q176's rounded scores exactly), with
+    *    the documented degradation ladder below it: unseen trigram
+    *    under a seen context → continuation term only; unseen context
+    *    → P_KN2(c|b) alone; unseen bigram inside P2 → add-1. The batch
+    *    side folds to TRIGRAMS and the static side adds the
+    *    trigrams/contexts3 tables plus the bigram tables reprojected
+    *    onto (b, c) — same touched-bucket pruning, three bucket sets.
     *
     * Buckets against the meta cuts of the chosen tier; < 2-token docs
     * emit `unscored` (the gate never judges what it cannot score).
@@ -785,16 +818,74 @@ object Incremental {
     val tt = meta.getAs[Double]("tt")
     val nbkt = meta.getAs[Long]("nbkt")
     val (c1, c2) = smoothing match {
+      case "kn3" =>
+        require(!meta.isNullAt(meta.fieldIndex("c1_kn3")),
+          "smoothing=kn3 needs a model fit on a corpus with at least one " +
+            ">= 3-token document (the kn3 cuts are null)")
+        (meta.getAs[Double]("c1_kn3"), meta.getAs[Double]("c2_kn3"))
       case "kn" => (meta.getAs[Double]("c1_kn"), meta.getAs[Double]("c2_kn"))
       case _    => (meta.getAs[Double]("c1_add1"), meta.getAs[Double]("c2_add1"))
     }
+    val dd3 = meta.getAs[Double]("dd3")
     val bg = spark.read.parquet(s"$modelDir/bigrams")
     val ctx = spark.read.parquet(s"$modelDir/contexts")
     val pre = spark.read.parquet(s"$modelDir/continuations")
+    lazy val tg3 = spark.read.parquet(s"$modelDir/trigrams")
+    lazy val ctx3 = spark.read.parquet(s"$modelDir/contexts3")
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.select(col("doc_id"), col("text")).cache()
+        val (scores, fold) = if (smoothing == "kn3") {
+          // ORDER-3 SERVE (the q176 model): the batch folds to trigrams;
+          // the static side adds the trigram tables AND the bigram tables
+          // (the latter reproject onto (b, c) for the interpolated
+          // P_KN2(c|b) leg). Degradation ladder, total and documented:
+          // in-model trigram -> the q176 fold verbatim; unseen trigram
+          // under a seen context -> only the continuation term; unseen
+          // context -> P_KN2 alone; unseen bigram inside P2 -> the add-1
+          // tier. Docs with < 3 tokens have no trigram to score and emit
+          // unscored (the < 2-token convention one order up).
+          val tft = graft.ops.Scoring.trigramFoldOf(b)
+            .withColumn("abkt", pmod(xxhash64(col("a")), lit(nbkt)))
+            .withColumn("bbkt", pmod(xxhash64(col("b")), lit(nbkt)))
+            .withColumn("cbkt", pmod(xxhash64(col("c")), lit(nbkt)))
+            .cache()
+          val aB = tft.select(col("abkt")).distinct().as[Long].collect()
+          val bB = tft.select(col("bbkt")).distinct().as[Long].collect()
+          val cB = tft.select(col("cbkt")).distinct().as[Long].collect()
+          // P_KN2(c|b) from the bigram layout: left-token buckets of b,
+          // continuation buckets of c
+          val p2v = when(col("cbc").isNotNull,
+              ((col("cbc") - lit(dd)) +
+                lit(dd) * col("n1b") * (col("n1pre") / lit(tt))) / col("cb"))
+            .otherwise((coalesce(col("cbc"), lit(0L)) + 1) /
+              (coalesce(col("cb"), lit(0L)) + lit(v)))
+          val lnP3 = when(col("cab2").isNotNull,
+              log((greatest(coalesce(col("cabc"), lit(0L)).cast("double") - lit(dd3),
+                  lit(0.0)) +
+                lit(dd3) * col("n1ab") * p2v) / col("cab2")))
+            .otherwise(log(p2v))
+          val out = tft
+            .join(tg3.filter(col("abkt").isin(aB: _*))
+              .select(col("a"), col("b"), col("c"), col("cabc")),
+              Seq("a", "b", "c"), "left")
+            .join(ctx3.filter(col("abkt").isin(aB: _*))
+              .select(col("a"), col("b"), col("cab2"), col("n1ab")),
+              Seq("a", "b"), "left")
+            .join(bg.filter(col("abkt").isin(bB: _*))
+              .select(col("a").as("b"), col("b").as("c"), col("cab").as("cbc")),
+              Seq("b", "c"), "left")
+            .join(ctx.filter(col("abkt").isin(bB: _*))
+              .select(col("a").as("b"), col("ca").as("cb"), col("n1a").as("n1b")),
+              Seq("b"), "left")
+            .join(pre.filter(col("bbkt").isin(cB: _*))
+              .select(col("b").as("c"), col("n1pre")), Seq("c"), "left")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("tf")).cast("long").as("n_pairs"),
+              round(-sum(col("tf") * lnP3) / sum(col("tf")), 4).as("nll2"))
+          (out, tft)
+        } else {
         val tfb = graft.ops.Scoring.bigramFoldOf(b)
           .withColumn("abkt", pmod(xxhash64(col("a")), lit(nbkt)))
           .withColumn("bbkt", pmod(xxhash64(col("b")), lit(nbkt)))
@@ -811,7 +902,7 @@ object Incremental {
           case _ => log((coalesce(col("cab"), lit(0L)) + 1) /
             (coalesce(col("ca"), lit(0L)) + lit(v)))
         }
-        val scores = tfb
+        val out = tfb
           .join(bg.filter(col("abkt").isin(aB: _*))
             .select(col("a"), col("b"), col("cab")), Seq("a", "b"), "left")
           .join(ctx.filter(col("abkt").isin(aB: _*))
@@ -821,6 +912,8 @@ object Incremental {
           .groupBy(col("doc_id"))
           .agg(sum(col("tf")).cast("long").as("n_pairs"),
             round(-sum(col("tf") * lnP) / sum(col("tf")), 4).as("nll2"))
+        (out, tfb)
+        }
         b.select(col("doc_id"))
           .join(scores, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -831,7 +924,7 @@ object Incremental {
               .when(col("nll2") <= lit(c2), "middle")
               .otherwise("tail").as("bucket"))
           .write.mode("append").parquet(outDir)
-        tfb.unpersist(); b.unpersist()
+        fold.unpersist(); b.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -703,9 +703,11 @@ object ScaleSmoke {
         time(s"mult=$mult writePplModel nBuckets=$nBuckets")(
           graft.streaming.Incremental.writePplModel(spark, scaled, model, nBuckets))
         val modelRows = spark.read.parquet(s"$model/bigrams").count()
-        println(s"[scale] pplserve mult=$mult model_bigram_types=$modelRows")
+        val modelRows3 = spark.read.parquet(s"$model/trigrams").count()
+        println(s"[scale] pplserve mult=$mult model_bigram_types=$modelRows " +
+          s"trigram_types=$modelRows3")
         probe.write.parquet(s"$base/in/b1")
-        for (tier <- Seq("add1", "kn")) {
+        for (tier <- Seq("add1", "kn", "kn3")) {
           time(s"mult=$mult pplserve tier=$tier drain (200-doc batch)")(
             graft.streaming.Incremental.continuousPplGateJoined(spark,
               s"$base/in/*", schema, model, s"$base/out_$tier", s"$base/ck_$tier",

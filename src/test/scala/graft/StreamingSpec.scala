@@ -570,6 +570,25 @@ class StreamingSpec extends AnyFunSuite {
     // the out-of-model doc degrades through the documented add-1
     // fallback — total and positive, never log(0)
     assert(gotK(103L)._2.exists(x => !x.isNaN && !x.isInfinite), gotK(103L).toString)
+
+    // ORDER-3 tier: batch parity with the q176 kernel (replaying the fit
+    // corpus keeps every trigram in-model — the serve is the certified
+    // fold verbatim), and the degradation ladder below it
+    val refK3 = graft.ops.Scoring.kn3NllOf(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val gotK3 = drain("kn3")
+    refK3.foreach { case (id, (nTri, nll3)) =>
+      assert(gotK3(id)._1 == nTri && gotK3(id)._2.contains(nll3),
+        s"kn3 doc $id: stream ${gotK3(id)} != batch ($nTri, $nll3)")
+    }
+    // < 3 tokens has no trigram: 102 (1 token) AND a 4-token in-model doc
+    // still scores (100 has 2 trigrams)
+    assert(gotK3(102L)._3 == "unscored" && gotK3(102L)._2.isEmpty, gotK3(102L).toString)
+    assert(gotK3(100L)._1 == 2L && gotK3(100L)._2.nonEmpty, gotK3(100L).toString)
+    // out-of-model trigrams (101: seen words, unseen orders; 103: unseen
+    // words) walk the documented ladder — finite, never log(0)
+    assert(gotK3(101L)._2.exists(x => !x.isNaN && !x.isInfinite), gotK3(101L).toString)
+    assert(gotK3(103L)._2.exists(x => !x.isNaN && !x.isInfinite), gotK3(103L).toString)
     corpus.unpersist()
   }
 

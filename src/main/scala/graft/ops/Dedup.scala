@@ -447,6 +447,46 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** q181: cross-source SYNDICATION matrix — which source pairs share
+    * near-duplicate content, from the session's MinHash component
+    * artifact. For every unordered source pair (diagonal included: a
+    * source syndicating against itself is template reuse), the number
+    * of shared components and the number of near-dup DOC pairs between
+    * them. The release-review reading: a hot (src_a, src_b) cell means
+    * one feed is republishing the other — dedup THERE changes the mix
+    * (q136) and the bias audit (q174) for both sources at once.
+    *
+    * Scale shape: doc pairs are counted ARITHMETICALLY from per-
+    * (component, source) counts (n_a·n_b cross, n·(n−1)/2 diagonal) —
+    * never enumerated, so a mega-component costs one row per source it
+    * touches, not k² pairs (the q164/q153 occupancy-fold discipline).
+    * The self-join keys on the component label — an equi-join on a
+    * duplicate-docs-sized table. Exact integer algebra end to end. */
+  val q181SyndicationMatrix: Q = (s, d) =>
+    syndicationMatrixOf(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      dedupComponents(s, d).select(
+        col("vertex").as("doc_id"), col("label").as("comp")))
+
+  /** The pair algebra over any (doc_id, source) × (doc_id, comp) pair of
+    * frames — unit-tested on planted components. */
+  private[graft] def syndicationMatrixOf(
+      docs: DataFrame, comps: DataFrame): DataFrame = {
+    val bySrc = docs.join(comps, Seq("doc_id"))
+      .groupBy(col("comp"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    bySrc.as("a").join(bySrc.as("b"),
+        col("a.comp") === col("b.comp") &&
+          col("a.source") <= col("b.source"))
+      .filter(!(col("a.source") === col("b.source") && col("a.n") < 2))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_comps"),
+        sum(when(col("a.source") === col("b.source"),
+            expr("(a.n * (a.n - 1)) div 2"))
+          .otherwise(col("a.n") * col("b.n"))).cast("long").as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** END-TO-END corpus cleaning — the composed pipeline a pretraining-data
     * user actually runs, as ONE query: quality gate → exact dedup among
     * survivors → fuzzy canonicalization among survivors → per-doc
@@ -793,6 +833,7 @@ object Dedup {
     "q40_simhash_dedup"   -> q40SimhashDedup,
     "q56_dedup_canonical" -> q41DedupCanonical,
     "q174_fuzzy_dedup_bias" -> q174FuzzyDedupBias,
+    "q181_syndication_matrix" -> q181SyndicationMatrix,
     "q78_incr_dedup"      -> q78IncrementalDedup,
     "q91_substr_dedup"    -> q91SubstrDedup,
     "q175_decontam_scrub" -> q175DecontamScrub,
@@ -1070,5 +1111,37 @@ object Dedup {
       s"  ${graft.ops.ExactMean.mean4Sql("CASE WHEN kept THEN quality END")} AS q_kept,\n" +
       s"  ${graft.ops.ExactMean.mean4Sql("CASE WHEN NOT kept THEN quality END")} AS q_removed\n" +
       "FROM q GROUP BY 1 ORDER BY 1"),
+    // the q56 closure (verbatim CTEs) + the per-(component, source)
+    // count fold + the arithmetic pair algebra (diagonal C(n,2), cross
+    // n_a*n_b) — integer end to end
+    "q181_syndication_matrix" ->
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |      UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc_id, r) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src),
+         |comp AS (SELECT doc_id, min(r) AS c FROM reach GROUP BY 1),
+         |bysrc AS (
+         |  SELECT c, source, count(*) AS n
+         |  FROM comp JOIN documents USING (doc_id) GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_comps,
+         |  CAST(sum(CASE WHEN a.source = b.source
+         |    THEN (a.n * (a.n - 1)) // 2 ELSE a.n * b.n END) AS BIGINT) AS n_pairs
+         |FROM bysrc a JOIN bysrc b ON a.c = b.c AND a.source <= b.source
+         |WHERE NOT (a.source = b.source AND a.n < 2)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +42,34 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 4).as("avg_v"), count(lit(1)).as("n"))
       .orderBy(col("label"), col("pos"))
   }
+
+  /** q182: per-label embedding DIVERSITY — the collapse diagnostic a
+    * SemDeDup-style release review reads next to the dedup audits: for
+    * each label, 1 − ‖mean(unit vectors)‖². Algebra: the mean pairwise
+    * cosine over ALL ordered pairs (self included) of unit vectors is
+    * exactly ‖Σu‖²/n² = ‖mean u‖², so diversity ∈ [0, 1] needs ONE
+    * pass and no pair enumeration — 0 means the label's vectors are one
+    * point (a collapsed/boilerplate cluster the near-dup tier should
+    * eat), 1 means isotropic spread. Scale: posexplode is narrow; the
+    * only shuffle keys on (label, pos) — bounded cardinality — and the
+    * second agg on label alone. The O(n²) quantity computed at O(n). */
+  val q182EmbeddingDiversity: Q = (s, d) =>
+    diversityOf(Tables.embeddings(s, d))
+
+  /** The ‖mean-unit-vector‖² fold over any (label, embedding) frame —
+    * unit-tested on planted collapsed/orthogonal label groups. */
+  private[graft] def diversityOf(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("label"), Vectors.norm2(col("embedding")).as("nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        (col("x").cast("double") / col("nrm")).as("u"))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("u")).as("c"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).cast("long").as("n_vecs"),
+        round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))
+      .orderBy(col("label"))
 
   /** Exact all-pairs cosine similarity ≥ 0.4 (near-duplicate surface over
     * embeddings), computed as a BLOCK-PARTITIONED pair sweep — fully
@@ -672,6 +701,7 @@ object Similarity {
     "q81_sql_surface"  -> q81SqlSurface,
     "q70_quantize"     -> q70Quantize,
     "q42_centroids"    -> q42Centroids,
+    "q182_embedding_diversity" -> q182EmbeddingDiversity,
     "q43_cosine_pairs" -> q43CosinePairs,
     "q44_knn_brute"    -> q44KnnBrute,
     "q45_ann_ivf"      -> q45AnnIvf,
@@ -960,6 +990,22 @@ object Similarity {
     "q41_vector_norms" ->
       s"""SELECT vec_id, label, round(${duckNorm("embedding")}, 4) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // the same unit-normalize → per-(label, pos) mean → ‖mean‖² algebra
+    // over the FULL vector length (struct-unnest positional explode —
+    // `range` can't take a lateral length arg); continuous-valued float
+    // fold (the standing boundary discipline)
+    "q182_embedding_diversity" ->
+      s"""WITH u AS (
+         |  SELECT label,
+         |    unnest([{'pos': i - 1,
+         |             'u': CAST(embedding[i] AS DOUBLE) / ${duckNorm("embedding")}}
+         |            for i in range(1, len(embedding) + 1)], recursive := true)
+         |  FROM embeddings),
+         |c AS (SELECT label, pos, avg(u) AS c, count(*) AS n
+         |      FROM u GROUP BY 1, 2)
+         |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+         |  round(1.0 - sum(c * c), 4) AS diversity
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_centroids" ->
       """SELECT label, pos, round(avg(CAST(embedding[pos + 1] AS DOUBLE)), 4) AS avg_v,
         |  count(*) AS n

@@ -231,6 +231,22 @@ class DedupSpec extends AnyFunSuite {
     assert(carried.forall { case (a, b, ta, tb) => ta == s"v$a" && tb == s"v$b" })
   }
 
+  test("q181 kernel: syndication pairs count arithmetically, diagonal included") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s2"), (4L, "s1"), (5L, "s3"),
+      (6L, "s1"), (7L, "s3"), (8L, "s9")).toDF("doc_id", "source")
+    // comp 1 = {1,2,3}: cross (s1,s2) = 1·2, diagonal (s2,s2) = C(2,2) = 1
+    // comp 4 = {4,5} and comp 6 = {6,7}: (s1,s3) twice → n_comps 2, pairs 2
+    // doc 8 is in NO component (outside the closure) → s9 absent entirely
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 6L)).toDF("doc_id", "comp")
+    val got = ops.Dedup.syndicationMatrixOf(docs, comps).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("s1", "s2", 1L, 2L), ("s1", "s3", 2L, 2L), ("s2", "s2", 1L, 1L)))
+    // conservation: Σ n_pairs over the matrix = Σ_comp C(k, 2)
+    assert(got.map(_._4).sum == 3L + 1L + 1L)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

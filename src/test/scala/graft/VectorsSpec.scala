@@ -64,4 +64,21 @@ class VectorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("hyperplaneBucket") ||
       Option(err.getCause).exists(_.getMessage.contains("hyperplaneBucket")))
   }
+
+  test("q182 kernel: diversity is 0 for a collapsed label, 1 - 1/n for orthogonal") {
+    import spark.implicits._
+    val e = (x: Int) => Array.tabulate(8)(i => if (i == x) 2.0f else 0.0f)
+    val vecs = Seq(
+      // label 0: four copies of one direction (scaled differently — the
+      // normalize step must erase magnitude) → diversity 0
+      (0, e(0)), (0, e(0).map(_ * 3f)), (0, e(0).map(_ * 0.5f)), (0, e(0)),
+      // label 1: four orthogonal unit directions → ‖mean‖² = 1/4
+      (1, e(0)), (1, e(1)), (1, e(2)), (1, e(3)),
+      // label 2: two opposite directions → mean 0, diversity 1
+      (2, e(5)), (2, e(5).map(-_)))
+      .toDF("label", "embedding")
+    val got = graft.ops.Similarity.diversityOf(vecs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0, 4L, 0.0), (1, 4L, 0.75), (2, 2L, 1.0)), got.toString)
+  }
 }

@@ -241,6 +241,34 @@ object CorpusReports {
     waterfillOf(perCell, total / 2, keyCol = "domain")
   }
 
+  /** q183: TEMPERATURE-scaled mixture weights (α = 0.5) per SOURCE —
+    * the PLANNING table between the q121 hard cap (waterfill) and the
+    * q107 execution tier (which fits per-LANG admit rates capped at 1.0,
+    * i.e. can only downsample): sampling share qᵢ ∝ pᵢ^α plus the
+    * implied `epochs` repetition factor qᵢ·T/nᵢ at a budget of T =
+    * total tokens — the number a release review reads directly, and the
+    * one q107's rate cap hides (a tail source at 4 epochs is
+    * memorization risk to weigh BEFORE committing to upsampling; a head
+    * source at 0.7 epochs is data left on the table). One token-count
+    * agg + ONE 1-row scalar broadcast (tot, Z) — the audited q85
+    * cross-join shape; continuous-valued float shares (the standing
+    * boundary discipline); fully declarative, unlike the q107 fit
+    * (which collects its ≤|langs|-row agg to build the rate artifact). */
+  val q183TemperatureMix: Q = (s, d) => {
+    val ps = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(TextFns.tokenCount(col("text")).cast("long")).as("ntoks"))
+    val z = ps.agg(sum(col("ntoks")).cast("double").as("tot"),
+      sum(sqrt(col("ntoks").cast("double"))).as("z"))
+    ps.crossJoin(broadcast(z))
+      .select(col("source"), col("ntoks"),
+        round(col("ntoks") / col("tot"), 4).as("raw_share"),
+        round(sqrt(col("ntoks").cast("double")) / col("z"), 4).as("temp_share"),
+        round(sqrt(col("ntoks").cast("double")) / col("z") * col("tot") /
+          col("ntoks"), 4).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   /** Gate-funnel (loss accounting) report: per source, the document counts
     * surviving each stage of the standard curation cascade — raw → rule
     * gate (the q97-certified predicate) → exact dedup among gate
@@ -561,6 +589,7 @@ object CorpusReports {
     "q120_ctx_fit"          -> q120CtxFit,
     "q121_budget_waterfill" -> q121BudgetWaterfill,
     "q137_domain_waterfill" -> q137DomainWaterfill,
+    "q183_temperature_mix"  -> q183TemperatureMix,
     "q127_gate_funnel"      -> q127GateFunnel,
   )
 
@@ -859,6 +888,20 @@ object CorpusReports {
     // dimension; integer `//` division mirrors the kernel's `div` (the
     // two can only disagree on negative numerators, which the validity
     // predicate rejects on both sides)
+    // the same token-sum CTE as q121, then the α = 0.5 share algebra
+    // against the 1-row (tot, Z) scalar
+    "q183_temperature_mix" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS ntoks
+        |  FROM documents GROUP BY 1),
+        |z AS (SELECT CAST(sum(ntoks) AS DOUBLE) AS tot,
+        |             sum(sqrt(CAST(ntoks AS DOUBLE))) AS z FROM ps)
+        |SELECT source, ntoks,
+        |  round(ntoks / tot, 4) AS raw_share,
+        |  round(sqrt(CAST(ntoks AS DOUBLE)) / z, 4) AS temp_share,
+        |  round(sqrt(CAST(ntoks AS DOUBLE)) / z * tot / ntoks, 4) AS epochs
+        |FROM ps, z ORDER BY source""".stripMargin,
     "q121_budget_waterfill" -> waterfillSql(
       """SELECT source,
         |    CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS ntoks

@@ -200,10 +200,41 @@ object Ml {
     * is two broadcast scalars per word; the serve is a 10-row broadcast
     * probe × corpus. */
   val q161SifDocvec: Q = (s, d) => {
-    val wv = graft.ml.WordVec.fitted(s, d)
-    // cached: the token-instance frame feeds BOTH the frequency table
-    // and the pooling join — one corpus tokenize pass, not two
-    val tf = graft.Tables.documents(s, d)
+    val (dvecs, tf) = sifDocvecsOf(s, d)
+    val probe = dvecs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("dv").as("pv"), col("nrm").as("pn"))
+    import org.apache.spark.sql.expressions.Window
+    Caching.materializeAndRelease(
+      broadcast(probe)
+        .join(dvecs, col("probe_id") =!= col("doc_id"))
+        .withColumn("cos", round(expr(
+          "aggregate(zip_with(pv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (col("pn") * col("nrm")), 4))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+          col("cos"))
+        .orderBy(col("probe_id"), col("rank")),
+      dvecs, tf)
+  }
+
+  /** The q161 SIF pooling fold, shared verbatim by q161 and q184:
+    * returns (dvecs = (doc_id, dv, nrm) cached, tf = the cached
+    * token-instance frame — caller releases BOTH via
+    * materializeAndRelease). One corpus tokenize pass feeds both the
+    * frequency table and the pooling join. */
+  private def sifDocvecsOf(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    sifDocvecsOver(graft.Tables.documents(s, d), graft.ml.WordVec.fitted(s, d))
+
+  /** The same fold over an arbitrary (doc_id, text) frame and a fitted
+    * (word, vec) table — the streaming diversity monitor's parity
+    * reference runs through this exact definition. */
+  private[graft] def sifDocvecsOver(docs: org.apache.spark.sql.DataFrame,
+      wv: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
       .cache()
@@ -224,21 +255,43 @@ object Ml {
         "aggregate(zip_with(dv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
       .filter(col("nrm") > 0.0)
       .cache()
-    val probe = dvecs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("probe_id"), col("dv").as("pv"), col("nrm").as("pn"))
-    import org.apache.spark.sql.expressions.Window
+    (dvecs, tf)
+  }
+
+  /** q184: per-SOURCE diversity of the TRAINED doc embeddings — the q182
+    * collapse diagnostic pointed at the corpus itself: for each source,
+    * 1 − ‖mean(dv/‖dv‖)‖² over its q161 SIF document vectors. The
+    * release-review reading: a source whose trained-embedding diversity
+    * is near 0 is a template farm the near-dup tier under-collapsed
+    * (read next to q181's diagonal and q174's bias audit); the number is
+    * on the MODEL's geometry, not raw shingles, so it sees paraphrase
+    * collapse the lexical tiers can't. Same O(n) algebra as q182 (the
+    * ‖Σu‖²/n² identity); docs whose every token is OOV have no vector
+    * and are excluded (the q161 nrm > 0 contract), reported as n_docs.
+    * Oracle recomputes the pooling from the exported q154 word vectors
+    * (the q161 certification contract) + the q182 fold per source. */
+  val q184SourceDocvecDiversity: Q = (s, d) =>
+    sourceDocvecDiversityOver(
+      graft.Tables.documents(s, d), graft.ml.WordVec.fitted(s, d))
+
+  /** The q184 fold over arbitrary (doc_id, text, source) docs and a
+    * fitted (word, vec) table — shared with the streaming monitor's
+    * parity test. */
+  private[graft] def sourceDocvecDiversityOver(
+      docs: org.apache.spark.sql.DataFrame,
+      wv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (dvecs, tf) = sifDocvecsOver(docs, wv)
     Caching.materializeAndRelease(
-      broadcast(probe)
-        .join(dvecs, col("probe_id") =!= col("doc_id"))
-        .withColumn("cos", round(expr(
-          "aggregate(zip_with(pv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
-          (col("pn") * col("nrm")), 4))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("doc_id"))))
-        .filter(col("rank") <= 3)
-        .select(col("probe_id"), col("doc_id"), col("rank").cast("long").as("rank"),
-          col("cos"))
-        .orderBy(col("probe_id"), col("rank")),
+      dvecs
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("nrm"), posexplode(col("dv")).as(Seq("pos", "x")))
+        .select(col("source"), col("pos"), (col("x") / col("nrm")).as("u"))
+        .groupBy(col("source"), col("pos"))
+        .agg(avg(col("u")).as("c"), count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).cast("long").as("n_docs"),
+          round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))
+        .orderBy(col("source")),
       dvecs, tf)
   }
 
@@ -252,6 +305,7 @@ object Ml {
     "q154_wordvec_neighbors" -> q154WordvecNeighbors,
     "q155_docvec_similar" -> q155DocvecSimilar,
     "q161_sif_docvec" -> q161SifDocvec,
+    "q184_source_docvec_diversity" -> q184SourceDocvecDiversity,
     "q49_embed_docs"  -> q49EmbedDocs,
     "q50_topic_info"  -> q50TopicInfo,
     "q51_topic_terms" -> q51TopicTerms,
@@ -396,6 +450,38 @@ object Ml {
         |  FROM p)
         |SELECT probe_id, doc_id, CAST(rank AS BIGINT) AS rank, cos
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // q161's pooling CTEs verbatim (recomputed from the exported word
+    // vectors + corpus frequencies) + the q182 per-source diversity fold
+    "q184_source_docvec_diversity" ->
+      """WITH v AS (
+        |  SELECT word, vec
+        |  FROM read_parquet('{GRAFT_OUT}_support/q154_support_wordvec/*.parquet')),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |fr AS (SELECT word, count(*) AS n FROM tk GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM fr),
+        |dim AS (
+        |  SELECT tk.doc_id, i,
+        |    sum((0.001 / (0.001 + fr.n / tt.t)) * v.vec[i]) / count(*) AS x
+        |  FROM tk JOIN v USING (word) JOIN fr USING (word) CROSS JOIN tt,
+        |    unnest(range(1, len(v.vec) + 1)) AS r(i)
+        |  GROUP BY 1, 2),
+        |dv AS (
+        |  SELECT doc_id, list(x ORDER BY i) AS dv FROM dim GROUP BY 1),
+        |nz AS (
+        |  SELECT doc_id, dv, sqrt(list_sum([y * y for y in dv])) AS nrm
+        |  FROM dv WHERE sqrt(list_sum([y * y for y in dv])) > 0),
+        |u AS (
+        |  SELECT d.source, r.i - 1 AS pos, nz.dv[r.i] / nz.nrm AS u
+        |  FROM nz JOIN documents d USING (doc_id),
+        |    unnest(range(1, len(nz.dv) + 1)) AS r(i)),
+        |c AS (SELECT source, pos, avg(u) AS c, count(*) AS n
+        |      FROM u GROUP BY 1, 2)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  round(1.0 - sum(c * c), 4) AS diversity
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // q49 certified GIVEN the embedding (the exported features table —
     // the one model output among the inputs): DuckDB recomputes the norm
     // and leading component with the same left-fold double accumulation

@@ -85,6 +85,15 @@ object TrainingData {
     *                 "add1" (q147) or "kn" (q165's Kneser–Ney); the
     *                 q168 ladder and the q157/q171 funnel pair are the
     *                 tables that justify the choice per corpus
+    * @param decontam "drop" (default) removes any doc sharing a 5-gram
+    *                 with the eval set (the q82 Bloom tier — conservative,
+    *                 cheap, map-side); "scrub" CUTS the shared 8-token
+    *                 spans instead and keeps the rest of the doc (the
+    *                 q175 span kernels — `Dedup.spanKernel/cleanKernel`,
+    *                 the SAME definitions q175 and maintainer #19
+    *                 certify), dropping only fully-covered docs. Scrub
+    *                 retains the tokens drop throws away — the q178
+    *                 funnel is the table that prices the choice
     * @param tokenReportDir when given, the run also writes the TOKEN
     *                 YIELD report (q143's certified cascade — raw →
     *                 run-collapsed → boilerplate-scrubbed → dedup-
@@ -115,7 +124,10 @@ object TrainingData {
       pplGate: Boolean = true,
       pplScores: Option[DataFrame] = None,
       pplSmoothing: String = "add1",
+      decontam: String = "drop",
       tokenReportDir: Option[String] = None): DataFrame = {
+    require(decontam == "drop" || decontam == "scrub",
+      s"decontam must be 'drop' or 'scrub', got '$decontam'")
     import spark.implicits._
     // stage timer: wall-clock of the ONE action that materializes a
     // cached stage — the per-stage scaling signal ScaleSmoke's pipeline
@@ -179,20 +191,46 @@ object TrainingData {
       .cache()
     val (nClean, tClean) = timed(clean.count())
 
-    // 2. decontamination: sketch the eval set's gram vocabulary, probe the
-    // clean corpus map-side (q82's streaming-tier decision: conservative,
-    // no false negatives)
-    val evalGrams = evalDocs
-      .select(explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
-      .distinct()
-    val sketch = BloomSketch.build(evalGrams, "gh")
-    val bc = spark.sparkContext.broadcast(sketch)
-    val contaminated = udf { (ghs: Seq[Long]) =>
-      ghs != null && ghs.exists(bc.value.mightContainLong)
-    }
-    val decontaminated = clean
-      .filter(!contaminated(TextFns.distinctGramHashes(col("text"), 5)))
-      .cache()
+    // 2. decontamination — drop: sketch the eval set's gram vocabulary,
+    // probe the clean corpus map-side (q82's streaming-tier decision:
+    // conservative, no false negatives); scrub: cut shared spans, keep
+    // the doc (q175)
+    val decontaminated = (decontam match {
+      case "drop" =>
+        val evalGrams = evalDocs
+          .select(explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+          .distinct()
+        val sketch = BloomSketch.build(evalGrams, "gh")
+        val bc = spark.sparkContext.broadcast(sketch)
+        val contaminated = udf { (ghs: Seq[Long]) =>
+          ghs != null && ghs.exists(bc.value.mightContainLong)
+        }
+        clean.filter(!contaminated(TextFns.distinctGramHashes(col("text"), 5)))
+      case _ =>
+        // span scrub (q175's kernels, maintainer #19's batch twin): cut
+        // the 8-token spans shared with the eval set, keep the rest of
+        // the doc; only fully-covered docs drop. Touched docs carry the
+        // kernel's normalized token-joined text and a recomputed n_chars
+        // (the expectations gate already certified the ORIGINAL lengths
+        // upstream — downstream consumers must see consistent rows).
+        val K = 8
+        val norm = TextFns.normText(col("text"))
+        val evalSp = evalDocs
+          .select(explode(Dedup.spanKernel(K)(norm)).as("sp"))
+          .select(col("sp._2").as("h")).distinct()
+        val starts = clean
+          .select(col("doc_id"), explode(Dedup.spanKernel(K)(norm)).as("sp"))
+          .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
+          .join(evalSp, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
+        clean.join(starts, Seq("doc_id"), "left")
+          .withColumn("text", when(col("starts").isNull, col("text"))
+            .otherwise(Dedup.cleanKernel(K)(norm, col("starts")).getField("_3")))
+          .withColumn("n_chars", when(col("starts").isNull, col("n_chars"))
+            .otherwise(length(col("text")).cast("long")))
+          .drop("starts")
+          .filter(col("text").isNotNull)
+    }).cache()
     val (nDecontaminated, tDecontaminated) = timed(decontaminated.count())
 
     // 3. weighted mixing (q83 semantics): deterministic per-doc multiplicity

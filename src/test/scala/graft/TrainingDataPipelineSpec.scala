@@ -97,6 +97,58 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("decontam='scrub' cuts the shared spans and keeps the doc; fully-covered docs drop") {
+    val evalText = "held out benchmark question answer pair secret eval items " * 5
+    val evalText2 = "another hidden benchmark prompt completion pair withheld test cases " * 5
+    val longText = (tag: String) =>
+      (s"alpha$tag beta$tag gamma$tag delta$tag epsilon$tag zeta$tag eta$tag theta$tag " * 6).trim
+    val rows = Seq.newBuilder[(Long, String, String)]
+    rows += ((1L, longText("one"), "srcA"))
+    rows += ((2L, longText("one"), "srcA")) // exact clone of 1
+    rows += ((3L, longText("one") + " smalltail", "srcA")) // near-dup of 1
+    rows += ((4L, "too short", "srcA")) // quality gate
+    rows += ((5L, "prefix " + evalText + " suffix", "srcB")) // PARTIALLY contaminated
+    rows += ((26L, evalText2.trim, "srcB")) // FULLY covered by eval
+    (6L to 25L).foreach(i => rows += ((i, longText(s"u$i"), if (i % 2 == 0) "srcA" else "srcB")))
+    val docs = rows.result().toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val evalDocs = Seq(evalText, evalText2).toDF("text")
+    val weights = Seq(("srcA", 2, "80"), ("srcB", 1, "00"))
+      .toDF("source", "base_copies", "thr")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tdscrub").toString
+    val gate = graft.ops.TextOps.RuleGateConfig(
+      minWords = 30L, maxWords = 1000L,
+      minMeanWordLen = 0.0, maxMeanWordLen = 20.0,
+      stopwords = Nil, minStopHits = 0L,
+      maxSymbolRatio = Double.MaxValue)
+    val summary = TrainingData.run(spark, docs, evalDocs, weights, outDir,
+        nShards = 8, maxRecordsPerFile = 10, gate = gate,
+        pplGate = false, decontam = "scrub")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // 26 in; -1 short => 25 gated; -1 clone, -1 near-dup => 23 clean;
+    // scrub KEEPS doc 5 (spans cut) and drops only fully-covered 26 => 22
+    assert(summary("gated") == 25L, s"gate stage: $summary")
+    assert(summary("clean") == 23L, s"clean stage: $summary")
+    assert(summary("decontaminated") == 22L, s"scrub stage: $summary")
+
+    val out = spark.read.parquet(outDir).cache()
+    val outDocs = out.select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(outDocs.contains(5L), "partially-contaminated doc must survive scrub")
+    assert(!outDocs.contains(26L), "fully-covered doc must still drop")
+    // the surviving doc's text is exactly the uncovered remainder, and
+    // its n_chars was recomputed to match
+    val d5 = out.filter(col("doc_id") === 5L)
+      .select(col("text"), col("n_chars")).distinct().collect()
+    assert(d5.length == 1 && d5(0).getString(0) == "prefix suffix", d5.mkString)
+    assert(d5(0).getLong(1) == "prefix suffix".length.toLong, d5.mkString)
+    // untouched docs keep their ORIGINAL text verbatim
+    val d1 = out.filter(col("doc_id") === 1L)
+      .select(col("text")).distinct().as[String].collect()
+    assert(d1.toSeq == Seq(longText("one")))
+    out.unpersist()
+  }
+
   // a batch with structural breaches: doc 2 duplicates doc 1's id, doc 4
   // lies about its length, doc 5 has no text, one row has a NULL id, doc
   // 8 has a NULL n_chars — only 3 and 6 are admissible (their texts are

@@ -54,7 +54,7 @@ object SparkEntry {
       (Set("q112_ann_pq"), ops.Similarity.writeAnnPqSupport),
       (Set("q101_quality_classifier", "q108_quality_retention",
         "q142_classifier_calibration", "q160_data_card_full",
-        "q166_classifier_auc"),
+        "q166_classifier_auc", "q185_gate_agreement"),
         ops.Curation.writeClassifierSupport),
       (Set("q103_semdedup", "q104_proto_prune"),
         ops.Curation.writeDedupIndexSupport),
@@ -65,6 +65,7 @@ object SparkEntry {
       (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve",
         "q167_maxmatch_segment"),
         ops.TextOps.writeBpeSupport),
-      (Set("q154_wordvec_neighbors", "q155_docvec_similar", "q161_sif_docvec"),
+      (Set("q154_wordvec_neighbors", "q155_docvec_similar", "q161_sif_docvec",
+        "q184_source_docvec_diversity"),
         ops.Ml.writeWordvecSupport))
 }

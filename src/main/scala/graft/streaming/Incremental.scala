@@ -1018,6 +1018,108 @@ object Incremental {
     q
   }
 
+  /** The frozen SIF doc-embedding model the streaming diversity monitor
+    * serves: the fitted (word, vec) table joined with the fit corpus's
+    * unigram counts, hash-bucketed by word (the [[writePplModel]]
+    * layout), plus the corpus-total scalar in meta. Pass `wordvecs` to
+    * reuse an existing fit (the parity test's determinism contract);
+    * None fits [[graft.ml.WordVec]] on the corpus. */
+  def writeDocvecModel(spark: SparkSession, corpus: DataFrame,
+      modelDir: String, nBuckets: Int = 64,
+      wordvecs: Option[DataFrame] = None): Unit = {
+    import spark.implicits._
+    val wv = wordvecs.getOrElse(
+      graft.ml.WordVec.fit(corpus.filter(col("text").isNotNull)))
+    val freq = corpus
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n")).cache()
+    val tot = freq.agg(sum(col("n")).cast("double")).head().getDouble(0)
+    wv.join(freq, Seq("word"))
+      .select(col("word"), col("vec"), col("n"),
+        pmod(xxhash64(col("word")), lit(nBuckets.toLong)).as("wbkt"))
+      .write.mode("overwrite").partitionBy("wbkt").parquet(s"$modelDir/vecs")
+    Seq((tot, nBuckets.toLong)).toDF("tot", "nbkt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/meta")
+    freq.unpersist()
+    ()
+  }
+
+  /** Continuous embedding-DIVERSITY monitor (maintainer #20) — the
+    * ingest-side drift alarm for the q184 release diagnostic: each
+    * micro-batch's documents pool to SIF vectors under the FROZEN
+    * [[writeDocvecModel]] tables (stream-static join with touched-bucket
+    * pruning — the [[continuousPplGateJoined]] discipline; the model is
+    * vocabulary-sized and never driver-collected), and the batch APPENDS
+    * its per-(source, dim) partial sums of unit components + doc counts.
+    * [[diversityReport]] folds the accumulated partials into the q184
+    * table at read time — per source, 1 − ‖mean unit vector‖² over every
+    * doc streamed so far. A source whose diversity collapses mid-stream
+    * is a feed gone template (the monitor catches it between releases;
+    * q184 certifies the same number on the batch corpus). State is the
+    * APPEND LOG, not a mutable table — replaying the fit corpus through
+    * the monitor reproduces q184's rounded report, which StreamingSpec
+    * asserts. foreachBatch residue class of [[continuousSemanticDedup]]:
+    * a crash between append and checkpoint can duplicate one batch's
+    * partial rows on replay. */
+  def continuousDiversityMonitor(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, modelDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$modelDir/meta").head()
+    val tot = meta.getAs[Double]("tot")
+    val nbkt = meta.getAs[Long]("nbkt")
+    val vecs = spark.read.parquet(s"$modelDir/vecs")
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tf = batch.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+          .withColumn("wbkt", pmod(xxhash64(col("word")), lit(nbkt)))
+          .cache()
+        val touched = tf.select(col("wbkt")).distinct().as[Long].collect()
+        val dv = tf
+          .join(vecs.filter(col("wbkt").isin(touched: _*))
+            .select(col("word"), col("vec"), col("n")), Seq("word"))
+          .select(col("doc_id"), col("source"),
+            (lit(0.001) / (lit(0.001) + col("n") / lit(tot))).as("wt"),
+            posexplode(col("vec")).as(Seq("i", "x")))
+          .groupBy(col("doc_id"), col("source"), col("i"))
+          .agg((sum(col("wt") * col("x")) / count(lit(1))).as("x"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, x))), s -> s.x)")
+            .as("dv"))
+          .withColumn("nrm", sqrt(expr(
+            "aggregate(zip_with(dv, dv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")))
+          .filter(col("nrm") > 0.0)
+        dv.select(col("source"), col("nrm"),
+            posexplode(col("dv")).as(Seq("pos", "x")))
+          .select(col("source"), col("pos"), (col("x") / col("nrm")).as("u"))
+          .groupBy(col("source"), col("pos"))
+          .agg(sum(col("u")).as("s_u"), count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        tf.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read-side fold of the monitor's append log → the q184 table
+    * (source, n_docs, diversity) over every doc streamed so far. */
+  def diversityReport(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("source"), col("pos"))
+      .agg((sum(col("s_u")) / sum(col("n"))).as("c"), sum(col("n")).as("n"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).cast("long").as("n_docs"),
+        round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))
+      .orderBy(col("source"))
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

@@ -100,6 +100,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q171 is the q157 shape on the KN tier: the q165 Ney-discount
         // scalar + the same 1-row cut broadcast
         "q171_kn_gate_funnel",
+        // q185 composes the q157 cut broadcast with the q101 weight
+        // scalars; its pair rows explode from a 1-row global agg
+        "q185_gate_agreement",
         // q173 compares both tiers' gates: two 1-row cut broadcasts
         "q173_tier_flips",
         // q158 now carries the CCNet leg (r14 #5): the q147 vocab scalar
@@ -119,6 +122,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q179_source_lm_specificity",
         // q170 folds against its 1-row decile-cut broadcast (q135 shape)
         "q170_vocab_growth",
+        // q183 broadcasts its 1-row (tot, Z) normalizer scalar (q85 shape)
+        "q183_temperature_mix",
         // q172 is q170's fold over the media hash table — same 1-row
         // decile-cut broadcast
         "q172_media_hash_growth",
@@ -130,7 +135,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q155's serve is a 10-row broadcast probe × corpus (q140 shape)
         "q155_docvec_similar",
         // q161 = the q155 probe shape + a 1-row corpus-total broadcast
-        "q161_sif_docvec")
+        "q161_sif_docvec",
+        // q184 shares q161's pooling fold (same 1-row corpus-total scalar)
+        "q184_source_docvec_diversity")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

@@ -592,6 +592,45 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("diversity monitor: streamed partial sums fold to the q184 report (maintainer #20)") {
+    val base = Files.createTempDirectory("graft-divmon").toString
+    val in = s"$base/in"; val model = s"$base/model"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    // srcA: varied docs; srcB: one template repeated (low diversity) —
+    // the monitor must separate them like the batch diagnostic does
+    val corpus = ((0 until 12).map { i =>
+      (i.toLong, s"alpha beta gamma delta tag$i word$i extra${i % 3}", "srcA")
+    } ++ (12 until 20).map { i =>
+      (i.toLong, "fixed template body repeated verbatim always", "srcB")
+    }).toDF("doc_id", "text", "source").cache()
+    // ONE fit shared by both sides: the parity contract is on the fold,
+    // not on refitting determinism
+    val wv = graft.ml.WordVec.fit(corpus).cache()
+    Incremental.writeDocvecModel(spark, corpus, model, nBuckets = 8,
+      wordvecs = Some(wv))
+    val want = graft.ops.Ml.sourceDocvecDiversityOver(corpus, wv)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // two micro-batches split MID-SOURCE: the fold must be exact across
+    // the batch boundary
+    corpus.filter(col("doc_id") < 10).write.parquet(s"$in/b1")
+    corpus.filter(col("doc_id") >= 10).write.parquet(s"$in/b2")
+    Incremental.continuousDiversityMonitor(
+      spark, s"$in/*", docSchema, model, s"$base/out", s"$base/ck")
+    val got = Incremental.diversityReport(spark, s"$base/out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"monitor fold $got != batch q184 $want")
+    // and the planted structure reads as designed: the template source
+    // collapses, the varied one does not
+    val bySrc = got.map(r => r._1 -> r._3).toMap
+    assert(bySrc("srcB") < 0.05, s"template source must collapse: $bySrc")
+    assert(bySrc("srcA") > bySrc("srcB"), bySrc.toString)
+    wv.unpersist(); corpus.unpersist()
+  }
+
   test("decontam scrub maintainer: stream-static join reproduces the q175 batch scrub") {
     val base = Files.createTempDirectory("graft-decontam-scrub").toString
     val in = s"$base/in"; val idx = s"$base/idx"

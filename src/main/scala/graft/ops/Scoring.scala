@@ -376,6 +376,63 @@ object Scoring {
       .orderBy(col("source"))
   }
 
+  /** q185: GATE AGREEMENT — pairwise Cohen's κ between the three
+    * certified quality gates (q97 rules, q101 classifier margin > 0,
+    * q156/q157 perplexity tercile): do they drop the SAME documents, or
+    * does each carry independent signal? The ensemble-design number a
+    * curation review reads before stacking gates: κ near 1 means a gate
+    * is redundant (drop the expensive one), κ near 0 means the gates
+    * measure different things (stacking changes the corpus), negative κ
+    * means systematic disagreement worth investigating. Per pair: doc
+    * count, each gate's keep count, raw agreements, and κ computed from
+    * EXACT integer counts — decimal(38,0) products so n² can't overflow
+    * a long at corpus scale, ONE final division rounded 4 (the exact-sum
+    * idiom); den = 0 (both marginals degenerate) pins κ = 1 by the
+    * po = pe = 1 convention. Scale: one predicate scan + the session
+    * score artifact + a 1-row cut broadcast, ONE 1-row global agg,
+    * pair rows exploded from it declaratively. */
+  val q185GateAgreement: Q = (s, d) => {
+    val nll = bigramScores(s, d)
+    val cut = nll.agg(
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
+    val flags = Tables.documents(s, d)
+      .join(nll.select(col("doc_id"), col("nll2")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      .select(
+        TextOps.ruleGateKeep().cast("long").as("rule"),
+        (Curation.marginCol(s, d) > 0).cast("long").as("clf"),
+        (col("nll2").isNull || col("nll2") <= col("c2")).cast("long").as("ppl"))
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    flags.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("rule")).cast("long").as("kr"),
+        sum(col("clf")).cast("long").as("kc"),
+        sum(col("ppl")).cast("long").as("kp"),
+        sum((col("rule") === col("clf")).cast("long")).cast("long").as("a_rc"),
+        sum((col("rule") === col("ppl")).cast("long")).cast("long").as("a_rp"),
+        sum((col("clf") === col("ppl")).cast("long")).cast("long").as("a_cp"))
+      .select(explode(array(
+        struct(lit("clf_ppl").as("pair"), col("n"), col("kc").as("keep_a"),
+          col("kp").as("keep_b"), col("a_cp").as("agree")),
+        struct(lit("rule_clf").as("pair"), col("n"), col("kr").as("keep_a"),
+          col("kc").as("keep_b"), col("a_rc").as("agree")),
+        struct(lit("rule_ppl").as("pair"), col("n"), col("kr").as("keep_a"),
+          col("kp").as("keep_b"), col("a_rp").as("agree")))).as("p"))
+      .select(col("p.pair").as("pair"), col("p.n").as("n_docs"),
+        col("p.keep_a").as("keep_a"), col("p.keep_b").as("keep_b"),
+        col("p.agree").as("agree"))
+      .withColumn("pe_num", big(col("keep_a")) * big(col("keep_b")) +
+        big(col("n_docs") - col("keep_a")) * big(col("n_docs") - col("keep_b")))
+      .withColumn("num", big(col("agree")) * big(col("n_docs")) - col("pe_num"))
+      .withColumn("den", big(col("n_docs")) * big(col("n_docs")) - col("pe_num"))
+      .select(col("pair"), col("n_docs"), col("keep_a"), col("keep_b"),
+        col("agree"),
+        when(col("den") === 0, lit(1.0))
+          .otherwise(round(col("num").cast("double") / col("den").cast("double"),
+            4)).as("kappa"))
+      .orderBy(col("pair"))
+  }
+
   /** q171: the q157 loss accounting under the KN tier — the same
     * per-source funnel with the cut placed on q165's Kneser–Ney scores
     * instead of add-1. Read NEXT TO q157: a source whose drop share
@@ -1463,6 +1520,7 @@ object Scoring {
     "q135_ccnet_buckets" -> q135CcnetBuckets,
     "q156_bigram_buckets" -> q156BigramBuckets,
     "q157_ppl_gate_funnel" -> q157PplGateFunnel,
+    "q185_gate_agreement" -> q185GateAgreement,
     "q163_heldout_ppl" -> q163HeldoutPpl,
     "q165_kn_perplexity" -> q165KnPerplexity,
     "q176_kn3_perplexity" -> q176Kn3Perplexity,
@@ -1699,6 +1757,60 @@ object Scoring {
         |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll2 IS NOT NULL THEN nll2 END")} AS nll_kept,
         |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll2 END")} AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q97 rule CASE (default config) + the q101 margin from the
+    // support weights + the nll2 tercile flag, folded to ONE count row,
+    // pair rows by UNION ALL, κ from exact HUGEINT products with one
+    // final double division (den = 0 pins κ = 1)
+    "q185_gate_agreement" ->
+      s"""WITH $nll2Ctes,
+        |c AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
+        |  FROM n2t),
+        |tg AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+        |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |fl AS (
+        |  SELECT
+        |    CASE WHEN len(toks) BETWEEN 30 AND 90
+        |      AND round(length(replace(norm, ' ', '')) * 1.0 / len(toks), 4)
+        |        BETWEEN 3 AND 10
+        |      AND CAST(list_contains(toks, 'the') AS BIGINT)
+        |        + CAST(list_contains(toks, 'a') AS BIGINT)
+        |        + CAST(list_contains(toks, 'of') AS BIGINT) >= 1
+        |      AND round((length(text) - length(replace(text, '#', ''))) * 1.0
+        |        / len(toks), 4) <= 0.1 THEN 1 ELSE 0 END AS rule,
+        |    CAST(w.w_tokens * len(toks) + w.w_tokens2 * len(toks) * len(toks)
+        |      + w.w_wlen * round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4)
+        |      + w.w_stop * round(CAST(len(list_filter(toks,
+        |          x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4)
+        |      + w.bias > 0 AS BIGINT) AS clf,
+        |    CAST(n.nll2 IS NULL OR n.nll2 <= c.c2 AS BIGINT) AS ppl
+        |  FROM tg LEFT JOIN n2t n USING (doc_id) CROSS JOIN c
+        |    CROSS JOIN read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet') w),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rule) AS BIGINT) AS kr, CAST(sum(clf) AS BIGINT) AS kc,
+        |    CAST(sum(ppl) AS BIGINT) AS kp,
+        |    CAST(sum(CASE WHEN rule = clf THEN 1 ELSE 0 END) AS BIGINT) AS a_rc,
+        |    CAST(sum(CASE WHEN rule = ppl THEN 1 ELSE 0 END) AS BIGINT) AS a_rp,
+        |    CAST(sum(CASE WHEN clf = ppl THEN 1 ELSE 0 END) AS BIGINT) AS a_cp
+        |  FROM fl),
+        |p AS (
+        |  SELECT 'clf_ppl' AS pair, n, kc AS keep_a, kp AS keep_b, a_cp AS agree FROM a
+        |  UNION ALL SELECT 'rule_clf', n, kr, kc, a_rc FROM a
+        |  UNION ALL SELECT 'rule_ppl', n, kr, kp, a_rp FROM a),
+        |k AS (
+        |  SELECT pair, n, keep_a, keep_b, agree,
+        |    CAST(keep_a AS HUGEINT) * keep_b
+        |      + CAST(n - keep_a AS HUGEINT) * (n - keep_b) AS pe_num
+        |  FROM p)
+        |SELECT pair, n AS n_docs, keep_a, keep_b, agree,
+        |  CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 1.0
+        |    ELSE round(CAST(CAST(agree AS HUGEINT) * n - pe_num AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE), 4) END AS kappa
+        |FROM k ORDER BY pair""".stripMargin,
     // the bigram replay with a train/test split: model tables from the
     // ~75 % train split (md5 prefix >= '4'; prefix < '4' ~ 25 % is the
     // test split), both splits scored with the same add-1 fold (LEFT

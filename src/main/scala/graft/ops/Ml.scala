@@ -224,9 +224,23 @@ object Ml {
     * token-instance frame — caller releases BOTH via
     * materializeAndRelease). One corpus tokenize pass feeds both the
     * frequency table and the pooling join. */
+  /** Session-memoized SIF doc-vector table — the pooling fold runs ONCE
+    * per (session, dataset) and q161/q184 (plus the bench's repeated
+    * passes) read the (doc_id, dv, nrm) parquet (the `nll2`/`nllkn`
+    * artifact discipline: a pipeline embeds its corpus once, every
+    * consumer joins the table). Parquet doubles round-trip exactly, so
+    * the artifact is bit-identical to the live fold. */
   private def sifDocvecsOf(s: SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    sifDocvecsOver(graft.Tables.documents(s, d), graft.ml.WordVec.fitted(s, d))
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val p = SessionArtifacts.dir("sifdocvec", s, d) { t =>
+      val (dvecs, tf) = sifDocvecsOver(
+        graft.Tables.documents(s, d), graft.ml.WordVec.fitted(s, d))
+      dvecs.write.mode("overwrite").parquet(s"$t/dvecs")
+      dvecs.unpersist(); tf.unpersist()
+    }
+    val cached = s.read.parquet(s"$p/dvecs")
+    (cached, cached)
+  }
 
   /** The same fold over an arbitrary (doc_id, text) frame and a fitted
     * (word, vec) table — the streaming diversity monitor's parity
@@ -270,30 +284,41 @@ object Ml {
     * and are excluded (the q161 nrm > 0 contract), reported as n_docs.
     * Oracle recomputes the pooling from the exported q154 word vectors
     * (the q161 certification contract) + the q182 fold per source. */
-  val q184SourceDocvecDiversity: Q = (s, d) =>
-    sourceDocvecDiversityOver(
-      graft.Tables.documents(s, d), graft.ml.WordVec.fitted(s, d))
+  val q184SourceDocvecDiversity: Q = (s, d) => {
+    val (dvecs, tf) = sifDocvecsOf(s, d)
+    Caching.materializeAndRelease(
+      diversityFoldOf(dvecs,
+        graft.Tables.documents(s, d).select(col("doc_id"), col("source"))),
+      dvecs, tf)
+  }
 
   /** The q184 fold over arbitrary (doc_id, text, source) docs and a
     * fitted (word, vec) table — shared with the streaming monitor's
-    * parity test. */
+    * parity test (which must control the fit, so it bypasses the
+    * session artifact). */
   private[graft] def sourceDocvecDiversityOver(
       docs: org.apache.spark.sql.DataFrame,
       wv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val (dvecs, tf) = sifDocvecsOver(docs, wv)
     Caching.materializeAndRelease(
-      dvecs
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select(col("source"), col("nrm"), posexplode(col("dv")).as(Seq("pos", "x")))
-        .select(col("source"), col("pos"), (col("x") / col("nrm")).as("u"))
-        .groupBy(col("source"), col("pos"))
-        .agg(avg(col("u")).as("c"), count(lit(1)).as("n"))
-        .groupBy(col("source"))
-        .agg(max(col("n")).cast("long").as("n_docs"),
-          round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))
-        .orderBy(col("source")),
+      diversityFoldOf(dvecs, docs.select(col("doc_id"), col("source"))),
       dvecs, tf)
   }
+
+  /** The per-source ‖mean-unit-vector‖² fold over a (doc_id, dv, nrm)
+    * table — one definition under both the artifact and live paths. */
+  private def diversityFoldOf(dvecs: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dvecs
+      .join(src, Seq("doc_id"))
+      .select(col("source"), col("nrm"), posexplode(col("dv")).as(Seq("pos", "x")))
+      .select(col("source"), col("pos"), (col("x") / col("nrm")).as("u"))
+      .groupBy(col("source"), col("pos"))
+      .agg(avg(col("u")).as("c"), count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).cast("long").as("n_docs"),
+        round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))
+      .orderBy(col("source"))
 
   /** Oracle support for q154: the fitted (word, vec) table. */
   def writeWordvecSupport(s: SparkSession, d: String, outDir: String): Unit =

@@ -717,6 +717,46 @@ object ScaleSmoke {
       }
       probe.unpersist()
     }
+    // DIVERSITY MONITOR SERVING (maintainer #20): same protocol as
+    // pplserve — grow the FIT corpus (disjoint-vocab copies grow the
+    // model's vocabulary superlinearly vs any one batch's), freeze the
+    // docvec model with nBuckets scaled, serve the SAME 200-doc batch.
+    // Per-batch cost must follow the batch (touched-bucket pruning),
+    // not the model.
+    if (section == "all" || section == "divmon") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val probe = docsBase.limit(200).cache()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          if (k == 0) docsBase
+          else docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
+            col("source"))
+        }.reduce(_ unionByName _).cache()
+        val base = java.nio.file.Files.createTempDirectory("smoke-divm").toString
+        val model = s"$base/model"
+        val nBuckets = 8 * mult
+        time(s"mult=$mult writeDocvecModel nBuckets=$nBuckets")(
+          graft.streaming.Incremental.writeDocvecModel(spark, scaled, model,
+            nBuckets))
+        val vocabRows = spark.read.parquet(s"$model/vecs").count()
+        println(s"[scale] divmon mult=$mult model_vocab_rows=$vocabRows")
+        probe.write.parquet(s"$base/in/b1")
+        time(s"mult=$mult divmon drain (200-doc batch)")(
+          graft.streaming.Incremental.continuousDiversityMonitor(spark,
+            s"$base/in/*", schema, model, s"$base/out", s"$base/ck"))
+        scaled.unpersist()
+      }
+      probe.unpersist()
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

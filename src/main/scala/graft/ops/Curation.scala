@@ -96,8 +96,13 @@ object Curation {
     * classifier — 5 broadcast scalars folded into a codegen'd projection;
     * shared by q101 and the retention policy q108 so both score the
     * exact expression the oracle recomputes. */
-  private[ops] def marginCol(s: SparkSession, d: String): Column = {
-    val r = s.read.parquet(weightsDir(s, d)).collect().head
+  private[ops] def marginCol(s: SparkSession, d: String): Column =
+    marginFromWeights(s.read.parquet(weightsDir(s, d)).collect().head)
+
+  /** The q101 margin from an explicit 5-value weights row — shared by
+    * [[marginCol]] and the streaming gate-agreement monitor (which
+    * serves a FROZEN weights table instead of the session fit). */
+  private[graft] def marginFromWeights(r: org.apache.spark.sql.Row): Column = {
     val (fTok, fTok2, fWlen, fStop) = features
     lit(r.getDouble(0)) * fTok + lit(r.getDouble(1)) * fTok2 +
       lit(r.getDouble(2)) * fWlen + lit(r.getDouble(3)) * fStop +

@@ -402,15 +402,28 @@ object Scoring {
         TextOps.ruleGateKeep().cast("long").as("rule"),
         (Curation.marginCol(s, d) > 0).cast("long").as("clf"),
         (col("nll2").isNull || col("nll2") <= col("c2")).cast("long").as("ppl"))
-    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    kappaPairsOf(gateCountsOf(flags))
+  }
+
+  /** The 1-row (n, kr, kc, kp, a_rc, a_rp, a_cp) count fold over a
+    * (rule, clf, ppl) 0/1-flag frame — shared by q185 and the streaming
+    * gate-agreement monitor's per-batch partials. */
+  private[graft] def gateCountsOf(flags: DataFrame): DataFrame =
     flags.agg(
-        count(lit(1)).cast("long").as("n"),
-        sum(col("rule")).cast("long").as("kr"),
-        sum(col("clf")).cast("long").as("kc"),
-        sum(col("ppl")).cast("long").as("kp"),
-        sum((col("rule") === col("clf")).cast("long")).cast("long").as("a_rc"),
-        sum((col("rule") === col("ppl")).cast("long")).cast("long").as("a_rp"),
-        sum((col("clf") === col("ppl")).cast("long")).cast("long").as("a_cp"))
+      count(lit(1)).cast("long").as("n"),
+      sum(col("rule")).cast("long").as("kr"),
+      sum(col("clf")).cast("long").as("kc"),
+      sum(col("ppl")).cast("long").as("kp"),
+      sum((col("rule") === col("clf")).cast("long")).cast("long").as("a_rc"),
+      sum((col("rule") === col("ppl")).cast("long")).cast("long").as("a_rp"),
+      sum((col("clf") === col("ppl")).cast("long")).cast("long").as("a_cp"))
+
+  /** The pair-explode + exact-integer κ algebra over a 1-row count
+    * frame — ONE definition under q185 and the monitor's read-side
+    * fold. */
+  private[graft] def kappaPairsOf(counts: DataFrame): DataFrame = {
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    counts
       .select(explode(array(
         struct(lit("clf_ppl").as("pair"), col("n"), col("kc").as("keep_a"),
           col("kp").as("keep_b"), col("a_cp").as("agree")),

@@ -1109,6 +1109,88 @@ object Incremental {
     q
   }
 
+  /** Continuous GATE-AGREEMENT monitor (maintainer #21) — q185's κ
+    * table on the ingest path: each micro-batch flags every doc under
+    * the three FROZEN gates (the q97 rule predicate — stateless; the
+    * q101 margin from an explicit frozen weights row; the add-1 ppl
+    * tercile against [[writePplModel]]'s c2_add1 cut, scored through
+    * the stream-static join with touched-bucket pruning) and APPENDS
+    * its 1-row count partial (n, keeps, pairwise agreements).
+    * [[gateAgreementReport]] folds the log into q185's 3-row κ table on
+    * demand. The drift alarm this buys: gates that agreed at
+    * certification time drifting apart on live traffic (κ collapsing)
+    * means the incoming distribution moved — recalibrate before the
+    * corpus skews. Counts are integers, so the fold is EXACT regardless
+    * of batch boundaries (replaying any corpus in any split reproduces
+    * the batch table row-for-row — StreamingSpec asserts it against
+    * q185's shared kernel). foreachBatch residue class of
+    * [[continuousSemanticDedup]]. */
+  def continuousGateAgreement(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, pplModelDir: String,
+      weights: DataFrame, outDir: String, checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$pplModelDir/meta").head()
+    val v = meta.getAs[Double]("v")
+    val nbkt = meta.getAs[Long]("nbkt")
+    val c2 = meta.getAs[Double]("c2_add1")
+    val bg = spark.read.parquet(s"$pplModelDir/bigrams")
+    val ctx = spark.read.parquet(s"$pplModelDir/contexts")
+    val wRow = weights.head()
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.select(col("doc_id"), col("text")).cache()
+        // add-1 scores through the frozen model (the joined gate's add1
+        // leg): in-model pairs replay the q147 fold, unseen pairs take
+        // the smoothed floor
+        val tfb = graft.ops.Scoring.bigramFoldOf(b)
+          .withColumn("abkt", pmod(xxhash64(col("a")), lit(nbkt)))
+          .cache()
+        val aB = tfb.select(col("abkt")).distinct().as[Long].collect()
+        val lnP = log((coalesce(col("cab"), lit(0L)) + 1) /
+          (coalesce(col("ca"), lit(0L)) + lit(v)))
+        val scores = tfb
+          .join(bg.filter(col("abkt").isin(aB: _*))
+            .select(col("a"), col("b"), col("cab")), Seq("a", "b"), "left")
+          .join(ctx.filter(col("abkt").isin(aB: _*))
+            .select(col("a"), col("ca")), Seq("a"), "left")
+          .groupBy(col("doc_id"))
+          .agg(round(-sum(col("tf") * lnP) / sum(col("tf")), 4).as("nll2"))
+        val flags = b
+          .join(scores, Seq("doc_id"), "left")
+          .select(
+            graft.ops.TextOps.ruleGateKeep().cast("long").as("rule"),
+            (graft.ops.Curation.marginFromWeights(wRow) > 0)
+              .cast("long").as("clf"),
+            (col("nll2").isNull || col("nll2") <= lit(c2))
+              .cast("long").as("ppl"))
+        graft.ops.Scoring.gateCountsOf(flags)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        tfb.unpersist(); b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read-side fold of the gate-agreement log → q185's 3-row κ table
+    * over every doc streamed so far (exact integer sums, the shared
+    * [[graft.ops.Scoring.kappaPairsOf]] algebra). */
+  def gateAgreementReport(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.Scoring.kappaPairsOf(
+      spark.read.parquet(outDir).agg(
+        sum(col("n")).cast("long").as("n"),
+        sum(col("kr")).cast("long").as("kr"),
+        sum(col("kc")).cast("long").as("kc"),
+        sum(col("kp")).cast("long").as("kp"),
+        sum(col("a_rc")).cast("long").as("a_rc"),
+        sum(col("a_rp")).cast("long").as("a_rp"),
+        sum(col("a_cp")).cast("long").as("a_cp")))
+
   /** Read-side fold of the monitor's append log → the q184 table
     * (source, n_docs, diversity) over every doc streamed so far. */
   def diversityReport(spark: SparkSession, outDir: String): DataFrame =

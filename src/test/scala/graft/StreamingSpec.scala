@@ -628,7 +628,62 @@ class StreamingSpec extends AnyFunSuite {
     val bySrc = got.map(r => r._1 -> r._3).toMap
     assert(bySrc("srcB") < 0.05, s"template source must collapse: $bySrc")
     assert(bySrc("srcA") > bySrc("srcB"), bySrc.toString)
+    // exactly-once: re-running the drained stream on the SAME checkpoint
+    // appends nothing — the report is unchanged
+    Incremental.continuousDiversityMonitor(
+      spark, s"$in/*", docSchema, model, s"$base/out", s"$base/ck")
+    val again = Incremental.diversityReport(spark, s"$base/out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == got, s"rerun must be a no-op: $again vs $got")
     wv.unpersist(); corpus.unpersist()
+  }
+
+  test("gate-agreement monitor folds to the q185 kernel's table (maintainer #21)") {
+    val base = Files.createTempDirectory("graft-gamon").toString
+    val in = s"$base/in"; val model = s"$base/model"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // 34-word docs pass the rule gate (stopwords present, wlen in band);
+    // the planted weights keep only the 36-word half; the ppl tercile
+    // splits on the model's own cut — three gates, three verdictscapes
+    val body = "the quick brown fox jumps over a lazy dog of winter " * 3
+    val corpus = ((0 until 10).map(i => (i.toLong, s"${body}tag$i")) ++
+      (10 until 20).map(i => (i.toLong, s"${body}tag$i extra$i filler$i")))
+      .toDF("doc_id", "text").cache()
+    Incremental.writePplModel(spark, corpus, model, nBuckets = 8)
+    val weights = Seq((1.0, 0.0, 0.0, 0.0, -35.5))
+      .toDF("w_tokens", "w_tokens2", "w_wlen", "w_stop", "bias")
+    // the expected table through the SHARED q185 kernels, flags built
+    // from the same frozen inputs the monitor serves
+    val c2 = spark.read.parquet(s"$model/meta").head().getAs[Double]("c2_add1")
+    val flags = corpus
+      .join(graft.ops.Scoring.bigramNllOf(corpus)
+        .select(col("doc_id"), col("nll2")), Seq("doc_id"), "left")
+      .select(
+        graft.ops.TextOps.ruleGateKeep().cast("long").as("rule"),
+        (graft.ops.Curation.marginFromWeights(weights.head()) > 0)
+          .cast("long").as("clf"),
+        (col("nll2").isNull || col("nll2") <= lit(c2)).cast("long").as("ppl"))
+    val want = graft.ops.Scoring.kappaPairsOf(
+        graft.ops.Scoring.gateCountsOf(flags))
+      .collect().map(_.toSeq).toSeq
+
+    // split mid-corpus: integer count partials make the fold exact
+    // across any batch boundary
+    corpus.filter(col("doc_id") < 13).write.parquet(s"$in/b1")
+    corpus.filter(col("doc_id") >= 13).write.parquet(s"$in/b2")
+    Incremental.continuousGateAgreement(
+      spark, s"$in/*", docSchema, model, weights, s"$base/out", s"$base/ck")
+    val got = Incremental.gateAgreementReport(spark, s"$base/out")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"monitor fold $got != q185 kernel $want")
+    // the fixture exercises real disagreement: rule keeps everything,
+    // clf keeps exactly the long half
+    val byPair = got.map(r => r.head.toString ->
+      ((r(1), r(2), r(3), r(5)))).toMap
+    assert(byPair("rule_clf") == ((20L, 20L, 10L, 0.0)), byPair.toString)
+    corpus.unpersist()
   }
 
   test("decontam scrub maintainer: stream-static join reproduces the q175 batch scrub") {

@@ -391,25 +391,42 @@ object Scoring {
     * po = pe = 1 convention. Scale: one predicate scan + the session
     * score artifact + a 1-row cut broadcast, ONE 1-row global agg,
     * pair rows exploded from it declaratively. */
-  val q185GateAgreement: Q = (s, d) => {
+  val q185GateAgreement: Q = (s, d) =>
+    kappaPairsOf(gateCountsOf(gateFlagsOf(s, d)))
+
+  /** q186: q185 drilled down BY SOURCE — WHICH feeds do the gates
+    * disagree on? A source whose rule↔ppl κ is far below the global
+    * reading is one where lexical shape and sequential fluency dissent —
+    * the feed to audit by hand before trusting either gate's verdict
+    * there. Same kernels as q185 with `source` as the grouping key;
+    * counts stay exact integers per source. */
+  val q186GateAgreementBySource: Q = (s, d) =>
+    kappaPairsOf(gateCountsOf(gateFlagsOf(s, d), Seq("source")),
+      Seq("source"))
+
+  /** The per-doc (source, rule, clf, ppl) flag scan q185/q186 share:
+    * the q97 predicate, the q101 margin, and the session nll2 artifact
+    * against its tercile cut (unscored docs pass). */
+  private def gateFlagsOf(s: SparkSession, d: String): DataFrame = {
     val nll = bigramScores(s, d)
     val cut = nll.agg(
       expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c2"))
-    val flags = Tables.documents(s, d)
+    Tables.documents(s, d)
       .join(nll.select(col("doc_id"), col("nll2")), Seq("doc_id"), "left")
       .crossJoin(broadcast(cut))
-      .select(
+      .select(col("source"),
         TextOps.ruleGateKeep().cast("long").as("rule"),
         (Curation.marginCol(s, d) > 0).cast("long").as("clf"),
         (col("nll2").isNull || col("nll2") <= col("c2")).cast("long").as("ppl"))
-    kappaPairsOf(gateCountsOf(flags))
   }
 
-  /** The 1-row (n, kr, kc, kp, a_rc, a_rp, a_cp) count fold over a
-    * (rule, clf, ppl) 0/1-flag frame — shared by q185 and the streaming
-    * gate-agreement monitor's per-batch partials. */
-  private[graft] def gateCountsOf(flags: DataFrame): DataFrame =
-    flags.agg(
+  /** The (n, kr, kc, kp, a_rc, a_rp, a_cp) count fold over a
+    * (rule, clf, ppl) 0/1-flag frame — shared by q185 (global, 1 row),
+    * q186 (per `keys`), and the streaming gate-agreement monitor's
+    * per-batch partials. */
+  private[graft] def gateCountsOf(flags: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
+    val aggs = Seq(
       count(lit(1)).cast("long").as("n"),
       sum(col("rule")).cast("long").as("kr"),
       sum(col("clf")).cast("long").as("kc"),
@@ -417,33 +434,38 @@ object Scoring {
       sum((col("rule") === col("clf")).cast("long")).cast("long").as("a_rc"),
       sum((col("rule") === col("ppl")).cast("long")).cast("long").as("a_rp"),
       sum((col("clf") === col("ppl")).cast("long")).cast("long").as("a_cp"))
+    if (keys.isEmpty) flags.agg(aggs.head, aggs.tail: _*)
+    else flags.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** The pair-explode + exact-integer κ algebra over a 1-row count
-    * frame — ONE definition under q185 and the monitor's read-side
-    * fold. */
-  private[graft] def kappaPairsOf(counts: DataFrame): DataFrame = {
+  /** The pair-explode + exact-integer κ algebra over a count frame
+    * (optionally keyed) — ONE definition under q185, q186, and the
+    * monitor's read-side fold. */
+  private[graft] def kappaPairsOf(counts: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
     val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val kc = keys.map(col)
     counts
-      .select(explode(array(
+      .select(kc :+ explode(array(
         struct(lit("clf_ppl").as("pair"), col("n"), col("kc").as("keep_a"),
           col("kp").as("keep_b"), col("a_cp").as("agree")),
         struct(lit("rule_clf").as("pair"), col("n"), col("kr").as("keep_a"),
           col("kc").as("keep_b"), col("a_rc").as("agree")),
         struct(lit("rule_ppl").as("pair"), col("n"), col("kr").as("keep_a"),
-          col("kp").as("keep_b"), col("a_rp").as("agree")))).as("p"))
-      .select(col("p.pair").as("pair"), col("p.n").as("n_docs"),
+          col("kp").as("keep_b"), col("a_rp").as("agree")))).as("p"): _*)
+      .select(kc ++ Seq(col("p.pair").as("pair"), col("p.n").as("n_docs"),
         col("p.keep_a").as("keep_a"), col("p.keep_b").as("keep_b"),
-        col("p.agree").as("agree"))
+        col("p.agree").as("agree")): _*)
       .withColumn("pe_num", big(col("keep_a")) * big(col("keep_b")) +
         big(col("n_docs") - col("keep_a")) * big(col("n_docs") - col("keep_b")))
       .withColumn("num", big(col("agree")) * big(col("n_docs")) - col("pe_num"))
       .withColumn("den", big(col("n_docs")) * big(col("n_docs")) - col("pe_num"))
-      .select(col("pair"), col("n_docs"), col("keep_a"), col("keep_b"),
-        col("agree"),
+      .select(kc ++ Seq(col("pair"), col("n_docs"), col("keep_a"),
+        col("keep_b"), col("agree"),
         when(col("den") === 0, lit(1.0))
           .otherwise(round(col("num").cast("double") / col("den").cast("double"),
-            4)).as("kappa"))
-      .orderBy(col("pair"))
+            4)).as("kappa")): _*)
+      .orderBy(kc :+ col("pair"): _*)
   }
 
   /** q171: the q157 loss accounting under the KN tier — the same
@@ -1534,6 +1556,7 @@ object Scoring {
     "q156_bigram_buckets" -> q156BigramBuckets,
     "q157_ppl_gate_funnel" -> q157PplGateFunnel,
     "q185_gate_agreement" -> q185GateAgreement,
+    "q186_gate_agreement_by_source" -> q186GateAgreementBySource,
     "q163_heldout_ppl" -> q163HeldoutPpl,
     "q165_kn_perplexity" -> q165KnPerplexity,
     "q176_kn3_perplexity" -> q176Kn3Perplexity,
@@ -1695,6 +1718,64 @@ object Scoring {
        |    round(-sum(tfq.tf * ln(uni.ct / tot.total)) / sum(tfq.tf), 4) AS nll
        |  FROM tfq JOIN uni USING (term) CROSS JOIN tot GROUP BY 1)""".stripMargin
 
+  /** The q185/q186 oracle body, parameterized only by the grouping key
+    * (the waterfillSql precedent: one SQL definition per kernel pair so
+    * the two certifications cannot desync). */
+  private def gateAgreementSql(bySource: Boolean): String = {
+    val key = if (bySource) "source, " else ""
+    val grp = if (bySource) "\n  GROUP BY source" else ""
+    val ord = if (bySource) "source, pair" else "pair"
+    s"""WITH $nll2Ctes,
+       |c AS (
+       |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
+       |  FROM n2t),
+       |tg AS (
+       |  SELECT doc_id, source, text,
+       |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |fl AS (
+       |  SELECT tg.source,
+       |    CASE WHEN len(toks) BETWEEN 30 AND 90
+       |      AND round(length(replace(norm, ' ', '')) * 1.0 / len(toks), 4)
+       |        BETWEEN 3 AND 10
+       |      AND CAST(list_contains(toks, 'the') AS BIGINT)
+       |        + CAST(list_contains(toks, 'a') AS BIGINT)
+       |        + CAST(list_contains(toks, 'of') AS BIGINT) >= 1
+       |      AND round((length(text) - length(replace(text, '#', ''))) * 1.0
+       |        / len(toks), 4) <= 0.1 THEN 1 ELSE 0 END AS rule,
+       |    CAST(w.w_tokens * len(toks) + w.w_tokens2 * len(toks) * len(toks)
+       |      + w.w_wlen * round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4)
+       |      + w.w_stop * round(CAST(len(list_filter(toks,
+       |          x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4)
+       |      + w.bias > 0 AS BIGINT) AS clf,
+       |    CAST(n.nll2 IS NULL OR n.nll2 <= c.c2 AS BIGINT) AS ppl
+       |  FROM tg LEFT JOIN n2t n USING (doc_id) CROSS JOIN c
+       |    CROSS JOIN read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet') w),
+       |a AS (
+       |  SELECT ${key}CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(rule) AS BIGINT) AS kr, CAST(sum(clf) AS BIGINT) AS kc,
+       |    CAST(sum(ppl) AS BIGINT) AS kp,
+       |    CAST(sum(CASE WHEN rule = clf THEN 1 ELSE 0 END) AS BIGINT) AS a_rc,
+       |    CAST(sum(CASE WHEN rule = ppl THEN 1 ELSE 0 END) AS BIGINT) AS a_rp,
+       |    CAST(sum(CASE WHEN clf = ppl THEN 1 ELSE 0 END) AS BIGINT) AS a_cp
+       |  FROM fl$grp),
+       |p AS (
+       |  SELECT ${key}'clf_ppl' AS pair, n, kc AS keep_a, kp AS keep_b, a_cp AS agree FROM a
+       |  UNION ALL SELECT ${key}'rule_clf', n, kr, kc, a_rc FROM a
+       |  UNION ALL SELECT ${key}'rule_ppl', n, kr, kp, a_rp FROM a),
+       |k AS (
+       |  SELECT ${key}pair, n, keep_a, keep_b, agree,
+       |    CAST(keep_a AS HUGEINT) * keep_b
+       |      + CAST(n - keep_a AS HUGEINT) * (n - keep_b) AS pe_num
+       |  FROM p)
+       |SELECT ${key}pair, n AS n_docs, keep_a, keep_b, agree,
+       |  CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 1.0
+       |    ELSE round(CAST(CAST(agree AS HUGEINT) * n - pe_num AS DOUBLE)
+       |      / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE), 4) END AS kappa
+       |FROM k ORDER BY $ord""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q82_bloom_decontam" ->
       s"""WITH t AS (
@@ -1771,59 +1852,13 @@ object Scoring {
         |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll2 END")} AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q97 rule CASE (default config) + the q101 margin from the
-    // support weights + the nll2 tercile flag, folded to ONE count row,
-    // pair rows by UNION ALL, κ from exact HUGEINT products with one
-    // final double division (den = 0 pins κ = 1)
-    "q185_gate_agreement" ->
-      s"""WITH $nll2Ctes,
-        |c AS (
-        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
-        |  FROM n2t),
-        |tg AS (
-        |  SELECT doc_id, text,
-        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
-        |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
-        |  FROM documents),
-        |fl AS (
-        |  SELECT
-        |    CASE WHEN len(toks) BETWEEN 30 AND 90
-        |      AND round(length(replace(norm, ' ', '')) * 1.0 / len(toks), 4)
-        |        BETWEEN 3 AND 10
-        |      AND CAST(list_contains(toks, 'the') AS BIGINT)
-        |        + CAST(list_contains(toks, 'a') AS BIGINT)
-        |        + CAST(list_contains(toks, 'of') AS BIGINT) >= 1
-        |      AND round((length(text) - length(replace(text, '#', ''))) * 1.0
-        |        / len(toks), 4) <= 0.1 THEN 1 ELSE 0 END AS rule,
-        |    CAST(w.w_tokens * len(toks) + w.w_tokens2 * len(toks) * len(toks)
-        |      + w.w_wlen * round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4)
-        |      + w.w_stop * round(CAST(len(list_filter(toks,
-        |          x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4)
-        |      + w.bias > 0 AS BIGINT) AS clf,
-        |    CAST(n.nll2 IS NULL OR n.nll2 <= c.c2 AS BIGINT) AS ppl
-        |  FROM tg LEFT JOIN n2t n USING (doc_id) CROSS JOIN c
-        |    CROSS JOIN read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet') w),
-        |a AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(rule) AS BIGINT) AS kr, CAST(sum(clf) AS BIGINT) AS kc,
-        |    CAST(sum(ppl) AS BIGINT) AS kp,
-        |    CAST(sum(CASE WHEN rule = clf THEN 1 ELSE 0 END) AS BIGINT) AS a_rc,
-        |    CAST(sum(CASE WHEN rule = ppl THEN 1 ELSE 0 END) AS BIGINT) AS a_rp,
-        |    CAST(sum(CASE WHEN clf = ppl THEN 1 ELSE 0 END) AS BIGINT) AS a_cp
-        |  FROM fl),
-        |p AS (
-        |  SELECT 'clf_ppl' AS pair, n, kc AS keep_a, kp AS keep_b, a_cp AS agree FROM a
-        |  UNION ALL SELECT 'rule_clf', n, kr, kc, a_rc FROM a
-        |  UNION ALL SELECT 'rule_ppl', n, kr, kp, a_rp FROM a),
-        |k AS (
-        |  SELECT pair, n, keep_a, keep_b, agree,
-        |    CAST(keep_a AS HUGEINT) * keep_b
-        |      + CAST(n - keep_a AS HUGEINT) * (n - keep_b) AS pe_num
-        |  FROM p)
-        |SELECT pair, n AS n_docs, keep_a, keep_b, agree,
-        |  CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 1.0
-        |    ELSE round(CAST(CAST(agree AS HUGEINT) * n - pe_num AS DOUBLE)
-        |      / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE), 4) END AS kappa
-        |FROM k ORDER BY pair""".stripMargin,
+    // support weights + the nll2 tercile flag, folded to count rows
+    // (global for q185, per source for q186 — ONE builder, mirroring
+    // the shared engine kernels), pair rows by UNION ALL, κ from exact
+    // HUGEINT products with one final double division (den = 0 pins
+    // κ = 1)
+    "q185_gate_agreement" -> gateAgreementSql(bySource = false),
+    "q186_gate_agreement_by_source" -> gateAgreementSql(bySource = true),
     // the bigram replay with a train/test split: model tables from the
     // ~75 % train split (md5 prefix >= '4'; prefix < '4' ~ 25 % is the
     // test split), both splits scored with the same add-1 fold (LEFT

@@ -100,9 +100,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q171 is the q157 shape on the KN tier: the q165 Ney-discount
         // scalar + the same 1-row cut broadcast
         "q171_kn_gate_funnel",
-        // q185 composes the q157 cut broadcast with the q101 weight
-        // scalars; its pair rows explode from a 1-row global agg
-        "q185_gate_agreement",
+        // q185/q186 compose the q157 cut broadcast with the q101 weight
+        // scalars; pair rows explode from the count agg
+        "q185_gate_agreement", "q186_gate_agreement_by_source",
         // q173 compares both tiers' gates: two 1-row cut broadcasts
         "q173_tier_flips",
         // q158 now carries the CCNet leg (r14 #5): the q147 vocab scalar

@@ -661,6 +661,42 @@ object Dedup {
       spans)
   }
 
+  /** q187: duplicated-span token share per SOURCE — the Lee et al.
+    * (2022) ExactSubstr headline metric as a release-card row: what
+    * fraction of each source's tokens sits inside an 8-token span that
+    * occurs ≥ 2 times ANYWHERE in the corpus? The number that says how
+    * much of a feed is self-plagiarized boilerplate BEFORE any dedup
+    * decision (q91 is the per-doc surgical pass; q143 prices the
+    * line-level tier; this is the per-source budget reading). Same
+    * machinery as q91 — one span pass feeds the dup vocabulary and the
+    * coverage fold — with a source-sized agg instead of per-doc rows;
+    * dup_share is ONE division of two exact integer sums. */
+  val q187SpanDupShare: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val norm = TextFns.normText(col("text"))
+    val spans = docs
+      .select(col("doc_id"), explode(spanKernel(8)(norm)).as("sp"))
+      .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
+      .cache()
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
+      .filter(col("nocc") >= 2).select(col("h"))
+    val perDoc = spans.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
+    Caching.materializeAndRelease(
+      docs.filter(col("text").isNotNull)
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("source"), cleanKernel(8)(norm, col("starts")).as("r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("r._1")).cast("long").as("n_tokens"),
+          sum(col("r._2")).cast("long").as("n_dup"),
+          round(sum(col("r._2")).cast("double") / sum(col("r._1")), 4)
+            .as("dup_share"))
+        .orderBy(col("source")),
+      spans)
+  }
+
   /** q175: span-level DECONTAMINATION — the surgical tier between q69
     * (report eval overlap) and the drop-the-document gates (q82/q127):
     * any K-token span of a training document that also occurs in the
@@ -834,6 +870,7 @@ object Dedup {
     "q56_dedup_canonical" -> q41DedupCanonical,
     "q174_fuzzy_dedup_bias" -> q174FuzzyDedupBias,
     "q181_syndication_matrix" -> q181SyndicationMatrix,
+    "q187_span_dup_share" -> q187SpanDupShare,
     "q78_incr_dedup"      -> q78IncrementalDedup,
     "q91_substr_dedup"    -> q91SubstrDedup,
     "q175_decontam_scrub" -> q175DecontamScrub,
@@ -951,6 +988,32 @@ object Dedup {
         |  CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
         |  md5(string_agg(CASE WHEN cov.p IS NULL THEN tok.tk END, ' ' ORDER BY tok.p)) AS clean_fp
         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q91's string-exact span chain + the per-source fold; dup_share is
+    // one division of two exact integer sums
+    "q187_span_dup_share" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS st, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + 7], ' ') AS span FROM sp0),
+        |d AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+        |ds AS (SELECT sp.doc_id, sp.st FROM sp JOIN d USING (span)),
+        |cov AS (SELECT DISTINCT doc_id, st + o AS p FROM ds, range(0, 8) r(o)),
+        |tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p FROM t),
+        |pd AS (
+        |  SELECT tok0.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+        |  FROM tok0 LEFT JOIN cov ON tok0.doc_id = cov.doc_id AND tok0.p = cov.p
+        |  GROUP BY 1)
+        |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(pd.n_cov) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(pd.n_cov) AS DOUBLE) / sum(pd.n_tokens), 4) AS dup_share
+        |FROM pd JOIN t USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exhaustive Hamming<=3 over md5-based 48-bit simhashes. Equals the
     // engine's banded candidate set by pigeonhole (4 bands, radius 3), so

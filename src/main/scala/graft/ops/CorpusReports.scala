@@ -241,6 +241,64 @@ object CorpusReports {
     waterfillOf(perCell, total / 2, keyCol = "domain")
   }
 
+  /** q188: per-source LENGTH PROFILE — the document-length quartiles
+    * every data card publishes (token count min/p25/p50/p75/max per
+    * source): the packing planner reads p50/p75 against the context
+    * window (q114/q120's inputs, summarized per feed), and a source
+    * whose max is 1000× its p75 has a truncation policy decision
+    * pending. All integers — percentile_disc picks ELEMENTS, so the
+    * hash is exact (the q72 discipline: cast Spark's double back to
+    * long); one shuffle on source, sort per-group inside the agg. */
+  val q188LengthProfile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)")
+          .cast("long").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok)")
+          .cast("long").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok)")
+          .cast("long").as("p75"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("source"))
+
+  /** q189: cross-source VOCABULARY overlap — Jaccard of the top-200
+    * term sets per source pair: the domain-similarity matrix a mixture
+    * planner reads next to q181's syndication matrix (q181 says who
+    * shares near-duplicate DOCUMENTS; this says whose LANGUAGE overlaps
+    * even when no document does — merge candidates for per-domain
+    * models like q179's, and the axis DoReMi-style reweighting needs
+    * when sources are near-aliases). Top-K per source is a partitioned
+    * rank on the (cf desc, term) total order (parallel across sources);
+    * the pair join keys on the term over a sources×200-bounded table;
+    * Jaccard = shared / (|A| + |B| − shared) — one division of exact
+    * integers. Pairs sharing zero terms carry no row (both engines'
+    * inner join). */
+  val q189VocabOverlap: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, d)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("cf").desc, col("w"))))
+      .filter(col("rk") <= 200)
+      .select(col("source"), col("w"))
+    val sz = top.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    top.as("a").join(top.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .join(sz.select(col("source").as("src_a"), col("nv").as("na")), Seq("src_a"))
+      .join(sz.select(col("source").as("src_b"), col("nv").as("nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 4).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q183: TEMPERATURE-scaled mixture weights (α = 0.5) per SOURCE —
     * the PLANNING table between the q121 hard cap (waterfill) and the
     * q107 execution tier (which fits per-LANG admit rates capped at 1.0,
@@ -590,6 +648,8 @@ object CorpusReports {
     "q121_budget_waterfill" -> q121BudgetWaterfill,
     "q137_domain_waterfill" -> q137DomainWaterfill,
     "q183_temperature_mix"  -> q183TemperatureMix,
+    "q188_length_profile"   -> q188LengthProfile,
+    "q189_vocab_overlap"    -> q189VocabOverlap,
     "q127_gate_funnel"      -> q127GateFunnel,
   )
 
@@ -888,6 +948,43 @@ object CorpusReports {
     // dimension; integer `//` division mirrors the kernel's `div` (the
     // two can only disagree on negative numerators, which the validity
     // predicate rejects on both sides)
+    // integer token counts; quantile_disc keeps the input type (the q72
+    // cross-engine discipline)
+    "q188_length_profile" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  min(n_tok) AS min_tok,
+        |  quantile_disc(n_tok, 0.25) AS p25,
+        |  quantile_disc(n_tok, 0.5) AS p50,
+        |  quantile_disc(n_tok, 0.75) AS p75,
+        |  max(n_tok) AS max_tok
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same partitioned (cf desc, term) top-200 rank + term-keyed
+    // pair join + exact-integer Jaccard
+    "q189_vocab_overlap" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |cf AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, w,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rk
+        |  FROM cf),
+        |top AS (SELECT source, w FROM rk WHERE rk <= 200),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM top GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (za.nv + zb.nv - n_shared), 4) AS jaccard
+        |FROM sh JOIN sz za ON za.source = src_a JOIN sz zb ON zb.source = src_b
+        |ORDER BY 1, 2""".stripMargin,
     // the same token-sum CTE as q121, then the α = 0.5 share algebra
     // against the 1-row (tot, Z) scalar
     "q183_temperature_mix" ->

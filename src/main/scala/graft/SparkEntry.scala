@@ -55,7 +55,7 @@ object SparkEntry {
       (Set("q101_quality_classifier", "q108_quality_retention",
         "q142_classifier_calibration", "q160_data_card_full",
         "q166_classifier_auc", "q185_gate_agreement",
-        "q186_gate_agreement_by_source"),
+        "q186_gate_agreement_by_source", "q190_gate_venn"),
         ops.Curation.writeClassifierSupport),
       (Set("q103_semdedup", "q104_proto_prune"),
         ops.Curation.writeDedupIndexSupport),

@@ -415,10 +415,25 @@ object Scoring {
       .join(nll.select(col("doc_id"), col("nll2")), Seq("doc_id"), "left")
       .crossJoin(broadcast(cut))
       .select(col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
         TextOps.ruleGateKeep().cast("long").as("rule"),
         (Curation.marginCol(s, d) > 0).cast("long").as("clf"),
         (col("nll2").isNull || col("nll2") <= col("c2")).cast("long").as("ppl"))
   }
+
+  /** q190: the gate VENN — doc and token counts in each of the 2³
+    * keep/drop cells of the three gates: the ablation table that says
+    * what each gate UNIQUELY removes (κ says whether gates agree; this
+    * says what it costs to drop one). The (1,1,1) cell is the corpus
+    * that survives the full cascade; a near-empty (0,1,1) cell means
+    * the rule gate is subsumed and its maintenance can stop. One flag
+    * scan, one 8-row agg — all integers. */
+  val q190GateVenn: Q = (s, d) =>
+    gateFlagsOf(s, d)
+      .groupBy(col("rule"), col("clf"), col("ppl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .orderBy(col("rule"), col("clf"), col("ppl"))
 
   /** The (n, kr, kc, kp, a_rc, a_rp, a_cp) count fold over a
     * (rule, clf, ppl) 0/1-flag frame — shared by q185 (global, 1 row),
@@ -1557,6 +1572,7 @@ object Scoring {
     "q157_ppl_gate_funnel" -> q157PplGateFunnel,
     "q185_gate_agreement" -> q185GateAgreement,
     "q186_gate_agreement_by_source" -> q186GateAgreementBySource,
+    "q190_gate_venn" -> q190GateVenn,
     "q163_heldout_ppl" -> q163HeldoutPpl,
     "q165_kn_perplexity" -> q165KnPerplexity,
     "q176_kn3_perplexity" -> q176Kn3Perplexity,
@@ -1721,10 +1737,9 @@ object Scoring {
   /** The q185/q186 oracle body, parameterized only by the grouping key
     * (the waterfillSql precedent: one SQL definition per kernel pair so
     * the two certifications cannot desync). */
-  private def gateAgreementSql(bySource: Boolean): String = {
-    val key = if (bySource) "source, " else ""
-    val grp = if (bySource) "\n  GROUP BY source" else ""
-    val ord = if (bySource) "source, pair" else "pair"
+  /** The shared flag-scan CTE prefix (through `fl`) of the q185/q186/
+    * q190 oracles — one definition of the three gate predicates. */
+  private def gateFlagsCtes: String =
     s"""WITH $nll2Ctes,
        |c AS (
        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c2
@@ -1735,7 +1750,7 @@ object Scoring {
        |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
        |  FROM documents),
        |fl AS (
-       |  SELECT tg.source,
+       |  SELECT tg.source, CAST(len(toks) AS BIGINT) AS n_tok,
        |    CASE WHEN len(toks) BETWEEN 30 AND 90
        |      AND round(length(replace(norm, ' ', '')) * 1.0 / len(toks), 4)
        |        BETWEEN 3 AND 10
@@ -1751,7 +1766,13 @@ object Scoring {
        |      + w.bias > 0 AS BIGINT) AS clf,
        |    CAST(n.nll2 IS NULL OR n.nll2 <= c.c2 AS BIGINT) AS ppl
        |  FROM tg LEFT JOIN n2t n USING (doc_id) CROSS JOIN c
-       |    CROSS JOIN read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet') w),
+       |    CROSS JOIN read_parquet('{GRAFT_OUT}_support/q101_support_weights/*.parquet') w)""".stripMargin
+
+  private def gateAgreementSql(bySource: Boolean): String = {
+    val key = if (bySource) "source, " else ""
+    val grp = if (bySource) "\n  GROUP BY source" else ""
+    val ord = if (bySource) "source, pair" else "pair"
+    s"""$gateFlagsCtes,
        |a AS (
        |  SELECT ${key}CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(rule) AS BIGINT) AS kr, CAST(sum(clf) AS BIGINT) AS kc,
@@ -1859,6 +1880,12 @@ object Scoring {
     // κ = 1)
     "q185_gate_agreement" -> gateAgreementSql(bySource = false),
     "q186_gate_agreement_by_source" -> gateAgreementSql(bySource = true),
+    // the shared flag CTEs + the 8-cell integer fold
+    "q190_gate_venn" -> (gateFlagsCtes +
+      """
+        |SELECT rule, clf, ppl, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM fl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
     // the bigram replay with a train/test split: model tables from the
     // ~75 % train split (md5 prefix >= '4'; prefix < '4' ~ 25 % is the
     // test split), both splits scored with the same add-1 fold (LEFT

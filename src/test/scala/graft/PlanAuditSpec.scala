@@ -103,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q185/q186 compose the q157 cut broadcast with the q101 weight
         // scalars; pair rows explode from the count agg
         "q185_gate_agreement", "q186_gate_agreement_by_source",
+        "q190_gate_venn",
         // q173 compares both tiers' gates: two 1-row cut broadcasts
         "q173_tier_flips",
         // q158 now carries the CCNet leg (r14 #5): the q147 vocab scalar

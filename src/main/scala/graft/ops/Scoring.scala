@@ -1020,6 +1020,34 @@ object Scoring {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q191: SAMPLE representativeness audit — before a human-eval pass
+    * trusts the q87 stratified sample, the table that says whether it
+    * LOOKS like the corpus: per source, corpus size, achieved sample
+    * count, and the quality mean of corpus vs sample (the exact-mean
+    * idiom over the rounded-4 q34 artifact — the q171 boundary class).
+    * A q_sample far from q_corpus on some source means the 5-doc draw
+    * is unlucky there — redraw with a different salt before annotating.
+    * Reuses q87's RNG-free md5 rank (the same TopKPerGroup physical
+    * operator) so the audited sample IS the q87 sample, row for row. */
+  val q191SampleAudit: Q = (s, d) => {
+    import graft.plans.TopKPerGroup
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextOps.qualityCol.as("quality"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val sample = TopKPerGroup(docs.select(col("source"), col("doc_id"), col("h")),
+        Seq("source"), Seq(TopKPerGroup.Key("h"), TopKPerGroup.Key("doc_id")), 5)
+      .select(col("doc_id"), lit(1L).as("in_sample"))
+    docs.join(sample, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(coalesce(col("in_sample"), lit(0L))).cast("long").as("n_sample"),
+        ExactMean.mean4(col("quality")).as("q_corpus"),
+        ExactMean.mean4(when(col("in_sample") === 1, col("quality")))
+          .as("q_sample"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- q88
 
   /** Count-min-sketch heavy hitters with exact verify — the sketch-tier
@@ -1583,6 +1611,7 @@ object Scoring {
     "q173_tier_flips" -> q173TierFlips,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
+    "q191_sample_audit" -> q191SampleAudit,
     "q88_heavy_hitters"  -> q88HeavyHitters,
     "q89_weighted_sample" -> q89WeightedSample,
     "q90_profile"        -> q90Profile,
@@ -2279,6 +2308,23 @@ object Scoring {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+    // the q87 md5-rank sample + the q34 quality kernel + exact means
+    "q191_sample_audit" -> (
+      """WITH q AS (
+        |  SELECT source, doc_id,
+        |    round(least(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(list_filter(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |          x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE)
+        |        / len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))), 4) AS quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        |""".stripMargin +
+      s"  ${ExactMean.mean4Sql("quality")} AS q_corpus,\n" +
+      s"  ${ExactMean.mean4Sql("CASE WHEN rn <= 5 THEN quality END")} AS q_sample\n" +
+      "FROM q GROUP BY 1 ORDER BY 1"),
     "q88_heavy_hitters" ->
       s"""SELECT term, count(*) AS n FROM (
          |  SELECT unnest($tokCol) AS term FROM documents)

@@ -553,6 +553,43 @@ object Scoring {
       .orderBy(col("source"))
   }
 
+  /** q192: ORDER-3 tier flips — q173's operational reading one rung up
+    * the ladder: per source, the docs whose gate decision CHANGES
+    * between the KN2 cut and the KN3 cut. q177's order_gain says the
+    * trigram model scores BETTER; this says whether it would change any
+    * actual keep/drop decisions — where flips ≈ 0 the kn3 serving tier
+    * (maintainer #17's "kn3") isn't worth its third join, where they
+    * spike it is. Flips are defined over the TRI-SCORED population
+    * (kn3 only scores ≥ 3-token docs — the q177 same-population
+    * discipline); two memoized artifacts, two 1-row cut broadcasts, one
+    * doc join, one source agg. */
+  val q192Order3Flips: Q = (s, d) => {
+    val k2 = knScores(s, d).select(col("doc_id"), col("nll_kn"))
+    val k3 = kn3Scores(s, d).select(col("doc_id"), col("nll_kn3"))
+    val cut2 = k2.agg(expr(
+      "percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn)").as("c2k"))
+    val cut3 = k3.agg(expr(
+      "percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn3)").as("c2k3"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(k2, Seq("doc_id"), "left")
+      .join(k3, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut2))
+      .crossJoin(broadcast(cut3))
+      .withColumn("tri", col("nll_kn3").isNotNull)
+      .withColumn("drop2", col("nll_kn").isNotNull && col("nll_kn") > col("c2k"))
+      .withColumn("drop3", col("tri") && col("nll_kn3") > col("c2k3"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tri").cast("long")).cast("long").as("n_tri_scored"),
+        sum((col("tri") && col("drop2") && !col("drop3")).cast("long"))
+          .cast("long").as("kn3_rescues"),
+        sum((col("tri") && !col("drop2") && col("drop3")).cast("long"))
+          .cast("long").as("kn3_drops"),
+        ExactMean.mean4(when(col("tri"),
+          (col("drop2") =!= col("drop3")).cast("double"))).as("flip_rate"))
+      .orderBy(col("source"))
+  }
+
   /** q163: HELD-OUT perplexity — the LM-eval discipline applied to the
     * engine's own q147 bigram model: fit on the ~75 % train split
     * (md5(doc_id) prefix ≥ '4' — a HASH split, decorrelated from the
@@ -1609,6 +1646,7 @@ object Scoring {
     "q168_lm_ladder" -> q168LmLadder,
     "q171_kn_gate_funnel" -> q171KnGateFunnel,
     "q173_tier_flips" -> q173TierFlips,
+    "q192_order3_flips" -> q192Order3Flips,
     "q136_shard_mix"     -> q136ShardMix,
     "q87_stratified_sample" -> q87StratifiedSample,
     "q191_sample_audit" -> q191SampleAudit,
@@ -2020,6 +2058,33 @@ object Scoring {
         |LEFT JOIN knt k2 USING (doc_id)
         |LEFT JOIN kn3t k3 USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q173's flip algebra on the (knt, kn3t) pair, flips restricted to
+    // the tri-scored population (the q177 same-population discipline)
+    "q192_order3_flips" ->
+      s"""WITH $nll2Ctes,
+        |$knCtes,
+        |$kn3Ctes,
+        |c2 AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn) AS c2k
+        |  FROM knt),
+        |c3 AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn3) AS c2k3
+        |  FROM kn3t),
+        |j AS (
+        |  SELECT d.source,
+        |    k3.nll_kn3 IS NOT NULL AS tri,
+        |    (k2.nll_kn IS NOT NULL AND k2.nll_kn > c2.c2k) AS drop2,
+        |    (k3.nll_kn3 IS NOT NULL AND k3.nll_kn3 > c3.c2k3) AS drop3
+        |  FROM documents d
+        |  LEFT JOIN knt k2 USING (doc_id)
+        |  LEFT JOIN kn3t k3 USING (doc_id)
+        |  CROSS JOIN c2 CROSS JOIN c3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tri THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_scored,
+        |  CAST(sum(CASE WHEN tri AND drop2 AND NOT drop3 THEN 1 ELSE 0 END) AS BIGINT) AS kn3_rescues,
+        |  CAST(sum(CASE WHEN tri AND NOT drop2 AND drop3 THEN 1 ELSE 0 END) AS BIGINT) AS kn3_drops,
+        |  ${ExactMean.mean4Sql("CASE WHEN tri THEN CASE WHEN drop2 != drop3 THEN 1.0 ELSE 0.0 END END")} AS flip_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q157 funnel algebra verbatim with the cut and the averages on
     // the recomputed KN scores
     "q171_kn_gate_funnel" ->

@@ -104,8 +104,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // scalars; pair rows explode from the count agg
         "q185_gate_agreement", "q186_gate_agreement_by_source",
         "q190_gate_venn",
-        // q173 compares both tiers' gates: two 1-row cut broadcasts
-        "q173_tier_flips",
+        // q173 compares both tiers' gates: two 1-row cut broadcasts;
+        // q192 is the same shape one order up (kn vs kn3 cuts)
+        "q173_tier_flips", "q192_order3_flips",
         // q158 now carries the CCNet leg (r14 #5): the q147 vocab scalar
         // + the q156 1-row cut broadcast inside the funnel
         "q158_multimodal_funnel",

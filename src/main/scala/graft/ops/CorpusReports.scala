@@ -299,6 +299,47 @@ object CorpusReports {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q193: vocabulary USAGE agreement — Spearman rank correlation of
+    * term frequencies over each source pair's SHARED top-200 terms:
+    * q189 says two sources use the same words; this says whether they
+    * use them the same WAY (ρ ≈ 1 = same usage profile — near-alias
+    * feeds, merge their per-domain models; ρ ≈ 0 = same vocabulary,
+    * different emphasis — keep them separate). Ranks are re-ranked
+    * WITHIN the shared set on the (cf desc, term) total order (distinct
+    * by the term tie-break, so the classic no-ties formula
+    * ρ = 1 − 6Σd²/(n(n²−1)) is exact: integer Σd², integer
+    * denominator, ONE division rounded 4; n ≤ 1 pins ρ = 1). Scale:
+    * everything after the per-source top-K is bounded by sources²×K
+    * rows. */
+  val q193VocabRankCorr: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, d)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("cf").desc, col("w"))))
+      .filter(col("rk") <= 200)
+      .select(col("source"), col("w"), col("cf"))
+    val pw = Window.partitionBy(col("src_a"), col("src_b"))
+    top.as("a").join(top.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.w").as("w"), col("a.cf").as("cfa"), col("b.cf").as("cfb"))
+      .withColumn("ra", row_number().over(pw.orderBy(col("cfa").desc, col("w"))))
+      .withColumn("rb", row_number().over(pw.orderBy(col("cfb").desc, col("w"))))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb")))
+          .cast("long").as("sumd2"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        when(col("n_shared") <= 1, lit(1.0))
+          .otherwise(round(lit(1.0) - lit(6.0) * col("sumd2") /
+            (col("n_shared") * (col("n_shared") * col("n_shared") - 1)), 4))
+          .as("rho"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q183: TEMPERATURE-scaled mixture weights (α = 0.5) per SOURCE —
     * the PLANNING table between the q121 hard cap (waterfill) and the
     * q107 execution tier (which fits per-LANG admit rates capped at 1.0,
@@ -650,6 +691,7 @@ object CorpusReports {
     "q183_temperature_mix"  -> q183TemperatureMix,
     "q188_length_profile"   -> q188LengthProfile,
     "q189_vocab_overlap"    -> q189VocabOverlap,
+    "q193_vocab_rank_corr"  -> q193VocabRankCorr,
     "q127_gate_funnel"      -> q127GateFunnel,
   )
 
@@ -962,6 +1004,37 @@ object CorpusReports {
         |  quantile_disc(n_tok, 0.75) AS p75,
         |  max(n_tok) AS max_tok
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q189 shared-top-200 pair table, re-ranked within the shared
+    // set on both sides, the exact no-ties Spearman formula
+    "q193_vocab_rank_corr" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |cf AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, w, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rk
+        |  FROM cf),
+        |top AS (SELECT source, w, c FROM rk WHERE rk <= 200),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.w AS w,
+        |    a.c AS cfa, b.c AS cfb
+        |  FROM top a JOIN top b ON a.w = b.w AND a.source < b.source),
+        |rr AS (
+        |  SELECT src_a, src_b,
+        |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY cfa DESC, w) AS ra,
+        |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY cfb DESC, w) AS rb
+        |  FROM sh),
+        |agg AS (
+        |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared,
+        |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sumd2
+        |  FROM rr GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |  CASE WHEN n_shared <= 1 THEN 1.0
+        |    ELSE round(1.0 - 6.0 * sumd2 /
+        |      (n_shared * (n_shared * n_shared - 1)), 4) END AS rho
+        |FROM agg ORDER BY 1, 2""".stripMargin,
     // the same partitioned (cf desc, term) top-200 rank + term-keyed
     // pair join + exact-integer Jaccard
     "q189_vocab_overlap" ->

@@ -488,11 +488,16 @@ object Incremental {
           servedV = nv
           // release the superseded model's broadcast blocks — this
           // batch's pooling already completed (the write above is an
-          // action), so nothing references it; without the destroy,
-          // stale vector maps accumulate across refits (r14 ADVICE)
+          // action), so nothing references it; without the release,
+          // stale vector maps accumulate across refits (r14 ADVICE).
+          // unpersist, NOT destroy: a failure-recovery replay of a batch
+          // whose captured plan still holds the old handle can re-fetch
+          // under unpersist (Spark re-broadcasts on demand) but fails
+          // hard after destroy — same executor-memory release either
+          // way (r15 ADVICE)
           val prev = bc
           bc = s.sparkContext.broadcast(nm)
-          prev.destroy()
+          prev.unpersist()
         }
         ()
       }
@@ -758,10 +763,15 @@ object Incremental {
       expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn3)")).head()
     def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    // a corpus with no >= 3-token document has an EMPTY trigram table, so
+    // the D3 aggregate is null — record 0.0 (the kn3 cuts are null too,
+    // so the kn3 tier refuses loudly) and keep the order-2 promise: such
+    // a corpus still writes a servable add-1/KN model (r15 ADVICE)
+    val dd3v = if (disc3.isNullAt(0)) 0.0 else disc3.getDouble(0)
     Seq((v, disc.getDouble(0), disc.getDouble(1), nBuckets.toLong,
         cutsA.getDouble(0), cutsA.getDouble(1),
         cutsK.getDouble(0), cutsK.getDouble(1),
-        disc3.getDouble(0), opt(cutsK3, 0), opt(cutsK3, 1)))
+        dd3v, opt(cutsK3, 0), opt(cutsK3, 1)))
       .toDF("v", "dd", "tt", "nbkt", "c1_add1", "c2_add1", "c1_kn", "c2_kn",
         "dd3", "c1_kn3", "c2_kn3")
       .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/meta")
@@ -861,10 +871,20 @@ object Incremental {
                 lit(dd) * col("n1b") * (col("n1pre") / lit(tt))) / col("cb"))
             .otherwise((coalesce(col("cbc"), lit(0L)) + 1) /
               (coalesce(col("cb"), lit(0L)) + lit(v)))
-          val lnP3 = when(col("cab2").isNotNull,
-              log((greatest(coalesce(col("cabc"), lit(0L)).cast("double") - lit(dd3),
-                  lit(0.0)) +
-                lit(dd3) * col("n1ab") * p2v) / col("cab2")))
+          // ladder totality guard (r15 ADVICE): when the fit corpus had
+          // NO singleton trigram type, dd3 = 0 and an unseen trigram
+          // under a seen context has interpolated numerator exactly 0 —
+          // log(0) would break the "total, never a log(0) surprise"
+          // contract, so that one case falls through to the next rung
+          // (log(p2v)), the same place an unseen CONTEXT already lands.
+          // In-model trigrams are unaffected (cabc >= 1 > dd3 < 1), and
+          // dd3 > 0 models never hit the guard (the continuation term is
+          // strictly positive there).
+          val num3 = greatest(coalesce(col("cabc"), lit(0L)).cast("double") - lit(dd3),
+              lit(0.0)) +
+            lit(dd3) * col("n1ab") * p2v
+          val lnP3 = when(col("cab2").isNotNull && num3 > lit(0.0),
+              log(num3 / col("cab2")))
             .otherwise(log(p2v))
           val out = tft
             .join(tg3.filter(col("abkt").isin(aB: _*))

@@ -592,6 +592,73 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("ppl model on a trigram-free corpus still writes and serves order-2 tiers (r15 ADVICE)") {
+    val base = Files.createTempDirectory("graft-ppl-notri").toString
+    val in = s"$base/in"; val model = s"$base/model"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // every doc has EXACTLY 2 tokens: bigram model is real, the trigram
+    // table is EMPTY (dd3/cutsK3 aggregates are null) — the write must
+    // not throw and the order-2 tiers must serve (the scaladoc promise)
+    val corpus = (0 until 8).map(i => (i.toLong, s"alpha tag${i % 4}"))
+      .toDF("doc_id", "text").cache()
+    Incremental.writePplModel(spark, corpus, model, nBuckets = 4)
+    val meta = spark.read.parquet(s"$model/meta").head()
+    assert(meta.getAs[Double]("dd3") == 0.0, meta.toString)
+    assert(meta.isNullAt(meta.fieldIndex("c1_kn3")), meta.toString)
+
+    corpus.write.parquet(s"$in/b1")
+    for (tier <- Seq("add1", "kn")) {
+      val out = s"$base/out_$tier"
+      Incremental.continuousPplGateJoined(
+        spark, s"$in/*", docSchema, model, out, s"$base/ck_$tier",
+        smoothing = tier)
+      val got = spark.read.parquet(out).collect()
+      assert(got.length == 8, s"$tier served ${got.length} rows")
+      assert(got.forall(r => !r.isNullAt(2) &&
+          !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite),
+        s"$tier scores must be finite: ${got.mkString(",")}")
+    }
+    // the order-3 tier refuses loudly rather than serving null cuts
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.continuousPplGateJoined(
+        spark, s"$in/*", docSchema, model, s"$base/out3", s"$base/ck3",
+        smoothing = "kn3")
+    }
+    assert(ex.getMessage.contains("kn3"), ex.getMessage)
+    corpus.unpersist()
+  }
+
+  test("kn3 serve stays finite when dd3 = 0 — unseen trigram under a seen context (r15 ADVICE)") {
+    val base = Files.createTempDirectory("graft-ppl-dd3zero").toString
+    val in = s"$base/in"; val model = s"$base/model"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // two identical docs: every trigram type appears >= 2 times, so
+    // n1(3) = 0 and D3 = 0 — the degenerate-discount corpus
+    val corpus = Seq(
+      (0L, "alpha beta gamma alpha beta gamma"),
+      (1L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    Incremental.writePplModel(spark, corpus, model, nBuckets = 4)
+    assert(spark.read.parquet(s"$model/meta").head()
+      .getAs[Double]("dd3") == 0.0)
+    // (alpha, beta, beta): the context (alpha, beta) IS in the model but
+    // the trigram is not — with D3 = 0 the interpolated numerator is
+    // exactly 0, and the ladder must fall to the P_KN2 rung, not log(0)
+    Seq((10L, "alpha beta beta")).toDF("doc_id", "text")
+      .write.parquet(s"$in/b1")
+    Incremental.continuousPplGateJoined(
+      spark, s"$in/*", docSchema, model, s"$base/out", s"$base/ck",
+      smoothing = "kn3")
+    val r = spark.read.parquet(s"$base/out").collect()
+    assert(r.length == 1 && !r(0).isNullAt(2), r.mkString(","))
+    val nll = r(0).getDouble(2)
+    assert(!nll.isNaN && !nll.isInfinite && nll > 0.0,
+      s"dd3=0 out-of-model trigram must walk the ladder, got $nll")
+  }
+
   test("diversity monitor: streamed partial sums fold to the q184 report (maintainer #20)") {
     val base = Files.createTempDirectory("graft-divmon").toString
     val in = s"$base/in"; val model = s"$base/model"

@@ -252,10 +252,19 @@ object Ml {
       .select(col("doc_id"),
         explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
       .cache()
-    val freq = tf.groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val tot = freq.agg(sum(col("n")).cast("double").as("t"))
-    val dvecs = tf
-      .join(broadcast(wv), Seq("word"))
+    // the SIF weight's p(w) denominator is the WHOLE corpus token count —
+    // computed before any vocabulary restriction (1-row scalar)
+    val tot = tf.agg(count(lit(1)).cast("double").as("t"))
+    // in-model token stream FIRST, frequencies second: the freq broadcast
+    // is then bounded by the trained (minCount-cappable) vocabulary, never
+    // the raw Heaps-law corpus vocabulary (r15 verdict #1 — at web scale
+    // the unrestricted term-frequency table is 10^8-10^9 junk-heavy rows,
+    // an executor OOM, while wv stays model-sized). Counting from the
+    // joined stream is exact: the equi-join keeps every occurrence of an
+    // in-model word, and SIF weights are only ever read for in-model words.
+    val tfm = tf.join(broadcast(wv), Seq("word"))
+    val freq = tfm.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val dvecs = tfm
       .join(broadcast(freq), Seq("word"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),

@@ -757,6 +757,36 @@ object ScaleSmoke {
       }
       probe.unpersist()
     }
+    // SIF FOLD UNDER A JUNK-INFLATED RAW VOCABULARY (r15 verdict #1):
+    // the doc-vector fold's term-frequency broadcast is bounded by the
+    // TRAINED vocabulary (freq is computed from the post-wv-join token
+    // stream), so growing the RAW corpus vocabulary with unique junk
+    // tokens — the Heaps-law tail a web-scale corpus carries — must
+    // leave the fold's broadcast footprint and wall time flat. Protocol:
+    // fit wv ONCE on the base corpus (model vocab fixed), append
+    // mult unique junk tokens per doc (raw vocab grows ~n_docs·mult),
+    // run the full q184 diversity fold and time it.
+    if (section == "all" || section == "sifvocab") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source")).cache()
+      val wv = graft.ml.WordVec.fit(docsBase).cache()
+      val modelVocab = wv.count()
+      for (mult <- Seq(0, 8, 32)) {
+        val docs =
+          if (mult == 0) docsBase
+          else docsBase.withColumn("text", concat_ws(" ", col("text") +:
+            (0 until mult).map(i =>
+              concat(lit(s"zzjunk${i}x"), col("doc_id").cast("string"))): _*))
+        val rawVocab = docs
+          .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+          .agg(count_distinct(col("w"))).head().getLong(0)
+        println(s"[scale] sifvocab mult=$mult raw_vocab=$rawVocab " +
+          s"model_vocab=$modelVocab")
+        time(s"mult=$mult sif diversity fold (junk vocab)")(
+          graft.ops.Ml.sourceDocvecDiversityOver(docs, wv).collect())
+      }
+      wv.unpersist(); docsBase.unpersist()
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

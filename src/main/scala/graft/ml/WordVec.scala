@@ -42,9 +42,18 @@ import graft.ops.{Caching, SessionArtifacts}
   */
 object WordVec {
 
+  /** Hard ceiling on the post-`minCount` vocabulary. The SVD row index
+    * is collected to the driver (the one vocab-sized driver structure in
+    * the fit), so the cap must be CODE-guarded, not scaladoc-guarded
+    * (r15 verdict #2): a web-scale corpus fit with too small a
+    * `minCount` fails loudly with the remedy named instead of OOMing
+    * the driver. 2M words ≈ tens of MB of index — far above any curated
+    * vocabulary, far below driver-heap danger. */
+  val MaxVocab: Long = 2_000_000L
+
   /** Fitted vectors as (word: string, vec: array<double>), dim columns. */
   def fit(docs: DataFrame, dim: Int = 16, window: Int = 2,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L, maxVocab: Long = MaxVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // skip-gram pairs: for each position i, contexts i±1..i±window.
@@ -82,7 +91,16 @@ object WordVec {
       .select(col("w"), col("c"), col("ppmi"))
     // vocab index: deterministic (sorted) word <-> row/col ids. Vocab-
     // sized; collected only to broadcast the column index (the matrix
-    // dimensions themselves are vocab-bounded by construction)
+    // dimensions themselves are vocab-bounded by construction). The
+    // guard runs BEFORE the collect: one count over the vocab-bounded
+    // marginal table, so an uncapped web-scale fit dies with the remedy
+    // named rather than with a driver OOM (r15 verdict #2)
+    val nVguard = nw.count()
+    require(nVguard <= maxVocab,
+      s"WordVec.fit: post-minCount vocabulary has $nVguard words, above " +
+        s"the $maxVocab driver-index cap — raise minCount (currently " +
+        s"$minCount) to fold out rare words, or raise maxVocab if the " +
+        "driver heap is provisioned for a larger index")
     val vocab = nw.select(col("w")).orderBy(col("w")).as[String].collect()
     val idx = vocab.zipWithIndex.toMap
     val bIdx = spark.sparkContext.broadcast(idx)
@@ -122,10 +140,16 @@ object WordVec {
   }
 
   /** Session-memoized fit over the documents table — query, support
-    * writer, and bench passes share one training run. */
-  def fitted(s: SparkSession, d: String): DataFrame = {
-    val p = SessionArtifacts.dir("wordvec", s, d) { t =>
-      fit(Tables.documents(s, d)).write.mode("overwrite").parquet(s"$t/vecs")
+    * writer, and bench passes share one training run. `minCount` is the
+    * web-scale knob (fold rare words out BEFORE the driver index forms);
+    * the default 1 keeps the certified small-corpus hashes, and a
+    * non-default cap keys its own session artifact so the two fits never
+    * collide. */
+  def fitted(s: SparkSession, d: String, minCount: Long = 1L): DataFrame = {
+    val key = if (minCount == 1L) "wordvec" else s"wordvec_mc$minCount"
+    val p = SessionArtifacts.dir(key, s, d) { t =>
+      fit(Tables.documents(s, d), minCount = minCount)
+        .write.mode("overwrite").parquet(s"$t/vecs")
     }
     s.read.parquet(s"$p/vecs")
   }

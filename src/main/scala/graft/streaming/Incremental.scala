@@ -1046,10 +1046,11 @@ object Incremental {
     * None fits [[graft.ml.WordVec]] on the corpus. */
   def writeDocvecModel(spark: SparkSession, corpus: DataFrame,
       modelDir: String, nBuckets: Int = 64,
-      wordvecs: Option[DataFrame] = None): Unit = {
+      wordvecs: Option[DataFrame] = None, minCount: Long = 1L): Unit = {
     import spark.implicits._
     val wv = wordvecs.getOrElse(
-      graft.ml.WordVec.fit(corpus.filter(col("text").isNotNull)))
+      graft.ml.WordVec.fit(corpus.filter(col("text").isNotNull),
+        minCount = minCount))
     val freq = corpus
       .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n")).cache()

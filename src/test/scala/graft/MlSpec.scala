@@ -88,6 +88,23 @@ class MlSpec extends AnyFunSuite {
     assert(vecs.forall(_.getSeq[Double](1).nonEmpty))
   }
 
+  test("WordVec vocab cap is code-guarded: over-cap fit fails loudly naming the remedy (r15 verdict #2)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha rare"), (2L, "alpha beta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    // 3 distinct words > maxVocab = 2: the guard must fire BEFORE the
+    // driver index collects, and the message must name minCount
+    val ex = intercept[IllegalArgumentException] {
+      graft.ml.WordVec.fit(docs, dim = 4, maxVocab = 2L)
+    }
+    assert(ex.getMessage.contains("minCount"), ex.getMessage)
+    assert(ex.getMessage.contains("maxVocab"), ex.getMessage)
+    // raising minCount below the cap is the named remedy — and it works:
+    // 'rare' (one co-occurrence) folds out under minCount = 2
+    val vecs = graft.ml.WordVec.fit(docs, dim = 4, minCount = 2, maxVocab = 2L)
+    assert(vecs.collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
+  }
+
   test("embedder output is deterministic, 64-dim, L2-normalized (embeddings.py:119 invariant)") {
     val a = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))
     val b = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))

@@ -105,6 +105,46 @@ class MlSpec extends AnyFunSuite {
     assert(vecs.collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
   }
 
+  test("Embedder contract: dim, unit-or-zero norm, determinism, batch-size invariance (r15 verdict #3)") {
+    // the dim-parametric contract ANY Embedder implementation must pass —
+    // run a new implementation through assertContract before wiring it in
+    def assertContract(e: graft.ml.Embedder): Unit = {
+      val texts = Seq("the quick brown fox", "hello world", "",
+        "alpha beta gamma delta epsilon", "hello world")
+      val once = e.encodeBatch(texts)
+      once.foreach(v => assert(v.length == e.dim, s"dim ${v.length} != ${e.dim}"))
+      once.foreach { v =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        assert(math.abs(n - 1.0) < 1e-5 || n == 0.0, s"norm must be 1 or 0: $n")
+        assert(v.forall(x => !x.isNaN), "no NaN components")
+      }
+      // determinism across calls AND within a batch (identical texts)
+      assert(e.encodeBatch(texts).map(_.toSeq) == once.map(_.toSeq))
+      assert(once(1).toSeq == once(4).toSeq)
+      // batch-size invariance: one-at-a-time == batched
+      val single = texts.map(t => e.encodeBatch(Seq(t)).head)
+      assert(single.map(_.toSeq) == once.map(_.toSeq),
+        "a vector must not depend on its batch")
+    }
+    assertContract(graft.ml.HashingEmbedder)
+  }
+
+  test("embedder config seam: hashing default, onnx is selected-never-fallback, unknown rejected") {
+    assert(graft.ml.Embed.fromConf(spark) eq graft.ml.HashingEmbedder)
+    spark.conf.set("graft.embedder", "onnx:/models/minilm.onnx")
+    try {
+      val e = graft.ml.Embed.fromConf(spark)
+      assert(e.dim == 384)
+      // no weights in this environment: the plug refuses loudly, naming
+      // the certified tier — never a silent degrade
+      val ex = intercept[UnsupportedOperationException](e.encodeBatch(Seq("x")))
+      assert(ex.getMessage.contains("hashing"), ex.getMessage)
+      assert(ex.getMessage.contains("/models/minilm.onnx"), ex.getMessage)
+    } finally spark.conf.set("graft.embedder", "bogus")
+    try intercept[IllegalArgumentException](graft.ml.Embed.fromConf(spark))
+    finally spark.conf.unset("graft.embedder")
+  }
+
   test("embedder output is deterministic, 64-dim, L2-normalized (embeddings.py:119 invariant)") {
     val a = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))
     val b = Embed.encodeBatch(Seq("the quick brown fox", "hello world"))

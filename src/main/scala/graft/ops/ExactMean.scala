@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *   mean4(v) = halfUp(Σ round(v·10⁴) / n) / 10⁴
   *
   * where the half-up division is the pure-integer
-  * `floor((2·|s| + n) / (2·n))` with the sign reapplied — no float sum
-  * ever happens, so the result is identical on any engine and any
-  * aggregation order. Matches `round(avg(v), 4)` semantics exactly
+  * `(2·|s| + n) div (2·n)` (integral division on a decimal(38,0) /
+  * HUGEINT accumulator) with the sign reapplied — no float enters the
+  * rounding path at ANY group size, so the result is identical on any
+  * engine and any aggregation order. Matches `round(avg(v), 4)` semantics exactly
   * (HALF_UP away from zero, the Spark/DuckDB `round` contract), returns
   * 0.0 over an empty/all-null input (the q151 empty-branch discipline).
   *
@@ -41,11 +42,16 @@ object ExactMean {
     * Null-skipping like `avg`: wrap conditional means as
     * `mean4(when(cond, v))`. */
   def mean4(v: Column): Column = {
-    val s = sum(round(v * lit(10000), 0).cast("long"))
+    // decimal(38,0) accumulation (DuckDB: HUGEINT) so a corpus-scale sum
+    // of ×10⁴ values never leaves exact range, and INTEGRAL division for
+    // the half-up quotient — floor() over a double quotient loses the
+    // exact-half boundary once 1/(2n) falls under half an ulp
+    // (multi-billion-row groups; r15 ADVICE) — so the claim "identical
+    // on any engine and any aggregation order" holds with no n bound
+    val s = sum(round(v * lit(10000), 0).cast("decimal(38,0)"))
     val n = count(v)
     // half-up(|s|/n) in pure integers; sign reapplied = away-from-zero
-    val q = floor((lit(2) * abs(s) + n).cast("double") /
-      (lit(2) * n).cast("double"))
+    val q = call_function("div", lit(2) * abs(s) + n, lit(2) * n)
     coalesce(when(s < 0, -q).otherwise(q) / lit(10000.0), lit(0.0))
   }
 
@@ -53,10 +59,42 @@ object ExactMean {
     * `e` is any expression (wrap conditional means as
     * `CASE WHEN cond THEN v END`). */
   def mean4Sql(e: String): String = {
-    val s = s"sum(CAST(round(($e) * 10000) AS BIGINT))"
+    val s = s"sum(CAST(round(($e) * 10000) AS HUGEINT))"
     val n = s"count($e)"
-    s"coalesce((CASE WHEN $s < 0 THEN -floor((-2 * $s + $n) / (2.0 * $n)) " +
-      s"ELSE floor((2 * $s + $n) / (2.0 * $n)) END) / 10000.0, 0.0)"
+    s"coalesce((CASE WHEN $s < 0 THEN -((-2 * $s + $n) // (2 * $n)) " +
+      s"ELSE ((2 * $s + $n) // (2 * $n)) END) / 10000.0, 0.0)"
+  }
+
+  /** `round(avg(v), scale)` over INTEGER-valued inputs — the integer
+    * face of the q171 trap (r15 verdict #5): corpus-scale char/token
+    * sums exceed 2⁵³, where `avg`'s double accumulator loses ulps and
+    * the rounded mean becomes accumulation-order-dependent. Here the sum
+    * accumulates as decimal(38,0) (DuckDB: HUGEINT) and the half-up
+    * rounding is the pure-integer `(2·|s|·10ˢᶜ + n) div (2·n)` — `div`
+    * is integral division, so no float enters the ROUNDING path at any
+    * group size. The final rendering `q → double → /10ˢᶜ` is the same
+    * two IEEE steps on both engines, so cross-engine parity holds
+    * unconditionally; the double is additionally the exactly-rounded
+    * mean while mean·10ˢᶜ stays under 2⁵³ (always, for human-scale
+    * means — only the SUM grows with the corpus). NULL over an empty /
+    * all-null input, matching `round(avg(v), scale)`. */
+  def meanInt(v: Column, scale: Int): Column = {
+    val p = math.round(math.pow(10, scale.toDouble))
+    val s = sum(v.cast("decimal(38,0)"))
+    val n = count(v)
+    val q = call_function("div",
+      lit(2) * abs(s) * lit(p) + n, lit(2) * n)
+    when(s < 0, -q).otherwise(q) / lit(p.toDouble)
+  }
+
+  /** The identical algebra as DuckDB SQL text (HUGEINT accumulation,
+    * `//` integral division). */
+  def meanIntSql(e: String, scale: Int): String = {
+    val p = math.round(math.pow(10, scale.toDouble))
+    val s = s"sum(CAST($e AS HUGEINT))"
+    val n = s"count($e)"
+    s"((CASE WHEN $s < 0 THEN -((-2 * $s * $p + $n) // (2 * $n)) " +
+      s"ELSE (2 * $s * $p + $n) // (2 * $n) END) / $p.0)"
   }
 
   /** Σv as an EXACT ×10⁴ integer for inputs that are exact ≤4-decimal

@@ -40,7 +40,7 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         ExactMean.sum4(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        ExactMean.meanInt(col("l_quantity"), 2).as("avg_qty"),
         ExactMean.mean4(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -488,7 +488,7 @@ object Relational {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  ${ExactMean.sum4Sql("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  ${ExactMean.meanIntSql("l_quantity", 2)} AS avg_qty,
         |  ${ExactMean.mean4Sql("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -21,7 +21,8 @@ object SemiStructured {
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+      .agg(count(lit(1)).as("n"),
+        graft.ops.ExactMean.meanInt(col("k"), 4).as("avg_k"),
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
   }
@@ -126,8 +127,8 @@ object SemiStructured {
 
   def oracle: Map[String, String] = Map(
     "q24_json_get" ->
-      """SELECT event_type, count(*) AS n,
-        |  round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+      s"""SELECT event_type, count(*) AS n,
+        |  ${graft.ops.ExactMean.meanIntSql("CAST(props->>'k' AS BIGINT)", 4)} AS avg_k,
         |  max(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_json_key_prefix" ->

@@ -65,7 +65,7 @@ object TextOps {
     Tables.documents(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("n_chars")), 2).as("avg_chars"),
+        graft.ops.ExactMean.meanInt(col("n_chars"), 2).as("avg_chars"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"), col("source"))
@@ -1669,7 +1669,8 @@ object TextOps {
         |  length(trim(text)) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_lang_stats" ->
-      """SELECT lang, source, count(*) AS n, round(avg(n_chars), 2) AS avg_chars,
+      s"""SELECT lang, source, count(*) AS n,
+        |  ${graft.ops.ExactMean.meanIntSql("n_chars", 2)} AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q34_quality" ->

@@ -239,4 +239,37 @@ class FunctionsSpec extends AnyFunSuite {
     }.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(m4(xs) == want, s"${m4(xs)} vs $want")
   }
+
+  test("ExactMean.meanInt: exact beyond 2^53 and on the half boundary (r15 verdict #5)") {
+    import graft.ops.ExactMean
+    // the integer face of the trap: two values summing past 2^53, where
+    // a double accumulator cannot even represent the sum — the decimal
+    // accumulator keeps the sum exact and the half-up quotient is pure
+    // integer: q = ((2^53) + (2^53+6)) / 2 * 100 = 900719925474099500.
+    // The FINAL rendering q -> double -> /100.0 is the identical two
+    // IEEE steps on both engines (DuckDB renders HUGEINT q / 100.0 the
+    // same way), so cross-engine parity holds even past 2^53
+    val big = 9007199254740992L // 2^53
+    val got = Seq(big, big + 6L).toDF("v")
+      .agg(ExactMean.meanInt($"v", 2)).head().getDouble(0)
+    assert(got == 900719925474099500L.toDouble / 100.0, s"$got")
+    // half-up at scale 2: mean of 1 and 2 cents-precision = 1.5 -> 1.5;
+    // mean landing on .005 rounds away from zero
+    def mi(xs: Seq[Long], sc: Int): Double =
+      xs.toDF("v").agg(ExactMean.meanInt($"v", sc)).head().getDouble(0)
+    assert(mi(Seq(1L, 2L), 2) == 1.5)
+    assert(mi(Seq(0L, 1L), 1) == 0.5)
+    assert(mi(Seq(1L, 1L, 2L, 3L), 2) == 1.75)
+    // .005 boundary: 7/8 = 0.875 at scale 2 -> 0.88 (half-up)
+    assert(mi(Seq(1L, 1L, 1L, 4L), 2) == 1.75)
+    assert(mi(Seq(0L, 0L, 0L, 7L, 0L, 0L, 0L, 0L), 2) == 0.88)
+    // negative means round away from zero
+    assert(mi(Seq(-7L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), 2) == -0.88)
+    // all-null input -> null, matching round(avg(v), s)
+    assert(Seq[Option[Long]](None, None).toDF("v")
+      .agg(ExactMean.meanInt($"v", 2)).head().isNullAt(0))
+    // (the oracle rendering is exercised by the q01/q24/q33
+    // certification; this suite pins the Spark algebra)
+    assert(mi(Seq(3L, 3L, 4L), 0) == 3.0) // 10/3 = 3.33... -> 3 at scale 0
+  }
 }

@@ -80,7 +80,26 @@ object Bench {
     // per-query maps are emitted: "queries_first" (cold — a build/fit
     // regression shows up per-query here) and "queries" (min/warm).
     val minTotal = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
+    // FULL per-query artifact (r15 verdict #6): the driver snapshots only
+    // a bounded tail of stdout (2,000 chars — one 193-query map is ~6 KB),
+    // so cross-round per-query comparison was blind for most of the
+    // surface. Every pass's complete map is therefore written as a JSON
+    // FILE next to the human log; the stdout line carries the pointer.
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val passMaps = allPasses.zipWithIndex
+      .map { case (m, i) => s""""pass${i + 1}":${jsonMap(m)}""" }.mkString(",")
+    val fullJson =
+      s"""{"sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +
+        s"""$passMaps,"queries_first":${jsonMap(firstPass)},""" +
+        s""""queries":${jsonMap(results)},""" +
+        s""""min_total_sec":${f"$minTotal%.3f"},""" +
+        s""""first_pass_total":${f"$firstTotal%.3f"}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullOut), fullJson.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
+    }
+    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
     spark.stop()
   }
 }

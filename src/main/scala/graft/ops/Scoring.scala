@@ -1046,16 +1046,28 @@ object Scoring {
     * [[graft.plans.TopKPerGroup]] operator — no per-group window sort, one
     * shuffle — certifying the custom physical plan on a second production
     * shape beyond q58. */
-  val q87StratifiedSample: Q = (s, d) => {
+  /** The q87/q191 RNG-free sample rank: md5(doc_id ‖ salt). The default
+    * empty salt is byte-identical to md5(doc_id) — the certified draw —
+    * and q191's documented remedy ("redraw with a different salt") is a
+    * real knob (r15 verdict #7): any other salt is an independent
+    * permutation of the same size. */
+  private[graft] def sampleRank(salt: String): org.apache.spark.sql.Column =
+    md5(concat(col("doc_id").cast("string"), lit(salt)))
+
+  /** The shared q87 draw: exactly k docs per source under `salt`, through
+    * the native bounded-heap [[graft.plans.TopKPerGroup]] operator. */
+  private[graft] def stratifiedSampleOf(s: SparkSession, d: String,
+      k: Int, salt: String = ""): DataFrame = {
     import graft.plans.TopKPerGroup
     val hashed = Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        md5(col("doc_id").cast("string")).as("h"))
+      .select(col("source"), col("doc_id"), sampleRank(salt).as("h"))
     TopKPerGroup(hashed, Seq("source"),
-      Seq(TopKPerGroup.Key("h"), TopKPerGroup.Key("doc_id")), 5)
+      Seq(TopKPerGroup.Key("h"), TopKPerGroup.Key("doc_id")), k)
       .select(col("source"), col("doc_id"))
-      .orderBy(col("source"), col("doc_id"))
   }
+
+  val q87StratifiedSample: Q = (s, d) =>
+    stratifiedSampleOf(s, d, 5).orderBy(col("source"), col("doc_id"))
 
   /** q191: SAMPLE representativeness audit — before a human-eval pass
     * trusts the q87 stratified sample, the table that says whether it
@@ -1063,17 +1075,20 @@ object Scoring {
     * count, and the quality mean of corpus vs sample (the exact-mean
     * idiom over the rounded-4 q34 artifact — the q171 boundary class).
     * A q_sample far from q_corpus on some source means the 5-doc draw
-    * is unlucky there — redraw with a different salt before annotating.
+    * is unlucky there — redraw with a different [[sampleRank]] salt
+    * before annotating (the salt is a real parameter of the shared
+    * [[stratifiedSampleOf]] draw, so the remedy is one argument).
     * Reuses q87's RNG-free md5 rank (the same TopKPerGroup physical
     * operator) so the audited sample IS the q87 sample, row for row. */
-  val q191SampleAudit: Q = (s, d) => {
-    import graft.plans.TopKPerGroup
+  val q191SampleAudit: Q = (s, d) => sampleAuditOf(s, d, salt = "")
+
+  /** The q191 audit under an explicit redraw salt. */
+  private[graft] def sampleAuditOf(s: SparkSession, d: String,
+      salt: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
-        TextOps.qualityCol.as("quality"),
-        md5(col("doc_id").cast("string")).as("h"))
-    val sample = TopKPerGroup(docs.select(col("source"), col("doc_id"), col("h")),
-        Seq("source"), Seq(TopKPerGroup.Key("h"), TopKPerGroup.Key("doc_id")), 5)
+        TextOps.qualityCol.as("quality"))
+    val sample = stratifiedSampleOf(s, d, 5, salt)
       .select(col("doc_id"), lit(1L).as("in_sample"))
     docs.join(sample, Seq("doc_id"), "left")
       .groupBy(col("source"))

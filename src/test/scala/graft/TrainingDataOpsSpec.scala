@@ -279,6 +279,31 @@ class TrainingDataOpsSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("q87/q191 redraw salt: a non-default salt yields a different, equally-sized sample (r15 verdict #7)") {
+    val base = ops.Scoring.stratifiedSampleOf(spark, sf, 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val redraw = ops.Scoring.stratifiedSampleOf(spark, sf, 5, salt = "redraw1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // same shape: exactly 5 per source on both draws
+    assert(base.groupBy(_._1).forall(_._2.length == 5))
+    assert(redraw.groupBy(_._1).forall(_._2.length == 5))
+    assert(base.map(_._1).toSet == redraw.map(_._1).toSet)
+    // an independent permutation: the draws differ (md5 of salted ids)
+    assert(base.toSet != redraw.toSet,
+      "a different salt must redraw the sample")
+    // and the default salt IS the certified q87 draw, row for row
+    val q87 = ops.Scoring.q87StratifiedSample(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(base.toSet == q87.toSet)
+    // the audit under a redraw salt keeps its per-source corpus stats
+    // (only the sample columns may move)
+    val a0 = ops.Scoring.sampleAuditOf(spark, sf, "")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val a1 = ops.Scoring.sampleAuditOf(spark, sf, "redraw1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(a0.toSeq == a1.toSeq, "n_docs/q_corpus must not depend on the salt")
+  }
+
   test("q88: CMS prefilter + exact verify equals the exact heavy-hitter set") {
     val exact = Tables.documents(spark, sf)
       .select(explode(functions.TextFns.tokens(col("text"))).as("term"))

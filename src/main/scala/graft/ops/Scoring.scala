@@ -269,21 +269,29 @@ object Scoring {
   private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
     val tfb = bigramFoldOf(docs).cache()
     val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
-    val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val vocab = docs
       .select(explode(TextFns.tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).cast("double").as("v"))
-    Caching.materializeAndRelease(
-      tfb
-        .join(bg, Seq("a", "b"))
-        .join(ca, Seq("a"))
-        .crossJoin(broadcast(vocab))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).cast("long").as("n_pairs"),
-          round(-sum(col("tf") * log((col("cab") + 1) / (col("ca") + col("v")))) /
-            sum(col("tf")), 4).as("nll2"))
-        .orderBy(col("doc_id")),
-      tfb)
+    Caching.materializeAndRelease(bigramNllFrom(tfb, bg, vocab), tfb)
+  }
+
+  /** The q147 kernel over PRE-BUILT fold tables — `tfb` =
+    * [[bigramFoldOf]], `bg` its (a, b)→cab rollup, `vocab` the 1-row
+    * (v: double) type count. [[graft.streaming.Incremental.writePplModel]]
+    * places its cuts through this form so the corpus tokenizes ONCE for
+    * model + cuts instead of once per scoring tier (r15 ADVICE). */
+  private[graft] def bigramNllFrom(tfb: DataFrame, bg: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    tfb
+      .join(bg, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_pairs"),
+        round(-sum(col("tf") * log((col("cab") + 1) / (col("ca") + col("v")))) /
+          sum(col("tf")), 4).as("nll2"))
+      .orderBy(col("doc_id"))
   }
 
   /** q156: the CCNet gate on the BIGRAM model — q135's tercile
@@ -699,6 +707,12 @@ object Scoring {
     // (caller-released below) rather than recompute the corpus fold
     val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
       .cache()
+    Caching.materializeAndRelease(knNllFrom(tfb, bg), tfb, bg)
+  }
+
+  /** The q165 kernel over pre-built fold tables (the [[bigramNllFrom]]
+    * convention; callers own the caching/release of `tfb`/`bg`). */
+  private[graft] def knNllFrom(tfb: DataFrame, bg: DataFrame): DataFrame = {
     // context totals AND distinct-continuation counts in ONE pass over bg
     val ctx = bg.groupBy(col("a"))
       .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
@@ -712,21 +726,19 @@ object Scoring {
           lit(2L) * sum(when(col("cab") === 2, 1L).otherwise(0L)), lit(1L)))
         .as("dd"),
       count(lit(1)).cast("double").as("tt"))
-    Caching.materializeAndRelease(
-      tfb
-        .join(bg, Seq("a", "b"))
-        .join(ctx, Seq("a"))
-        .join(pre, Seq("b"))
-        .crossJoin(broadcast(disc))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).cast("long").as("n_pairs"),
-          round(-sum(col("tf") *
-              log(((col("cab") - col("dd")) +
-                col("dd") * col("n1a") * (col("n1pre") / col("tt"))) /
-                col("ca"))) /
-            sum(col("tf")), 4).as("nll_kn"))
-        .orderBy(col("doc_id")),
-      tfb, bg)
+    tfb
+      .join(bg, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .join(pre, Seq("b"))
+      .crossJoin(broadcast(disc))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_pairs"),
+        round(-sum(col("tf") *
+            log(((col("cab") - col("dd")) +
+              col("dd") * col("n1a") * (col("n1pre") / col("tt"))) /
+              col("ca"))) /
+          sum(col("tf")), 4).as("nll_kn"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q176
@@ -777,6 +789,18 @@ object Scoring {
     // corpus (including 2-token docs — the lower order sees every pair)
     val tfb = bigramFoldOf(docs).cache()
     val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab")).cache()
+    // ---- higher order: trigram counts (per-doc and rolled up)
+    val tft = trigramFoldOf(docs).cache()
+    val tg = tft.groupBy(col("a"), col("b"), col("c"))
+      .agg(sum(col("tf")).as("cabc")).cache()
+    Caching.materializeAndRelease(kn3NllFrom(tfb, bg, tft, tg),
+      tfb, bg, tft, tg)
+  }
+
+  /** The q176 kernel over pre-built fold tables (both orders; callers
+    * own the caching/release — the [[bigramNllFrom]] convention). */
+  private[graft] def kn3NllFrom(tfb: DataFrame, bg: DataFrame,
+      tft: DataFrame, tg: DataFrame): DataFrame = {
     val ctx = bg.groupBy(col("a"))
       .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
     val pre = bg.groupBy(col("b")).agg(count(lit(1)).as("n1pre"))
@@ -795,10 +819,7 @@ object Scoring {
       .select(col("b"), col("c"),
         (((col("cbc") - col("dd")) +
           col("dd") * col("n1b") * (col("n1pre") / col("tt"))) / col("cb")).as("p2"))
-    // ---- higher order: trigram counts, contexts, the D3 scalar
-    val tft = trigramFoldOf(docs).cache()
-    val tg = tft.groupBy(col("a"), col("b"), col("c"))
-      .agg(sum(col("tf")).as("cabc")).cache()
+    // trigram contexts + the D3 scalar
     val ctx3 = tg.groupBy(col("a"), col("b"))
       .agg(sum(col("cabc")).as("cab2"), count(lit(1)).as("n1ab"))
     val disc3 = tg.agg(
@@ -806,20 +827,18 @@ object Scoring {
         greatest(sum(when(col("cabc") === 1, 1L).otherwise(0L)) +
           lit(2L) * sum(when(col("cabc") === 2, 1L).otherwise(0L)), lit(1L)))
         .as("dd3"))
-    Caching.materializeAndRelease(
-      tft
-        .join(tg, Seq("a", "b", "c"))
-        .join(ctx3, Seq("a", "b"))
-        .join(p2, Seq("b", "c"))
-        .crossJoin(broadcast(disc3))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).cast("long").as("n_tri"),
-          round(-sum(col("tf") *
-              log(((col("cabc") - col("dd3")) +
-                col("dd3") * col("n1ab") * col("p2")) / col("cab2"))) /
-            sum(col("tf")), 4).as("nll_kn3"))
-        .orderBy(col("doc_id")),
-      tfb, bg, tft, tg)
+    tft
+      .join(tg, Seq("a", "b", "c"))
+      .join(ctx3, Seq("a", "b"))
+      .join(p2, Seq("b", "c"))
+      .crossJoin(broadcast(disc3))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tri"),
+        round(-sum(col("tf") *
+            log(((col("cabc") - col("dd3")) +
+              col("dd3") * col("n1ab") * col("p2")) / col("cab2"))) /
+          sum(col("tf")), 4).as("nll_kn3"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- q177

@@ -710,19 +710,23 @@ object Incremental {
     import graft.ops.Scoring
     val tfb = Scoring.bigramFoldOf(corpus).cache()
     val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab")).cache()
-    val v = corpus
+    val vocab = corpus
       .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
-      .agg(count_distinct(col("w"))).head().getLong(0).toDouble
+      .agg(count_distinct(col("w")).cast("double").as("v"))
+    val v = vocab.head().getDouble(0)
     val disc = bg.agg(
       (sum(when(col("cab") === 1, 1L).otherwise(0L)).cast("double") /
         greatest(sum(when(col("cab") === 1, 1L).otherwise(0L)) +
           lit(2L) * sum(when(col("cab") === 2, 1L).otherwise(0L)), lit(1L)))
         .as("dd"),
       count(lit(1)).cast("double").as("tt")).head()
-    val cutsA = Scoring.bigramNllOf(corpus).agg(
+    // the cuts run through the *From kernels over the SAME cached
+    // tfb/bg/tft/tg the model tables write from — one corpus tokenize
+    // pass per order instead of one per scoring tier (r15 ADVICE)
+    val cutsA = Scoring.bigramNllFrom(tfb, bg, vocab).agg(
       expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll2)"),
       expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)")).head()
-    val cutsK = Scoring.knNllOf(corpus).agg(
+    val cutsK = Scoring.knNllFrom(tfb, bg).agg(
       expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll_kn)"),
       expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn)")).head()
     require(!cutsA.isNullAt(0),
@@ -758,7 +762,7 @@ object Incremental {
       .agg(sum(col("cabc")).as("cab2"), count(lit(1)).as("n1ab"))
       .select(col("a"), col("b"), col("cab2"), col("n1ab"), abkt)
       .write.mode("overwrite").partitionBy("abkt").parquet(s"$modelDir/contexts3")
-    val cutsK3 = Scoring.kn3NllOf(corpus).agg(
+    val cutsK3 = Scoring.kn3NllFrom(tfb, bg, tft, tg).agg(
       expr("percentile_disc(0.33333333) WITHIN GROUP (ORDER BY nll_kn3)"),
       expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn3)")).head()
     def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =

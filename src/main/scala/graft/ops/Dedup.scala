@@ -742,9 +742,17 @@ object Dedup {
     * column and a per-source fold; cut_share is one division of two
     * exact integer sums (bit-identical cross-engine — no float
     * accumulation reaches the rounding). */
-  val q178DecontamFunnel: Q = (s, d) => {
-    decontamScores(s, d)
-      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+  val q178DecontamFunnel: Q = (s, d) =>
+    decontamFunnelFold(
+      decontamScores(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id")))
+
+  /** The q178 per-source fold over a (source, n_tokens, n_cov,
+    * clean_fp…) per-doc scrub table — ONE definition under the certified
+    * query and the [[decontamFunnelOf]] run-report form. */
+  private[graft] def decontamFunnelFold(perDoc: DataFrame): DataFrame =
+    perDoc
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum((col("n_cov") > 0).cast("long")).cast("long").as("n_affected"),
@@ -754,6 +762,32 @@ object Dedup {
         round(sum(col("n_cov")).cast("double") / sum(col("n_tokens")), 4)
           .as("cut_share"))
       .orderBy(col("source"))
+
+  /** The q178 funnel over ARBITRARY (doc_id, source, text) docs and an
+    * eval frame — the run-report form [[graft.pipelines.TrainingData]]
+    * emits next to its decontam stage (r15 verdict #8): per source, how
+    * much of THIS run's corpus was eval-contaminated (docs touched, docs
+    * fully gutted, tokens cut, cut share), priced with the same
+    * [[spanKernel]]/[[cleanKernel]] definitions q175 and maintainer #19
+    * certify. One span pass per side, left-semi on the span hashes,
+    * per-source integer fold. */
+  def decontamFunnelOf(docs: DataFrame, evalDocs: DataFrame,
+      K: Int = 8): DataFrame = {
+    val norm = TextFns.normText(col("text"))
+    val evalSp = evalDocs
+      .select(explode(spanKernel(K)(norm)).as("sp"))
+      .select(col("sp._2").as("h")).distinct()
+    val starts = docs
+      .select(col("doc_id"), explode(spanKernel(K)(norm)).as("sp"))
+      .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
+      .join(evalSp, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
+    decontamFunnelFold(
+      docs.filter(col("text").isNotNull)
+        .join(starts, Seq("doc_id"), "left")
+        .select(col("source"), cleanKernel(K)(norm, col("starts")).as("r"))
+        .select(col("source"), col("r._1").as("n_tokens"),
+          col("r._2").as("n_cov"), md5(col("r._3")).as("clean_fp")))
   }
 
   /** The span-decontamination pass over an arbitrary (doc_id, text)

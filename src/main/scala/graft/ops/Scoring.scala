@@ -437,11 +437,18 @@ object Scoring {
     * the rule gate is subsumed and its maintenance can stop. One flag
     * scan, one 8-row agg — all integers. */
   val q190GateVenn: Q = (s, d) =>
-    gateFlagsOf(s, d)
-      .groupBy(col("rule"), col("clf"), col("ppl"))
+    vennOf(gateFlagsOf(s, d), Seq("rule", "clf", "ppl"))
+
+  /** The q190 Venn fold over any (gate-flag…, n_tok) frame — ONE
+    * definition under the certified query and the pipeline run reports
+    * ([[graft.pipelines.MultimodalData]]'s gateVennDir), which emit the
+    * same ablation table over their own gates (r15 verdict #8). */
+  private[graft] def vennOf(flags: DataFrame, gates: Seq[String]): DataFrame =
+    flags
+      .groupBy(gates.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_tok")).cast("long").as("n_tokens"))
-      .orderBy(col("rule"), col("clf"), col("ppl"))
+      .orderBy(gates.map(col): _*)
 
   /** The (n, kr, kc, kp, a_rc, a_rp, a_cp) count fold over a
     * (rule, clf, ppl) 0/1-flag frame — shared by q185 (global, 1 row),

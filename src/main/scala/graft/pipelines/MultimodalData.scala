@@ -75,6 +75,16 @@ object MultimodalData {
     *        diagnostic read next to the funnel summary: mass in large
     *        components means the near threshold is percolating and the
     *        export is about to over-collapse
+    * @param gateVennDir when given, also writes the q190-style gate
+    *        VENN over THIS run's three gates — rule (q97), ppl (q156
+    *        tercile), media admission (q149) — as INDEPENDENT verdicts
+    *        on the validated corpus: the 2³ ablation table that says
+    *        what each gate uniquely removes here. Opting in widens the
+    *        decode population from ppl-survivors to all validated docs
+    *        with media (still ONE decode per blob — the admission stage
+    *        reuses the same profile), and scores the whole validated
+    *        corpus with the bigram LM: the report costs what it
+    *        measures, and nothing when off
     * @return funnel summary (stage, docs, secs): input, validated,
     *         gated, ppl_gated, media_ok, canonical, decontaminated,
     *         mixed_rows
@@ -91,7 +101,8 @@ object MultimodalData {
       structuralQuarantineDir: Option[String] = None,
       retentionScores: Option[DataFrame] = None,
       tokenReportDir: Option[String] = None,
-      componentHistDir: Option[String] = None): DataFrame = {
+      componentHistDir: Option[String] = None,
+      gateVennDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -131,8 +142,13 @@ object MultimodalData {
     // with NULL media is text-only and passes; a doc whose media is
     // undecodable or gate-failing DROPS (the export is a paired set — a
     // broken pair is quarantine material, not a silent text-only row)
-    val profile = Multimodal.decodeProfile(
-        pplGated.filter(col("media").isNotNull).select(col("doc_id"), col("media")))
+    // decode population: ppl-survivors normally; ALL validated docs with
+    // media when the gate-Venn report needs the independent media verdict
+    // (still one decode per blob — admission below filters back to the
+    // cascade population by doc_id, metadata-only)
+    val decodePop = if (gateVennDir.isDefined) validated else pplGated
+    val profileAll = Multimodal.decodeProfile(
+        decodePop.filter(col("media").isNotNull).select(col("doc_id"), col("media")))
       .withColumn("n_frames", lit(1))
       .select(Seq(col("doc_id"), col("decoded"), col("reason"), col("ahash")) ++
         Multimodal.mediaGateFlags(mediaGate): _*)
@@ -140,11 +156,37 @@ object MultimodalData {
         (col("decoded") && col("keep")).as("media_keep"),
         when(!col("decoded"), col("reason")).otherwise(lit("gate")).as("fail_reason"))
       .cache()
+    val profile =
+      if (gateVennDir.isEmpty) profileAll
+      else profileAll.join(pplGated.select(col("doc_id")), Seq("doc_id"), "left_semi")
     quarantineDir.foreach(qd =>
       profile.filter(!col("media_keep"))
         .join(pplGated.select(col("doc_id"), col("media")), Seq("doc_id"))
         .select(col("doc_id"), col("media"), col("fail_reason").as("reason"))
         .write.mode("overwrite").parquet(qd))
+    // run report: the q190 ablation over THIS run's gates as INDEPENDENT
+    // verdicts on the validated corpus (r15 verdict #8) — rule/ppl are
+    // narrow scans, media reads the one decode's profile; docs without
+    // media count as kept by the media gate (they export text-only), and
+    // with pplGate off that gate keeps everything by definition
+    gateVennDir.foreach { dir =>
+      val pplKept =
+        (if (pplGate) Scoring.pplGateKeep(validated) else validated)
+          .select(col("doc_id"), lit(1L).as("ppl_kept"))
+      Scoring.vennOf(
+        validated
+          .select(col("doc_id"),
+            TextFns.tokenCount(col("text")).cast("long").as("n_tok"),
+            TextOps.ruleGateKeep(textGate).cast("long").as("rule"))
+          .join(pplKept, Seq("doc_id"), "left")
+          .join(profileAll.select(col("doc_id"),
+            col("media_keep").cast("long").as("mk")), Seq("doc_id"), "left")
+          .select(col("n_tok"), col("rule"),
+            coalesce(col("ppl_kept"), lit(0L)).as("ppl"),
+            coalesce(col("mk"), lit(1L)).as("media")),
+        Seq("rule", "ppl", "media"))
+        .write.mode("overwrite").parquet(dir)
+    }
     val mediaOk = pplGated
       .join(profile.select(col("doc_id"), col("media_keep"), col("ahash")),
         Seq("doc_id"), "left")
@@ -238,7 +280,7 @@ object MultimodalData {
     decontaminated.unpersist()
     canonical.unpersist()
     mediaOk.unpersist()
-    profile.unpersist()
+    profileAll.unpersist()
     pplGated.unpersist()
     gated.unpersist()
     validated.unpersist()

@@ -94,6 +94,15 @@ object TrainingData {
     *                 certify), dropping only fully-covered docs. Scrub
     *                 retains the tokens drop throws away — the q178
     *                 funnel is the table that prices the choice
+    * @param decontamReportDir when given, the run also writes the q178
+    *                 decontamination FUNNEL (per-source docs touched,
+    *                 docs gutted, tokens cut, cut share — priced with
+    *                 the same q175 span kernels the scrub mode runs) of
+    *                 THIS run's post-dedup corpus against the eval set:
+    *                 the per-source loss accounting a release review
+    *                 reads next to the funnel summary, and the table
+    *                 that decides between scrubbing a source and
+    *                 dropping it from the mix
     * @param tokenReportDir when given, the run also writes the TOKEN
     *                 YIELD report (q143's certified cascade — raw →
     *                 run-collapsed → boilerplate-scrubbed → dedup-
@@ -125,7 +134,8 @@ object TrainingData {
       pplScores: Option[DataFrame] = None,
       pplSmoothing: String = "add1",
       decontam: String = "drop",
-      tokenReportDir: Option[String] = None): DataFrame = {
+      tokenReportDir: Option[String] = None,
+      decontamReportDir: Option[String] = None): DataFrame = {
     require(decontam == "drop" || decontam == "scrub",
       s"decontam must be 'drop' or 'scrub', got '$decontam'")
     import spark.implicits._
@@ -255,6 +265,14 @@ object TrainingData {
     // never contends with the funnel's own caches)
     tokenReportDir.foreach(dir =>
       TextOps.tokenYieldOf(input.select(col("doc_id"), col("source"), col("text")))
+        .write.mode("overwrite").parquet(dir))
+    // run report: the q178 decontamination funnel of the corpus the
+    // decontam stage actually saw (post-dedup), against this run's eval
+    // set — the per-source loss table the stage's drop/scrub choice is
+    // priced by (computed after the export, off the funnel's caches)
+    decontamReportDir.foreach(dir =>
+      Dedup.decontamFunnelOf(
+          clean.select(col("doc_id"), col("source"), col("text")), evalDocs)
         .write.mode("overwrite").parquet(dir))
 
     val summary = Seq(

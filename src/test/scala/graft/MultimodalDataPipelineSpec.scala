@@ -77,9 +77,11 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
     val outDir = s"$base/out"; val quarDir = s"$base/quarantine"
 
     val histDir = s"$base/chist"
+    val vennDir = s"$base/venn"
     val summary = MultimodalData.run(spark, docs, outDir,
         nShards = 4, textGate = permissiveGate, pplGate = false,
-        quarantineDir = Some(quarDir), componentHistDir = Some(histDir))
+        quarantineDir = Some(quarDir), componentHistDir = Some(histDir),
+        gateVennDir = Some(vennDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(summary == Map(
       "input" -> 10L, "validated" -> 10L, "gated" -> 9L, "ppl_gated" -> 9L,
@@ -114,6 +116,17 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(exactOnly == Set(1L, 2L, 3L, 6L),
       s"exact-only control must keep BOTH 1 and 2: $exactOnly")
+
+    // the q190-style run report (r15 verdict #8): independent gate
+    // verdicts over the validated corpus — rule drops only doc 10
+    // (text-only, so its media verdict is keep), media fails 7/8/9,
+    // ppl keeps all (gate off); cells partition the 10 validated docs
+    val venn = spark.read.parquet(vennDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(venn == Map((1L, 1L, 1L) -> 6L, (1L, 1L, 0L) -> 3L,
+      (0L, 1L, 1L) -> 1L), venn.toString)
+    assert(venn.values.sum == summary("validated"), venn.toString)
   }
 
   test("run() stage counts equal the q158 kernel's on the same input") {

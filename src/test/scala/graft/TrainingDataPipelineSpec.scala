@@ -121,9 +121,12 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       minMeanWordLen = 0.0, maxMeanWordLen = 20.0,
       stopwords = Nil, minStopHits = 0L,
       maxSymbolRatio = Double.MaxValue)
+    val reportDir = java.nio.file.Files
+      .createTempDirectory("graft-tdscrub-report").toString
     val summary = TrainingData.run(spark, docs, evalDocs, weights, outDir,
         nShards = 8, maxRecordsPerFile = 10, gate = gate,
-        pplGate = false, decontam = "scrub")
+        pplGate = false, decontam = "scrub",
+        decontamReportDir = Some(reportDir))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // 26 in; -1 short => 25 gated; -1 clone, -1 near-dup => 23 clean;
@@ -147,6 +150,17 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       .select(col("text")).distinct().as[String].collect()
     assert(d1.toSeq == Seq(longText("one")))
     out.unpersist()
+
+    // the q178 run report (r15 verdict #8): per-source loss accounting of
+    // THIS run's post-dedup corpus — srcB carries both planted hits (doc
+    // 5 span-touched, doc 26 fully gutted); srcA is untouched
+    val rep = spark.read.parquet(reportDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap // source -> (n_affected, n_gutted, tok_cut)
+    assert(rep.keySet == Set("srcA", "srcB"), rep.toString)
+    assert(rep("srcB")._1 == 2L && rep("srcB")._2 == 1L && rep("srcB")._3 > 0L,
+      s"srcB must show the two planted hits: $rep")
+    assert(rep("srcA") == ((0L, 0L, 0L)), s"srcA must be untouched: $rep")
   }
 
   // a batch with structural breaches: doc 2 duplicates doc 1's id, doc 4

@@ -141,6 +141,113 @@ object CorpusReports {
       cells)
   }
 
+  /** q197: 4-GRAM NOVELTY per source — the template-farm detector one
+    * level below q180's burstiness: total 4-gram occurrences, distinct
+    * types, singleton types, and the two shares (distinct/total = how
+    * much of the source is NEW phrasing; singletons/distinct = how much
+    * of its phrase inventory never repeats). A source whose novelty
+    * collapses is boilerplate the near-dup tier should be tightened on
+    * (read next to q181's syndication diagonal); one whose singleton
+    * share collapses writes from a fixed phrase bank. Shape: one token
+    * scan exploded to 4-gram occurrences, (source, gram) partial agg,
+    * per-source fold — both map-side-combined, never a global sort. */
+  val q197NgramNovelty: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 3), i -> " +
+          "concat_ws(' ', slice(toks, i, 4)))")).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum((col("n") === 1).cast("long")).cast("long").as("n_singleton"),
+        round(count(lit(1)).cast("double") / sum(col("n")), 4).as("novelty"),
+        round(sum((col("n") === 1).cast("long")).cast("double") /
+          count(lit(1)), 4).as("singleton_share"))
+      .orderBy(col("source"))
+
+  /** q198: the QUALITY×LENGTH confound audit — before trusting any
+    * quality gate, the table that says whether the q34 score is secretly
+    * a length proxy: global n_chars quartiles (percentile_disc — exact
+    * elements, one 1-row broadcast, the q135 discipline), then per
+    * quartile the doc count, exact mean length ([[ExactMean.meanInt]] —
+    * integer face) and exact mean quality ([[ExactMean.mean4]] over the
+    * rounded-4 score). A monotone mean_quality column means the gate
+    * re-ranks by length; a flat one means the stopword/fluency terms
+    * carry the signal. */
+  val q198QualityLengthConfound: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("n_chars"), TextOps.qualityCol.as("quality"))
+    val cuts = base.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").as("c1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("c2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").as("c3"))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("n_chars") <= col("c1"), "q1")
+          .when(col("n_chars") <= col("c2"), "q2")
+          .when(col("n_chars") <= col("c3"), "q3")
+          .otherwise("q4"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        ExactMean.meanInt(col("n_chars"), 2).as("mean_chars"),
+        ExactMean.mean4(col("quality")).as("mean_quality"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q199: DUPLICATION×QUALITY — does copied content score worse? Docs
+    * bucketed by their exact-dup copy class (unique / pair / many, the
+    * q36 fingerprint), each class with its doc count, group count, and
+    * exact mean q34 quality. The Lee-et-al "dedup improves LM quality"
+    * claim as a one-look corpus table: mean_quality falling with copy
+    * class is the direct evidence dedup removes the worst mass first;
+    * flat means dedup here buys compute, not quality. Two shuffles
+    * (fingerprint rollup + the class fold) over narrow columns. */
+  val q199DupQuality: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(TextFns.normText(col("text"))).as("fp"),
+        TextOps.qualityCol.as("quality"))
+    val sizes = docs.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    docs.join(sizes, Seq("fp"))
+      .withColumn("copy_class",
+        when(col("n_copies") === 1, "unique")
+          .when(col("n_copies") === 2, "pair")
+          .otherwise("many"))
+      .groupBy(col("copy_class"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        count_distinct(col("fp")).as("n_groups"),
+        ExactMean.mean4(col("quality")).as("mean_quality"))
+      .orderBy(col("copy_class"))
+  }
+
+  /** q196: the CONTEXT-LENGTH ABLATION — the truncation-loss curve a
+    * packing planner actually budgets from: for each candidate context
+    * window, how many docs fit whole, how many tokens survive
+    * truncate-at-ctx, and the share lost. q120 says how the length
+    * distribution sits per source; THIS says what each window choice
+    * costs in training tokens corpus-wide — the number that decides
+    * between truncating and paying for the q75 chunking stage. One
+    * narrow token-count scan exploded over the 4-row window dimension
+    * (4× a 1-column stream, map-side combined), no shuffle beyond the
+    * 4-group agg; loss_share is one division of two exact integer sums. */
+  val q196CtxSweep: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(TextFns.tokenCount(col("text")).cast("long").as("n_tok"))
+      .select(col("n_tok"), explode(array(
+        lit(128L), lit(256L), lit(512L), lit(1024L))).as("ctx"))
+      .groupBy(col("ctx"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum((col("n_tok") <= col("ctx")).cast("long")).cast("long").as("n_fit"),
+        sum(least(col("n_tok"), col("ctx"))).cast("long").as("tok_kept"),
+        sum(greatest(col("n_tok") - col("ctx"), lit(0L))).cast("long")
+          .as("tok_lost"),
+        round(sum(greatest(col("n_tok") - col("ctx"), lit(0L))).cast("double") /
+          sum(col("n_tok")), 4).as("loss_share"))
+      .orderBy(col("ctx"))
+
   /** Context-window fit per source: token-count percentiles
     * (percentile_disc — an actual element, exact cross-engine, the q72
     * discipline) and the doc counts exceeding the candidate context
@@ -686,6 +793,10 @@ object CorpusReports {
     "q118_cross_source_dups" -> q118CrossSourceDups,
     "q119_cell_balance"     -> q119CellBalance,
     "q120_ctx_fit"          -> q120CtxFit,
+    "q196_ctx_sweep"        -> q196CtxSweep,
+    "q197_ngram_novelty"    -> q197NgramNovelty,
+    "q198_quality_length"   -> q198QualityLengthConfound,
+    "q199_dup_quality"      -> q199DupQuality,
     "q121_budget_waterfill" -> q121BudgetWaterfill,
     "q137_domain_waterfill" -> q137DomainWaterfill,
     "q183_temperature_mix"  -> q183TemperatureMix,
@@ -1072,6 +1183,75 @@ object CorpusReports {
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z, 4) AS temp_share,
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z * tot / ntoks, 4) AS epochs
         |FROM ps, z ORDER BY source""".stripMargin,
+    "q197_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT source, array_to_string(toks[i : i + 3], ' ') AS g
+        |  FROM t, unnest(range(1, len(toks) - 2)) AS r(i)
+        |  WHERE len(toks) >= 4),
+        |gc AS (SELECT source, g, count(*) AS n FROM g0 GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+        |  round(CAST(count(*) AS DOUBLE) / sum(n), 4) AS novelty,
+        |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS singleton_share
+        |FROM gc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q198_quality_length" ->
+      s"""WITH qd AS (
+        |  SELECT doc_id, n_chars, fp,
+        |    round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE)
+        |        / len(toks)), 4) AS quality
+        |  FROM (SELECT doc_id, n_chars,
+        |          md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+        |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)),
+        |c AS (
+        |  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS c1,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS c2,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS c3
+        |  FROM qd),
+        |b AS (
+        |  SELECT CASE WHEN n_chars <= c.c1 THEN 'q1'
+        |    WHEN n_chars <= c.c2 THEN 'q2'
+        |    WHEN n_chars <= c.c3 THEN 'q3' ELSE 'q4' END AS bucket,
+        |    n_chars, quality
+        |  FROM qd CROSS JOIN c)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  ${ExactMean.meanIntSql("n_chars", 2)} AS mean_chars,
+        |  ${ExactMean.mean4Sql("quality")} AS mean_quality
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q199_dup_quality" ->
+      s"""WITH qd AS (
+        |  SELECT doc_id, n_chars, fp,
+        |    round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) *
+        |      (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE)
+        |        / len(toks)), 4) AS quality
+        |  FROM (SELECT doc_id, n_chars,
+        |          md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+        |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)),
+        |sz AS (SELECT fp, count(*) AS n_copies FROM qd GROUP BY 1)
+        |SELECT CASE WHEN n_copies = 1 THEN 'unique'
+        |    WHEN n_copies = 2 THEN 'pair' ELSE 'many' END AS copy_class,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+        |  ${ExactMean.mean4Sql("quality")} AS mean_quality
+        |FROM qd JOIN sz USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q196_ctx_sweep" ->
+      """WITH nt AS (
+        |  SELECT CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |x AS (SELECT n_tok, ctx FROM nt, unnest([128, 256, 512, 1024]) AS w(ctx))
+        |SELECT CAST(ctx AS BIGINT) AS ctx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tok <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+        |  CAST(sum(least(n_tok, ctx)) AS BIGINT) AS tok_kept,
+        |  CAST(sum(greatest(n_tok - ctx, 0)) AS BIGINT) AS tok_lost,
+        |  round(CAST(sum(greatest(n_tok - ctx, 0)) AS DOUBLE) / sum(n_tok), 4) AS loss_share
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q121_budget_waterfill" -> waterfillSql(
       """SELECT source,
         |    CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS ntoks

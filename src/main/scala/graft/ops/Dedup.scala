@@ -790,6 +790,45 @@ object Dedup {
           col("r._2").as("n_cov"), md5(col("r._3")).as("clean_fp")))
   }
 
+  /** q195: EVAL-ITEM exposure — the q178 funnel READ FROM THE OTHER
+    * SIDE: per eval document (the q175 held-out convention, doc_id <
+    * 50), how many of ITS 8-token spans appear anywhere in the training
+    * split and how many distinct training docs carry one. q178 prices
+    * what decontamination costs each SOURCE; this is the table that
+    * decides which EVAL ITEMS are already too exposed to measure
+    * anything — the Lee-et-al benchmark-hygiene direction: an eval doc
+    * with high exposure gets dropped from the benchmark, not scrubbed
+    * from the corpus. Scale shape: one span pass per side, DISTINCT
+    * (doc, span) sets, one equi-join on the span hash (never doc×doc),
+    * two integer folds; exposure is one division of two exact integers. */
+  val q195EvalExposure: Q = (s, d) => {
+    val K = 8
+    val norm = TextFns.normText(col("text"))
+    val docs = Tables.documents(s, d)
+    val spans = docs
+      .select(col("doc_id"), explode(spanKernel(K)(norm)).as("sp"))
+      .select(col("doc_id"), col("sp._2").as("h"))
+    val evalSp = spans.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("eval_id"), col("h")).distinct()
+    val trainSp = spans.filter(col("doc_id") >= 50)
+      .select(col("doc_id").as("train_id"), col("h")).distinct()
+    val hits = evalSp.join(trainSp, Seq("h"))
+      .groupBy(col("eval_id"))
+      .agg(count_distinct(col("train_id")).as("n_train_docs"),
+        count_distinct(col("h")).as("n_hit_spans"))
+    val nsp = evalSp.groupBy(col("eval_id")).agg(count(lit(1)).as("n_spans"))
+    docs.filter(col("doc_id") < 50).select(col("doc_id").as("eval_id"))
+      .join(nsp, Seq("eval_id"), "left")
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("n_hit_spans"), lit(0L)).cast("long").as("n_hit_spans"),
+        coalesce(col("n_train_docs"), lit(0L)).cast("long").as("n_train_docs"),
+        round(coalesce(col("n_hit_spans").cast("double") / col("n_spans"),
+          lit(0.0)), 4).as("exposure"))
+      .orderBy(col("eval_id"))
+  }
+
   /** The span-decontamination pass over an arbitrary (doc_id, text)
     * frame: docs with doc_id < evalMax are the held-out set (they define
     * the contaminated-span vocabulary and emit no output row); docs at or
@@ -909,6 +948,7 @@ object Dedup {
     "q91_substr_dedup"    -> q91SubstrDedup,
     "q175_decontam_scrub" -> q175DecontamScrub,
     "q178_decontam_funnel" -> q178DecontamFunnel,
+    "q195_eval_exposure" -> q195EvalExposure,
     "q122_lsh_calibration" -> q122LshCalibration,
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
   )
@@ -990,6 +1030,33 @@ object Dedup {
     "q175_decontam_scrub" ->
       s"""WITH $decontamCtes
         |SELECT doc_id, n_tokens, n_cov, clean_fp FROM scrub ORDER BY doc_id""".stripMargin,
+    // the q175 span CTEs read from the eval side: distinct (doc, span)
+    // sets both ways, one join on the span text (the engine joins the
+    // span hash — q175's established parity), two integer folds
+    "q195_eval_exposure" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS st, toks
+        |  FROM t WHERE len(toks) >= 8),
+        |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + 7], ' ') AS span FROM sp0),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, span FROM sp WHERE doc_id < 50),
+        |tr AS (SELECT DISTINCT doc_id AS train_id, span FROM sp WHERE doc_id >= 50),
+        |hits AS (
+        |  SELECT eval_id, count(DISTINCT train_id) AS n_train_docs,
+        |    count(DISTINCT span) AS n_hit_spans
+        |  FROM ev JOIN tr USING (span) GROUP BY 1),
+        |nsp AS (SELECT eval_id, count(*) AS n_spans FROM ev GROUP BY 1)
+        |SELECT d.doc_id AS eval_id,
+        |  CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(hits.n_hit_spans, 0) AS BIGINT) AS n_hit_spans,
+        |  CAST(coalesce(hits.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+        |  round(coalesce(CAST(hits.n_hit_spans AS DOUBLE) / nsp.n_spans, 0.0), 4) AS exposure
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 50) d
+        |LEFT JOIN nsp ON nsp.eval_id = d.doc_id
+        |LEFT JOIN hits ON hits.eval_id = d.doc_id
+        |ORDER BY 1""".stripMargin,
     "q178_decontam_funnel" ->
       s"""WITH $decontamCtes
         |SELECT d.source, count(*) AS n_docs,

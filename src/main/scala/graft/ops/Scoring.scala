@@ -848,6 +848,38 @@ object Scoring {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q194
+
+  /** q194: the CCNet gate funnel on the TRIGRAM-KN tier — the q157/q171
+    * table at order 3, completing the gate-funnel ladder (add-1 → KN2 →
+    * KN3): per source, docs scored by the q176 model, docs its tercile
+    * gate would drop, and the exact means of kept vs dropped scores.
+    * Read next to q192's flip table: q192 says WHERE the order-3 gate
+    * changes decisions, this says what the corpus it admits looks like.
+    * Note the population shift one order up: only ≥ 3-token docs carry
+    * a score, so n_scored < q171's on sources with 2-token docs — the
+    * unscored pass (the gate never judges what it cannot score). Same
+    * shape: memoized score artifact, ONE 1-row cut broadcast, no global
+    * sort, exact means over the rounded-4 artifact. */
+  val q194Kn3GateFunnel: Q = (s, d) => {
+    val nll = kn3Scores(s, d)
+    val cuts = nll.agg(
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn3)").as("c2"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(nll.select(col("doc_id"), col("nll_kn3")), Seq("doc_id"), "left")
+      .crossJoin(broadcast(cuts))
+      .withColumn("dropped", col("nll_kn3").isNotNull && col("nll_kn3") > col("c2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nll_kn3").isNotNull.cast("long")).cast("long").as("n_scored"),
+        sum(col("dropped").cast("long")).cast("long").as("n_dropped"),
+        ExactMean.mean4(
+          when(!col("dropped") && col("nll_kn3").isNotNull, col("nll_kn3")))
+          .as("nll_kept"),
+        ExactMean.mean4(when(col("dropped"), col("nll_kn3"))).as("nll_dropped"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- q177
 
   /** q177: the MODEL-ORDER ladder — per source, mean KN2 vs KN3 NLL on
@@ -1686,6 +1718,7 @@ object Scoring {
     "q179_source_lm_specificity" -> q179SourceLmSpecificity,
     "q168_lm_ladder" -> q168LmLadder,
     "q171_kn_gate_funnel" -> q171KnGateFunnel,
+    "q194_kn3_gate_funnel" -> q194Kn3GateFunnel,
     "q173_tier_flips" -> q173TierFlips,
     "q192_order3_flips" -> q192Order3Flips,
     "q136_shard_mix"     -> q136ShardMix,
@@ -2143,6 +2176,23 @@ object Scoring {
         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll_kn IS NOT NULL THEN nll_kn END")} AS nll_kept,
         |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll_kn END")} AS nll_dropped
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q194_kn3_gate_funnel" ->
+      s"""WITH $nll2Ctes,
+        |$knCtes,
+        |$kn3Ctes,
+        |c AS (
+        |  SELECT percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll_kn3) AS c2
+        |  FROM kn3t),
+        |j AS (
+        |  SELECT d.source, n.nll_kn3,
+        |    (n.nll_kn3 IS NOT NULL AND n.nll_kn3 > c.c2) AS dropped
+        |  FROM documents d LEFT JOIN kn3t n USING (doc_id) CROSS JOIN c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nll_kn3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll_kn3 IS NOT NULL THEN nll_kn3 END")} AS nll_kept,
+        |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll_kn3 END")} AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the two tier cuts side by side over the recomputed score tables;
     // flip accounting per source (the scored set is identical for both

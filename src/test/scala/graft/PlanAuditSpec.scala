@@ -100,6 +100,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q171 is the q157 shape on the KN tier: the q165 Ney-discount
         // scalar + the same 1-row cut broadcast
         "q171_kn_gate_funnel",
+        // q194 is the q171 shape one order up: the q176 scalar pair
+        // inside the score artifact + the same 1-row cut broadcast
+        "q194_kn3_gate_funnel",
         // q185/q186 compose the q157 cut broadcast with the q101 weight
         // scalars; pair rows explode from the count agg
         "q185_gate_agreement", "q186_gate_agreement_by_source",
@@ -124,6 +127,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q179_source_lm_specificity",
         // q170 folds against its 1-row decile-cut broadcast (q135 shape)
         "q170_vocab_growth",
+        // q198 folds against its 1-row quartile-cut broadcast (q135 shape)
+        "q198_quality_length",
         // q183 broadcasts its 1-row (tot, Z) normalizer scalar (q85 shape)
         "q183_temperature_mix",
         // q172 is q170's fold over the media hash table — same 1-row

@@ -141,6 +141,49 @@ object CorpusReports {
       cells)
   }
 
+  /** q200: per-source HEAPS-LAW fit — the vocabulary-growth exponent
+    * every capacity estimate in this engine leans on (WordVec's maxVocab
+    * guard, the SIF broadcast bound, the minhash band sizing all assume
+    * sub-linear vocab growth). Two-point fit in the q170 NO-SORT shape:
+    * the half-corpus point is "docs up to the per-source median doc_id"
+    * and a term is in the half-vocabulary iff its min(doc_id) is — one
+    * token pass, term-table folds, no window. β = ln(V/V½)/ln(N/N½),
+    * null when the source has no second point (all docs at or below the
+    * median). β near 1 is template sludge minting unique junk tokens
+    * per doc (the q197 signal in exponent form); healthy text sits well
+    * under it (Heaps β ≈ 0.4–0.6). */
+  val q200HeapsFit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id)").as("cut"))
+    val dt = docs
+      .select(col("source"), col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("nt"))
+      .join(med, Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).cast("long").as("n_tok"),
+        sum(when(col("doc_id") <= col("cut"), col("nt")).otherwise(0L))
+          .cast("long").as("n_tok_half"))
+    val vv = docs
+      .select(col("source"), col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .join(med, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("v_full"),
+        sum((col("first_doc") <= col("cut")).cast("long")).cast("long")
+          .as("v_half"))
+    dt.join(vv, Seq("source"))
+      .select(col("source"), col("n_tok"), col("n_tok_half"),
+        col("v_full"), col("v_half"),
+        when(col("n_tok") > col("n_tok_half") && col("v_half") > 0,
+          round(log(col("v_full").cast("double") / col("v_half")) /
+            log(col("n_tok").cast("double") / col("n_tok_half")), 4))
+          .as("heaps_beta"))
+      .orderBy(col("source"))
+  }
+
   /** q197: 4-GRAM NOVELTY per source — the template-farm detector one
     * level below q180's burstiness: total 4-gram occurrences, distinct
     * types, singleton types, and the two shares (distinct/total = how
@@ -152,7 +195,15 @@ object CorpusReports {
     * scan exploded to 4-gram occurrences, (source, gram) partial agg,
     * per-source fold — both map-side-combined, never a global sort. */
   val q197NgramNovelty: Q = (s, d) =>
-    Tables.documents(s, d)
+    noveltyFoldOf(gramCountsOf(Tables.documents(s, d)))
+
+  /** The q197 gram-count pass over any (source, text…) frame — (source,
+    * g, n) occurrence counts of 4-grams. Integer partials, so the
+    * streaming novelty monitor (maintainer #23) appends per-batch tables
+    * from this exact definition and re-aggregates losslessly. */
+  private[graft] def gramCountsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
       .select(col("source"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 4)
       .select(col("source"), explode(expr(
@@ -160,6 +211,13 @@ object CorpusReports {
           "concat_ws(' ', slice(toks, i, 4)))")).as("g"))
       .groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("n"))
+
+  /** The q197 per-source fold over a (source, g, n) gram-count table —
+    * ONE definition under the certified query and the monitor's read
+    * side. */
+  private[graft] def noveltyFoldOf(gramCounts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    gramCounts
       .groupBy(col("source"))
       .agg(sum(col("n")).cast("long").as("n_grams"),
         count(lit(1)).cast("long").as("n_distinct"),
@@ -797,6 +855,7 @@ object CorpusReports {
     "q197_ngram_novelty"    -> q197NgramNovelty,
     "q198_quality_length"   -> q198QualityLengthConfound,
     "q199_dup_quality"      -> q199DupQuality,
+    "q200_heaps_fit"        -> q200HeapsFit,
     "q121_budget_waterfill" -> q121BudgetWaterfill,
     "q137_domain_waterfill" -> q137DomainWaterfill,
     "q183_temperature_mix"  -> q183TemperatureMix,
@@ -1183,6 +1242,29 @@ object CorpusReports {
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z, 4) AS temp_share,
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z * tot / ntoks, 4) AS epochs
         |FROM ps, z ORDER BY source""".stripMargin,
+    "q200_heaps_fit" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |med AS (
+        |  SELECT source, percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id) AS cut
+        |  FROM documents GROUP BY 1),
+        |dt AS (
+        |  SELECT t.source, CAST(sum(len(toks)) AS BIGINT) AS n_tok,
+        |    CAST(sum(CASE WHEN doc_id <= med.cut THEN len(toks) ELSE 0 END) AS BIGINT) AS n_tok_half
+        |  FROM t JOIN med USING (source) GROUP BY 1),
+        |u AS (SELECT source, doc_id, unnest(toks) AS term FROM t),
+        |tt AS (SELECT source, term, min(doc_id) AS first_doc FROM u GROUP BY 1, 2),
+        |vv AS (
+        |  SELECT tt.source, CAST(count(*) AS BIGINT) AS v_full,
+        |    CAST(sum(CASE WHEN first_doc <= med.cut THEN 1 ELSE 0 END) AS BIGINT) AS v_half
+        |  FROM tt JOIN med USING (source) GROUP BY 1)
+        |SELECT source, n_tok, n_tok_half, v_full, v_half,
+        |  CASE WHEN n_tok > n_tok_half AND v_half > 0 THEN
+        |    round(ln(CAST(v_full AS DOUBLE) / v_half)
+        |      / ln(CAST(n_tok AS DOUBLE) / n_tok_half), 4) END AS heaps_beta
+        |FROM dt JOIN vv USING (source) ORDER BY source""".stripMargin,
     "q197_ngram_novelty" ->
       """WITH t AS (
         |  SELECT source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks

@@ -1227,6 +1227,47 @@ object Incremental {
         round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))
       .orderBy(col("source"))
 
+  /** Continuous 4-GRAM NOVELTY monitor — maintainer #23, the q197
+    * template-farm detector as an ingest alarm: a source whose novelty
+    * (distinct/total 4-grams) collapses mid-stream started syndicating a
+    * phrase bank, and the mixture should hear about it before the next
+    * export. Each micro-batch folds to (source, gram, n) occurrence
+    * PARTIALS through the exact q197 pass
+    * ([[graft.ops.CorpusReports.gramCountsOf]] — integer counts, so
+    * re-aggregation is lossless across any batch split) and appends
+    * them; [[noveltyReport]] folds the log through the same per-source
+    * definition the certified query uses. Scale: the partial table is
+    * per-batch-Zipf-bounded and the report is executor-side folds —
+    * nothing vocabulary-sized transits the driver. foreachBatch residue
+    * class of [[continuousSemanticDedup]]. */
+  def continuousNoveltyMonitor(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.CorpusReports.gramCountsOf(
+            batch.select(col("source"), col("text")))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read-side fold of the novelty log → the q197 table over every doc
+    * streamed so far (per-(source, gram) totals re-aggregated from the
+    * integer partials, then the shared per-source fold). */
+  def noveltyReport(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.CorpusReports.noveltyFoldOf(
+      spark.read.parquet(outDir)
+        .groupBy(col("source"), col("g"))
+        .agg(sum(col("n")).as("n")))
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

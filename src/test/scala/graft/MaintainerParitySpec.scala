@@ -64,7 +64,9 @@ class MaintainerParitySpec extends AnyFunSuite {
     "continuousTempMixAdmit" -> (("ops.Curation temperature mix (q183)",
       "continuous temp-mix admission matches the batch admit")),
     "continuousAnnIngest" -> (("ml.IvfIndex serve (q45/q99)",
-      "continuous ANN ingest appends micro-batches")))
+      "continuous ANN ingest appends micro-batches")),
+    "continuousNoveltyMonitor" -> (("ops.CorpusReports novelty fold (q197)",
+      "novelty monitor folds to the q197 kernel's table")))
 
   test("every continuous* maintainer is mapped to a batch twin + parity test") {
     val reflected = graft.streaming.Incremental.getClass.getDeclaredMethods

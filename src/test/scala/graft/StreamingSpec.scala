@@ -705,6 +705,44 @@ class StreamingSpec extends AnyFunSuite {
     wv.unpersist(); corpus.unpersist()
   }
 
+  test("novelty monitor folds to the q197 kernel's table across batch splits (maintainer #23)") {
+    val base = Files.createTempDirectory("graft-novmon").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    // srcA: novel phrasing per doc; srcB: one phrase bank repeated — the
+    // monitor must reproduce the batch kernel's separation exactly even
+    // when a repeated gram's occurrences straddle the batch boundary
+    val corpus = ((0 until 10).map { i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i", "srcA")
+    } ++ (10 until 18).map { i =>
+      (i.toLong, "fixed template phrase bank repeated verbatim always", "srcB")
+    }).toDF("doc_id", "text", "source").cache()
+    val want = graft.ops.CorpusReports.noveltyFoldOf(
+        graft.ops.CorpusReports.gramCountsOf(corpus))
+      .collect().map(_.toSeq).toSeq
+
+    corpus.filter(col("doc_id") < 13).write.parquet(s"$in/b1")
+    corpus.filter(col("doc_id") >= 13).write.parquet(s"$in/b2")
+    Incremental.continuousNoveltyMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck")
+    val got = Incremental.noveltyReport(spark, s"$base/out")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"monitor fold $got != batch q197 $want")
+    // the planted structure reads as designed: the phrase bank collapses
+    val bySrc = got.map(r => r.head.toString -> r(4).asInstanceOf[Double]).toMap
+    assert(bySrc("srcB") < 0.2 && bySrc("srcA") > 0.8, bySrc.toString)
+    // exactly-once: re-running on the same checkpoint appends nothing
+    Incremental.continuousNoveltyMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck")
+    val again = Incremental.noveltyReport(spark, s"$base/out")
+      .collect().map(_.toSeq).toSeq
+    assert(again == got, s"rerun must be a no-op: $again vs $got")
+    corpus.unpersist()
+  }
+
   test("gate-agreement monitor folds to the q185 kernel's table (maintainer #21)") {
     val base = Files.createTempDirectory("graft-gamon").toString
     val in = s"$base/in"; val model = s"$base/model"

@@ -681,6 +681,53 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q201: the ANN RECALL-vs-nProbe SWEEP — the serving-knob decision
+    * curve for the q45/q96/q99 stack: for each candidate probe count,
+    * recall@3 of the IVF serve against the exact brute-force top-3 on a
+    * fixed query batch. This is the table that justifies (or refuses)
+    * every probeSchedule constant in the file — q99 asserts its floor
+    * once; this measures the whole curve and is hash-certified given
+    * the exported index (the q45 support contract: the oracle recomputes
+    * routing, candidates, cosine, ranking AND the exact reference, so
+    * the recall numbers are exact integers over certified sets, not a
+    * statistical floor). Scale: the exact reference is batch×corpus (the
+    * q44 intended shape, 50-row broadcast side); each sweep point is the
+    * q99 pruned serve. */
+  val q201AnnRecallSweep: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    // exact reference: top-3 by (cos desc, id) per query — q44's kernel
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("c_id"))
+    val exact = broadcast(
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("cos_raw", expr("cosine_sim(q_emb, c_emb)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && !isnan(col("cos_raw")))
+      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"))
+    val idx = IvfIndex.load(s, ivfDir(s, d))
+    val nq = queries.count()
+    SweepNProbes.map { np =>
+      IvfIndex.searchTopK(s, idx, queries, k = 3, nProbe = np)
+        .select(lit(np.toLong).as("nprobe"), col("vec_id"), col("nn_id"))
+    }.reduce(_ unionByName _)
+      // LEFT join + null-skipping count, not a semi-join: a sweep point
+      // with zero hits must still emit its row (recall3 = 0), or the
+      // curve silently loses its most informative reading
+      .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("hit")).cast("long").as("n_hits"))
+      .select(col("nprobe"), lit(nq).as("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
+      .orderBy(col("nprobe"))
+  }
+
+  private[ops] val SweepBatchMaxId = 50L
+  private[ops] val SweepNProbes = Seq(1, 2, 4, 8)
+
   /** Pure-SQL end-to-end: the whole query is ONE spark.sql statement over a
     * registered view, driving the engine's native cosine_sim expression
     * from SQL — certifying the §2.11 function-registration surface (a SQL
@@ -710,6 +757,7 @@ object Similarity {
     "q100_ann_sq"      -> q100AnnSq,
     "q112_ann_pq"      -> q112AnnPq,
     "q74_embed_dedup"  -> q74EmbedDedup,
+    "q201_ann_recall_sweep" -> q201AnnRecallSweep,
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
@@ -783,6 +831,74 @@ object Similarity {
         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
         |  round(cos_raw, 4) AS cos
         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
+    // the sweep recomputed end-to-end per probe count: probe RANKS once
+    // (the annRankedCtes routing math verbatim, uncut), the [1,2,4,8]
+    // dimension joins on prn <= np, candidates/cosine/ranking per (np,
+    // query), exact reference = full-corpus top-3, hits = set
+    // intersection, recall = one division of exact integers
+    "q201_ann_recall_sweep" ->
+      s"""WITH cen AS (
+        |  SELECT cell, centroid
+        |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
+        |mem AS (
+        |  SELECT cell, vec_id
+        |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet')),
+        |qn AS (
+        |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+        |  FROM embeddings WHERE vec_id < $SweepBatchMaxId),
+        |qu AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN nrm = 0 THEN x
+        |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
+        |     for x in embedding] AS uv
+        |  FROM qn),
+        |pr AS (
+        |  SELECT qu.vec_id, cen.cell,
+        |    row_number() OVER (PARTITION BY qu.vec_id ORDER BY
+        |      list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+        |                (CAST(uv[i] AS DOUBLE) - centroid[i])
+        |                for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
+        |  FROM qu CROSS JOIN cen),
+        |nps AS (SELECT unnest([${SweepNProbes.mkString(", ")}]) AS np),
+        |cand AS (
+        |  SELECT DISTINCT nps.np, p.vec_id, m.vec_id AS cand_id
+        |  FROM pr p
+        |  JOIN nps ON p.prn <= nps.np
+        |  JOIN mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+        |scored AS (
+        |  SELECT c.np, c.vec_id, c.cand_id,
+        |    ${duckDot("a.embedding", "b.embedding")} /
+        |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+        |  FROM cand c
+        |  JOIN embeddings a ON c.vec_id = a.vec_id
+        |  JOIN embeddings b ON c.cand_id = b.vec_id),
+        |ann3 AS (
+        |  SELECT np, vec_id, cand_id FROM (
+        |    SELECT np, vec_id, cand_id,
+        |      row_number() OVER (PARTITION BY np, vec_id
+        |        ORDER BY cos_raw DESC, cand_id) AS rn
+        |    FROM scored WHERE NOT isnan(cos_raw))
+        |  WHERE rn <= 3),
+        |ex AS (
+        |  SELECT vec_id, cand_id FROM (
+        |    SELECT q.vec_id, b.vec_id AS cand_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        ${duckDot("q.embedding", "b.embedding")} /
+        |          (${duckNorm("q.embedding")} * ${duckNorm("b.embedding")}) DESC,
+        |        b.vec_id) AS rn
+        |    FROM (SELECT * FROM embeddings WHERE vec_id < $SweepBatchMaxId) q
+        |    JOIN embeddings b ON b.vec_id <> q.vec_id
+        |    WHERE NOT isnan(${duckDot("q.embedding", "b.embedding")} /
+        |      (${duckNorm("q.embedding")} * ${duckNorm("b.embedding")})))
+        |  WHERE rn <= 3),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn)
+        |SELECT CAST(np AS BIGINT) AS nprobe, nq.n AS n_queries,
+        |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
+        |  round(CAST(count(ex.vec_id) AS DOUBLE) / (3.0 * nq.n), 4) AS recall3
+        |FROM ann3
+        |LEFT JOIN ex ON ann3.vec_id = ex.vec_id AND ann3.cand_id = ex.cand_id
+        |CROSS JOIN nq
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q99_ann_serve" -> (
       annRankedCtes(s"WHERE vec_id < $ServeBatchMaxId", ServeNProbe) +
       """

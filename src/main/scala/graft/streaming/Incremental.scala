@@ -1268,6 +1268,33 @@ object Incremental {
         .groupBy(col("source"), col("g"))
         .agg(sum(col("n")).as("n")))
 
+  /** Compact the novelty log: unlike maintainers #20/#21 (whose partials
+    * are sources×dim- or 1-row-per-batch-bounded), #23's per-batch
+    * partial is a GRAM table — the log grows with Σ batch-distinct grams
+    * until compacted. The counts are re-aggregable integers, so
+    * compaction is exact: roll the log up to one (source, g, n) table
+    * and atomically swap it in (tmp write → delete → rename). Run
+    * between drains (the AvailableNow trigger stops the stream); the
+    * checkpoint tracks INPUT files, so compacting the output never
+    * causes a replay, and subsequent batches append alongside the
+    * rollup. [[noveltyReport]] is invariant under compaction. */
+  def compactNoveltyLog(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rolled = spark.read.parquet(outDir)
+      .groupBy(col("source"), col("g"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("batch_id", lit(-1L))
+      .select(col("source"), col("g"), col("n"), col("batch_id"))
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(outDir + "__compact_tmp")
+    fs.delete(tmp, true)
+    rolled.write.parquet(tmp.toString)
+    val dst = new Path(outDir)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"compaction swap failed for $outDir")
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

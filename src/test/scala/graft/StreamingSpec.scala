@@ -740,6 +740,25 @@ class StreamingSpec extends AnyFunSuite {
     val again = Incremental.noveltyReport(spark, s"$base/out")
       .collect().map(_.toSeq).toSeq
     assert(again == got, s"rerun must be a no-op: $again vs $got")
+    // compaction is exact and invariant: the rolled-up log reports the
+    // same table, and a post-compaction batch appends on top of it
+    Incremental.compactNoveltyLog(spark, s"$base/out")
+    val rolled = Incremental.noveltyReport(spark, s"$base/out")
+      .collect().map(_.toSeq).toSeq
+    assert(rolled == got, s"compaction must not change the report: $rolled")
+    Seq((100L, "alpha100 beta100 gamma100 delta100 epsilon100", "srcA"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$in/b3")
+    Incremental.continuousNoveltyMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck")
+    val extended = Incremental.noveltyReport(spark, s"$base/out")
+      .collect().map(_.toSeq).toSeq
+    val wantExt = graft.ops.CorpusReports.noveltyFoldOf(
+        graft.ops.CorpusReports.gramCountsOf(corpus.unionByName(
+          Seq((100L, "alpha100 beta100 gamma100 delta100 epsilon100", "srcA"))
+            .toDF("doc_id", "text", "source"))))
+      .collect().map(_.toSeq).toSeq
+    assert(extended == wantExt,
+      s"post-compaction appends must fold exactly: $extended vs $wantExt")
     corpus.unpersist()
   }
 

@@ -848,6 +848,44 @@ object Scoring {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q202
+
+  /** q202: top COLLOCATIONS per source — the 10 highest-PMI adjacent
+    * bigrams (count ≥ 5) with marginals from the pair table itself (the
+    * WordVec PPMI discipline, [[graft.ml.WordVec]]): the
+    * domain-vocabulary card a mixture review reads next to q189/q193 —
+    * two sources can share top TERMS and still collocate them
+    * differently, and the phrases themselves name what a source is
+    * about. PMI = ln(n_ab·T / (n_a·n_b)) with every factor cast double
+    * BEFORE multiplying (corpus-scale products overflow int64 on both
+    * engines — the casts are part of the cross-engine contract); ranked
+    * on the ROUNDED pmi (desc, then a, b) through the native bounded-heap
+    * [[graft.plans.TopKPerGroup]] — no per-source window sort over the
+    * Zipf²-sparse pair table. Marginals come from the UNFILTERED table;
+    * the ≥ 5 cut only gates candidates (rare-pair PMI is noise). */
+  val q202Collocations: Q = (s, d) => {
+    import graft.plans.TopKPerGroup
+    val bs = bigramFoldOf(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")),
+        carry = Seq("source"))
+      .groupBy(col("source"), col("a"), col("b"))
+      .agg(sum(col("tf")).as("n_ab"))
+    val na = bs.groupBy(col("source"), col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val nb = bs.groupBy(col("source"), col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = bs.groupBy(col("source")).agg(sum(col("n_ab")).as("t"))
+    val scored = bs.filter(col("n_ab") >= 5)
+      .join(na, Seq("source", "a"))
+      .join(nb, Seq("source", "b"))
+      .join(tot, Seq("source"))
+      .select(col("source"), col("a"), col("b"), col("n_ab").cast("long").as("n_ab"),
+        round(log((col("n_ab").cast("double") * col("t").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 4).as("pmi"))
+    TopKPerGroup(scored, Seq("source"),
+      Seq(TopKPerGroup.Key("pmi", desc = true), TopKPerGroup.Key("a"),
+        TopKPerGroup.Key("b")), 10)
+      .orderBy(col("source"), col("pmi").desc, col("a"), col("b"))
+  }
+
   // ---------------------------------------------------------------- q194
 
   /** q194: the CCNet gate funnel on the TRIGRAM-KN tier — the q157/q171
@@ -1719,6 +1757,7 @@ object Scoring {
     "q168_lm_ladder" -> q168LmLadder,
     "q171_kn_gate_funnel" -> q171KnGateFunnel,
     "q194_kn3_gate_funnel" -> q194Kn3GateFunnel,
+    "q202_collocations" -> q202Collocations,
     "q173_tier_flips" -> q173TierFlips,
     "q192_order3_flips" -> q192Order3Flips,
     "q136_shard_mix"     -> q136ShardMix,
@@ -2177,6 +2216,31 @@ object Scoring {
         |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll_kn IS NOT NULL THEN nll_kn END")} AS nll_kept,
         |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll_kn END")} AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q202_collocations" ->
+      """WITH td AS (
+        |  SELECT source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT source, toks[i] AS a, toks[i + 1] AS b
+        |  FROM td, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |bs AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS n_ab FROM u GROUP BY 1, 2, 3),
+        |na AS (SELECT source, a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bs GROUP BY 1, 2),
+        |nb AS (SELECT source, b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM bs GROUP BY 1, 2),
+        |tt AS (SELECT source, CAST(sum(n_ab) AS BIGINT) AS t FROM bs GROUP BY 1),
+        |sc AS (
+        |  SELECT bs.source, a, b, n_ab,
+        |    round(ln((CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 4) AS pmi
+        |  FROM bs JOIN na USING (source, a) JOIN nb USING (source, b)
+        |    JOIN tt USING (source)
+        |  WHERE n_ab >= 5),
+        |r AS (
+        |  SELECT source, a, b, n_ab, pmi,
+        |    row_number() OVER (PARTITION BY source ORDER BY pmi DESC, a, b) AS rn
+        |  FROM sc)
+        |SELECT source, a, b, n_ab, pmi FROM r WHERE rn <= 10
+        |ORDER BY source, pmi DESC, a, b""".stripMargin,
     "q194_kn3_gate_funnel" ->
       s"""WITH $nll2Ctes,
         |$knCtes,

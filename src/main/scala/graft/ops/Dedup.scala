@@ -805,9 +805,12 @@ object Dedup {
     val K = 8
     val norm = TextFns.normText(col("text"))
     val docs = Tables.documents(s, d)
+    // one span-generation pass feeds both sides (the decontamScrub
+    // discipline), released after materialization
     val spans = docs
       .select(col("doc_id"), explode(spanKernel(K)(norm)).as("sp"))
       .select(col("doc_id"), col("sp._2").as("h"))
+      .cache()
     val evalSp = spans.filter(col("doc_id") < 50)
       .select(col("doc_id").as("eval_id"), col("h")).distinct()
     val trainSp = spans.filter(col("doc_id") >= 50)
@@ -817,7 +820,7 @@ object Dedup {
       .agg(count_distinct(col("train_id")).as("n_train_docs"),
         count_distinct(col("h")).as("n_hit_spans"))
     val nsp = evalSp.groupBy(col("eval_id")).agg(count(lit(1)).as("n_spans"))
-    docs.filter(col("doc_id") < 50).select(col("doc_id").as("eval_id"))
+    val out = docs.filter(col("doc_id") < 50).select(col("doc_id").as("eval_id"))
       .join(nsp, Seq("eval_id"), "left")
       .join(hits, Seq("eval_id"), "left")
       .select(col("eval_id"),
@@ -827,6 +830,7 @@ object Dedup {
         round(coalesce(col("n_hit_spans").cast("double") / col("n_spans"),
           lit(0.0)), 4).as("exposure"))
       .orderBy(col("eval_id"))
+    Caching.materializeAndRelease(out, spans)
   }
 
   /** The span-decontamination pass over an arbitrary (doc_id, text)

@@ -865,11 +865,15 @@ object Scoring {
     * the ≥ 5 cut only gates candidates (rare-pair PMI is noise). */
   val q202Collocations: Q = (s, d) => {
     import graft.plans.TopKPerGroup
+    // the pair rollup feeds FOUR aggregates (marginals, totals,
+    // candidates) — cache it rather than re-tokenize the corpus per
+    // consumer (the knNllOf discipline), released after materialization
     val bs = bigramFoldOf(
         Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")),
         carry = Seq("source"))
       .groupBy(col("source"), col("a"), col("b"))
       .agg(sum(col("tf")).as("n_ab"))
+      .cache()
     val na = bs.groupBy(col("source"), col("a")).agg(sum(col("n_ab")).as("n_a"))
     val nb = bs.groupBy(col("source"), col("b")).agg(sum(col("n_ab")).as("n_b"))
     val tot = bs.groupBy(col("source")).agg(sum(col("n_ab")).as("t"))
@@ -880,10 +884,12 @@ object Scoring {
       .select(col("source"), col("a"), col("b"), col("n_ab").cast("long").as("n_ab"),
         round(log((col("n_ab").cast("double") * col("t").cast("double")) /
           (col("n_a").cast("double") * col("n_b").cast("double"))), 4).as("pmi"))
-    TopKPerGroup(scored, Seq("source"),
-      Seq(TopKPerGroup.Key("pmi", desc = true), TopKPerGroup.Key("a"),
-        TopKPerGroup.Key("b")), 10)
-      .orderBy(col("source"), col("pmi").desc, col("a"), col("b"))
+    Caching.materializeAndRelease(
+      TopKPerGroup(scored, Seq("source"),
+        Seq(TopKPerGroup.Key("pmi", desc = true), TopKPerGroup.Key("a"),
+          TopKPerGroup.Key("b")), 10)
+        .orderBy(col("source"), col("pmi").desc, col("a"), col("b")),
+      bs)
   }
 
   // ---------------------------------------------------------------- q194

@@ -728,6 +728,36 @@ object Similarity {
   private[ops] val SweepBatchMaxId = 50L
   private[ops] val SweepNProbes = Seq(1, 2, 4, 8)
 
+  /** q203: per-LABEL embedding distinctiveness — cosine between each
+    * label's centroid and the global centroid: which embedding domains
+    * actually deviate from the corpus mean, the geometric companion to
+    * q137's domain waterfill (a domain whose centroid sits on the global
+    * mean contributes no diversity no matter how many tokens it gets)
+    * and the between-groups face of q182's within-group diversity. One
+    * component explode feeds BOTH means (cached, released); everything
+    * after is dim×labels-bounded. Float means are order-dependent in the
+    * last ulps, absorbed by the round-4 (the q42/q182 certification
+    * precedent). */
+  val q203LabelDistinct: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label").cast("long").as("label"), col("i"),
+        col("x").cast("double").as("x"))
+      .cache()
+    val lm = e.groupBy(col("label"), col("i"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+    val gm = e.groupBy(col("i")).agg(avg(col("x")).as("g"))
+    Caching.materializeAndRelease(
+      lm.join(gm, Seq("i"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).cast("long").as("n_vecs"),
+          round(sum(col("m") * col("g")) /
+            (sqrt(sum(col("m") * col("m"))) *
+              sqrt(sum(col("g") * col("g")))), 4).as("cos_global"))
+        .orderBy(col("label")),
+      e)
+  }
+
   /** Pure-SQL end-to-end: the whole query is ONE spark.sql statement over a
     * registered view, driving the engine's native cosine_sim expression
     * from SQL — certifying the §2.11 function-registration surface (a SQL
@@ -758,6 +788,7 @@ object Similarity {
     "q112_ann_pq"      -> q112AnnPq,
     "q74_embed_dedup"  -> q74EmbedDedup,
     "q201_ann_recall_sweep" -> q201AnnRecallSweep,
+    "q203_label_distinct" -> q203LabelDistinct,
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
@@ -831,6 +862,15 @@ object Similarity {
         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
         |  round(cos_raw, 4) AS cos
         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
+    "q203_label_distinct" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+        |lm AS (SELECT label, i, avg(x) AS m, count(*) AS n FROM e GROUP BY 1, 2),
+        |gm AS (SELECT i, avg(x) AS g FROM e GROUP BY 1)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |  round(sum(m * g) / (sqrt(sum(m * m)) * sqrt(sum(g * g))), 4) AS cos_global
+        |FROM lm JOIN gm USING (i) GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sweep recomputed end-to-end per probe count: probe RANKS once
     // (the annRankedCtes routing math verbatim, uncut), the [1,2,4,8]
     // dimension joins on prn <= np, candidates/cosine/ranking per (np,

@@ -848,6 +848,37 @@ object Scoring {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q204
+
+  /** q204: the CCNet CUT SWEEP — what each candidate gate percentile
+    * (p50 / p66.7 / p80 on the q147 score) costs and keeps: docs
+    * dropped, exact mean of the kept scores. q156 buckets at one cut
+    * and q157 prices ONE funnel; this is the knob's whole curve, the
+    * third member of the sweep family (q196 context windows, q201
+    * nProbe). The cuts are percentile_disc ELEMENTS of the rounded-4
+    * artifact (exact cross-engine, the q72 discipline), broadcast as
+    * one 1-row frame; the sweep dimension explodes per score row and
+    * folds — no second scan of the corpus, no sort. */
+  val q204PplCutSweep: Q = (s, d) => {
+    val nll = bigramScores(s, d)
+    val cuts = nll.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY nll2)").as("c50"),
+      expr("percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2)").as("c67"),
+      expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY nll2)").as("c80"))
+    nll.crossJoin(broadcast(cuts))
+      .select(col("nll2"), explode(array(
+        struct(lit(50L).as("pct"), col("c50").as("cut")),
+        struct(lit(67L).as("pct"), col("c67").as("cut")),
+        struct(lit(80L).as("pct"), col("c80").as("cut")))).as("c"))
+      .select(col("nll2"), col("c.pct").as("cut_pct"), col("c.cut").as("cut"))
+      .groupBy(col("cut_pct"), col("cut"))
+      .agg(count(lit(1)).cast("long").as("n_scored"),
+        sum((col("nll2") > col("cut")).cast("long")).cast("long").as("n_dropped"),
+        ExactMean.mean4(when(col("nll2") <= col("cut"), col("nll2")))
+          .as("nll_kept"))
+      .orderBy(col("cut_pct"))
+  }
+
   // ---------------------------------------------------------------- q202
 
   /** q202: top COLLOCATIONS per source — the 10 highest-PMI adjacent
@@ -1764,6 +1795,7 @@ object Scoring {
     "q171_kn_gate_funnel" -> q171KnGateFunnel,
     "q194_kn3_gate_funnel" -> q194Kn3GateFunnel,
     "q202_collocations" -> q202Collocations,
+    "q204_ppl_cut_sweep" -> q204PplCutSweep,
     "q173_tier_flips" -> q173TierFlips,
     "q192_order3_flips" -> q192Order3Flips,
     "q136_shard_mix"     -> q136ShardMix,
@@ -2222,6 +2254,21 @@ object Scoring {
         |  ${ExactMean.mean4Sql("CASE WHEN NOT dropped AND nll_kn IS NOT NULL THEN nll_kn END")} AS nll_kept,
         |  ${ExactMean.mean4Sql("CASE WHEN dropped THEN nll_kn END")} AS nll_dropped
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q204_ppl_cut_sweep" ->
+      s"""WITH $nll2Ctes,
+        |c AS (
+        |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY nll2) AS c50,
+        |    percentile_disc(0.66666667) WITHIN GROUP (ORDER BY nll2) AS c67,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY nll2) AS c80
+        |  FROM n2t),
+        |x AS (
+        |  SELECT CAST(50 AS BIGINT) AS cut_pct, c50 AS cut FROM c
+        |  UNION ALL SELECT 67, c67 FROM c
+        |  UNION ALL SELECT 80, c80 FROM c)
+        |SELECT cut_pct, cut, CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN nll2 > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  ${ExactMean.mean4Sql("CASE WHEN nll2 <= cut THEN nll2 END")} AS nll_kept
+        |FROM n2t CROSS JOIN x GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q202_collocations" ->
       """WITH td AS (
         |  SELECT source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks

@@ -132,6 +132,8 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q170_vocab_growth",
         // q198 folds against its 1-row quartile-cut broadcast (q135 shape)
         "q198_quality_length",
+        // q204 folds against its 1-row three-cut broadcast (q135 shape)
+        "q204_ppl_cut_sweep",
         // q183 broadcasts its 1-row (tot, Z) normalizer scalar (q85 shape)
         "q183_temperature_mix",
         // q172 is q170's fold over the media hash table — same 1-row

@@ -31,13 +31,14 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // qty (integers) and base_price (2-dp) float-sum safely: their
-        // TRUE sums are never on a round-2 boundary. disc_price is a sum
-        // of exact 4-dp products and avg_disc a mean — both can land
-        // exactly on the half, so they go through the exact idiom
-        // (ops/ExactMean — the q171 class)
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        // every sum/mean goes through the exact idiom (ops/ExactMean):
+        // disc_price and avg_disc can land ON a rounding boundary (the
+        // q171 class), and while qty/base_price's TRUE sums never do,
+        // their double accumulators drift whole units once the sum
+        // passes 2^53 (corpus-scale money sums) — decimal accumulation
+        // closes both faces with one discipline
+        ExactMean.sum4(col("l_quantity"), 2).as("sum_qty"),
+        ExactMean.sum4(col("l_extendedprice"), 2).as("sum_base_price"),
         ExactMean.sum4(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
           .as("sum_disc_price"),
         ExactMean.meanInt(col("l_quantity"), 2).as("avg_qty"),
@@ -485,8 +486,8 @@ object Relational {
         |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  ${ExactMean.sum4Sql("l_quantity", 2)} AS sum_qty,
+        |  ${ExactMean.sum4Sql("l_extendedprice", 2)} AS sum_base_price,
         |  ${ExactMean.sum4Sql("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
         |  ${ExactMean.meanIntSql("l_quantity", 2)} AS avg_qty,
         |  ${ExactMean.mean4Sql("l_discount")} AS avg_disc,

@@ -833,6 +833,33 @@ object Dedup {
     Caching.materializeAndRelease(out, spans)
   }
 
+  /** q205: the SPAN-LENGTH sweep — what the decontamination K knob
+    * costs and catches, completing the knob-curve family (q196 context
+    * windows, q201 nProbe, q204 gate cut): for each candidate span
+    * length (6/8/10 tokens), the corpus-wide scrub outcome — docs
+    * touched, docs fully gutted, tokens cut, cut share. Shorter spans
+    * catch more paraphrase-adjacent overlap but gut more text (Lee et
+    * al. use 50-token spans at web scale; the right K is a curve read,
+    * not a constant). Each sweep point is the CERTIFIED q175 kernel at
+    * that K ([[decontamScrub]] is K-parameterized), folded globally —
+    * three bounded passes, one row each. */
+  val q205SpanKSweep: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    SweepSpanKs.map { k =>
+      decontamScrub(docs, evalMax = 50, K = k)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("n_cov") > 0).cast("long")).cast("long").as("n_affected"),
+          sum(col("clean_fp").isNull.cast("long")).cast("long").as("n_gutted"),
+          sum(col("n_tokens")).cast("long").as("tok_total"),
+          sum(col("n_cov")).cast("long").as("tok_cut"),
+          round(sum(col("n_cov")).cast("double") / sum(col("n_tokens")), 4)
+            .as("cut_share"))
+        .select(lit(k.toLong).as("span_k"), col("*"))
+    }.reduce(_ unionByName _).orderBy(col("span_k"))
+  }
+
+  private[ops] val SweepSpanKs = Seq(6, 8, 10)
+
   /** The span-decontamination pass over an arbitrary (doc_id, text)
     * frame: docs with doc_id < evalMax are the held-out set (they define
     * the contaminated-span vocabulary and emit no output row); docs at or
@@ -953,6 +980,7 @@ object Dedup {
     "q175_decontam_scrub" -> q175DecontamScrub,
     "q178_decontam_funnel" -> q178DecontamFunnel,
     "q195_eval_exposure" -> q195EvalExposure,
+    "q205_span_k_sweep" -> q205SpanKSweep,
     "q122_lsh_calibration" -> q122LshCalibration,
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
   )
@@ -964,17 +992,20 @@ object Dedup {
 
   // the q175 scrub as a CTE body ending in scrub(doc_id, n_tokens,
   // n_cov, clean_fp) — q175 certifies it per doc, q178 folds it by source
-  private val decontamCtes =
-    """t AS (
-      |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+  /** The q175 scrub CTE body at span length `k` — q175/q178 use the
+    * certified K = 8 instance; the q205 sweep interpolates each
+    * candidate K. */
+  private def decontamCtesK(k: Int) =
+    s"""t AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
       |  FROM documents),
       |sp0 AS (
-      |  SELECT doc_id, unnest(range(1, len(toks) - 6)) AS st, toks
-      |  FROM t WHERE len(toks) >= 8),
-      |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + 7], ' ') AS span FROM sp0),
+      |  SELECT doc_id, unnest(range(1, len(toks) - ${k - 2})) AS st, toks
+      |  FROM t WHERE len(toks) >= $k),
+      |sp AS (SELECT doc_id, st, array_to_string(toks[st : st + ${k - 1}], ' ') AS span FROM sp0),
       |ev AS (SELECT DISTINCT span FROM sp WHERE doc_id < 50),
       |ds AS (SELECT sp.doc_id, sp.st FROM sp JOIN ev USING (span) WHERE sp.doc_id >= 50),
-      |cov AS (SELECT DISTINCT doc_id, st + o AS p FROM ds, range(0, 8) r(o)),
+      |cov AS (SELECT DISTINCT doc_id, st + o AS p FROM ds, range(0, $k) r(o)),
       |tok0 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
       |         FROM t WHERE doc_id >= 50),
       |tok AS (SELECT doc_id, p, toks[p] AS tk FROM tok0),
@@ -985,6 +1016,8 @@ object Dedup {
       |    md5(string_agg(CASE WHEN cov.p IS NULL THEN tok.tk END, ' ' ORDER BY tok.p)) AS clean_fp
       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
       |  GROUP BY 1)""".stripMargin
+
+  private val decontamCtes = decontamCtesK(8)
 
   def oracle: Map[String, String] = Map(
     // q38's exhaustive exact-Jaccard pair CTE + the estimator recomputed
@@ -1034,6 +1067,20 @@ object Dedup {
     "q175_decontam_scrub" ->
       s"""WITH $decontamCtes
         |SELECT doc_id, n_tokens, n_cov, clean_fp FROM scrub ORDER BY doc_id""".stripMargin,
+    // each sweep point replays the certified scrub CTE at its K inside
+    // a parenthesized WITH-select; ORDER BY applies to the union
+    "q205_span_k_sweep" -> (
+      SweepSpanKs.map { k =>
+        s"""(WITH ${decontamCtesK(k)}
+          |SELECT CAST($k AS BIGINT) AS span_k,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+          |  CAST(sum(CASE WHEN clean_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gutted,
+          |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+          |  CAST(sum(n_cov) AS BIGINT) AS tok_cut,
+          |  round(CAST(sum(n_cov) AS DOUBLE) / sum(n_tokens), 4) AS cut_share
+          |FROM scrub)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY span_k"),
     // the q175 span CTEs read from the eval side: distinct (doc, span)
     // sets both ways, one join on the span text (the engine joins the
     // span hash — q175's established parity), two integer folds

@@ -14,6 +14,32 @@ class CorpusReportsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
   private val sf = "/root/testdata/sf0.001"
 
+  test("q199: planted copy classes (unique/pair/many) fold with exact quality means") {
+    import spark.implicits._
+    // the certification corpus is exact-dup-free, so q199's pair/many
+    // branches certify there only as absent rows — plant all three
+    // classes in a temp documents table and pin the fold
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q199").toString
+    val body = "the quick brown fox jumps over a lazy dog of winter"
+    Seq(
+      (1L, s"$body unique one", "srcA"),
+      (2L, s"$body pair text", "srcA"), (3L, s"$body pair text", "srcA"),
+      (4L, s"$body many copies", "srcB"), (5L, s"$body many copies", "srcB"),
+      (6L, s"$body many copies", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = CorpusReports.q199DupQuality(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byClass = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byClass == Map("unique" -> ((1L, 1L)), "pair" -> ((2L, 1L)),
+      "many" -> ((3L, 1L))), got.mkString(","))
+    // every class's members share one text shape -> the exact mean IS
+    // the per-doc rounded-4 quality (never null, in (0, 1])
+    got.foreach(r => assert(r._4 > 0.0 && r._4 <= 1.0, r.toString))
+  }
+
   test("q115 kernel: planted clusters of size 1/2/3 land in the right buckets") {
     import spark.implicits._
     // 4 singletons + one pair + one triple (whitespace variants of one

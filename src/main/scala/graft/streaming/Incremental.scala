@@ -1295,6 +1295,102 @@ object Incremental {
     require(fs.rename(tmp, dst), s"compaction swap failed for $outDir")
   }
 
+  /** Continuous VOCABULARY-GROWTH monitor — maintainer #24, the
+    * streaming face of q200's Heaps diagnostic: per source, the
+    * cumulative (tokens seen, distinct terms seen) curve across
+    * micro-batches. A source whose curve bends toward linear (β → 1)
+    * mid-stream started minting unique junk tokens — the q197 signal in
+    * exponent form, caught at ingest instead of at the next corpus
+    * audit, and the alarm that protects every vocab-capacity assumption
+    * downstream (WordVec's maxVocab guard, the SIF broadcast bound).
+    *
+    * State is a BUCKETED first-seen term log (`pmod(xxhash64(source ‖
+    * term), nbkt)` — the writePplModel layout discipline): each batch
+    * folds to per-source term counts, anti-joins the touched buckets of
+    * the log (≤ nbkt ints are the only driver data), and appends its NEW
+    * terms plus one per-source token-count row IN ONE WRITE (term rows
+    * and stat rows share the table, `term IS NULL` marking stats, so
+    * there is no torn-state window between two logs). The log is
+    * Heaps-bounded (vocabulary-sized, never corpus-sized);
+    * [[vocabGrowthReport]] folds it into the per-batch cumulative curve
+    * with a per-source window over batch-count-bounded rows. foreachBatch
+    * residue class of [[continuousSemanticDedup]]. */
+  def continuousVocabGrowth(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String, nBuckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val logDir = s"$outDir/terms"
+    // the curve's batch granularity is the source's read limit —
+    // AvailableNow honors maxFilesPerTrigger, so a deployment picks the
+    // curve resolution here (None = one point per drain)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n.toString))
+    val q = reader.parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch
+          .select(col("source"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tbkt", pmod(
+            xxhash64(concat_ws(" ", col("source"), col("term"))),
+            lit(nBuckets.toLong)))
+          .cache()
+        val nTok = toks.groupBy(col("source"))
+          .agg(sum(col("n")).cast("long").as("n_tok"))
+        val fs = new Path(logDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val touched = toks.select(col("tbkt")).distinct().as[Long].collect()
+        val newTerms =
+          if (!fs.exists(new Path(logDir))) toks.select(col("source"), col("term"), col("tbkt"))
+          else toks.select(col("source"), col("term"), col("tbkt"))
+            .join(spark.read.parquet(logDir)
+                .filter(col("term").isNotNull && col("tbkt").isin(touched: _*))
+                .select(col("source"), col("term")),
+              Seq("source", "term"), "left_anti")
+        newTerms
+          .select(lit(batchId).as("batch_id"), col("source"), col("term"),
+            col("tbkt"), lit(null).cast("long").as("n_tok"))
+          .unionByName(nTok.select(lit(batchId).as("batch_id"), col("source"),
+            lit(null).cast("string").as("term"), lit(-1L).as("tbkt"),
+            col("n_tok")))
+          .write.mode("append").partitionBy("tbkt").parquet(logDir)
+        toks.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read-side fold of the vocab-growth log → (source, batch_id,
+    * n_tok_cum, v_cum): the per-source cumulative Heaps curve. The
+    * window runs per source over batch-count-bounded rows; replaying a
+    * corpus in ANY split ends each source's curve at the same totals the
+    * batch q200 fold reads (the parity contract). */
+  def vocabGrowthReport(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val log = spark.read.parquet(s"$outDir/terms")
+    val stats = log.filter(col("term").isNull)
+      .groupBy(col("source"), col("batch_id"))
+      .agg(sum(col("n_tok")).as("n_b"))
+    val news = log.filter(col("term").isNotNull)
+      .groupBy(col("source"), col("batch_id"))
+      .agg(count(lit(1)).as("v_b"))
+    val w = Window.partitionBy(col("source")).orderBy(col("batch_id"))
+    stats.join(news, Seq("source", "batch_id"), "left")
+      .withColumn("n_tok_cum", sum(col("n_b")).over(w).cast("long"))
+      .withColumn("v_cum", sum(coalesce(col("v_b"), lit(0L))).over(w).cast("long"))
+      .select(col("source"), col("batch_id"), col("n_tok_cum"), col("v_cum"))
+      .orderBy(col("source"), col("batch_id"))
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

@@ -66,7 +66,9 @@ class MaintainerParitySpec extends AnyFunSuite {
     "continuousAnnIngest" -> (("ml.IvfIndex serve (q45/q99)",
       "continuous ANN ingest appends micro-batches")),
     "continuousNoveltyMonitor" -> (("ops.CorpusReports novelty fold (q197)",
-      "novelty monitor folds to the q197 kernel's table")))
+      "novelty monitor folds to the q197 kernel's table")),
+    "continuousVocabGrowth" -> (("ops.CorpusReports q200 totals (final curve point)",
+      "vocab-growth monitor: cumulative curve ends at the batch totals")))
 
   test("every continuous* maintainer is mapped to a batch twin + parity test") {
     val reflected = graft.streaming.Incremental.getClass.getDeclaredMethods

@@ -762,6 +762,62 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("vocab-growth monitor: cumulative curve ends at the batch totals under any split (maintainer #24)") {
+    val base = Files.createTempDirectory("graft-vocabmon").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    // srcA keeps minting new tokens (Heaps-ish growth); srcB repeats a
+    // fixed vocabulary — its curve must flatten after batch 1
+    val corpus = ((0 until 12).map { i =>
+      (i.toLong, s"alpha beta tag$i word$i", "srcA")
+    } ++ (12 until 20).map { i =>
+      (i.toLong, "fixed vocab repeated always", "srcB")
+    }).toDF("doc_id", "text", "source").cache()
+    corpus.filter(col("doc_id") < 6).write.parquet(s"$in/b1")
+    corpus.filter(col("doc_id") >= 6 && col("doc_id") < 15).write.parquet(s"$in/b2")
+    corpus.filter(col("doc_id") >= 15).write.parquet(s"$in/b3")
+    Incremental.continuousVocabGrowth(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", nBuckets = 8,
+      maxFilesPerTrigger = Some(1))
+    val got = Incremental.vocabGrowthReport(spark, s"$base/out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // curves are monotone and the LAST point equals the batch totals —
+    // the q200 parity contract (same tokens() definitions)
+    val want = corpus
+      .select(col("source"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("term")).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (src <- Seq("srcA", "srcB")) {
+      val curve = got.filter(_._1 == src).sortBy(_._2)
+      assert(curve.nonEmpty, got.mkString(","))
+      assert(curve.map(_._3).toSeq == curve.map(_._3).sorted.toSeq,
+        s"N must be monotone: ${curve.mkString(",")}")
+      assert(curve.map(_._4).toSeq == curve.map(_._4).sorted.toSeq,
+        s"V must be monotone: ${curve.mkString(",")}")
+      assert((curve.last._3, curve.last._4) == want(src),
+        s"$src final point ${curve.last} != batch totals ${want(src)}")
+    }
+    // the planted structure reads: srcB's vocab flattens (no new types
+    // after its first batch), srcA keeps growing
+    val bCurve = got.filter(_._1 == "srcB").sortBy(_._2).map(_._4)
+    assert(bCurve.distinct.length == 1, s"srcB vocab must flatten: $bCurve")
+    val aCurve = got.filter(_._1 == "srcA").sortBy(_._2).map(_._4)
+    assert(aCurve.distinct.length == aCurve.length, s"srcA must keep growing: $aCurve")
+    // exactly-once: draining the same checkpoint again appends nothing
+    Incremental.continuousVocabGrowth(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", nBuckets = 8,
+      maxFilesPerTrigger = Some(1))
+    val again = Incremental.vocabGrowthReport(spark, s"$base/out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq.sorted == got.toSeq.sorted, "rerun must be a no-op")
+    corpus.unpersist()
+  }
+
   test("gate-agreement monitor folds to the q185 kernel's table (maintainer #21)") {
     val base = Files.createTempDirectory("graft-gamon").toString
     val in = s"$base/in"; val model = s"$base/model"

@@ -848,6 +848,111 @@ object Scoring {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q206
+
+  /** q206: the HELD-OUT order ladder — q177 with the inferential gap
+    * closed: q177's order_gain compares in-sample scores, and in-sample
+    * ALWAYS flatters the higher order (more parameters fit the fit
+    * corpus better). Here both KN tiers fit on the q163 hash-split
+    * train half and score the TEST half through the full serving
+    * ladders (the continuousPplGateJoined arithmetic, batch form):
+    * KN2 interpolates in-model pairs and falls to add-1 for unseen
+    * ones; KN3 interpolates in-model trigrams, falls to P_KN2 for an
+    * unseen trigram/context (with the dd3 = 0 totality guard), and
+    * through add-1 inside P2 for an unseen bigram. Per source, over
+    * the SAME tri-scored test population (the q177/q163 disciplines):
+    * test docs, tri-scored docs, exact means of both tiers, and the
+    * held-out order gain — the number that actually justifies (or
+    * refuses) paying for order 3 on a feed. An order_gain that flips
+    * sign from q177's is the overfit signal this table exists to catch.
+    * Scale: the fit is the kn3NllFrom shape on the train half; serving
+    * is left joins of the Zipf-sparse test folds against the model
+    * tables + three 1-row scalars. */
+  val q206HeldoutLadder3: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+    val train = docs.filter(!isTest)
+    val test = docs.filter(isTest)
+    // ---- train-side model tables (the kn3NllFrom fit, reused shapes)
+    val tfbT = bigramFoldOf(train).cache()
+    val bg = tfbT.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab")).cache()
+    val ctx = bg.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val pre = bg.groupBy(col("b")).agg(count(lit(1)).as("n1pre"))
+    val disc = bg.agg(
+      (sum(when(col("cab") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(when(col("cab") === 1, 1L).otherwise(0L)) +
+          lit(2L) * sum(when(col("cab") === 2, 1L).otherwise(0L)), lit(1L)))
+        .as("dd"),
+      count(lit(1)).cast("double").as("tt"))
+    val vocab = train
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).cast("double").as("v"))
+    val tftT = trigramFoldOf(train).cache()
+    val tg = tftT.groupBy(col("a"), col("b"), col("c"))
+      .agg(sum(col("tf")).as("cabc")).cache()
+    val ctx3 = tg.groupBy(col("a"), col("b"))
+      .agg(sum(col("cabc")).as("cab2"), count(lit(1)).as("n1ab"))
+    val disc3 = tg.agg(
+      (sum(when(col("cabc") === 1, 1L).otherwise(0L)).cast("double") /
+        greatest(sum(when(col("cabc") === 1, 1L).otherwise(0L)) +
+          lit(2L) * sum(when(col("cabc") === 2, 1L).otherwise(0L)), lit(1L)))
+        .as("dd3"))
+    // ---- KN2 serve over the test bigram fold (the joined-gate kn tier)
+    val lnP2 = when(col("cab").isNotNull,
+        log(((col("cab") - col("dd")) +
+          col("dd") * col("n1a") * (col("n1pre") / col("tt"))) / col("ca")))
+      .otherwise(log((coalesce(col("cab"), lit(0L)) + 1) /
+        (coalesce(col("ca"), lit(0L)) + col("v"))))
+    val s2 = bigramFoldOf(test)
+      .join(bg, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .join(pre, Seq("b"), "left")
+      .crossJoin(broadcast(disc)).crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(col("tf") * lnP2) / sum(col("tf")), 4).as("nll_kn2h"))
+    // ---- KN3 serve over the test trigram fold (the kn3 tier's ladder)
+    val p2v = when(col("cbc").isNotNull,
+        ((col("cbc") - col("dd")) +
+          col("dd") * col("n1b") * (col("n1pre2") / col("tt"))) / col("cb"))
+      .otherwise((coalesce(col("cbc"), lit(0L)) + 1) /
+        (coalesce(col("cb"), lit(0L)) + col("v")))
+    val num3 = greatest(coalesce(col("cabc"), lit(0L)).cast("double") - col("dd3"),
+        lit(0.0)) + col("dd3") * col("n1ab") * p2v
+    val lnP3 = when(col("cab2").isNotNull && num3 > lit(0.0),
+        log(num3 / col("cab2")))
+      .otherwise(log(p2v))
+    val s3 = trigramFoldOf(test)
+      .join(tg, Seq("a", "b", "c"), "left")
+      .join(ctx3, Seq("a", "b"), "left")
+      .join(bg.select(col("a").as("b"), col("b").as("c"), col("cab").as("cbc")),
+        Seq("b", "c"), "left")
+      .join(ctx.select(col("a").as("b"), col("ca").as("cb"), col("n1a").as("n1b")),
+        Seq("b"), "left")
+      .join(pre.select(col("b").as("c"), col("n1pre").as("n1pre2")),
+        Seq("c"), "left")
+      .crossJoin(broadcast(disc)).crossJoin(broadcast(disc3))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(round(-sum(col("tf") * lnP3) / sum(col("tf")), 4).as("nll_kn3h"))
+    Caching.materializeAndRelease(
+      test.select(col("doc_id"), col("source"))
+        .join(s2, Seq("doc_id"), "left")
+        .join(s3, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_test"),
+          sum(col("nll_kn3h").isNotNull.cast("long")).cast("long")
+            .as("n_tri_scored"),
+          ExactMean.mean4(when(col("nll_kn3h").isNotNull, col("nll_kn2h")))
+            .as("nll_kn2"),
+          ExactMean.mean4(col("nll_kn3h")).as("nll_kn3"),
+          ExactMean.mean4(when(col("nll_kn3h").isNotNull,
+            col("nll_kn2h") - col("nll_kn3h"))).as("order_gain"))
+        .orderBy(col("source")),
+      tfbT, bg, tftT, tg)
+  }
+
   // ---------------------------------------------------------------- q204
 
   /** q204: the CCNet CUT SWEEP — what each candidate gate percentile
@@ -1796,6 +1901,7 @@ object Scoring {
     "q194_kn3_gate_funnel" -> q194Kn3GateFunnel,
     "q202_collocations" -> q202Collocations,
     "q204_ppl_cut_sweep" -> q204PplCutSweep,
+    "q206_heldout_ladder" -> q206HeldoutLadder3,
     "q173_tier_flips" -> q173TierFlips,
     "q192_order3_flips" -> q192Order3Flips,
     "q136_shard_mix"     -> q136ShardMix,
@@ -2208,6 +2314,102 @@ object Scoring {
         |FROM documents d
         |LEFT JOIN knt k2 USING (doc_id)
         |LEFT JOIN kn3t k3 USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // self-contained held-out family (suffix h): fit CTEs on the train
+    // half (the kn3Ctes arithmetic), test folds served through the FULL
+    // degradation ladders of the joined gate — p2h is the P_KN2
+    // projection over the test (b, c) pairs, s3h the guarded
+    // interpolation, s2h the KN2-with-add-1-fallback tier
+    "q206_heldout_ladder" ->
+      s"""WITH tdh AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test
+        |  FROM documents),
+        |u2h AS (
+        |  SELECT doc_id, is_test, toks[i] AS a, toks[i + 1] AS b
+        |  FROM tdh, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |bgh AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+        |        FROM u2h WHERE NOT is_test GROUP BY 1, 2),
+        |ctxh AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+        |                CAST(count(*) AS BIGINT) AS n1a FROM bgh GROUP BY 1),
+        |preh AS (SELECT b, CAST(count(*) AS BIGINT) AS n1pre FROM bgh GROUP BY 1),
+        |disch AS (
+        |  SELECT CAST(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / greatest(sum(CASE WHEN cab = 1 THEN 1 ELSE 0 END)
+        |          + 2 * sum(CASE WHEN cab = 2 THEN 1 ELSE 0 END), 1) AS dd,
+        |    CAST(count(*) AS DOUBLE) AS tt
+        |  FROM bgh),
+        |vth AS (
+        |  SELECT CAST(count(DISTINCT tk) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(toks) AS tk FROM tdh WHERE NOT is_test)),
+        |u3h AS (
+        |  SELECT doc_id, is_test, toks[i] AS a, toks[i + 1] AS b, toks[i + 2] AS c
+        |  FROM tdh, unnest(range(1, len(toks) - 1)) AS r(i)
+        |  WHERE len(toks) >= 3),
+        |tgh AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS cabc
+        |        FROM u3h WHERE NOT is_test GROUP BY 1, 2, 3),
+        |ctx3h AS (SELECT a, b, CAST(sum(cabc) AS BIGINT) AS cab2,
+        |                 CAST(count(*) AS BIGINT) AS n1ab FROM tgh GROUP BY 1, 2),
+        |disc3h AS (
+        |  SELECT CAST(sum(CASE WHEN cabc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / greatest(sum(CASE WHEN cabc = 1 THEN 1 ELSE 0 END)
+        |          + 2 * sum(CASE WHEN cabc = 2 THEN 1 ELSE 0 END), 1) AS dd3
+        |  FROM tgh),
+        |tf2h AS (SELECT doc_id, a, b, count(*) AS tf
+        |         FROM u2h WHERE is_test GROUP BY 1, 2, 3),
+        |tf3h AS (SELECT doc_id, a, b, c, count(*) AS tf
+        |         FROM u3h WHERE is_test GROUP BY 1, 2, 3, 4),
+        |s2h AS (
+        |  SELECT tf2h.doc_id,
+        |    round(-sum(tf * CASE WHEN bgh.cab IS NOT NULL
+        |        THEN ln(((bgh.cab - disch.dd)
+        |          + disch.dd * ctxh.n1a * (preh.n1pre / disch.tt)) / ctxh.ca)
+        |        ELSE ln((coalesce(bgh.cab, 0) + 1)
+        |          / (coalesce(ctxh.ca, 0) + vth.v)) END)
+        |      / sum(tf), 4) AS nll_kn2h
+        |  FROM tf2h
+        |  LEFT JOIN bgh USING (a, b)
+        |  LEFT JOIN ctxh USING (a)
+        |  LEFT JOIN preh USING (b)
+        |  CROSS JOIN disch CROSS JOIN vth
+        |  GROUP BY 1),
+        |p2h AS (
+        |  SELECT p.b, p.c,
+        |    CASE WHEN b2.cbc IS NOT NULL
+        |      THEN ((b2.cbc - disch.dd)
+        |        + disch.dd * c2.n1b * (p2.n1pre2 / disch.tt)) / c2.cb
+        |      ELSE (coalesce(b2.cbc, 0) + 1)
+        |        / (coalesce(c2.cb, 0) + vth.v) END AS p2v
+        |  FROM (SELECT DISTINCT b, c FROM tf3h) p
+        |  LEFT JOIN (SELECT a AS b, b AS c, cab AS cbc FROM bgh) b2 USING (b, c)
+        |  LEFT JOIN (SELECT a AS b, ca AS cb, n1a AS n1b FROM ctxh) c2 USING (b)
+        |  LEFT JOIN (SELECT b AS c, n1pre AS n1pre2 FROM preh) p2 USING (c)
+        |  CROSS JOIN disch CROSS JOIN vth),
+        |s3h AS (
+        |  SELECT tf3h.doc_id,
+        |    round(-sum(tf * CASE WHEN ctx3h.cab2 IS NOT NULL
+        |        AND (greatest(coalesce(tgh.cabc, 0) - disc3h.dd3, 0)
+        |          + disc3h.dd3 * ctx3h.n1ab * p2h.p2v) > 0
+        |        THEN ln((greatest(coalesce(tgh.cabc, 0) - disc3h.dd3, 0)
+        |          + disc3h.dd3 * ctx3h.n1ab * p2h.p2v) / ctx3h.cab2)
+        |        ELSE ln(p2h.p2v) END)
+        |      / sum(tf), 4) AS nll_kn3h
+        |  FROM tf3h
+        |  LEFT JOIN tgh USING (a, b, c)
+        |  LEFT JOIN ctx3h USING (a, b)
+        |  JOIN p2h USING (b, c)
+        |  CROSS JOIN disc3h
+        |  GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN s3h.nll_kn3h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_scored,
+        |  ${ExactMean.mean4Sql("CASE WHEN s3h.nll_kn3h IS NOT NULL THEN s2h.nll_kn2h END")} AS nll_kn2,
+        |  ${ExactMean.mean4Sql("s3h.nll_kn3h")} AS nll_kn3,
+        |  ${ExactMean.mean4Sql("CASE WHEN s3h.nll_kn3h IS NOT NULL THEN s2h.nll_kn2h - s3h.nll_kn3h END")} AS order_gain
+        |FROM (SELECT doc_id, source FROM tdh WHERE is_test) d
+        |LEFT JOIN s2h USING (doc_id)
+        |LEFT JOIN s3h USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q173's flip algebra on the (knt, kn3t) pair, flips restricted to
     // the tri-scored population (the q177 same-population discipline)

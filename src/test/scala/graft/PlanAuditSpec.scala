@@ -120,6 +120,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q160_data_card_full",
         // q163 broadcasts the train-split vocab scalar (the q147 shape)
         "q163_heldout_ppl",
+        // q206 composes the q163 split with the q165/q176 scalar pairs
+        // (three 1-row broadcasts: discount, D3, train vocab)
+        "q206_heldout_ladder",
         // q165 broadcasts its 1-row Ney-discount scalar (the q147 shape)
         "q165_kn_perplexity",
         // q176 composes TWO 1-row discount scalars (the bigram D inside

@@ -848,6 +848,50 @@ object Scoring {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- serving ladders
+
+  /** The KN2 serving rung as ONE Column expression — in-model pairs
+    * score the q165 interpolated discount, out-of-model pairs fall to
+    * add-1 (total, positive). Shared verbatim by the streaming joined
+    * gate's `kn` tier (scalar model stats arrive as `lit`s) and q206's
+    * held-out batch serve (they arrive as broadcast columns): one
+    * definition, two bindings, so the ladders cannot drift. */
+  private[graft] def lnP2Expr(cab: org.apache.spark.sql.Column,
+      ca: org.apache.spark.sql.Column, n1a: org.apache.spark.sql.Column,
+      n1pre: org.apache.spark.sql.Column, dd: org.apache.spark.sql.Column,
+      tt: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(cab.isNotNull,
+      log(((cab - dd) + dd * n1a * (n1pre / tt)) / ca))
+      .otherwise(log((coalesce(cab, lit(0L)) + 1) /
+        (coalesce(ca, lit(0L)) + v)))
+
+  /** P_KN2(c|b) for the order-3 ladder: the q165 arithmetic for
+    * in-model (b, c), add-1 under it. */
+  private[graft] def p2vExpr(cbc: org.apache.spark.sql.Column,
+      cb: org.apache.spark.sql.Column, n1b: org.apache.spark.sql.Column,
+      n1pre: org.apache.spark.sql.Column, dd: org.apache.spark.sql.Column,
+      tt: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(cbc.isNotNull,
+      ((cbc - dd) + dd * n1b * (n1pre / tt)) / cb)
+      .otherwise((coalesce(cbc, lit(0L)) + 1) /
+        (coalesce(cb, lit(0L)) + v))
+
+  /** The order-3 rung: interpolated discount for in-model trigrams,
+    * falling to the P_KN2 rung when the context is unseen OR the
+    * interpolated numerator is exactly 0 (the dd3 = 0 totality guard —
+    * never log(0)). */
+  private[graft] def lnP3Expr(cabc: org.apache.spark.sql.Column,
+      cab2: org.apache.spark.sql.Column, n1ab: org.apache.spark.sql.Column,
+      p2v: org.apache.spark.sql.Column, dd3: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val num3 = greatest(coalesce(cabc, lit(0L)).cast("double") - dd3,
+      lit(0.0)) + dd3 * n1ab * p2v
+    when(cab2.isNotNull && num3 > lit(0.0), log(num3 / cab2))
+      .otherwise(log(p2v))
+  }
+
   // ---------------------------------------------------------------- q206
 
   /** q206: the HELD-OUT order ladder — q177 with the inferential gap
@@ -899,12 +943,10 @@ object Scoring {
         greatest(sum(when(col("cabc") === 1, 1L).otherwise(0L)) +
           lit(2L) * sum(when(col("cabc") === 2, 1L).otherwise(0L)), lit(1L)))
         .as("dd3"))
-    // ---- KN2 serve over the test bigram fold (the joined-gate kn tier)
-    val lnP2 = when(col("cab").isNotNull,
-        log(((col("cab") - col("dd")) +
-          col("dd") * col("n1a") * (col("n1pre") / col("tt"))) / col("ca")))
-      .otherwise(log((coalesce(col("cab"), lit(0L)) + 1) /
-        (coalesce(col("ca"), lit(0L)) + col("v"))))
+    // ---- KN2 serve over the test bigram fold (the joined-gate kn tier,
+    // the shared [[lnP2Expr]] rung bound to the broadcast scalars)
+    val lnP2 = lnP2Expr(col("cab"), col("ca"), col("n1a"), col("n1pre"),
+      col("dd"), col("tt"), col("v"))
     val s2 = bigramFoldOf(test)
       .join(bg, Seq("a", "b"), "left")
       .join(ctx, Seq("a"), "left")
@@ -912,17 +954,10 @@ object Scoring {
       .crossJoin(broadcast(disc)).crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(round(-sum(col("tf") * lnP2) / sum(col("tf")), 4).as("nll_kn2h"))
-    // ---- KN3 serve over the test trigram fold (the kn3 tier's ladder)
-    val p2v = when(col("cbc").isNotNull,
-        ((col("cbc") - col("dd")) +
-          col("dd") * col("n1b") * (col("n1pre2") / col("tt"))) / col("cb"))
-      .otherwise((coalesce(col("cbc"), lit(0L)) + 1) /
-        (coalesce(col("cb"), lit(0L)) + col("v")))
-    val num3 = greatest(coalesce(col("cabc"), lit(0L)).cast("double") - col("dd3"),
-        lit(0.0)) + col("dd3") * col("n1ab") * p2v
-    val lnP3 = when(col("cab2").isNotNull && num3 > lit(0.0),
-        log(num3 / col("cab2")))
-      .otherwise(log(p2v))
+    // ---- KN3 serve over the test trigram fold (the shared ladder)
+    val p2v = p2vExpr(col("cbc"), col("cb"), col("n1b"), col("n1pre2"),
+      col("dd"), col("tt"), col("v"))
+    val lnP3 = lnP3Expr(col("cabc"), col("cab2"), col("n1ab"), p2v, col("dd3"))
     val s3 = trigramFoldOf(test)
       .join(tg, Seq("a", "b", "c"), "left")
       .join(ctx3, Seq("a", "b"), "left")

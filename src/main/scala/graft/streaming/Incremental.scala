@@ -869,27 +869,14 @@ object Incremental {
           val bB = tft.select(col("bbkt")).distinct().as[Long].collect()
           val cB = tft.select(col("cbkt")).distinct().as[Long].collect()
           // P_KN2(c|b) from the bigram layout: left-token buckets of b,
-          // continuation buckets of c
-          val p2v = when(col("cbc").isNotNull,
-              ((col("cbc") - lit(dd)) +
-                lit(dd) * col("n1b") * (col("n1pre") / lit(tt))) / col("cb"))
-            .otherwise((coalesce(col("cbc"), lit(0L)) + 1) /
-              (coalesce(col("cb"), lit(0L)) + lit(v)))
-          // ladder totality guard (r15 ADVICE): when the fit corpus had
-          // NO singleton trigram type, dd3 = 0 and an unseen trigram
-          // under a seen context has interpolated numerator exactly 0 —
-          // log(0) would break the "total, never a log(0) surprise"
-          // contract, so that one case falls through to the next rung
-          // (log(p2v)), the same place an unseen CONTEXT already lands.
-          // In-model trigrams are unaffected (cabc >= 1 > dd3 < 1), and
-          // dd3 > 0 models never hit the guard (the continuation term is
-          // strictly positive there).
-          val num3 = greatest(coalesce(col("cabc"), lit(0L)).cast("double") - lit(dd3),
-              lit(0.0)) +
-            lit(dd3) * col("n1ab") * p2v
-          val lnP3 = when(col("cab2").isNotNull && num3 > lit(0.0),
-              log(num3 / col("cab2")))
-            .otherwise(log(p2v))
+          // continuation buckets of c (the shared ladder rung, frozen
+          // model stats bound as literals)
+          val p2v = graft.ops.Scoring.p2vExpr(col("cbc"), col("cb"),
+            col("n1b"), col("n1pre"), lit(dd), lit(tt), lit(v))
+          // the shared order-3 rung, dd3 = 0 totality guard included
+          // (r15 ADVICE) — ONE definition with q206's batch serve
+          val lnP3 = graft.ops.Scoring.lnP3Expr(col("cabc"), col("cab2"),
+            col("n1ab"), p2v, lit(dd3))
           val out = tft
             .join(tg3.filter(col("abkt").isin(aB: _*))
               .select(col("a"), col("b"), col("c"), col("cabc")),
@@ -918,11 +905,8 @@ object Incremental {
         val aB = tfb.select(col("abkt")).distinct().as[Long].collect()
         val bB = tfb.select(col("bbkt")).distinct().as[Long].collect()
         val lnP = smoothing match {
-          case "kn" => when(col("cab").isNotNull,
-              log(((col("cab") - lit(dd)) +
-                lit(dd) * col("n1a") * (col("n1pre") / lit(tt))) / col("ca")))
-            .otherwise(log((coalesce(col("cab"), lit(0L)) + 1) /
-              (coalesce(col("ca"), lit(0L)) + lit(v))))
+          case "kn" => graft.ops.Scoring.lnP2Expr(col("cab"), col("ca"),
+            col("n1a"), col("n1pre"), lit(dd), lit(tt), lit(v))
           case _ => log((coalesce(col("cab"), lit(0L)) + 1) /
             (coalesce(col("ca"), lit(0L)) + lit(v)))
         }

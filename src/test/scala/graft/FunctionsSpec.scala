@@ -272,4 +272,20 @@ class FunctionsSpec extends AnyFunSuite {
     // certification; this suite pins the Spark algebra)
     assert(mi(Seq(3L, 3L, 4L), 0) == 3.0) // 10/3 = 3.33... -> 3 at scale 0
   }
+
+  test("property: meanInt equals the BigDecimal HALF_UP mean over random integer groups") {
+    import graft.ops.ExactMean
+    val rnd = new scala.util.Random(0xE16)
+    for (trial <- 1 to 25) {
+      val scale = rnd.nextInt(5) // 0..4
+      val xs = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextLong() % 1000000L) * (if (rnd.nextBoolean()) 1L else -1L))
+      val want = (BigDecimal(xs.sum) / xs.length)
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = xs.toDF("v").agg(ExactMean.meanInt($"v", scale))
+        .head().getDouble(0)
+      assert(got == want,
+        s"trial $trial scale=$scale n=${xs.length}: $got vs $want")
+    }
+  }
 }

@@ -757,6 +757,45 @@ object ScaleSmoke {
       }
       probe.unpersist()
     }
+    // VOCAB-GROWTH MONITOR SERVING (maintainer #24): grow the first-seen
+    // TERM LOG superlinearly vs any one batch (disjoint-vocab copies
+    // ingested first), then time a FIXED 200-doc batch drain — the
+    // anti-join must partition-prune to the batch's touched buckets, so
+    // per-batch cost follows the batch, not the accumulated log.
+    if (section == "all" || section == "vocgrow") {
+      val docsBase = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val probe = docsBase.limit(200).cache()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      for (mult <- Seq(1, 4, 16)) {
+        val seeded = (0 until mult).map { k =>
+          if (k == 0) docsBase
+          else docsBase.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"),
+            col("source"))
+        }.reduce(_ unionByName _)
+        val base = java.nio.file.Files.createTempDirectory("smoke-vocg").toString
+        val nBuckets = 8 * mult
+        seeded.write.parquet(s"$base/in/b1")
+        graft.streaming.Incremental.continuousVocabGrowth(spark,
+          s"$base/in/*", schema, s"$base/out", s"$base/ck", nBuckets)
+        val logRows = spark.read.parquet(s"$base/out/terms")
+          .filter(col("term").isNotNull).count()
+        println(s"[scale] vocgrow mult=$mult term_log_rows=$logRows " +
+          s"nbkt=$nBuckets")
+        probe.write.parquet(s"$base/in/b2")
+        time(s"mult=$mult vocgrow drain (200-doc batch)")(
+          graft.streaming.Incremental.continuousVocabGrowth(spark,
+            s"$base/in/*", schema, s"$base/out", s"$base/ck", nBuckets))
+      }
+      probe.unpersist()
+    }
     // SIF FOLD UNDER A JUNK-INFLATED RAW VOCABULARY (r15 verdict #1):
     // the doc-vector fold's term-frequency broadcast is bounded by the
     // TRAINED vocabulary (freq is computed from the post-wv-join token

@@ -705,8 +705,13 @@ object Similarity {
       .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
         col("q_id") =!= col("c_id"))
       .withColumn("cos_raw", expr("cosine_sim(q_emb, c_emb)"))
+      // NaN filter BEFORE ranking (mirrors the oracle's ex CTE): Spark
+      // sorts NaN FIRST under desc, so a zero-norm embedding's NaN rows
+      // would consume the top-3 rank slots and then be dropped, evicting
+      // true neighbors and understating recall3 (r16 ADVICE).
+      .filter(!isnan(col("cos_raw")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3 && !isnan(col("cos_raw")))
+      .filter(col("rn") <= 3)
       .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"))
     val idx = IvfIndex.load(s, ivfDir(s, d))
     val nq = queries.count()

@@ -31,15 +31,25 @@ object Compaction {
   }
 
   /** Rewrite `inDir` into `outDir` as ~`targetBytes`-sized, id-range-
-    * partitioned, id-sorted parquet files. Returns the output file count. */
+    * partitioned, id-sorted parquet files. Returns the output file count.
+    * Published through [[SwapProtocol]] rather than `mode("overwrite")`
+    * (whose delete-then-write leaves `outDir` missing on a mid-write
+    * crash): the previous contents stay live until the rewrite has fully
+    * materialized, and a crashed publish is completed by the next
+    * reader/writer. This also makes IN-PLACE compaction (`inDir ==
+    * outDir`) safe — the rewrite reads the live dir and lands in the tmp. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       idCol: String, targetBytes: Long = 128L << 20): Int = {
     val bytes = dataBytes(spark, inDir)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir)
-      .repartitionByRange(nFiles, col(idCol))
-      .sortWithinPartitions(idCol)
-      .write.mode("overwrite").parquet(outDir)
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    SwapProtocol.writeSwapped(fs, dst) { tmp =>
+      spark.read.parquet(inDir)
+        .repartitionByRange(nFiles, col(idCol))
+        .sortWithinPartitions(idCol)
+        .write.parquet(tmp.toString)
+    }
     nFiles
   }
 
@@ -83,13 +93,17 @@ object Compaction {
       }
       z
     }
-    df.withColumn("__z",
-        interleave(bucket(boundsA)(col(colA).cast("double")),
-          bucket(boundsB)(col(colB).cast("double"))))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(outDir)
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    SwapProtocol.writeSwapped(fs, dst) { tmp =>
+      df.withColumn("__z",
+          interleave(bucket(boundsA)(col(colA).cast("double")),
+            bucket(boundsB)(col(colB).cast("double"))))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(tmp.toString)
+    }
     nFiles
   }
 }

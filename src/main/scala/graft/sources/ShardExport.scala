@@ -27,16 +27,22 @@ object ShardExport {
 
   /** Write `df` as `outDir/shard=K/part-*.parquet` (layout, file-size
     * bound, and round-trip asserted in ShardExportSpec; the q86 query is
-    * the matching manifest). */
+    * the matching manifest). A refresh of an existing export publishes
+    * through [[SwapProtocol]] — a training loader pointed at `outDir`
+    * never sees the shards half-deleted mid-rewrite. */
   def write(df: DataFrame, idCol: String, outDir: String,
       nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20): Unit = {
-    df.withColumn("shard", shardAssignment(col(idCol), nShards))
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col(idCol))
-      .write
-      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
-      .partitionBy("shard")
-      .mode("overwrite")
-      .parquet(outDir)
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dst.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    SwapProtocol.writeSwapped(fs, dst) { tmp =>
+      df.withColumn("shard", shardAssignment(col(idCol), nShards))
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions(col("shard"), col(idCol))
+        .write
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .partitionBy("shard")
+        .parquet(tmp.toString)
+    }
   }
 }

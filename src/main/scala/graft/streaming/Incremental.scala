@@ -1245,38 +1245,76 @@ object Incremental {
 
   /** Read-side fold of the novelty log → the q197 table over every doc
     * streamed so far (per-(source, gram) totals re-aggregated from the
-    * integer partials, then the shared per-source fold). */
-  def noveltyReport(spark: SparkSession, outDir: String): DataFrame =
+    * integer partials, then the shared per-source fold). Completes any
+    * compaction swap a crash left in flight before reading, so the
+    * report never sees a missing live path. */
+  def noveltyReport(spark: SparkSession, outDir: String): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    graft.sources.SwapProtocol.recover(
+      dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
     graft.ops.CorpusReports.noveltyFoldOf(
       spark.read.parquet(outDir)
         .groupBy(col("source"), col("g"))
         .agg(sum(col("n")).as("n")))
+  }
 
   /** Compact the novelty log: unlike maintainers #20/#21 (whose partials
     * are sources×dim- or 1-row-per-batch-bounded), #23's per-batch
     * partial is a GRAM table — the log grows with Σ batch-distinct grams
     * until compacted. The counts are re-aggregable integers, so
     * compaction is exact: roll the log up to one (source, g, n) table
-    * and atomically swap it in (tmp write → delete → rename). Run
-    * between drains (the AvailableNow trigger stops the stream); the
-    * checkpoint tracks INPUT files, so compacting the output never
-    * causes a replay, and subsequent batches append alongside the
-    * rollup. [[noveltyReport]] is invariant under compaction. */
+    * and publish it through the crash-recoverable swap protocol
+    * ([[graft.sources.SwapProtocol]]: tmp write → retire dst → publish
+    * tmp → reclaim — the live log is never deleted before its
+    * replacement is in place, and a crash at ANY step is completed by
+    * the next reader or compaction, from `__swap_old`/`__swap_tmp`;
+    * closes the r16 delete-then-rename window). Run between drains (the
+    * AvailableNow trigger stops the stream); the checkpoint tracks INPUT
+    * files, so compacting the output never causes a replay, and
+    * subsequent batches append alongside the rollup. [[noveltyReport]]
+    * is invariant under compaction. */
   def compactNoveltyLog(spark: SparkSession, outDir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val rolled = spark.read.parquet(outDir)
-      .groupBy(col("source"), col("g"))
-      .agg(sum(col("n")).as("n"))
-      .withColumn("batch_id", lit(-1L))
-      .select(col("source"), col("g"), col("n"), col("batch_id"))
-    val fs = new Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(outDir + "__compact_tmp")
-    fs.delete(tmp, true)
-    rolled.write.parquet(tmp.toString)
     val dst = new Path(outDir)
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"compaction swap failed for $outDir")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.SwapProtocol.writeSwapped(fs, dst) { tmp =>
+      // the rollup plan reads the LIVE dst — it stays in place (readable,
+      // crash-intact) until the tmp write below has fully materialized
+      spark.read.parquet(outDir)
+        .groupBy(col("source"), col("g"))
+        .agg(sum(col("n")).as("n"))
+        .withColumn("batch_id", lit(-1L))
+        .select(col("source"), col("g"), col("n"), col("batch_id"))
+        .write.parquet(tmp.toString)
+    }
+  }
+
+  /** Compaction POLICY for maintainer #23 (r16 verdict #7): compact when
+    * the appended-partial rows outgrow the last rollup by `growthRatio`.
+    * The drain loop consults this instead of remembering to compact —
+    * the log's growth is bounded by policy, not operator discipline.
+    * The trigger read scans ONE int64 column (`batch_id` — rollup rows
+    * carry -1, appended partials their real batch id), nothing
+    * gram-sized. An uncompacted log (no rollup yet) triggers
+    * once the appended rows alone exceed `growthRatio` × `minRollupRows`
+    * (the floor keeps a tiny fresh log from compacting every drain).
+    * Returns whether a compaction ran. */
+  def compactNoveltyLogIfNeeded(spark: SparkSession, outDir: String,
+      growthRatio: Double = 4.0, minRollupRows: Long = 1000L): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(outDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.SwapProtocol.recover(fs, dst)
+    if (!fs.exists(dst)) return false
+    val byKind = spark.read.parquet(outDir)
+      .groupBy(col("batch_id") === -1L)
+      .count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val rolled = byKind.getOrElse(true, 0L)
+    val appended = byKind.getOrElse(false, 0L)
+    val due = appended > growthRatio * math.max(rolled, minRollupRows)
+    if (due) compactNoveltyLog(spark, outDir)
+    due
   }
 
   /** Continuous VOCABULARY-GROWTH monitor — maintainer #24, the

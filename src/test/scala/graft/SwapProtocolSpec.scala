@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SwapProtocol
+import graft.streaming.Incremental
+
+/** Crash-recovery of the directory-swap protocol (r16 verdict #1): a
+  * simulated kill between EVERY pair of protocol steps must leave the
+  * novelty log recoverable — `noveltyReport` still folds the exact table,
+  * from `dst`, `__swap_old`, or `__swap_tmp` as the crash point dictates.
+  * Also pins the maintainer-#23 compaction POLICY trigger (verdict #7). */
+class SwapProtocolSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  /** A fresh novelty log (two appended partial batches, never compacted)
+    * and the fold it must always report, regardless of crash state. */
+  private def freshLog(): (String, Seq[Seq[Any]]) = {
+    val dir = Files.createTempDirectory("graft-swap").toString + "/log"
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "srcA"),
+      (1L, "fixed template phrase bank repeated verbatim", "srcB"),
+      (2L, "fixed template phrase bank repeated verbatim", "srcB"))
+      .toDF("doc_id", "text", "source")
+    graft.ops.CorpusReports.gramCountsOf(
+        corpus.filter(col("doc_id") < 2).select(col("source"), col("text")))
+      .withColumn("batch_id", lit(0L)).write.mode("append").parquet(dir)
+    graft.ops.CorpusReports.gramCountsOf(
+        corpus.filter(col("doc_id") >= 2).select(col("source"), col("text")))
+      .withColumn("batch_id", lit(1L)).write.mode("append").parquet(dir)
+    val want = graft.ops.CorpusReports.noveltyFoldOf(
+        graft.ops.CorpusReports.gramCountsOf(
+          corpus.select(col("source"), col("text"))))
+      .collect().map(_.toSeq).toSeq
+    (dir, want)
+  }
+
+  private def fs(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write the compaction rollup of `dir` to an arbitrary staging path —
+    * the state `compactNoveltyLog` reaches just before its swap steps. */
+  private def stageRollup(dir: String, to: Path): Unit =
+    spark.read.parquet(dir)
+      .groupBy(col("source"), col("g")).agg(sum(col("n")).as("n"))
+      .withColumn("batch_id", lit(-1L))
+      .select(col("source"), col("g"), col("n"), col("batch_id"))
+      .write.parquet(to.toString)
+
+  private def report(dir: String): Seq[Seq[Any]] =
+    Incremental.noveltyReport(spark, dir).collect().map(_.toSeq).toSeq
+
+  test("kill after tmp write, before retire: dst authoritative, residue cleared") {
+    val (dir, want) = freshLog()
+    val f = fs(dir); val dst = new Path(dir)
+    stageRollup(dir, SwapProtocol.tmpPath(dst)) // crash here: dst + tmp
+    assert(report(dir) == want)
+    assert(!f.exists(SwapProtocol.tmpPath(dst)), "stale tmp must be cleared")
+    // and a subsequent compaction from this state still lands cleanly
+    Incremental.compactNoveltyLog(spark, dir)
+    assert(report(dir) == want)
+  }
+
+  test("kill between retire and publish: report recovers from __swap_tmp") {
+    val (dir, want) = freshLog()
+    val f = fs(dir); val dst = new Path(dir)
+    stageRollup(dir, SwapProtocol.tmpPath(dst))
+    assert(f.rename(dst, SwapProtocol.oldPath(dst))) // crash here: old + tmp, NO dst
+    assert(report(dir) == want, "fold must recover from the staged rollup")
+    assert(f.exists(dst) && !f.exists(SwapProtocol.oldPath(dst)) &&
+      !f.exists(SwapProtocol.tmpPath(dst)), "recovery must complete the swap")
+  }
+
+  test("kill between publish and reclaim: dst is the rollup, old reclaimed") {
+    val (dir, want) = freshLog()
+    val f = fs(dir); val dst = new Path(dir)
+    stageRollup(dir, SwapProtocol.tmpPath(dst))
+    assert(f.rename(dst, SwapProtocol.oldPath(dst)))
+    assert(f.rename(SwapProtocol.tmpPath(dst), dst)) // crash here: dst + old
+    assert(report(dir) == want)
+    assert(!f.exists(SwapProtocol.oldPath(dst)), "old must be reclaimed")
+  }
+
+  test("defensive state (only __swap_old): report restores it") {
+    val (dir, want) = freshLog()
+    val f = fs(dir); val dst = new Path(dir)
+    assert(f.rename(dst, SwapProtocol.oldPath(dst))) // dst vanished entirely
+    assert(report(dir) == want)
+    assert(f.exists(dst))
+  }
+
+  test("compaction policy: trigger fires at the ratio, report invariant (maintainer #23)") {
+    val (dir, want) = freshLog()
+    // 2 partial batches, no rollup yet; with minRollupRows=1 the floor is
+    // growthRatio rows — the tiny log is over any small ratio already
+    val rows = spark.read.parquet(dir).count()
+    assert(!Incremental.compactNoveltyLogIfNeeded(spark, dir,
+      growthRatio = rows.toDouble + 1, minRollupRows = 1L),
+      "below the ratio: must not compact")
+    assert(spark.read.parquet(dir).filter(col("batch_id") === -1L).count() == 0)
+    assert(Incremental.compactNoveltyLogIfNeeded(spark, dir,
+      growthRatio = 1.0, minRollupRows = 1L), "at the ratio: must compact")
+    assert(spark.read.parquet(dir).filter(col("batch_id") =!= -1L).count() == 0,
+      "all partials rolled up")
+    assert(report(dir) == want, "report invariant across triggered compaction")
+    // rolled-up log with no new appends: never re-triggers
+    assert(!Incremental.compactNoveltyLogIfNeeded(spark, dir,
+      growthRatio = 1.0, minRollupRows = 1L))
+  }
+
+  test("Compaction.compact in place survives (and ShardExport refresh keeps the old live until publish)") {
+    val base = Files.createTempDirectory("graft-swapc").toString
+    val d = s"$base/table"
+    (0L until 100L).toDF("id").repartition(8).write.parquet(d)
+    // in-place compaction: read live, write tmp, swap — contents identical
+    graft.sources.Compaction.compact(spark, d, d, "id", targetBytes = 1L << 30)
+    assert(spark.read.parquet(d).count() == 100)
+    val f = fs(d)
+    assert(!f.exists(SwapProtocol.tmpPath(new Path(d))) &&
+      !f.exists(SwapProtocol.oldPath(new Path(d))))
+    // shard-export refresh over an existing export: crash-staged tmp from
+    // a previous attempt must not shadow the live export
+    val e = s"$base/export"
+    val docs = (0L until 50L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 4)
+    stageRollupDummy(s"$base/junk", SwapProtocol.tmpPath(new Path(e)))
+    assert(spark.read.parquet(e).count() == 50) // reader path unaffected
+    graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 4)
+    assert(spark.read.parquet(e).count() == 50)
+    assert(!f.exists(SwapProtocol.tmpPath(new Path(e))))
+  }
+
+  /** A deliberately-wrong staged dir (simulates a half-written crash tmp). */
+  private def stageRollupDummy(scratch: String, to: Path): Unit =
+    Seq((1L, "x")).toDF("doc_id", "text").write.mode("overwrite").parquet(to.toString)
+}

@@ -69,4 +69,25 @@ object SparkEntry {
       (Set("q154_wordvec_neighbors", "q155_docvec_similar", "q161_sif_docvec",
         "q184_source_docvec_diversity"),
         ops.Ml.writeWordvecSupport))
+
+  /** Support tables (`{GRAFT_OUT}_support/<name>`) an oracle SQL reads. */
+  private[graft] def supportRefs(sql: String): Set[String] =
+    "\\{GRAFT_OUT\\}_support/([A-Za-z0-9_]+)".r
+      .findAllMatchIn(sql).map(_.group(1)).toSet
+
+  /** The [[oracleSupport]] entries a SUBSET Verify selection needs: keyed
+    * directly, or transitively — a selected query's oracle reads a support
+    * table that one of a writer's own keyed queries also reads. Derived
+    * from the SQL text, so a new query reusing an exported model (the
+    * q201-reads-q45's-index pattern) is covered without a manual key
+    * (r16 verdict #3: a `Verify ... q201_ann_recall_sweep`-only run
+    * previously skipped writeAnnSupport and failed its oracle). */
+  private[graft] def supportEntriesFor(selected: Set[String])
+      : Seq[(Set[String], (SparkSession, String, String) => Unit)] = {
+    val wanted = selected.flatMap(n => supportRefs(oracleSql.getOrElse(n, "")))
+    oracleSupport.filter { case (keys, _) =>
+      keys.exists(selected) ||
+        keys.exists(k => supportRefs(oracleSql.getOrElse(k, "")).exists(wanted))
+    }
+  }
 }

@@ -62,13 +62,17 @@ object Verify {
     // outputs (e.g. q94): written AFTER the dumps so memoized fits reuse.
     // Per-writer scoping — a subset run pays only the fits its selected
     // queries' oracles actually read (a q94-only run must not build the
-    // IVF index, nor a q45-only run the topic model)
-    SparkEntry.oracleSupport.foreach { case (keys, w) =>
-      if (only.isEmpty || keys.exists(only))
-        try w(spark, sfDir, outDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] oracle support failed: ${e.getMessage}")
-        }
+    // IVF index, nor a q45-only run the topic model). Scoping includes
+    // TRANSITIVE support reads swept from the oracle SQL itself, so a
+    // subset selecting only q201 still gets q45's index export.
+    val supportEntries =
+      if (only.isEmpty) SparkEntry.oracleSupport
+      else SparkEntry.supportEntriesFor(only)
+    supportEntries.foreach { case (_, w) =>
+      try w(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] oracle support failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

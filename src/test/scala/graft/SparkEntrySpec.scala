@@ -47,4 +47,27 @@ class SparkEntrySpec extends AnyFunSuite {
       s"undocumented rows-only queries: $rowsOnly — every new operator needs an oracle " +
         "or an explicit entry here with unit invariants")
   }
+
+  test("subset support selection follows the oracle SQL's support reads (r16 #3)") {
+    // q201's oracle reads q45's exported index: selecting q201 ALONE must
+    // pull in the writer keyed by q45 (the subset-Verify gap the judge
+    // reproduced in r16), without dragging in unrelated writers
+    val forQ201 = SparkEntry.supportEntriesFor(Set("q201_ann_recall_sweep"))
+    assert(forQ201.exists(_._1.contains("q45_ann_ivf")),
+      "q201 subset must include the ANN index support writer")
+    assert(!forQ201.exists(_._1.contains("q50_topic_info")),
+      "q201 subset must not build the topic model")
+    // a no-support query selects no writers at all
+    assert(SparkEntry.supportEntriesFor(Set("q01_pricing_summary")).isEmpty)
+    // every support table referenced by ANY oracle is producible: some
+    // writer's own keyed queries reference it too (else the sweep could
+    // select nothing for it and the full run would fail its oracle)
+    val producible = SparkEntry.oracleSupport.flatMap { case (keys, _) =>
+      keys.flatMap(k => SparkEntry.supportRefs(SparkEntry.oracleSql.getOrElse(k, "")))
+    }.toSet
+    val refs = SparkEntry.oracleSql.flatMap { case (n, sql) =>
+      SparkEntry.supportRefs(sql).map(n -> _) }
+    val orphaned = refs.filterNot { case (_, t) => producible(t) }
+    assert(orphaned.isEmpty, s"oracle support reads no writer covers: $orphaned")
+  }
 }

@@ -1,9 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  @volatile private var calibrationSink: Long = 0L
+
+  /** HOST-CALIBRATION probe (r16 verdict #2): three rounds running,
+    * cross-round bench comparison has been blinded by ±25–45 % host
+    * drift on identical code. This measures a FIXED, seeded, CPU-bound
+    * workload — per thread: xorshift-fill 4M longs, sort, hash-fold —
+    * on `threads` concurrent threads (the same exposure to host load
+    * Spark's local[n] pool has), no Spark involved. One untimed JIT
+    * warmup pass, then the min of two timed passes. The resulting
+    * seconds scale with whatever the host is doing during the bench, so
+    * `tools/bench_report.py` can print ratios normalized by the
+    * calibration alongside the raw ones. */
+  def hostCalibration(threads: Int): Double = {
+    def work(seed: Long): Long = {
+      val n = 4000000
+      val a = new Array[Long](n)
+      var x = seed | 1L
+      var i = 0
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+      java.util.Arrays.sort(a)
+      var h = 0L
+      i = 0
+      while (i < n) { h = h * 31 + a(i); i += 1 }
+      h
+    }
+    def onePass(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => { calibrationSink ^= work(t + 1L) })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    onePass() // JIT warmup, untimed
+    math.min(onePass(), onePass())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val hostCalib = hostCalibration(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -92,6 +132,7 @@ object Bench {
       s"""{"sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +
         s"""$passMaps,"queries_first":${jsonMap(firstPass)},""" +
         s""""queries":${jsonMap(results)},""" +
+        s""""host_calibration_sec":${f"$hostCalib%.3f"},""" +
         s""""min_total_sec":${f"$minTotal%.3f"},""" +
         s""""first_pass_total":${f"$firstTotal%.3f"}}"""
     try java.nio.file.Files.write(
@@ -99,7 +140,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
-    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
+    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
     spark.stop()
   }
 }

@@ -35,6 +35,9 @@ def load(path):
             out[key] = json.loads(f.group(1).replace("\\n", "").replace('\\"', '"'))
     v = re.search(r'\\?"min_total_sec\\?":([0-9.]+)', text)
     c = re.search(r'\\?"value\\?":([0-9.]+)', text)
+    h = re.search(r'\\?"host_calibration_sec\\?":([0-9.]+)', text)
+    if h:
+        out["host_calibration_sec"] = float(h.group(1))
     if "queries" not in out:
         # last resort: a head-truncated tail — reconstruct the warm map
         # from the first intact "qNN...":number entry to its closing brace
@@ -64,6 +67,10 @@ def main():
     print(f"## Bench report: {sys.argv[1]}")
     print(f"- cold first-pass total {total_first:.1f} s, "
           f"warm min-total {total_warm:.1f} s at {len(warm)} queries")
+    if a.get("host_calibration_sec"):
+        print(f"- host calibration: {a['host_calibration_sec']:.2f} s "
+              f"(fixed seeded sort+hash on all bench threads; scales with "
+              f"host load — normalize cross-run ratios by it)")
     if first:
         deltas = sorted(((first[q] - warm[q], q) for q in warm if q in first),
                         reverse=True)
@@ -77,12 +84,25 @@ def main():
         b = load(sys.argv[2])
         bw = b["queries"]
         common = sorted(set(warm) & set(bw))
+        if not common:
+            sys.exit(f"no common queries between {sys.argv[1]} and "
+                     f"{sys.argv[2]} (truncated tail artifact?)")
         ratios = sorted(((warm[q] / bw[q] if bw[q] > 0 else float("inf"), q)
                          for q in common), reverse=True)
         med = sorted(r for r, _ in ratios)[len(ratios) // 2]
         print(f"\n## vs {sys.argv[2]} ({len(common)} common queries)")
         print(f"- suite median warm ratio: {med:.2f} "
               f"(drift band per NOTES: compare medians, not single readings)")
+        ca, cb = a.get("host_calibration_sec"), b.get("host_calibration_sec")
+        if ca and cb:
+            # times scale ~ with host slowness; dividing each side by its
+            # calibration cancels the shared-host drift component
+            print(f"- host-normalized median ratio: {med * cb / ca:.2f} "
+                  f"(raw {med:.2f} x calib {cb:.2f}/{ca:.2f})")
+        else:
+            missing = sys.argv[1] if not ca else sys.argv[2]
+            print(f"- no host normalization: {missing} lacks "
+                  f"host_calibration_sec (pre-r17 artifact)")
         big = [(r, q) for r, q in ratios if r >= 2.0 and warm[q] - bw[q] >= 0.4]
         if big:
             print("- >=2x AND >=0.4s absolute warm regressions:")

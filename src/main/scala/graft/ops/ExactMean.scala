@@ -34,6 +34,55 @@ import org.apache.spark.sql.functions._
   * Also correct for 0/1 indicator shares (q160's tercile/gate shares):
   * round(ind·10⁴) is exactly 0 or 10⁴, so mean4 computes the exactly-
   * rounded share k/n with no float division in the rounding path.
+  *
+  * ==The EXACTNESS LEDGER (r16 verdict #5)==
+  *
+  * Every mean/avg site in main, by exactness class. The classes are
+  * enforced by convention: any `avg(` on a non-oracle line outside this
+  * file must carry a same-line `// float-mean: <class>` marker —
+  * `ExactnessLedgerSpec` sweeps the source tree and fails on an
+  * unmarked site, so a new float mean cannot land unclassified.
+  * (Oracle-SQL renderings — stripMargin lines starting with `|` —
+  * mirror the engine side and are certified by the oracle gate itself.)
+  *
+  * '''exact''' — every call site of [[mean4]] / [[meanInt]] /
+  * [[sumScaled4]] (and their SQL twins): the funnel/report family
+  * (q151, q157, q160, q163, q168, q171, q194, q196, q198, q199, q204,
+  * q205, q206, …) and q01's money sums/means. Integer or ×10⁴
+  * arithmetic end-to-end; identical on any engine at any group size.
+  *
+  * '''float-precedent''' (`// float-mean: precedent`) — `round(avg(x),
+  * 4)` over CONTINUOUS embedding components (|x| ≤ 1 by the unit-norm /
+  * bounded-feature invariants); the q42 certification precedent, also
+  * q182 (`Similarity.diversityOf`), q203 (label/global component
+  * means), q155's doc-vector pooling (`ops/Ml`), q184's source
+  * diversity fold (`ops/Ml`). Order-dependent in the last ulps; round-4
+  * absorbs it because the mean error of summing n bounded components is
+  * ≲ n·ε — at the oracle's scale ≈ 1e-12, and even at 1e9-row groups
+  * ≈ 1e-7 against a 5e-5 boundary half-width (a <0.2 % worst-case
+  * boundary-hit probability, vs ~10 % for rounded-4 INPUTS, which is
+  * why that face uses [[mean4]]). These cannot use ExactMean without
+  * changing semantics: the inputs are full-precision doubles, so there
+  * is no exact integer representation to accumulate.
+  * `FloatMeanProps` probes the absorption limits: continuous bounded
+  * inputs never flip under reordering; magnitude-spread inputs (ratio
+  * ≳ 2⁵³) and exact-boundary rounded inputs do — the two invariants
+  * (bounded components, continuous values) are what the precedent
+  * leans on.
+  *
+  * '''float-intermediate''' (`// float-mean: intermediate`) — `avgdl`
+  * in the BM25 kernels (`ops/Scoring` q84/q131, `ops/InvertedIndex`
+  * q93): an UNROUNDED scalar feeding the same downstream float formula
+  * on both engines; certification happens at the downstream round-4
+  * score. The sum of token counts stays under 2⁵³ out to ~10¹⁵ tokens
+  * (beyond a 100 TB corpus), so the double accumulator is exact-ish in
+  * the regime that matters and both engines share the identical value.
+  *
+  * '''diagnostic''' (`// float-mean: diagnostic`) — `tools/ScaleSmoke`
+  * cell-balance readout; printed telemetry, not a certified surface.
+  *
+  * '''rows-only by design''' — q62/q80 (randomized sketches, no
+  * deterministic cross-engine value; ±5 %-error-bound units instead).
   */
 object ExactMean {
 

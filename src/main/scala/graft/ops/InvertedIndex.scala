@@ -48,7 +48,8 @@ object InvertedIndex {
     docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/doclens")
     spark.read.parquet(s"$dir/doclens")
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl")) // float-mean: intermediate
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -71,7 +72,8 @@ object InvertedIndex {
     docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/doclens")
     spark.read.parquet(s"$dir/doclens")
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl")) // float-mean: intermediate
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 

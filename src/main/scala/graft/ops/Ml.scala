@@ -155,7 +155,7 @@ object Ml {
         explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
       .join(broadcast(wv), Seq("word"))
       .select(col("doc_id"), posexplode(col("vec")).as(Seq("i", "x")))
-      .groupBy(col("doc_id"), col("i")).agg(avg(col("x")).as("x"))
+      .groupBy(col("doc_id"), col("i")).agg(avg(col("x")).as("x")) // float-mean: precedent
       .groupBy(col("doc_id"))
       .agg(expr("transform(array_sort(collect_list(struct(i, x))), s -> s.x)").as("dv"))
       .withColumn("nrm", sqrt(expr(
@@ -323,7 +323,7 @@ object Ml {
       .select(col("source"), col("nrm"), posexplode(col("dv")).as(Seq("pos", "x")))
       .select(col("source"), col("pos"), (col("x") / col("nrm")).as("u"))
       .groupBy(col("source"), col("pos"))
-      .agg(avg(col("u")).as("c"), count(lit(1)).as("n"))
+      .agg(avg(col("u")).as("c"), count(lit(1)).as("n")) // float-mean: precedent
       .groupBy(col("source"))
       .agg(max(col("n")).cast("long").as("n_docs"),
         round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))

@@ -125,7 +125,8 @@ object Scoring {
     val tf = hits.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = hits.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")) // float-mean: intermediate
     Caching.materializeAndRelease(
       tf.join(broadcast(df_), Seq("term"))
         .join(dl, Seq("doc_id"))
@@ -1724,7 +1725,8 @@ object Scoring {
     val dfq = hits.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")) // float-mean: intermediate
     val scored = tf
       .join(broadcast(dfq), Seq("term"))
       .join(dl, Seq("doc_id"))

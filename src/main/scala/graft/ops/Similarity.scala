@@ -39,7 +39,8 @@ object Similarity {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .filter(col("pos") < 8)
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 4).as("avg_v"), count(lit(1)).as("n"))
+      .agg(round(avg(col("v").cast("double")), 4).as("avg_v"), // float-mean: precedent
+        count(lit(1)).as("n"))
       .orderBy(col("label"), col("pos"))
   }
 
@@ -65,7 +66,7 @@ object Similarity {
       .select(col("label"), col("pos"),
         (col("x").cast("double") / col("nrm")).as("u"))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("u")).as("c"), count(lit(1)).as("n"))
+      .agg(avg(col("u")).as("c"), count(lit(1)).as("n")) // float-mean: precedent
       .groupBy(col("label"))
       .agg(max(col("n")).cast("long").as("n_vecs"),
         round(lit(1.0) - sum(col("c") * col("c")), 4).as("diversity"))
@@ -750,8 +751,8 @@ object Similarity {
         col("x").cast("double").as("x"))
       .cache()
     val lm = e.groupBy(col("label"), col("i"))
-      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
-    val gm = e.groupBy(col("i")).agg(avg(col("x")).as("g"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n")) // float-mean: precedent
+    val gm = e.groupBy(col("i")).agg(avg(col("x")).as("g")) // float-mean: precedent
     Caching.materializeAndRelease(
       lm.join(gm, Seq("i"))
         .groupBy(col("label"))

@@ -185,7 +185,7 @@ object ScaleSmoke {
         // per-query scan share is nProbe/nCells × cell balance; report the
         // balance once so the frac→cost mapping is honest
         val sizes = idx.cells.groupBy(col("cell")).count()
-          .select(max(col("count")), avg(col("count"))).head()
+          .select(max(col("count")), avg(col("count"))).head() // float-mean: diagnostic
         println(f"[scale] mult=$mult cell balance max/avg=" +
           f"${sizes.getLong(0).toDouble / sizes.getDouble(1)}%.2f")
         for (frac <- Seq(0.0625, 0.125, 0.25, 0.5)) {

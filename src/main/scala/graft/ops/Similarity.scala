@@ -694,26 +694,31 @@ object Similarity {
     * statistical floor). Scale: the exact reference is batch×corpus (the
     * q44 intended shape, 50-row broadcast side); each sweep point is the
     * q99 pruned serve. */
+  /** Exact brute-force top-3 per query — the shared recall reference for
+    * q201/q207 (q44's kernel: broadcast batch × corpus, top-3 by
+    * (cos desc, id)). NaN filter BEFORE ranking (mirrors the oracle's ex
+    * CTE): Spark sorts NaN FIRST under desc, so a zero-norm embedding's
+    * NaN rows would consume the top-3 rank slots and then be dropped,
+    * evicting true neighbors and understating recall3 (r16 ADVICE). */
+  private def exactTop3(e: DataFrame, queries: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("c_id"))
+    broadcast(
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("cos_raw", expr("cosine_sim(q_emb, c_emb)"))
+      .filter(!isnan(col("cos_raw")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"))
+  }
+
   val q201AnnRecallSweep: Q = (s, d) => {
     graft.plans.GraftExtensions.register(s)
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < SweepBatchMaxId)
       .select(col("vec_id"), col("embedding"))
-    // exact reference: top-3 by (cos desc, id) per query — q44's kernel
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("c_id"))
-    val exact = broadcast(
-        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
-        col("q_id") =!= col("c_id"))
-      .withColumn("cos_raw", expr("cosine_sim(q_emb, c_emb)"))
-      // NaN filter BEFORE ranking (mirrors the oracle's ex CTE): Spark
-      // sorts NaN FIRST under desc, so a zero-norm embedding's NaN rows
-      // would consume the top-3 rank slots and then be dropped, evicting
-      // true neighbors and understating recall3 (r16 ADVICE).
-      .filter(!isnan(col("cos_raw")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"))
+    val exact = exactTop3(e, queries)
     val idx = IvfIndex.load(s, ivfDir(s, d))
     val nq = queries.count()
     SweepNProbes.map { np =>
@@ -733,6 +738,46 @@ object Similarity {
 
   private[ops] val SweepBatchMaxId = 50L
   private[ops] val SweepNProbes = Seq(1, 2, 4, 8)
+
+  /** q207: the QUANTIZATION-TIER recall table — q201 priced the nProbe
+    * knob for the float tier; this prices the TIER knob at fixed nProbe
+    * ([[SqNProbe]] = q201's top sweep point, so the float row must agree
+    * with q201's nprobe=8 reading — a built-in cross-check): recall@3 of
+    * the float serve, the SQ8 two-stage serve, and the PQ ADC serve
+    * against the same exact brute-force reference on the same 50-query
+    * batch. This is the missing accuracy side of the bandwidth story —
+    * SQ8 scans 4× fewer bytes and PQ 32× fewer, and this table says what
+    * those savings cost in neighbors. Hash-certified given the exported
+    * index/codes/codebooks: the oracle recomputes all three serves AND
+    * the exact reference, so the recalls are exact integers over
+    * certified sets. Scale: each serve is the q99/q100/q112 pruned
+    * small-batch shape; the exact reference is the q44 broadcast shape. */
+  val q207QuantRecall: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3(e, queries)
+    val nq = queries.count()
+    Seq(
+      ("float", IvfIndex.searchTopK(s, IvfIndex.load(s, ivfDir(s, d)),
+        queries, k = 3, nProbe = SqNProbe)),
+      ("sq8", IvfSq.searchTopK(s, sqDir(s, d), ivfDir(s, d),
+        queries, k = 3, nProbe = SqNProbe, shortlist = SqShortlist)),
+      ("pq", IvfPq.searchTopK(s, pqDir(s, d), ivfDir(s, d),
+        queries, k = 3, nProbe = SqNProbe, shortlist = SqShortlist)))
+      .map { case (t, df) =>
+        df.select(lit(t).as("tier"), col("vec_id"), col("nn_id")) }
+      .reduce(_ unionByName _)
+      // LEFT join + null-skipping count (the q201 discipline): a tier
+      // with zero hits must still emit its row
+      .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+      .groupBy(col("tier"))
+      .agg(count(col("hit")).cast("long").as("n_hits"))
+      .select(col("tier"), lit(nq).as("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
+      .orderBy(col("tier"))
+  }
 
   /** q203: per-LABEL embedding distinctiveness — cosine between each
     * label's centroid and the global centroid: which embedding domains
@@ -795,6 +840,7 @@ object Similarity {
     "q74_embed_dedup"  -> q74EmbedDedup,
     "q201_ann_recall_sweep" -> q201AnnRecallSweep,
     "q203_label_distinct" -> q203LabelDistinct,
+    "q207_quant_recall" -> q207QuantRecall,
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
@@ -816,46 +862,198 @@ object Similarity {
     * metadata predicate, so the only CTE that differs is `mem`. */
   private[ops] def annRankedCtes(batchWhere: String, nProbe: Int,
       memSql: Option[String] = None): String =
-    s"""WITH cen AS (
-       |  SELECT cell, centroid
-       |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
-       |mem AS (
-       |  ${memSql.getOrElse(
-             "SELECT cell, vec_id\n" +
-             "  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet')")}),
-       |qn AS (
+    s"WITH $cenCte,\n" + annChainCtes("", batchWhere, nProbe, memSql)
+
+  /** The q45-exported-centroids CTE, shared by every tier's routing. */
+  private[ops] val cenCte: String =
+    """cen AS (
+      |  SELECT cell, centroid
+      |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet'))""".stripMargin
+
+  /** The routing CTE pair every tier shares: normalized query batch
+    * (`{p}qn`/`{p}qu`) and probed cells (`{p}probes`), referencing the
+    * shared `cen`. Prefixed so q207 can run several tiers' chains in ONE
+    * statement without CTE-name collisions. */
+  private def routeCtes(p: String, batchWhere: String, nProbe: Int): String =
+    s"""${p}qn AS (
        |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
        |  FROM embeddings $batchWhere),
-       |qu AS (
+       |${p}qu AS (
        |  SELECT vec_id,
        |    [CASE WHEN nrm = 0 THEN x
        |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
        |     for x in embedding] AS uv
-       |  FROM qn),
-       |probes AS (
+       |  FROM ${p}qn),
+       |${p}probes AS (
        |  SELECT vec_id, cell FROM (
-       |    SELECT qu.vec_id, cen.cell,
-       |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
+       |    SELECT ${p}qu.vec_id, cen.cell,
+       |      row_number() OVER (PARTITION BY ${p}qu.vec_id ORDER BY
        |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
        |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
        |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
-       |    FROM qu CROSS JOIN cen)
-       |  WHERE prn <= $nProbe),
-       |cand AS (
-       |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
-       |  FROM probes p JOIN mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
-       |scored AS (
-       |  SELECT c.vec_id, c.cand_id,
+       |    FROM ${p}qu CROSS JOIN cen)
+       |  WHERE prn <= $nProbe)""".stripMargin
+
+  /** The shared top-3 projection over a (prefixed) `ranked` CTE. */
+  private[ops] def top3Select(p: String): String =
+    s"""SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
+       |  round(cos_raw, 4) AS cos
+       |FROM ${p}ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+
+  /** The SQ8 two-stage serve as a prefixed CTE chain (routing → quantized
+    * approximate scan with q70's affine decode → shortlist cut → exact
+    * rerank), ending in `{p}ranked`. q100 uses it bare; q207 runs it
+    * alongside the float and PQ chains in one statement. */
+  private[ops] def sqChainCtes(p: String, batchWhere: String, nProbe: Int,
+      shortlist: Int): String = {
+    val dec = "(a.vmin + a.codes[i] * ((a.vmax - a.vmin) / 255.0))"
+    s"""${p}sqm AS (
+       |  SELECT cell, vec_id, codes, vmin, vmax
+       |  FROM read_parquet('{GRAFT_OUT}_support/q100_support_sqcells/*.parquet')),
+       |${routeCtes(p, batchWhere, nProbe)},
+       |${p}cand AS (
+       |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id, m.codes, m.vmin, m.vmax
+       |  FROM ${p}probes p JOIN ${p}sqm m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+       |${p}ascore AS (
+       |  SELECT a.vec_id, a.cand_id,
+       |    list_sum([CAST(e.embedding[i] AS DOUBLE) * $dec
+       |              for i in range(1, len(a.codes) + 1)]) /
+       |    (${duckNorm("e.embedding")} *
+       |     sqrt(list_sum([$dec * $dec
+       |                    for i in range(1, len(a.codes) + 1)]))) AS appr
+       |  FROM ${p}cand a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |${p}short AS (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT vec_id, cand_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY appr DESC, cand_id) AS srn
+       |    FROM ${p}ascore WHERE NOT isnan(appr))
+       |  WHERE srn <= $shortlist),
+       |${p}rr AS (
+       |  SELECT s.vec_id, s.cand_id,
        |    ${duckDot("a.embedding", "b.embedding")} /
        |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
-       |  FROM cand c
-       |  JOIN embeddings a ON c.vec_id = a.vec_id
-       |  JOIN embeddings b ON c.cand_id = b.vec_id),
-       |ranked AS (
+       |  FROM ${p}short s
+       |  JOIN embeddings a ON s.vec_id = a.vec_id
+       |  JOIN embeddings b ON s.cand_id = b.vec_id),
+       |${p}ranked AS (
        |  SELECT vec_id, cand_id, cos_raw,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_raw DESC, cand_id) AS rn
-       |  FROM scored
+       |  FROM ${p}rr WHERE NOT isnan(cos_raw))""".stripMargin
+  }
+
+  /** The residual-PQ two-stage serve as a prefixed CTE chain (routing →
+    * code→codebook ADC assembly with the engine's exact association →
+    * shortlist cut → exact rerank), ending in `{p}ranked`. q112 uses it
+    * bare; q207 runs it alongside the float and SQ chains. */
+  private[ops] def pqChainCtes(p: String, batchWhere: String, nProbe: Int,
+      shortlist: Int): String =
+    s"""${p}cb AS (
+       |  SELECT sub, code, centroid,
+       |    list_sum([c * c for c in centroid]) AS c2
+       |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_codebooks/*.parquet')),
+       |${p}cm AS (
+       |  SELECT cell, mean, list_sum([m * m for m in mean]) AS mn2
+       |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_cellmeans/*.parquet')),
+       |${p}pqm AS (
+       |  SELECT cell, vec_id, pcell, codes
+       |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_pqcells/*.parquet')),
+       |${routeCtes(p, batchWhere, nProbe)},
+       |${p}codes1 AS (
+       |  SELECT vec_id, pcell, codes FROM (
+       |    SELECT vec_id, pcell, codes,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cell) AS crn
+       |    FROM ${p}pqm) WHERE crn = 1),
+       |${p}cand AS (
+       |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
+       |  FROM ${p}probes p JOIN ${p}pqm m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+       |${p}subs AS (SELECT DISTINCT sub FROM ${p}cb),
+       |${p}mc AS (
+       |  SELECT c.vec_id, c.cand_id, k.pcell, s.sub, k.codes[s.sub + 1] AS code
+       |  FROM ${p}cand c JOIN ${p}codes1 k ON c.cand_id = k.vec_id CROSS JOIN ${p}subs s),
+       |${p}sd AS (
+       |  SELECT mc.vec_id, mc.cand_id, mc.pcell, mc.sub,
+       |    list_sum([CAST(e.embedding[mc.sub * len(cb.centroid) + i] AS DOUBLE) *
+       |              cb.centroid[i]
+       |              for i in range(1, len(cb.centroid) + 1)]) AS sdot,
+       |    2 * list_sum([cm.mean[mc.sub * len(cb.centroid) + i] * cb.centroid[i]
+       |              for i in range(1, len(cb.centroid) + 1)]) + cb.c2 AS mterm
+       |  FROM ${p}mc mc JOIN ${p}cb cb ON cb.sub = mc.sub AND cb.code = mc.code
+       |  JOIN embeddings e ON e.vec_id = mc.vec_id
+       |  JOIN ${p}cm cm ON cm.cell = mc.pcell),
+       |${p}pc AS (
+       |  SELECT vec_id, cand_id, pcell,
+       |    list_sum(list(sdot ORDER BY sub)) AS sdots,
+       |    list_sum(list(mterm ORDER BY sub)) AS m2s
+       |  FROM ${p}sd GROUP BY vec_id, cand_id, pcell),
+       |${p}ascore AS (
+       |  SELECT pc.vec_id, pc.cand_id,
+       |    (list_sum([CAST(q.embedding[i] AS DOUBLE) * cm.mean[i]
+       |               for i in range(1, len(cm.mean) + 1)]) + pc.sdots) /
+       |      (q.nrm * sqrt(cm.mn2 + pc.m2s)) AS appr
+       |  FROM ${p}pc pc
+       |  JOIN ${p}cm cm ON cm.cell = pc.pcell
+       |  JOIN ${p}qn q ON q.vec_id = pc.vec_id),
+       |${p}short AS (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT vec_id, cand_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY appr DESC, cand_id) AS srn
+       |    FROM ${p}ascore WHERE NOT isnan(appr))
+       |  WHERE srn <= $shortlist),
+       |${p}rr AS (
+       |  SELECT s.vec_id, s.cand_id,
+       |    ${duckDot("a.embedding", "b.embedding")} /
+       |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+       |  FROM ${p}short s
+       |  JOIN embeddings a ON s.vec_id = a.vec_id
+       |  JOIN embeddings b ON s.cand_id = b.vec_id),
+       |${p}ranked AS (
+       |  SELECT vec_id, cand_id, cos_raw,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_raw DESC, cand_id) AS rn
+       |  FROM ${p}rr WHERE NOT isnan(cos_raw))""".stripMargin
+
+  /** The exact brute-force top-3 reference (NaN-filtered BEFORE ranking)
+    * as an `ex` CTE over the `vec_id < maxId` batch — the shared recall
+    * denominator for q201 and q207. */
+  private def exactTop3Cte(maxId: Long): String =
+    s"""ex AS (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT q.vec_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${duckDot("q.embedding", "b.embedding")} /
+       |          (${duckNorm("q.embedding")} * ${duckNorm("b.embedding")}) DESC,
+       |        b.vec_id) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $maxId) q
+       |    JOIN embeddings b ON b.vec_id <> q.vec_id
+       |    WHERE NOT isnan(${duckDot("q.embedding", "b.embedding")} /
+       |      (${duckNorm("q.embedding")} * ${duckNorm("b.embedding")})))
+       |  WHERE rn <= 3)""".stripMargin
+
+  private[ops] def annChainCtes(p: String, batchWhere: String, nProbe: Int,
+      memSql: Option[String] = None): String =
+    s"""${p}mem AS (
+       |  ${memSql.getOrElse(
+             "SELECT cell, vec_id\n" +
+             "  FROM read_parquet('{GRAFT_OUT}_support/q45_support_cells/*.parquet')")}),
+       |${routeCtes(p, batchWhere, nProbe)},
+       |${p}cand AS (
+       |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
+       |  FROM ${p}probes p JOIN ${p}mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+       |${p}scored AS (
+       |  SELECT c.vec_id, c.cand_id,
+       |    ${duckDot("a.embedding", "b.embedding")} /
+       |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+       |  FROM ${p}cand c
+       |  JOIN embeddings a ON c.vec_id = a.vec_id
+       |  JOIN embeddings b ON c.cand_id = b.vec_id),
+       |${p}ranked AS (
+       |  SELECT vec_id, cand_id, cos_raw,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_raw DESC, cand_id) AS rn
+       |  FROM ${p}scored
        |  WHERE NOT isnan(cos_raw))""".stripMargin
 
   def oracle: Map[String, String] = Map(
@@ -925,18 +1123,7 @@ object Similarity {
         |        ORDER BY cos_raw DESC, cand_id) AS rn
         |    FROM scored WHERE NOT isnan(cos_raw))
         |  WHERE rn <= 3),
-        |ex AS (
-        |  SELECT vec_id, cand_id FROM (
-        |    SELECT q.vec_id, b.vec_id AS cand_id,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        ${duckDot("q.embedding", "b.embedding")} /
-        |          (${duckNorm("q.embedding")} * ${duckNorm("b.embedding")}) DESC,
-        |        b.vec_id) AS rn
-        |    FROM (SELECT * FROM embeddings WHERE vec_id < $SweepBatchMaxId) q
-        |    JOIN embeddings b ON b.vec_id <> q.vec_id
-        |    WHERE NOT isnan(${duckDot("q.embedding", "b.embedding")} /
-        |      (${duckNorm("q.embedding")} * ${duckNorm("b.embedding")})))
-        |  WHERE rn <= 3),
+        |${exactTop3Cte(SweepBatchMaxId)},
         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn)
         |SELECT CAST(np AS BIGINT) AS nprobe, nq.n AS n_queries,
         |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
@@ -951,72 +1138,40 @@ object Similarity {
         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
         |  round(cos_raw, 4) AS cos
         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin),
+    // all three tiers' serves recomputed end-to-end in ONE statement
+    // (prefixed CTE chains: f_=float, s_=SQ8, g_=PQ — the q45/q100/q112
+    // oracle chains verbatim at the sweep batch and SqNProbe), the exact
+    // reference recomputed, recall = set-intersection counts per tier
+    "q207_quant_recall" ->
+      (s"WITH $cenCte,\n" +
+        annChainCtes("f_", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe) + ",\n" +
+        sqChainCtes("s_", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe, SqShortlist) + ",\n" +
+        pqChainCtes("g_", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe, SqShortlist) + ",\n" +
+        exactTop3Cte(SweepBatchMaxId) + ",\n" +
+        s"""u AS (
+           |  SELECT 'float' AS tier, vec_id, cand_id FROM f_ranked WHERE rn <= 3
+           |  UNION ALL
+           |  SELECT 'sq8' AS tier, vec_id, cand_id FROM s_ranked WHERE rn <= 3
+           |  UNION ALL
+           |  SELECT 'pq' AS tier, vec_id, cand_id FROM g_ranked WHERE rn <= 3),
+           |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f_qn)
+           |SELECT u.tier, nq.n AS n_queries,
+           |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
+           |  round(CAST(count(ex.vec_id) AS DOUBLE) / (3.0 * nq.n), 4) AS recall3
+           |FROM u
+           |LEFT JOIN ex ON u.vec_id = ex.vec_id AND u.cand_id = ex.cand_id
+           |CROSS JOIN nq
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
     // The SQ8 two-stage serve recomputed end-to-end: unit-space routing
     // (q45's exported centroids — same codebook), affine decode of the
     // exported codes (q70's scheme: vmin + code·(vmax−vmin)/255, double
     // math, index order), approximate-cosine shortlist cut, exact-cosine
     // rerank of the shortlist only. Every stage mirrors the engine
     // kernel's arithmetic and (score, id) tie-breaks.
-    "q100_ann_sq" -> {
-      val dec = "(a.vmin + a.codes[i] * ((a.vmax - a.vmin) / 255.0))"
-      s"""WITH cen AS (
-         |  SELECT cell, centroid
-         |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
-         |sqm AS (
-         |  SELECT cell, vec_id, codes, vmin, vmax
-         |  FROM read_parquet('{GRAFT_OUT}_support/q100_support_sqcells/*.parquet')),
-         |qn AS (
-         |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
-         |  FROM embeddings WHERE vec_id < $ServeBatchMaxId),
-         |qu AS (
-         |  SELECT vec_id,
-         |    [CASE WHEN nrm = 0 THEN x
-         |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
-         |     for x in embedding] AS uv
-         |  FROM qn),
-         |probes AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT qu.vec_id, cen.cell,
-         |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
-         |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
-         |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
-         |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
-         |    FROM qu CROSS JOIN cen)
-         |  WHERE prn <= $SqNProbe),
-         |cand AS (
-         |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id, m.codes, m.vmin, m.vmax
-         |  FROM probes p JOIN sqm m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
-         |ascore AS (
-         |  SELECT a.vec_id, a.cand_id,
-         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * $dec
-         |              for i in range(1, len(a.codes) + 1)]) /
-         |    (${duckNorm("e.embedding")} *
-         |     sqrt(list_sum([$dec * $dec
-         |                    for i in range(1, len(a.codes) + 1)]))) AS appr
-         |  FROM cand a JOIN embeddings e ON a.vec_id = e.vec_id),
-         |short AS (
-         |  SELECT vec_id, cand_id FROM (
-         |    SELECT vec_id, cand_id,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY appr DESC, cand_id) AS srn
-         |    FROM ascore WHERE NOT isnan(appr))
-         |  WHERE srn <= $SqShortlist),
-         |rr AS (
-         |  SELECT s.vec_id, s.cand_id,
-         |    ${duckDot("a.embedding", "b.embedding")} /
-         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
-         |  FROM short s
-         |  JOIN embeddings a ON s.vec_id = a.vec_id
-         |  JOIN embeddings b ON s.cand_id = b.vec_id),
-         |ranked AS (
-         |  SELECT vec_id, cand_id, cos_raw,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_raw DESC, cand_id) AS rn
-         |  FROM rr WHERE NOT isnan(cos_raw))
-         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
-         |  round(cos_raw, 4) AS cos
-         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
-    },
+    "q100_ann_sq" ->
+      (s"WITH $cenCte,\n" +
+        sqChainCtes("", s"WHERE vec_id < $ServeBatchMaxId", SqNProbe, SqShortlist) +
+        "\n" + top3Select("")),
     // The residual-PQ two-stage serve recomputed end-to-end: q45 routing,
     // code → codebook-centroid expansion per subspace, and the ADC score
     // assembled with the ENGINE'S exact association — per-subspace
@@ -1027,94 +1182,9 @@ object Similarity {
     // codes, so one row per member (the rn=1-by-cell pick) scores it,
     // and the candidate set is the DISTINCT probed reach.
     "q112_ann_pq" ->
-      s"""WITH cen AS (
-         |  SELECT cell, centroid
-         |  FROM read_parquet('{GRAFT_OUT}_support/q45_support_centroids/*.parquet')),
-         |cb AS (
-         |  SELECT sub, code, centroid,
-         |    list_sum([c * c for c in centroid]) AS c2
-         |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_codebooks/*.parquet')),
-         |cm AS (
-         |  SELECT cell, mean, list_sum([m * m for m in mean]) AS mn2
-         |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_cellmeans/*.parquet')),
-         |pqm AS (
-         |  SELECT cell, vec_id, pcell, codes
-         |  FROM read_parquet('{GRAFT_OUT}_support/q112_support_pqcells/*.parquet')),
-         |qn AS (
-         |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
-         |  FROM embeddings WHERE vec_id < $ServeBatchMaxId),
-         |qu AS (
-         |  SELECT vec_id,
-         |    [CASE WHEN nrm = 0 THEN x
-         |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
-         |     for x in embedding] AS uv
-         |  FROM qn),
-         |probes AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT qu.vec_id, cen.cell,
-         |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
-         |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
-         |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
-         |                  for i in range(1, len(centroid) + 1)]), cen.cell) AS prn
-         |    FROM qu CROSS JOIN cen)
-         |  WHERE prn <= $SqNProbe),
-         |codes1 AS (
-         |  SELECT vec_id, pcell, codes FROM (
-         |    SELECT vec_id, pcell, codes,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cell) AS crn
-         |    FROM pqm) WHERE crn = 1),
-         |cand AS (
-         |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
-         |  FROM probes p JOIN pqm m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
-         |subs AS (SELECT DISTINCT sub FROM cb),
-         |mc AS (
-         |  SELECT c.vec_id, c.cand_id, k.pcell, s.sub, k.codes[s.sub + 1] AS code
-         |  FROM cand c JOIN codes1 k ON c.cand_id = k.vec_id CROSS JOIN subs s),
-         |sd AS (
-         |  SELECT mc.vec_id, mc.cand_id, mc.pcell, mc.sub,
-         |    list_sum([CAST(e.embedding[mc.sub * len(cb.centroid) + i] AS DOUBLE) *
-         |              cb.centroid[i]
-         |              for i in range(1, len(cb.centroid) + 1)]) AS sdot,
-         |    2 * list_sum([cm.mean[mc.sub * len(cb.centroid) + i] * cb.centroid[i]
-         |              for i in range(1, len(cb.centroid) + 1)]) + cb.c2 AS mterm
-         |  FROM mc JOIN cb ON cb.sub = mc.sub AND cb.code = mc.code
-         |  JOIN embeddings e ON e.vec_id = mc.vec_id
-         |  JOIN cm ON cm.cell = mc.pcell),
-         |pc AS (
-         |  SELECT vec_id, cand_id, pcell,
-         |    list_sum(list(sdot ORDER BY sub)) AS sdots,
-         |    list_sum(list(mterm ORDER BY sub)) AS m2s
-         |  FROM sd GROUP BY vec_id, cand_id, pcell),
-         |ascore AS (
-         |  SELECT pc.vec_id, pc.cand_id,
-         |    (list_sum([CAST(q.embedding[i] AS DOUBLE) * cm.mean[i]
-         |               for i in range(1, len(cm.mean) + 1)]) + pc.sdots) /
-         |      (q.nrm * sqrt(cm.mn2 + pc.m2s)) AS appr
-         |  FROM pc
-         |  JOIN cm ON cm.cell = pc.pcell
-         |  JOIN qn q ON q.vec_id = pc.vec_id),
-         |short AS (
-         |  SELECT vec_id, cand_id FROM (
-         |    SELECT vec_id, cand_id,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY appr DESC, cand_id) AS srn
-         |    FROM ascore WHERE NOT isnan(appr))
-         |  WHERE srn <= $SqShortlist),
-         |rr AS (
-         |  SELECT s.vec_id, s.cand_id,
-         |    ${duckDot("a.embedding", "b.embedding")} /
-         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
-         |  FROM short s
-         |  JOIN embeddings a ON s.vec_id = a.vec_id
-         |  JOIN embeddings b ON s.cand_id = b.vec_id),
-         |ranked AS (
-         |  SELECT vec_id, cand_id, cos_raw,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_raw DESC, cand_id) AS rn
-         |  FROM rr WHERE NOT isnan(cos_raw))
-         |SELECT vec_id, CAST(rn AS INTEGER) AS rn, cand_id AS nn_id,
-         |  round(cos_raw, 4) AS cos
-         |FROM ranked WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+      (s"WITH $cenCte,\n" +
+        pqChainCtes("", s"WHERE vec_id < $ServeBatchMaxId", SqNProbe, SqShortlist) +
+        "\n" + top3Select("")),
     "q81_sql_surface" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${duckDot("a.embedding", "b.embedding")} /

@@ -913,9 +913,14 @@ object Scoring {
     * Scale: the fit is the kn3NllFrom shape on the train half; serving
     * is left joins of the Zipf-sparse test folds against the model
     * tables + three 1-row scalars. */
-  val q206HeldoutLadder3: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
+  val q206HeldoutLadder3: Q = (s, d) =>
+    heldoutLadder3Of(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** The q206 kernel over an arbitrary (doc_id, source, text) frame —
+    * split out so `ScaleSmoke knfit` can drive the SHIPPED fit+serve at
+    * 1×/4×/16× corpus (r16 verdict #4), not a reimplementation. */
+  private[graft] def heldoutLadder3Of(docs: DataFrame): DataFrame = {
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
     val train = docs.filter(!isTest)
     val test = docs.filter(isTest)

@@ -826,6 +826,45 @@ object ScaleSmoke {
       }
       wv.unpersist(); docsBase.unpersist()
     }
+    // q206 KERNEL under corpus growth (r16 verdict #4): `pplserve` proved
+    // the SERVING tier flat at 16x MODEL growth; the held-out ladder also
+    // FITS two KN models and runs a 6-way sparse serve join. Disjoint
+    // per-copy vocabularies (the dedup-section trick) are the WORST case
+    // for the fit: every copy mints its own bigram/trigram types, so the
+    // model tables grow ~linearly with the corpus instead of Zipf-shared
+    // — if wall-clock stays ~linear in the gram tables here, the
+    // real-corpus case (sub-linear type growth, Heaps) is strictly
+    // easier. Recorded per mult: train gram-TYPE table sizes (the Zipf
+    // growth every vocab-capacity assumption leans on) and the whole
+    // fit+serve wall-clock of the SHIPPED kernel.
+    if (section == "all" || section == "knfit") {
+      val docs0 = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docs0.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            col("source"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"))
+        }.reduce(_ unionByName _).cache()
+        val rows = scaled.count()
+        // model-table growth, measured outside the timer (the same folds
+        // the kernel runs on its train half)
+        val train = scaled.filter(
+          !(substring(md5(col("doc_id").cast("string")), 1, 1) < "4"))
+        val bgTypes = graft.ops.Scoring.bigramFoldOf(
+          train.select(col("doc_id"), col("text")))
+          .select(col("a"), col("b")).distinct().count()
+        val tgTypes = graft.ops.Scoring.trigramFoldOf(
+          train.select(col("doc_id"), col("text")))
+          .select(col("a"), col("b"), col("c")).distinct().count()
+        println(s"[scale] ===== knfit mult=$mult rows=$rows " +
+          s"bigram_types=$bgTypes trigram_types=$tgTypes =====")
+        time(s"mult=$mult kn heldout ladder (fit2 + 6-way serve)")(
+          graft.ops.Scoring.heldoutLadder3Of(scaled)
+            .write.format("noop").mode("overwrite").save())
+        scaled.unpersist()
+      }
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

@@ -738,6 +738,75 @@ object Similarity {
 
   private[ops] val SweepBatchMaxId = 50L
   private[ops] val SweepNProbes = Seq(1, 2, 4, 8)
+  private[ops] val SweepShortlists = Seq(3, 6, 12, 24)
+  private[ops] val SweepDims = Seq(4, 8, 16, 32)
+
+  /** q208: the SHORTLIST knob curve — the last unpriced knob in the ANN
+    * family (q201 priced nProbe, q207 the quantization tier): recall@3
+    * of the SQ8 two-stage serve vs the exact reference as the exact-
+    * rerank shortlist grows 3→24 at fixed nProbe. The shortlist is the
+    * two-stage serve's bandwidth dial — it bounds how many RAW vectors
+    * the rerank reads per query (the row-group-pruned read that
+    * dominates serve I/O at 100 TB), and this table says how many
+    * neighbors each step down costs. shortlist=3 means serving the
+    * quantized ranking as-is (rerank can reorder but not recover), so
+    * the gap between the 3-row and 24-row readings IS the measured
+    * ranking error of the SQ approximation. Hash-certified given the
+    * exported index/codes (oracle recomputes approximate scores ONCE,
+    * then sweeps the cut like q201 sweeps prn). */
+  val q208ShortlistSweep: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3(e, queries)
+    val nq = queries.count()
+    SweepShortlists.map { sl =>
+      IvfSq.searchTopK(s, sqDir(s, d), ivfDir(s, d), queries,
+          k = 3, nProbe = SqNProbe, shortlist = sl)
+        .select(lit(sl.toLong).as("shortlist"), col("vec_id"), col("nn_id"))
+    }.reduce(_ unionByName _)
+      .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+      .groupBy(col("shortlist"))
+      .agg(count(col("hit")).cast("long").as("n_hits"))
+      .select(col("shortlist"), lit(nq).as("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
+      .orderBy(col("shortlist"))
+  }
+
+  /** q209: the embedding-DIMENSION ablation — recall@3 of brute-force
+    * cosine over the FIRST k components against the full-dimension exact
+    * top-3. This prices the truncation-serving knob (the
+    * Matryoshka-style deployment question: how much of the vector does a
+    * serving tier actually need?) on OUR embedding table, the same way
+    * q201/q207/q208 price the index knobs — together the four tables
+    * span every axis of the serving cost model: cells probed, bytes per
+    * component, rerank rows, and components kept. Truncation here is
+    * prefix-slice (no refit), so the reading is the floor a
+    * truncation-aware encoder would improve on. Both sides are exact
+    * brute force (the q44 broadcast shape per dim), so certification
+    * needs no support tables at all — the oracle recomputes everything
+    * from the raw embeddings. */
+  val q209DimAblation: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3(e, queries)
+    val nq = queries.count()
+    SweepDims.map { k =>
+      exactTop3(
+          e.select(col("vec_id"), slice(col("embedding"), 1, k).as("embedding")),
+          queries.select(col("vec_id"), slice(col("embedding"), 1, k).as("embedding")))
+        .select(lit(k.toLong).as("dim"), col("vec_id"), col("nn_id"))
+    }.reduce(_ unionByName _)
+      .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+      .groupBy(col("dim"))
+      .agg(count(col("hit")).cast("long").as("n_hits"))
+      .select(col("dim"), lit(nq).as("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
+      .orderBy(col("dim"))
+  }
 
   /** q207: the QUANTIZATION-TIER recall table — q201 priced the nProbe
     * knob for the float tier; this prices the TIER knob at fixed nProbe
@@ -841,6 +910,8 @@ object Similarity {
     "q201_ann_recall_sweep" -> q201AnnRecallSweep,
     "q203_label_distinct" -> q203LabelDistinct,
     "q207_quant_recall" -> q207QuantRecall,
+    "q208_shortlist_sweep" -> q208ShortlistSweep,
+    "q209_dim_ablation" -> q209DimAblation,
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
@@ -904,8 +975,11 @@ object Similarity {
     * approximate scan with q70's affine decode → shortlist cut → exact
     * rerank), ending in `{p}ranked`. q100 uses it bare; q207 runs it
     * alongside the float and PQ chains in one statement. */
-  private[ops] def sqChainCtes(p: String, batchWhere: String, nProbe: Int,
-      shortlist: Int): String = {
+  /** The SQ8 chain through the approximate scores only (`{p}ascore`) —
+    * q208 sweeps the shortlist cut over ONE scored set, the q201 trick
+    * applied to the shortlist dimension. */
+  private[ops] def sqAscoreCtes(p: String, batchWhere: String,
+      nProbe: Int): String = {
     val dec = "(a.vmin + a.codes[i] * ((a.vmax - a.vmin) / 255.0))"
     s"""${p}sqm AS (
        |  SELECT cell, vec_id, codes, vmin, vmax
@@ -921,7 +995,12 @@ object Similarity {
        |    (${duckNorm("e.embedding")} *
        |     sqrt(list_sum([$dec * $dec
        |                    for i in range(1, len(a.codes) + 1)]))) AS appr
-       |  FROM ${p}cand a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |  FROM ${p}cand a JOIN embeddings e ON a.vec_id = e.vec_id)""".stripMargin
+  }
+
+  private[ops] def sqChainCtes(p: String, batchWhere: String, nProbe: Int,
+      shortlist: Int): String = {
+    s"""${sqAscoreCtes(p, batchWhere, nProbe)},
        |${p}short AS (
        |  SELECT vec_id, cand_id FROM (
        |    SELECT vec_id, cand_id,
@@ -1162,6 +1241,76 @@ object Similarity {
            |LEFT JOIN ex ON u.vec_id = ex.vec_id AND u.cand_id = ex.cand_id
            |CROSS JOIN nq
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+    // approximate scores computed ONCE, the shortlist cut swept as a
+    // dimension join (srn <= sl — the q201 prn trick), exact rerank
+    // cosines computed once over the widest cut
+    "q208_shortlist_sweep" ->
+      (s"WITH $cenCte,\n" +
+        sqAscoreCtes("", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe) + ",\n" +
+        s"""sls AS (SELECT unnest([${SweepShortlists.mkString(", ")}]) AS sl),
+           |sr AS (
+           |  SELECT vec_id, cand_id,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY appr DESC, cand_id) AS srn
+           |  FROM ascore WHERE NOT isnan(appr)),
+           |rrc AS (
+           |  SELECT r.vec_id, r.cand_id,
+           |    ${duckDot("a.embedding", "b.embedding")} /
+           |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+           |  FROM (SELECT vec_id, cand_id FROM sr
+           |        WHERE srn <= ${SweepShortlists.max}) r
+           |  JOIN embeddings a ON r.vec_id = a.vec_id
+           |  JOIN embeddings b ON r.cand_id = b.vec_id),
+           |rk AS (
+           |  SELECT sls.sl, c.vec_id, c.cand_id,
+           |    row_number() OVER (PARTITION BY sls.sl, c.vec_id
+           |      ORDER BY c.cos_raw DESC, c.cand_id) AS rn
+           |  FROM sr JOIN sls ON sr.srn <= sls.sl
+           |  JOIN rrc c ON c.vec_id = sr.vec_id AND c.cand_id = sr.cand_id
+           |  WHERE NOT isnan(c.cos_raw)),
+           |${exactTop3Cte(SweepBatchMaxId)},
+           |u AS (SELECT sl, vec_id, cand_id FROM rk WHERE rn <= 3),
+           |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn)
+           |SELECT CAST(u.sl AS BIGINT) AS shortlist, nq.n AS n_queries,
+           |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
+           |  round(CAST(count(ex.vec_id) AS DOUBLE) / (3.0 * nq.n), 4) AS recall3
+           |FROM u
+           |LEFT JOIN ex ON u.vec_id = ex.vec_id AND u.cand_id = ex.cand_id
+           |CROSS JOIN nq
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+    // truncated-cosine brute force per dim (the k dimension rides a
+    // CROSS JOIN into the comprehension bounds), full-dim exact reference
+    "q209_dim_ablation" ->
+      s"""WITH dims AS (SELECT unnest([${SweepDims.mkString(", ")}]) AS k),
+         |q AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id < $SweepBatchMaxId),
+         |sc AS (
+         |  SELECT d.k, q.vec_id, b.vec_id AS cand_id,
+         |    list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+         |              for i in range(1, d.k + 1)]) /
+         |      (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) *
+         |                      CAST(q.embedding[i] AS DOUBLE)
+         |                      for i in range(1, d.k + 1)])) *
+         |       sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) *
+         |                      CAST(b.embedding[i] AS DOUBLE)
+         |                      for i in range(1, d.k + 1)]))) AS cos_raw
+         |  FROM q JOIN embeddings b ON b.vec_id <> q.vec_id
+         |  CROSS JOIN dims d),
+         |rk AS (
+         |  SELECT k, vec_id, cand_id,
+         |    row_number() OVER (PARTITION BY k, vec_id
+         |      ORDER BY cos_raw DESC, cand_id) AS rn
+         |  FROM sc WHERE NOT isnan(cos_raw)),
+         |${exactTop3Cte(SweepBatchMaxId)},
+         |u AS (SELECT k, vec_id, cand_id FROM rk WHERE rn <= 3),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+         |SELECT CAST(u.k AS BIGINT) AS dim, nq.n AS n_queries,
+         |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(ex.vec_id) AS DOUBLE) / (3.0 * nq.n), 4) AS recall3
+         |FROM u
+         |LEFT JOIN ex ON u.vec_id = ex.vec_id AND u.cand_id = ex.cand_id
+         |CROSS JOIN nq
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // The SQ8 two-stage serve recomputed end-to-end: unit-space routing
     // (q45's exported centroids — same codebook), affine decode of the
     // exported codes (q70's scheme: vmin + code·(vmax−vmin)/255, double

@@ -91,8 +91,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       Set("q44_knn_brute", "q04_ratio_of_total", "q57_tfidf", "q50_topic_info",
         // q201's exact reference is the q44 intended shape (50-row
         // broadcast batch x corpus, non-equi), plus the probe scalar;
-        // q207 reuses the same exact reference across the tier table
+        // q207/q208/q209 reuse the same exact reference across the
+        // tier/shortlist/dimension tables
         "q201_ann_recall_sweep", "q207_quant_recall",
+        "q208_shortlist_sweep", "q209_dim_ablation",
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
         "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served",
         "q131_batched_bm25", "q132_hybrid_batch",

@@ -700,7 +700,7 @@ object Similarity {
     * CTE): Spark sorts NaN FIRST under desc, so a zero-norm embedding's
     * NaN rows would consume the top-3 rank slots and then be dropped,
     * evicting true neighbors and understating recall3 (r16 ADVICE). */
-  private def exactTop3(e: DataFrame, queries: DataFrame): DataFrame = {
+  private[graft] def exactTop3Scored(e: DataFrame, queries: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_raw").desc, col("c_id"))
     broadcast(
         queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
@@ -710,8 +710,11 @@ object Similarity {
       .filter(!isnan(col("cos_raw")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"))
+      .select(col("q_id").as("vec_id"), col("c_id").as("nn_id"), col("cos_raw"))
   }
+
+  private def exactTop3(e: DataFrame, queries: DataFrame): DataFrame =
+    exactTop3Scored(e, queries).select(col("vec_id"), col("nn_id"))
 
   val q201AnnRecallSweep: Q = (s, d) => {
     graft.plans.GraftExtensions.register(s)

@@ -1413,6 +1413,78 @@ object Incremental {
       .orderBy(col("source"), col("batch_id"))
   }
 
+  /** Continuous EXACT-NN reference maintainer — maintainer #25, the
+    * missing denominator of the q201/q207/q208 recall tables as an
+    * ingest companion: those curves are computable offline because the
+    * exact brute-force top-3 is affordable at certification scale; at
+    * 100 TB it is not — UNLESS maintained incrementally. Exact top-k
+    * DECOMPOSES: top3(corpus ∪ batch) = top3(state ∪ top3(batch)) —
+    * any global top-3 neighbor is either already in the kept state or
+    * inside the new batch's own top-3. So the maintainer keeps, per
+    * fixed probe query, the exact top-3 over everything ingested so far
+    * (state: nProbes×3 rows, corpus-independent) and each drain pays
+    * probes×batch scores through the SAME
+    * [[graft.ops.Similarity.exactTop3Scored]] kernel the certified
+    * recall tables use — one definition, two execution modes. Recall of
+    * any live index serve against a certified-exact reference is then a
+    * bounded per-drain read instead of a corpus rescan. State publishes
+    * through [[graft.sources.SwapProtocol]] (crash-recoverable swap);
+    * replay is idempotent (per-(query, candidate) scores are
+    * deterministic, merged by groupBy-max before re-ranking). foreachBatch
+    * residue class of [[continuousSemanticDedup]]. */
+  def continuousExactNnRef(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, probes: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val stateDir = s"$outDir/top3"
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        graft.plans.GraftExtensions.register(s)
+        val dst = new Path(stateDir)
+        val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.sources.SwapProtocol.recover(fs, dst)
+        val batchTop = graft.ops.Similarity.exactTop3Scored(
+          batch.select(col("vec_id"), col("embedding")), probes)
+        val union =
+          if (fs.exists(dst)) s.read.parquet(stateDir).unionByName(batchTop)
+          else batchTop
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cos_raw").desc, col("nn_id"))
+        val next = union
+          .groupBy(col("vec_id"), col("nn_id"))
+          .agg(max(col("cos_raw")).as("cos_raw"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("vec_id"), col("nn_id"), col("cos_raw"))
+        // the plan reads the LIVE state; it stays in place (readable,
+        // crash-intact) until the tmp write has fully materialized
+        graft.sources.SwapProtocol.writeSwapped(fs, dst) { tmp =>
+          next.write.parquet(tmp.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read the maintained exact reference: (vec_id, nn_id, cos_raw),
+    * completing any crashed swap first. Equals the batch
+    * `exactTop3Scored` over everything ingested — the parity contract
+    * (StreamingSpec maintainer #25). */
+  def exactNnRefReport(spark: SparkSession, outDir: String): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(s"$outDir/top3")
+    graft.sources.SwapProtocol.recover(
+      dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
+    spark.read.parquet(s"$outDir/top3")
+      .orderBy(col("vec_id"), col("cos_raw").desc, col("nn_id"))
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

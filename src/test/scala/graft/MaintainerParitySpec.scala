@@ -68,7 +68,9 @@ class MaintainerParitySpec extends AnyFunSuite {
     "continuousNoveltyMonitor" -> (("ops.CorpusReports novelty fold (q197)",
       "novelty monitor folds to the q197 kernel's table")),
     "continuousVocabGrowth" -> (("ops.CorpusReports q200 totals (final curve point)",
-      "vocab-growth monitor: cumulative curve ends at the batch totals")))
+      "vocab-growth monitor: cumulative curve ends at the batch totals")),
+    "continuousExactNnRef" -> (("ops.Similarity.exactTop3Scored (q201/q207/q208/q209 reference)",
+      "exact-NN reference maintainer equals the batch exactTop3Scored")))
 
   test("every continuous* maintainer is mapped to a batch twin + parity test") {
     val reflected = graft.streaming.Incremental.getClass.getDeclaredMethods

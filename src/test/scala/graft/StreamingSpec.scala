@@ -818,6 +818,55 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("exact-NN reference maintainer equals the batch exactTop3Scored under any split (maintainer #25)") {
+    val base = Files.createTempDirectory("graft-exnn").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val corpus = vecs.toDF("vec_id", "embedding").cache()
+    // the probe set is fixed EX ANTE (serving-monitor contract) — the
+    // first 5 vectors; they also stream in as corpus members
+    val probes = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).cache()
+    probes.count()
+    corpus.filter(col("vec_id") < 25).write.parquet(s"$in/b1")
+    corpus.filter(col("vec_id") >= 25).write.parquet(s"$in/b2")
+    graft.plans.GraftExtensions.register(spark)
+    def batchWant(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.exactTop3Scored(df, probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    Incremental.continuousExactNnRef(
+      spark, s"$in/*", vecSchema, probes, s"$base/out", s"$base/ck")
+    def report() = Incremental.exactNnRefReport(spark, s"$base/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val got = report()
+    assert(got == batchWant(corpus),
+      s"maintained reference != batch exactTop3: $got vs ${batchWant(corpus)}")
+    // exactly-once: draining the same checkpoint again changes nothing
+    Incremental.continuousExactNnRef(
+      spark, s"$in/*", vecSchema, probes, s"$base/out", s"$base/ck")
+    assert(report() == got, "rerun must be a no-op")
+    // incremental merge: a later batch can DISPLACE kept neighbors — a
+    // near-duplicate of probe 0 must enter its top-3 at rank 1
+    val clone = corpus.filter(col("vec_id") === 0L)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"))
+    clone.write.parquet(s"$in/b3")
+    Incremental.continuousExactNnRef(
+      spark, s"$in/*", vecSchema, probes, s"$base/out", s"$base/ck")
+    val extended = report()
+    assert(extended == batchWant(corpus.unionByName(clone)),
+      "post-drain state must equal the batch kernel on the extended corpus")
+    assert(extended.exists { case (q, nn, _) => q == 0L && nn == 100L },
+      s"the planted near-dup must displace into probe 0's top-3: $extended")
+    corpus.unpersist(); probes.unpersist()
+  }
+
   test("gate-agreement monitor folds to the q185 kernel's table (maintainer #21)") {
     val base = Files.createTempDirectory("graft-gamon").toString
     val in = s"$base/in"; val model = s"$base/model"

@@ -71,10 +71,17 @@ object InvertedIndex {
       .write.mode("append").parquet(s"$dir/postings")
     docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/doclens")
-    spark.read.parquet(s"$dir/doclens")
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl")) // float-mean: intermediate
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    // stats is LIVE-index state: publish through the crash-recoverable
+    // swap (mode("overwrite") deletes before writing — a crash in that
+    // window would fail every searchBm25 until a manual recompute)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.SwapProtocol.writeSwapped(fs, dst) { tmp =>
+      spark.read.parquet(s"$dir/doclens")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl")) // float-mean: intermediate
+        .write.parquet(tmp.toString)
+    }
   }
 
   /** BM25 top-k over a saved index — the corpus text is never touched.
@@ -84,6 +91,9 @@ object InvertedIndex {
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("term").isin(terms: _*)) // footer-pruned on the sorted term
     val doclens = spark.read.parquet(s"$dir/doclens")
+    val statsDst = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    graft.sources.SwapProtocol.recover( // complete a crashed append's swap
+      statsDst.getFileSystem(spark.sessionState.newHadoopConf()), statsDst)
     val stats = spark.read.parquet(s"$dir/stats")
     val df_ = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings

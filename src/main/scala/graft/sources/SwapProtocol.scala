@@ -43,10 +43,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * cadences) already follow write-new-version → commit-marker →
   * retain-last-2 — no live path is ever deleted before its replacement
   * is committed, so they need no swap. `SessionArtifacts` deletes only
-  * its own bounded temp files. `Compaction.compact`/`zorderCompact` and
-  * `ShardExport.write` previously used Spark's `mode("overwrite")`
-  * (delete-then-write — the same window, wider); they now write to the
-  * tmp path and publish through [[swapIn]]. */
+  * its own bounded temp files. `Compaction.compact`/`zorderCompact`,
+  * `ShardExport.write`, `InvertedIndex.append`'s live stats refresh, and
+  * maintainer #25's exact-NN state previously used Spark's
+  * `mode("overwrite")` (delete-then-write — the same window, wider) or
+  * were new; all now write to the tmp path and publish through
+  * [[swapIn]], with their readers calling [[recover]] first. Index
+  * BUILDERS (`IvfIndex.save`, `InvertedIndex.build`, `PhashIndex.save`,
+  * the SessionArtifacts-scoped model exports) write to fresh or
+  * build-once directories — initial creation, not live replacement — and
+  * stay on plain writes. */
 object SwapProtocol {
 
   def tmpPath(dst: Path): Path =

@@ -139,4 +139,24 @@ class SwapProtocolSpec extends AnyFunSuite {
   /** A deliberately-wrong staged dir (simulates a half-written crash tmp). */
   private def stageRollupDummy(scratch: String, to: Path): Unit =
     Seq((1L, "x")).toDF("doc_id", "text").write.mode("overwrite").parquet(to.toString)
+
+  test("InvertedIndex.append stats crash-window: serve recovers the swapped stats") {
+    val base = Files.createTempDirectory("graft-swapii").toString
+    val dir = s"$base/idx"
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta"))
+      .toDF("doc_id", "text")
+    graft.ops.InvertedIndex.build(spark, docs, dir)
+    graft.ops.InvertedIndex.append(spark,
+      Seq((3L, "alpha beta beta")).toDF("doc_id", "text"), dir)
+    val want = graft.ops.InvertedIndex
+      .searchBm25(spark, dir, Seq("alpha", "beta")).collect().map(_.toSeq).toSeq
+    // simulate the crash state mid-append: stats retired, tmp complete
+    val dst = new Path(s"$dir/stats")
+    val f = fs(dir)
+    assert(f.rename(dst, SwapProtocol.oldPath(dst)))
+    assert(f.rename(SwapProtocol.oldPath(dst), SwapProtocol.tmpPath(dst)))
+    val got = graft.ops.InvertedIndex
+      .searchBm25(spark, dir, Seq("alpha", "beta")).collect().map(_.toSeq).toSeq
+    assert(got == want, "serve must complete the swap and score identically")
+  }
 }

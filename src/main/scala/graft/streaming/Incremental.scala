@@ -1436,6 +1436,11 @@ object Incremental {
       schema: org.apache.spark.sql.types.StructType, probes: DataFrame,
       outDir: String, checkpointDir: String): StreamingQuery = {
     import org.apache.hadoop.fs.Path
+    // register on the OUTER session before start(): the micro-batch
+    // executes in a cloned session whose function registry snapshots the
+    // outer one — an inside-only registration leaves cosine_sim
+    // unresolvable on the first drain
+    graft.plans.GraftExtensions.register(spark)
     val stateDir = s"$outDir/top3"
     val q = spark.readStream.schema(schema).parquet(inDir)
       .writeStream

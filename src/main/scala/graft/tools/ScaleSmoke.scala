@@ -865,6 +865,45 @@ object ScaleSmoke {
         scaled.unpersist()
       }
     }
+    // MAINTAINER #25 under corpus growth: the exact-NN reference's whole
+    // point is that per-drain cost follows the BATCH (probes x batch
+    // scores + a state-sized re-rank), never the accumulated corpus —
+    // the state is nProbes x 3 rows regardless of what was ingested. So:
+    // bulk-ingest a 1x/4x/16x corpus (untimed), then time a FIXED
+    // 200-vector drain; the reading must stay flat while the corpus
+    // behind the state grows 16x (the vocgrow/append discipline).
+    if (section == "all" || section == "exnnref") {
+      val emb = graft.Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") < 50).cache()
+      probes.count()
+      val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      for (mult <- Seq(1, 4, 16)) {
+        val root = java.nio.file.Files.createTempDirectory("smoke-exnn").toString
+        val in = s"$root/in"
+        new java.io.File(in).mkdirs()
+        (0 until mult).map { k =>
+          emb.select((col("vec_id") + lit(k * 10_000_000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _).write.parquet(s"$in/b0")
+        graft.streaming.Incremental.continuousExactNnRef( // bulk, untimed
+          spark, s"$in/*", vecSchema, probes, s"$root/out", s"$root/ck")
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+          .select((col("vec_id") + 90_000_000L).as("vec_id"), col("embedding"))
+          .write.parquet(s"$in/b1")
+        time(s"mult=$mult exact-nn ref drain (fixed 200-vec batch)")(
+          graft.streaming.Incremental.continuousExactNnRef(
+            spark, s"$in/*", vecSchema, probes, s"$root/out", s"$root/ck"))
+        println(s"[scale] mult=$mult exnnref state_rows=" +
+          spark.read.parquet(s"$root/out/top3").count())
+      }
+      probes.unpersist()
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

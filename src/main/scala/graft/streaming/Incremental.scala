@@ -1490,6 +1490,30 @@ object Incremental {
       .orderBy(col("vec_id"), col("cos_raw").desc, col("nn_id"))
   }
 
+  /** The per-drain RECALL read maintainer #25 exists for: serve the
+    * probe batch through a live [[graft.ops.IvfIndex]] (the q99 pruned
+    * small-batch shape) and score it against the MAINTAINED exact
+    * reference — the q201 recall arithmetic with the brute-force
+    * denominator replaced by #25's state. Cost per call: one pruned
+    * serve + a state-sized join; nothing corpus-sized. Run after each
+    * drain (index ingest + #25 both caught up) and the serving tier's
+    * recall is a continuously-watchable number instead of an offline
+    * certification artifact. */
+  def annRecallReport(spark: SparkSession, outDir: String, indexDir: String,
+      probes: DataFrame, nProbe: Int = 8): DataFrame = {
+    val exact = exactNnRefReport(spark, outDir)
+      .select(col("vec_id"), col("nn_id"), lit(1L).as("hit"))
+    val nq = probes.count()
+    graft.ops.IvfIndex.searchTopK(spark,
+        graft.ops.IvfIndex.load(spark, indexDir), probes, k = 3, nProbe = nProbe)
+      .select(col("vec_id"), col("nn_id"))
+      .join(exact, Seq("vec_id", "nn_id"), "left")
+      .agg(lit(nq).as("n_queries"),
+        count(col("hit")).cast("long").as("n_hits"))
+      .select(col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

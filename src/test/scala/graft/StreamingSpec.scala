@@ -864,6 +864,25 @@ class StreamingSpec extends AnyFunSuite {
       "post-drain state must equal the batch kernel on the extended corpus")
     assert(extended.exists { case (q, nn, _) => q == 0L && nn == 100L },
       s"the planted near-dup must displace into probe 0's top-3: $extended")
+    // the per-drain recall read: a live index served against the
+    // MAINTAINED reference must equal the recall computed batch-side
+    // from the same serve + the batch exact kernel
+    val full = corpus.unionByName(clone)
+    val idxDir = s"$base/idx"
+    graft.ops.IvfIndex.save(spark,
+      graft.ops.IvfIndex.build(spark, full, nCells = 4, seed = 7L), idxDir)
+    val served = graft.ops.IvfIndex.searchTopK(spark,
+        graft.ops.IvfIndex.load(spark, idxDir), probes, k = 3, nProbe = 2)
+      .select(col("vec_id"), col("nn_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = batchWant(full).map { case (q, nn, _) => (q, nn) }
+    val wantHits = served.count(exactSet).toLong
+    val live = Incremental.annRecallReport(
+      spark, s"$base/out", idxDir, probes, nProbe = 2).collect().head
+    assert((live.getLong(0), live.getLong(1)) == (5L, wantHits),
+      s"live recall read != batch-computed: $live vs hits=$wantHits")
+    assert(live.getDouble(2) ==
+      BigDecimal(wantHits / 15.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     corpus.unpersist(); probes.unpersist()
   }
 

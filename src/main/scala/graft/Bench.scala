@@ -43,6 +43,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // probe at START and END: a single start-of-run probe witnesses one
+    // instant, not the suite's average load (NOTES r17: the faster of two
+    // same-code runs drew the slower start probe). Reports use the mean.
     val hostCalib = hostCalibration(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,6 +103,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val allPasses = (1 to passes).map(_ => runPass())
+    val hostCalibEnd = hostCalibration(cpus.toInt)
     val firstPass = allPasses.head
     val firstTotal = firstPass.values.sum
     val results = allPasses.head.keys.map { name =>
@@ -133,6 +137,7 @@ object Bench {
         s"""$passMaps,"queries_first":${jsonMap(firstPass)},""" +
         s""""queries":${jsonMap(results)},""" +
         s""""host_calibration_sec":${f"$hostCalib%.3f"},""" +
+        s""""host_calibration_end_sec":${f"$hostCalibEnd%.3f"},""" +
         s""""min_total_sec":${f"$minTotal%.3f"},""" +
         s""""first_pass_total":${f"$firstTotal%.3f"}}"""
     try java.nio.file.Files.write(
@@ -140,7 +145,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
-    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
+    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
     spark.stop()
   }
 }

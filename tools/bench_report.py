@@ -35,9 +35,10 @@ def load(path):
             out[key] = json.loads(f.group(1).replace("\\n", "").replace('\\"', '"'))
     v = re.search(r'\\?"min_total_sec\\?":([0-9.]+)', text)
     c = re.search(r'\\?"value\\?":([0-9.]+)', text)
-    h = re.search(r'\\?"host_calibration_sec\\?":([0-9.]+)', text)
-    if h:
-        out["host_calibration_sec"] = float(h.group(1))
+    for key in ("host_calibration_sec", "host_calibration_end_sec"):
+        h = re.search(r'\\?"%s\\?":([0-9.]+)' % key, text)
+        if h:
+            out[key] = float(h.group(1))
     if "queries" not in out:
         # last resort: a head-truncated tail — reconstruct the warm map
         # from the first intact "qNN...":number entry to its closing brace
@@ -67,9 +68,19 @@ def main():
     print(f"## Bench report: {sys.argv[1]}")
     print(f"- cold first-pass total {total_first:.1f} s, "
           f"warm min-total {total_warm:.1f} s at {len(warm)} queries")
-    if a.get("host_calibration_sec"):
-        print(f"- host calibration: {a['host_calibration_sec']:.2f} s "
-              f"(fixed seeded sort+hash on all bench threads; scales with "
+    def calib(d):
+        # mean of the start and end probes when both exist (one instant
+        # witnesses one instant; the suite's load is better bracketed)
+        vals = [d[k] for k in ("host_calibration_sec",
+                               "host_calibration_end_sec") if d.get(k)]
+        return sum(vals) / len(vals) if vals else None
+
+    if calib(a):
+        probes = " + ".join(f"{a[k]:.2f}" for k in
+                            ("host_calibration_sec", "host_calibration_end_sec")
+                            if a.get(k))
+        print(f"- host calibration: {calib(a):.2f} s (probes {probes}; "
+              f"fixed seeded sort+hash on all bench threads; scales with "
               f"host load — normalize cross-run ratios by it)")
     if first:
         deltas = sorted(((first[q] - warm[q], q) for q in warm if q in first),
@@ -93,7 +104,7 @@ def main():
         print(f"\n## vs {sys.argv[2]} ({len(common)} common queries)")
         print(f"- suite median warm ratio: {med:.2f} "
               f"(drift band per NOTES: compare medians, not single readings)")
-        ca, cb = a.get("host_calibration_sec"), b.get("host_calibration_sec")
+        ca, cb = calib(a), calib(b)
         if ca and cb:
             # times scale ~ with host slowness; dividing each side by its
             # calibration cancels the shared-host drift component

@@ -777,6 +777,35 @@ object Similarity {
       .orderBy(col("shortlist"))
   }
 
+  /** q210: q208 on the PQ tier — where the shortlist knob actually
+    * BINDS: SQ8's per-component affine error barely reorders neighbors
+    * (q208 reads flat), but PQ's ADC scores carry real subspace-
+    * quantization error, so small shortlists lose true neighbors the
+    * rerank can no longer recover. The delta between this curve's ends
+    * is the measured ranking error of the ADC approximation — the
+    * number that decides how much exact-rerank bandwidth the 32×
+    * compression tier has to buy back. Same sweep, same oracle tail,
+    * same exact reference as q208. */
+  val q210PqShortlistSweep: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3(e, queries)
+    val nq = queries.count()
+    SweepShortlists.map { sl =>
+      IvfPq.searchTopK(s, pqDir(s, d), ivfDir(s, d), queries,
+          k = 3, nProbe = SqNProbe, shortlist = sl)
+        .select(lit(sl.toLong).as("shortlist"), col("vec_id"), col("nn_id"))
+    }.reduce(_ unionByName _)
+      .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+      .groupBy(col("shortlist"))
+      .agg(count(col("hit")).cast("long").as("n_hits"))
+      .select(col("shortlist"), lit(nq).as("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
+      .orderBy(col("shortlist"))
+  }
+
   /** q209: the embedding-DIMENSION ablation — recall@3 of brute-force
     * cosine over the FIRST k components against the full-dimension exact
     * top-3. This prices the truncation-serving knob (the
@@ -915,6 +944,7 @@ object Similarity {
     "q207_quant_recall" -> q207QuantRecall,
     "q208_shortlist_sweep" -> q208ShortlistSweep,
     "q209_dim_ablation" -> q209DimAblation,
+    "q210_pq_shortlist_sweep" -> q210PqShortlistSweep,
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
@@ -1025,12 +1055,11 @@ object Similarity {
        |  FROM ${p}rr WHERE NOT isnan(cos_raw))""".stripMargin
   }
 
-  /** The residual-PQ two-stage serve as a prefixed CTE chain (routing →
-    * code→codebook ADC assembly with the engine's exact association →
-    * shortlist cut → exact rerank), ending in `{p}ranked`. q112 uses it
-    * bare; q207 runs it alongside the float and SQ chains. */
-  private[ops] def pqChainCtes(p: String, batchWhere: String, nProbe: Int,
-      shortlist: Int): String =
+  /** The residual-PQ chain through the ADC approximate scores only
+    * (`{p}ascore`) — q210 sweeps the shortlist cut over ONE scored set,
+    * the q208 shape on the PQ tier. */
+  private[ops] def pqAscoreCtes(p: String, batchWhere: String,
+      nProbe: Int): String =
     s"""${p}cb AS (
        |  SELECT sub, code, centroid,
        |    list_sum([c * c for c in centroid]) AS c2
@@ -1076,7 +1105,15 @@ object Similarity {
        |      (q.nrm * sqrt(cm.mn2 + pc.m2s)) AS appr
        |  FROM ${p}pc pc
        |  JOIN ${p}cm cm ON cm.cell = pc.pcell
-       |  JOIN ${p}qn q ON q.vec_id = pc.vec_id),
+       |  JOIN ${p}qn q ON q.vec_id = pc.vec_id)""".stripMargin
+
+  /** The residual-PQ two-stage serve as a prefixed CTE chain (routing →
+    * code→codebook ADC assembly with the engine's exact association →
+    * shortlist cut → exact rerank), ending in `{p}ranked`. q112 uses it
+    * bare; q207 runs it alongside the float and SQ chains. */
+  private[ops] def pqChainCtes(p: String, batchWhere: String, nProbe: Int,
+      shortlist: Int): String =
+    s"""${pqAscoreCtes(p, batchWhere, nProbe)},
        |${p}short AS (
        |  SELECT vec_id, cand_id FROM (
        |    SELECT vec_id, cand_id,
@@ -1096,6 +1133,44 @@ object Similarity {
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cos_raw DESC, cand_id) AS rn
        |  FROM ${p}rr WHERE NOT isnan(cos_raw))""".stripMargin
+
+  /** One full shortlist-sweep oracle statement over an unprefixed
+    * `...ascore` chain (SQ8 or PQ): rank the approximate scores once,
+    * sweep the cut as a dimension join, exact-rerank cosines computed
+    * once over the widest cut, recall vs the shared exact reference. */
+  private def shortlistSweepSql(ascoreChain: String): String =
+    s"WITH $cenCte,\n" + ascoreChain + ",\n" +
+      s"""sls AS (SELECT unnest([${SweepShortlists.mkString(", ")}]) AS sl),
+         |sr AS (
+         |  SELECT vec_id, cand_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY appr DESC, cand_id) AS srn
+         |  FROM ascore WHERE NOT isnan(appr)),
+         |rrc AS (
+         |  SELECT r.vec_id, r.cand_id,
+         |    ${duckDot("a.embedding", "b.embedding")} /
+         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+         |  FROM (SELECT vec_id, cand_id FROM sr
+         |        WHERE srn <= ${SweepShortlists.max}) r
+         |  JOIN embeddings a ON r.vec_id = a.vec_id
+         |  JOIN embeddings b ON r.cand_id = b.vec_id),
+         |rk AS (
+         |  SELECT sls.sl, c.vec_id, c.cand_id,
+         |    row_number() OVER (PARTITION BY sls.sl, c.vec_id
+         |      ORDER BY c.cos_raw DESC, c.cand_id) AS rn
+         |  FROM sr JOIN sls ON sr.srn <= sls.sl
+         |  JOIN rrc c ON c.vec_id = sr.vec_id AND c.cand_id = sr.cand_id
+         |  WHERE NOT isnan(c.cos_raw)),
+         |${exactTop3Cte(SweepBatchMaxId)},
+         |u AS (SELECT sl, vec_id, cand_id FROM rk WHERE rn <= 3),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn)
+         |SELECT CAST(u.sl AS BIGINT) AS shortlist, nq.n AS n_queries,
+         |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(ex.vec_id) AS DOUBLE) / (3.0 * nq.n), 4) AS recall3
+         |FROM u
+         |LEFT JOIN ex ON u.vec_id = ex.vec_id AND u.cand_id = ex.cand_id
+         |CROSS JOIN nq
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   /** The exact brute-force top-3 reference (NaN-filtered BEFORE ranking)
     * as an `ex` CTE over the `vec_id < maxId` batch — the shared recall
@@ -1246,41 +1321,12 @@ object Similarity {
            |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
     // approximate scores computed ONCE, the shortlist cut swept as a
     // dimension join (srn <= sl — the q201 prn trick), exact rerank
-    // cosines computed once over the widest cut
-    "q208_shortlist_sweep" ->
-      (s"WITH $cenCte,\n" +
-        sqAscoreCtes("", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe) + ",\n" +
-        s"""sls AS (SELECT unnest([${SweepShortlists.mkString(", ")}]) AS sl),
-           |sr AS (
-           |  SELECT vec_id, cand_id,
-           |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY appr DESC, cand_id) AS srn
-           |  FROM ascore WHERE NOT isnan(appr)),
-           |rrc AS (
-           |  SELECT r.vec_id, r.cand_id,
-           |    ${duckDot("a.embedding", "b.embedding")} /
-           |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
-           |  FROM (SELECT vec_id, cand_id FROM sr
-           |        WHERE srn <= ${SweepShortlists.max}) r
-           |  JOIN embeddings a ON r.vec_id = a.vec_id
-           |  JOIN embeddings b ON r.cand_id = b.vec_id),
-           |rk AS (
-           |  SELECT sls.sl, c.vec_id, c.cand_id,
-           |    row_number() OVER (PARTITION BY sls.sl, c.vec_id
-           |      ORDER BY c.cos_raw DESC, c.cand_id) AS rn
-           |  FROM sr JOIN sls ON sr.srn <= sls.sl
-           |  JOIN rrc c ON c.vec_id = sr.vec_id AND c.cand_id = sr.cand_id
-           |  WHERE NOT isnan(c.cos_raw)),
-           |${exactTop3Cte(SweepBatchMaxId)},
-           |u AS (SELECT sl, vec_id, cand_id FROM rk WHERE rn <= 3),
-           |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn)
-           |SELECT CAST(u.sl AS BIGINT) AS shortlist, nq.n AS n_queries,
-           |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
-           |  round(CAST(count(ex.vec_id) AS DOUBLE) / (3.0 * nq.n), 4) AS recall3
-           |FROM u
-           |LEFT JOIN ex ON u.vec_id = ex.vec_id AND u.cand_id = ex.cand_id
-           |CROSS JOIN nq
-           |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+    // cosines computed once over the widest cut; same tail for both
+    // quantized tiers (q208 = SQ8 ascore chain, q210 = PQ ADC chain)
+    "q208_shortlist_sweep" -> shortlistSweepSql(
+      sqAscoreCtes("", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe)),
+    "q210_pq_shortlist_sweep" -> shortlistSweepSql(
+      pqAscoreCtes("", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe)),
     // truncated-cosine brute force per dim (the k dimension rides a
     // CROSS JOIN into the comprehension bounds), full-dim exact reference
     "q209_dim_ablation" ->

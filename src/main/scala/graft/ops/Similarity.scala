@@ -716,12 +716,31 @@ object Similarity {
   private def exactTop3(e: DataFrame, queries: DataFrame): DataFrame =
     exactTop3Scored(e, queries).select(col("vec_id"), col("nn_id"))
 
+  /** The SWEEP batch's exact reference, built once per (session,
+    * dataset) — five recall tables (q201/q207/q208/q209/q210) share the
+    * identical denominator, and before this memo each re-ran the same
+    * batch×corpus brute force. SessionArtifacts discipline: persist,
+    * serve from the parquet (probe-count×3 rows), never re-scan. */
+  private def exactSweepDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    SessionArtifacts.dir("exact-top3-sweep", s, d) { t =>
+      graft.plans.GraftExtensions.register(s)
+      val e = Tables.embeddings(s, d)
+      exactTop3Scored(e, e.filter(col("vec_id") < SweepBatchMaxId)
+          .select(col("vec_id"), col("embedding")))
+        .coalesce(1).write.mode("overwrite").parquet(t) // t pre-created by dir()
+    }
+
+  private def exactTop3Sweep(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    s.read.parquet(exactSweepDir(s, d)).select(col("vec_id"), col("nn_id"))
+
   val q201AnnRecallSweep: Q = (s, d) => {
     graft.plans.GraftExtensions.register(s)
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < SweepBatchMaxId)
       .select(col("vec_id"), col("embedding"))
-    val exact = exactTop3(e, queries)
+    val exact = exactTop3Sweep(s, d)
     val idx = IvfIndex.load(s, ivfDir(s, d))
     val nq = queries.count()
     SweepNProbes.map { np =>
@@ -762,7 +781,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < SweepBatchMaxId)
       .select(col("vec_id"), col("embedding"))
-    val exact = exactTop3(e, queries)
+    val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
     SweepShortlists.map { sl =>
       IvfSq.searchTopK(s, sqDir(s, d), ivfDir(s, d), queries,
@@ -791,7 +810,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < SweepBatchMaxId)
       .select(col("vec_id"), col("embedding"))
-    val exact = exactTop3(e, queries)
+    val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
     SweepShortlists.map { sl =>
       IvfPq.searchTopK(s, pqDir(s, d), ivfDir(s, d), queries,
@@ -824,7 +843,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < SweepBatchMaxId)
       .select(col("vec_id"), col("embedding"))
-    val exact = exactTop3(e, queries)
+    val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
     SweepDims.map { k =>
       exactTop3(
@@ -858,7 +877,7 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val queries = e.filter(col("vec_id") < SweepBatchMaxId)
       .select(col("vec_id"), col("embedding"))
-    val exact = exactTop3(e, queries)
+    val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
     Seq(
       ("float", IvfIndex.searchTopK(s, IvfIndex.load(s, ivfDir(s, d)),

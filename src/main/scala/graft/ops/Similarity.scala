@@ -825,6 +825,100 @@ object Similarity {
       .orderBy(col("shortlist"))
   }
 
+  /** Component count of the PCA rotation (q211): half the raw dims —
+    * the truncation budget the rotated tier is priced against. */
+  private[ops] val PcaK = 32
+
+  /** Once-per-(session, dataset) PCA of the embedding corpus: the top
+    * [[PcaK]] principal directions via Spark ML (covariance
+    * eigendecomposition — the FIT is the given, per the support-table
+    * doctrine; everything after it is recomputed by the oracle from the
+    * exported matrix). Stored as (j, vcol) rows: component j's
+    * direction as an array of doubles. Component SIGN is
+    * library-determined but irrelevant here: a flipped v_j flips every
+    * vector's j-th coordinate, and (a·v_j)(b·v_j) is sign-invariant, so
+    * rotated cosines — and the oracle, which reads the EXPORTED matrix
+    * — are unaffected. */
+  private def pcaDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    SessionArtifacts.dir("pca-rotation", s, d) { t =>
+      import s.implicits._
+      val pc = new org.apache.spark.ml.feature.PCA()
+        .setK(PcaK).setInputCol("features").setOutputCol("p")
+        .fit(Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(org.apache.spark.ml.functions.array_to_vector(
+            col("embedding")).as("features")))
+        .pc
+      (0 until PcaK).map { j =>
+        (j.toLong, (0 until pc.numRows).map(i => pc(i, j)))
+      }.toDF("j", "vcol")
+        .coalesce(1).write.mode("overwrite").parquet(t)
+    }
+
+  /** Oracle support for q211: the fitted rotation matrix. */
+  def writeAnnPcaSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit =
+    s.read.parquet(pcaDir(s, d)).coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q211_support_pca")
+
+  /** The corpus rotated onto the principal directions: component j =
+    * Σ_i emb[i]·V[i,j] (ascending-i double fold, cast to float — the
+    * raw table's storage width; the oracle mirrors both). The matrix is
+    * PcaK×dims doubles in a broadcast; the kernel is one primitive
+    * array pass per vector. */
+  private def rotatedEmbeddings(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val V = s.read.parquet(pcaDir(s, d)).orderBy(col("j"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bc = s.sparkContext.broadcast(V)
+    val rotate = udf { (v: Array[Float]) =>
+      if (v == null) null
+      else {
+        val m = bc.value
+        Array.tabulate(m.length) { j =>
+          val cj = m(j)
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { acc += v(i).toDouble * cj(i); i += 1 }
+          acc.toFloat
+        }
+      }
+    }
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), rotate(col("embedding")).as("embedding"))
+  }
+
+  /** q211: q209 WITH the refit — truncation after a PCA rotation, the
+    * Matryoshka-style serving option q209's prefix floor begs for: keep
+    * the top-k PRINCIPAL components instead of the first k raw ones,
+    * recall@3 vs the same full-dimension exact reference. On an
+    * embedding family with low-rank structure this curve sits far above
+    * q209's; on an isotropic one (near-flat eigenvalues) it proves the
+    * corpus has no such structure and truncation must be paid for in
+    * recall either way — both readings are the decision input. The fit
+    * is the given; the oracle recomputes rotation, truncated cosine,
+    * ranking, and the exact reference from the exported matrix. */
+  val q211PcaTruncation: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val rot = rotatedEmbeddings(s, d)
+    val queries = rot.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3Sweep(s, d)
+    val nq = queries.count()
+    SweepDims.map { k =>
+      exactTop3(
+          rot.select(col("vec_id"), slice(col("embedding"), 1, k).as("embedding")),
+          queries.select(col("vec_id"), slice(col("embedding"), 1, k).as("embedding")))
+        .select(lit(k.toLong).as("dim"), col("vec_id"), col("nn_id"))
+    }.reduce(_ unionByName _)
+      .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+      .groupBy(col("dim"))
+      .agg(count(col("hit")).cast("long").as("n_hits"))
+      .select(col("dim"), lit(nq).as("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
+      .orderBy(col("dim"))
+  }
+
   /** q209: the embedding-DIMENSION ablation — recall@3 of brute-force
     * cosine over the FIRST k components against the full-dimension exact
     * top-3. This prices the truncation-serving knob (the
@@ -964,6 +1058,7 @@ object Similarity {
     "q208_shortlist_sweep" -> q208ShortlistSweep,
     "q209_dim_ablation" -> q209DimAblation,
     "q210_pq_shortlist_sweep" -> q210PqShortlistSweep,
+    "q211_pca_truncation" -> q211PcaTruncation,
   )
 
   /** DuckDB double-math vector expressions (mirror functions.Vectors). */
@@ -1363,6 +1458,51 @@ object Similarity {
          |                      CAST(b.embedding[i] AS DOUBLE)
          |                      for i in range(1, d.k + 1)]))) AS cos_raw
          |  FROM q JOIN embeddings b ON b.vec_id <> q.vec_id
+         |  CROSS JOIN dims d),
+         |rk AS (
+         |  SELECT k, vec_id, cand_id,
+         |    row_number() OVER (PARTITION BY k, vec_id
+         |      ORDER BY cos_raw DESC, cand_id) AS rn
+         |  FROM sc WHERE NOT isnan(cos_raw)),
+         |${exactTop3Cte(SweepBatchMaxId)},
+         |u AS (SELECT k, vec_id, cand_id FROM rk WHERE rn <= 3),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+         |SELECT CAST(u.k AS BIGINT) AS dim, nq.n AS n_queries,
+         |  CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(ex.vec_id) AS DOUBLE) / (3.0 * nq.n), 4) AS recall3
+         |FROM u
+         |LEFT JOIN ex ON u.vec_id = ex.vec_id AND u.cand_id = ex.cand_id
+         |CROSS JOIN nq
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // rotation recomputed from the exported matrix (ascending-i double
+    // fold per component, REAL cast — the engine kernel's arithmetic),
+    // then the q209 truncated-cosine sweep in the ROTATED space; the
+    // exact reference stays in the original space
+    "q211_pca_truncation" ->
+      s"""WITH vmat AS (
+         |  SELECT j, vcol
+         |  FROM read_parquet('{GRAFT_OUT}_support/q211_support_pca/*.parquet')),
+         |rot AS (
+         |  SELECT e.vec_id,
+         |    list(CAST(list_sum([CAST(e.embedding[i] AS DOUBLE) * v.vcol[i]
+         |                        for i in range(1, len(v.vcol) + 1)]) AS REAL)
+         |         ORDER BY v.j) AS remb
+         |  FROM embeddings e CROSS JOIN vmat v
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY e.vec_id),
+         |dims AS (SELECT unnest([${SweepDims.mkString(", ")}]) AS k),
+         |q AS (SELECT vec_id, remb FROM rot WHERE vec_id < $SweepBatchMaxId),
+         |sc AS (
+         |  SELECT d.k, q.vec_id, b.vec_id AS cand_id,
+         |    list_sum([CAST(q.remb[i] AS DOUBLE) * CAST(b.remb[i] AS DOUBLE)
+         |              for i in range(1, d.k + 1)]) /
+         |      (sqrt(list_sum([CAST(q.remb[i] AS DOUBLE) *
+         |                      CAST(q.remb[i] AS DOUBLE)
+         |                      for i in range(1, d.k + 1)])) *
+         |       sqrt(list_sum([CAST(b.remb[i] AS DOUBLE) *
+         |                      CAST(b.remb[i] AS DOUBLE)
+         |                      for i in range(1, d.k + 1)]))) AS cos_raw
+         |  FROM q JOIN rot b ON b.vec_id <> q.vec_id
          |  CROSS JOIN dims d),
          |rk AS (
          |  SELECT k, vec_id, cand_id,

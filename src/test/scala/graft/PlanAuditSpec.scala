@@ -95,7 +95,7 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // tier/shortlist/dimension tables
         "q201_ann_recall_sweep", "q207_quant_recall",
         "q208_shortlist_sweep", "q209_dim_ablation",
-        "q210_pq_shortlist_sweep",
+        "q210_pq_shortlist_sweep", "q211_pca_truncation",
         "q84_bm25", "q85_perplexity", "q93_bm25_indexed",
         "q125_hybrid_rrf", "q126_curriculum", "q128_hybrid_served",
         "q131_batched_bm25", "q132_hybrid_batch",

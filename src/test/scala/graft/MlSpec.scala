@@ -40,7 +40,7 @@ class MlSpec extends AnyFunSuite {
       "q123_support_bands", "q125_support_qvec",
       "q128_support_cells", "q128_support_centroids",
       "q132_support_qembs", "q145_support_merges",
-      "q154_support_wordvec"), tables)
+      "q154_support_wordvec", "q211_support_pca"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -232,6 +232,46 @@ object IvfPq {
     import spark.implicits._
     val pqD = IvfIndex.resolve(spark, pqDir)
     val rawD = IvfIndex.resolve(spark, rawDir)
+    val (short, probes, probedCells) =
+      coarseShortlist(spark, pqD, queries, nProbe, shortlist, excludeSelf)
+    if (probedCells.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rn", "nn_id", "cos")
+    // ---- stage 2: shared exact rerank
+    IvfSq.exactRerank(spark, rawD, probedCells, short, probes, k, maxCandidates)
+  }
+
+  /** One ADC coarse serve, EVERY shortlist cut — [[IvfSq.searchTopKSweep]]
+    * on the PQ tier, and valid for the same reason: a member's ADC score
+    * is a pure function of its primary-cell codes (identical in every
+    * replica cell — the documented max-collapse invariant), so the
+    * approx-ranked shortlist at `shortlists.max` prefix-contains every
+    * smaller serve's shortlist, and cutting one scored set reproduces
+    * each serve exactly. Output (shortlist, vec_id, rn, nn_id, cos). */
+  def searchTopKSweep(spark: SparkSession, pqDir: String, rawDir: String,
+      queries: DataFrame, shortlists: Seq[Int], k: Int = 3, nProbe: Int = 8,
+      maxCandidates: Int = 1 << 20, excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    require(shortlists.nonEmpty, "searchTopKSweep needs at least one shortlist value")
+    val pqD = IvfIndex.resolve(spark, pqDir)
+    val rawD = IvfIndex.resolve(spark, rawDir)
+    val (short, probes, probedCells) =
+      coarseShortlist(spark, pqD, queries, nProbe, shortlists.max, excludeSelf)
+    if (probedCells.isEmpty)
+      return Seq.empty[(Long, Long, Int, Long, Double)]
+        .toDF("shortlist", "vec_id", "rn", "nn_id", "cos")
+    IvfSq.sweepCuts(
+      IvfSq.exactRerankScored(spark, rawD, probedCells, short, probes, maxCandidates),
+      shortlists, k)
+  }
+
+  /** Stage 1 (ADC coarse scan + one-exchange merge), shared by
+    * [[searchTopK]] and [[searchTopKSweep]]: the per-query approx-ranked
+    * shortlist (qid, cid, apx_rank), checkpointed probes, probed cells. */
+  private def coarseShortlist(spark: SparkSession, pqD: String,
+      queries: DataFrame, nProbe: Int, shortlist: Int,
+      excludeSelf: Boolean): (org.apache.spark.sql.Dataset[(Long, Long, Int)],
+        org.apache.spark.sql.Dataset[(Long, Long, Array[Float])], Seq[Long]) = {
+    import spark.implicits._
     val centroids = spark.read.parquet(s"$pqD/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
     val cbRows = spark.read.parquet(s"$pqD/codebooks")
@@ -253,7 +293,7 @@ object IvfPq {
     val (probes, probedCells) =
       IvfIndex.routeProbes(spark, centroids, queries, nProbe)
     if (probedCells.isEmpty)
-      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rn", "nn_id", "cos")
+      return (spark.emptyDataset[(Long, Long, Int)], probes, probedCells)
 
     // pre-compute ‖mean_p‖² for every cell once, driver-side (codebook-
     // sized, ships in the broadcast)
@@ -362,6 +402,7 @@ object IvfPq {
     // function of its primary-cell codes — identical in every cell that
     // holds a replica — so the max collapse is exact deduplication and
     // the per-cell bounded k-best above is lossless for the global top-s.
+    // Rank recorded for the sweep cut; searchTopK ignores it.
     val short = coarse
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
@@ -370,11 +411,9 @@ object IvfPq {
           if (!best.get(cid).exists(_ >= sc)) best(cid) = sc
         }
         best.toSeq.sortBy { case (cid, sc) => (-sc, cid) }.take(shortlist)
-          .iterator.map { case (cid, _) => (qid, cid) }
+          .iterator.zipWithIndex.map { case ((cid, _), i) => (qid, cid, i + 1) }
       }
       .localCheckpoint(true)
-
-    // ---- stage 2: shared exact rerank
-    IvfSq.exactRerank(spark, rawD, probedCells, short, probes, k, maxCandidates)
+    (short, probes, probedCells)
   }
 }

@@ -124,6 +124,54 @@ object IvfSq {
     // only delays visibility of the newest appends, never misranks)
     val sqD = IvfIndex.resolve(spark, sqDir)
     val rawD = IvfIndex.resolve(spark, rawDir)
+    val (short, probes, probedCells) =
+      coarseShortlist(spark, sqD, queries, nProbe, shortlist, excludeSelf)
+    if (probedCells.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rn", "nn_id", "cos")
+    // ---- stage 2: exact rerank of the shortlist only (shared with the
+    // PQ tier — the rerank contract is identical across coarse tiers)
+    exactRerank(spark, rawD, probedCells, short, probes, k, maxCandidates)
+  }
+
+  /** One coarse serve, EVERY shortlist cut: the sweep-shaped variant of
+    * [[searchTopK]] for knob tables like q208 that price the shortlist
+    * knob at several values. Because an SQ member's approximate score is
+    * a pure function of the member (codes/vmin/vmax are per-vector, so a
+    * replica scores identically in every cell — the documented max-
+    * collapse invariant), the approx-rank-ordered shortlist at
+    * `shortlists.max` PREFIX-CONTAINS the shortlist the serve would build
+    * at any smaller value: cutting the one scored set at rank ≤ s and
+    * reranking is EXACTLY the two-stage serve at shortlist = s. One
+    * coarse scan + one exact rerank replace |shortlists| full serves.
+    * Output (shortlist, vec_id, rn, nn_id, cos) — per sweep value, the
+    * [[searchTopK]] rows verbatim. */
+  def searchTopKSweep(spark: SparkSession, sqDir: String, rawDir: String,
+      queries: DataFrame, shortlists: Seq[Int], k: Int = 3, nProbe: Int = 8,
+      maxCandidates: Int = 1 << 20, excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    require(shortlists.nonEmpty, "searchTopKSweep needs at least one shortlist value")
+    val sqD = IvfIndex.resolve(spark, sqDir)
+    val rawD = IvfIndex.resolve(spark, rawDir)
+    val (short, probes, probedCells) =
+      coarseShortlist(spark, sqD, queries, nProbe, shortlists.max, excludeSelf)
+    if (probedCells.isEmpty)
+      return Seq.empty[(Long, Long, Int, Long, Double)]
+        .toDF("shortlist", "vec_id", "rn", "nn_id", "cos")
+    sweepCuts(
+      exactRerankScored(spark, rawD, probedCells, short, probes, maxCandidates),
+      shortlists, k)
+  }
+
+  /** Stage 1 (coarse scan + one-exchange merge) of the SQ serve, shared
+    * by [[searchTopK]] and [[searchTopKSweep]]. Returns the per-query
+    * approx-ranked shortlist (qid, cid, apx_rank — rank 1 = best by
+    * (score desc, id asc)), the checkpointed probes, and the probed-cell
+    * set (empty ⇒ the caller returns its empty frame). */
+  private def coarseShortlist(spark: SparkSession, sqD: String,
+      queries: DataFrame, nProbe: Int, shortlist: Int,
+      excludeSelf: Boolean): (org.apache.spark.sql.Dataset[(Long, Long, Int)],
+        org.apache.spark.sql.Dataset[(Long, Long, Array[Float])], Seq[Long]) = {
+    import spark.implicits._
     val centroids = spark.read.parquet(s"$sqD/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
     // the shared probe pass (IvfIndex.routeProbes): one scan of the query
@@ -132,7 +180,7 @@ object IvfSq {
     val (probes, probedCells) =
       IvfIndex.routeProbes(spark, centroids, queries, nProbe)
     if (probedCells.isEmpty)
-      return Seq.empty[(Long, Int, Long, Double)].toDF("vec_id", "rn", "nn_id", "cos")
+      return (spark.emptyDataset[(Long, Long, Int)], probes, probedCells)
 
     // ---- stage 1: quantized coarse scan (partition-pruned, fused per cell)
     // unified row: (cell, id, codes|null, vmin, vmax, rawVec|null) — probes
@@ -180,7 +228,8 @@ object IvfSq {
           best.result.map { case (cid, sc) => (qid, cid, sc) }
         }
       }
-    // merge per query in ONE exchange (replica collapse by max, top-s)
+    // merge per query in ONE exchange (replica collapse by max, top-s,
+    // rank recorded — [[searchTopKSweep]] cuts on it, searchTopK ignores it)
     val short = coarse
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
@@ -189,13 +238,10 @@ object IvfSq {
           if (!best.get(cid).exists(_ >= sc)) best(cid) = sc
         }
         best.toSeq.sortBy { case (cid, sc) => (-sc, cid) }.take(shortlist)
-          .iterator.map { case (cid, _) => (qid, cid) }
+          .iterator.zipWithIndex.map { case ((cid, _), i) => (qid, cid, i + 1) }
       }
       .localCheckpoint(true) // feeds both the collected id set and the join
-
-    // ---- stage 2: exact rerank of the shortlist only (shared with the
-    // PQ tier — the rerank contract is identical across coarse tiers)
-    exactRerank(spark, rawD, probedCells, short, probes, k, maxCandidates)
+    (short, probes, probedCells)
   }
 
   /** Stage 2 of any two-stage serve (SQ8/PQ): exact rerank of a bounded
@@ -207,9 +253,27 @@ object IvfSq {
     * (cos desc, id asc) contract. */
   private[ops] def exactRerank(spark: SparkSession, rawD: String,
       probedCells: Seq[Long],
-      short: org.apache.spark.sql.Dataset[(Long, Long)],
+      short: org.apache.spark.sql.Dataset[(Long, Long, Int)],
       probes: org.apache.spark.sql.Dataset[(Long, Long, Array[Float])],
       k: Int, maxCandidates: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_raw").desc, col("nn_id"))
+    exactRerankScored(spark, rawD, probedCells, short, probes, maxCandidates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn"), col("nn_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
+  /** The rerank JOIN alone — every shortlist candidate exact-scored, no
+    * top-k cut: (vec_id, apx_rank, nn_id, cos_raw), NaN-filtered before
+    * any ranking (the q201 contract). [[exactRerank]] cuts it at k;
+    * [[sweepCuts]] cuts it at every sweep value. */
+  private[ops] def exactRerankScored(spark: SparkSession, rawD: String,
+      probedCells: Seq[Long],
+      short: org.apache.spark.sql.Dataset[(Long, Long, Int)],
+      probes: org.apache.spark.sql.Dataset[(Long, Long, Array[Float])],
+      maxCandidates: Int): DataFrame = {
     import spark.implicits._
     val candIds = short.map(_._2).distinct().collect().sorted
     require(candIds.length <= maxCandidates,
@@ -232,16 +296,30 @@ object IvfSq {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       it.collect { case (_, id, v) if seen.add(id) => (id, v) }
     }.toDF("vec_id", "q_emb")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos_raw").desc, col("nn_id"))
-    short.toDF("vec_id", "nn_id")
+    short.toDF("vec_id", "nn_id", "apx_rank")
       .join(broadcast(rawCands), Seq("nn_id"))
       .join(broadcast(queryVecs), Seq("vec_id"))
       .withColumn("cos_raw", graft.functions.Vectors.cosine(col("q_emb"), col("c_emb")))
       .filter(!isnan(col("cos_raw")))
+      .select(col("vec_id"), col("apx_rank"), col("nn_id"), col("cos_raw"))
+  }
+
+  /** Every shortlist cut of ONE scored set: for each sweep value s, the
+    * rows [[searchTopK]] at shortlist = s would return — filter the
+    * approx-ranked candidates to rank ≤ s, rerank by exact cosine, keep
+    * top-k. Row volume is batch × max(shortlists) × |shortlists| (sweep-
+    * table-sized), one window over it. Shared by the SQ and PQ tiers. */
+  private[ops] def sweepCuts(scored: DataFrame, shortlists: Seq[Int],
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shortlist"), col("vec_id"))
+      .orderBy(col("cos_raw").desc, col("nn_id"))
+    scored
+      .withColumn("shortlist", explode(typedLit(shortlists.map(_.toLong).sorted)))
+      .filter(col("apx_rank") <= col("shortlist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("vec_id"), col("rn"), col("nn_id"),
+      .select(col("shortlist"), col("vec_id"), col("rn"), col("nn_id"),
         round(col("cos_raw"), 4).as("cos"))
   }
 }

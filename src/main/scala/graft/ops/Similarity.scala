@@ -783,11 +783,14 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
-    SweepShortlists.map { sl =>
-      IvfSq.searchTopK(s, sqDir(s, d), ivfDir(s, d), queries,
-          k = 3, nProbe = SqNProbe, shortlist = sl)
-        .select(lit(sl.toLong).as("shortlist"), col("vec_id"), col("nn_id"))
-    }.reduce(_ unionByName _)
+    // ONE coarse scan + ONE exact rerank for all four sweep points: the
+    // approx-ranked shortlist at max(SweepShortlists) prefix-contains
+    // every smaller serve's (scores are replica-invariant — see
+    // IvfSq.searchTopKSweep), so the cut rows are the per-point serves
+    // verbatim, at a quarter of the serve passes.
+    IvfSq.searchTopKSweep(s, sqDir(s, d), ivfDir(s, d), queries,
+        shortlists = SweepShortlists, k = 3, nProbe = SqNProbe)
+      .select(col("shortlist"), col("vec_id"), col("nn_id"))
       .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
       .groupBy(col("shortlist"))
       .agg(count(col("hit")).cast("long").as("n_hits"))
@@ -812,11 +815,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
-    SweepShortlists.map { sl =>
-      IvfPq.searchTopK(s, pqDir(s, d), ivfDir(s, d), queries,
-          k = 3, nProbe = SqNProbe, shortlist = sl)
-        .select(lit(sl.toLong).as("shortlist"), col("vec_id"), col("nn_id"))
-    }.reduce(_ unionByName _)
+    // one ADC coarse scan + one exact rerank for all four sweep points
+    // (IvfPq.searchTopKSweep — same prefix-containment argument as q208)
+    IvfPq.searchTopKSweep(s, pqDir(s, d), ivfDir(s, d), queries,
+        shortlists = SweepShortlists, k = 3, nProbe = SqNProbe)
+      .select(col("shortlist"), col("vec_id"), col("nn_id"))
       .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
       .groupBy(col("shortlist"))
       .agg(count(col("hit")).cast("long").as("n_hits"))

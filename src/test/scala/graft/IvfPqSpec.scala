@@ -102,6 +102,21 @@ class IvfPqSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@3 vs float tier = $recall")
   }
 
+  test("searchTopKSweep reproduces every per-shortlist serve from ONE ADC pass") {
+    val (raw, pq) = dirs
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val batch = e.filter(col("vec_id") < 10)
+    val sweep = IvfPq.searchTopKSweep(spark, pq, raw, batch,
+      shortlists = Seq(3, 6, 12), k = 3, nProbe = 8)
+      .collect().map(_.toSeq).toSet
+    val perPoint = Seq(3, 6, 12).flatMap { sl =>
+      IvfPq.searchTopK(spark, pq, raw, batch, k = 3, nProbe = 8,
+        shortlist = sl).collect().map(r => sl.toLong +: r.toSeq)
+    }.toSet
+    assert(sweep == perPoint,
+      s"sweep=${sweep.size} perPoint=${perPoint.size} diff=${(sweep diff perPoint).take(3)}")
+  }
+
   test("oversized serving batches fail fast on the shared candidate budget") {
     val (raw, pq) = dirs
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))

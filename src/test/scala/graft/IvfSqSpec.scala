@@ -68,6 +68,24 @@ class IvfSqSpec extends AnyFunSuite {
     assert(got == float, s"sq=${got.size} float=${float.size}")
   }
 
+  test("searchTopKSweep reproduces every per-shortlist serve from ONE coarse pass") {
+    val (raw, sq) = dirs
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val batch = e.filter(col("vec_id") < 10)
+    val sweep = IvfSq.searchTopKSweep(spark, sq, raw, batch,
+      shortlists = Seq(3, 6, 12), k = 3, nProbe = 8)
+      .collect().map(_.toSeq).toSet
+    // the claim the sweep rests on: cutting the max-shortlist scored set
+    // at rank ≤ s IS the shortlist-s serve — row-for-row, including rn
+    // and the rounded exact cosine
+    val perPoint = Seq(3, 6, 12).flatMap { sl =>
+      IvfSq.searchTopK(spark, sq, raw, batch, k = 3, nProbe = 8,
+        shortlist = sl).collect().map(r => sl.toLong +: r.toSeq)
+    }.toSet
+    assert(sweep == perPoint,
+      s"sweep=${sweep.size} perPoint=${perPoint.size} diff=${(sweep diff perPoint).take(3)}")
+  }
+
   test("oversized serving batches fail fast on the self-enforced candidate budget") {
     val (raw, sq) = dirs
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))

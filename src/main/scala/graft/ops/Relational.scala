@@ -123,6 +123,41 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q212: the KMV sketch-SIZE error curve — the approx-distinct knob
+    * priced the way q201/q204/q205 price their knobs: the [[q92KmvDistinct]]
+    * sketch at k = 64/256/1024/4096 against the exact distinct count, as
+    * one hash-certified table (the estimate is deterministic, so the
+    * ERROR is too — DuckDB recomputes every bottom-k and the floor). The
+    * exact side is the certification DENOMINATOR, not a serving
+    * ride-along (the q92 scaladoc's objection): it runs as its OWN
+    * two-stage distinct aggregate joined in by a 1-row broadcast — no
+    * Expand-based multi-distinct plan — and a calibration table is run
+    * once per corpus, not per serve. All four sketches fold in ONE pass
+    * over the uniform (four bounded k-entry states side by side);
+    * relative std error ≈ 1/√(k−2), and this table pins where that curve
+    * actually sits on our key distribution. */
+  val q212KmvErrorCurve: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    // the q92 uniform, over a higher-cardinality key (distinct orders)
+    // so every sweep point is saturated and the error curve is visible
+    val u = (conv(substring(md5(col("l_orderkey").cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val li = Tables.lineitem(s, d)
+    val sketches = li.select(u.as("u")).agg(
+      expr("kmv_distinct(u, 64)").as("k64"),
+      expr("kmv_distinct(u, 256)").as("k256"),
+      expr("kmv_distinct(u, 1024)").as("k1024"),
+      expr("kmv_distinct(u, 4096)").as("k4096"))
+    val exactNd = li.agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+    sketches.crossJoin(broadcast(exactNd))
+      .select(expr("stack(4, 64L, k64, 256L, k256, 1024L, k1024, 4096L, k4096)")
+        .as(Seq("k", "kmv_nd")), col("exact_nd"))
+      .select(col("k"), col("kmv_nd"), col("exact_nd"),
+        round(abs(col("kmv_nd") - col("exact_nd")).cast("double") /
+          col("exact_nd").cast("double"), 4).as("rel_err"))
+      .orderBy(col("k"))
+  }
+
   /** Top-k per group via ranking window (A7, bertopicTest.py:93-100 top words
     * per topic). Window partitioned by the group key — parallel across
     * groups, no global sort. */
@@ -428,6 +463,7 @@ object Relational {
     "q05_distinct_count"  -> q05DistinctCount,
     "q62_approx_distinct" -> q62ApproxDistinct,
     "q92_kmv_distinct"    -> q92KmvDistinct,
+    "q212_kmv_error_curve" -> q212KmvErrorCurve,
     "q06_topk_per_group"  -> q06TopkPerGroup,
     "q07_sort"            -> q07Sort,
     "q08_topk"            -> q08Topk,
@@ -450,6 +486,31 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    // The q92 sketch at every sweep size vs the exact distinct count —
+    // one uniform CTE, per-k bottom-k cuts via the rank column, the same
+    // floor((k-1)/u_k) estimator, exact join on the true count.
+    "q212_kmv_error_curve" ->
+      """WITH h AS (
+        |  SELECT DISTINCT
+        |    (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |      / 4503599627370496.0 AS u
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT u, row_number() OVER (ORDER BY u) AS rn,
+        |    count(*) OVER () AS nd
+        |  FROM h),
+        |ks AS (SELECT unnest([64, 256, 1024, 4096]::BIGINT[]) AS k),
+        |est AS (
+        |  SELECT ks.k AS k,
+        |    CAST(CASE WHEN max(r.nd) < ks.k THEN max(r.nd)
+        |      ELSE floor((ks.k - 1.0) / max(CASE WHEN r.rn = ks.k THEN r.u END))
+        |      END AS BIGINT) AS kmv_nd
+        |  FROM ks CROSS JOIN r GROUP BY ks.k),
+        |ex AS (SELECT count(DISTINCT l_orderkey) AS exact_nd FROM lineitem)
+        |SELECT est.k, est.kmv_nd, ex.exact_nd,
+        |  round(abs(est.kmv_nd - ex.exact_nd) / CAST(ex.exact_nd AS DOUBLE), 4) AS rel_err
+        |FROM est CROSS JOIN ex
+        |ORDER BY est.k""".stripMargin,
     // The KMV sketch recomputed exactly: distinct md5-uniforms per group,
     // bottom-256, floor((k-1)/u_k) when saturated, exact count below k.
     "q92_kmv_distinct" ->

@@ -111,11 +111,18 @@ object Relational {
     * Expand-based multi-distinct plan and a full-cardinality shuffle —
     * at 100 TB the ride-along costs more than the sketch saves. The
     * sketch-vs-truth comparison lives in KmvDistinctSpec instead. */
+  /** The sampling family's md5-derived uniform over an arbitrary key:
+    * (first 52 md5 bits + 0.5) / 2^52 — exact in double on both engines.
+    * ONE definition shared by q92/q212 and the streaming distinct
+    * monitor (maintainer #26), so the sketch the stream maintains is
+    * bit-identical to the one the certified aggregates fold. */
+  private[graft] def mdUniform(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+
   val q92KmvDistinct: Q = (s, d) => {
     graft.plans.GraftExtensions.register(s)
-    // u = (first 52 md5 bits + 0.5) / 2^52 — exact in double on both engines
-    val u = (conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
-      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val u = mdUniform(col("l_partkey"))
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), u.as("u"))
       .groupBy(col("l_returnflag"))
@@ -140,8 +147,7 @@ object Relational {
     graft.plans.GraftExtensions.register(s)
     // the q92 uniform, over a higher-cardinality key (distinct orders)
     // so every sweep point is saturated and the error curve is visible
-    val u = (conv(substring(md5(col("l_orderkey").cast("string")), 1, 13), 16, 10)
-      .cast("long").cast("double") + 0.5) / lit(4503599627370496.0)
+    val u = mdUniform(col("l_orderkey"))
     val li = Tables.lineitem(s, d)
     val sketches = li.select(u.as("u")).agg(
       expr("kmv_distinct(u, 64)").as("k64"),

@@ -1514,6 +1514,86 @@ object Incremental {
         round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
   }
 
+  /** Maintainer #26: continuous DISTINCT-CONTENT monitor — the streaming
+    * face of the q92/q212 KMV family: per source, the k smallest
+    * md5-uniforms over the content fingerprint, maintained exactly-once
+    * across drains. Bottom-k DECOMPOSES the way #25's top-k does:
+    * bottomK(corpus ∪ batch) = bottomK(state ∪ bottomK(batch)), so the
+    * state is ≤ sources × k rows (corpus-independent) and each drain
+    * pays one batch fingerprint pass plus a state-sized merge — the
+    * property that makes a continuously-watchable distinct-count
+    * affordable at 100 TB (the batch-exact countDistinct is a
+    * full-cardinality shuffle per read). The uniform is the SHARED
+    * [[graft.ops.Relational.mdUniform]] over
+    * [[graft.functions.TextFns.fingerprint]] — one definition with the
+    * certified aggregates, so [[distinctReport]] equals the q92
+    * `kmv_distinct` UDAF over everything ingested, exactly, under any
+    * split (StreamingSpec maintainer #26). Replay is idempotent (u is
+    * deterministic per fingerprint; the merge is a distinct-union).
+    * State publishes through [[graft.sources.SwapProtocol]]. */
+  def continuousDistinctMonitor(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String, k: Int = 256): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    require(k >= 2, s"kmv k must be >= 2, got $k")
+    val stateDir = s"$outDir/kmv"
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val dst = new Path(stateDir)
+        val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.sources.SwapProtocol.recover(fs, dst)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("u"))
+        // batch-side bottom-k FIRST (the decomposition): the merge then
+        // ranks ≤ 2k rows per source, never the batch's distinct set
+        val batchK = batch
+          .select(col("source"), graft.ops.Relational.mdUniform(
+            graft.functions.TextFns.fingerprint(col("text"))).as("u"))
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("source"), col("u"))
+        val union =
+          if (fs.exists(dst)) s.read.parquet(stateDir).unionByName(batchK)
+          else batchK
+        val next = union.distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("source"), col("u"))
+        graft.sources.SwapProtocol.writeSwapped(fs, dst) { tmp =>
+          next.write.parquet(tmp.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read the maintained sketch as the per-source distinct estimate:
+    * (source, n_kept, kmv_nd) with the SAME estimator the certified
+    * `kmv_distinct` aggregate evaluates — exact (= n_kept) below k,
+    * floor((k-1)/u_k) saturated — so the report equals the batch UDAF
+    * over everything ingested (the parity contract). `k` must match the
+    * maintainer's. */
+  def distinctReport(spark: SparkSession, outDir: String, k: Int = 256): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(s"$outDir/kmv")
+    graft.sources.SwapProtocol.recover(
+      dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
+    spark.read.parquet(s"$outDir/kmv")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_kept"), max(col("u")).as("u_k"))
+      .select(col("source"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(floor(lit((k - 1).toDouble) / col("u_k")).cast("long"))
+          .as("kmv_nd"))
+      .orderBy(col("source"))
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

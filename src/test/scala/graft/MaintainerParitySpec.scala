@@ -70,7 +70,9 @@ class MaintainerParitySpec extends AnyFunSuite {
     "continuousVocabGrowth" -> (("ops.CorpusReports q200 totals (final curve point)",
       "vocab-growth monitor: cumulative curve ends at the batch totals")),
     "continuousExactNnRef" -> (("ops.Similarity.exactTop3Scored (q201/q207/q208/q209 reference)",
-      "exact-NN reference maintainer equals the batch exactTop3Scored")))
+      "exact-NN reference maintainer equals the batch exactTop3Scored")),
+    "continuousDistinctMonitor" -> (("plans.KmvDistinct via ops.Relational.mdUniform (q92/q212)",
+      "distinct monitor equals the certified kmv_distinct under any split")))
 
   test("every continuous* maintainer is mapped to a batch twin + parity test") {
     val reflected = graft.streaming.Incremental.getClass.getDeclaredMethods

@@ -886,6 +886,52 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist(); probes.unpersist()
   }
 
+  test("distinct monitor equals the certified kmv_distinct under any split (maintainer #26)") {
+    val base = Files.createTempDirectory("graft-kmvmon").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    // source a saturates k=8 (30 distinct texts, with exact duplicates
+    // that must NOT inflate the count); source b stays on the exact tier
+    val corpus = ((0 until 30).map(i => ("a", s"alpha doc number $i")) ++
+      (0 until 6).map(i => ("a", s"alpha doc number $i")) ++ // dup replays
+      (0 until 5).map(i => ("b", s"beta doc $i")))
+      .toDF("source", "text").cache()
+    corpus.count()
+    corpus.limit(18).write.parquet(s"$in/b1")
+    corpus.exceptAll(corpus.limit(18)).write.parquet(s"$in/b2")
+    graft.plans.GraftExtensions.register(spark)
+    def batchWant(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), graft.ops.Relational.mdUniform(
+        graft.functions.TextFns.fingerprint(col("text"))).as("u"))
+      .groupBy(col("source"))
+      .agg(expr("kmv_distinct(u, 8)").as("kmv_nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    Incremental.continuousDistinctMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", k = 8)
+    def report() = Incremental.distinctReport(spark, s"$base/out", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val got = report()
+    assert(got == batchWant(corpus),
+      s"maintained estimate != batch kmv_distinct: $got vs ${batchWant(corpus)}")
+    // the exact tier really is exact, the saturated tier really estimates
+    assert(got.exists { case (s, nd) => s == "b" && nd == 5L })
+    // exactly-once: draining the same checkpoint again changes nothing
+    Incremental.continuousDistinctMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", k = 8)
+    assert(report() == got, "rerun must be a no-op")
+    // a later batch extends source b past k: the merged state must equal
+    // the batch aggregate over the extended corpus (state decomposition)
+    val more = (5 until 40).map(i => ("b", s"beta doc $i")).toDF("source", "text")
+    more.write.parquet(s"$in/b3")
+    Incremental.continuousDistinctMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", k = 8)
+    assert(report() == batchWant(corpus.unionByName(more)),
+      "post-drain state must equal the batch kernel on the extended corpus")
+    corpus.unpersist()
+  }
+
   test("gate-agreement monitor folds to the q185 kernel's table (maintainer #21)") {
     val base = Files.createTempDirectory("graft-gamon").toString
     val in = s"$base/in"; val model = s"$base/model"

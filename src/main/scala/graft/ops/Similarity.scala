@@ -762,6 +762,14 @@ object Similarity {
   private[ops] val SweepNProbes = Seq(1, 2, 4, 8)
   private[ops] val SweepShortlists = Seq(3, 6, 12, 24)
   private[ops] val SweepDims = Seq(4, 8, 16, 32)
+  private[ops] val SweepNCells = Seq(4, 8, 16, 32)
+
+  /** Fixed probe count for the q213 cell-count sweep: held constant so
+    * the ONLY moving knob is the build granularity — at nlist=4 the 4
+    * probes cover the whole index (scan_frac ≈ 1, the exhaustive
+    * anchor); every doubling of nlist halves the scanned fraction and
+    * this table prices what the halving costs in neighbors. */
+  private[ops] val NlistNProbe = 4
 
   /** q208: the SHORTLIST knob curve — the last unpriced knob in the ANN
     * family (q201 priced nProbe, q207 the quantization tier): recall@3
@@ -826,6 +834,84 @@ object Similarity {
       .select(col("shortlist"), lit(nq).as("n_queries"), col("n_hits"),
         round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"))
       .orderBy(col("shortlist"))
+  }
+
+  /** Once-per-(session, dataset, nCells) IVF build for the q213 cell-
+    * count sweep. The top sweep value IS the certification index
+    * (same nCells/seed/replicas as [[ivfDir]]), so that build is reused
+    * rather than refit. */
+  private def nlistDir(s: org.apache.spark.sql.SparkSession, d: String,
+      n: Int): String =
+    if (n == CertIvfNCells) ivfDir(s, d)
+    else SessionArtifacts.dir(s"ivf-nlist-$n", s, d) { t =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.save(s, IvfIndex.build(s, e, nCells = n, seed = 7L,
+        nReplicas = 2), t)
+    }
+
+  /** Oracle support for q213: every sweep index's codebook + membership
+    * (the q45 export contract, once per candidate cell count). */
+  def writeAnnNlistSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit = {
+    import s.implicits._
+    SweepNCells.foreach { n =>
+      val idx = IvfIndex.load(s, nlistDir(s, d, n))
+      idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.Verify.supportDir(outDir)}/q213_support_centroids_$n")
+      idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
+        .write.mode("overwrite")
+        .parquet(s"${graft.Verify.supportDir(outDir)}/q213_support_cells_$n")
+    }
+  }
+
+  /** q213: the cell-count (nlist) BUILD-knob sweep — the one ANN axis
+    * q201/q207/q208/q209/q210/q211 leave unpriced, and the only one
+    * fixed at BUILD time (every other knob can move per serve; nlist
+    * requires a refit, so this is the table a deployment consults
+    * FIRST). At fixed [[NlistNProbe]], each candidate cell count gets
+    * two readings: recall@3 vs the shared exact reference AND the
+    * member-scan fraction (probed-cell member rows / (queries ×
+    * members) — the serve's bandwidth denominator, replicas counted
+    * because they really are scanned). nlist=4 is the exhaustive anchor
+    * (all cells probed); each doubling halves the scan and this table
+    * says what the halving costs. Hash-certified given the exported
+    * per-nlist indexes: the oracle recomputes routing, candidates,
+    * cosine, ranking, the scan join, AND the exact reference per nlist
+    * in one statement. Scale: each serve is the q99 pruned small-batch
+    * shape; the scan count is a probes×cell-sizes join (cells-bounded);
+    * the builds are session-memoized and ∝ √N-sized like any IVF fit. */
+  val q213NlistSweep: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3Sweep(s, d)
+    val nq = queries.count()
+    SweepNCells.map { n =>
+      val idx = IvfIndex.load(s, nlistDir(s, d, n))
+      val hits = IvfIndex.searchTopK(s, idx, queries, k = 3, nProbe = NlistNProbe)
+        .select(col("vec_id"), col("nn_id"))
+        .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+        .agg(count(col("hit")).cast("long").as("n_hits"))
+      // scanned member rows: the SAME routing the serve used (routeProbes)
+      // joined to per-cell member counts — cells-bounded, never the corpus
+      val cellSizes = idx.cells
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_in_cell"))
+      val (probes, _) = IvfIndex.routeProbes(s, idx.centroids, queries, NlistNProbe)
+      val scanned = probes.toDF("cell", "vec_id", "emb")
+        .join(cellSizes, Seq("cell"))
+        .agg(sum(col("n_in_cell")).cast("long").as("n_scanned"))
+      val members = idx.cells.agg(count(lit(1)).cast("long").as("n_members"))
+      hits.crossJoin(broadcast(scanned)).crossJoin(broadcast(members))
+        .select(lit(n.toLong).as("ncells"), lit(nq).as("n_queries"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"),
+          col("n_scanned"),
+          round(col("n_scanned").cast("double") /
+            (lit(nq.toDouble) * col("n_members").cast("double")), 4).as("scan_frac"))
+    }.reduce(_ unionByName _).orderBy(col("ncells"))
   }
 
   /** Component count of the PCA rotation (q211): half the raw dims —
@@ -1061,6 +1147,7 @@ object Similarity {
     "q208_shortlist_sweep" -> q208ShortlistSweep,
     "q209_dim_ablation" -> q209DimAblation,
     "q210_pq_shortlist_sweep" -> q210PqShortlistSweep,
+    "q213_nlist_sweep" -> q213NlistSweep,
     "q211_pca_truncation" -> q211PcaTruncation,
   )
 
@@ -1289,6 +1376,83 @@ object Similarity {
          |CROSS JOIN nq
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** One per-nlist serve chain for the q213 oracle (prefix `n<cells>`):
+    * its own exported codebook + membership, the routeCtes routing math
+    * verbatim against THAT codebook, candidates, exact cosine, ranking —
+    * ending in `{p}top` (the served top-3), with `{p}probes`/`{p}mem`
+    * left readable for the scan-fraction join. */
+  private def nlistChainCtes(n: Int): String = {
+    val p = s"n$n"
+    s"""${p}cen AS (
+       |  SELECT cell, centroid
+       |  FROM read_parquet('{GRAFT_OUT}_support/q213_support_centroids_$n/*.parquet')),
+       |${p}mem AS (
+       |  SELECT cell, vec_id
+       |  FROM read_parquet('{GRAFT_OUT}_support/q213_support_cells_$n/*.parquet')),
+       |${p}probes AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT qu.vec_id, ${p}cen.cell,
+       |      row_number() OVER (PARTITION BY qu.vec_id ORDER BY
+       |        list_sum([(CAST(uv[i] AS DOUBLE) - centroid[i]) *
+       |                  (CAST(uv[i] AS DOUBLE) - centroid[i])
+       |                  for i in range(1, len(centroid) + 1)]), ${p}cen.cell) AS prn
+       |    FROM qu CROSS JOIN ${p}cen)
+       |  WHERE prn <= $NlistNProbe),
+       |${p}cand AS (
+       |  SELECT DISTINCT p.vec_id, m.vec_id AS cand_id
+       |  FROM ${p}probes p JOIN ${p}mem m ON p.cell = m.cell AND m.vec_id <> p.vec_id),
+       |${p}scored AS (
+       |  SELECT c.vec_id, c.cand_id,
+       |    ${duckDot("a.embedding", "b.embedding")} /
+       |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_raw
+       |  FROM ${p}cand c
+       |  JOIN embeddings a ON c.vec_id = a.vec_id
+       |  JOIN embeddings b ON c.cand_id = b.vec_id),
+       |${p}top AS (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT vec_id, cand_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos_raw DESC, cand_id) AS rn
+       |    FROM ${p}scored WHERE NOT isnan(cos_raw))
+       |  WHERE rn <= 3)""".stripMargin
+  }
+
+  /** The full q213 oracle: every nlist's chain in one statement, a
+    * UNION-ALL row per nlist (hits vs the exact reference, scanned
+    * member rows, member total), recall and scan fraction as divisions
+    * of exact integers. */
+  private def nlistSweepSql: String = {
+    val rows = SweepNCells.map { n =>
+      val p = s"n$n"
+      s"""  SELECT $n AS ncells,
+         |    (SELECT count(*) FROM ${p}top t
+         |     JOIN ex ON t.vec_id = ex.vec_id AND t.cand_id = ex.cand_id) AS n_hits,
+         |    (SELECT count(*) FROM ${p}probes p
+         |     JOIN ${p}mem m ON p.cell = m.cell) AS n_scanned,
+         |    (SELECT count(*) FROM ${p}mem) AS n_members""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qn AS (
+       |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
+       |  FROM embeddings WHERE vec_id < $SweepBatchMaxId),
+       |qu AS (
+       |  SELECT vec_id,
+       |    [CASE WHEN nrm = 0 THEN x
+       |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
+       |     for x in embedding] AS uv
+       |  FROM qn),
+       |${SweepNCells.map(nlistChainCtes).mkString(",\n")},
+       |${exactTop3Cte(SweepBatchMaxId)},
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn),
+       |rws AS (
+       |$rows)
+       |SELECT CAST(rws.ncells AS BIGINT) AS ncells, nq.n AS n_queries,
+       |  CAST(rws.n_hits AS BIGINT) AS n_hits,
+       |  round(CAST(rws.n_hits AS DOUBLE) / (3.0 * nq.n), 4) AS recall3,
+       |  CAST(rws.n_scanned AS BIGINT) AS n_scanned,
+       |  round(CAST(rws.n_scanned AS DOUBLE) / (nq.n * rws.n_members), 4) AS scan_frac
+       |FROM rws CROSS JOIN nq ORDER BY ncells""".stripMargin
+  }
+
   /** The exact brute-force top-3 reference (NaN-filtered BEFORE ranking)
     * as an `ex` CTE over the `vec_id < maxId` batch — the shared recall
     * denominator for q201 and q207. */
@@ -1440,6 +1604,7 @@ object Similarity {
     // dimension join (srn <= sl — the q201 prn trick), exact rerank
     // cosines computed once over the widest cut; same tail for both
     // quantized tiers (q208 = SQ8 ascore chain, q210 = PQ ADC chain)
+    "q213_nlist_sweep" -> nlistSweepSql,
     "q208_shortlist_sweep" -> shortlistSweepSql(
       sqAscoreCtes("", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe)),
     "q210_pq_shortlist_sweep" -> shortlistSweepSql(

@@ -40,7 +40,11 @@ class MlSpec extends AnyFunSuite {
       "q123_support_bands", "q125_support_qvec",
       "q128_support_cells", "q128_support_centroids",
       "q132_support_qembs", "q145_support_merges",
-      "q154_support_wordvec", "q211_support_pca"), tables)
+      "q154_support_wordvec", "q211_support_pca",
+      "q213_support_centroids_4", "q213_support_cells_4",
+      "q213_support_centroids_8", "q213_support_cells_8",
+      "q213_support_centroids_16", "q213_support_cells_16",
+      "q213_support_centroids_32", "q213_support_cells_32"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -928,6 +928,57 @@ object Dedup {
       docs)
   }
 
+  /** Signature lengths for the q214 sweep — prefixes of the ONE
+    * [[NumHashes]]-long certified signature (the permutation family is
+    * indexed, so the length-m signature IS the first m components:
+    * one exported artifact, every cut derived — the q208 doctrine). */
+  private[ops] val SweepSigLens = Seq(4, 8, 16, 32)
+
+  /** q214: the MinHash signature-LENGTH error curve — the estimator-
+    * resolution knob priced the way q212 prices the KMV sketch size:
+    * over the q122-certified ground-truth pairs (exact trigram Jaccard
+    * ≥ 0.8), the mean and max |estimate − Jaccard| when only the first
+    * m signature components are kept, m = 4…32. Signature bytes are the
+    * dedup pass's shuffle payload at 100 TB (every doc ships its sig to
+    * every band bucket), so this table says what halving that payload
+    * costs in estimator error — the expected 1/√m decay, measured on
+    * OUR shingle distribution instead of assumed. Hash-certified given
+    * the exported q122 signature table: the oracle recomputes the exact
+    * pairs exhaustively, cuts the same prefixes, and folds the same
+    * exact mean4. */
+  val q214SigLenSweep: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
+    val cand = bucketedCandidates(bandsOf(docs), Nil)
+    val pairs = cand
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"),
+        col("sig_a"), col("sig_b"))
+      .filter(col("jaccard") >= 0.8)
+      .cache()
+    Caching.materializeAndRelease(
+      SweepSigLens.map { m =>
+        val agree = size(filter(zip_with(
+          slice(col("sig_a"), 1, m), slice(col("sig_b"), 1, m),
+          (x, y) => x === y), b => b))
+        pairs.select(lit(m.toLong).as("m"),
+          round(abs(round(agree.cast("double") / lit(m.toDouble), 4) -
+            col("jaccard")), 4).as("abs_err"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          ExactMean.mean4(col("abs_err")).as("mean_abs_err"),
+          max(col("abs_err")).as("max_abs_err"))
+        .orderBy(col("m")),
+      docs, pairs)
+  }
+
   /** LSH bucket-size profile (q123): the persisted-band-table health
     * report behind the [[BucketCap]] skew guard — bucket sizes bucketed
     * by binary magnitude (integer log2, the q116 discipline), with type
@@ -983,6 +1034,7 @@ object Dedup {
     "q205_span_k_sweep" -> q205SpanKSweep,
     "q122_lsh_calibration" -> q122LshCalibration,
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
+    "q214_siglen_sweep" -> q214SigLenSweep,
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
@@ -1049,6 +1101,37 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard, est,
          |  round(abs(est - jaccard), 4) AS abs_err
          |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    // the q122 ground-truth pairs recomputed exhaustively, the estimator
+    // cut at each signature prefix from the SAME exported table, error
+    // folded through the exact mean4 algebra
+    "q214_siglen_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |sg AS (SELECT doc_id, sig
+         |       FROM read_parquet('{GRAFT_OUT}_support/q122_support_sigs/*.parquet')),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |ms AS (SELECT unnest([${SweepSigLens.mkString(", ")}]::BIGINT[]) AS m),
+         |e AS (
+         |  SELECT ms.m,
+         |    round(abs(round(CAST(len(list_filter(range(1, CAST(ms.m AS INTEGER) + 1),
+         |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ms.m, 4) - p.jaccard), 4) AS abs_err
+         |  FROM p
+         |  JOIN sg sa ON sa.doc_id = p.doc_a
+         |  JOIN sg sb ON sb.doc_id = p.doc_b
+         |  CROSS JOIN ms)
+         |SELECT m, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  ${graft.ops.ExactMean.mean4Sql("abs_err")} AS mean_abs_err,
+         |  max(abs_err) AS max_abs_err
+         |FROM e GROUP BY m ORDER BY m""".stripMargin,
     "q123_lsh_bucket_profile" ->
       """WITH m AS (
         |  SELECT band, bhash, count(*) AS m

@@ -59,30 +59,38 @@ object Curation {
     * how production quality classifiers are bootstrapped). The fitted
     * weights persist as a 1-row parquet — the artifact the serving scan
     * broadcasts and the oracle reads. */
+  /** The q101 LR fit over an arbitrary document frame → a 5-value
+    * weights row at `t`. ONE fit definition so the full-corpus
+    * certification fit (q101) and the train-split fit (q215) can never
+    * drift: same features, same weak labels, same sampling cap/seed,
+    * same solver. */
+  private def fitLrWeightsTo(s: SparkSession, docs: DataFrame, t: String): Unit = {
+    import s.implicits._
+    val (fTok, fTok2, fWlen, fStop) = features
+    val n = docs.count()
+    val sampled =
+      if (n > ClassifierMaxFitRows)
+        docs.sample(withReplacement = false, ClassifierMaxFitRows.toDouble / n, 7L)
+      else docs
+    val train = sampled
+      .select(fTok.as("f1"), fTok2.as("f2"), fWlen.as("f3"), fStop.as("f4"),
+        TextOps.ruleGateKeep().cast("double").as("label"))
+      .na.drop()
+      .select(org.apache.spark.ml.functions.array_to_vector(
+        array(col("f1"), col("f2"), col("f3"), col("f4"))).as("features"),
+        col("label"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(100).setRegParam(1e-4).setFitIntercept(true)
+    val m = lr.fit(train)
+    val w = m.coefficients.toArray
+    Seq((w(0), w(1), w(2), w(3), m.intercept))
+      .toDF("w_tokens", "w_tokens2", "w_wlen", "w_stop", "bias")
+      .coalesce(1).write.mode("overwrite").parquet(t)
+  }
+
   private def weightsDir(s: SparkSession, d: String): String =
     SessionArtifacts.dir("quality-lr", s, d) { t =>
-      import s.implicits._
-      val (fTok, fTok2, fWlen, fStop) = features
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val sampled =
-        if (n > ClassifierMaxFitRows)
-          docs.sample(withReplacement = false, ClassifierMaxFitRows.toDouble / n, 7L)
-        else docs
-      val train = sampled
-        .select(fTok.as("f1"), fTok2.as("f2"), fWlen.as("f3"), fStop.as("f4"),
-          TextOps.ruleGateKeep().cast("double").as("label"))
-        .na.drop()
-        .select(org.apache.spark.ml.functions.array_to_vector(
-          array(col("f1"), col("f2"), col("f3"), col("f4"))).as("features"),
-          col("label"))
-      val lr = new org.apache.spark.ml.classification.LogisticRegression()
-        .setMaxIter(100).setRegParam(1e-4).setFitIntercept(true)
-      val m = lr.fit(train)
-      val w = m.coefficients.toArray
-      Seq((w(0), w(1), w(2), w(3), m.intercept))
-        .toDF("w_tokens", "w_tokens2", "w_wlen", "w_stop", "bias")
-        .coalesce(1).write.mode("overwrite").parquet(t)
+      fitLrWeightsTo(s, Tables.documents(s, d), t)
     }
 
   /** M9+ trained quality scoring: per-doc linear margin under the fitted
@@ -173,6 +181,46 @@ object Curation {
   val q166ClassifierAuc: Q = (s, d) => {
     val margin = marginCol(s, d)
     aucBySource(Tables.documents(s, d)
+      .select(col("source"), round(margin, 4).as("score"),
+        TextOps.ruleGateKeep().cast("long").as("label")))
+  }
+
+  /** The q163/q206 hash split (md5-prefix < '4' ≈ 25 % test), reused so
+    * every held-out eval in the engine holds out the SAME quarter. */
+  private def isTestSplit: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+
+  /** Once-per-(session, dataset) TRAIN-SPLIT classifier fit: the q101 LR
+    * refit on the q163 hash-train half only, through the SHARED
+    * [[fitLrWeightsTo]]. */
+  private def trainWeightsDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("quality-lr-train", s, d) { t =>
+      fitLrWeightsTo(s, Tables.documents(s, d).filter(!isTestSplit), t)
+    }
+
+  /** Oracle support for q215: the train-split fit's weights row. */
+  def writeHeldoutClassifierSupport(s: SparkSession, d: String,
+      outDir: String): Unit =
+    s.read.parquet(trainWeightsDir(s, d)).coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q215_support_weights")
+
+  /** q215: HELD-OUT classifier AUC — the q206 doctrine applied to the
+    * quality classifier: q166's AUC scores the same documents the
+    * weights were fit on, so its reading carries the same inferential
+    * gap q177's in-sample perplexity ladder did. Here the LR refits on
+    * the q163 hash-train half ([[fitLrWeightsTo]] — one fit definition
+    * with q101) and the AUC is computed ONLY on the held-out quarter,
+    * per source, against the same rule-gate labels. Read next to q166:
+    * a source whose held-out AUC sits far under its in-sample reading
+    * is one where the classifier memorizes surface statistics instead
+    * of ranking quality. The fit is the given (exported weights, the
+    * q101/q211 support doctrine); the oracle recomputes features,
+    * margin, labels, split, and the exact midrank AUC fold. */
+  val q215HeldoutAuc: Q = (s, d) => {
+    val margin = marginFromWeights(
+      s.read.parquet(trainWeightsDir(s, d)).collect().head)
+    aucBySource(Tables.documents(s, d)
+      .filter(isTestSplit)
       .select(col("source"), round(margin, 4).as("score"),
         TextOps.ruleGateKeep().cast("long").as("label")))
   }
@@ -799,6 +847,7 @@ object Curation {
     "q101_quality_classifier" -> q101QualityClassifier,
     "q142_classifier_calibration" -> q142ClassifierCalibration,
     "q166_classifier_auc" -> q166ClassifierAuc,
+    "q215_heldout_auc" -> q215HeldoutAuc,
     "q102_ann_filtered"       -> q102AnnFiltered,
     "q103_semdedup"           -> q103SemDedup,
     "q104_proto_prune"        -> q104ProtoPrune,
@@ -874,6 +923,60 @@ object Curation {
     // Mann-Whitney fold: per-(source, score) counts, cumulative-count
     // window over the aggregated table, AUC from the rank sum — every
     // term an exact half-integer, so only the final division rounds
+    // q166's AUC statement with two changes: weights from the TRAIN-split
+    // fit's export, every scored/labeled doc restricted to the held-out
+    // quarter (the q163 md5-prefix split, same literal both engines)
+    "q215_heldout_auc" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+        |f AS (
+        |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(toks) AS DOUBLE) * CAST(len(toks) AS DOUBLE) AS n_tok2,
+        |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) AS awl,
+        |    round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(toks), 4) AS sr
+        |  FROM t),
+        |w AS (
+        |  SELECT w_tokens, w_tokens2, w_wlen, w_stop, bias
+        |  FROM read_parquet('{GRAFT_OUT}_support/q215_support_weights/*.parquet')),
+        |sc AS (
+        |  SELECT f.doc_id,
+        |    round(w.w_tokens * f.n_tok + w.w_tokens2 * f.n_tok2 + w.w_wlen * f.awl + w.w_stop * f.sr + w.bias, 4) AS score
+        |  FROM f CROSS JOIN w),
+        |gt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) BETWEEN 30 AND 90
+        |      AND round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks), 4) BETWEEN 3 AND 10
+        |      AND (CAST(list_contains(toks, 'the') AS BIGINT)
+        |           + CAST(list_contains(toks, 'a') AS BIGINT)
+        |           + CAST(list_contains(toks, 'of') AS BIGINT)) >= 1
+        |      AND round((length(text) - length(replace(text, '#', ''))) * 1.0 / len(toks), 4) <= 0.1
+        |      THEN 1 ELSE 0 END AS BIGINT) AS label
+        |  FROM t),
+        |j AS (
+        |  SELECT d.source, sc.score, gt.label
+        |  FROM sc JOIN gt USING (doc_id) JOIN documents d USING (doc_id)),
+        |g1 AS (
+        |  SELECT source, score, count(*) AS n, CAST(sum(label) AS BIGINT) AS npos
+        |  FROM j GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT source, n, npos,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |  FROM g1),
+        |u AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(npos) AS BIGINT) AS n_pos,
+        |    sum(npos * (cum_prev + (n + 1) / 2.0)) AS rank_sum
+        |  FROM r1 GROUP BY 1)
+        |SELECT source, n_docs, n_pos, n_docs - n_pos AS n_neg,
+        |  CASE WHEN n_pos = 0 OR n_docs = n_pos THEN 0.5
+        |       ELSE round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+        |         / (n_pos * (n_docs - n_pos)), 4) END AS auc
+        |FROM u ORDER BY source""".stripMargin,
     "q166_classifier_auc" ->
       """WITH t AS (
         |  SELECT doc_id, text,

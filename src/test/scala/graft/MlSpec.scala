@@ -44,7 +44,8 @@ class MlSpec extends AnyFunSuite {
       "q213_support_centroids_4", "q213_support_cells_4",
       "q213_support_centroids_8", "q213_support_cells_8",
       "q213_support_centroids_16", "q213_support_cells_16",
-      "q213_support_centroids_32", "q213_support_cells_32"), tables)
+      "q213_support_centroids_32", "q213_support_cells_32",
+      "q215_support_weights"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

@@ -533,6 +533,54 @@ object CorpusReports {
       .orderBy(col("source"))
   }
 
+  /** Temperatures for the q216 sweep — quarter powers only, so every
+    * pᵢ^α is a sqrt COMPOSITION (sqrt is correctly rounded on both
+    * engines; a general pow() is not, and one ulp under a round-4
+    * boundary breaks certification). */
+  private[ops] val SweepAlphas = Seq(0.25, 0.5, 0.75, 1.0)
+
+  /** x^α for α ∈ {.25, .5, .75, 1} via sqrt chains (see [[SweepAlphas]]). */
+  private def powChain(x: org.apache.spark.sql.Column,
+      a: Double): org.apache.spark.sql.Column = a match {
+    case 0.25 => sqrt(sqrt(x))
+    case 0.5  => sqrt(x)
+    case 0.75 => sqrt(x) * sqrt(sqrt(x))
+    case 1.0  => x
+    case other => throw new IllegalArgumentException(
+      s"alpha=$other is not a quarter power — add its sqrt chain first")
+  }
+
+  /** q216: the mixture TEMPERATURE sweep — q183 reports the α = 0.5
+    * plan; this prices the knob itself. Per candidate α, the numbers a
+    * release review weighs against each other: the head source's share
+    * after scaling (dominance — α = 1 keeps the raw imbalance), the
+    * worst repetition factor max_epochs (tail amplification —
+    * memorization risk grows as α falls), and how many sources exceed
+    * 2 epochs at token budget T = total. The q183 kernel per sweep
+    * point over the ONE cached token-count agg; every power is a sqrt
+    * composition so the oracle reproduces each share bit-for-bit. */
+  val q216TempSweep: Q = (s, d) => {
+    val ps = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(TextFns.tokenCount(col("text")).cast("long")).as("ntoks"))
+      .cache()
+    Caching.materializeAndRelease(
+      SweepAlphas.map { a =>
+        val pw = powChain(col("ntoks").cast("double"), a)
+        val z = ps.agg(sum(col("ntoks")).cast("double").as("tot"),
+          sum(powChain(col("ntoks").cast("double"), a)).as("z"))
+        ps.crossJoin(broadcast(z))
+          .select(lit(a).as("alpha"),
+            round(pw / col("z"), 4).as("share"),
+            round(pw / col("z") * col("tot") / col("ntoks"), 4).as("epochs"))
+          .groupBy(col("alpha"))
+          .agg(max(col("share")).as("head_share"),
+            max(col("epochs")).as("max_epochs"),
+            sum((col("epochs") > 2.0).cast("long")).cast("long").as("n_over_2x"))
+      }.reduce(_ unionByName _).orderBy(col("alpha")),
+      ps)
+  }
+
   /** Gate-funnel (loss accounting) report: per source, the document counts
     * surviving each stage of the standard curation cascade — raw → rule
     * gate (the q97-certified predicate) → exact dedup among gate
@@ -859,6 +907,7 @@ object CorpusReports {
     "q121_budget_waterfill" -> q121BudgetWaterfill,
     "q137_domain_waterfill" -> q137DomainWaterfill,
     "q183_temperature_mix"  -> q183TemperatureMix,
+    "q216_temp_sweep"       -> q216TempSweep,
     "q188_length_profile"   -> q188LengthProfile,
     "q189_vocab_overlap"    -> q189VocabOverlap,
     "q193_vocab_rank_corr"  -> q193VocabRankCorr,
@@ -1242,6 +1291,29 @@ object CorpusReports {
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z, 4) AS temp_share,
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z * tot / ntoks, 4) AS epochs
         |FROM ps, z ORDER BY source""".stripMargin,
+    // the q183 kernel replayed per α, powers as the same sqrt chains,
+    // one UNION-ALL row per temperature
+    "q216_temp_sweep" -> {
+      val rows = Seq(("0.25", "sqrt(sqrt(CAST(ntoks AS DOUBLE)))"),
+          ("0.5", "sqrt(CAST(ntoks AS DOUBLE))"),
+          ("0.75", "sqrt(CAST(ntoks AS DOUBLE)) * sqrt(sqrt(CAST(ntoks AS DOUBLE)))"),
+          ("1.0", "CAST(ntoks AS DOUBLE)")).map { case (a, pw) =>
+        s"""  SELECT CAST($a AS DOUBLE) AS alpha,
+           |    max(round($pw / (SELECT sum($pw) FROM ps), 4)) AS head_share,
+           |    max(round($pw / (SELECT sum($pw) FROM ps)
+           |      * (SELECT CAST(sum(ntoks) AS DOUBLE) FROM ps) / ntoks, 4)) AS max_epochs,
+           |    CAST(sum(CASE WHEN round($pw / (SELECT sum($pw) FROM ps)
+           |      * (SELECT CAST(sum(ntoks) AS DOUBLE) FROM ps) / ntoks, 4) > 2.0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_over_2x
+           |  FROM ps""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ps AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS ntoks
+         |  FROM documents GROUP BY 1)
+         |$rows
+         |ORDER BY alpha""".stripMargin
+    },
     "q200_heaps_fit" ->
       """WITH t AS (
         |  SELECT source, doc_id,

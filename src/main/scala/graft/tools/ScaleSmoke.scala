@@ -904,6 +904,41 @@ object ScaleSmoke {
       }
       probes.unpersist()
     }
+    // MAINTAINER #26 (continuousDistinctMonitor): the claim is that a
+    // drain's cost follows the BATCH, never the accumulated corpus — the
+    // state is sources×k rows and the batch side cuts to bottom-k BEFORE
+    // the merge. Bulk-ingest a 1×/4×/16× corpus (disjoint doc_ids so the
+    // distinct count really grows), then time a fixed 200-doc drain.
+    if (section == "all" || section == "distmon") {
+      val docsB = graft.Tables.documents(spark, d)
+        .select(col("source"), col("doc_id"), col("text"))
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      for (mult <- Seq(1, 4, 16)) {
+        val root = java.nio.file.Files.createTempDirectory("smoke-distmon").toString
+        val in = s"$root/in"
+        new java.io.File(in).mkdirs()
+        (0 until mult).map { k =>
+          // distinct CONTENT per copy (the fingerprint must differ or the
+          // monitor would correctly collapse the copies)
+          docsB.select(col("source"),
+            concat(lit(s"copy$k "), col("text")).as("text"))
+        }.reduce(_ unionByName _).write.parquet(s"$in/b0")
+        graft.streaming.Incremental.continuousDistinctMonitor( // bulk, untimed
+          spark, s"$in/*", docSchema, s"$root/out", s"$root/ck")
+        docsB.filter(col("doc_id") < 200)
+          .select(col("source"), concat(lit("delta "), col("text")).as("text"))
+          .write.parquet(s"$in/b1")
+        time(s"mult=$mult distinct-monitor drain (fixed 200-doc batch)")(
+          graft.streaming.Incremental.continuousDistinctMonitor(
+            spark, s"$in/*", docSchema, s"$root/out", s"$root/ck"))
+        println(s"[scale] mult=$mult distmon state_rows=" +
+          spark.read.parquet(s"$root/out/kmv").count())
+      }
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

@@ -54,6 +54,7 @@ object SparkEntry {
       (Set("q112_ann_pq"), ops.Similarity.writeAnnPqSupport),
       (Set("q211_pca_truncation"), ops.Similarity.writeAnnPcaSupport),
       (Set("q213_nlist_sweep"), ops.Similarity.writeAnnNlistSupport),
+      (Set("q217_replica_sweep"), ops.Similarity.writeAnnReplicaSupport),
       (Set("q215_heldout_auc"), ops.Curation.writeHeldoutClassifierSupport),
       (Set("q101_quality_classifier", "q108_quality_retention",
         "q142_classifier_calibration", "q160_data_card_full",

@@ -881,6 +881,39 @@ object Similarity {
     * in one statement. Scale: each serve is the q99 pruned small-batch
     * shape; the scan count is a probes×cell-sizes join (cells-bounded);
     * the builds are session-memoized and ∝ √N-sized like any IVF fit. */
+  /** One build-knob sweep row: serve a saved index at fixed nProbe,
+    * score vs the shared exact reference, and price the scan — recall3
+    * + member-scan fraction (probed-cell member rows / (queries ×
+    * members); the routing reuses [[IvfIndex.routeProbes]], so the scan
+    * count is exactly what the serve read). Shared by q213 (cell-count
+    * axis) and q217 (replication axis). */
+  private def buildSweepRow(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, exact: DataFrame, nq: Long,
+      nProbe: Int, keyName: String, keyVal: Long): DataFrame = {
+    val idx = IvfIndex.load(s, indexDir)
+    val hits = IvfIndex.searchTopK(s, idx, queries, k = 3, nProbe = nProbe)
+      .select(col("vec_id"), col("nn_id"))
+      .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
+      .agg(count(col("hit")).cast("long").as("n_hits"))
+    // scanned member rows: the SAME routing the serve used (routeProbes)
+    // joined to per-cell member counts — cells-bounded, never the corpus
+    val cellSizes = idx.cells
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_in_cell"))
+    val (probes, _) = IvfIndex.routeProbes(s, idx.centroids, queries, nProbe)
+    val scanned = probes.toDF("cell", "vec_id", "emb")
+      .join(cellSizes, Seq("cell"))
+      .agg(sum(col("n_in_cell")).cast("long").as("n_scanned"))
+    val members = idx.cells.agg(count(lit(1)).cast("long").as("n_members"))
+    hits.crossJoin(broadcast(scanned)).crossJoin(broadcast(members))
+      .select(lit(keyVal).as(keyName), lit(nq).as("n_queries"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"),
+        col("n_scanned"),
+        round(col("n_scanned").cast("double") /
+          (lit(nq.toDouble) * col("n_members").cast("double")), 4).as("scan_frac"))
+  }
+
   val q213NlistSweep: Q = (s, d) => {
     graft.plans.GraftExtensions.register(s)
     val e = Tables.embeddings(s, d)
@@ -889,29 +922,60 @@ object Similarity {
     val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
     SweepNCells.map { n =>
-      val idx = IvfIndex.load(s, nlistDir(s, d, n))
-      val hits = IvfIndex.searchTopK(s, idx, queries, k = 3, nProbe = NlistNProbe)
-        .select(col("vec_id"), col("nn_id"))
-        .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
-        .agg(count(col("hit")).cast("long").as("n_hits"))
-      // scanned member rows: the SAME routing the serve used (routeProbes)
-      // joined to per-cell member counts — cells-bounded, never the corpus
-      val cellSizes = idx.cells
-        .groupBy(col("cell").cast("long").as("cell"))
-        .agg(count(lit(1)).as("n_in_cell"))
-      val (probes, _) = IvfIndex.routeProbes(s, idx.centroids, queries, NlistNProbe)
-      val scanned = probes.toDF("cell", "vec_id", "emb")
-        .join(cellSizes, Seq("cell"))
-        .agg(sum(col("n_in_cell")).cast("long").as("n_scanned"))
-      val members = idx.cells.agg(count(lit(1)).cast("long").as("n_members"))
-      hits.crossJoin(broadcast(scanned)).crossJoin(broadcast(members))
-        .select(lit(n.toLong).as("ncells"), lit(nq).as("n_queries"),
-          col("n_hits"),
-          round(col("n_hits").cast("double") / lit(3.0 * nq), 4).as("recall3"),
-          col("n_scanned"),
-          round(col("n_scanned").cast("double") /
-            (lit(nq.toDouble) * col("n_members").cast("double")), 4).as("scan_frac"))
+      buildSweepRow(s, nlistDir(s, d, n), queries, exact, nq,
+        NlistNProbe, "ncells", n.toLong)
     }.reduce(_ unionByName _).orderBy(col("ncells"))
+  }
+
+  private[ops] val SweepReplicas = Seq(1, 2, 3)
+
+  /** Once-per-(session, dataset, nReplicas) IVF build for q217 — same
+    * codebook params as the certification index (nCells/seed), only the
+    * replication factor moves; r = 2 IS the certification build. */
+  private def replicaDir(s: org.apache.spark.sql.SparkSession, d: String,
+      r: Int): String =
+    if (r == 2) ivfDir(s, d)
+    else SessionArtifacts.dir(s"ivf-replicas-$r", s, d) { t =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.save(s, IvfIndex.build(s, e, nCells = CertIvfNCells, seed = 7L,
+        nReplicas = r), t)
+    }
+
+  /** Oracle support for q217: per-replication codebook + membership. */
+  def writeAnnReplicaSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit = {
+    import s.implicits._
+    SweepReplicas.foreach { r =>
+      val idx = IvfIndex.load(s, replicaDir(s, d, r))
+      idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
+        .parquet(s"${graft.Verify.supportDir(outDir)}/q217_support_centroids_$r")
+      idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
+        .write.mode("overwrite")
+        .parquet(s"${graft.Verify.supportDir(outDir)}/q217_support_cells_$r")
+    }
+  }
+
+  /** q217: the REPLICATION-factor build knob — q213's sibling axis:
+    * multi-assignment places each vector in its r nearest cells, buying
+    * recall at cell boundaries for r× index storage AND r× scan rows at
+    * a fixed probe count. At [[NlistNProbe]] on the certification cell
+    * count, recall3 and scan fraction per r ∈ 1/2/3 — together with
+    * q213 this prices both IVF build-time axes against the same exact
+    * reference, so a deployment can read (cells, replicas) as one
+    * two-knob surface. Same oracle contract as q213 (per-r exported
+    * index, one statement). */
+  val q217ReplicaSweep: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3Sweep(s, d)
+    val nq = queries.count()
+    SweepReplicas.map { r =>
+      buildSweepRow(s, replicaDir(s, d, r), queries, exact, nq,
+        NlistNProbe, "nreplicas", r.toLong)
+    }.reduce(_ unionByName _).orderBy(col("nreplicas"))
   }
 
   /** Component count of the PCA rotation (q211): half the raw dims —
@@ -1148,6 +1212,7 @@ object Similarity {
     "q209_dim_ablation" -> q209DimAblation,
     "q210_pq_shortlist_sweep" -> q210PqShortlistSweep,
     "q213_nlist_sweep" -> q213NlistSweep,
+    "q217_replica_sweep" -> q217ReplicaSweep,
     "q211_pca_truncation" -> q211PcaTruncation,
   )
 
@@ -1381,14 +1446,14 @@ object Similarity {
     * verbatim against THAT codebook, candidates, exact cosine, ranking —
     * ending in `{p}top` (the served top-3), with `{p}probes`/`{p}mem`
     * left readable for the scan-fraction join. */
-  private def nlistChainCtes(n: Int): String = {
-    val p = s"n$n"
+  private def buildChainCtes(p: String, centroidsTable: String,
+      cellsTable: String): String = {
     s"""${p}cen AS (
        |  SELECT cell, centroid
-       |  FROM read_parquet('{GRAFT_OUT}_support/q213_support_centroids_$n/*.parquet')),
+       |  FROM read_parquet('{GRAFT_OUT}_support/$centroidsTable/*.parquet')),
        |${p}mem AS (
        |  SELECT cell, vec_id
-       |  FROM read_parquet('{GRAFT_OUT}_support/q213_support_cells_$n/*.parquet')),
+       |  FROM read_parquet('{GRAFT_OUT}_support/$cellsTable/*.parquet')),
        |${p}probes AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT qu.vec_id, ${p}cen.cell,
@@ -1417,20 +1482,24 @@ object Similarity {
        |  WHERE rn <= 3)""".stripMargin
   }
 
-  /** The full q213 oracle: every nlist's chain in one statement, a
-    * UNION-ALL row per nlist (hits vs the exact reference, scanned
-    * member rows, member total), recall and scan fraction as divisions
-    * of exact integers. */
-  private def nlistSweepSql: String = {
-    val rows = SweepNCells.map { n =>
-      val p = s"n$n"
-      s"""  SELECT $n AS ncells,
+  /** The full build-knob sweep oracle (q213/q217): every sweep value's
+    * chain in one statement, a UNION-ALL row per value (hits vs the
+    * exact reference, scanned member rows, member total), recall and
+    * scan fraction as divisions of exact integers. `entries` =
+    * (key value, chain prefix, centroids table, cells table). */
+  private def buildSweepSql(keyCol: String,
+      entries: Seq[(Int, String, String, String)]): String = {
+    val rows = entries.map { case (v, p, _, _) =>
+      s"""  SELECT $v AS $keyCol,
          |    (SELECT count(*) FROM ${p}top t
          |     JOIN ex ON t.vec_id = ex.vec_id AND t.cand_id = ex.cand_id) AS n_hits,
          |    (SELECT count(*) FROM ${p}probes p
          |     JOIN ${p}mem m ON p.cell = m.cell) AS n_scanned,
          |    (SELECT count(*) FROM ${p}mem) AS n_members""".stripMargin
     }.mkString("\nUNION ALL\n")
+    val chains = entries.map { case (_, p, cenT, celT) =>
+      buildChainCtes(p, cenT, celT)
+    }.mkString(",\n")
     s"""WITH qn AS (
        |  SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm
        |  FROM embeddings WHERE vec_id < $SweepBatchMaxId),
@@ -1440,18 +1509,26 @@ object Similarity {
        |          ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
        |     for x in embedding] AS uv
        |  FROM qn),
-       |${SweepNCells.map(nlistChainCtes).mkString(",\n")},
+       |$chains,
        |${exactTop3Cte(SweepBatchMaxId)},
        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qn),
        |rws AS (
        |$rows)
-       |SELECT CAST(rws.ncells AS BIGINT) AS ncells, nq.n AS n_queries,
+       |SELECT CAST(rws.$keyCol AS BIGINT) AS $keyCol, nq.n AS n_queries,
        |  CAST(rws.n_hits AS BIGINT) AS n_hits,
        |  round(CAST(rws.n_hits AS DOUBLE) / (3.0 * nq.n), 4) AS recall3,
        |  CAST(rws.n_scanned AS BIGINT) AS n_scanned,
        |  round(CAST(rws.n_scanned AS DOUBLE) / (nq.n * rws.n_members), 4) AS scan_frac
-       |FROM rws CROSS JOIN nq ORDER BY ncells""".stripMargin
+       |FROM rws CROSS JOIN nq ORDER BY $keyCol""".stripMargin
   }
+
+  private def nlistSweepSql: String =
+    buildSweepSql("ncells", SweepNCells.map(n =>
+      (n, s"n$n", s"q213_support_centroids_$n", s"q213_support_cells_$n")))
+
+  private def replicaSweepSql: String =
+    buildSweepSql("nreplicas", SweepReplicas.map(r =>
+      (r, s"r$r", s"q217_support_centroids_$r", s"q217_support_cells_$r")))
 
   /** The exact brute-force top-3 reference (NaN-filtered BEFORE ranking)
     * as an `ex` CTE over the `vec_id < maxId` batch — the shared recall
@@ -1605,6 +1682,7 @@ object Similarity {
     // cosines computed once over the widest cut; same tail for both
     // quantized tiers (q208 = SQ8 ascore chain, q210 = PQ ADC chain)
     "q213_nlist_sweep" -> nlistSweepSql,
+    "q217_replica_sweep" -> replicaSweepSql,
     "q208_shortlist_sweep" -> shortlistSweepSql(
       sqAscoreCtes("", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe)),
     "q210_pq_shortlist_sweep" -> shortlistSweepSql(

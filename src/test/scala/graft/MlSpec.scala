@@ -45,7 +45,10 @@ class MlSpec extends AnyFunSuite {
       "q213_support_centroids_8", "q213_support_cells_8",
       "q213_support_centroids_16", "q213_support_cells_16",
       "q213_support_centroids_32", "q213_support_cells_32",
-      "q215_support_weights"), tables)
+      "q215_support_weights",
+      "q217_support_centroids_1", "q217_support_cells_1",
+      "q217_support_centroids_2", "q217_support_cells_2",
+      "q217_support_centroids_3", "q217_support_cells_3"), tables)
     // and the SQL side: every {GRAFT_OUT} read resolves into the sibling
     // support dir ({GRAFT_OUT}_support/...), never into outDir itself
     SparkEntry.oracleSql.values.foreach { sql =>

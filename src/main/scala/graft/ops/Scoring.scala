@@ -1712,9 +1712,16 @@ object Scoring {
   /** The q131 kernel. `sharedToks` lets a composing query (q138) hand in
     * its own cached (doc_id, term) stream so the corpus is tokenized
     * ONCE per query, not once per stage; ownership (unpersist) stays
-    * with the caller when shared. */
+    * with the caller when shared. The BM25 constants are parameters for
+    * the q218 sweep — k1p1 (= k1+1) and omb (= 1−b) are passed as
+    * LITERALS, never computed (1.2 + 1.0 ≠ the literal 2.2 in the last
+    * ulp, and a one-ulp drift under a round-4 boundary breaks
+    * certification); the defaults are bit-identical to the certified
+    * q131/q132/q138 constants. */
   private def batchedBm25Top5(s: SparkSession, d: String,
-      sharedToks: Option[DataFrame] = None): DataFrame = {
+      sharedToks: Option[DataFrame] = None,
+      k1: Double = 1.2, k1p1: Double = 2.2,
+      b: Double = 0.75, omb: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val toks = sharedToks.getOrElse(docs
@@ -1738,8 +1745,8 @@ object Scoring {
       .crossJoin(broadcast(stats))
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
       .withColumn("score_t",
-        col("idf") * col("tf") * 2.2 /
-          (col("tf") + (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2))
+        col("idf") * col("tf") * lit(k1p1) /
+          (col("tf") + (col("dl") / col("avgdl") * lit(b) + lit(omb)) * lit(k1)))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("score_t")), 4).as("bm25"))
     Caching.materializeAndRelease(
@@ -1788,6 +1795,59 @@ object Scoring {
       row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("bm25").desc, col("doc_id"))))
     Caching.materializeAndRelease(rankingMetricsOf(t5, rel, nrel, k = 5), toks)
+  }
+
+  /** (k1, k1+1, b, 1−b) as EXACT double literals per sweep point — the
+    * derived constants are spelled out, never computed (see
+    * [[batchedBm25Top5]]'s literal discipline). The (1.2, 0.75) row is
+    * the certified q131 operating point — a built-in cross-check; the
+    * others bracket it: the Elasticsearch-ish (0.9, 0.4), a high-k1
+    * saturation point, and b = 0 (length normalization off). */
+  private[ops] val SweepBm25Params = Seq(
+    (0.9, 1.9, 0.4, 0.6),
+    (1.2, 2.2, 0.0, 1.0),
+    (1.2, 2.2, 0.75, 0.25),
+    (2.0, 3.0, 0.75, 0.25))
+
+  /** q218: the BM25 PARAMETER sweep — the lexical scorer's two knobs
+    * priced by retrieval OUTCOMES instead of folklore: per (k1, b)
+    * candidate, the macro-averaged recall@5 / MRR@5 / nDCG@5 of the
+    * q131 batched scorer against q138's deterministic conjunctive
+    * qrels. One tokenize pass and ONE qrel derivation feed all four
+    * scoring passes (only the per-(tf, dl) saturation arithmetic
+    * differs); macro means fold through the exact mean4. Hash-certified
+    * with no support tables: the oracle replays every scoring chain,
+    * the shared label set, and the same macro fold in one statement. */
+  val q218Bm25ParamSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .cache()
+    val qt = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(30)
+      .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .select(col("term"), expr("(rn - 1) div 3").cast("long").as("query_id"))
+    val rel = toks.join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("term")).distinct()
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ntq")).filter(col("ntq") === 3)
+      .select(col("query_id"), col("doc_id"))
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    Caching.materializeAndRelease(
+      SweepBm25Params.map { case (k1, k1p1, b, omb) =>
+        val t5 = batchedBm25Top5(s, d, sharedToks = Some(toks),
+            k1 = k1, k1p1 = k1p1, b = b, omb = omb)
+          .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("bm25").desc, col("doc_id"))))
+        rankingMetricsOf(t5, rel, nrel, k = 5)
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            graft.ops.ExactMean.mean4(col("recall5")).as("recall5"),
+            graft.ops.ExactMean.mean4(col("mrr5")).as("mrr5"),
+            graft.ops.ExactMean.mean4(col("ndcg5")).as("ndcg5"))
+          .select(lit(k1).as("k1"), lit(b).as("b"), col("n_queries"),
+            col("recall5"), col("mrr5"), col("ndcg5"))
+      }.reduce(_ unionByName _).orderBy(col("k1"), col("b")),
+      toks)
   }
 
   /** The metric folds alone, over an arbitrary ranking (query_id, doc_id,
@@ -1959,6 +2019,7 @@ object Scoring {
     "q131_batched_bm25"  -> q131BatchedBm25,
     "q132_hybrid_batch"  -> q132HybridBatch,
     "q138_retrieval_metrics" -> q138RetrievalMetrics,
+    "q218_bm25_param_sweep" -> q218Bm25ParamSweep,
   )
 
   private val tokCol =
@@ -1988,7 +2049,10 @@ object Scoring {
 
   // the q131 batch scorer as a CTE body (through `sc`) — q131 certifies
   // it, q132's lexical arm extends it
-  private val batchBm25Ctes =
+  /** The shared batched-BM25 derivation (everything up to, not
+    * including, the scored table) — `batchBm25Ctes` appends the
+    * certified sc; the q218 sweep appends one sc per (k1, b). */
+  private val batchBm25BaseCtes =
     s"""dl AS (
        |  SELECT doc_id, len($tokCol) AS dl FROM documents),
        |toks AS (
@@ -2002,7 +2066,10 @@ object Scoring {
        |h AS (SELECT t.doc_id, t.term, qt.query_id FROM toks t JOIN qt USING (term)),
        |tfq AS (SELECT query_id, doc_id, term, count(*) AS tf FROM h GROUP BY 1, 2, 3),
        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
-       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl)""".stripMargin
+
+  private val batchBm25Ctes =
+    s"""$batchBm25BaseCtes,
        |sc AS (
        |  SELECT query_id, doc_id, round(sum(
        |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
@@ -2010,6 +2077,68 @@ object Scoring {
        |    ), 4) AS bm25
        |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The full q218 oracle: shared derivation + qrels, one scoring chain
+    * per (k1, b) with the ENGINE's operand association
+    * ((dl/avgdl)·b + (1−b))·k1, per-query metric folds, exact-mean4
+    * macro rows. */
+  private def bm25ParamSweepSql: String = {
+    val points = SweepBm25Params.zipWithIndex
+    val chains = points.map { case ((k1, k1p1, b, omb), i) =>
+      val p = s"p$i"
+      s"""${p}sc AS (
+         |  SELECT query_id, doc_id, round(sum(
+         |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+         |        * tfq.tf * $k1p1 / (tfq.tf + (dl.dl / st.avgdl * $b + $omb) * $k1)
+         |    ), 4) AS bm25
+         |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |${p}t5 AS (
+         |  SELECT query_id, doc_id, rn FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+         |    FROM ${p}sc) WHERE rn <= 5),
+         |${p}graded AS (
+         |  SELECT t5.query_id, t5.rn,
+         |    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isrel
+         |  FROM ${p}t5 t5 LEFT JOIN rel
+         |    ON rel.query_id = t5.query_id AND rel.doc_id = t5.doc_id),
+         |${p}m AS (
+         |  SELECT query_id,
+         |    CAST(sum(isrel) AS BIGINT) AS hits5,
+         |    coalesce(min(CASE WHEN isrel = 1 THEN rn END), 0) AS frank,
+         |    sum(isrel / ln(rn + 1)) AS dcg
+         |  FROM ${p}graded GROUP BY 1),
+         |${p}pq AS (
+         |  SELECT m.query_id,
+         |    round(coalesce(m.hits5 / n.n_rel, 0.0), 4) AS recall5,
+         |    round(CASE WHEN m.frank = 0 THEN 0.0 ELSE 1.0 / m.frank END, 4) AS mrr5,
+         |    round(coalesce(m.dcg / i.idcg, 0.0), 4) AS ndcg5
+         |  FROM ${p}m m LEFT JOIN nrel n USING (query_id)
+         |  LEFT JOIN ideal i USING (query_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = points.map { case ((k1, _, b, _), i) =>
+      val p = s"p$i"
+      s"""  SELECT CAST($k1 AS DOUBLE) AS k1, CAST($b AS DOUBLE) AS b,
+         |    CAST(count(*) AS BIGINT) AS n_queries,
+         |    ${ExactMean.mean4Sql("recall5")} AS recall5,
+         |    ${ExactMean.mean4Sql("mrr5")} AS mrr5,
+         |    ${ExactMean.mean4Sql("ndcg5")} AS ndcg5
+         |  FROM ${p}pq""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $batchBm25BaseCtes,
+       |rel AS (
+       |  SELECT query_id, doc_id FROM h GROUP BY 1, 2
+       |  HAVING count(DISTINCT term) = 3),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+       |ideal AS (
+       |  SELECT n.query_id, sum(1.0 / ln(i + 1)) AS idcg
+       |  FROM nrel n, unnest(range(1, least(n.n_rel, 5) + 1)) AS r(i)
+       |  GROUP BY 1),
+       |$chains
+       |$rows
+       |ORDER BY k1, b""".stripMargin
+  }
 
   // the q85 NLL model as a CTE body — q85 certifies it, q126 orders by it
   // the q147 bigram model as a CTE body ending in n2t(doc_id, n_pairs,
@@ -2690,6 +2819,7 @@ object Scoring {
     // q131's ranking CTEs + the conjunctive pseudo-qrel (all 3 query
     // terms present) + textbook rank folds; nDCG's natural-log base
     // cancels in the dcg/idcg ratio on both engines identically
+    "q218_bm25_param_sweep" -> bm25ParamSweepSql,
     "q138_retrieval_metrics" ->
       s"""WITH $batchBm25Ctes,
          |top AS (

@@ -164,7 +164,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // scalar broadcasts per sweep point (scan count, member total)
         "q213_nlist_sweep", "q217_replica_sweep",
         // q216 replays q183's 1-row (tot, Z) normalizer per temperature
-        "q216_temp_sweep")
+        "q216_temp_sweep",
+        // q218 replays the q131 scorer (its 1-row corpus-stats
+        // broadcast) once per (k1, b) — the q138 composition shape
+        "q218_bm25_param_sweep")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

@@ -581,6 +581,55 @@ object CorpusReports {
       ps)
   }
 
+  /** Sample sizes for the q219 sweep. Chosen to straddle the per-source
+    * corpus sizes: at sf0.01 (25 docs/source) the larger cuts clip to
+    * the whole source (error exactly 0 — the exact anchor); at sf0.1+
+    * every cut is a real sample and the error decay is visible. */
+  private[ops] val SweepSampleKs = Seq(8, 32, 128)
+
+  /** q219: BOUNDED-SAMPLE quantiles — the deterministic alternative to
+    * q80's GK sketch, priced. The k smallest md5-uniforms per source
+    * are a uniform random k-sample of the source's documents, and
+    * bottom-k is MERGEABLE (bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B))) and hash-DETERMINISTIC — so unlike the GK sketch
+    * (q80, rows-only by design: engine-specific internals) the sampled
+    * quantile is certifiable cell-by-cell, maintainable by a stream
+    * (maintainer #27's state is exactly this sample), and
+    * constant-memory at any corpus size. Per sample size k: the
+    * per-source sampled median's relative error vs the exact
+    * percentile_disc median, exact-mean4/max folded — the table that
+    * prices k for the streaming tier. One ranked pass at max(k) feeds
+    * every cut (the prefix doctrine). */
+  val q219SampleQuantileSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        Relational.mdUniform(col("doc_id")).as("u"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))))
+      .filter(col("rn") <= SweepSampleKs.max)
+      .cache()
+    val exact = Tables.documents(s, d).groupBy(col("source"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("exact_p50"))
+    Caching.materializeAndRelease(
+      SweepSampleKs.map { k =>
+        docs.filter(col("rn") <= k)
+          .groupBy(col("source"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long").as("est_p50"))
+          .join(exact, Seq("source"))
+          .select(lit(k.toLong).as("k"),
+            round(abs(col("est_p50") - col("exact_p50")).cast("double") /
+              col("exact_p50").cast("double"), 4).as("rel_err"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).cast("long").as("n_sources"),
+            ExactMean.mean4(col("rel_err")).as("mean_rel_err"),
+            max(col("rel_err")).as("max_rel_err"))
+      }.reduce(_ unionByName _).orderBy(col("k")),
+      docs)
+  }
+
   /** Gate-funnel (loss accounting) report: per source, the document counts
     * surviving each stage of the standard curation cascade — raw → rule
     * gate (the q97-certified predicate) → exact dedup among gate
@@ -908,6 +957,7 @@ object CorpusReports {
     "q137_domain_waterfill" -> q137DomainWaterfill,
     "q183_temperature_mix"  -> q183TemperatureMix,
     "q216_temp_sweep"       -> q216TempSweep,
+    "q219_sample_quantile_sweep" -> q219SampleQuantileSweep,
     "q188_length_profile"   -> q188LengthProfile,
     "q189_vocab_overlap"    -> q189VocabOverlap,
     "q193_vocab_rank_corr"  -> q193VocabRankCorr,
@@ -1291,6 +1341,37 @@ object CorpusReports {
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z, 4) AS temp_share,
         |  round(sqrt(CAST(ntoks AS DOUBLE)) / z * tot / ntoks, 4) AS epochs
         |FROM ps, z ORDER BY source""".stripMargin,
+    // the bottom-k hash sample recomputed per sweep size from ONE
+    // ranked CTE, sampled and exact medians via the same quantile_disc,
+    // exact-mean4 error fold
+    "q219_sample_quantile_sweep" -> {
+      val rows = SweepSampleKs.map { k =>
+        s"""  SELECT CAST($k AS BIGINT) AS k,
+           |    CAST(count(*) AS BIGINT) AS n_sources,
+           |    ${ExactMean.mean4Sql("rel_err")} AS mean_rel_err,
+           |    max(rel_err) AS max_rel_err
+           |  FROM (
+           |    SELECT round(abs(e.est_p50 - ex.exact_p50)
+           |        / CAST(ex.exact_p50 AS DOUBLE), 4) AS rel_err
+           |    FROM (SELECT source, quantile_disc(n_chars, 0.5) AS est_p50
+           |          FROM r WHERE rn <= $k GROUP BY 1) e
+           |    JOIN ex USING (source))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH dc AS (
+         |  SELECT source, doc_id, n_chars,
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+         |      / 4503599627370496.0 AS u
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+         |  FROM dc),
+         |ex AS (
+         |  SELECT source, quantile_disc(n_chars, 0.5) AS exact_p50
+         |  FROM documents GROUP BY 1)
+         |$rows
+         |ORDER BY k""".stripMargin
+    },
     // the q183 kernel replayed per α, powers as the same sqrt chains,
     // one UNION-ALL row per temperature
     "q216_temp_sweep" -> {

@@ -1594,6 +1594,78 @@ object Incremental {
       .orderBy(col("source"))
   }
 
+  /** Maintainer #27: continuous SAMPLED-QUANTILE monitor — the
+    * streaming tier q219 prices: per source, the (u, doc_id, n_chars)
+    * rows of the k smallest md5-uniforms over doc_id — a uniform
+    * k-sample of everything ingested, because bottom-k is mergeable
+    * (bottomK(corpus ∪ batch) = bottomK(state ∪ bottomK(batch)), the
+    * #25/#26 decomposition) and hash-deterministic. State is ≤
+    * sources × k rows through [[graft.sources.SwapProtocol]]; each
+    * drain pays one batch pass + a state-sized merge. Unlike a GK/
+    * t-digest sketch the sample is engine-neutral: [[quantileReport]]
+    * equals the q219 batch kernel over everything ingested, exactly,
+    * under any split (StreamingSpec maintainer #27). Replay is
+    * idempotent (u is deterministic per doc_id; the merge dedups on
+    * (source, u, doc_id)). */
+  def continuousQuantileMonitor(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, outDir: String,
+      checkpointDir: String, k: Int = 128): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    require(k >= 1, s"sample size k must be >= 1, got $k")
+    val stateDir = s"$outDir/sample"
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val dst = new Path(stateDir)
+        val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.sources.SwapProtocol.recover(fs, dst)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+        def bottomK(df: DataFrame): DataFrame = df
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("source"), col("u"), col("doc_id"), col("n_chars"))
+        val batchK = bottomK(batch
+          .select(col("source"), graft.ops.Relational.mdUniform(col("doc_id")).as("u"),
+            col("doc_id"), col("n_chars"))
+          .dropDuplicates("source", "u", "doc_id"))
+        val union =
+          if (fs.exists(dst)) s.read.parquet(stateDir).unionByName(batchK)
+          else batchK
+        val next = bottomK(union.dropDuplicates("source", "u", "doc_id"))
+        graft.sources.SwapProtocol.writeSwapped(fs, dst) { tmp =>
+          next.write.parquet(tmp.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Read the maintained sample as per-source quantiles: (source,
+    * n_sample, p25, p50, p75) via the same percentile_disc the q72/q219
+    * certified kernels use — equals the q219 batch sample at the same k
+    * over everything ingested (the parity contract). */
+  def quantileReport(spark: SparkSession, outDir: String): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(s"$outDir/sample")
+    graft.sources.SwapProtocol.recover(
+      dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
+    spark.read.parquet(s"$outDir/sample")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_sample"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p75"))
+      .orderBy(col("source"))
+  }
+
   /** Continuous media admission gate — the streaming twin of q149 (the
     * media rule gate): each micro-batch's blobs decode to metadata
     * in-stream (the batch extractFeatures kernel, stateless) and the

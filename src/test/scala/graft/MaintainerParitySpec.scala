@@ -72,7 +72,9 @@ class MaintainerParitySpec extends AnyFunSuite {
     "continuousExactNnRef" -> (("ops.Similarity.exactTop3Scored (q201/q207/q208/q209 reference)",
       "exact-NN reference maintainer equals the batch exactTop3Scored")),
     "continuousDistinctMonitor" -> (("plans.KmvDistinct via ops.Relational.mdUniform (q92/q212)",
-      "distinct monitor equals the certified kmv_distinct under any split")))
+      "distinct monitor equals the certified kmv_distinct under any split")),
+    "continuousQuantileMonitor" -> (("ops.CorpusReports bottom-k sample kernel (q219)",
+      "quantile monitor equals the batch bottom-k sample under any split")))
 
   test("every continuous* maintainer is mapped to a batch twin + parity test") {
     val reflected = graft.streaming.Incremental.getClass.getDeclaredMethods

@@ -932,6 +932,59 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("quantile monitor equals the batch bottom-k sample under any split (maintainer #27)") {
+    val base = Files.createTempDirectory("graft-qmon").toString
+    val in = s"$base/in"
+    new java.io.File(in).mkdirs()
+    val docSchema = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    // 40 docs in source a (k=8 saturates: a real sample), 5 in b (sample
+    // = whole source: the exact tier)
+    val corpus = ((0 until 40).map(i => ("a", i.toLong, 100L + 7L * i)) ++
+      (0 until 5).map(i => ("b", 1000L + i, 50L + i)))
+      .toDF("source", "doc_id", "n_chars").cache()
+    corpus.count()
+    corpus.filter(col("doc_id") < 20).write.parquet(s"$in/b1")
+    corpus.filter(col("doc_id") >= 20).write.parquet(s"$in/b2")
+    def batchWant(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+      df.select(col("source"), graft.ops.Relational.mdUniform(col("doc_id")).as("u"),
+          col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_sample"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p75"))
+        .collect().map(_.toSeq).toSet
+    }
+    Incremental.continuousQuantileMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", k = 8)
+    def report() = Incremental.quantileReport(spark, s"$base/out")
+      .collect().map(_.toSeq).toSet
+    val got = report()
+    assert(got == batchWant(corpus),
+      s"maintained quantiles != batch sample kernel: $got vs ${batchWant(corpus)}")
+    // the small source's sample IS the source (n_sample = 5, exact tier)
+    assert(got.exists(r => r.head == "b" && r(1) == 5L))
+    // exactly-once: re-draining the same checkpoint changes nothing
+    Incremental.continuousQuantileMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", k = 8)
+    assert(report() == got, "rerun must be a no-op")
+    // a later batch can displace kept sample rows (smaller uniforms win):
+    // the merged state must equal the batch kernel on the extended corpus
+    val more = (100 until 160).map(i => ("a", i.toLong, 300L + i))
+      .toDF("source", "doc_id", "n_chars")
+    more.write.parquet(s"$in/b3")
+    Incremental.continuousQuantileMonitor(
+      spark, s"$in/*", docSchema, s"$base/out", s"$base/ck", k = 8)
+    assert(report() == batchWant(corpus.unionByName(more)),
+      "post-drain state must equal the batch kernel on the extended corpus")
+    corpus.unpersist()
+  }
+
   test("gate-agreement monitor folds to the q185 kernel's table (maintainer #21)") {
     val base = Files.createTempDirectory("graft-gamon").toString
     val in = s"$base/in"; val model = s"$base/model"

@@ -1818,25 +1818,63 @@ object Scoring {
     * differs); macro means fold through the exact mean4. Hash-certified
     * with no support tables: the oracle replays every scoring chain,
     * the shared label set, and the same macro fold in one statement. */
+  /** One (k1, b) point's summed-score column for the q218 single-pass
+    * aggregation — the q131 per-term arithmetic verbatim. */
+  private def bm25SumCol(p: (Double, Double, Double, Double),
+      i: Int): org.apache.spark.sql.Column = {
+    val (k1, k1p1, b, omb) = p
+    round(sum(col("idf") * col("tf") * lit(k1p1) /
+      (col("tf") + (col("dl") / col("avgdl") * lit(b) + lit(omb)) * lit(k1))),
+      4).as(s"bm25_$i")
+  }
+
   val q218Bm25ParamSweep: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .cache()
     val qt = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(30)
       .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .select(col("term"), expr("(rn - 1) div 3").cast("long").as("query_id"))
-    val rel = toks.join(broadcast(qt), Seq("term"))
+    val hits = toks.join(broadcast(qt), Seq("term")).cache()
+    val rel = hits
       .select(col("query_id"), col("doc_id"), col("term")).distinct()
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("ntq")).filter(col("ntq") === 3)
       .select(col("query_id"), col("doc_id"))
     val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    // ONE postings→stats join and ONE (query, doc) aggregation carry all
+    // four parameterizations as side-by-side sum columns (the q131
+    // arithmetic per column, same operand association) — the sweep costs
+    // one scoring pass instead of four
+    val tf = hits.groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = hits.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), TextFns.tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")) // float-mean: intermediate
+    val scored = tf
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        bm25SumCol(SweepBm25Params.head, 0),
+        SweepBm25Params.tail.zipWithIndex.map { case (p, i) =>
+          bm25SumCol(p, i + 1) }: _*)
+      .localCheckpoint(true)
     Caching.materializeAndRelease(
-      SweepBm25Params.map { case (k1, k1p1, b, omb) =>
-        val t5 = batchedBm25Top5(s, d, sharedToks = Some(toks),
-            k1 = k1, k1p1 = k1p1, b = b, omb = omb)
+      SweepBm25Params.zipWithIndex.map { case ((k1, _, b, _), i) =>
+        val t5 = graft.plans.TopKPerGroup(
+            scored.select(col("query_id"), col("doc_id"),
+              col(s"bm25_$i").as("bm25")),
+            Seq("query_id"),
+            Seq(graft.plans.TopKPerGroup.Key("bm25", desc = true),
+              graft.plans.TopKPerGroup.Key("doc_id")), 5)
           .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(col("bm25").desc, col("doc_id"))))
         rankingMetricsOf(t5, rel, nrel, k = 5)
@@ -1847,7 +1885,7 @@ object Scoring {
           .select(lit(k1).as("k1"), lit(b).as("b"), col("n_queries"),
             col("recall5"), col("mrr5"), col("ndcg5"))
       }.reduce(_ unionByName _).orderBy(col("k1"), col("b")),
-      toks)
+      toks, hits)
   }
 
   /** The metric folds alone, over an arbitrary ranking (query_id, doc_id,

@@ -310,6 +310,42 @@ object TextOps {
       prints)
   }
 
+  /** Window sizes for the q220 winnow sweep (the certified q66 point is
+    * w = 4). */
+  private[ops] val SweepWinnowWs = Seq(2, 4, 8, 16)
+
+  /** q220: the winnowing WINDOW sweep — the fingerprint-index size knob
+    * priced in exact integers: per window size w, how many documents
+    * fingerprint at all (a doc needs k+w−1 code points for one window),
+    * the total print count (the per-doc shuffle payload a fingerprint
+    * index ships), and the distinct print count (the index's key space).
+    * Winnowing guarantees ~2/(w+1) selection density, so each doubling
+    * of w roughly halves the index — this table measures where that
+    * curve actually sits on our text, next to the q66-certified w = 4
+    * point. No rounding anywhere: every cell is a BIGINT, so
+    * certification is exact by construction. */
+  val q220WinnowSweep: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).cache()
+    // each w's print table feeds TWO aggs (totals + distinct); cache the
+    // kernel output per w and release everything after materialization
+    val perW = SweepWinnowWs.map { w =>
+      val prints = docs.select(
+        TextFns.winnowedFingerprints(col("text"), k = 8, w = w).as("fp"))
+        .cache()
+      val totals = prints.agg(
+        sum((size(col("fp")) > 0).cast("long")).cast("long").as("n_docs"),
+        sum(size(col("fp"))).cast("long").as("total_prints"))
+      val distinctPrints = prints.select(explode(col("fp")).as("p"))
+        .agg(count_distinct(col("p")).cast("long").as("distinct_prints"))
+      (totals.crossJoin(broadcast(distinctPrints))
+        .select(lit(w.toLong).as("w"), col("n_docs"), col("total_prints"),
+          col("distinct_prints")), prints)
+    }
+    Caching.materializeAndRelease(
+      perW.map(_._1).reduce(_ unionByName _).orderBy(col("w")),
+      (docs +: perW.map(_._2)): _*)
+  }
+
   /** Deterministic per-stratum hash sampling (the training-data MIXING
     * primitive: upsample rare sources, downsample bulk ones,
     * reproducibly). A row is kept iff the first 2 hex chars of
@@ -1137,6 +1173,7 @@ object TextOps {
     "q113_tok_econ"     -> q113TokEconomics,
     "q114_pack_eff"     -> q114PackEfficiency,
     "q66_winnow"        -> q66Winnow,
+    "q220_winnow_sweep" -> q220WinnowSweep,
     "q67_hash_sample"   -> q67HashSample,
     "q55_engagement"    -> q55Engagement,
     "q57_tfidf"         -> q57Tfidf,
@@ -1615,6 +1652,35 @@ object TextOps {
          |  FROM documents)
          |${Seq(256L, 512L, 1024L).map(one).mkString("\nUNION ALL\n")}
          |ORDER BY bin_size""".stripMargin
+    },
+    // the q66 winnow CTE replayed per window size (slice width and both
+    // length guards parameterized the same way the engine kernel is),
+    // one all-BIGINT row per w
+    "q220_winnow_sweep" -> {
+      val rows = TextOps.SweepWinnowWs.map { w =>
+        s"""  SELECT CAST($w AS BIGINT) AS w,
+           |    CAST(count(CASE WHEN len(wins) > 0 THEN 1 END) AS BIGINT) AS n_docs,
+           |    CAST(sum(len(wins)) AS BIGINT) AS total_prints,
+           |    (SELECT CAST(count(DISTINCT p) AS BIGINT)
+           |     FROM (SELECT unnest(wins) AS p FROM win$w)) AS distinct_prints
+           |  FROM win$w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val wins = TextOps.SweepWinnowWs.map { w =>
+        s"""g$w AS (
+           |  SELECT doc_id, CASE WHEN length(s) >= ${7 + w}
+           |    THEN [md5(s[i:i+7]) for i in range(1, length(s) - 6)]
+           |    ELSE [] END AS grams FROM t),
+           |win$w AS (
+           |  SELECT doc_id, CASE WHEN len(grams) >= $w
+           |    THEN list_distinct([list_min(grams[j:j+${w - 1}])
+           |                        for j in range(1, len(grams) - ${w - 2})])
+           |    ELSE [] END AS wins FROM g$w)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents),
+         |$wins
+         |$rows
+         |ORDER BY w""".stripMargin
     },
     "q66_winnow" ->
       """WITH t AS (

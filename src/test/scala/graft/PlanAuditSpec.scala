@@ -167,7 +167,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q216_temp_sweep",
         // q218 replays the q131 scorer (its 1-row corpus-stats
         // broadcast) once per (k1, b) — the q138 composition shape
-        "q218_bm25_param_sweep")
+        "q218_bm25_param_sweep",
+        // q220 joins each w's 1-row distinct-count scalar onto its
+        // 1-row totals row (the q04 scalar shape)
+        "q220_winnow_sweep")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

@@ -388,6 +388,73 @@ object Dedup {
       docs)
   }
 
+  /** Hamming thresholds for the q221 sweep (the certified q40 point is
+    * hd ≤ 3). */
+  private[ops] val SweepHamming = Seq(1, 2, 3, 4, 6)
+
+  /** Bands for the q221 candidate join: 8 bands × 6 bits — pigeonhole
+    * recall = 1 for hd ≤ 7, covering the whole sweep (q40's 4 × 12
+    * layout only guarantees hd ≤ 3). */
+  private val SweepSimBands = 8
+
+  /** q221: the SimHash Hamming-THRESHOLD operating curve — q40 dedups at
+    * hd ≤ 3; this prices the whole dial the way q214 prices MinHash
+    * resolution: per candidate threshold, the predicted near-dup pairs
+    * (8×6-bit banding, pigeonhole-exact recall over the sweep range, hd
+    * computed ONCE and cut per threshold — the prefix doctrine), their
+    * precision and recall against the exact-Jaccard ≥ 0.8 ground truth
+    * (the q38/q122-certified pair set). The table says where loosening
+    * the radius starts buying noise instead of duplicates — on our
+    * text, not folklore. Oracle recomputes the signature, the
+    * exhaustive hd pairs, the exhaustive Jaccard truth, and every cut
+    * in one statement. */
+  val q221SimhashThresholdSweep: Q = (s, d) => {
+    val norm = TextFns.normText(col("text"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(norm).as("hs"),
+        simhashMd5(norm).as("simhash"))
+      .filter(size(col("hs")) > 0 && col("simhash").isNotNull)
+      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig"),
+        col("simhash"))
+      .cache()
+    // ground truth: the q38-certified exact-trigram-Jaccard ≥ 0.8 pairs
+    val truth = bucketedCandidates(bandsOf(docs), Nil)
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .filter(round(jaccardSorted(col("hs_a"), col("hs_b")), 4) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .cache()
+    val bandBits = SimBits / SweepSimBands
+    val sbands = docs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SweepSimBands).map(j =>
+        shiftrightunsigned(col("simhash"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        .as(Seq("band", "bhash")))
+    val spairs = bucketedCandidates(sbands, Seq("simhash"))
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
+      .filter(col("hamming") <= SweepHamming.max)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .cache()
+    val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
+    Caching.materializeAndRelease(
+      SweepHamming.map { t =>
+        spairs.filter(col("hamming") <= t)
+          .agg(count(lit(1)).cast("long").as("n_pred"),
+            count(col("hit")).cast("long").as("n_hit"))
+          .crossJoin(broadcast(nTrue))
+          .select(lit(t.toLong).as("hd"), col("n_pred"), col("n_true"),
+            col("n_hit"),
+            when(col("n_pred") === 0, lit(0.0))
+              .otherwise(round(col("n_hit").cast("double") /
+                col("n_pred").cast("double"), 4)).as("prec"),
+            round(col("n_hit").cast("double") /
+              col("n_true").cast("double"), 4).as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("hd")),
+      docs, truth, spairs)
+  }
+
   /** Canonicalization: collapse near-duplicate PAIRS into components and
     * elect min(doc_id) per component — the step that turns pairwise dedup
     * output into a cleaned corpus. The component engine is the reusable
@@ -1035,6 +1102,7 @@ object Dedup {
     "q122_lsh_calibration" -> q122LshCalibration,
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
     "q214_siglen_sweep" -> q214SigLenSweep,
+    "q221_simhash_threshold_sweep" -> q221SimhashThresholdSweep,
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
@@ -1101,6 +1169,52 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard, est,
          |  round(abs(est - jaccard), 4) AS abs_err
          |FROM e ORDER BY doc_a, doc_b""".stripMargin,
+    // q40's signature CTEs + exhaustive hd pairs computed ONCE at the
+    // widest radius, the exhaustive Jaccard truth, every threshold cut as
+    // a scalar-subquery row
+    "q221_simhash_threshold_sweep" -> {
+      val rows = SweepHamming.map { t =>
+        s"""  SELECT CAST($t AS BIGINT) AS hd,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM sp WHERE hamming <= $t) AS n_pred,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_true,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM sp JOIN p USING (doc_a, doc_b)
+           |     WHERE sp.hamming <= $t) AS n_hit""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |tt AS (
+         |  SELECT doc_id, $DuckShingles AS shl
+         |  FROM t WHERE len(toks) >= 3),
+         |sh AS (
+         |  SELECT doc_id, unnest($DuckShingles) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |fh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM sh),
+         |bits AS (
+         |  SELECT doc_id, k, sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM fh, range(0, 48) r(k) GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << k ELSE 0::BIGINT END) AS BIGINT) AS s
+         |  FROM bits GROUP BY 1),
+         |sp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.s, b.s)) <= ${SweepHamming.max}),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE) /
+         |        len(list_distinct(a.shl || b.shl)) >= 0.8),
+         |rws AS (
+         |$rows)
+         |SELECT hd, n_pred, n_true, n_hit,
+         |  CASE WHEN n_pred = 0 THEN 0.0
+         |       ELSE round(CAST(n_hit AS DOUBLE) / n_pred, 4) END AS prec,
+         |  round(CAST(n_hit AS DOUBLE) / n_true, 4) AS recall
+         |FROM rws ORDER BY hd""".stripMargin
+    },
     // the q122 ground-truth pairs recomputed exhaustively, the estimator
     // cut at each signature prefix from the SAME exported table, error
     // folded through the exact mean4 algebra

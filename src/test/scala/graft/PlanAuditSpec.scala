@@ -170,7 +170,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q218_bm25_param_sweep",
         // q220 joins each w's 1-row distinct-count scalar onto its
         // 1-row totals row (the q04 scalar shape)
-        "q220_winnow_sweep")
+        "q220_winnow_sweep",
+        // q221 joins the 1-row truth-count scalar onto each cut's 1-row
+        // counts (the q04 scalar shape)
+        "q221_simhash_threshold_sweep")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

@@ -53,6 +53,45 @@ object Temporal {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** Gaps (minutes) for the q222 sweep — the certified q48 point is 30. */
+  private[ops] val SweepGapsMin = Seq(5, 15, 30, 60)
+
+  /** q222: the SESSION-GAP sweep — q48 sessionizes at a 30-minute
+    * inactivity gap; this prices the knob: per candidate gap, the
+    * session count, singleton-session count (a gap too tight shatters
+    * real sessions into singletons), and the longest session (a gap too
+    * loose merges visits). One lag pass computes every inter-event
+    * interval; each sweep point is a cumulative-sum re-segmentation of
+    * the SAME diff column (the islands formulation the q48 oracle
+    * certifies at 30 min, replayed per gap). Every cell a BIGINT —
+    * exact with no rounding. Scale: the windows are per-user
+    * (partitioned, no global sort); the diff column is cached once. */
+  val q222SessionGapSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val diffs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .cache()
+    graft.ops.Caching.materializeAndRelease(
+      SweepGapsMin.map { g =>
+        diffs
+          .withColumn("new_s",
+            (col("gap_s").isNull || col("gap_s") >= g * 60L).cast("long"))
+          .withColumn("sid", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("len"))
+          .agg(count(lit(1)).cast("long").as("n_sessions"),
+            sum((col("len") === 1).cast("long")).cast("long").as("n_single"),
+            max(col("len")).cast("long").as("max_len"))
+          .select(lit(g.toLong).as("gap_min"), col("n_sessions"),
+            col("n_single"), col("max_len"))
+      }.reduce(_ unionByName _).orderBy(col("gap_min")),
+      diffs)
+  }
+
   /** Interval/range self-join: pairs of same-user events within 60 seconds
     * (engine completion of §2.3's absent range/interval-join row). The
     * scalable plan is the bucket trick: each left event probes its own
@@ -135,6 +174,7 @@ object Temporal {
     "q46_tumbling_window" -> q46Tumbling,
     "q47_sliding_window"  -> q47Sliding,
     "q48_session_window"  -> q48Session,
+    "q222_session_gap_sweep" -> q222SessionGapSweep,
     "q54_range_join"      -> q54RangeJoin,
   )
 
@@ -151,6 +191,35 @@ object Temporal {
         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, count(*) AS n,
         |  round(sum(value), 2) AS total_value
         |FROM assigned GROUP BY w_start ORDER BY w_start""".stripMargin,
+    // the q48 islands CTEs replayed per gap, session-length fold per
+    // sweep point, all-BIGINT rows
+    "q222_session_gap_sweep" -> {
+      val chains = SweepGapsMin.map { g =>
+        s"""marked$g AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |              >= INTERVAL '$g minutes' OR
+           |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events),
+           |sess$g AS (
+           |  SELECT user_id,
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |  FROM marked$g)""".stripMargin
+      }.mkString(",\n")
+      val rows = SweepGapsMin.map { g =>
+        s"""  SELECT CAST($g AS BIGINT) AS gap_min,
+           |    CAST(count(*) AS BIGINT) AS n_sessions,
+           |    CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single,
+           |    CAST(max(len) AS BIGINT) AS max_len
+           |  FROM (SELECT user_id, sid, count(*) AS len
+           |        FROM sess$g GROUP BY 1, 2)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $chains
+         |$rows
+         |ORDER BY gap_min""".stripMargin
+    },
     "q48_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

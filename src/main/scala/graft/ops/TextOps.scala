@@ -470,6 +470,46 @@ object TextOps {
       sh)
   }
 
+  /** Gram orders for the q223 sweep (the certified q69 point is n = 5). */
+  private[ops] val SweepGramNs = Seq(3, 5, 8, 13)
+
+  /** q223: the contamination-DETECTION n-gram order sweep — q69 flags
+    * train/eval overlap at 5-grams; this prices the order: per n, how
+    * many train docs get flagged at all, the overlapping-gram mass, and
+    * the gram universe size. Short grams over-block (common phrases
+    * count as contamination), long grams under-block (only verbatim
+    * spans match) — q205 priced the SCRUB span length; this is the
+    * matching curve for the DETECTOR, so the two knobs are read off the
+    * same corpus. Each order runs the q69 kernel (hash-distinct grams,
+    * one JVM pass; the string-exact oracle catches any collision);
+    * every output cell is a BIGINT. Docs shorter than n tokens drop out
+    * of that order's universe — mirrored by the oracle's length
+    * guard. */
+  val q223DecontamOrderSweep: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).cache()
+    val perN = SweepGramNs.map { n =>
+      val sh = docs
+        .select(col("doc_id"), explode(TextFns.distinctGramHashes(col("text"), n)).as("gh"))
+        .cache()
+      val eval_ = sh.filter(col("doc_id") < 50).select(col("gh")).distinct()
+      val row = sh.filter(col("doc_id") >= 50)
+        .join(eval_.withColumn("hit", lit(1)), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum((col("n_overlap") > 0).cast("long")).cast("long").as("n_flagged"),
+          sum(col("n_overlap")).cast("long").as("total_overlap"),
+          sum(col("n_grams")).cast("long").as("total_grams"))
+        .select(lit(n.toLong).as("n"), col("n_docs"), col("n_flagged"),
+          col("total_overlap"), col("total_grams"))
+      (row, sh)
+    }
+    Caching.materializeAndRelease(
+      perN.map(_._1).reduce(_ unionByName _).orderBy(col("n")),
+      (docs +: perN.map(_._2)): _*)
+  }
+
   /** URL / email scrubbing (the PII-redaction pass a pretraining pipeline
     * applies): count and redact with sentinel tokens. Markers are
     * constructed from known columns (the q55 pattern) so the oracle can
@@ -1167,6 +1207,7 @@ object TextOps {
     "q77_oov_rate"      -> q77OovRate,
     "q68_repetition"    -> q68Repetition,
     "q69_contamination" -> q69Contamination,
+    "q223_decontam_order_sweep" -> q223DecontamOrderSweep,
     "q71_scrub"         -> q71Scrub,
     "q73_token_budget"  -> q73TokenBudget,
     "q65_bpe_tokens"    -> q65BpeTokens,
@@ -1572,6 +1613,40 @@ object TextOps {
         |  md5(regexp_replace(regexp_replace(marked, 'https?://[^\s]+', '<URL>', 'g'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS clean_fp
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the q69 CTEs replayed per gram order (concat width and length
+    // guard parameterized), one all-BIGINT summary row per n
+    "q223_decontam_order_sweep" -> {
+      def gramExpr(n: Int): String =
+        (0 until n).map(k => if (k == 0) "toks[i]" else s"toks[i+$k]")
+          .mkString(" || ' ' || ")
+      val chains = TextOps.SweepGramNs.map { n =>
+        s"""sh$n AS (
+           |  SELECT doc_id, unnest(list_distinct(
+           |    [${gramExpr(n)}
+           |     for i in range(1, len(toks) - ${n - 2})])) AS g
+           |  FROM t WHERE len(toks) >= $n),
+           |ev$n AS (SELECT DISTINCT g FROM sh$n WHERE doc_id < 50),
+           |pd$n AS (
+           |  SELECT sh$n.doc_id, count(*) AS n_grams,
+           |    CAST(sum(CASE WHEN ev$n.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+           |  FROM sh$n LEFT JOIN ev$n ON sh$n.g = ev$n.g
+           |  WHERE sh$n.doc_id >= 50 GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = TextOps.SweepGramNs.map { n =>
+        s"""  SELECT CAST($n AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN n_overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           |    CAST(sum(n_overlap) AS BIGINT) AS total_overlap,
+           |    CAST(sum(n_grams) AS BIGINT) AS total_grams
+           |  FROM pd$n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |$chains
+         |$rows
+         |ORDER BY n""".stripMargin
+    },
     "q69_contamination" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks

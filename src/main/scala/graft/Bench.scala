@@ -40,9 +40,36 @@ object Bench {
     math.min(onePass(), onePass())
   }
 
+  /** Previous-round warm map + calibration, parsed from a committed
+    * BENCH_FULL.json (Jackson is on Spark's classpath). Read BEFORE this
+    * run overwrites the file. Returns (queries, meanCalibration). */
+  private def readPrevArtifact(path: String): Option[(Map[String, Double], Option[Double])] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      val qs = Option(root.get("queries")).map { node =>
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+      val probes = Seq("host_calibration_sec", "host_calibration_end_sec")
+        .flatMap(k => Option(root.get(k)).map(_.asDouble()))
+      qs.map(q => (q, if (probes.nonEmpty) Some(probes.sum / probes.size) else None))
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SELF-ADJUDICATING regression gate (r17 verdict #7): the raw
+    // ">=2x and >=0.4s mover" check kept reading mid-run host transients
+    // as regressions (r17's q180/q186/q187 artifact movers did not
+    // reproduce under a judge rerun). The artifact now carries its own
+    // verdict: the previous round's committed artifact is read BEFORE
+    // this run overwrites it, and every mover is reported with BOTH the
+    // raw ratio and the calibration-normalized one.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_FULL.json")
+    val prev = readPrevArtifact(prevPath)
     // probe at START and END: a single start-of-run probe witnesses one
     // instant, not the suite's average load (NOTES r17: the faster of two
     // same-code runs drew the slower start probe). Reports use the mean.
@@ -132,10 +159,54 @@ object Bench {
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val passMaps = allPasses.zipWithIndex
       .map { case (m, i) => s""""pass${i + 1}":${jsonMap(m)}""" }.mkString(",")
+    // the verdict block: per-query warm ratios vs the previous artifact,
+    // median raw AND calibration-normalized (norm = raw x calibPrev/
+    // calibCur — per-query times scale with host slowness, so dividing
+    // each side by its own probe cancels the shared drift), and the
+    // mover list with both ratios. A mover is CONFIRMED only when the
+    // normalized ratio still clears 2x — the gate the r17 adjudication
+    // had to run by hand.
+    val calibCur = (hostCalib + hostCalibEnd) / 2
+    var verdictScalars = "" // compact copy for the tail-truncated stdout line
+    val verdictJson = prev match {
+      case Some((prevQ, prevCalib)) =>
+        val common = results.keySet.intersect(prevQ.keySet).toSeq.sorted
+          .filter(q => prevQ(q) > 0)
+        if (common.isEmpty) """"verdict":{"prev":"none","reason":"no common queries"},"""
+        else {
+          val factor = prevCalib.map(_ / calibCur)
+          val ratios = common.map(q => (q, results(q) / prevQ(q)))
+          val sortedR = ratios.map(_._2).sorted
+          val medRaw = sortedR(sortedR.size / 2)
+          val movers = ratios
+            .filter { case (q, r) => r >= 2.0 && results(q) - prevQ(q) >= 0.4 }
+            .sortBy(-_._2).take(10)
+          val moverJson = movers.map { case (q, r) =>
+            val rn = factor.map(_ * r)
+            s"""{"q":"$q","prev":${f"${prevQ(q)}%.3f"},"cur":${f"${results(q)}%.3f"},""" +
+              s""""ratio_raw":${f"$r%.3f"},"ratio_norm":${rn.map(v => f"$v%.3f").getOrElse("null")},""" +
+              s""""confirmed":${rn.exists(_ >= 2.0)}}"""
+          }.mkString("[", ",", "]")
+          verdictScalars =
+            factor.map(f0 => s""""verdict_median_norm":${f"${medRaw * f0}%.3f"},""").getOrElse("") +
+              s""""verdict_median_raw":${f"$medRaw%.3f"},""" +
+              s""""verdict_movers_confirmed":${movers.count { case (_, r) => factor.exists(_ * r >= 2.0) }},"""
+          s""""verdict":{"prev":"$prevPath","n_common":${common.size},""" +
+            s""""calib_prev":${prevCalib.map(v => f"$v%.3f").getOrElse("null")},""" +
+            s""""calib_cur":${f"$calibCur%.3f"},""" +
+            s""""median_ratio_raw":${f"$medRaw%.3f"},""" +
+            s""""median_ratio_norm":${factor.map(f0 => f"${medRaw * f0}%.3f").getOrElse("null")},""" +
+            s""""n_movers_raw":${movers.size},""" +
+            s""""n_movers_confirmed":${movers.count { case (_, r) => factor.exists(_ * r >= 2.0) }},""" +
+            s""""movers":$moverJson},"""
+        }
+      case None => """"verdict":{"prev":"none","reason":"no previous artifact"},"""
+    }
     val fullJson =
       s"""{"sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +
         s"""$passMaps,"queries_first":${jsonMap(firstPass)},""" +
         s""""queries":${jsonMap(results)},""" +
+        verdictJson +
         s""""host_calibration_sec":${f"$hostCalib%.3f"},""" +
         s""""host_calibration_end_sec":${f"$hostCalibEnd%.3f"},""" +
         s""""min_total_sec":${f"$minTotal%.3f"},""" +
@@ -145,7 +216,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
-    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
+    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},$verdictScalars"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
     spark.stop()
   }
 }

@@ -58,7 +58,7 @@ object Dedup {
     * downstream pass (signatures, verification) works on the hashes; a
     * 64-bit collision would need ~2³² distinct shingles to become likely
     * (use 128-bit split hashes at that corpus size). */
-  private[ops] val shingleHashes = udf { (norm: String) => shingleHashKernel(norm, 3) }
+  private[graft] val shingleHashes = udf { (norm: String) => shingleHashKernel(norm, 3) }
 
   /** Jaccard of two SORTED long arrays via two-pointer merge — the per-pair
     * verification kernel. Primitive Array[Long] parameters (no boxing — a
@@ -132,6 +132,43 @@ object Dedup {
           round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8),
       docs)
+  }
+
+  /** EXACT Jaccard-threshold pair enumeration via PREFIX FILTERING —
+    * the set-similarity-join result (AllPairs/PPJoin family, public
+    * literature): under the global sort order of the shingle hashes,
+    * any two sets with J(A,B) ≥ t must share at least one element of
+    * their first (|X| − ⌈t·|X|⌉ + 1) sorted elements. Candidates are
+    * therefore an EQUI-JOIN on prefix hashes — recall is 1 by THEOREM,
+    * where LSH banding's recall is only probabilistic (16×2 bands miss
+    * a J = 0.8 pair with p = (1−0.64)¹⁶ ≈ 8·10⁻⁸ — tiny, but
+    * dataset-dependent; r17 ADVICE). This is the structural ground
+    * truth the q214/q221/q226 knob sweeps certify against, and the
+    * exact tier of the M7 dedup family (q227). Cost shape: prefix rows
+    * are ~(1−t)·|hs| per doc; the candidate join rides the SAME
+    * skew-guarded bucket join as LSH (a hot prefix hash triangle-splits
+    * instead of stalling one task); verification is the shared sorted-
+    * merge Jaccard kernel. More candidates than banding — that is the
+    * price of exactness; at 100 TB run it on the certification corpus
+    * or post-banding audit samples, not the full sweep.
+    *
+    * The prefix length uses t − 10⁻⁴: verification accepts pairs whose
+    * ROUNDED Jaccard reaches t (the q38 contract), and a pair at
+    * J = t − ε/2 must still be candidate-generated for its rounded
+    * value to decide, not the candidate filter. */
+  private[graft] def exactJaccardPairs(docs: DataFrame, t: Double): DataFrame = {
+    val tSafe = t - 1e-4
+    val pref = docs.select(col("doc_id"), lit(0).as("band"),
+      explode(slice(col("hs"), lit(1),
+        greatest(lit(1),
+          (size(col("hs")) - ceil(lit(tSafe) * size(col("hs"))) + 1).cast("int"))))
+        .as("bhash"))
+    bucketedCandidates(pref, Nil)
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
   }
 
   /** (doc_id, band, bhash) LSH bucket rows of a signature table
@@ -403,7 +440,9 @@ object Dedup {
     * (8×6-bit banding, pigeonhole-exact recall over the sweep range, hd
     * computed ONCE and cut per threshold — the prefix doctrine), their
     * precision and recall against the exact-Jaccard ≥ 0.8 ground truth
-    * (the q38/q122-certified pair set). The table says where loosening
+    * ([[exactJaccardPairs]] — prefix-filter join, recall 1 by theorem,
+    * so truth parity with the oracle's exhaustive scan is structural).
+    * The table says where loosening
     * the radius starts buying noise instead of duplicates — on our
     * text, not folklore. Oracle recomputes the signature, the
     * exhaustive hd pairs, the exhaustive Jaccard truth, and every cut
@@ -417,11 +456,10 @@ object Dedup {
       .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig"),
         col("simhash"))
       .cache()
-    // ground truth: the q38-certified exact-trigram-Jaccard ≥ 0.8 pairs
-    val truth = bucketedCandidates(bandsOf(docs), Nil)
-      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .filter(round(jaccardSorted(col("hs_a"), col("hs_b")), 4) >= 0.8)
+    // ground truth: exact-trigram-Jaccard ≥ 0.8 pairs via the prefix-
+    // filter join — recall 1 by theorem, so parity with the oracle's
+    // exhaustive truth is STRUCTURAL, not banding-dependent (r17 ADVICE)
+    val truth = exactJaccardPairs(docs.select(col("doc_id"), col("hs")), 0.8)
       .select(col("doc_a"), col("doc_b"))
       .cache()
     val bandBits = SimBits / SweepSimBands
@@ -453,6 +491,23 @@ object Dedup {
               col("n_true").cast("double"), 4).as("recall"))
       }.reduce(_ unionByName _).orderBy(col("hd")),
       docs, truth, spairs)
+  }
+
+  /** q227: the EXACT set-similarity join — M7's exact tier, serving the
+    * full ≥0.8-trigram-Jaccard pair set through [[exactJaccardPairs]]'s
+    * prefix-filter candidates instead of LSH banding. Same verified
+    * output contract as q38 (recall there rests on banding probability;
+    * here it is 1 by the prefix theorem), and the operator behind the
+    * q214/q221/q226 sweeps' structural ground truth. Oracle: the
+    * exhaustive pair scan. */
+  val q227PrefixFilterJoin: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    Caching.materializeAndRelease(
+      exactJaccardPairs(docs, 0.8).orderBy(col("doc_a"), col("doc_b")),
+      docs)
   }
 
   /** Canonicalization: collapse near-duplicate PAIRS into components and
@@ -1018,16 +1073,12 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
-    val cand = bucketedCandidates(bandsOf(docs), Nil)
-    val pairs = cand
-      .join(docs.select(col("doc_id").as("doc_a"),
-        col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"),
-        col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"),
-        col("sig_a"), col("sig_b"))
-      .filter(col("jaccard") >= 0.8)
+    // the ≥0.8 pair set via the prefix-filter join — structural recall 1
+    // against the oracle's exhaustive enumeration (r17 ADVICE)
+    val pairs = exactJaccardPairs(docs.select(col("doc_id"), col("hs")), 0.8)
+      .join(docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("sig_a"), col("sig_b"))
       .cache()
     Caching.materializeAndRelease(
       SweepSigLens.map { m =>
@@ -1103,6 +1154,7 @@ object Dedup {
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
     "q214_siglen_sweep" -> q214SigLenSweep,
     "q221_simhash_threshold_sweep" -> q221SimhashThresholdSweep,
+    "q227_prefix_filter_join" -> q227PrefixFilterJoin,
   )
 
   /** DuckDB word-trigram shingle expression (mirrors TextFns.wordShingles). */
@@ -1452,6 +1504,21 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      len(list_distinct(a.sh || b.sh)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the exhaustive pair scan with the ROUNDED threshold — exactly the
+    // engine's verification contract (prefix filtering changes only the
+    // candidate generation, never the verified set)
+    "q227_prefix_filter_join" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "q39_ngram_jaccard" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, bucket, $DuckShingles AS sh

@@ -85,16 +85,20 @@ object InvertedIndex {
   }
 
   /** BM25 top-k over a saved index — the corpus text is never touched.
-    * Same math, rounding, and tie-break as the inline q84 scorer. */
+    * Same math, rounding, and tie-break as the inline q84 scorer.
+    * Every table read resolves through [[graft.sources.SwapProtocol]]:
+    * stats completes a crashed append's rename-mode swap, and postings/
+    * doclens may be pointer-managed versions when the index has been
+    * maintained by [[graft.sources.Compaction.compact]] (which publishes
+    * pointed) — a plain dir resolves to itself, so fresh builds are
+    * unaffected. */
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val postings = spark.read.parquet(s"$dir/postings")
+    import graft.sources.SwapProtocol
+    val postings = spark.read.parquet(SwapProtocol.resolve(spark, s"$dir/postings"))
       .filter(col("term").isin(terms: _*)) // footer-pruned on the sorted term
-    val doclens = spark.read.parquet(s"$dir/doclens")
-    val statsDst = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    graft.sources.SwapProtocol.recover( // complete a crashed append's swap
-      statsDst.getFileSystem(spark.sessionState.newHadoopConf()), statsDst)
-    val stats = spark.read.parquet(s"$dir/stats")
+    val doclens = spark.read.parquet(SwapProtocol.resolve(spark, s"$dir/doclens"))
+    val stats = spark.read.parquet(SwapProtocol.resolve(spark, s"$dir/stats"))
     val df_ = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings
       .join(broadcast(df_), Seq("term"))

@@ -311,11 +311,15 @@ object IvfSq {
     * table-sized), one window over it. Shared by the SQ and PQ tiers. */
   private[ops] def sweepCuts(scored: DataFrame, shortlists: Seq[Int],
       k: Int): DataFrame = {
+    // a repeated cut would explode each candidate row twice, duplicating
+    // rows inside the (shortlist, vec_id) window and corrupting the
+    // row_number top-k — dedup the sweep values up front (r17 ADVICE)
+    val cuts = shortlists.map(_.toLong).distinct.sorted
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shortlist"), col("vec_id"))
       .orderBy(col("cos_raw").desc, col("nn_id"))
     scored
-      .withColumn("shortlist", explode(typedLit(shortlists.map(_.toLong).sorted)))
+      .withColumn("shortlist", explode(typedLit(cuts)))
       .filter(col("apx_rank") <= col("shortlist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -32,8 +32,12 @@ object MinHashIndex {
   def save(index: DataFrame, dir: String): Unit =
     index.write.mode("overwrite").parquet(dir)
 
+  /** Load a saved index; resolves through
+    * [[graft.sources.SwapProtocol.resolve]] so a dir maintained by
+    * [[graft.sources.Compaction.compact]] (pointer-published versions)
+    * loads transparently — a plain dir resolves to itself. */
   def load(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.parquet(graft.sources.SwapProtocol.resolve(spark, dir))
 
   /** Near-duplicate pairs between a NEW batch (doc_id, text) and the
     * indexed corpus: (batch_id, corpus_id, jaccard) with exact trigram

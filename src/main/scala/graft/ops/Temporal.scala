@@ -60,36 +60,42 @@ object Temporal {
     * inactivity gap; this prices the knob: per candidate gap, the
     * session count, singleton-session count (a gap too tight shatters
     * real sessions into singletons), and the longest session (a gap too
-    * loose merges visits). One lag pass computes every inter-event
-    * interval; each sweep point is a cumulative-sum re-segmentation of
-    * the SAME diff column (the islands formulation the q48 oracle
-    * certifies at 30 min, replayed per gap). Every cell a BIGINT —
-    * exact with no rounding. Scale: the windows are per-user
-    * (partitioned, no global sort); the diff column is cached once. */
+    * loose merges visits). ONE per-user window pass carries the whole
+    * sweep (the q218 fold discipline, r17 verdict #6): the lag computes
+    * every inter-event interval, and all four gaps' session-start
+    * indicators AND running session ids ride the SAME (user_id, ts)
+    * window as side-by-side columns — one hash exchange and one sort of
+    * the event set, not one per gap (the prior form re-windowed a
+    * cached diff column four times). The per-gap rows then unpivot via
+    * `stack` and fold in two keyed aggregations. Semantics per gap are
+    * exactly the islands formulation the q48 oracle certifies at
+    * 30 min; every cell a BIGINT — exact with no rounding.
+    * Plan shape asserted in PlanAuditSpec: one Exchange under the
+    * Window stage (three in total with the two aggregations). */
   val q222SessionGapSweep: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val diffs = Tables.events(s, d)
-      .select(col("user_id"), col("ts"))
-      .withColumn("gap_s",
-        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
-      .cache()
-    graft.ops.Caching.materializeAndRelease(
-      SweepGapsMin.map { g =>
-        diffs
-          .withColumn("new_s",
-            (col("gap_s").isNull || col("gap_s") >= g * 60L).cast("long"))
-          .withColumn("sid", sum(col("new_s")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("sid"))
-          .agg(count(lit(1)).as("len"))
-          .agg(count(lit(1)).cast("long").as("n_sessions"),
-            sum((col("len") === 1).cast("long")).cast("long").as("n_single"),
-            max(col("len")).cast("long").as("max_len"))
-          .select(lit(g.toLong).as("gap_min"), col("n_sessions"),
-            col("n_single"), col("max_len"))
-      }.reduce(_ unionByName _).orderBy(col("gap_min")),
-      diffs)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sids = SweepGapsMin.foldLeft(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+    ) { (df, g) =>
+      df.withColumn(s"sid_$g",
+        sum((col("gap_s").isNull || col("gap_s") >= g * 60L).cast("long")).over(cum))
+    }
+    val stackExpr = SweepGapsMin.map(g => s"${g}L, sid_$g").mkString(", ")
+    sids
+      .selectExpr("user_id",
+        s"stack(${SweepGapsMin.size}, $stackExpr) AS (gap_min, sid)")
+      .groupBy(col("gap_min"), col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("gap_min"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum((col("len") === 1).cast("long")).cast("long").as("n_single"),
+        max(col("len")).cast("long").as("max_len"))
+      .orderBy(col("gap_min"))
   }
 
   /** Interval/range self-join: pairs of same-user events within 60 seconds

@@ -121,13 +121,13 @@ object MediaData {
     val (nDeduped, tDeduped) = timed(dedupKeep.count())
 
     // export: rewrite ONLY the keepers' bytes, hash-sharded + bounded
-    val (_, tExport) = timed(
+    val (exportPath, tExport) = timed(
       ShardExport.write(
         profile.join(dedupKeep, Seq("doc_id"))
           .select(col("doc_id"), col("media"), col("n_bytes"),
             col("width"), col("height"), col("ahash")),
         "doc_id", outDir, nShards, maxRecordsPerFile))
-    val nExported = spark.read.parquet(outDir).count()
+    val nExported = spark.read.parquet(exportPath).count()
 
     val summary = Seq(
       ("input", nInput, tInput),

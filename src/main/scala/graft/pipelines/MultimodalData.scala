@@ -257,9 +257,9 @@ object MultimodalData {
           .withColumn("copy_no", explode(sequence(lit(1), col("n_copies"))))
           .drop("base_copies", "thr", "n_copies")
     }
-    val (_, tExport) = timed(
+    val (exportPath, tExport) = timed(
       ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile))
-    val nMixed = spark.read.parquet(outDir).count()
+    val nMixed = spark.read.parquet(exportPath).count()
 
     // run report: q143 token yield of the input corpus (the TrainingData
     // report contract — computed after the export, never contending)

@@ -255,9 +255,9 @@ object TrainingData {
 
     // 4. shard export: copies of the same doc share a shard (assignment is
     // by doc_id), files bounded, id-sorted
-    val (_, tExport) = timed(
+    val (exportPath, tExport) = timed(
       ShardExport.write(mixed, "doc_id", outDir, nShards, maxRecordsPerFile))
-    val nMixed = spark.read.parquet(outDir).count()
+    val nMixed = spark.read.parquet(exportPath).count()
 
     // run report: token yield of the INPUT corpus through the certified
     // q143 cascade — what the funnel's document counts are worth in

@@ -32,26 +32,37 @@ object Compaction {
 
   /** Rewrite `inDir` into `outDir` as ~`targetBytes`-sized, id-range-
     * partitioned, id-sorted parquet files. Returns the output file count.
-    * Published through [[SwapProtocol]] rather than `mode("overwrite")`
-    * (whose delete-then-write leaves `outDir` missing on a mid-write
-    * crash): the previous contents stay live until the rewrite has fully
-    * materialized, and a crashed publish is completed by the next
-    * reader/writer. This also makes IN-PLACE compaction (`inDir ==
-    * outDir`) safe — the rewrite reads the live dir and lands in the tmp. */
+    * Published through [[SwapProtocol.writePointed]] — pointer mode, not
+    * directory rename or `mode("overwrite")`, because a compacted
+    * serving table is exactly the LARGE directory where an object-store
+    * rename is a non-atomic O(files) copy (r17 verdict #1): the rewrite
+    * lands in a fresh `outDir__v<N>/`, one tiny pointer object flips,
+    * the previous version stays retained-and-readable through the flip,
+    * and a crashed publish is completed by the next reader/writer. This
+    * also makes IN-PLACE compaction (`inDir == outDir`) safe — the
+    * rewrite reads the live version and lands in the next one. Both the
+    * input and the output may be pointer-managed or plain dirs
+    * ([[SwapProtocol.resolve]] handles either); readers resolve. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       idCol: String, targetBytes: Long = 128L << 20): Int = {
-    val bytes = dataBytes(spark, inDir)
+    val in = SwapProtocol.resolve(spark, inDir)
+    val bytes = dataBytes(spark, in)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    SwapProtocol.writeSwapped(fs, dst) { tmp =>
-      spark.read.parquet(inDir)
+    SwapProtocol.writePointed(fs, dst) { vdir =>
+      spark.read.parquet(in)
         .repartitionByRange(nFiles, col(idCol))
         .sortWithinPartitions(idCol)
-        .write.parquet(tmp.toString)
+        .write.parquet(vdir.toString)
     }
     nFiles
   }
+
+  /** Live data path of a compacted table at `dir` — see
+    * [[SwapProtocol.resolve]]. */
+  def resolve(spark: SparkSession, dir: String): String =
+    SwapProtocol.resolve(spark, dir)
 
   /** Z-ORDER compaction — the multi-column data-skipping layout: rows are
     * laid out along a Morton (bit-interleaved) curve over TWO numeric
@@ -71,9 +82,10 @@ object Compaction {
     * regardless of the value distribution. */
   def zorderCompact(spark: SparkSession, inDir: String, outDir: String,
       colA: String, colB: String, targetBytes: Long = 128L << 20): Int = {
-    val bytes = dataBytes(spark, inDir)
+    val in = SwapProtocol.resolve(spark, inDir)
+    val bytes = dataBytes(spark, in)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(inDir)
+    val df = spark.read.parquet(in)
     val probs = (1 until 256).map(_.toDouble / 256).toArray
     val Seq(boundsA, boundsB) =
       Seq(colA, colB).map(c => df.stat.approxQuantile(c, probs, 0.01))
@@ -95,14 +107,14 @@ object Compaction {
     }
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    SwapProtocol.writeSwapped(fs, dst) { tmp =>
+    SwapProtocol.writePointed(fs, dst) { vdir =>
       df.withColumn("__z",
           interleave(bucket(boundsA)(col(colA).cast("double")),
             bucket(boundsB)(col(colB).cast("double"))))
         .repartitionByRange(nFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.parquet(tmp.toString)
+        .write.parquet(vdir.toString)
     }
     nFiles
   }

@@ -25,24 +25,35 @@ object ShardExport {
   def shardAssignment(id: Column, nShards: Int): Column =
     conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long") % nShards
 
-  /** Write `df` as `outDir/shard=K/part-*.parquet` (layout, file-size
-    * bound, and round-trip asserted in ShardExportSpec; the q86 query is
-    * the matching manifest). A refresh of an existing export publishes
-    * through [[SwapProtocol]] — a training loader pointed at `outDir`
-    * never sees the shards half-deleted mid-rewrite. */
+  /** Write `df` as `<version>/shard=K/part-*.parquet` under `outDir`'s
+    * pointer-managed version store (layout, file-size bound, and
+    * round-trip asserted in ShardExportSpec; the q86 query is the
+    * matching manifest). A refresh publishes through
+    * [[SwapProtocol.writePointed]] — pointer mode, not directory
+    * rename, because an export is exactly the LARGE directory where an
+    * object-store rename would be a non-atomic O(files) copy (r17
+    * verdict #1): each refresh lands in a fresh `outDir__v<N>/`, one
+    * tiny pointer object flips, and a training loader mid-epoch keeps
+    * reading the previous version (retained) until it re-resolves.
+    * Returns the published version path; readers call [[resolve]]. */
   def write(df: DataFrame, idCol: String, outDir: String,
-      nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20): Unit = {
+      nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20): String = {
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = dst.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
-    SwapProtocol.writeSwapped(fs, dst) { tmp =>
+    SwapProtocol.writePointed(fs, dst) { vdir =>
       df.withColumn("shard", shardAssignment(col(idCol), nShards))
         .repartition(nShards, col("shard"))
         .sortWithinPartitions(col("shard"), col(idCol))
         .write
         .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
         .partitionBy("shard")
-        .parquet(tmp.toString)
-    }
+        .parquet(vdir.toString)
+    }.toString
   }
+
+  /** Live data path of an export at `outDir` (completes any in-flight
+    * publish first) — what a loader reads. */
+  def resolve(spark: org.apache.spark.sql.SparkSession, outDir: String): String =
+    SwapProtocol.resolve(spark, outDir)
 }

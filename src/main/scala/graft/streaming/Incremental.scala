@@ -1605,8 +1605,12 @@ object Incremental {
     * t-digest sketch the sample is engine-neutral: [[quantileReport]]
     * equals the q219 batch kernel over everything ingested, exactly,
     * under any split (StreamingSpec maintainer #27). Replay is
-    * idempotent (u is deterministic per doc_id; the merge dedups on
-    * (source, u, doc_id)). */
+    * idempotent: u is deterministic per doc_id, and the merge keys on
+    * (source, u, doc_id) taking min(n_chars) — a DETERMINISTIC
+    * aggregate, so even if a doc_id were re-ingested with a mutated
+    * n_chars the kept row is order-independent (a dropDuplicates would
+    * keep an arbitrary one — r17 ADVICE). Under the normal
+    * immutable-attribute contract the min is the only value anyway. */
   def continuousQuantileMonitor(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
       checkpointDir: String, k: Int = 128): StreamingQuery = {
@@ -1626,14 +1630,16 @@ object Incremental {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
           .select(col("source"), col("u"), col("doc_id"), col("n_chars"))
-        val batchK = bottomK(batch
+        def mergeKeys(df: DataFrame): DataFrame = df
+          .groupBy(col("source"), col("u"), col("doc_id"))
+          .agg(min(col("n_chars")).as("n_chars"))
+        val batchK = bottomK(mergeKeys(batch
           .select(col("source"), graft.ops.Relational.mdUniform(col("doc_id")).as("u"),
-            col("doc_id"), col("n_chars"))
-          .dropDuplicates("source", "u", "doc_id"))
+            col("doc_id"), col("n_chars"))))
         val union =
           if (fs.exists(dst)) s.read.parquet(stateDir).unionByName(batchK)
           else batchK
-        val next = bottomK(union.dropDuplicates("source", "u", "doc_id"))
+        val next = bottomK(mergeKeys(union))
         graft.sources.SwapProtocol.writeSwapped(fs, dst) { tmp =>
           next.write.parquet(tmp.toString)
         }

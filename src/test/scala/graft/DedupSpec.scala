@@ -27,6 +27,27 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("prefix-filter join equals the exhaustive pair set at several thresholds (recall 1 by theorem)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        ops.Dedup.shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val truth = bruteJaccardPairs(t)
+      val got = ops.Dedup.exactJaccardPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, s"t=$t: corpus should contain planted pairs")
+      assert(got == truth, s"t=$t: prefix-filter join must equal brute force")
+    }
+    // and the plan is an equi-join, never pair enumeration
+    val p = ops.Dedup.exactJaccardPairs(docs, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must candidate via equi-join:\n$p")
+    docs.unpersist()
+  }
+
   test("minhash LSH dedup finds exactly the >=0.8-Jaccard pairs (recall 1 at test scale)") {
     val truth = bruteJaccardPairs(0.8)
     val got = ops.Dedup.q38MinhashDedup(spark, sf)

@@ -74,8 +74,9 @@ class InvertedIndexSpec extends AnyFunSuite {
     graft.sources.Compaction.compact(spark, s"$dir/doclens", s"$dest/doclens", "doc_id")
     spark.read.parquet(s"$dir/stats").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/stats")
-    def files(d: String): Int =
-      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    def files(d: String): Int = // resolve: compaction output is pointer-published
+      new java.io.File(graft.sources.Compaction.resolve(spark, d))
+        .listFiles().count(_.getName.endsWith(".parquet"))
     assert(files(s"$dir/postings") > files(s"$dest/postings"))
     val after = InvertedIndex.searchBm25(spark, dest, terms)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

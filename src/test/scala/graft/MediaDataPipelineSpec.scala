@@ -65,14 +65,14 @@ class MediaDataPipelineSpec extends AnyFunSuite {
       Map("input" -> 7L, "admitted" -> 5L, "gated" -> 4L,
         "deduped" -> 2L, "exported" -> 2L), summary.toString)
 
-    val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    val kept = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L), s"component min-ids must survive: $kept")
     val quar = spark.read.parquet(quarDir)
       .select(col("doc_id"), col("reason")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(quar == Map(5L -> "no_magic", 6L -> "decode_failed"), quar.toString)
     // exported rows carry the profile metadata (no re-decode downstream)
-    val cols = spark.read.parquet(outDir).columns.toSet
+    val cols = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).columns.toSet
     assert(Set("media", "width", "height", "ahash").subsetOf(cols), cols.toString)
 
     // run diagnostic: the q153 histogram over the gated DISTINCT hashes
@@ -95,7 +95,7 @@ class MediaDataPipelineSpec extends AnyFunSuite {
     val summary = MediaData.run(spark, rows, outDir, nShards = 2, nearDup = false)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(summary("deduped") == 2L && summary("exported") == 2L, summary.toString)
-    val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    val kept = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L), kept.toString)
   }
 }

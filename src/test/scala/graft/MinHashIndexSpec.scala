@@ -45,7 +45,10 @@ class MinHashIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val compacted = java.nio.file.Files.createTempDirectory("mhidx-compact").toString
     graft.sources.Compaction.compact(spark, dir, compacted, "doc_id")
-    assert(parquetFiles(compacted) == 1, "small index should compact to one file")
+    // compaction output is pointer-published: the data lives in a version
+    // dir that load/resolve finds from the table name
+    assert(parquetFiles(graft.sources.Compaction.resolve(spark, compacted)) == 1,
+      "small index should compact to one file")
     val after = MinHashIndex.query(MinHashIndex.load(spark, compacted),
         docs.filter(col("doc_id") >= 250))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -89,7 +89,7 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
       "mixed_rows" -> 3L),
       summary.toString)
 
-    val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    val kept = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 6L), s"component min-ids must survive: $kept")
 
     val quar = spark.read.parquet(quarDir)
@@ -228,7 +228,7 @@ class MultimodalDataPipelineSpec extends AnyFunSuite {
     MultimodalData.run(spark, docs, outDir, textGate = permissiveGate,
       pplGate = false, retentionScores = Some(scores),
       tokenReportDir = Some(reportDir))
-    val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    val kept = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L), s"retention must keep the best-scored member: $kept")
     // the run report is the certified q143 cascade on the input
     val wantYield = graft.ops.TextOps.tokenYieldOf(

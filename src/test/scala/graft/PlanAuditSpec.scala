@@ -536,4 +536,16 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         s"both scans must read as bucketed scans:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q222: the whole gap sweep rides ONE per-user window exchange (r17 verdict #6)") {
+    // all four gaps' indicators and running session-ids are side-by-side
+    // columns over the SAME (user_id, ts) window — one exchange and one
+    // sort of the event set; the prior form re-windowed four times
+    val p = plan("q222_session_gap_sweep")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1,
+      s"expected exactly ONE user_id window exchange, got $userExchanges:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 3, s"expected ≤3 hash exchanges (window + two aggs), got $n:\n$p")
+  }
 }

@@ -13,10 +13,13 @@ class ShardExportSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("shard export writes shard=K dirs, bounds file sizes, round-trips rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val table = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/export"
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
-    ShardExport.write(docs, "doc_id", dir, nShards = 8, maxRecordsPerFile = 20)
+    // pointer-mode publication: write returns the live version dir, and
+    // resolve finds the same path from the table name alone
+    val dir = ShardExport.write(docs, "doc_id", table, nShards = 8, maxRecordsPerFile = 20)
+    assert(dir == ShardExport.resolve(spark, table))
 
     val shardDirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
@@ -54,14 +57,15 @@ class ShardExportSpec extends AnyFunSuite {
 
     val planned = Compaction.compact(spark, in, out, "doc_id",
       targetBytes = Compaction.dataBytes(spark, in) / 4 + 1)
-    val outFiles = new java.io.File(out).listFiles()
+    val outLive = Compaction.resolve(spark, out)
+    val outFiles = new java.io.File(outLive).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     assert(planned <= 4 && outFiles.length == planned,
       s"expected $planned compacted files, got ${outFiles.length}")
 
     // rows conserve, and files cover DISJOINT sorted id ranges (the
     // range layout that makes footer pruning effective)
-    val back = spark.read.parquet(out)
+    val back = spark.read.parquet(outLive)
     assert(back.count() == n)
     val ranges = outFiles.map { f =>
       val ids = spark.read.parquet(f.getAbsolutePath)
@@ -90,8 +94,8 @@ class ShardExportSpec extends AnyFunSuite {
     Compaction.zorderCompact(spark, in, zout, "a", "b", targetBytes = target)
     Compaction.compact(spark, in, sout, "a", targetBytes = target) // baseline
 
-    def avgWidth(dir: String, c: String): Double = {
-      val files = new java.io.File(dir).listFiles()
+    def avgWidth(table: String, c: String): Double = {
+      val files = new java.io.File(Compaction.resolve(spark, table)).listFiles()
         .filter(_.getName.endsWith(".parquet"))
       val widths = files.map { f =>
         val mm = spark.read.parquet(f.getAbsolutePath)
@@ -100,7 +104,7 @@ class ShardExportSpec extends AnyFunSuite {
       }
       widths.sum / widths.length
     }
-    assert(spark.read.parquet(zout).count() == 8192)
+    assert(spark.read.parquet(Compaction.resolve(spark, zout)).count() == 8192)
     // z-order: every file is narrow in BOTH dimensions -> footer min/max
     // prunes range reads on either column
     assert(avgWidth(zout, "a") <= 0.5, s"z a-width ${avgWidth(zout, "a")}")

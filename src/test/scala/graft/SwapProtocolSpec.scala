@@ -114,31 +114,118 @@ class SwapProtocolSpec extends AnyFunSuite {
       growthRatio = 1.0, minRollupRows = 1L))
   }
 
-  test("Compaction.compact in place survives (and ShardExport refresh keeps the old live until publish)") {
+  test("Compaction.compact in place migrates a plain table to pointed and survives (ShardExport refresh: crash residue never shadows the live export)") {
     val base = Files.createTempDirectory("graft-swapc").toString
     val d = s"$base/table"
     (0L until 100L).toDF("id").repartition(8).write.parquet(d)
-    // in-place compaction: read live, write tmp, swap — contents identical
+    // in-place compaction: reads the live (plain) dir, publishes v0 via
+    // the pointer, retires the plain dir — contents identical
     graft.sources.Compaction.compact(spark, d, d, "id", targetBytes = 1L << 30)
-    assert(spark.read.parquet(d).count() == 100)
+    val live1 = graft.sources.Compaction.resolve(spark, d)
+    assert(live1.endsWith("table__v0") && spark.read.parquet(live1).count() == 100)
     val f = fs(d)
-    assert(!f.exists(SwapProtocol.tmpPath(new Path(d))) &&
-      !f.exists(SwapProtocol.oldPath(new Path(d))))
-    // shard-export refresh over an existing export: crash-staged tmp from
-    // a previous attempt must not shadow the live export
+    assert(!f.exists(new Path(d)), "migrated plain dir must be retired")
+    // second in-place compaction: v0 → v1, previous version retained
+    graft.sources.Compaction.compact(spark, d, d, "id", targetBytes = 1L << 30)
+    val live2 = graft.sources.Compaction.resolve(spark, d)
+    assert(live2.endsWith("table__v1") && spark.read.parquet(live2).count() == 100)
+    assert(f.exists(new Path(live1)), "previous version retained through the flip")
+    // shard-export refresh over an existing export: an UNCOMMITTED crash
+    // dir from a dead attempt must not shadow the live export
     val e = s"$base/export"
     val docs = (0L until 50L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 4)
-    stageRollupDummy(s"$base/junk", SwapProtocol.tmpPath(new Path(e)))
-    assert(spark.read.parquet(e).count() == 50) // reader path unaffected
+    val junk = SwapProtocol.versionPath(new Path(e), 1L)
+    Seq((1L, "x")).toDF("doc_id", "text").write.parquet(junk.toString) // no marker
+    assert(spark.read.parquet(
+      graft.sources.ShardExport.resolve(spark, e)).count() == 50,
+      "reader resolves past the uncommitted residue")
+    assert(!f.exists(junk), "resolution prunes the half-written dir")
     graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 4)
-    assert(spark.read.parquet(e).count() == 50)
-    assert(!f.exists(SwapProtocol.tmpPath(new Path(e))))
+    assert(spark.read.parquet(
+      graft.sources.ShardExport.resolve(spark, e)).count() == 50)
   }
 
-  /** A deliberately-wrong staged dir (simulates a half-written crash tmp). */
-  private def stageRollupDummy(scratch: String, to: Path): Unit =
-    Seq((1L, "x")).toDF("doc_id", "text").write.mode("overwrite").parquet(to.toString)
+  // ---- pointer-mode crash matrix (r17 verdict #1): a simulated kill
+  // between EVERY pair of pointer-protocol steps must leave the table
+  // resolvable to a complete version, with the residue reconciled ----
+
+  /** A pointed table with versions 0..n published for real; returns dst. */
+  private def pointedFixture(n: Int): Path = {
+    val base = Files.createTempDirectory("graft-ptr").toString
+    val dst = new Path(s"$base/t")
+    val f = fs(base)
+    (0 to n).foreach { v =>
+      SwapProtocol.writePointed(f, dst) { vdir =>
+        Seq((v.toLong, s"gen$v")).toDF("id", "tag").write.parquet(vdir.toString)
+      }
+    }
+    dst
+  }
+
+  private def liveTag(dst: Path): String =
+    spark.read.parquet(SwapProtocol.resolve(fs(dst.toString), dst).toString)
+      .select("tag").collect().map(_.getString(0)).toList match {
+      case one :: Nil => one
+      case other      => fail(s"expected one row, got $other")
+    }
+
+  test("pointed kill after version write, before commit: untrusted dir pruned, prior version live") {
+    val dst = pointedFixture(0)
+    val f = fs(dst.toString)
+    // crash state: v1 fully written but NO commit marker
+    Seq((9L, "halfwritten")).toDF("id", "tag")
+      .write.parquet(SwapProtocol.versionPath(dst, 1L).toString)
+    assert(liveTag(dst) == "gen0", "uncommitted version must never serve")
+    assert(!f.exists(SwapProtocol.versionPath(dst, 1L)), "residue pruned")
+    assert(SwapProtocol.readPointer(f, dst).contains(0L))
+  }
+
+  test("pointed kill between commit and pointer publish: resolution completes the publish") {
+    val dst = pointedFixture(0)
+    val f = fs(dst.toString)
+    // crash state: v1 written AND committed, pointer still names v0
+    val v1 = SwapProtocol.versionPath(dst, 1L)
+    Seq((1L, "gen1")).toDF("id", "tag").write.parquet(v1.toString)
+    f.create(SwapProtocol.commitMarker(v1), true).close()
+    assert(SwapProtocol.readPointer(f, dst).contains(0L), "fixture: stale pointer")
+    assert(liveTag(dst) == "gen1", "a committed write must be completed, not dropped")
+    assert(SwapProtocol.readPointer(f, dst).contains(1L), "pointer repaired")
+    assert(f.exists(SwapProtocol.versionPath(dst, 0L)), "previous version retained")
+  }
+
+  test("pointed kill mid-pointer-replacement (pointer missing): rebuilt from commit markers") {
+    val dst = pointedFixture(1)
+    val f = fs(dst.toString)
+    assert(f.delete(SwapProtocol.ptrPath(dst), false)) // the delete→rename window
+    assert(liveTag(dst) == "gen1", "highest committed version wins")
+    assert(SwapProtocol.readPointer(f, dst).contains(1L), "pointer rebuilt")
+  }
+
+  test("pointed kill before retention: next resolution prunes to the last 2 committed") {
+    val dst = pointedFixture(1)
+    val f = fs(dst.toString)
+    // crash state: v2 committed + pointer flipped, retention never ran,
+    // AND v0 lingers from the crashed run
+    val v2 = SwapProtocol.versionPath(dst, 2L)
+    Seq((2L, "gen2")).toDF("id", "tag").write.parquet(v2.toString)
+    f.create(SwapProtocol.commitMarker(v2), true).close()
+    assert(liveTag(dst) == "gen2")
+    assert(!f.exists(SwapProtocol.versionPath(dst, 0L)), "v0 pruned by retention")
+    assert(f.exists(SwapProtocol.versionPath(dst, 1L)), "previous version kept")
+  }
+
+  test("pointed steady state: retain-2 holds across many publishes; resolve is the reader contract") {
+    val dst = pointedFixture(4)
+    val f = fs(dst.toString)
+    assert(liveTag(dst) == "gen4")
+    assert(SwapProtocol.versionDirs(f, dst).map(_._1) == Seq(3L, 4L),
+      "exactly the last two versions on disk")
+    // mode-agnostic resolve: a PLAIN dir resolves to itself
+    val plain = new Path(Files.createTempDirectory("graft-plain").toString + "/p")
+    Seq((0L, "plain")).toDF("id", "tag").write.parquet(plain.toString)
+    assert(SwapProtocol.resolve(f, plain) == plain)
+  }
 
   test("InvertedIndex.append stats crash-window: serve recovers the swapped stats") {
     val base = Files.createTempDirectory("graft-swapii").toString

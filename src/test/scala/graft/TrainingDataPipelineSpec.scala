@@ -75,7 +75,7 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     assert(summary("clean") == 22L, s"clean stage: $summary")
     assert(summary("decontaminated") == 21L, s"decontam stage: $summary")
 
-    val out = spark.read.parquet(outDir).cache()
+    val out = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).cache()
     val outDocs = out.select("doc_id").distinct().as[Long].collect().sorted.toSeq
     assert(!outDocs.exists(Seq(2L, 3L, 4L, 5L).contains(_)),
       "dropped docs must not reach the shards")
@@ -135,7 +135,7 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     assert(summary("clean") == 23L, s"clean stage: $summary")
     assert(summary("decontaminated") == 22L, s"scrub stage: $summary")
 
-    val out = spark.read.parquet(outDir).cache()
+    val out = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).cache()
     val outDocs = out.select("doc_id").distinct().as[Long].collect().sorted.toSeq
     assert(outDocs.contains(5L), "partially-contaminated doc must survive scrub")
     assert(!outDocs.contains(26L), "fully-covered doc must still drop")
@@ -210,7 +210,7 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     TrainingData.run(spark, docs, evalDocs, weights, outDir,
       nShards = 4, maxRecordsPerFile = 10, gate = gate,
       retentionScores = Some(scores))
-    val kept = spark.read.parquet(outDir).select("doc_id").as[Long]
+    val kept = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).select("doc_id").as[Long]
       .collect().toSet
     assert(kept.contains(2L) && !kept.contains(1L),
       s"retention must keep the higher-scored clone (got $kept)")
@@ -254,7 +254,7 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     assert(summary("gated") == 12L, s"rule gate must pass all: $summary")
     assert(summary("ppl_gated") == 12L - tail.size, s"ppl stage: $summary")
     assert(summary("clean") == summary("ppl_gated"), s"dedup must not drop: $summary")
-    val shipped = spark.read.parquet(outDir).select("doc_id").distinct()
+    val shipped = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).select("doc_id").distinct()
       .as[Long].collect().toSet
     assert(shipped == (1L to 12L).toSet.diff(tail),
       s"exported set must be exactly the non-tail docs: $shipped")
@@ -319,7 +319,7 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     assert(quarantined.select("doc_id").as[Option[Long]].collect().sorted.toSeq ==
       Seq(None, Some(1L), Some(1L), Some(4L), Some(5L), Some(8L)))
     // no breaching row reaches the shards
-    val shipped = spark.read.parquet(outDir).select("doc_id").distinct()
+    val shipped = spark.read.parquet(graft.sources.ShardExport.resolve(spark, outDir)).select("doc_id").distinct()
       .as[Long].collect().sorted.toSeq
     assert(shipped == Seq(3L, 6L), s"unexpected shards: $shipped")
 

@@ -91,6 +91,25 @@ def main():
                   f"delta {d:7.2f}")
     slow = sorted(warm.items(), key=lambda kv: -kv[1])[:8]
     print("- slowest warm:", ", ".join(f"{q} {v:.2f}s" for q, v in slow))
+    v = a.get("verdict")
+    if isinstance(v, dict) and "median_ratio_raw" in v:
+        # the artifact's own adjudication vs the previous round (r17 #7):
+        # Bench computed this at run time from the prior committed artifact
+        print(f"- self-verdict vs {v.get('prev')} ({v.get('n_common')} common): "
+              f"median ratio raw {v['median_ratio_raw']:.2f}, "
+              f"normalized {v.get('median_ratio_norm') if v.get('median_ratio_norm') is not None else 'n/a'}"
+              f" (calib {v.get('calib_prev')}/{v.get('calib_cur')})")
+        movers = v.get("movers") or []
+        if movers:
+            print(f"- self-verdict movers (raw >=2x and >=0.4s): "
+                  f"{v.get('n_movers_confirmed', 0)}/{len(movers)} confirmed after normalization")
+            for m in movers:
+                print(f"    {m['q']:28s} {m['prev']:6.2f} -> {m['cur']:6.2f}  "
+                      f"raw {m['ratio_raw']:.2f}x  norm "
+                      f"{m['ratio_norm'] if m['ratio_norm'] is not None else 'n/a'}"
+                      f"  {'CONFIRMED' if m.get('confirmed') else 'host-drift'}")
+        else:
+            print("- self-verdict: no raw movers")
     if len(sys.argv) > 2:
         b = load(sys.argv[2])
         bw = b["queries"]

@@ -65,8 +65,10 @@ object SparkEntry {
         ops.Curation.writeDedupIndexSupport),
       (Set("q105_dsir_weights"), ops.Curation.writeDsirSupport),
       (Set("q107_temp_mix"), ops.Curation.writeTempMixSupport),
-      (Set("q122_lsh_calibration", "q123_lsh_bucket_profile"),
-        ops.Dedup.writeLshSupport),
+      (Set("q122_lsh_calibration", "q123_lsh_bucket_profile",
+        "q226_banding_sweep"), ops.Dedup.writeLshSupport),
+      (Set("q224_bloom_sizing_sweep"), ops.Scoring.writeBloomSupport),
+      (Set("q225_phash_radius_sweep"), ops.Multimodal.writePhashSweepSupport),
       (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve",
         "q167_maxmatch_segment"),
         ops.TextOps.writeBpeSupport),

@@ -493,6 +493,61 @@ object Dedup {
       docs, truth, spairs)
   }
 
+  /** (b bands × r rows) factorizations of the full 32-hash signature for
+    * the q226 banding sweep — the certified q38 layout is 16 × 2. */
+  private[ops] val SweepBandings = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+
+  /** q226: the LSH BAND-STRUCTURE operating curve — q214 prices the
+    * signature length; this prices how a FIXED 32-hash signature is cut
+    * into bands, the dial that actually trades candidate-verification
+    * volume against recall on a 100 TB dedup run: per factorization
+    * b × r = 32, the distinct candidate-pair count (what the verify
+    * stage pays) and the measured recall of the exact-Jaccard ≥ 0.8
+    * truth ([[exactJaccardPairs]] — structural, not banding-derived).
+    * Fewer, longer bands (r up) collapse candidates at the cost of the
+    * (1−(1−sʳ)ᵇ) recall curve's knee moving right — measured on OUR
+    * shingle distribution, per the q221/q223 doctrine. All four
+    * factorizations ride ONE exploded band-row table through the SAME
+    * skew-guarded bucket join the certified path uses; band keys are
+    * the literal component values (oracle-recomputable — xxhash stays
+    * the serving-path key, equality semantics identical). Oracle:
+    * exhaustive pairs + every banding recomputed from the exported q122
+    * signature table. */
+  val q226BandingSweep: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig"))
+      .cache()
+    val truth = exactJaccardPairs(docs.select(col("doc_id"), col("hs")), 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .cache()
+    val bandRows = SweepBandings.map { case (b, r) =>
+      docs.select(col("doc_id"), lit(b.toLong).as("cfg"),
+        posexplode(array((0 until b).map { j =>
+          concat_ws(",", (0 until r).map(c =>
+            element_at(col("sig"), j * r + c + 1)): _*)
+        }: _*)).as(Seq("band", "key")))
+        .select(col("doc_id"), col("cfg"), col("band"),
+          concat_ws(":", col("cfg"), col("key")).as("bhash"))
+    }.reduce(_ unionByName _)
+    val nTrue = truth.agg(count(lit(1)).cast("long").as("n_true"))
+    Caching.materializeAndRelease(
+      bucketedCandidates(bandRows, Seq("cfg"))
+        .select(col("cfg_a").as("b"), col("doc_a"), col("doc_b"))
+        .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("b"))
+        .agg(count(lit(1)).cast("long").as("n_cand"),
+          count(col("hit")).cast("long").as("n_hit"))
+        .crossJoin(broadcast(nTrue))
+        .select(col("b"), (lit(32L) / col("b")).cast("long").as("r"),
+          col("n_cand"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true").cast("double"), 4)
+            .as("recall"))
+        .orderBy(col("b")),
+      docs, truth)
+  }
+
   /** q227: the EXACT set-similarity join — M7's exact tier, serving the
     * full ≥0.8-trigram-Jaccard pair set through [[exactJaccardPairs]]'s
     * prefix-filter candidates instead of LSH banding. Same verified
@@ -1154,6 +1209,7 @@ object Dedup {
     "q123_lsh_bucket_profile" -> q123LshBucketProfile,
     "q214_siglen_sweep" -> q214SigLenSweep,
     "q221_simhash_threshold_sweep" -> q221SimhashThresholdSweep,
+    "q226_banding_sweep" -> q226BandingSweep,
     "q227_prefix_filter_join" -> q227PrefixFilterJoin,
   )
 
@@ -1504,6 +1560,45 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      len(list_distinct(a.sh || b.sh)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // exhaustive ROUNDED >=0.8 truth + every b x r banding's candidate
+    // pairs recomputed from the exported q122 signature table (list-slice
+    // equality per band — the same bucket-key semantics as the engine's
+    // literal-component keys)
+    "q226_banding_sweep" -> {
+      val cands = SweepBandings.map { case (b, r) =>
+        s"""cand$b AS (
+           |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM sg a JOIN sg b2 ON a.doc_id < b2.doc_id
+           |  WHERE len(list_filter(range(0, $b),
+           |    j -> a.sig[j*$r+1 : j*$r+$r] = b2.sig[j*$r+1 : j*$r+$r])) > 0)""".stripMargin
+      }.mkString(",\n")
+      val rows = SweepBandings.map { case (b, r) =>
+        s"""  SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$b) AS n_cand,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_true,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$b JOIN p USING (doc_a, doc_b)) AS n_hit""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckShingles AS sh
+         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3),
+         |sg AS (SELECT doc_id, sig
+         |       FROM read_parquet('{GRAFT_OUT}_support/q122_support_sigs/*.parquet')),
+         |p AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |            len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |    FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |$cands
+         |SELECT b, r, n_cand, n_true, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_true, 4) AS recall
+         |FROM (
+         |$rows)
+         |ORDER BY b""".stripMargin
+    },
     // the exhaustive pair scan with the ROUNDED threshold — exactly the
     // engine's verification contract (prefix filtering changes only the
     // candidate generation, never the verified set)

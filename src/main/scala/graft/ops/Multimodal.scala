@@ -278,6 +278,138 @@ object Multimodal {
       }.toDF("doc_id", "media", "resized")
   }
 
+  /** Stamp a WHITE corner pixel (a 1/16-area watermark on the 4×4
+    * certification images — the timestamp/logo overlay that is THE
+    * classic perceptual-near-dup case) through a REAL decode →
+    * overwrite → re-encode(PNG) cycle. The white stamp both forces its
+    * own cell high AND lifts the whole-image mean, so a spread of
+    * near-threshold aHash cells flip: measured planted distances on the
+    * certification corpus span hd 0–8 (requantization and brightness
+    * shifts were tried first and are hash-PRESERVING here — ASCII pixel
+    * bytes quantize monotonically — and a thumbnail round-trip at 4×4
+    * destroys the structure entirely, hd 4–13 ≈ uncorrelated). This is
+    * the planted near-duplicate generator behind the q225 radius curve
+    * (the image twin of q221's SimHash planting). Undecodable blobs
+    * pass through unmodified with stamped = false — the quarantine
+    * contract. */
+  private[graft] def watermarkMedia(media: DataFrame,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          tryDecode(bytes) match {
+            case Some(img) =>
+              val out = new java.awt.image.BufferedImage(
+                img.getWidth, img.getHeight,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  out.setRGB(x, y, img.getRGB(x, y))
+                  x += 1
+                }
+                y += 1
+              }
+              out.setRGB(0, 0, 0xffffff) // the stamp
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (id, bos.toByteArray, true)
+            case None => (id, bytes, false)
+          }
+        })
+      }.toDF("doc_id", "media", "stamped")
+  }
+
+  /** (doc_id, h_orig, h_trans): the 16-bit aHash of each certification
+    * BMP and of its watermarked re-encode — the planted-truth hash table
+    * the q225 sweep prices radii against (exported as oracle support,
+    * the q122-signature discipline: hashes are the GIVEN — q139 already
+    * certifies the hash arithmetic from raw text bytes — while every
+    * pair count, cut, and rate recomputes cross-engine). */
+  private[graft] def phashSweepHashes(s: SparkSession, d: String): DataFrame = {
+    val bmp = udf { (text: String) => bmpOf(text) }
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), bmp(col("text")).as("media"))
+    val orig = imageAHash(media).filter(col("decoded"))
+      .select(col("doc_id"), col("ahash").as("h_orig"))
+    val trans = imageAHash(
+        watermarkMedia(media)
+          .filter(col("stamped")).select(col("doc_id"), col("media")))
+      .filter(col("decoded"))
+      .select(col("doc_id"), col("ahash").as("h_trans"))
+    orig.join(trans, Seq("doc_id"))
+  }
+
+  /** Radii for the q225 sweep — the certified q140 operating point is
+    * hd ≤ 3. */
+  private[ops] val SweepPhashRadii = Seq(0, 1, 2, 3, 4, 6, 8)
+
+  /** Oracle support writer: the q225 planted hash-pair table. */
+  private[graft] def writePhashSweepSupport(s: SparkSession, d: String,
+      outDir: String): Unit =
+    phashSweepHashes(s, d).coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q225_support_phash")
+
+  /** q225: the pHash Hamming-RADIUS operating curve — the image twin of
+    * q221: q153 histograms the distance space and q140 dedups at hd ≤ 3,
+    * but the radius was unpriced. Truth is the planted watermark family
+    * ([[watermarkMedia]] — one white stamped pixel per image, measured
+    * planted distances hd 0–8), and per candidate radius t the table
+    * reports every bipartite (original, stamped) pair within t —
+    * n_pred — against the 500 planted pairs: precision falls as the
+    * radius admits unrelated-image collisions, recall climbs as it
+    * covers the planted spread; the q140 point (hd ≤ 3) is one row.
+    * NOISE VISIBILITY: at the certification corpus's 16-bit hashes the
+    * space is saturated (500 images over 65k values), so the precision
+    * column makes the noise term of a too-loose radius VISIBLE — on the
+    * production 64-bit lattice the same radii carry vastly lower
+    * collision mass, which is exactly why the table prices the dial
+    * rather than assuming it. Pairs are counted between DISTINCT HASH
+    * VALUES with count products (the q153/q144 representative
+    * discipline — never doc×doc enumeration; the value-pair join is
+    * bounded by hash-space occupancy), hd computed ONCE per value pair
+    * and cut per radius (the prefix doctrine). All-BIGINT counts. */
+  val q225PhashRadiusSweep: Q = (s, d) => {
+    val hashes = phashSweepHashes(s, d).cache()
+    val vo = hashes.groupBy(col("h_orig")).agg(count(lit(1)).as("n_o"))
+    val vt = hashes.groupBy(col("h_trans")).agg(count(lit(1)).as("n_t"))
+    // one hd per (orig value, trans value) pair, bounded by occupancy;
+    // the trans value table broadcasts (distinct 16-bit hash values —
+    // never the doc table), keeping the non-equi join the audited
+    // broadcast shape rather than a CartesianProduct
+    val vpairs = vo.join(broadcast(vt),
+        bit_count(col("h_orig").bitwiseXOR(col("h_trans"))) <= SweepPhashRadii.max)
+      .select(bit_count(col("h_orig").bitwiseXOR(col("h_trans"))).cast("long").as("hd"),
+        (col("n_o") * col("n_t")).as("n_pairs"))
+      .groupBy(col("hd")).agg(sum(col("n_pairs")).as("n_pairs"))
+      .cache()
+    val planted = hashes
+      .select(bit_count(col("h_orig").bitwiseXOR(col("h_trans"))).cast("long").as("hd"))
+      .groupBy(col("hd")).agg(count(lit(1)).as("n_hit"))
+      .cache()
+    val nTrue = hashes.agg(count(lit(1)).cast("long").as("n_true"))
+    Caching.materializeAndRelease(
+      SweepPhashRadii.map { t =>
+        vpairs.filter(col("hd") <= t)
+          .agg(coalesce(sum(col("n_pairs")), lit(0L)).cast("long").as("n_pred"))
+          .crossJoin(planted.filter(col("hd") <= t)
+            .agg(coalesce(sum(col("n_hit")), lit(0L)).cast("long").as("n_hit")))
+          .crossJoin(broadcast(nTrue))
+          .select(lit(t.toLong).as("hd_max"), col("n_pred"), col("n_true"),
+            col("n_hit"),
+            when(col("n_pred") === 0, lit(0.0))
+              .otherwise(round(col("n_hit").cast("double") /
+                col("n_pred").cast("double"), 4)).as("prec"),
+            round(col("n_hit").cast("double") /
+              col("n_true").cast("double"), 4).as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("hd_max")),
+      hashes, vpairs, planted)
+  }
+
   case class ImageHash(doc_id: Long, decoded: Boolean, ahash: Long)
 
   /** Average-hash (aHash) of a decoded image: bit p is set iff cell p's
@@ -882,12 +1014,41 @@ object Multimodal {
     "q148_resize_roundtrip" -> q148ResizeRoundtrip,
     "q149_media_gate" -> q149MediaGate,
     "q153_hamming_hist" -> q153HammingHist,
+    "q225_phash_radius_sweep" -> q225PhashRadiusSweep,
     "q158_multimodal_funnel" -> q158MultimodalFunnel,
     "q164_cross_modal_components" -> q164CrossModalComponents,
     "q172_media_hash_growth" -> q172MediaHashGrowth,
   )
 
   def oracle: Map[String, String] = Map(
+    // every pair count, cut, precision and recall recomputed exhaustively
+    // from the exported planted hash-pair table (value-level products in
+    // the engine equal doc-level pair counts by construction)
+    "q225_phash_radius_sweep" -> {
+      val rows = SweepPhashRadii.map { t =>
+        s"""  SELECT CAST($t AS BIGINT) AS hd_max,
+           |    (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) FROM vp WHERE hd <= $t) AS n_pred,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM hp) AS n_true,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pl WHERE hd <= $t) AS n_hit""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hp AS (
+         |  SELECT doc_id, h_orig, h_trans
+         |  FROM read_parquet('{GRAFT_OUT}_support/q225_support_phash/*.parquet')),
+         |vo AS (SELECT h_orig, count(*) AS n_o FROM hp GROUP BY 1),
+         |vt AS (SELECT h_trans, count(*) AS n_t FROM hp GROUP BY 1),
+         |vp AS (
+         |  SELECT bit_count(xor(vo.h_orig, vt.h_trans)) AS hd,
+         |    vo.n_o * vt.n_t AS n_pairs
+         |  FROM vo CROSS JOIN vt),
+         |pl AS (SELECT bit_count(xor(h_orig, h_trans)) AS hd FROM hp)
+         |SELECT hd_max, n_pred, n_true, n_hit,
+         |  CASE WHEN n_pred = 0 THEN 0.0
+         |       ELSE round(CAST(n_hit AS DOUBLE) / n_pred, 4) END AS prec,
+         |  round(CAST(n_hit AS DOUBLE) / n_true, 4) AS recall
+         |FROM (
+         |$rows)
+         |ORDER BY hd_max""".stripMargin
+    },
     "q52_media_features" ->
       """SELECT doc_id, length(text) AS n_bytes, length(text) % 640 AS width,
         |  length(text) % 480 AS height, length(text) % 30 + 1 AS n_frames

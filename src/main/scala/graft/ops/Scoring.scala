@@ -54,6 +54,126 @@ object Scoring {
       sh)
   }
 
+  // ---------------------------------------------------------------- q224
+
+  /** (bits-per-key, k-hashes) grid for the q224 Bloom sizing sweep —
+    * bits-per-key at its optimal k (k ≈ 0.69·bpk) plus a k-sweep at the
+    * fixed 8-bit point, so BOTH axes of the filter's size dial carry a
+    * measured row. The certified q82 serving filter (Spark BloomFilter,
+    * fpp 1 % ⇒ ~9.6 bits/key, k = 7) sits between the (8, 6) and
+    * (16, 11) rows. */
+  private[ops] val SweepBloomCfgs =
+    Seq((2, 1), (4, 3), (8, 2), (8, 6), (8, 12), (16, 11))
+
+  /** Theoretical fpp (1 − e^(−k/bpk))^k, formatted-then-reparsed so the
+    * engine column and the generated oracle literal are the SAME double. */
+  private def bloomTheoryFpp(bpk: Int, k: Int): String =
+    "%.4f".formatLocal(java.util.Locale.ROOT,
+      math.pow(1 - math.exp(-k.toDouble / bpk), k))
+
+  private def mdHash(g: org.apache.spark.sql.Column, off: Int) =
+    conv(substring(md5(g), off, 13), 16, 10).cast("long")
+
+  /** Eval/train DISTINCT 5-gram string sides of the q82 decontamination
+    * split (eval = doc_id < 50). Gram strings, not the serving path's
+    * FNV hashes: the q224 filter arithmetic must be recomputable by the
+    * oracle, and md5-of-the-gram-string is the established cross-engine
+    * hash (the mdUniform discipline). */
+  private def bloomGramSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.wordShingles(
+          graft.functions.TextFns.normText(col("text")), 5)).as("g"))
+    (grams.filter(col("doc_id") < 50).select(col("g")).distinct(),
+      grams.filter(col("doc_id") >= 50).select(col("g")).distinct())
+  }
+
+  /** Bit positions of `df.g` under every sweep config: double hashing
+    * pos_i = (h1 + i·h2′) mod m (Kirsch–Mitzenmacher, public technique),
+    * h1/h2 from disjoint md5 hex ranges, h2′ = (h2 mod (m−1)) + 1 so the
+    * stride never degenerates to 0. m = bpk × n_eval bits. Pure integer
+    * arithmetic both engines evaluate identically. */
+  private def bloomPositions(df: DataFrame, nEval: DataFrame, cfg: DataFrame): DataFrame =
+    df.select(col("g"), mdHash(col("g"), 1).as("h1"), mdHash(col("g"), 14).as("h2"))
+      .crossJoin(broadcast(nEval))
+      .crossJoin(broadcast(cfg))
+      .withColumn("m", col("bpk") * col("n_eval"))
+      .withColumn("i", explode(sequence(lit(0L), col("k") - 1)))
+      .withColumn("pos",
+        pmod(pmod(col("h1"), col("m")) +
+          col("i") * (pmod(col("h2"), col("m") - 1) + 1), col("m")))
+
+  private def bloomCfgDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    SweepBloomCfgs
+      .map { case (b, k) => (b.toLong, k.toLong, bloomTheoryFpp(b, k).toDouble) }
+      .toDF("bits_per_key", "k", "fp_theory")
+      .select(col("bits_per_key").as("bpk"), col("k"), col("fp_theory"))
+  }
+
+  /** The exported q224 filter table: (bpk, k, m, pos) — the distinct set
+    * bit positions of the EVAL grams per config. This IS the Bloom
+    * filter (a bit array is its set-position set); exporting it is the
+    * q122-signature discipline — the artifact is the GIVEN, every probe
+    * and rate recomputes cross-engine. */
+  private[graft] def bloomSweepFilter(s: SparkSession, d: String): DataFrame = {
+    val (ev, _) = bloomGramSides(s, d)
+    val nEval = ev.agg(count(lit(1)).cast("long").as("n_eval"))
+    bloomPositions(ev, nEval, bloomCfgDf(s))
+      .select(col("bpk"), col("k"), col("m"), col("pos")).distinct()
+  }
+
+  /** Oracle support writer: the q224 filter table. */
+  private[graft] def writeBloomSupport(s: SparkSession, d: String, outDir: String): Unit =
+    bloomSweepFilter(s, d).coalesce(1).write.mode("overwrite")
+      .parquet(s"${graft.Verify.supportDir(outDir)}/q224_support_bloom")
+
+  /** q224: the BLOOM SIZING operating curve — q82 fixes the serving
+    * filter's bits/hashes by fiat (Spark BloomFilter at fpp 1 %); this
+    * prices the dial the way q205/q223 priced span and order: per
+    * (bits-per-key, k) config, the MEASURED false-positive rate of the
+    * filter over the real train-gram stream against the exact truth
+    * (the q82 semi-join), next to the theoretical (1−e^(−k/bpk))^k.
+    * False negatives are structurally zero (every eval gram's own
+    * positions are set); what the sweep prices is the scrub/verify
+    * traffic a 100 TB decontamination pass pays per stored bit. All
+    * BIGINT counts; the two rates are the only doubles. The 1-row
+    * n_eval/n_probe/n_true scalars ride broadcast cross-joins (the q04
+    * audited shape). */
+  val q224BloomSizingSweep: Q = (s, d) => {
+    val (ev0, tr0) = bloomGramSides(s, d)
+    val ev = ev0.cache()
+    val tr = tr0.cache()
+    val cfg = bloomCfgDf(s)
+    val nEval = ev.agg(count(lit(1)).cast("long").as("n_eval"))
+    val filt = bloomPositions(ev, nEval, cfg)
+      .select(col("bpk"), col("k"), col("pos")).distinct()
+    val admits = bloomPositions(tr, nEval, cfg)
+      .join(filt.withColumn("f", lit(1)), Seq("bpk", "k", "pos"), "left")
+      .groupBy(col("bpk"), col("k"), col("g"))
+      .agg(min(coalesce(col("f"), lit(0))).as("ok")) // ALL k positions set
+      .filter(col("ok") === 1)
+      .groupBy(col("bpk"), col("k"))
+      .agg(count(lit(1)).cast("long").as("n_admit"))
+    val nTrue = tr.join(ev, Seq("g"), "semi")
+      .agg(count(lit(1)).cast("long").as("n_true"))
+    val nProbe = tr.agg(count(lit(1)).cast("long").as("n_probe"))
+    Caching.materializeAndRelease(
+      cfg.join(admits, Seq("bpk", "k"))
+        .crossJoin(broadcast(nEval))
+        .crossJoin(broadcast(nTrue))
+        .crossJoin(broadcast(nProbe))
+        .select(col("bpk").as("bits_per_key"), col("k"),
+          (col("bpk") * col("n_eval")).as("m_bits"),
+          col("n_probe"), col("n_true"), col("n_admit"),
+          (col("n_admit") - col("n_true")).as("n_fp"),
+          round((col("n_admit") - col("n_true")).cast("double") /
+            (col("n_probe") - col("n_true")).cast("double"), 4).as("fp_rate"),
+          col("fp_theory"))
+        .orderBy(col("bits_per_key"), col("k")),
+      ev, tr)
+  }
+
   // ---------------------------------------------------------------- q83
 
   /** Weighted mixture sampling — the data-mixing primitive that UP- and
@@ -2019,6 +2139,7 @@ object Scoring {
 
   def queries: Map[String, Q] = Map(
     "q82_bloom_decontam" -> q82BloomDecontam,
+    "q224_bloom_sizing_sweep" -> q224BloomSizingSweep,
     "q83_weighted_mix"   -> q83WeightedMix,
     "q84_bm25"           -> q84Bm25,
     "q93_bm25_indexed"   -> q93Bm25Indexed,
@@ -2343,6 +2464,56 @@ object Scoring {
          |SELECT sh.doc_id, count(*) AS n_hits
          |FROM sh JOIN ev ON sh.g = ev.g
          |WHERE sh.doc_id >= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // probes recomputed from the exported filter table with the same
+    // md5 double-hashing arithmetic; theory constants are the SAME
+    // formatted literals the engine column carries
+    "q224_bloom_sizing_sweep" -> {
+      val cfgRows = SweepBloomCfgs.map { case (b, k) =>
+        s"(CAST($b AS BIGINT), CAST($k AS BIGINT), ${bloomTheoryFpp(b, k)})"
+      }.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $tokCol AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+         |     for i in range(1, len(toks) - 3)])) AS g
+         |  FROM t WHERE len(toks) >= 5),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),
+         |tr AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 50),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM ev),
+         |cfg(bpk, k, fp_theory) AS (VALUES $cfgRows),
+         |f AS (SELECT bpk, k, pos
+         |      FROM read_parquet('{GRAFT_OUT}_support/q224_support_bloom/*.parquet')),
+         |pr0 AS (
+         |  SELECT c.bpk, c.k, n.n_eval * c.bpk AS m, tr.g,
+         |    ('0x' || substr(md5(tr.g), 1, 13))::BIGINT AS h1,
+         |    ('0x' || substr(md5(tr.g), 14, 13))::BIGINT AS h2,
+         |    unnest(range(0, c.k)) AS i
+         |  FROM tr CROSS JOIN cfg c CROSS JOIN n),
+         |pr AS (
+         |  SELECT bpk, k, g,
+         |    ((h1 % m) + i * ((h2 % (m - 1)) + 1)) % m AS pos
+         |  FROM pr0),
+         |admg AS (
+         |  SELECT pr.bpk, pr.k, pr.g
+         |  FROM pr LEFT JOIN f ON f.bpk = pr.bpk AND f.k = pr.k AND f.pos = pr.pos
+         |  GROUP BY 1, 2, 3
+         |  HAVING min(CASE WHEN f.pos IS NULL THEN 0 ELSE 1 END) = 1),
+         |admc AS (SELECT bpk, k, CAST(count(*) AS BIGINT) AS n_admit
+         |         FROM admg GROUP BY 1, 2),
+         |tru AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tr JOIN ev USING (g)),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM tr)
+         |SELECT c.bpk AS bits_per_key, c.k AS k, n.n_eval * c.bpk AS m_bits,
+         |  np.n_probe, tru.n_true, a.n_admit,
+         |  a.n_admit - tru.n_true AS n_fp,
+         |  round(CAST(a.n_admit - tru.n_true AS DOUBLE) /
+         |        (np.n_probe - tru.n_true), 4) AS fp_rate,
+         |  c.fp_theory
+         |FROM cfg c
+         |JOIN admc a ON a.bpk = c.bpk AND a.k = c.k
+         |CROSS JOIN n CROSS JOIN tru CROSS JOIN np
+         |ORDER BY bits_per_key, k""".stripMargin
+    },
     "q83_weighted_mix" ->
       s"""WITH w AS (
          |  SELECT doc_id, source, len($tokCol) AS ntoks,

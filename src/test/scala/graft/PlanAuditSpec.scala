@@ -173,7 +173,19 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "q220_winnow_sweep",
         // q221 joins the 1-row truth-count scalar onto each cut's 1-row
         // counts (the q04 scalar shape)
-        "q221_simhash_threshold_sweep")
+        "q221_simhash_threshold_sweep",
+        // q224 broadcasts the 1-row n_eval scalar (filter size) and the
+        // 6-row config grid onto the gram stream, plus the 1-row
+        // n_true/n_probe scalars onto the 6-row result (q04 shapes)
+        "q224_bloom_sizing_sweep",
+        // q225's value-pair join is DISTINCT orig-hash × DISTINCT
+        // stamped-hash values under the hd predicate — bounded by
+        // 16-bit hash-space occupancy (the q153 intended shape), plus
+        // per-radius 1-row scalar cross-joins (q04 shape)
+        "q225_phash_radius_sweep",
+        // q226 joins the 1-row truth-count scalar onto the 4-row banding
+        // fold (the q221 shape)
+        "q226_banding_sweep")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

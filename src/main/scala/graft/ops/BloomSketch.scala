@@ -16,6 +16,8 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomSketch {
 
   /** Build over `df.col(column)` (LongType). */
+  // fpp priced by q224 (sizing sweep: measured FP scrub rate tracks
+  // (1−e^(−k/bpk))^k; fpp 1 % ⇒ ~9.6 bits/key, between the (8,6)/(16,11) rows)
   def build(df: DataFrame, column: String,
       expectedItems: Long = 1L << 16, fpp: Double = 0.01): BloomFilter =
     df.stat.bloomFilter(column, expectedItems, fpp)

@@ -527,6 +527,7 @@ object CorpusReports {
     ps.crossJoin(broadcast(z))
       .select(col("source"), col("ntoks"),
         round(col("ntoks") / col("tot"), 4).as("raw_share"),
+        // α = 0.5 priced by q216 (temperature sweep over the quarter powers)
         round(sqrt(col("ntoks").cast("double")) / col("z"), 4).as("temp_share"),
         round(sqrt(col("ntoks").cast("double")) / col("z") * col("tot") /
           col("ntoks"), 4).as("epochs"))

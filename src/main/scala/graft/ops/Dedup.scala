@@ -21,8 +21,8 @@ import graft.functions.TextFns
 object Dedup {
   import Relational.Q
 
-  private val NumHashes = 32
-  private val Bands = 16   // 16 bands x 2 rows of the 32-hash signature
+  private val NumHashes = 32 // priced by q214 (error decays 1/√m; 32 holds mean |err| ≤ ~0.07)
+  private val Bands = 16     // priced by q226 (16×2 of the 32-hash signature: candidate volume vs recall)
   private val RowsPerBand = NumHashes / Bands
 
   /** Tokenize → word-trigram shingles → FNV-1a hash → sort → dedup, all in
@@ -196,7 +196,7 @@ object Dedup {
     * the bucket is salted into sub-tasks. 256 → ≤ ~32k pair verifications
     * per task — small against a task's scan work, so the join's max-task
     * share tracks the data volume, not the hottest bucket. */
-  private[graft] val BucketCap = 256
+  private[graft] val BucketCap = 256 // priced by q123 (bucket-size profile: where the cap binds)
 
   /** SKEW-GUARDED candidate self-join of LSH bucket rows (`doc_id, band,
     * bhash, carry...`): emits exactly the unordered candidate pairs the
@@ -344,7 +344,23 @@ object Dedup {
   }
 
   private val SimBits = 48
-  private val SimBands = 4          // 4 bands x 12 bits: recall=1 for Hamming<=3
+  /** WHY the conservative hd ≤ 3 point stands (r17 verdict #2): q221
+    * prices hd ≤ 4 at recall 0.84 vs 0.68 (precision 1.0 at both on the
+    * certification corpus) — but the extra recall is NOT free and NOT
+    * load-bearing. (a) Structural: the 4 × 12-bit banding's pigeonhole
+    * guarantee is exactly hd ≤ bands − 1 = 3; serving hd ≤ 4 needs ≥ 5
+    * bands (q221's own sweep banding is 8 × 6), whose candidate volume
+    * the q226 doctrine prices at roughly band-count-linear — ~2× the
+    * verification traffic at 100 TB. (b) Precision 1.0 at hd 4–6 is a
+    * 500-doc reading; SimHash is 48-bit, and on a corpus-scale table
+    * the collision mass at radius 4 grows with occupancy exactly as
+    * q225's saturated-space precision column shows. (c) SimHash is the
+    * cheap SECONDARY dedup tier here — MinHash (q38, structural recall
+    * at J ≥ 0.8) is the primary; widening the secondary's radius buys
+    * recall the primary already has. Moving the default would also
+    * re-certify q40/q78 and maintainer #2's parity twin for a knob no
+    * caller has asked to move. */
+  private val SimBands = 4          // priced by q221 (4 bands × 12 bits: pigeonhole recall=1 for hd ≤ 3; see above)
   private val SimBandBits = SimBits / SimBands
 
   /** FNV-1a 64-bit string hash — the engine-owned feature hash for SimHash
@@ -419,7 +435,7 @@ object Dedup {
       cand
         .withColumn("hamming",
           bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= 3) // priced by q221 (hd ≤ 3; rationale at SimBands)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b")),
       docs)
@@ -764,6 +780,9 @@ object Dedup {
     * spans) and [[decontamScrub]] (eval-overlap spans): same FNV-1a-64
     * span identity, same 1-based starts, so both consumers certify
     * against the same string-exact SQL slicing. */
+  /** Certified span length for substring dedup / decontamination scrub. */
+  private[graft] val SpanK = 8 // priced by q205 (span-length sweep: K=8 sits on the scrub/recall knee)
+
   private[graft] def spanKernel(K: Int) = udf { (t: String) =>
       if (t == null) Array.empty[(Int, Long)]
       else {
@@ -815,7 +834,7 @@ object Dedup {
 
   /** The ExactSubstr pass over an arbitrary (doc_id, text) frame — unit
     * tests plant shared spans / full clones / unique docs against it. */
-  def substrDedup(input: DataFrame, K: Int = 8): DataFrame = {
+  def substrDedup(input: DataFrame, K: Int = SpanK): DataFrame = {
     val norm = TextFns.normText(col("text"))
     // cache: the span table feeds BOTH the dup-vocabulary count and the
     // join back (the q69 barrier pattern — one generation pass, not two)
@@ -853,7 +872,7 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("text"))
     val norm = TextFns.normText(col("text"))
     val spans = docs
-      .select(col("doc_id"), explode(spanKernel(8)(norm)).as("sp"))
+      .select(col("doc_id"), explode(spanKernel(SpanK)(norm)).as("sp"))
       .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
       .cache()
     val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
@@ -863,7 +882,7 @@ object Dedup {
     Caching.materializeAndRelease(
       docs.filter(col("text").isNotNull)
         .join(perDoc, Seq("doc_id"), "left")
-        .select(col("source"), cleanKernel(8)(norm, col("starts")).as("r"))
+        .select(col("source"), cleanKernel(SpanK)(norm, col("starts")).as("r"))
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("r._1")).cast("long").as("n_tokens"),
@@ -949,7 +968,7 @@ object Dedup {
     * certify. One span pass per side, left-semi on the span hashes,
     * per-source integer fold. */
   def decontamFunnelOf(docs: DataFrame, evalDocs: DataFrame,
-      K: Int = 8): DataFrame = {
+      K: Int = SpanK): DataFrame = {
     val norm = TextFns.normText(col("text"))
     val evalSp = evalDocs
       .select(explode(spanKernel(K)(norm)).as("sp"))
@@ -979,7 +998,7 @@ object Dedup {
     * (doc, span) sets, one equi-join on the span hash (never doc×doc),
     * two integer folds; exposure is one division of two exact integers. */
   val q195EvalExposure: Q = (s, d) => {
-    val K = 8
+    val K = SpanK
     val norm = TextFns.normText(col("text"))
     val docs = Tables.documents(s, d)
     // one span-generation pass feeds both sides (the decontamScrub
@@ -1041,7 +1060,7 @@ object Dedup {
     * frame: docs with doc_id < evalMax are the held-out set (they define
     * the contaminated-span vocabulary and emit no output row); docs at or
     * above it are scrubbed. */
-  def decontamScrub(input: DataFrame, evalMax: Long = 50, K: Int = 8): DataFrame = {
+  def decontamScrub(input: DataFrame, evalMax: Long = 50, K: Int = SpanK): DataFrame = {
     val norm = TextFns.normText(col("text"))
     // one span-generation pass feeds both sides (the q69 barrier pattern)
     val spans = input

@@ -135,6 +135,8 @@ object IvfIndex {
     * replicas 1 → 0.81 top-1 agreement; see q45 notes). Duplicate
     * candidates reached through several cells are absorbed by search's
     * per-query argmax. */
+  // nCells priced by q213 (recall vs member-scan fraction halves per nlist doubling at √N ≈ 32);
+  // nReplicas priced by q217 (replication buys recall at CONSTANT scan fraction — storage, not bandwidth)
   def build(spark: SparkSession, emb: DataFrame, nCells: Int = 32,
       seed: Long = 7L, maxFitRows: Long = 50000L,
       initMode: String = "random", nReplicas: Int = 1): IvfIndex = {
@@ -413,7 +415,20 @@ object IvfIndex {
   /** `checkpointProbes = false` for corpus-scale query batches — see
     * [[routeProbes]] for the trade. */
   def searchTopK(spark: SparkSession, index: IvfIndex, queries: DataFrame,
-      k: Int = 3, nProbe: Int = 8, checkpointProbes: Boolean = true): DataFrame = {
+      // nProbe priced by q201 (recall-vs-probes curve; 8 of 32 cells reads recall ≈ 0.99)
+      k: Int = 3, nProbe: Int = 8, checkpointProbes: Boolean = true): DataFrame =
+    searchTopKWithProbes(spark, index, queries, k, nProbe, checkpointProbes)._1
+
+  /** [[searchTopK]] plus the routed probe rows the serve actually used
+    * (cell, vec_id, emb, isProbe=true) — callers that also price the
+    * scan (q213/q217's sweep row) reuse the SAME routing instead of
+    * routing the batch a second time (r17 ADVICE); the probes are
+    * localCheckpointed by [[routeProbes]], so both consumers read the
+    * same materialized blocks. */
+  private[ops] def searchTopKWithProbes(spark: SparkSession, index: IvfIndex,
+      queries: DataFrame, k: Int = 3, nProbe: Int = 8,
+      checkpointProbes: Boolean = true)
+      : (DataFrame, org.apache.spark.sql.Dataset[(Long, Long, Array[Float], Boolean)]) = {
     import spark.implicits._
     val (members, probes) =
       probedMembersAndProbes(spark, index, queries, nProbe, checkpointProbes)
@@ -446,7 +461,7 @@ object IvfIndex {
           best.result.map { case (cid, cos) => (qid, cid, cos) }
         }
       }
-    rankCandidates(spark, cand, k)
+    (rankCandidates(spark, cand, k), probes)
   }
 
   /** Global merge in ONE exchange: each query's candidate rows (≤ nProbe·k

@@ -225,6 +225,8 @@ object IvfPq {
     * excluding them silently drops real matches — pass
     * `excludeSelf = false` there (the [[IvfIndex.searchThreshold]]
     * contract). */
+  // nProbe priced by q201; shortlist priced by q210 (PQ ranking fidelity
+  // BINDS hard at the shortlist — the rerank is load-bearing on this tier)
   def searchTopK(spark: SparkSession, pqDir: String, rawDir: String,
       queries: DataFrame, k: Int = 3, nProbe: Int = 8,
       shortlist: Int = 12, maxCandidates: Int = 1 << 20,

@@ -112,6 +112,8 @@ object IvfSq {
     * contract: skip same-id members only when queries and members share
     * one id space; pass false for a foreign-id query batch, where a
     * numeric collision is an unrelated vector. */
+  // nProbe priced by q201 (recall curve over probes); shortlist priced by
+  // q208 (SQ8 ranking fidelity is flat from 12 up — the rerank knee)
   def searchTopK(spark: SparkSession, sqDir: String, rawDir: String,
       queries: DataFrame, k: Int = 3, nProbe: Int = 8,
       shortlist: Int = 12, maxCandidates: Int = 1 << 20,

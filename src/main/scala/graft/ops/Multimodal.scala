@@ -547,7 +547,7 @@ object Multimodal {
     * 16-bit certification hashes, 4×16-bit bands over the 8×8-grid
     * 64-bit hashes real images pool onto. */
   private[graft] val PhashBands = 4
-  private[graft] val PhashHamMax = PhashBands - 1
+  private[graft] val PhashHamMax = PhashBands - 1 // priced by q225 (radius curve: recall 0.79 at hd≤3 on the planted watermark family; precision decays ~2× per radius step in a saturated space)
   private[graft] def phashBandBits(hashBits: Int): Int = {
     require(hashBits % PhashBands == 0, s"hash width $hashBits not divisible into $PhashBands bands")
     hashBits / PhashBands

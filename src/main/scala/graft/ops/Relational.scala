@@ -126,7 +126,7 @@ object Relational {
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), u.as("u"))
       .groupBy(col("l_returnflag"))
-      .agg(expr("kmv_distinct(u, 256)").as("kmv_nd"))
+      .agg(expr("kmv_distinct(u, 256)").as("kmv_nd")) // priced by q212 (rel err ≈ 1/√(k−2); 256 ⇒ ~6%)
       .orderBy(col("l_returnflag"))
   }
 

@@ -1840,6 +1840,7 @@ object Scoring {
     * q131/q132/q138 constants. */
   private def batchedBm25Top5(s: SparkSession, d: String,
       sharedToks: Option[DataFrame] = None,
+      // k1/b priced by q218 ((1.2, 0.75) ties the best measured retrieval outcomes on the q138 qrels)
       k1: Double = 1.2, k1p1: Double = 2.2,
       b: Double = 0.75, omb: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window

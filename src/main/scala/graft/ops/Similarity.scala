@@ -891,17 +891,21 @@ object Similarity {
       indexDir: String, queries: DataFrame, exact: DataFrame, nq: Long,
       nProbe: Int, keyName: String, keyVal: Long): DataFrame = {
     val idx = IvfIndex.load(s, indexDir)
-    val hits = IvfIndex.searchTopK(s, idx, queries, k = 3, nProbe = nProbe)
+    // ONE routing pass: the serve returns the probe rows it actually used
+    // (r17 ADVICE — the prior form routed the batch a second time for the
+    // scan count), and the scan join reads the same checkpointed blocks
+    val (topk, probes) =
+      IvfIndex.searchTopKWithProbes(s, idx, queries, k = 3, nProbe = nProbe)
+    val hits = topk
       .select(col("vec_id"), col("nn_id"))
       .join(exact.withColumn("hit", lit(1L)), Seq("vec_id", "nn_id"), "left")
       .agg(count(col("hit")).cast("long").as("n_hits"))
-    // scanned member rows: the SAME routing the serve used (routeProbes)
-    // joined to per-cell member counts — cells-bounded, never the corpus
+    // scanned member rows: probed cells joined to per-cell member counts —
+    // cells-bounded, never the corpus
     val cellSizes = idx.cells
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_in_cell"))
-    val (probes, _) = IvfIndex.routeProbes(s, idx.centroids, queries, nProbe)
-    val scanned = probes.toDF("cell", "vec_id", "emb")
+    val scanned = probes.toDF("cell", "vec_id", "emb", "is_probe")
       .join(cellSizes, Seq("cell"))
       .agg(sum(col("n_in_cell")).cast("long").as("n_scanned"))
     val members = idx.cells.agg(count(lit(1)).cast("long").as("n_members"))

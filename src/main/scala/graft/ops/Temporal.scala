@@ -47,7 +47,8 @@ object Temporal {
     * sessionization the reference's resume-checkpoint jobs approximate). */
   val q48Session: Q = (s, d) => {
     Tables.events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), // priced by q222 (gap sweep: 5 min shatters into singletons, 60 min merges visits)
+        col("user_id"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("user_id"), fmt(col("w.start")).as("s_start"), col("n"), col("total_value"))
       .orderBy(col("user_id"), col("s_start"))

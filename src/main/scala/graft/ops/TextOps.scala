@@ -299,7 +299,7 @@ object TextOps {
     // string array — bounded by the winnowed print count, not the text.
     val prints = Tables.documents(s, d)
       .select(col("doc_id"),
-        TextFns.winnowedFingerprints(col("text"), k = 8, w = 4).as("fp"))
+        TextFns.winnowedFingerprints(col("text"), k = 8, w = 4).as("fp")) // priced by q220 (density rides 2/(w+1); w=4 ≈ 40% of prints)
       .cache()
     Caching.materializeAndRelease(
       prints
@@ -457,7 +457,8 @@ object TextOps {
     // the gram table — without the barrier the generation runs twice.
     // 16 bytes/row — the persisted gram-index pattern at scale.
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
+      .select(col("doc_id"), // priced by q223 (order sweep: n=3 floods 430/450 flags, n=13 starves; 5 is the knee)
+        explode(TextFns.distinctGramHashes(col("text"), 5)).as("gh"))
       .cache()
     val eval_ = sh.filter(col("doc_id") < 50).select(col("gh")).distinct()
     Caching.materializeAndRelease(

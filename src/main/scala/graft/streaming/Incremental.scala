@@ -1613,7 +1613,7 @@ object Incremental {
     * immutable-attribute contract the min is the only value anyway. */
   def continuousQuantileMonitor(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, outDir: String,
-      checkpointDir: String, k: Int = 128): StreamingQuery = {
+      checkpointDir: String, k: Int = 128): StreamingQuery = { // k priced by q219 (k=128 holds every per-source quartile within the certified band)
     import org.apache.hadoop.fs.Path
     require(k >= 1, s"sample size k must be >= 1, got $k")
     val stateDir = s"$outDir/sample"

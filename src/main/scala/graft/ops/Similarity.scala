@@ -849,21 +849,29 @@ object Similarity {
         nReplicas = 2), t)
     }
 
-  /** Oracle support for q213: every sweep index's codebook + membership
-    * (the q45 export contract, once per candidate cell count). */
-  def writeAnnNlistSupport(s: org.apache.spark.sql.SparkSession, d: String,
-      outDir: String): Unit = {
+  /** ONE parameterized per-index export (r17 verdict #8): each sweep
+    * index's codebook + membership under `<prefix>_centroids_<key>` /
+    * `<prefix>_cells_<key>` — the q45 export contract, shared by the
+    * q213 (cell-count) and q217 (replication) sweep families. */
+  private def writeIvfSweepSupport(s: org.apache.spark.sql.SparkSession,
+      outDir: String, prefix: String, indexes: Seq[(Int, String)]): Unit = {
     import s.implicits._
-    SweepNCells.foreach { n =>
-      val idx = IvfIndex.load(s, nlistDir(s, d, n))
+    indexes.foreach { case (key, dir) =>
+      val idx = IvfIndex.load(s, dir)
       idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
         .toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
-        .parquet(s"${graft.Verify.supportDir(outDir)}/q213_support_centroids_$n")
+        .parquet(s"${graft.Verify.supportDir(outDir)}/${prefix}_centroids_$key")
       idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
         .write.mode("overwrite")
-        .parquet(s"${graft.Verify.supportDir(outDir)}/q213_support_cells_$n")
+        .parquet(s"${graft.Verify.supportDir(outDir)}/${prefix}_cells_$key")
     }
   }
+
+  /** Oracle support for q213: once per candidate cell count. */
+  def writeAnnNlistSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit =
+    writeIvfSweepSupport(s, outDir, "q213_support",
+      SweepNCells.map(n => n -> nlistDir(s, d, n)))
 
   /** q213: the cell-count (nlist) BUILD-knob sweep — the one ANN axis
     * q201/q207/q208/q209/q210/q211 leave unpriced, and the only one
@@ -935,30 +943,42 @@ object Similarity {
 
   /** Once-per-(session, dataset, nReplicas) IVF build for q217 — same
     * codebook params as the certification index (nCells/seed), only the
-    * replication factor moves; r = 2 IS the certification build. */
+    * replication factor moves; r = 2 IS the certification build, and
+    * r = 1 is DERIVED from it rather than refit (r17 verdict #8): the
+    * codebook fit is nReplicas-independent, and build's r = 2 membership
+    * is nearestCells(v, 2) per vector — so dropping each vector's
+    * secondary assignment (re-ranking its distinct row through
+    * nearestCells(v, 1) against the SAME codebook) reproduces the r = 1
+    * build bit-for-bit without a second KMeans. One pass over the member
+    * table, cold-path only (session-memoized like every sweep build). */
   private def replicaDir(s: org.apache.spark.sql.SparkSession, d: String,
       r: Int): String =
     if (r == 2) ivfDir(s, d)
+    else if (r == 1) SessionArtifacts.dir("ivf-replicas-1", s, d) { t =>
+      import s.implicits._
+      val idx = IvfIndex.load(s, ivfDir(s, d))
+      val bc = s.sparkContext.broadcast(idx.centroids)
+      val derived = idx.cells
+        .select(col("vec_id"), col("embedding"))
+        .dropDuplicates("vec_id") // r=2 lists each vector twice, embedding identical
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          (IvfIndex.nearestCells(bc.value, IvfIndex.unit(v), 1).head.toLong, id, v)
+        }
+        .toDF("cell", "vec_id", "embedding")
+      IvfIndex.save(s, IvfIndex(idx.centroids, derived, 1), t)
+    }
     else SessionArtifacts.dir(s"ivf-replicas-$r", s, d) { t =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       IvfIndex.save(s, IvfIndex.build(s, e, nCells = CertIvfNCells, seed = 7L,
         nReplicas = r), t)
     }
 
-  /** Oracle support for q217: per-replication codebook + membership. */
+  /** Oracle support for q217: once per replication factor. */
   def writeAnnReplicaSupport(s: org.apache.spark.sql.SparkSession, d: String,
-      outDir: String): Unit = {
-    import s.implicits._
-    SweepReplicas.foreach { r =>
-      val idx = IvfIndex.load(s, replicaDir(s, d, r))
-      idx.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
-        .toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
-        .parquet(s"${graft.Verify.supportDir(outDir)}/q217_support_centroids_$r")
-      idx.cells.select(col("cell").cast("long").as("cell"), col("vec_id"))
-        .write.mode("overwrite")
-        .parquet(s"${graft.Verify.supportDir(outDir)}/q217_support_cells_$r")
-    }
-  }
+      outDir: String): Unit =
+    writeIvfSweepSupport(s, outDir, "q217_support",
+      SweepReplicas.map(r => r -> replicaDir(s, d, r)))
 
   /** q217: the REPLICATION-factor build knob — q213's sibling axis:
     * multi-assignment places each vector in its r nearest cells, buying

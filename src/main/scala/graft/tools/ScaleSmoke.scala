@@ -939,6 +939,35 @@ object ScaleSmoke {
           spark.read.parquet(s"$root/out/kmv").count())
       }
     }
+    // PREFIX-FILTER EXACT JOIN (r18): the q227/q214/q221/q226 ground-truth
+    // operator. Disjoint-vocabulary copies keep per-copy candidate
+    // structure constant, so LINEAR candidate and wall growth is the
+    // evidence the prefix equi-join never degenerates toward all-pairs
+    // under corpus growth (the prefix tokens are uniform hashes, so
+    // bucket sizes grow linearly with docs; quadratic growth would
+    // indict the candidate generation exactly as it would for LSH).
+    if (section == "all" || section == "pfj") {
+      val docsP = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4, 16)) {
+        val scaled = (0 until mult).map { k =>
+          docsP.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\w+)", s"c${k}_$$1").as("text"))
+        }.reduce(_ unionByName _)
+        val hs = scaled
+          .select(col("doc_id"),
+            graft.ops.Dedup.shingleHashes(
+              graft.functions.TextFns.normText(col("text"))).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .cache()
+        hs.count() // materialize outside the timer
+        time(s"mult=$mult prefix-filter exact join (t=0.8)") {
+          val pairs = graft.ops.Dedup.exactJaccardPairs(hs, 0.8)
+          println(s"[scale] mult=$mult pfj verified pairs: ${pairs.count()}")
+        }
+        hs.unpersist()
+      }
+    }
     // BPE AT PRODUCTION ROUND COUNT (r13 verdict #6): the trainer loop is
     // round-count-bound by design (per merge: one vocab-sized pair agg +
     // one 1-row argmax collect + a narrow state rewrite, localCheckpoint

@@ -38,6 +38,7 @@ class MlSpec extends AnyFunSuite {
       "q112_support_codebooks", "q112_support_pqcells",
       "q112_support_cellmeans", "q122_support_sigs",
       "q123_support_bands", "q125_support_qvec",
+      "q224_support_bloom", "q225_support_phash",
       "q128_support_cells", "q128_support_centroids",
       "q132_support_qembs", "q145_support_merges",
       "q154_support_wordvec", "q211_support_pca",

@@ -79,22 +79,63 @@ object Scoring {
     * FNV hashes: the q224 filter arithmetic must be recomputable by the
     * oracle, and md5-of-the-gram-string is the established cross-engine
     * hash (the mdUniform discipline). */
-  private def bloomGramSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.TextFns.wordShingles(
-          graft.functions.TextFns.normText(col("text")), 5)).as("g"))
-    (grams.filter(col("doc_id") < 50).select(col("g")).distinct(),
-      grams.filter(col("doc_id") >= 50).select(col("g")).distinct())
+  /** Distinct 5-gram STRINGS of a doc in one JVM kernel pass (the q69
+    * kernel discipline — the interpreted wordShingles HOF chain measured
+    * ~4× this on the same corpus; string output, not hashes, because
+    * the q224 filter arithmetic must md5 the same gram text the oracle
+    * does). Space-joined token windows — exactly the oracle's
+    * `toks[i] || ' ' || …` construction. */
+  private val gram5Kernel = udf { (norm: String) =>
+    val toks = norm.split(" ")
+    if (toks.length < 5) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + 5 <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < 5) { sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
   }
 
-  /** Bit positions of `df.g` under every sweep config: double hashing
-    * pos_i = (h1 + i·h2′) mod m (Kirsch–Mitzenmacher, public technique),
-    * h1/h2 from disjoint md5 hex ranges, h2′ = (h2 mod (m−1)) + 1 so the
-    * stride never degenerates to 0. m = bpk × n_eval bits. Pure integer
-    * arithmetic both engines evaluate identically. */
-  private def bloomPositions(df: DataFrame, nEval: DataFrame, cfg: DataFrame): DataFrame =
+  /** Returns (eval grams, train grams, the cached shared gram table —
+    * caller releases): without the barrier the gram kernel runs once
+    * per side. */
+  private def bloomGramSides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(gram5Kernel(
+          graft.functions.TextFns.normText(col("text")))).as("g"))
+      .cache()
+    (grams.filter(col("doc_id") < 50).select(col("g")).distinct(),
+      grams.filter(col("doc_id") >= 50).select(col("g")).distinct(),
+      grams)
+  }
+
+  /** (g, h1, h2) of a gram side — md5 evaluated ONCE per distinct gram
+    * behind a cache barrier: without it CollapseProject re-inlines the
+    * two md5/conv chains into every exploded (cfg × i) position row —
+    * 35 recomputations per gram across the sweep grid (measured ~2× the
+    * whole query). */
+  private def hashedGrams(df: DataFrame): DataFrame =
     df.select(col("g"), mdHash(col("g"), 1).as("h1"), mdHash(col("g"), 14).as("h2"))
+      .cache()
+
+  /** Bit positions of a [[hashedGrams]] side under every sweep config:
+    * double hashing pos_i = (h1 + i·h2′) mod m (Kirsch–Mitzenmacher,
+    * public technique), h1/h2 from disjoint md5 hex ranges,
+    * h2′ = (h2 mod (m−1)) + 1 so the stride never degenerates to 0.
+    * m = bpk × n_eval bits. Pure integer arithmetic both engines
+    * evaluate identically. */
+  private def bloomPositions(hashed: DataFrame, nEval: DataFrame, cfg: DataFrame): DataFrame =
+    hashed
       .crossJoin(broadcast(nEval))
       .crossJoin(broadcast(cfg))
       .withColumn("m", col("bpk") * col("n_eval"))
@@ -117,10 +158,13 @@ object Scoring {
     * q122-signature discipline — the artifact is the GIVEN, every probe
     * and rate recomputes cross-engine. */
   private[graft] def bloomSweepFilter(s: SparkSession, d: String): DataFrame = {
-    val (ev, _) = bloomGramSides(s, d)
-    val nEval = ev.agg(count(lit(1)).cast("long").as("n_eval"))
-    bloomPositions(ev, nEval, bloomCfgDf(s))
-      .select(col("bpk"), col("k"), col("m"), col("pos")).distinct()
+    val (ev, _, base) = bloomGramSides(s, d)
+    val evH = hashedGrams(ev)
+    val nEval = evH.agg(count(lit(1)).cast("long").as("n_eval"))
+    Caching.materializeAndRelease(
+      bloomPositions(evH, nEval, bloomCfgDf(s))
+        .select(col("bpk"), col("k"), col("m"), col("pos")).distinct(),
+      evH, base)
   }
 
   /** Oracle support writer: the q224 filter table. */
@@ -141,18 +185,52 @@ object Scoring {
     * n_eval/n_probe/n_true scalars ride broadcast cross-joins (the q04
     * audited shape). */
   val q224BloomSizingSweep: Q = (s, d) => {
-    val (ev0, tr0) = bloomGramSides(s, d)
-    val ev = ev0.cache()
-    val tr = tr0.cache()
+    val (ev0, tr0, base) = bloomGramSides(s, d)
+    val ev = hashedGrams(ev0)
+    val tr = hashedGrams(tr0)
     val cfg = bloomCfgDf(s)
     val nEval = ev.agg(count(lit(1)).cast("long").as("n_eval"))
-    val filt = bloomPositions(ev, nEval, cfg)
-      .select(col("bpk"), col("k"), col("pos")).distinct()
-    val admits = bloomPositions(tr, nEval, cfg)
-      .join(filt.withColumn("f", lit(1)), Seq("bpk", "k", "pos"), "left")
-      .groupBy(col("bpk"), col("k"), col("g"))
-      .agg(min(coalesce(col("f"), lit(0))).as("ok")) // ALL k positions set
-      .filter(col("ok") === 1)
+    // the SERVING shape, not a join: each config's set positions fold
+    // into a real broadcast BITSET (m bits ≤ 16 × n_eval ≈ a few tens of
+    // KB — the q82 broadcast-sketch size class, EVAL-bounded by
+    // definition, never corpus-bounded), and the probe is a narrow O(k)
+    // UDF over the train grams. The first cut shuffled 35 exploded
+    // position rows per train gram into a (cfg, gram)-keyed aggregate —
+    // measured ~4× this plan's wall on the certification corpus, for
+    // identical admit semantics (same positions, same set bits).
+    val nEvalV = nEval.collect().head.getLong(0) // 1-row scalar
+    val bits: Map[(Long, Long), Array[Long]] = {
+      val grouped = bloomPositions(ev, nEval, cfg)
+        .select(col("bpk"), col("k"), col("m"), col("pos"))
+        .collect() // eval-vocabulary-bounded: ≤ n_eval × Σk rows
+        .groupBy(r => (r.getLong(0), r.getLong(1)))
+      grouped.map { case (key, rows) =>
+        val m = rows.head.getLong(2)
+        val arr = new Array[Long](((m + 63) / 64).toInt)
+        rows.foreach { r =>
+          val p = r.getLong(3)
+          arr((p >> 6).toInt) |= 1L << (p & 63)
+        }
+        key -> arr
+      }
+    }
+    val bcBits = s.sparkContext.broadcast(bits)
+    val admitted = udf { (bpk: Long, k: Long, h1: Long, h2: Long) =>
+      val m = bpk * nEvalV
+      val arr = bcBits.value((bpk, k))
+      val stride = (h2 % (m - 1)) + 1
+      var i = 0L
+      var ok = true
+      while (ok && i < k) {
+        val pos = ((h1 % m) + i * stride) % m
+        ok = (arr((pos >> 6).toInt) & (1L << (pos & 63))) != 0L
+        i += 1
+      }
+      ok
+    }
+    val admits = tr
+      .crossJoin(broadcast(cfg))
+      .filter(admitted(col("bpk"), col("k"), col("h1"), col("h2")))
       .groupBy(col("bpk"), col("k"))
       .agg(count(lit(1)).cast("long").as("n_admit"))
     val nTrue = tr.join(ev, Seq("g"), "semi")
@@ -171,7 +249,7 @@ object Scoring {
             (col("n_probe") - col("n_true")).cast("double"), 4).as("fp_rate"),
           col("fp_theory"))
         .orderBy(col("bits_per_key"), col("k")),
-      ev, tr)
+      ev, tr, base)
   }
 
   // ---------------------------------------------------------------- q83

@@ -55,6 +55,7 @@ object SparkEntry {
       (Set("q211_pca_truncation"), ops.Similarity.writeAnnPcaSupport),
       (Set("q213_nlist_sweep"), ops.Similarity.writeAnnNlistSupport),
       (Set("q217_replica_sweep"), ops.Similarity.writeAnnReplicaSupport),
+      (Set("q228_fit_sample_sweep"), ops.Similarity.writeAnnFitSupport),
       (Set("q215_heldout_auc"), ops.Curation.writeHeldoutClassifierSupport),
       (Set("q101_quality_classifier", "q108_quality_retention",
         "q142_classifier_calibration", "q160_data_card_full",

@@ -136,7 +136,8 @@ object IvfIndex {
     * candidates reached through several cells are absorbed by search's
     * per-query argmax. */
   // nCells priced by q213 (recall vs member-scan fraction halves per nlist doubling at √N ≈ 32);
-  // nReplicas priced by q217 (replication buys recall at CONSTANT scan fraction — storage, not bandwidth)
+  // nReplicas priced by q217 (replication buys recall at CONSTANT scan fraction — storage, not bandwidth);
+  // maxFitRows priced by q228 (codebook fit-sample cap vs recall/scan at fixed probes)
   def build(spark: SparkSession, emb: DataFrame, nCells: Int = 32,
       seed: Long = 7L, maxFitRows: Long = 50000L,
       initMode: String = "random", nReplicas: Int = 1): IvfIndex = {

@@ -939,6 +939,57 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy(col("ncells"))
   }
 
+  /** Fit-sample caps for the q228 sweep — the 50000 point is the
+    * certification build's own cap (it does not bind at certification
+    * scale, so that row IS the certified index). Keys are the CAP, not
+    * the realized sample (the cap is the knob a deployment sets). */
+  private[ops] val SweepFitCaps = Seq(64, 128, 50000)
+
+  /** Once-per-(session, dataset, cap) IVF build for q228 — same
+    * codebook params as the certification index (nCells/seed/replicas),
+    * only the KMeans fit-sample cap moves. */
+  private def fitDir(s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Int): String =
+    if (cap == 50000) ivfDir(s, d)
+    else SessionArtifacts.dir(s"ivf-fit-$cap", s, d) { t =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      IvfIndex.save(s, IvfIndex.build(s, e, nCells = CertIvfNCells, seed = 7L,
+        maxFitRows = cap.toLong, nReplicas = 2), t)
+    }
+
+  /** Oracle support for q228: once per fit cap. */
+  def writeAnnFitSupport(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String): Unit =
+    writeIvfSweepSupport(s, outDir, "q228_support",
+      SweepFitCaps.map(m => m -> fitDir(s, d, m)))
+
+  /** q228: the codebook FIT-SAMPLE cap — the third and last IVF build
+    * axis (q213 priced nlist, q217 replication; `maxFitRows` bounds the
+    * KMeans fit, the knob that makes the codebook cost √N-ish instead
+    * of corpus-shaped at 100 TB). Per cap, the same two readings as its
+    * siblings: recall@3 vs the shared exact reference and the
+    * member-scan fraction at fixed [[NlistNProbe]]. The MEASURED shape
+    * (sf0.01: recall 0.83/0.70/0.64 at scan 0.42/0.18/0.14 for caps
+    * 64/128/full) is the inversion folklore misses: an under-fit
+    * codebook mis-centers cells into a few bloated ones, so each probe
+    * drags MORE members — recall rises only because the scan does,
+    * 3× the bytes for the same probe budget. Comparing at equal scan,
+    * the full fit wins; the cap is priced in recall-per-scanned-byte,
+    * not recall alone. Hash-certified from the exported per-cap
+    * indexes, the q213 oracle chain verbatim. */
+  val q228FitSampleSweep: Q = (s, d) => {
+    graft.plans.GraftExtensions.register(s)
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < SweepBatchMaxId)
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactTop3Sweep(s, d)
+    val nq = queries.count()
+    SweepFitCaps.map { m =>
+      buildSweepRow(s, fitDir(s, d, m), queries, exact, nq,
+        NlistNProbe, "fit_cap", m.toLong)
+    }.reduce(_ unionByName _).orderBy(col("fit_cap"))
+  }
+
   private[ops] val SweepReplicas = Seq(1, 2, 3)
 
   /** Once-per-(session, dataset, nReplicas) IVF build for q217 — same
@@ -1237,6 +1288,7 @@ object Similarity {
     "q210_pq_shortlist_sweep" -> q210PqShortlistSweep,
     "q213_nlist_sweep" -> q213NlistSweep,
     "q217_replica_sweep" -> q217ReplicaSweep,
+    "q228_fit_sample_sweep" -> q228FitSampleSweep,
     "q211_pca_truncation" -> q211PcaTruncation,
   )
 
@@ -1554,6 +1606,10 @@ object Similarity {
     buildSweepSql("nreplicas", SweepReplicas.map(r =>
       (r, s"r$r", s"q217_support_centroids_$r", s"q217_support_cells_$r")))
 
+  private def fitSweepSql: String =
+    buildSweepSql("fit_cap", SweepFitCaps.map(m =>
+      (m, s"f$m", s"q228_support_centroids_$m", s"q228_support_cells_$m")))
+
   /** The exact brute-force top-3 reference (NaN-filtered BEFORE ranking)
     * as an `ex` CTE over the `vec_id < maxId` batch — the shared recall
     * denominator for q201 and q207. */
@@ -1707,6 +1763,7 @@ object Similarity {
     // quantized tiers (q208 = SQ8 ascore chain, q210 = PQ ADC chain)
     "q213_nlist_sweep" -> nlistSweepSql,
     "q217_replica_sweep" -> replicaSweepSql,
+    "q228_fit_sample_sweep" -> fitSweepSql,
     "q208_shortlist_sweep" -> shortlistSweepSql(
       sqAscoreCtes("", s"WHERE vec_id < $SweepBatchMaxId", SqNProbe)),
     "q210_pq_shortlist_sweep" -> shortlistSweepSql(

@@ -160,9 +160,9 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // q212 joins its 1-row exact-distinct broadcast onto the 1-row
         // sketch agg (the q04 scalar shape, both sides single-row)
         "q212_kmv_error_curve",
-        // q213/q217 compose the q201 exact-reference shape with two 1-row
-        // scalar broadcasts per sweep point (scan count, member total)
-        "q213_nlist_sweep", "q217_replica_sweep",
+        // q213/q217/q228 compose the q201 exact-reference shape with two
+        // 1-row scalar broadcasts per sweep point (scan count, member total)
+        "q213_nlist_sweep", "q217_replica_sweep", "q228_fit_sample_sweep",
         // q216 replays q183's 1-row (tot, Z) normalizer per temperature
         "q216_temp_sweep",
         // q218 replays the q131 scorer (its 1-row corpus-stats

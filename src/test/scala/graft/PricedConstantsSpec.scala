@@ -45,6 +45,7 @@ class PricedConstantsSpec extends AnyFunSuite {
     ("ops/InvertedIndex.scala", "k1: Double = 1.2, b: Double = 0.75"),  // q218 BM25
     ("ops/Scoring.scala", "k1: Double = 1.2, k1p1"),  // q218 BM25 (batched)
     ("ops/IvfIndex.scala", "nCells: Int = 32"),       // q213 nlist
+    ("ops/IvfIndex.scala", "maxFitRows: Long = 50000L,"), // q228 fit cap
     ("ops/IvfSq.scala", "shortlist: Int = 12"),       // q208 rerank shortlist
     ("ops/IvfPq.scala", "shortlist: Int = 12"),       // q210 rerank shortlist
     ("ops/BloomSketch.scala", "fpp: Double = 0.01"),  // q224 filter sizing

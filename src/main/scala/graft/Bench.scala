@@ -178,26 +178,37 @@ object Bench {
           val ratios = common.map(q => (q, results(q) / prevQ(q)))
           val sortedR = ratios.map(_._2).sorted
           val medRaw = sortedR(sortedR.size / 2)
-          val movers = ratios
+          // ALL raw movers — counts come from the full set; only the
+          // rendered list is capped (a 15-regression change must not
+          // read as 10). With no prev calibration a mover CANNOT be
+          // adjudicated: confirmed is null and the confirmed COUNT
+          // falls back to the raw count (a real regression must show,
+          // not hide behind a missing probe).
+          val allMovers = ratios
             .filter { case (q, r) => r >= 2.0 && results(q) - prevQ(q) >= 0.4 }
-            .sortBy(-_._2).take(10)
+            .sortBy(-_._2)
+          val nConfirmed = factor match {
+            case Some(f0) => allMovers.count { case (_, r) => f0 * r >= 2.0 }
+            case None     => allMovers.size // unadjudicated: conservative
+          }
+          val movers = allMovers.take(10)
           val moverJson = movers.map { case (q, r) =>
             val rn = factor.map(_ * r)
             s"""{"q":"$q","prev":${f"${prevQ(q)}%.3f"},"cur":${f"${results(q)}%.3f"},""" +
               s""""ratio_raw":${f"$r%.3f"},"ratio_norm":${rn.map(v => f"$v%.3f").getOrElse("null")},""" +
-              s""""confirmed":${rn.exists(_ >= 2.0)}}"""
+              s""""confirmed":${rn.map(v => (v >= 2.0).toString).getOrElse("null")}}"""
           }.mkString("[", ",", "]")
           verdictScalars =
             factor.map(f0 => s""""verdict_median_norm":${f"${medRaw * f0}%.3f"},""").getOrElse("") +
               s""""verdict_median_raw":${f"$medRaw%.3f"},""" +
-              s""""verdict_movers_confirmed":${movers.count { case (_, r) => factor.exists(_ * r >= 2.0) }},"""
+              s""""verdict_movers_confirmed":$nConfirmed,"""
           s""""verdict":{"prev":"$prevPath","n_common":${common.size},""" +
             s""""calib_prev":${prevCalib.map(v => f"$v%.3f").getOrElse("null")},""" +
             s""""calib_cur":${f"$calibCur%.3f"},""" +
             s""""median_ratio_raw":${f"$medRaw%.3f"},""" +
             s""""median_ratio_norm":${factor.map(f0 => f"${medRaw * f0}%.3f").getOrElse("null")},""" +
-            s""""n_movers_raw":${movers.size},""" +
-            s""""n_movers_confirmed":${movers.count { case (_, r) => factor.exists(_ * r >= 2.0) }},""" +
+            s""""n_movers_raw":${allMovers.size},""" +
+            s""""n_movers_confirmed":$nConfirmed,""" +
             s""""movers":$moverJson},"""
         }
       case None => """"verdict":{"prev":"none","reason":"no previous artifact"},"""

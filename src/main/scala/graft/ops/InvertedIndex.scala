@@ -63,21 +63,31 @@ object InvertedIndex {
     * build over the union corpus (asserted in InvertedIndexSpec). */
   def append(spark: SparkSession, docs: DataFrame, dir: String,
       nPostingFiles: Int = 8): Unit = {
+    import graft.sources.SwapProtocol
+    // append INTO the resolved live dirs: after a pointer-publishing
+    // Compaction.compact of postings/doclens, the literal subdir path is
+    // a retired plain dir (or absent) — an append there would be
+    // invisible to the resolving searchBm25 (r18 review finding); a
+    // never-compacted plain dir resolves to itself, so fresh indexes are
+    // unaffected
+    val postingsDir = SwapProtocol.resolve(spark, s"$dir/postings")
+    val doclensDir = SwapProtocol.resolve(spark, s"$dir/doclens")
     docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .repartitionByRange(nPostingFiles, col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.mode("append").parquet(postingsDir)
     docs.select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("dl"))
-      .write.mode("append").parquet(s"$dir/doclens")
+      .write.mode("append").parquet(doclensDir)
     // stats is LIVE-index state: publish through the crash-recoverable
     // swap (mode("overwrite") deletes before writing — a crash in that
-    // window would fail every searchBm25 until a manual recompute)
+    // window would fail every searchBm25 until a manual recompute).
+    // stats stays RENAME-managed (1-row table, never compacted).
     val dst = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     graft.sources.SwapProtocol.writeSwapped(fs, dst) { tmp =>
-      spark.read.parquet(s"$dir/doclens")
+      spark.read.parquet(doclensDir)
         .agg(count(lit(1)).cast("double").as("n_docs"),
           avg(col("dl")).as("avgdl")) // float-mean: intermediate
         .write.parquet(tmp.toString)

@@ -29,8 +29,19 @@ object MinHashIndex {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), Dedup.minhashSig(col("hs")).as("sig"))
 
-  def save(index: DataFrame, dir: String): Unit =
-    index.write.mode("overwrite").parquet(dir)
+  /** Persist the index. A dir that table maintenance has since migrated
+    * to pointer management ([[graft.sources.Compaction.compact]] in
+    * place) must be RE-saved through the pointer too — a plain overwrite
+    * there would be invisible to resolving loaders, silently serving the
+    * stale pre-rebuild version (r18 review finding). */
+  def save(index: DataFrame, dir: String): Unit = {
+    import graft.sources.SwapProtocol
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(index.sparkSession.sessionState.newHadoopConf())
+    if (SwapProtocol.isPointerManaged(fs, dst))
+      SwapProtocol.writePointed(fs, dst)(v => index.write.parquet(v.toString))
+    else index.write.mode("overwrite").parquet(dir)
+  }
 
   /** Load a saved index; resolves through
     * [[graft.sources.SwapProtocol.resolve]] so a dir maintained by

@@ -45,11 +45,16 @@ object Compaction {
     * ([[SwapProtocol.resolve]] handles either); readers resolve. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       idCol: String, targetBytes: Long = 128L << 20): Int = {
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    // migrate a plain output table into the version store BEFORE
+    // resolving the input: for IN-PLACE compaction the input IS the
+    // output's live data, and the rewrite's scan must plan against the
+    // post-migration path (the retired __v0), not the renamed-away one
+    SwapProtocol.migrateIfPlain(fs, dst)
     val in = SwapProtocol.resolve(spark, inDir)
     val bytes = dataBytes(spark, in)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val dst = new org.apache.hadoop.fs.Path(outDir)
-    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     SwapProtocol.writePointed(fs, dst) { vdir =>
       spark.read.parquet(in)
         .repartitionByRange(nFiles, col(idCol))
@@ -82,6 +87,9 @@ object Compaction {
     * regardless of the value distribution. */
   def zorderCompact(spark: SparkSession, inDir: String, outDir: String,
       colA: String, colB: String, targetBytes: Long = 128L << 20): Int = {
+    val dstPre = new org.apache.hadoop.fs.Path(outDir)
+    SwapProtocol.migrateIfPlain( // see compact: in-place reads post-migration
+      dstPre.getFileSystem(spark.sessionState.newHadoopConf()), dstPre)
     val in = SwapProtocol.resolve(spark, inDir)
     val bytes = dataBytes(spark, in)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt

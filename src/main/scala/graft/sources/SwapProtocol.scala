@@ -56,28 +56,43 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *      `retain` (default 2 — the previous version stays readable
   *      through the flip) and any uncommitted residue
   *
-  * Crash-state table (what [[recoverPointed]] sees → what it does):
+  * Crash-state table — what the next WRITER's [[recoverPointed]] does
+  * (readers are PURE, see below; residue waits for a writer):
   *   - version dir without commit marker → half-written crash; deleted
+  *     (and its slot reused by the new publish)
   *   - committed version newer than the pointer → crash between commit
   *     and publish; the write COMPLETED (marker exists), so the pointer
   *     is repaired to the highest committed version (same doctrine as
   *     rename-mode's "a complete tmp gets published")
   *   - pointer missing/corrupt but committed versions exist → crash
   *     inside the pointer replacement; rebuilt from commit markers
-  *   - plain `dst` dir alongside committed versions → a rename-mode
-  *     table mid-migration; superseded, retired by retention
   *   - excess committed versions → crash before retention; pruned
   *
-  * Readers call [[resolve]] (mode-agnostic: completes any in-flight
-  * publish in either mode, then returns the live data path — `dst`
-  * itself for rename mode, `dst__v<live>` for pointer mode). Resolution
-  * is metadata-only and bounded: one parent listing over ≤ retain+1
-  * version dirs plus the pointer read. A long-lived serving job caches
-  * the resolved path and re-resolves on refresh.
+  * A plain rename-mode table MIGRATES on its first pointed publish
+  * ([[migrateIfPlain]]): commit marker created inside the live dir
+  * FIRST (no prunable-uncommitted window), then ONE rename retires it
+  * as `dst__v0` — a RETAINED version aged out by normal retention, so
+  * even the migration publish never deletes data under a mid-scan
+  * reader. Migration is one-way: a later PLAIN overwrite of a
+  * pointer-managed path would be invisible to resolving readers, so
+  * plain re-writers check [[isPointerManaged]] and publish pointed
+  * (MinHashIndex.save does; appends resolve to the live version dir).
+  *
+  * Readers call [[resolve]] — PURE on pointer-managed tables: the
+  * pointer fast-path is O(1) existence checks, crash states fall back
+  * to the highest COMMITTED version, and NOTHING is deleted or
+  * repaired from the reader path (a resolving reader racing a live
+  * publish must not be able to delete the writer's half-written
+  * version, and two readers racing a pointer repair must not crash
+  * each other). Residue is reconciled by the next writer. Tables with
+  * no pointed state resolve to `dst` after completing any RENAME-mode
+  * swap — the pre-existing rename-mode reader contract. A long-lived
+  * serving job caches the resolved path and re-resolves on refresh.
   *
   * Single-writer discipline (both modes, documented at every call
   * site): publishes run between streaming drains / as table
-  * maintenance, never concurrently with another writer.
+  * maintenance, never concurrently with another writer. Readers may
+  * run concurrently with anything.
   *
   * ROUTING (r17 verdict #1): the large-directory sites —
   * `ShardExport.write`, `Compaction.compact`/`zorderCompact` — publish
@@ -166,7 +181,8 @@ object SwapProtocol {
     new Path(versionDir, CommitMarkerName)
 
   /** Version named by the pointer file; None when the pointer is
-    * missing or unreadable (recovery then rebuilds it from markers). */
+    * missing or unreadable (resolution then falls back to the commit
+    * markers; the next WRITER rebuilds the pointer). */
   def readPointer(fs: FileSystem, dst: Path): Option[Long] = {
     val p = ptrPath(dst)
     if (!fs.exists(p)) None
@@ -182,13 +198,15 @@ object SwapProtocol {
     }
   }
 
-  /** All `dst__v<N>` dirs, ascending by version (one parent listing —
-    * bounded by retain+in-flight, so ≤ 3 entries in steady state). */
+  /** All `dst__v<N>` dirs, ascending by version. One prefix-glob listing
+    * (returns ≤ retain+in-flight entries); the steady-state READER never
+    * gets here — [[resolve]]'s pointer fast-path is O(1) existence
+    * checks, and the listing runs only on crash states and in writers. */
   def versionDirs(fs: FileSystem, dst: Path): Seq[(Long, Path)] = {
     val prefix = dst.getName + "__v"
     val parent = dst.getParent
     if (parent == null || !fs.exists(parent)) Seq.empty
-    else fs.listStatus(parent).toSeq
+    else fs.globStatus(new Path(parent, prefix + "*")).toSeq
       .filter(_.isDirectory)
       .flatMap { st =>
         val n = st.getPath.getName
@@ -198,6 +216,15 @@ object SwapProtocol {
       .sortBy(_._1)
   }
 
+  /** True when `dst` is pointer-managed: a pointer or any COMMITTED
+    * version exists. Plain re-writers (e.g. an index `save` over a dir
+    * that table maintenance has since migrated) must check this and
+    * publish through [[writePointed]] instead — a plain overwrite of a
+    * pointer-managed path would be invisible to resolving readers. */
+  def isPointerManaged(fs: FileSystem, dst: Path): Boolean =
+    fs.exists(ptrPath(dst)) ||
+      versionDirs(fs, dst).exists { case (_, p) => fs.exists(commitMarker(p)) }
+
   /** Atomically replace the pointer with one naming `v`. Here: write a
     * sibling tmp file, delete the old pointer, rename — single-FILE
     * metadata ops. On an object store this whole method is ONE PUT of
@@ -205,7 +232,7 @@ object SwapProtocol {
     * call); the brief missing-pointer window between delete and rename
     * is benign because resolution falls back to the highest COMMITTED
     * version, which is ≥ whatever the retired pointer named. */
-  private def publishPointer(fs: FileSystem, dst: Path, v: Long): Unit = {
+  private[graft] def publishPointer(fs: FileSystem, dst: Path, v: Long): Unit = {
     val tmp = new Path(dst.getParent, dst.getName + ".ptr__new")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
@@ -214,10 +241,16 @@ object SwapProtocol {
     require(fs.rename(tmp, ptr), s"pointer publish failed: $tmp -> $ptr")
   }
 
-  /** Reconcile pointer vs version dirs (see the pointer-mode crash-state
-    * table) and apply retention. Returns the live committed version, or
-    * None when no committed version exists (fresh table, or rename-mode
-    * only). Idempotent; metadata-only. */
+  /** WRITER-side reconciliation (see the pointer-mode crash-state table)
+    * + retention. DESTRUCTIVE — prunes uncommitted crash residue and
+    * aged versions, repairs the pointer — so it runs ONLY inside
+    * [[writePointed]], where the single-writer discipline guarantees no
+    * other write is in flight (an uncommitted version dir here is
+    * therefore necessarily a crash, never a live publish; reader-side
+    * resolution is PURE exactly so a resolving reader can never delete
+    * a concurrent writer's half-written version — see [[resolve]]).
+    * Returns the live committed version, or None when no committed
+    * version exists (fresh table, or rename-mode only). Idempotent. */
   def recoverPointed(fs: FileSystem, dst: Path, retain: Int = 2): Option[Long] = {
     val dirs = versionDirs(fs, dst)
     val (committed, uncommitted) =
@@ -234,44 +267,82 @@ object SwapProtocol {
       // crash between commit and publish, or mid-pointer-replacement:
       // the highest committed version wins (its write completed)
       if (!readPointer(fs, dst).contains(live)) publishPointer(fs, dst, live)
-      // retention: last `retain` committed versions stay; a plain
-      // rename-mode dir at dst is superseded (migration completes here)
+      // retention: the last `retain` committed versions stay
       committed.dropRight(retain).foreach { case (_, p) => fs.delete(p, true) }
-      if (fs.exists(dst)) fs.delete(dst, true)
       Some(live)
     }
   }
 
-  /** Full pointer-mode cycle: recover both modes, write the next
-    * version to a fresh dir, commit, flip the pointer, prune. Returns
-    * the published version dir (the path readers will resolve to).
-    * `write` must fully materialize the directory it is given before
-    * returning. The table being replaced — whether a pointed version or
-    * a plain rename-mode dir being migrated — stays live and readable
-    * until the pointer flip, and the previous version survives
-    * retention, so a reader mid-scan never loses its files. */
+  /** Migrate a PLAIN rename-mode directory into the version store: the
+    * commit marker is created INSIDE the live dir first (so there is no
+    * crash window in which the data sits in an uncommitted — prunable —
+    * version dir), then ONE rename retires it as `dst__v0` and the
+    * pointer publishes. The old data is now a RETAINED version (aged
+    * out by normal retention two publishes later), never deleted under
+    * a mid-scan reader — the guarantee the first cut broke by deleting
+    * the plain dir right after its first pointed refresh. No-op unless
+    * a plain dir exists and nothing is committed yet. Callers that
+    * READ the plain path they are replacing (in-place compaction) must
+    * call this BEFORE resolving their input, so the read plan sees the
+    * post-migration path. */
+  def migrateIfPlain(fs: FileSystem, dst: Path): Unit = {
+    recover(fs, dst) // complete rename-mode residue first
+    if (fs.exists(dst) && !isPointerManaged(fs, dst)) {
+      fs.create(commitMarker(dst), true).close() // marker BEFORE the rename
+      val v0 = versionPath(dst, 0L)
+      require(fs.rename(dst, v0), s"migration failed: $dst -> $v0")
+      publishPointer(fs, dst, 0L)
+    }
+  }
+
+  /** Full pointer-mode cycle: migrate/reconcile (writer-side), write
+    * the next version to a fresh dir, commit, flip the pointer, prune.
+    * Returns the published version dir (the path readers will resolve
+    * to). `write` must fully materialize the directory it is given
+    * before returning. The table being replaced — a previous pointed
+    * version, or a plain dir retired into `__v0` by [[migrateIfPlain]] —
+    * stays retained and readable through the flip, so a reader mid-scan
+    * never loses its files. */
   def writePointed(fs: FileSystem, dst: Path, retain: Int = 2)(write: Path => Unit): Path = {
-    recover(fs, dst) // complete rename-mode residue first (migration path)
+    migrateIfPlain(fs, dst)
     val live = recoverPointed(fs, dst, retain)
     val next = live.getOrElse(-1L) + 1L
     val vdir = versionPath(dst, next)
     write(vdir)
     fs.create(commitMarker(vdir), true).close()
     publishPointer(fs, dst, next)
-    recoverPointed(fs, dst, retain) // retention pass (prunes old + migrated dst)
+    recoverPointed(fs, dst, retain) // retention pass
     vdir
   }
 
-  /** Mode-agnostic reader resolution: complete any in-flight publish,
-    * then return the live data path — `dst__v<live>` when `dst` is
-    * pointer-managed, `dst` itself otherwise. Every reader of a
-    * swap-managed table goes through here (or an equivalent recover)
-    * before reading. */
+  /** Mode-agnostic READER resolution — PURE on pointer-managed tables
+    * (a resolving reader must never mutate: the destructive
+    * reconciliation lives in [[writePointed]], else a reader racing a
+    * live publish could delete the writer's half-written version or
+    * crash on a pointer-repair rename collision with another reader).
+    *
+    * Pointer fast-path: when the pointer names a committed version and
+    * no newer committed slot exists, resolution is O(1) existence
+    * checks — no directory listing. Crash states fall back to the
+    * highest COMMITTED version from one prefix listing (stale pointer,
+    * missing pointer mid-replacement); the residue itself is repaired
+    * by the next writer. A table with no pointed state resolves to
+    * `dst` after completing any RENAME-mode swap (that mutation is
+    * completing a crashed publish — the pre-existing rename-mode reader
+    * contract). */
   def resolve(fs: FileSystem, dst: Path): Path = {
-    recover(fs, dst)
-    recoverPointed(fs, dst) match {
-      case Some(v) => versionPath(dst, v)
-      case None    => dst
+    readPointer(fs, dst) match {
+      case Some(v) if fs.exists(commitMarker(versionPath(dst, v))) =>
+        // a newer committed version exists only after a crash between
+        // commit and pointer publish — walk the (single-writer) slots
+        var live = v
+        while (fs.exists(commitMarker(versionPath(dst, live + 1)))) live += 1
+        versionPath(dst, live)
+      case _ =>
+        val committed = versionDirs(fs, dst)
+          .filter { case (_, p) => fs.exists(commitMarker(p)) }
+        if (committed.nonEmpty) committed.last._2
+        else { recover(fs, dst); dst }
     }
   }
 

@@ -83,6 +83,29 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(after == before && after.nonEmpty)
   }
 
+  test("append after IN-PLACE compaction lands in the live pointed dirs (r18 review)") {
+    // Compaction.compact(dir, dir) migrates postings/doclens to pointer
+    // management; a later append must write INTO the resolved live
+    // version — an append to the literal plain path would be invisible
+    // to the resolving searchBm25 (served scores silently missing the
+    // appended docs)
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("invidx-ptr").toString
+    InvertedIndex.build(spark, docs.filter(col("doc_id") < 250), dir)
+    graft.sources.Compaction.compact(spark, s"$dir/postings", s"$dir/postings", "term")
+    graft.sources.Compaction.compact(spark, s"$dir/doclens", s"$dir/doclens", "doc_id")
+    InvertedIndex.append(spark, docs.filter(col("doc_id") >= 250), dir)
+    val dirFull = java.nio.file.Files.createTempDirectory("invidx-ptr-full").toString
+    InvertedIndex.build(spark, docs, dirFull)
+    val terms = Seq("spark", "join", "data")
+    val got = InvertedIndex.searchBm25(spark, dir, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = InvertedIndex.searchBm25(spark, dirFull, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty,
+      "appended docs must serve identically after in-place compaction")
+  }
+
   test("search plan pushes the term filter to the postings scan") {
     val dir = java.nio.file.Files.createTempDirectory("invidx-plan").toString
     InvertedIndex.build(spark, Tables.documents(spark, sf), dir)

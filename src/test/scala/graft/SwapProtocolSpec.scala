@@ -114,24 +114,31 @@ class SwapProtocolSpec extends AnyFunSuite {
       growthRatio = 1.0, minRollupRows = 1L))
   }
 
-  test("Compaction.compact in place migrates a plain table to pointed and survives (ShardExport refresh: crash residue never shadows the live export)") {
+  test("Compaction.compact in place migrates a plain table to a RETAINED v0 and survives (ShardExport refresh: crash residue never shadows the live export)") {
     val base = Files.createTempDirectory("graft-swapc").toString
     val d = s"$base/table"
     (0L until 100L).toDF("id").repartition(8).write.parquet(d)
-    // in-place compaction: reads the live (plain) dir, publishes v0 via
-    // the pointer, retires the plain dir — contents identical
+    // in-place compaction: the plain dir is RETIRED into __v0 (marker
+    // first, one rename — retained, never deleted under a mid-scan
+    // reader), the rewrite publishes as __v1
     graft.sources.Compaction.compact(spark, d, d, "id", targetBytes = 1L << 30)
     val live1 = graft.sources.Compaction.resolve(spark, d)
-    assert(live1.endsWith("table__v0") && spark.read.parquet(live1).count() == 100)
+    assert(live1.endsWith("table__v1") && spark.read.parquet(live1).count() == 100)
     val f = fs(d)
     assert(!f.exists(new Path(d)), "migrated plain dir must be retired")
-    // second in-place compaction: v0 → v1, previous version retained
+    val v0 = SwapProtocol.versionPath(new Path(d), 0L)
+    assert(f.exists(v0) && spark.read.parquet(v0.toString).count() == 100,
+      "the pre-migration data survives as the retained previous version")
+    // second in-place compaction: v1 → v2; v1 retained, v0 aged out
     graft.sources.Compaction.compact(spark, d, d, "id", targetBytes = 1L << 30)
     val live2 = graft.sources.Compaction.resolve(spark, d)
-    assert(live2.endsWith("table__v1") && spark.read.parquet(live2).count() == 100)
+    assert(live2.endsWith("table__v2") && spark.read.parquet(live2).count() == 100)
     assert(f.exists(new Path(live1)), "previous version retained through the flip")
+    assert(!f.exists(v0), "retention ages out the migrated original")
     // shard-export refresh over an existing export: an UNCOMMITTED crash
-    // dir from a dead attempt must not shadow the live export
+    // dir from a dead attempt must not shadow the live export — and a
+    // PURE reader must not delete it either (it could be a LIVE writer's
+    // in-flight publish; only the next writer may prune)
     val e = s"$base/export"
     val docs = (0L until 50L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 4)
@@ -140,10 +147,33 @@ class SwapProtocolSpec extends AnyFunSuite {
     assert(spark.read.parquet(
       graft.sources.ShardExport.resolve(spark, e)).count() == 50,
       "reader resolves past the uncommitted residue")
-    assert(!f.exists(junk), "resolution prunes the half-written dir")
-    graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 4)
+    assert(f.exists(junk), "a PURE reader never deletes a possibly-live write")
+    val republished = graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 4)
+    // the writer pruned the uncommitted residue and reuses its slot for
+    // the fresh publish: the path now holds the COMMITTED new version
+    assert(republished == junk.toString &&
+      f.exists(SwapProtocol.commitMarker(junk)),
+      "the next WRITER prunes the residue and republishes the slot")
     assert(spark.read.parquet(
       graft.sources.ShardExport.resolve(spark, e)).count() == 50)
+  }
+
+  test("plain re-save of a pointer-managed dir publishes pointed — never silently stale (r18 review)") {
+    val base = Files.createTempDirectory("graft-resave").toString
+    val dir = s"$base/mhidx"
+    val docsA = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docsB = Seq((2L, "iota kappa lambda mu nu xi omicron pi rho"))
+      .toDF("doc_id", "text")
+    graft.ops.MinHashIndex.save(graft.ops.MinHashIndex.build(docsA), dir)
+    // maintenance migrates the index dir to pointer management
+    graft.sources.Compaction.compact(spark, dir, dir, "doc_id", targetBytes = 1L << 30)
+    // rebuild + re-save: must route through the pointer, and the loader
+    // must see the NEW index, not the retained pre-rebuild version
+    graft.ops.MinHashIndex.save(graft.ops.MinHashIndex.build(docsB), dir)
+    val loaded = graft.ops.MinHashIndex.load(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(loaded == Set(2L), s"stale index served after re-save: $loaded")
   }
 
   // ---- pointer-mode crash matrix (r17 verdict #1): a simulated kill
@@ -170,18 +200,24 @@ class SwapProtocolSpec extends AnyFunSuite {
       case other      => fail(s"expected one row, got $other")
     }
 
-  test("pointed kill after version write, before commit: untrusted dir pruned, prior version live") {
+  test("pointed kill after version write, before commit: reader ignores (pure), next writer prunes") {
     val dst = pointedFixture(0)
     val f = fs(dst.toString)
     // crash state: v1 fully written but NO commit marker
     Seq((9L, "halfwritten")).toDF("id", "tag")
       .write.parquet(SwapProtocol.versionPath(dst, 1L).toString)
     assert(liveTag(dst) == "gen0", "uncommitted version must never serve")
-    assert(!f.exists(SwapProtocol.versionPath(dst, 1L)), "residue pruned")
-    assert(SwapProtocol.readPointer(f, dst).contains(0L))
+    assert(f.exists(SwapProtocol.versionPath(dst, 1L)),
+      "a PURE reader leaves the dir (it could be a live writer's publish)")
+    // the next writer reconciles: prunes the residue, publishes over it
+    SwapProtocol.writePointed(f, dst) { vdir =>
+      Seq((1L, "gen1")).toDF("id", "tag").write.parquet(vdir.toString)
+    }
+    assert(liveTag(dst) == "gen1")
+    assert(SwapProtocol.readPointer(f, dst).contains(1L))
   }
 
-  test("pointed kill between commit and pointer publish: resolution completes the publish") {
+  test("pointed kill between commit and pointer publish: reader serves the committed write from markers") {
     val dst = pointedFixture(0)
     val f = fs(dst.toString)
     // crash state: v1 written AND committed, pointer still names v0
@@ -189,30 +225,47 @@ class SwapProtocolSpec extends AnyFunSuite {
     Seq((1L, "gen1")).toDF("id", "tag").write.parquet(v1.toString)
     f.create(SwapProtocol.commitMarker(v1), true).close()
     assert(SwapProtocol.readPointer(f, dst).contains(0L), "fixture: stale pointer")
-    assert(liveTag(dst) == "gen1", "a committed write must be completed, not dropped")
-    assert(SwapProtocol.readPointer(f, dst).contains(1L), "pointer repaired")
-    assert(f.exists(SwapProtocol.versionPath(dst, 0L)), "previous version retained")
+    assert(liveTag(dst) == "gen1", "a committed write must serve, not drop")
+    assert(SwapProtocol.readPointer(f, dst).contains(0L),
+      "a PURE reader does not repair the pointer (two readers racing the " +
+        "repair rename would crash the loser)")
+    // the next writer repairs and advances
+    SwapProtocol.writePointed(f, dst) { vdir =>
+      Seq((2L, "gen2")).toDF("id", "tag").write.parquet(vdir.toString)
+    }
+    assert(liveTag(dst) == "gen2")
+    assert(SwapProtocol.readPointer(f, dst).contains(2L), "writer repaired + advanced")
   }
 
-  test("pointed kill mid-pointer-replacement (pointer missing): rebuilt from commit markers") {
+  test("pointed kill mid-pointer-replacement (pointer missing): reader falls back to commit markers") {
     val dst = pointedFixture(1)
     val f = fs(dst.toString)
     assert(f.delete(SwapProtocol.ptrPath(dst), false)) // the delete→rename window
     assert(liveTag(dst) == "gen1", "highest committed version wins")
-    assert(SwapProtocol.readPointer(f, dst).contains(1L), "pointer rebuilt")
+    assert(SwapProtocol.readPointer(f, dst).isEmpty, "reader stays pure")
+    SwapProtocol.writePointed(f, dst) { vdir =>
+      Seq((2L, "gen2")).toDF("id", "tag").write.parquet(vdir.toString)
+    }
+    assert(SwapProtocol.readPointer(f, dst).contains(2L), "writer rebuilt the pointer")
   }
 
-  test("pointed kill before retention: next resolution prunes to the last 2 committed") {
+  test("pointed kill before retention: reader serves, the next writer prunes to the last 2") {
     val dst = pointedFixture(1)
     val f = fs(dst.toString)
-    // crash state: v2 committed + pointer flipped, retention never ran,
-    // AND v0 lingers from the crashed run
+    // crash state: v2 committed + pointer flipped, retention never ran
     val v2 = SwapProtocol.versionPath(dst, 2L)
     Seq((2L, "gen2")).toDF("id", "tag").write.parquet(v2.toString)
     f.create(SwapProtocol.commitMarker(v2), true).close()
+    SwapProtocol.publishPointer(f, dst, 2L)
     assert(liveTag(dst) == "gen2")
-    assert(!f.exists(SwapProtocol.versionPath(dst, 0L)), "v0 pruned by retention")
-    assert(f.exists(SwapProtocol.versionPath(dst, 1L)), "previous version kept")
+    assert(f.exists(SwapProtocol.versionPath(dst, 0L)), "reader does not prune")
+    SwapProtocol.writePointed(f, dst) { vdir =>
+      Seq((3L, "gen3")).toDF("id", "tag").write.parquet(vdir.toString)
+    }
+    assert(liveTag(dst) == "gen3")
+    assert(!f.exists(SwapProtocol.versionPath(dst, 0L)) &&
+      !f.exists(SwapProtocol.versionPath(dst, 1L)), "writer retention prunes")
+    assert(f.exists(SwapProtocol.versionPath(dst, 2L)), "previous version kept")
   }
 
   test("pointed steady state: retain-2 holds across many publishes; resolve is the reader contract") {

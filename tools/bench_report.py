@@ -104,10 +104,18 @@ def main():
             print(f"- self-verdict movers (raw >=2x and >=0.4s): "
                   f"{v.get('n_movers_confirmed', 0)}/{len(movers)} confirmed after normalization")
             for m in movers:
+                # confirmed is True/False when calibration adjudicated the
+                # mover, None when the prev artifact had no probes — an
+                # unadjudicated mover must read as a potential regression,
+                # never as host drift
+                c = m.get("confirmed")
+                tag = ("CONFIRMED" if c is True else
+                       "host-drift" if c is False else
+                       "UNADJUDICATED (no prev calibration)")
                 print(f"    {m['q']:28s} {m['prev']:6.2f} -> {m['cur']:6.2f}  "
                       f"raw {m['ratio_raw']:.2f}x  norm "
                       f"{m['ratio_norm'] if m['ratio_norm'] is not None else 'n/a'}"
-                      f"  {'CONFIRMED' if m.get('confirmed') else 'host-drift'}")
+                      f"  {tag}")
         else:
             print("- self-verdict: no raw movers")
     if len(sys.argv) > 2:

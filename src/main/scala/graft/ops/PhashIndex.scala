@@ -32,11 +32,25 @@ object PhashIndex {
     Multimodal.imageAHash(media).filter(col("decoded"))
       .select(col("doc_id"), col("ahash"))
 
-  def save(index: DataFrame, dir: String): Unit =
-    index.write.mode("overwrite").parquet(dir)
+  /** Persist the index — with the same pointer-management guard as
+    * [[MinHashIndex.save]]: a dir that generic Compaction has since
+    * migrated must be re-saved through the pointer, or resolving
+    * loaders would silently serve the stale pre-rebuild version. */
+  def save(index: DataFrame, dir: String): Unit = {
+    import graft.sources.SwapProtocol
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(index.sparkSession.sessionState.newHadoopConf())
+    if (SwapProtocol.isPointerManaged(fs, dst))
+      SwapProtocol.writePointed(fs, dst)(v => index.write.parquet(v.toString))
+    else index.write.mode("overwrite").parquet(dir)
+  }
 
+  /** Load a saved index; resolves through
+    * [[graft.sources.SwapProtocol.resolve]] so a dir maintained by
+    * [[graft.sources.Compaction.compact]] loads transparently — a plain
+    * dir resolves to itself. */
   def load(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.parquet(graft.sources.SwapProtocol.resolve(spark, dir))
 
   /** Near-duplicate pairs between a NEW media batch (doc_id, media) and
     * the indexed corpus: (batch_id, corpus_id, hamming) with hamming ≤

@@ -268,6 +268,30 @@ class SwapProtocolSpec extends AnyFunSuite {
     assert(f.exists(SwapProtocol.versionPath(dst, 2L)), "previous version kept")
   }
 
+  test("a reader resolving MID-PUBLISH serves the old version and leaves the writer's dir intact") {
+    // deterministic interleaving: the "concurrent reader" runs inside the
+    // writer's write() callback — after the new version dir is written
+    // but before its commit marker exists, exactly the window where the
+    // first-cut reader-side recovery deleted the writer's data
+    val dst = pointedFixture(0)
+    val f = fs(dst.toString)
+    var midPublishTag = ""
+    var writerDirSurvived = false
+    val published = SwapProtocol.writePointed(f, dst) { vdir =>
+      Seq((1L, "gen1")).toDF("id", "tag").write.parquet(vdir.toString)
+      // reader races the publish here (uncommitted vdir on disk)
+      midPublishTag = liveTag(dst)
+      writerDirSurvived = f.exists(vdir)
+    }
+    assert(midPublishTag == "gen0",
+      "mid-publish reader must serve the previous committed version")
+    assert(writerDirSurvived,
+      "the reader's resolve must not delete the writer's in-flight dir")
+    assert(liveTag(dst) == "gen1" &&
+      f.exists(SwapProtocol.commitMarker(published)),
+      "the racing reader must not have corrupted the publish")
+  }
+
   test("pointed steady state: retain-2 holds across many publishes; resolve is the reader contract") {
     val dst = pointedFixture(4)
     val f = fs(dst.toString)

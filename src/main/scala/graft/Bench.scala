@@ -213,11 +213,23 @@ object Bench {
         }
       case None => """"verdict":{"prev":"none","reason":"no previous artifact"},"""
     }
+    // MECHANIZED cold-cost attribution (r18 verdict #5): the once-per-
+    // session artifact builds (IVF/SQ/PQ indexes, KN fits, the topic
+    // model) run inside whichever query hits them first, so pass-1 cold
+    // readings like q138's 65 s are build cost, not query cost. Every
+    // build records its wall in SessionArtifacts; emitting the map here
+    // turns the NOTES attribution folklore into artifact data — the
+    // cold−warm delta now decomposes as sum(artifact_cost) + plan cost.
+    val artifactCosts = graft.ops.SessionArtifacts.costs
+    val artifactJson =
+      if (artifactCosts.isEmpty) ""
+      else s""""artifact_cost":${jsonMap(artifactCosts)},""" +
+        s""""artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},"""
     val fullJson =
       s"""{"sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +
         s"""$passMaps,"queries_first":${jsonMap(firstPass)},""" +
         s""""queries":${jsonMap(results)},""" +
-        verdictJson +
+        verdictJson + artifactJson +
         s""""host_calibration_sec":${f"$hostCalib%.3f"},""" +
         s""""host_calibration_end_sec":${f"$hostCalibEnd%.3f"},""" +
         s""""min_total_sec":${f"$minTotal%.3f"},""" +
@@ -227,7 +239,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
-    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},$verdictScalars"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
+    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},$verdictScalars"artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
     spark.stop()
   }
 }

@@ -45,11 +45,11 @@ object Topics {
 
   def fit(spark: SparkSession, dir: String, k: Int = 10, topTermsK: Int = 5): TopicModel =
     fitted.getOrElseUpdate((spark.sparkContext.applicationId, dir, k, topTermsK), {
-      // cold-chain attribution on stderr, the SessionArtifacts discipline
+      // cold-chain attribution, the SessionArtifacts discipline
       val t0 = System.nanoTime()
       val m = fitUncached(spark, dir, k, topTermsK)
-      System.err.println(
-        f"[artifact] kind=topics secs=${(System.nanoTime() - t0) / 1e9}%.2f dataset=$dir")
+      graft.ops.SessionArtifacts.recordCost(
+        "topics", (System.nanoTime() - t0) / 1e9, dir)
       m
     })
 

@@ -72,6 +72,22 @@ object InvertedIndex {
     // unaffected
     val postingsDir = SwapProtocol.resolve(spark, s"$dir/postings")
     val doclensDir = SwapProtocol.resolve(spark, s"$dir/doclens")
+    // append is the documented exception to "committed versions are
+    // immutable": it mutates the resolved LIVE dir in place (per-doc
+    // postings make the appended index serve exactly as a fresh build,
+    // so a versioned republish per batch would be pure write
+    // amplification). The crash residue that leaves behind is a
+    // `_temporary` committer dir inside a committed version — invisible
+    // to Spark readers (underscore paths are hidden) but never
+    // reconciled by recoverPointed, so THIS writer prunes it before its
+    // own append (r18 ADVICE; single-writer discipline means residue
+    // here is necessarily a crash, never a live append).
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(postingsDir, doclensDir).foreach { d =>
+      val residue = new org.apache.hadoop.fs.Path(d, "_temporary")
+      if (fsys.exists(residue)) fsys.delete(residue, true)
+    }
     docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))

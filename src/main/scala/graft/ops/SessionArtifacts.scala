@@ -43,6 +43,30 @@ object SessionArtifacts {
     true
   }
 
+  // MECHANIZED cold-cost attribution (r18 verdict #5): every completed
+  // once-per-session build records (kind, wall secs) here, so the bench
+  // artifact can carry an `artifact_cost` map instead of charging ~100 s
+  // of session builds to whichever query happens to run first (the
+  // q137/q138 cold-reading folklore NOTES has carried since r9). Keyed by
+  // kind alone — per-session cost attribution, not per-dataset bookkeeping
+  // (a bench run touches one dataset); re-registrations of the same kind
+  // sum (a sweep builds ivf-fit-64 and ivf-fit-128 under distinct kinds).
+  private val buildSecs =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** Record a once-per-session build's wall cost under `kind` — for
+    * build sites with their own memo (Topics) that don't route through
+    * [[dir]]. Also prints the grep-able `[artifact]` stderr line so the
+    * two attribution channels can never disagree. */
+  def recordCost(kind: String, secs: Double, dataset: String): Unit = {
+    buildSecs.updateWith(kind) { prev => Some(prev.getOrElse(0.0) + secs) }
+    System.err.println(f"[artifact] kind=$kind secs=$secs%.2f dataset=$dataset")
+  }
+
+  /** All recorded once-per-session build costs (kind → summed wall secs)
+    * — what Bench emits as the artifact_cost block. */
+  def costs: Map[String, Double] = buildSecs.readOnlySnapshot().toMap
+
   // dirs whose build COMPLETED — existing() reads this, never a Holder:
   // forcing a holder's lazy val would run (or block on) the build, which
   // is exactly what a read-only peek must not do
@@ -70,8 +94,7 @@ object SessionArtifacts {
       // an unattributed lump (grep '\[artifact\]' over the run log)
       val t0 = System.nanoTime()
       build(t.toString)
-      System.err.println(
-        f"[artifact] kind=$kind secs=${(System.nanoTime() - t0) / 1e9}%.2f dataset=$dataset")
+      recordCost(kind, (System.nanoTime() - t0) / 1e9, dataset)
       t.toString
     })).value
     completed.putIfAbsent(key, v)

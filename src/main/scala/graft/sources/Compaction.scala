@@ -42,9 +42,17 @@ object Compaction {
     * also makes IN-PLACE compaction (`inDir == outDir`) safe — the
     * rewrite reads the live version and lands in the next one. Both the
     * input and the output may be pointer-managed or plain dirs
-    * ([[SwapProtocol.resolve]] handles either); readers resolve. */
+    * ([[SwapProtocol.resolve]] handles either); readers resolve.
+    *
+    * `retain` pins the reader-lifetime contract at this site (r18
+    * verdict #6): a compacted version survives `retain − 1` further
+    * compactions, so the longest query running against a cached resolved
+    * path must finish (or re-resolve) within that many maintenance
+    * cycles. Default 2 = one cycle of grace — compaction cadence is
+    * hours while query lifetimes are minutes; raise it where ad-hoc
+    * scans outlive the cadence. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      idCol: String, targetBytes: Long = 128L << 20): Int = {
+      idCol: String, targetBytes: Long = 128L << 20, retain: Int = 2): Int = {
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     // migrate a plain output table into the version store BEFORE
@@ -55,7 +63,7 @@ object Compaction {
     val in = SwapProtocol.resolve(spark, inDir)
     val bytes = dataBytes(spark, in)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    SwapProtocol.writePointed(fs, dst) { vdir =>
+    SwapProtocol.writePointed(fs, dst, retain) { vdir =>
       spark.read.parquet(in)
         .repartitionByRange(nFiles, col(idCol))
         .sortWithinPartitions(idCol)
@@ -86,7 +94,8 @@ object Compaction {
     * ~1/256 of the rows by construction, so file rectangles stay uniform
     * regardless of the value distribution. */
   def zorderCompact(spark: SparkSession, inDir: String, outDir: String,
-      colA: String, colB: String, targetBytes: Long = 128L << 20): Int = {
+      colA: String, colB: String, targetBytes: Long = 128L << 20,
+      retain: Int = 2): Int = { // retain: see compact's reader-lifetime contract
     val dstPre = new org.apache.hadoop.fs.Path(outDir)
     SwapProtocol.migrateIfPlain( // see compact: in-place reads post-migration
       dstPre.getFileSystem(spark.sessionState.newHadoopConf()), dstPre)
@@ -115,7 +124,7 @@ object Compaction {
     }
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    SwapProtocol.writePointed(fs, dst) { vdir =>
+    SwapProtocol.writePointed(fs, dst, retain) { vdir =>
       df.withColumn("__z",
           interleave(bucket(boundsA)(col(colA).cast("double")),
             bucket(boundsB)(col(colB).cast("double"))))

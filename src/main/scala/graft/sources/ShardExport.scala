@@ -35,13 +35,23 @@ object ShardExport {
     * verdict #1): each refresh lands in a fresh `outDir__v<N>/`, one
     * tiny pointer object flips, and a training loader mid-epoch keeps
     * reading the previous version (retained) until it re-resolves.
-    * Returns the published version path; readers call [[resolve]]. */
+    * Returns the published version path; readers call [[resolve]].
+    *
+    * `retain` is the READER-LIFETIME contract made explicit (r18 verdict
+    * #6): a version is pruned after `retain − 1` further publishes, so a
+    * loader that cached its resolved path survives exactly that many
+    * refreshes mid-scan before it must have re-resolved. Size it to the
+    * site's longest reader — for a training-shard export that is the
+    * longest epoch a loader streams one resolved version: with the
+    * default 2, one refresh of grace (enough when refresh cadence ≫
+    * epoch length); raise it when epochs outlast the refresh cadence. */
   def write(df: DataFrame, idCol: String, outDir: String,
-      nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20): String = {
+      nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20,
+      retain: Int = 2): String = {
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = dst.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
-    SwapProtocol.writePointed(fs, dst) { vdir =>
+    SwapProtocol.writePointed(fs, dst, retain) { vdir =>
       df.withColumn("shard", shardAssignment(col(idCol), nShards))
         .repartition(nShards, col("shard"))
         .sortWithinPartitions(col("shard"), col(idCol))

@@ -304,6 +304,194 @@ class SwapProtocolSpec extends AnyFunSuite {
     assert(SwapProtocol.resolve(f, plain) == plain)
   }
 
+  // ---- rename-mode recover is reader-race-safe (r18 verdict #2): the
+  // pure-reader doctrine's last gap — two readers recovering the same
+  // crashed RENAME swap race the completing rename; the loser must
+  // re-check state and proceed, never crash ----
+
+  /** A crashed rename swap: dst absent, tmp complete (the retire→publish
+    * kill window). Returns dst. */
+  private def crashedSwap(): Path = {
+    val base = Files.createTempDirectory("graft-race").toString
+    val dst = new Path(s"$base/t")
+    Seq((1L, "staged")).toDF("id", "tag")
+      .write.parquet(SwapProtocol.tmpPath(dst).toString)
+    dst
+  }
+
+  test("rename recover: the rename LOSER re-checks state and proceeds (deterministic pin)") {
+    // deterministic interleaving, the ecad443 style: the 'winner' (a
+    // second reader's recover, against the raw fs) completes the swap
+    // INSIDE the loser's rename call — after the loser's exists() checks
+    // saw dst absent + tmp present, before its rename executes
+    val dst = crashedSwap()
+    val raw = fs(dst.toString)
+    var fired = false
+    val racing = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def rename(src: Path, to: Path): Boolean = {
+        if (!fired && src == SwapProtocol.tmpPath(dst)) {
+          fired = true
+          SwapProtocol.recover(raw, dst) // the winner completes first
+        }
+        super.rename(src, to) // the loser's rename: src is gone
+      }
+    }
+    SwapProtocol.recover(racing, dst) // must treat the lost race as done
+    assert(fired, "the race injection must have run")
+    assert(spark.read.parquet(dst.toString).count() == 1,
+      "the swap completed exactly once; both readers proceed")
+    assert(!raw.exists(SwapProtocol.tmpPath(dst)))
+  }
+
+  test("rename recover: two concurrent readers on one crashed swap both succeed") {
+    val dst = crashedSwap()
+    val f = fs(dst.toString)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until 2).map { _ =>
+      val t = new Thread(() => {
+        gate.await()
+        try SwapProtocol.recover(f, dst)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    gate.countDown()
+    ts.foreach(_.join())
+    assert(errs.isEmpty, s"no reader may crash on the race: ${errs}")
+    assert(spark.read.parquet(dst.toString).count() == 1)
+  }
+
+  // ---- the pointer PUT seam (r18 verdict #1): the object-store claim
+  // is a typed PointerStore selected by configuration, and the pointed
+  // protocol runs identically through it ----
+
+  /** A fresh (uncached) local FileSystem whose conf selects the PUT
+    * pointer store — the object-store deployment configuration. */
+  private def putFs(): org.apache.hadoop.fs.FileSystem = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("graft.pointer.store", "put")
+    org.apache.hadoop.fs.FileSystem.newInstance(
+      new java.net.URI("file:///"), conf)
+  }
+
+  test("pointer store selection: conf-driven, unknown value fails loudly") {
+    assert(SwapProtocol.storeFor(fs("/tmp")) == graft.sources.RenamePointerStore)
+    val pf = putFs()
+    assert(SwapProtocol.storeFor(pf) == graft.sources.PutPointerStore)
+    val bad = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    bad.set("graft.pointer.store", "dynamo")
+    val badFs = org.apache.hadoop.fs.FileSystem.newInstance(
+      new java.net.URI("file:///"), bad)
+    val e = intercept[IllegalArgumentException](SwapProtocol.storeFor(badFs))
+    assert(e.getMessage.contains("dynamo"))
+  }
+
+  test("pointed crash matrix through the PUT store: publish, crash fallback, repair, retention") {
+    val pf = putFs()
+    val base = Files.createTempDirectory("graft-put").toString
+    val dst = new Path(s"$base/t")
+    def tag(): String =
+      spark.read.parquet(SwapProtocol.resolve(pf, dst).toString)
+        .select("tag").collect().map(_.getString(0)).mkString(",")
+    (0 to 2).foreach { v =>
+      SwapProtocol.writePointed(pf, dst) { vdir =>
+        Seq((v.toLong, s"gen$v")).toDF("id", "tag").write.parquet(vdir.toString)
+      }
+      // the PUT replacement is ONE operation: no tmp sibling ever exists
+      assert(!pf.exists(new Path(base, "t.ptr__new")),
+        "put store must not stage a rename tmp")
+      assert(SwapProtocol.readPointer(pf, dst).contains(v.toLong))
+    }
+    assert(tag() == "gen2")
+    assert(SwapProtocol.versionDirs(pf, dst).map(_._1) == Seq(1L, 2L),
+      "retain-2 steady state holds through the put store")
+    // crash between commit and pointer publish: marker fallback serves
+    val v3 = SwapProtocol.versionPath(dst, 3L)
+    Seq((3L, "gen3")).toDF("id", "tag").write.parquet(v3.toString)
+    pf.create(SwapProtocol.commitMarker(v3), true).close()
+    assert(tag() == "gen3", "committed write serves from markers")
+    assert(SwapProtocol.readPointer(pf, dst).contains(2L), "reader stays pure")
+    // next writer repairs the pointer with one PUT and advances
+    SwapProtocol.writePointed(pf, dst) { vdir =>
+      Seq((4L, "gen4")).toDF("id", "tag").write.parquet(vdir.toString)
+    }
+    assert(SwapProtocol.readPointer(pf, dst).contains(4L) && tag() == "gen4")
+    // interop: the on-disk layout is store-agnostic — the default
+    // rename-store fs resolves the same table identically
+    val renameFs = fs(base)
+    assert(SwapProtocol.resolve(renameFs, dst) ==
+      SwapProtocol.versionPath(dst, 4L))
+  }
+
+  test("pointed publish leaves a layout breadcrumb for legacy direct readers") {
+    val dst = pointedFixture(0)
+    val f = fs(dst.toString)
+    val crumb = new Path(dst.getParent, dst.getName + "__LAYOUT.md")
+    assert(f.exists(crumb), "breadcrumb written on first publish")
+    val in = f.open(crumb)
+    val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(body.contains("SwapProtocol.resolve") &&
+      body.contains(SwapProtocol.CommitMarkerName))
+    assert(SwapProtocol.versionDirs(f, dst).map(_._1) == Seq(0L),
+      "the breadcrumb must not read as a version dir")
+  }
+
+  test("reader-lifetime contract at the routed sites: a cached resolved path survives retain-1 refreshes") {
+    val base = Files.createTempDirectory("graft-retain").toString
+    val e = s"$base/export"
+    val docs = (0L until 20L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 2)
+    // a training loader caches its resolved epoch path…
+    val epochPath = graft.sources.ShardExport.resolve(spark, e)
+    // …one refresh later the version is RETAINED and still readable
+    graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 2)
+    assert(spark.read.parquet(epochPath).count() == 20,
+      "default retain=2: one refresh of grace for a mid-epoch loader")
+    // …after a second refresh it is pruned: the loader must have
+    // re-resolved by now (the documented re-resolve cadence)
+    graft.sources.ShardExport.write(docs, "doc_id", e, nShards = 2)
+    assert(!fs(e).exists(new Path(epochPath)),
+      "two refreshes prune the cached version (retain=2)")
+    // a site with longer readers raises the knob: retain=3 gives two
+    // refreshes of grace
+    val c = s"$base/table"
+    (0L until 30L).toDF("id").write.parquet(c)
+    graft.sources.Compaction.compact(spark, c, c, "id",
+      targetBytes = 1L << 30, retain = 3)
+    val cached = graft.sources.Compaction.resolve(spark, c)
+    (1 to 2).foreach { _ =>
+      graft.sources.Compaction.compact(spark, c, c, "id",
+        targetBytes = 1L << 30, retain = 3)
+    }
+    assert(spark.read.parquet(cached).count() == 30,
+      "retain=3 keeps the cached version through two refreshes")
+  }
+
+  test("InvertedIndex.append prunes a crashed append's _temporary residue inside the live version (r18 ADVICE)") {
+    val base = Files.createTempDirectory("graft-iiresidue").toString
+    val dir = s"$base/idx"
+    graft.ops.InvertedIndex.build(spark,
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), dir)
+    // maintenance migrates postings to pointer management; a crashed
+    // append then leaves committer residue INSIDE the committed version
+    graft.sources.Compaction.compact(spark, s"$dir/postings",
+      s"$dir/postings", "term", targetBytes = 1L << 30)
+    val live = SwapProtocol.resolve(spark, s"$dir/postings")
+    val residue = new Path(live, "_temporary/0/task_x")
+    fs(dir).mkdirs(residue)
+    graft.ops.InvertedIndex.append(spark,
+      Seq((2L, "alpha delta")).toDF("doc_id", "text"), dir)
+    assert(!fs(dir).exists(new Path(live, "_temporary")),
+      "the next append reconciles the committer residue")
+    val got = graft.ops.InvertedIndex
+      .searchBm25(spark, dir, Seq("alpha")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("InvertedIndex.append stats crash-window: serve recovers the swapped stats") {
     val base = Files.createTempDirectory("graft-swapii").toString
     val dir = s"$base/idx"

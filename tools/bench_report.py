@@ -91,6 +91,17 @@ def main():
                   f"delta {d:7.2f}")
     slow = sorted(warm.items(), key=lambda kv: -kv[1])[:8]
     print("- slowest warm:", ", ".join(f"{q} {v:.2f}s" for q, v in slow))
+    ac = a.get("artifact_cost")
+    if isinstance(ac, dict) and ac:
+        # once-per-session build costs, recorded by the builds themselves
+        # (SessionArtifacts) — the decomposition of the cold-warm deltas
+        # above: a big pass-1 reading on an index/fit-backed query is
+        # this, not plan cost
+        total = a.get("artifact_cost_total", sum(ac.values()))
+        top = sorted(ac.items(), key=lambda kv: -kv[1])[:10]
+        print(f"- session artifact builds: {total:.1f} s total across "
+              f"{len(ac)} builds; top: "
+              + ", ".join(f"{k} {v:.1f}s" for k, v in top))
     v = a.get("verdict")
     if isinstance(v, dict) and "median_ratio_raw" in v:
         # the artifact's own adjudication vs the previous round (r17 #7):
@@ -101,8 +112,13 @@ def main():
               f" (calib {v.get('calib_prev')}/{v.get('calib_cur')})")
         movers = v.get("movers") or []
         if movers:
+            # denominator is the FULL raw mover count, not the rendered
+            # list (capped at 10) — with >10 raw movers len(movers) would
+            # print nonsense like '12/10 confirmed' (r18 ADVICE)
+            n_raw = v.get("n_movers_raw", len(movers))
             print(f"- self-verdict movers (raw >=2x and >=0.4s): "
-                  f"{v.get('n_movers_confirmed', 0)}/{len(movers)} confirmed after normalization")
+                  f"{v.get('n_movers_confirmed', 0)}/{n_raw} confirmed after normalization"
+                  + (f" (showing {len(movers)} of {n_raw})" if n_raw > len(movers) else ""))
             for m in movers:
                 # confirmed is True/False when calibration adjudicated the
                 # mover, None when the prev artifact had no probes — an

@@ -70,6 +70,7 @@ object SparkEntry {
         "q226_banding_sweep"), ops.Dedup.writeLshSupport),
       (Set("q224_bloom_sizing_sweep"), ops.Scoring.writeBloomSupport),
       (Set("q225_phash_radius_sweep"), ops.Multimodal.writePhashSweepSupport),
+      (Set("q229_phash64_radius_sweep"), ops.Multimodal.writePhash64SweepSupport),
       (Set("q145_bpe_segment", "q146_tok_fertility", "q152_merge_curve",
         "q167_maxmatch_segment"),
         ops.TextOps.writeBpeSupport),

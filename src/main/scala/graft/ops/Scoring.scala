@@ -1589,20 +1589,122 @@ object Scoring {
     * the overestimates: output is EXACT (the q82 sketch-then-verify
     * pattern). At 100 TB the probe thins the aggregation input to the
     * heavy tail; the sketch is fixed-size regardless of vocabulary. */
+  /** The q88 heavy-hitter threshold, shared with the q230 sweep's
+    * false-heavy (wasted exact-verify probe work) column. */
+  private[ops] val HeavyThreshold = 900L
+
   val q88HeavyHitters: Q = (s, d) => {
-    val threshold = 900L
     val toks = Tables.documents(s, d)
       .select(explode(TextFns.tokens(col("text"))).as("term"))
+    // priced by q230 ((eps, conf) = (1e-4, 0.99) ⇒ (width, depth) = (20000, 7): the sweep measures overestimate mass and false-heavy probe work per (w, d) against the exact truth — measured: a width below the active vocabulary keeps overestimating at ANY depth (w=16, d=7: mean_over 398, 7 false-heavies — depth cannot resolve guaranteed collisions), width ≥ 2× vocab goes exact by d=7, and the operating 20000×7 point is exact from d=1; width buys correctness, depth buys the 2^-d confidence bound, which the measured frac_over_bound sits under in every row)
     val cms = toks.stat.countMinSketch("term", 0.0001, 0.99, 7)
     val bc = s.sparkContext.broadcast(cms)
     val mightBeHeavy = udf { (t: String) =>
-      t != null && bc.value.estimateCount(t) >= threshold
+      t != null && bc.value.estimateCount(t) >= HeavyThreshold
     }
     toks.filter(mightBeHeavy(col("term")))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= threshold)
+      .filter(col("n") >= HeavyThreshold)
       .orderBy(col("term"))
+  }
+
+  // --------------------------------------------------------------- q230
+
+  /** The q230 (width, depth) grid. Spark's q88 sketch derives
+    * width = ⌈2/eps⌉ = 20000 and depth = ⌈log₂ 1/(1−conf)⌉ = 7 from
+    * (eps, conf) = (1e-4, 0.99) — the 20000×7 row is the operating
+    * point; the smaller widths bracket the ACTIVE-VOCABULARY knee
+    * (w = 16 sits below this corpus's 31 live terms — guaranteed
+    * collisions; 64 ≈ 2× vocab; 512 ≫ vocab) where overestimate mass
+    * and the false-heavy probe work q88 pays in its exact-verify pass
+    * actually move: what the measured table shows is that the width
+    * that matters scales with the heavy-tail VOCABULARY, not the
+    * stream length. */
+  private[ops] val CmsWidths = Seq(16, 64, 512, 20000)
+  private[ops] val CmsDepths = Seq(1, 3, 7)
+
+  /** q230: count-min sketch sizing curve — the last fixed-by-fiat sketch
+    * dimension (r18 verdict #4; KMV/Bloom/MinHash-length/banding/sample-
+    * size all carry curves). The sketch here is an ARITHMETIC twin of
+    * the production one (row hashes h_i(term) = first 52 md5 bits of
+    * `term#i`, bucket = h_i mod w — the q224 Kirsch–Mitzenmacher
+    * discipline), built not from the token stream but from the EXACT
+    * term-count table: counters C[i][b] = Σ n over terms hashing to
+    * (i, b) are identical to streaming increments by linearity, so the
+    * whole grid costs one corpus pass plus vocab-sized arithmetic —
+    * every (w, d) pair shares the SAME 7 hash rows and each width's
+    * estimates fold in ONE aggregation producing all depths as columns.
+    * Per (w, d): est(term) = min over rows i < d of C[i][h_i mod w],
+    * always ≥ truth (CMS only overestimates), and the table reads
+    *   - sum/mean/max overestimate (the accuracy side),
+    *   - n_false_heavy: terms whose estimate clears [[HeavyThreshold]]
+    *     while the truth does not — exactly the wasted exact-verify
+    *     probe work the q88 serving pattern pays per config,
+    *   - frac_over_bound vs theory: the CM guarantee
+    *     P[over > 2N/w] ≤ 2^−d, measured beside its bound.
+    * At 100 TB the eval vocabulary would be a sampled term set; the
+    * counters stay w×d-bounded regardless of corpus size. Oracle
+    * recomputes the entire grid — hashes, counters, estimates, metrics —
+    * from the corpus in DuckDB. All-BIGINT counts; rounded-4 derived
+    * rates. */
+  val q230CmsSizingSweep: Q = (s, d) => {
+    val maxDepth = CmsDepths.max
+    val exact = Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .cache()
+    val nTotal = exact.agg(sum(col("n")).cast("long").as("n_total"))
+    val rows = exact.select(col("term"), col("n"),
+        explode(array((0 until maxDepth).map(lit(_)): _*)).as("i"))
+      .withColumn("h",
+        conv(substring(md5(concat(col("term"), lit("#"), col("i"))), 1, 13),
+          16, 10).cast("long"))
+      .cache()
+    val grid = CmsWidths.map { w =>
+      val bucketed = rows.withColumn("bucket", col("h") % w)
+      val counters = bucketed.groupBy(col("i"), col("bucket"))
+        .agg(sum(col("n")).as("cnt"))
+      // one estimate fold per width: every depth as a side-by-side column
+      val estCols = CmsDepths.map(dd =>
+        min(when(col("i") < dd, col("cnt"))).as(s"est_d$dd"))
+      val est = bucketed.join(counters, Seq("i", "bucket"))
+        .groupBy(col("term"), col("n"))
+        .agg(estCols.head, estCols.tail: _*)
+        .crossJoin(broadcast(nTotal))
+      // and one metrics fold per width over all depths
+      val metricCols = CmsDepths.flatMap { dd =>
+        val over = col(s"est_d$dd") - col("n")
+        Seq(
+          sum(over).cast("long").as(s"sum_over_d$dd"),
+          max(over).cast("long").as(s"max_over_d$dd"),
+          sum((col(s"est_d$dd") >= HeavyThreshold && col("n") < HeavyThreshold)
+            .cast("long")).as(s"fh_d$dd"),
+          sum((over * w > lit(2L) * col("n_total")).cast("long"))
+            .as(s"ob_d$dd"))
+      }
+      val folded = est.groupBy(col("n_total"))
+        .agg(count(lit(1)).as("n_terms"), metricCols: _*)
+      CmsDepths.map { dd =>
+        folded.select(
+          lit(w.toLong).as("w"), lit(dd.toLong).as("d"),
+          col("n_terms").cast("long").as("n_terms"),
+          col(s"sum_over_d$dd").as("sum_over"),
+          round(col(s"sum_over_d$dd").cast("double") / col("n_terms"), 4)
+            .as("mean_over"),
+          col(s"max_over_d$dd").as("max_over"),
+          col(s"fh_d$dd").as("n_false_heavy"),
+          col(s"ob_d$dd").as("n_over_bound"),
+          round(col(s"ob_d$dd").cast("double") / col("n_terms"), 4)
+            .as("frac_over_bound"),
+          lit(BigDecimal(math.pow(0.5, dd))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            .as("bound_frac_theory"))
+      }
+    }
+    graft.ops.Caching.materializeAndRelease(
+      grid.flatten.reduce(_ unionByName _).orderBy(col("w"), col("d")),
+      exact, rows)
   }
 
   // ---------------------------------------------------------------- q89
@@ -2248,6 +2350,7 @@ object Scoring {
     "q87_stratified_sample" -> q87StratifiedSample,
     "q191_sample_audit" -> q191SampleAudit,
     "q88_heavy_hitters"  -> q88HeavyHitters,
+    "q230_cms_sizing_sweep" -> q230CmsSizingSweep,
     "q89_weighted_sample" -> q89WeightedSample,
     "q90_profile"        -> q90Profile,
     "q98_expectations"   -> q98Expectations,
@@ -3264,6 +3367,47 @@ object Scoring {
       s"""SELECT term, count(*) AS n FROM (
          |  SELECT unnest($tokCol) AS term FROM documents)
          |GROUP BY 1 HAVING count(*) >= 900 ORDER BY 1""".stripMargin,
+    // the whole grid — hashes, counters, estimates, metrics — recomputed
+    // from the corpus; widths/depths/threshold interpolate from the SAME
+    // Scala constants the engine uses, so the two sides cannot disagree
+    // on the grid
+    "q230_cms_sizing_sweep" -> {
+      val maxDepth = CmsDepths.max
+      val perWidth = CmsWidths.map { w =>
+        s"""b_$w AS (SELECT term, n, i, h % $w AS bucket FROM rws),
+           |c_$w AS (SELECT i, bucket, sum(n) AS cnt FROM b_$w GROUP BY 1, 2),
+           |e_$w AS (
+           |  SELECT b.term, b.n,
+           |${CmsDepths.map(dd => s"    min(CASE WHEN b.i < $dd THEN c.cnt END) AS est_d$dd").mkString(",\n")}
+           |  FROM b_$w b JOIN c_$w c USING (i, bucket) GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val gridSql = CmsWidths.flatMap { w => CmsDepths.map { dd =>
+        val theory = BigDecimal(math.pow(0.5, dd))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        s"""  SELECT CAST($w AS BIGINT) AS w, CAST($dd AS BIGINT) AS d,
+           |    CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(sum(est_d$dd - n) AS BIGINT) AS sum_over,
+           |    round(CAST(sum(est_d$dd - n) AS DOUBLE) / count(*), 4) AS mean_over,
+           |    CAST(max(est_d$dd - n) AS BIGINT) AS max_over,
+           |    CAST(sum(CASE WHEN est_d$dd >= $HeavyThreshold AND n < $HeavyThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_false_heavy,
+           |    CAST(sum(CASE WHEN (est_d$dd - n) * $w > 2 * (SELECT n_total FROM tot) THEN 1 ELSE 0 END) AS BIGINT) AS n_over_bound,
+           |    round(CAST(sum(CASE WHEN (est_d$dd - n) * $w > 2 * (SELECT n_total FROM tot) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS frac_over_bound,
+           |    CAST($theory AS DOUBLE) AS bound_frac_theory
+           |  FROM e_$w""".stripMargin
+      }}.mkString("\nUNION ALL\n")
+      s"""WITH ex AS (
+         |  SELECT term, count(*) AS n FROM (
+         |    SELECT unnest($tokCol) AS term FROM documents) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM ex),
+         |rws AS (
+         |  SELECT term, n, i,
+         |    ('0x' || substr(md5(term || '#' || CAST(i AS VARCHAR)), 1, 13))::BIGINT AS h
+         |  FROM ex, unnest(range(0, $maxDepth)) AS r(i)),
+         |$perWidth
+         |SELECT * FROM (
+         |$gridSql)
+         |ORDER BY w, d""".stripMargin
+    },
     "q89_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,

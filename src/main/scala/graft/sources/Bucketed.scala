@@ -30,6 +30,12 @@ import graft.ops.SessionArtifacts
   * concurrent sessions cannot collide in a shared metastore. */
 object Bucketed {
 
+  // sized by: parallelism at the certification scale (local[32], sf0.1)
+  // — the dial is bytes-per-bucket: a deployment sizes N so each
+  // bucket's largest co-bucketed table slice fits one task's memory/
+  // split budget (~128-512 MB), N IDENTICAL across the co-bucketed pair
+  // (differing counts force the exchange back), and a power of two so a
+  // 2× resize splits/merges buckets without re-hashing the key space
   private[graft] val NumBuckets = 8
 
   /** Names of the bucketed (docs, doc-stats) table pair for dataset `d`,

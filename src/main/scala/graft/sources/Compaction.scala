@@ -51,6 +51,11 @@ object Compaction {
     * cycles. Default 2 = one cycle of grace — compaction cadence is
     * hours while query lifetimes are minutes; raise it where ad-hoc
     * scans outlive the cadence. */
+  // sized by: the read split — 128 MB equals the parquet-era block/
+  // row-group sweet spot AND Spark's default files.maxPartitionBytes,
+  // so one compacted file = one read task: big enough to amortize
+  // footer/task overhead (the whole point of compaction), small enough
+  // to keep scan parallelism and footer-prune granularity
   def compact(spark: SparkSession, inDir: String, outDir: String,
       idCol: String, targetBytes: Long = 128L << 20, retain: Int = 2): Int = {
     val dst = new org.apache.hadoop.fs.Path(outDir)
@@ -93,9 +98,11 @@ object Compaction {
     * not raw bits — keeps the curve balanced under skew: each bucket holds
     * ~1/256 of the rows by construction, so file rectangles stay uniform
     * regardless of the value distribution. */
+  // sized by: the read split (see compact — same 128 MB file-per-task
+  // rationale; retain: see compact's reader-lifetime contract)
   def zorderCompact(spark: SparkSession, inDir: String, outDir: String,
       colA: String, colB: String, targetBytes: Long = 128L << 20,
-      retain: Int = 2): Int = { // retain: see compact's reader-lifetime contract
+      retain: Int = 2): Int = {
     val dstPre = new org.apache.hadoop.fs.Path(outDir)
     SwapProtocol.migrateIfPlain( // see compact: in-place reads post-migration
       dstPre.getFileSystem(spark.sessionState.newHadoopConf()), dstPre)

@@ -45,6 +45,14 @@ object ShardExport {
     * longest epoch a loader streams one resolved version: with the
     * default 2, one refresh of grace (enough when refresh cadence ≫
     * epoch length); raise it when epochs outlast the refresh cadence. */
+  // sized by: the training fleet, not the data — nShards matches (a
+  // multiple of) the loader world size so every worker streams whole
+  // shards with no partial-shard coordination; maxRecordsPerFile bounds
+  // one file to a loader's in-memory batch budget (2^20 doc rows ≈
+  // a few hundred MB) and sets the resume granularity after a loader
+  // restart — both are per-deployment capacity knobs, certified here
+  // only for mechanics (q86 manifest, ShardExportSpec layout/size/
+  // round-trip)
   def write(df: DataFrame, idCol: String, outDir: String,
       nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20,
       retain: Int = 2): String = {

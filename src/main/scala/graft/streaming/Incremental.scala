@@ -1299,6 +1299,13 @@ object Incremental {
     * once the appended rows alone exceed `growthRatio` × `minRollupRows`
     * (the floor keeps a tiny fresh log from compacting every drain).
     * Returns whether a compaction ran. */
+  // sized by: rewrite amortization — each compaction rewrites
+  // rolled + appended rows, so triggering only once appended > 4× rolled
+  // bounds TOTAL rewrite work at a constant factor of ingest (the
+  // geometric-series argument every log-structured merge policy rests
+  // on; ratio 2 halves read amplification for ~2× the write cost, 8
+  // the reverse); minRollupRows floors the trigger so a tiny fresh log
+  // does not compact on every drain
   def compactNoveltyLogIfNeeded(spark: SparkSession, outDir: String,
       growthRatio: Double = 4.0, minRollupRows: Long = 1000L): Boolean = {
     import org.apache.hadoop.fs.Path

@@ -39,6 +39,7 @@ class MlSpec extends AnyFunSuite {
       "q112_support_cellmeans", "q122_support_sigs",
       "q123_support_bands", "q125_support_qvec",
       "q224_support_bloom", "q225_support_phash",
+      "q229_support_phash64",
       "q228_support_centroids_64", "q228_support_cells_64",
       "q228_support_centroids_128", "q228_support_cells_128",
       "q228_support_centroids_50000", "q228_support_cells_50000",

@@ -322,6 +322,30 @@ class MultimodalSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("q229 planting mechanics: the single-pixel stamp flips exactly its own pooled cell on a flat 16x16 image") {
+    import spark.implicits._
+    // uniform gray: every pooled cell sits exactly AT the mean (no bit
+    // set). The one white stamp pixel lifts cell (0,0) decisively above
+    // the lifted mean while every other cell drops just below — so the
+    // planted 64-bit distance is exactly 1: the minimal-watermark family
+    // the q229 radius curve prices, pinned without data dependence.
+    val media = Seq((1L, encodeImg(solid(16, 16, 100, 100, 100), "png")))
+      .toDF("doc_id", "media")
+    val orig = Multimodal.imageAHash(media).collect()(0)
+    assert(orig.getAs[Boolean]("decoded") && orig.getAs[Long]("ahash") == 0L,
+      "flat image: no cell above the mean")
+    val stamped = Multimodal.imageAHash(
+      graft.ops.Multimodal.watermarkMedia(media)
+        .filter(col("stamped")).select(col("doc_id"), col("media"))).collect()(0)
+    assert(stamped.getAs[Long]("ahash") == 1L,
+      s"stamp must flip exactly bit 0, got ${stamped.getAs[Long]("ahash")}")
+    // and the q229 corpus shape: a 16x16 text BMP really decodes at 16x16
+    // (the pooled 64-bit branch), unlike the 4x4 certification BMPs
+    val bmp16 = Multimodal.bmpOf("some document text for pixels", 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp16))
+    assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+  }
+
   test("q144 kernel: only a NEAR-dup image edge bridges the text group and the exact-image group") {
     import spark.implicits._
     // 1–2 duplicate TEXT; 2's image hash 0x00F0 is hamming-2 from 3's

@@ -178,14 +178,18 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         // 6-row config grid onto the gram stream, plus the 1-row
         // n_true/n_probe scalars onto the 6-row result (q04 shapes)
         "q224_bloom_sizing_sweep",
-        // q225's value-pair join is DISTINCT orig-hash × DISTINCT
+        // q225/q229's value-pair join is DISTINCT orig-hash × DISTINCT
         // stamped-hash values under the hd predicate — bounded by
-        // 16-bit hash-space occupancy (the q153 intended shape), plus
-        // per-radius 1-row scalar cross-joins (q04 shape)
-        "q225_phash_radius_sweep",
+        // hash-space occupancy (the q153 intended shape; q229's 64-bit
+        // value sets are ≤ the 500-image corpus size), plus per-radius
+        // 1-row scalar cross-joins (q04 shape)
+        "q225_phash_radius_sweep", "q229_phash64_radius_sweep",
         // q226 joins the 1-row truth-count scalar onto the 4-row banding
         // fold (the q221 shape)
-        "q226_banding_sweep")
+        "q226_banding_sweep",
+        // q230 broadcasts the 1-row n_total scalar onto each width's
+        // vocab-sized estimate fold (the q04 scalar shape)
+        "q230_cms_sizing_sweep")
     SparkEntry.queries.keys.foreach { name =>
       val p =
         try plan(name)

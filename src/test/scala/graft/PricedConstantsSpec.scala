@@ -49,7 +49,8 @@ class PricedConstantsSpec extends AnyFunSuite {
     ("ops/IvfSq.scala", "shortlist: Int = 12"),       // q208 rerank shortlist
     ("ops/IvfPq.scala", "shortlist: Int = 12"),       // q210 rerank shortlist
     ("ops/BloomSketch.scala", "fpp: Double = 0.01"),  // q224 filter sizing
-    ("ops/Multimodal.scala", "val PhashHamMax = "),   // q225 radius
+    ("ops/Multimodal.scala", "val PhashHamMax = "),   // q225/q229 radius
+    ("ops/Scoring.scala", "stat\\.countMinSketch\\(\"term\", 0.0001, 0.99, 7\\)"), // q230 CMS sizing
     ("ops/Temporal.scala", "session_window\\(col\\(\"ts\"\\), \"30 minutes\"\\)"), // q222 gap
     ("ops/CorpusReports.scala", "\\.as\\(\"temp_share\"\\)"), // q216 temperature
   )
@@ -68,6 +69,36 @@ class PricedConstantsSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unpriced certified constants:\n${offenders.mkString("\n")}")
+  }
+
+  /** The LAYOUT-knob ledger (r18 verdict #7): capacity/deployment
+    * constants — bucket counts, shard counts, file-size targets,
+    * compaction triggers — are sized by the deployment, not priced by an
+    * accuracy sweep, so each must instead carry an adjacent `sized by:`
+    * rationale pinning WHY its default is what it is and which dial a
+    * deployment turns. Window is wider than the priced markers' (the
+    * rationale precedes a multi-line signature). */
+  private val sizedRegistry: Seq[(String, String)] = Seq(
+    ("sources/Bucketed.scala", "val NumBuckets = "),
+    ("sources/ShardExport.scala", "nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20"),
+    ("sources/Compaction.scala", "targetBytes: Long = 128L << 20"),
+    ("streaming/Incremental.scala", "growthRatio: Double = 4.0, minRollupRows: Long = 1000L\\): Boolean"),
+  )
+
+  test("every registered layout knob carries a `sized by:` rationale") {
+    val offenders = sizedRegistry.flatMap { case (f, anchor) =>
+      val ls = lines(f)
+      val re = anchor.r
+      val hits = ls.zipWithIndex.filter { case (l, _) => re.findFirstIn(l).isDefined }
+      if (hits.isEmpty) Seq(s"$f: anchor /$anchor/ matches nothing (knob moved? update the registry)")
+      else hits.flatMap { case (_, i) =>
+        val window = ls.slice(math.max(0, i - 12), i + 1)
+        if (window.exists(_.contains("sized by"))) None
+        else Some(s"$f:${i + 1}: /$anchor/ has no `sized by:` rationale")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"layout knobs with no pinned rationale:\n${offenders.mkString("\n")}")
   }
 
   test("every `priced by qNNN` marker in main source names a live query") {

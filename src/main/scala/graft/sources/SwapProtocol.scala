@@ -43,18 +43,22 @@ object RenamePointerStore extends PointerStore {
   }
   def read(fs: FileSystem, ptr: Path): Option[String] =
     if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
+    else
+      // open INSIDE the try: a reader can race the delete→rename window
+      // of a concurrent pointer replacement, so the file may vanish
+      // between the exists() and the open() — that is the benign
+      // missing-pointer state (marker fallback), not a crash
       try {
-        // read to EOF: InputStream.read may return any prefix (r18 ADVICE)
-        val buf = new java.io.ByteArrayOutputStream(64)
-        val chunk = new Array[Byte](64)
-        var n = in.read(chunk)
-        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        if (buf.size == 0) None else Some(buf.toString("UTF-8"))
+        val in = fs.open(ptr)
+        try {
+          // read to EOF: InputStream.read may return any prefix (r18 ADVICE)
+          val buf = new java.io.ByteArrayOutputStream(64)
+          val chunk = new Array[Byte](64)
+          var n = in.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          if (buf.size == 0) None else Some(buf.toString("UTF-8"))
+        } finally in.close()
       } catch { case _: java.io.IOException => None }
-      finally in.close()
-    }
 }
 
 /** S3-class object stores: the whole replacement is ONE PUT of the tiny

@@ -1648,63 +1648,81 @@ object Scoring {
     * recomputes the entire grid — hashes, counters, estimates, metrics —
     * from the corpus in DuckDB. All-BIGINT counts; rounded-4 derived
     * rates. */
+  /** The memoized exact term-count table (term, n) — the corpus pass
+    * behind the q230 grid, persisted once per (session, dataset) like
+    * every other score artifact (the q137/q138 discipline): the sweep's
+    * serve is then vocab-sized arithmetic over a tiny parquet scan, and
+    * the tokenize lives in the cold artifact chain where
+    * `artifact_cost` attributes it. */
+  private def termCountsTable(s: SparkSession, d: String): DataFrame = {
+    val p = SessionArtifacts.dir("termcounts", s, d) { t =>
+      Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$t/termcounts")
+    }
+    s.read.parquet(s"$p/termcounts")
+  }
+
   val q230CmsSizingSweep: Q = (s, d) => {
     val maxDepth = CmsDepths.max
-    val exact = Tables.documents(s, d)
-      .select(explode(TextFns.tokens(col("text"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .cache()
+    val exact = termCountsTable(s, d).cache()
     val nTotal = exact.agg(sum(col("n")).cast("long").as("n_total"))
-    val rows = exact.select(col("term"), col("n"),
+    // EVERY (width, row) combination in one exploded frame — the whole
+    // grid then costs exactly one counter groupBy, one equi-join, one
+    // estimate fold, and one metrics fold, instead of 3 stages x |w|
+    // (the first cut spent its warm time on the scheduling overhead of
+    // 12 vocab-sized stage chains, not on data)
+    val wrows = exact.select(col("term"), col("n"),
         explode(array((0 until maxDepth).map(lit(_)): _*)).as("i"))
       .withColumn("h",
         conv(substring(md5(concat(col("term"), lit("#"), col("i"))), 1, 13),
           16, 10).cast("long"))
+      .select(col("term"), col("n"), col("i"), col("h"),
+        explode(array(CmsWidths.map(w => lit(w.toLong)): _*)).as("w"))
+      .withColumn("bucket", col("h") % col("w"))
+    val counters = wrows.groupBy(col("w"), col("i"), col("bucket"))
+      .agg(sum(col("n")).as("cnt"))
+    // one estimate fold for the whole grid: every depth side-by-side
+    val estCols = CmsDepths.map(dd =>
+      min(when(col("i") < dd, col("cnt"))).as(s"est_d$dd"))
+    val est = wrows.join(counters, Seq("w", "i", "bucket"))
+      .groupBy(col("w"), col("term"), col("n"))
+      .agg(estCols.head, estCols.tail: _*)
+      .crossJoin(broadcast(nTotal))
+    val metricCols = CmsDepths.flatMap { dd =>
+      val over = col(s"est_d$dd") - col("n")
+      Seq(
+        sum(over).cast("long").as(s"sum_over_d$dd"),
+        max(over).cast("long").as(s"max_over_d$dd"),
+        sum((col(s"est_d$dd") >= HeavyThreshold && col("n") < HeavyThreshold)
+          .cast("long")).as(s"fh_d$dd"),
+        sum((over * col("w") > lit(2L) * col("n_total")).cast("long"))
+          .as(s"ob_d$dd"))
+    }
+    // one |w|-row metrics fold; the per-depth rows are tiny selects
+    val folded = est.groupBy(col("w"), col("n_total"))
+      .agg(count(lit(1)).as("n_terms"), metricCols: _*)
       .cache()
-    val grid = CmsWidths.map { w =>
-      val bucketed = rows.withColumn("bucket", col("h") % w)
-      val counters = bucketed.groupBy(col("i"), col("bucket"))
-        .agg(sum(col("n")).as("cnt"))
-      // one estimate fold per width: every depth as a side-by-side column
-      val estCols = CmsDepths.map(dd =>
-        min(when(col("i") < dd, col("cnt"))).as(s"est_d$dd"))
-      val est = bucketed.join(counters, Seq("i", "bucket"))
-        .groupBy(col("term"), col("n"))
-        .agg(estCols.head, estCols.tail: _*)
-        .crossJoin(broadcast(nTotal))
-      // and one metrics fold per width over all depths
-      val metricCols = CmsDepths.flatMap { dd =>
-        val over = col(s"est_d$dd") - col("n")
-        Seq(
-          sum(over).cast("long").as(s"sum_over_d$dd"),
-          max(over).cast("long").as(s"max_over_d$dd"),
-          sum((col(s"est_d$dd") >= HeavyThreshold && col("n") < HeavyThreshold)
-            .cast("long")).as(s"fh_d$dd"),
-          sum((over * w > lit(2L) * col("n_total")).cast("long"))
-            .as(s"ob_d$dd"))
-      }
-      val folded = est.groupBy(col("n_total"))
-        .agg(count(lit(1)).as("n_terms"), metricCols: _*)
-      CmsDepths.map { dd =>
-        folded.select(
-          lit(w.toLong).as("w"), lit(dd.toLong).as("d"),
-          col("n_terms").cast("long").as("n_terms"),
-          col(s"sum_over_d$dd").as("sum_over"),
-          round(col(s"sum_over_d$dd").cast("double") / col("n_terms"), 4)
-            .as("mean_over"),
-          col(s"max_over_d$dd").as("max_over"),
-          col(s"fh_d$dd").as("n_false_heavy"),
-          col(s"ob_d$dd").as("n_over_bound"),
-          round(col(s"ob_d$dd").cast("double") / col("n_terms"), 4)
-            .as("frac_over_bound"),
-          lit(BigDecimal(math.pow(0.5, dd))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            .as("bound_frac_theory"))
-      }
+    val grid = CmsDepths.map { dd =>
+      folded.select(
+        col("w"), lit(dd.toLong).as("d"),
+        col("n_terms").cast("long").as("n_terms"),
+        col(s"sum_over_d$dd").as("sum_over"),
+        round(col(s"sum_over_d$dd").cast("double") / col("n_terms"), 4)
+          .as("mean_over"),
+        col(s"max_over_d$dd").as("max_over"),
+        col(s"fh_d$dd").as("n_false_heavy"),
+        col(s"ob_d$dd").as("n_over_bound"),
+        round(col(s"ob_d$dd").cast("double") / col("n_terms"), 4)
+          .as("frac_over_bound"),
+        lit(BigDecimal(math.pow(0.5, dd))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .as("bound_frac_theory"))
     }
     graft.ops.Caching.materializeAndRelease(
-      grid.flatten.reduce(_ unionByName _).orderBy(col("w"), col("d")),
-      exact, rows)
+      grid.reduce(_ unionByName _).orderBy(col("w"), col("d")),
+      exact, folded)
   }
 
   // ---------------------------------------------------------------- q89

@@ -414,10 +414,17 @@ class SwapProtocolSpec extends AnyFunSuite {
     pf.create(SwapProtocol.commitMarker(v3), true).close()
     assert(tag() == "gen3", "committed write serves from markers")
     assert(SwapProtocol.readPointer(pf, dst).contains(2L), "reader stays pure")
-    // next writer repairs the pointer with one PUT and advances
+    // next writer repairs the pointer with one PUT and advances — and a
+    // reader resolving MID-PUBLISH (uncommitted v4 on disk) through the
+    // put store serves the previous committed version, pure (the
+    // rename-store race pin, re-run through this store)
+    var midPublishTag = ""
     SwapProtocol.writePointed(pf, dst) { vdir =>
       Seq((4L, "gen4")).toDF("id", "tag").write.parquet(vdir.toString)
+      midPublishTag = tag()
     }
+    assert(midPublishTag == "gen3",
+      "mid-publish put-store reader must serve the committed version")
     assert(SwapProtocol.readPointer(pf, dst).contains(4L) && tag() == "gen4")
     // interop: the on-disk layout is store-agnostic — the default
     // rename-store fs resolves the same table identically

@@ -406,13 +406,13 @@ object Multimodal {
   /** Oracle support writer: the q225 planted hash-pair table. */
   private[graft] def writePhashSweepSupport(s: SparkSession, d: String,
       outDir: String): Unit =
-    phashSweepHashes(s, d).coalesce(1).write.mode("overwrite")
+    phashPairsTable(s, d, CorpusHashBits).coalesce(1).write.mode("overwrite")
       .parquet(s"${graft.Verify.supportDir(outDir)}/q225_support_phash")
 
   /** Oracle support writer: the q229 64-bit planted hash-pair table. */
   private[graft] def writePhash64SweepSupport(s: SparkSession, d: String,
       outDir: String): Unit =
-    phashSweepHashes64(s, d).coalesce(1).write.mode("overwrite")
+    phashPairsTable(s, d, 64).coalesce(1).write.mode("overwrite")
       .parquet(s"${graft.Verify.supportDir(outDir)}/q229_support_phash64")
 
   /** q225: the pHash Hamming-RADIUS operating curve — the image twin of
@@ -434,8 +434,24 @@ object Multimodal {
     * discipline — never doc×doc enumeration; the value-pair join is
     * bounded by hash-space occupancy), hd computed ONCE per value pair
     * and cut per radius (the prefix doctrine). All-BIGINT counts. */
+  /** The planted hash-pair tables, persisted once per (session,
+    * dataset) — the q230 `termcounts` discipline: each sweep serve is
+    * then value-pair arithmetic over a 500-row parquet scan instead of
+    * ~1,500 real decode/encode codec passes, and the codec cost lands
+    * in the cold artifact chain where `artifact_cost` attributes it.
+    * The support writers export from the same artifact, so the oracle
+    * certifies exactly the table the sweep served. */
+  private def phashPairsTable(s: SparkSession, d: String,
+      bits: Int): DataFrame = {
+    val p = SessionArtifacts.dir(s"phashpairs-$bits", s, d) { t =>
+      (if (bits == 64) phashSweepHashes64(s, d) else phashSweepHashes(s, d))
+        .write.mode("overwrite").parquet(s"$t/pairs")
+    }
+    s.read.parquet(s"$p/pairs")
+  }
+
   val q225PhashRadiusSweep: Q = (s, d) =>
-    phashRadiusSweepOf(phashSweepHashes(s, d), SweepPhashRadii)
+    phashRadiusSweepOf(phashPairsTable(s, d, CorpusHashBits), SweepPhashRadii)
 
   /** q229: the q225 curve on the PRODUCTION 64-bit lattice (r18 verdict
     * #3) — q225's 16-bit certification space is saturated by
@@ -455,7 +471,7 @@ object Multimodal {
     * of the saturated-space extrapolation. Same value-pair discipline,
     * counts, and oracle chain as q225. */
   val q229Phash64RadiusSweep: Q = (s, d) =>
-    phashRadiusSweepOf(phashSweepHashes64(s, d), SweepPhash64Radii)
+    phashRadiusSweepOf(phashPairsTable(s, d, 64), SweepPhash64Radii)
 
   /** The shared radius-curve kernel behind q225/q229: per radius t, the
     * predicted pair volume (every bipartite (orig, trans) value pair
@@ -480,21 +496,32 @@ object Multimodal {
       .groupBy(col("hd")).agg(count(lit(1)).as("n_hit"))
       .cache()
     val nTrue = hashes.agg(count(lit(1)).cast("long").as("n_true"))
+    // EVERY radius cut in one aggregation per table (the q230 grid-fold
+    // discipline): the per-radius filter+agg+union form paid one job's
+    // scheduling overhead per radius per table; here two 1-row folds +
+    // a 1-row assembly explode cover the whole curve
+    val predCols = radii.map(t => coalesce(
+      sum(when(col("hd") <= t, col("n_pairs"))), lit(0L))
+      .cast("long").as(s"np_$t"))
+    val hitCols = radii.map(t => coalesce(
+      sum(when(col("hd") <= t, col("n_hit"))), lit(0L))
+      .cast("long").as(s"nh_$t"))
+    val preds = vpairs.agg(predCols.head, predCols.tail: _*)
+    val hits = planted.agg(hitCols.head, hitCols.tail: _*)
+    val rows = radii.map(t => struct(
+      lit(t.toLong).as("hd_max"), col(s"np_$t").as("n_pred"),
+      col("n_true"), col(s"nh_$t").as("n_hit")))
     Caching.materializeAndRelease(
-      radii.map { t =>
-        vpairs.filter(col("hd") <= t)
-          .agg(coalesce(sum(col("n_pairs")), lit(0L)).cast("long").as("n_pred"))
-          .crossJoin(planted.filter(col("hd") <= t)
-            .agg(coalesce(sum(col("n_hit")), lit(0L)).cast("long").as("n_hit")))
-          .crossJoin(broadcast(nTrue))
-          .select(lit(t.toLong).as("hd_max"), col("n_pred"), col("n_true"),
-            col("n_hit"),
-            when(col("n_pred") === 0, lit(0.0))
-              .otherwise(round(col("n_hit").cast("double") /
-                col("n_pred").cast("double"), 4)).as("prec"),
-            round(col("n_hit").cast("double") /
-              col("n_true").cast("double"), 4).as("recall"))
-      }.reduce(_ unionByName _).orderBy(col("hd_max")),
+      preds.crossJoin(hits).crossJoin(broadcast(nTrue))
+        .select(explode(array(rows: _*)).as("r"))
+        .select(col("r.hd_max"), col("r.n_pred"), col("r.n_true"),
+          col("r.n_hit"),
+          when(col("r.n_pred") === 0, lit(0.0))
+            .otherwise(round(col("r.n_hit").cast("double") /
+              col("r.n_pred").cast("double"), 4)).as("prec"),
+          round(col("r.n_hit").cast("double") /
+            col("r.n_true").cast("double"), 4).as("recall"))
+        .orderBy(col("hd_max")),
       hashes, vpairs, planted)
   }
 

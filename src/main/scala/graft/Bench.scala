@@ -220,10 +220,12 @@ object Bench {
     // build records its wall in SessionArtifacts; emitting the map here
     // turns the NOTES attribution folklore into artifact data — the
     // cold−warm delta now decomposes as sum(artifact_cost) + plan cost.
+    // emitted UNCONDITIONALLY (empty map, 0.000 total when no builds
+    // ran) so the artifact schema matches the stdout line and never
+    // flaps across runs (r19 review)
     val artifactCosts = graft.ops.SessionArtifacts.costs
     val artifactJson =
-      if (artifactCosts.isEmpty) ""
-      else s""""artifact_cost":${jsonMap(artifactCosts)},""" +
+      s""""artifact_cost":${jsonMap(artifactCosts)},""" +
         s""""artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},"""
     val fullJson =
       s"""{"sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +

@@ -99,11 +99,13 @@ object PutPointerStore extends PointerStore {
   *   3. publish: rename(tmp, dst)               — one rename, not delete+rename
   *   4. reclaim: delete(dst__swap_old)
   *
-  * Crash-state table (what `recover` sees → what it does):
+  * Crash-state table (what WRITER-side `recover` does; reader paths use
+  * [[recoverForRead]], which only acts on the dst-absent states):
   *   - dst present             → authoritative; stale tmp/old deleted
-  *     (a tmp alongside dst is a write that never published — possibly
-  *     HALF-written, so it is never trusted; old alongside dst is a
-  *     crash after publish, already superseded)
+  *     BY THE NEXT WRITER only (a tmp alongside dst is either crash
+  *     residue — a write that never published, possibly HALF-written,
+  *     never trusted — or a LIVE writer's in-flight publish, which is
+  *     why a reader must not clean it; r19 review)
   *   - dst absent, tmp present → crash between retire and publish. The
   *     tmp is necessarily COMPLETE (dst is only retired after the tmp
   *     write finishes), so publish it; then reclaim old.
@@ -171,8 +173,11 @@ object PutPointerStore extends PointerStore {
   * publish must not be able to delete the writer's half-written
   * version, and two readers racing a pointer repair must not crash
   * each other). Residue is reconciled by the next writer. Tables with
-  * no pointed state resolve to `dst` after completing any RENAME-mode
-  * swap — the pre-existing rename-mode reader contract. A long-lived
+  * no pointed state resolve to `dst` after completing a crashed
+  * RENAME-mode swap ONLY when `dst` is absent ([[recoverForRead]] —
+  * the one state where a reader must mutate to serve at all); residue
+  * next to a live `dst` waits for the next writer, so a resolving
+  * reader can never delete a live writer's in-flight tmp. A long-lived
   * serving job caches the resolved path and re-resolves on refresh.
   *
   * Single-writer discipline (both modes, documented at every call
@@ -220,21 +225,50 @@ object SwapProtocol {
     * winner completed the swap; only fail when `dst` is still absent
     * (a genuine rename failure). */
   def recover(fs: FileSystem, dst: Path): Unit = {
+    if (fs.exists(dst)) {
+      // residue cleanup NEXT to a live dst is WRITER-only: recover runs
+      // here only from writer paths (writeSwapped, maintenance), where
+      // single-writer discipline makes a tmp necessarily a crash —
+      // reader paths go through [[recoverForRead]], which must never
+      // delete a live writer's in-flight tmp (r19 review)
+      val old = oldPath(dst); val tmp = tmpPath(dst)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else completeCrashedSwap(fs, dst)
+  }
+
+  /** READER-side completion: mutates ONLY when `dst` is absent — the one
+    * state where a reader must complete the crashed swap to serve at
+    * all (the pre-existing rename-mode reader contract). Residue NEXT
+    * to a live dst is left for the next writer: a reader that cleaned
+    * it could delete a LIVE writer's in-flight `__swap_tmp` (r19
+    * review — the pointer-mode pure-reader doctrine, applied as far as
+    * rename mode allows). */
+  def recoverForRead(fs: FileSystem, dst: Path): Unit =
+    if (!fs.exists(dst)) completeCrashedSwap(fs, dst)
+
+  /** Complete a crashed swap at an ABSENT `dst` (shared by reader and
+    * writer recovery; both may race another recovering process). */
+  private def completeCrashedSwap(fs: FileSystem, dst: Path): Unit = {
     val tmp = tmpPath(dst)
     val old = oldPath(dst)
     // a completing rename that fails — returning false OR throwing (the
     // local-FS copy fallback throws FileNotFoundException when the src
-    // vanished under us) — is a lost race iff a winner made dst appear
+    // vanished under us) — is a lost race iff a winner made dst appear.
+    // Re-check dst IMMEDIATELY before the rename, and sweep the nested
+    // merge residue after: Hadoop's local rename onto an EXISTING
+    // directory falls back to a copy that MERGES from INTO dst as
+    // dst/<from.name> and returns true — a lost race must neither crash
+    // nor leave that residue shadowing the live data (r19 review).
     def completeRename(from: Path): Unit = {
-      val ok = try fs.rename(from, dst)
-        catch { case _: java.io.IOException => false }
+      val ok = !fs.exists(dst) && (try fs.rename(from, dst)
+        catch { case _: java.io.IOException => false })
       if (!ok && !fs.exists(dst))
         throw new java.io.IOException(s"swap recovery failed: $from -> $dst")
+      val nested = new Path(dst, from.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
     }
-    if (fs.exists(dst)) {
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-    } else if (fs.exists(tmp)) {
+    if (fs.exists(tmp)) {
       completeRename(tmp)
       if (fs.exists(old)) fs.delete(old, true)
     } else if (fs.exists(old)) {
@@ -348,6 +382,11 @@ object SwapProtocol {
     * Returns the live committed version, or None when no committed
     * version exists (fresh table, or rename-mode only). Idempotent. */
   def recoverPointed(fs: FileSystem, dst: Path, retain: Int = 2): Option[Long] = {
+    // retain < 1 would make the retention pass delete EVERY committed
+    // version including the one just published — a plausible misread of
+    // "extra versions kept" that must fail loudly, not lose the table
+    // (r19 review)
+    require(retain >= 1, s"retain=$retain: at least the live version must be kept")
     val dirs = versionDirs(fs, dst)
     val (committed, uncommitted) =
       dirs.partition { case (_, p) => fs.exists(commitMarker(p)) }
@@ -400,6 +439,7 @@ object SwapProtocol {
     * stays retained and readable through the flip, so a reader mid-scan
     * never loses its files. */
   def writePointed(fs: FileSystem, dst: Path, retain: Int = 2)(write: Path => Unit): Path = {
+    require(retain >= 1, s"retain=$retain: at least the live version must be kept")
     migrateIfPlain(fs, dst)
     val live = recoverPointed(fs, dst, retain)
     val next = live.getOrElse(-1L) + 1L
@@ -461,7 +501,7 @@ object SwapProtocol {
         val committed = versionDirs(fs, dst)
           .filter { case (_, p) => fs.exists(commitMarker(p)) }
         if (committed.nonEmpty) committed.last._2
-        else { recover(fs, dst); dst }
+        else { recoverForRead(fs, dst); dst }
     }
   }
 

@@ -1250,7 +1250,10 @@ object Incremental {
     * report never sees a missing live path. */
   def noveltyReport(spark: SparkSession, outDir: String): DataFrame = {
     val dst = new org.apache.hadoop.fs.Path(outDir)
-    graft.sources.SwapProtocol.recover(
+    // READER path: complete a crashed swap only if the live dir is gone
+    // (recoverForRead) - a report racing a live compaction must never
+    // delete the writer's in-flight tmp (r19 review)
+    graft.sources.SwapProtocol.recoverForRead(
       dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
     graft.ops.CorpusReports.noveltyFoldOf(
       spark.read.parquet(outDir)
@@ -1491,7 +1494,7 @@ object Incremental {
     * (StreamingSpec maintainer #25). */
   def exactNnRefReport(spark: SparkSession, outDir: String): DataFrame = {
     val dst = new org.apache.hadoop.fs.Path(s"$outDir/top3")
-    graft.sources.SwapProtocol.recover(
+    graft.sources.SwapProtocol.recoverForRead( // reader path: see noveltyReport
       dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
     spark.read.parquet(s"$outDir/top3")
       .orderBy(col("vec_id"), col("cos_raw").desc, col("nn_id"))
@@ -1589,7 +1592,7 @@ object Incremental {
     * maintainer's. */
   def distinctReport(spark: SparkSession, outDir: String, k: Int = 256): DataFrame = {
     val dst = new org.apache.hadoop.fs.Path(s"$outDir/kmv")
-    graft.sources.SwapProtocol.recover(
+    graft.sources.SwapProtocol.recoverForRead( // reader path: see noveltyReport
       dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
     spark.read.parquet(s"$outDir/kmv")
       .groupBy(col("source"))
@@ -1665,7 +1668,7 @@ object Incremental {
     * over everything ingested (the parity contract). */
   def quantileReport(spark: SparkSession, outDir: String): DataFrame = {
     val dst = new org.apache.hadoop.fs.Path(s"$outDir/sample")
-    graft.sources.SwapProtocol.recover(
+    graft.sources.SwapProtocol.recoverForRead( // reader path: see noveltyReport
       dst.getFileSystem(spark.sparkContext.hadoopConfiguration), dst)
     spark.read.parquet(s"$outDir/sample")
       .groupBy(col("source"))

@@ -56,15 +56,89 @@ class SwapProtocolSpec extends AnyFunSuite {
   private def report(dir: String): Seq[Seq[Any]] =
     Incremental.noveltyReport(spark, dir).collect().map(_.toSeq).toSeq
 
-  test("kill after tmp write, before retire: dst authoritative, residue cleared") {
+  test("kill after tmp write, before retire: dst authoritative; a READER leaves the residue, the next WRITER clears it") {
     val (dir, want) = freshLog()
     val f = fs(dir); val dst = new Path(dir)
     stageRollup(dir, SwapProtocol.tmpPath(dst)) // crash here: dst + tmp
     assert(report(dir) == want)
-    assert(!f.exists(SwapProtocol.tmpPath(dst)), "stale tmp must be cleared")
-    // and a subsequent compaction from this state still lands cleanly
+    // r19 doctrine: the report is a READER — it must not clean residue
+    // next to a live dst (the 'stale' tmp could be a LIVE writer's
+    // in-flight publish); reconciliation waits for the next writer
+    assert(f.exists(SwapProtocol.tmpPath(dst)),
+      "a reader must leave residue beside a live dst")
+    // the next WRITER (compaction) reconciles and lands cleanly
     Incremental.compactNoveltyLog(spark, dir)
     assert(report(dir) == want)
+    assert(!f.exists(SwapProtocol.tmpPath(dst)), "the writer clears residue")
+  }
+
+  test("a report racing a LIVE rename-mode writer never deletes the in-flight tmp") {
+    val (dir, want) = freshLog()
+    val f = fs(dir); val dst = new Path(dir)
+    // deterministic interleaving: the 'concurrent reader' resolves from
+    // inside the writer's write() callback — tmp exists and is
+    // half-written, exactly what the old reader-side recover deleted
+    var tmpSurvived = false
+    var midSwapReport: Seq[Seq[Any]] = Seq.empty
+    SwapProtocol.writeSwapped(f, dst) { tmp =>
+      stageRollup(dir, tmp) // the writer's in-flight output
+      midSwapReport = report(dir)
+      tmpSurvived = f.exists(tmp)
+    }
+    assert(tmpSurvived, "the racing reader must not delete the writer's tmp")
+    assert(midSwapReport == want, "mid-swap reader serves the live dst")
+    assert(report(dir) == want, "the publish completes undamaged")
+  }
+
+  test("lost-race rename onto an existing dst never merges stale residue INTO the live dir") {
+    // crash state between retire and publish: dst absent, tmp AND old
+    // present. The loser observes old before the winner reclaims it,
+    // and its rename(old, dst) runs after the winner published — on the
+    // local FS that rename falls back to a COPY that merges old INTO
+    // dst as dst/<old.name> and returns true (r19 review). The guard
+    // must leave dst exactly the winner's publish.
+    val base = Files.createTempDirectory("graft-merge").toString
+    val dst = new Path(s"$base/t")
+    Seq((1L, "fresh")).toDF("id", "tag")
+      .write.parquet(SwapProtocol.tmpPath(dst).toString)
+    Seq((0L, "stale")).toDF("id", "tag")
+      .write.parquet(SwapProtocol.oldPath(dst).toString)
+    val raw = fs(base)
+    var fired = false
+    val racing = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def exists(p: Path): Boolean =
+        // the loser's branch probes: report tmp as already taken by the
+        // winner so the loser lands in the old-restore branch
+        if (p == SwapProtocol.tmpPath(dst)) false else super.exists(p)
+      override def rename(src: Path, to: Path): Boolean = {
+        if (!fired && src == SwapProtocol.oldPath(dst)) {
+          fired = true
+          // the winner completes (publishes tmp as dst) BEFORE the
+          // loser's rename executes — but after its exists() checks
+          require(raw.rename(SwapProtocol.tmpPath(dst), dst))
+        }
+        super.rename(src, to) // local-FS fallback would MERGE into dst
+      }
+    }
+    SwapProtocol.recoverForRead(racing, dst) // must not throw
+    assert(fired)
+    assert(!raw.exists(new Path(dst, dst.getName + "__swap_old")),
+      "merge residue inside the live dir must be swept")
+    val got = spark.read.parquet(dst.toString)
+      .select("tag").collect().map(_.getString(0)).toList
+    assert(got == List("fresh"), s"dst must be exactly the winner's publish: $got")
+  }
+
+  test("retain < 1 is rejected before any destructive pass") {
+    val dst = pointedFixture(0)
+    val f = fs(dst.toString)
+    intercept[IllegalArgumentException] {
+      SwapProtocol.writePointed(f, dst, retain = 0) { _ => () }
+    }
+    intercept[IllegalArgumentException] {
+      SwapProtocol.recoverPointed(f, dst, retain = -1)
+    }
+    assert(liveTag(dst) == "gen0", "the table is untouched")
   }
 
   test("kill between retire and publish: report recovers from __swap_tmp") {
@@ -77,14 +151,18 @@ class SwapProtocolSpec extends AnyFunSuite {
       !f.exists(SwapProtocol.tmpPath(dst)), "recovery must complete the swap")
   }
 
-  test("kill between publish and reclaim: dst is the rollup, old reclaimed") {
+  test("kill between publish and reclaim: dst is the rollup; the next WRITER reclaims old") {
     val (dir, want) = freshLog()
     val f = fs(dir); val dst = new Path(dir)
     stageRollup(dir, SwapProtocol.tmpPath(dst))
     assert(f.rename(dst, SwapProtocol.oldPath(dst)))
     assert(f.rename(SwapProtocol.tmpPath(dst), dst)) // crash here: dst + old
     assert(report(dir) == want)
-    assert(!f.exists(SwapProtocol.oldPath(dst)), "old must be reclaimed")
+    // r19 doctrine: the reader serves dst and leaves old for the writer
+    assert(f.exists(SwapProtocol.oldPath(dst)), "a reader does not reclaim")
+    SwapProtocol.writeSwapped(f, dst) { tmp => stageRollup(dir, tmp) }
+    assert(!f.exists(SwapProtocol.oldPath(dst)), "the next writer reclaims old")
+    assert(report(dir) == want)
   }
 
   test("defensive state (only __swap_old): report restores it") {

@@ -42,12 +42,13 @@ object RenamePointerStore extends PointerStore {
     require(fs.rename(tmp, ptr), s"pointer publish failed: $tmp -> $ptr")
   }
   def read(fs: FileSystem, ptr: Path): Option[String] =
-    if (!fs.exists(ptr)) None
-    else
-      // open INSIDE the try: a reader can race the delete→rename window
-      // of a concurrent pointer replacement, so the file may vanish
-      // between the exists() and the open() — that is the benign
-      // missing-pointer state (marker fallback), not a crash
+    // no exists() probe, and the open is INSIDE the try: an absent
+    // pointer (FileNotFoundException — including one that vanishes under
+    // a concurrent delete→rename replacement) and a TRANSIENT probe/open
+    // IOException both degrade to the documented None → commit-marker
+    // fallback rather than propagating (r19 ADVICE: the probe sat
+    // outside the try, so a transient exists() failure crashed the
+    // reader instead of falling back)
       try {
         val in = fs.open(ptr)
         try {
@@ -286,7 +287,24 @@ object SwapProtocol {
       if (fs.exists(old)) fs.delete(old, true) // stale residue from a recovered swap
       require(fs.rename(dst, old), s"swap retire failed: $dst -> $old")
     }
-    require(fs.rename(tmp, dst), s"swap publish failed: $tmp -> $dst")
+    // publish — the ONE rename the lost-race doctrine didn't cover (r19
+    // verdict #2): in the retire→publish window `dst` is absent and the
+    // tmp is complete, which is exactly the crash shape [[recoverForRead]]
+    // completes — a reader resolving in that window can legally steal the
+    // publish (rename the SAME tmp to dst and reclaim old). The live
+    // writer's rename then fails, but the swap COMPLETED with the
+    // writer's own data: same doctrine as [[completeCrashedSwap]] — a
+    // failed rename (false OR the local-FS copy-fallback IOException) is
+    // a lost race iff dst appeared; only throw when dst is still absent.
+    val published = try fs.rename(tmp, dst)
+      catch { case _: java.io.IOException => false }
+    if (!published && !fs.exists(dst))
+      throw new java.io.IOException(s"swap publish failed: $tmp -> $dst")
+    // sweep the nested-merge residue: Hadoop's local rename onto an
+    // EXISTING directory (dst appearing mid-rename) falls back to a copy
+    // that MERGES tmp INTO dst as dst/<tmp.name> and returns true
+    val nested = new Path(dst, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
     if (fs.exists(old)) fs.delete(old, true)
   }
 
@@ -318,17 +336,33 @@ object SwapProtocol {
   def commitMarker(versionDir: Path): Path =
     new Path(versionDir, CommitMarkerName)
 
-  /** The [[PointerStore]] the caller's FileSystem configuration selects
+  /** The [[PointerStore]] the deployment configuration selects
     * (`graft.pointer.store`, default "rename"); fails loudly on an
-    * unknown value — see the trait scaladoc. */
-  def storeFor(fs: FileSystem): PointerStore =
-    fs.getConf.get("graft.pointer.store", "rename") match {
+    * unknown value — see the trait scaladoc.
+    *
+    * Resolution order (r19 ADVICE): Hadoop's FileSystem CACHE binds
+    * `fs.getConf` at FIRST instantiation of the scheme, so a key set
+    * after that point (e.g. `spark.conf.set` after the session started)
+    * would be silently invisible through `fs.getConf` alone — a silent
+    * fallback to the rename store, contradicting the trait's doctrine.
+    * The ACTIVE session's runtime conf is therefore consulted first
+    * (`spark.hadoop.graft.pointer.store` as Spark prefixes Hadoop keys,
+    * then the bare key — a cheap map lookup, current at every call);
+    * `fs.getConf` remains the fallback for non-Spark callers and for
+    * keys set at launch, where the cached conf IS current. */
+  def storeFor(fs: FileSystem): PointerStore = {
+    val key = "graft.pointer.store"
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => s.conf.getOption("spark.hadoop." + key)
+        .orElse(s.conf.getOption(key)))
+      .getOrElse(fs.getConf.get(key, "rename")) match {
       case "rename" => RenamePointerStore
       case "put"    => PutPointerStore
       case other => throw new IllegalArgumentException(
         s"graft.pointer.store=$other — expected 'rename' (HDFS/local FS) " +
           "or 'put' (S3-class object store)")
     }
+  }
 
   /** Version named by the pointer file; None when the pointer is
     * missing or unreadable (resolution then falls back to the commit

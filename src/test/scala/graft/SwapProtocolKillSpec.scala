@@ -129,6 +129,59 @@ class SwapProtocolKillSpec extends AnyFunSuite {
     pointedKillMatrix("put")
   }
 
+  /** The MIGRATION publish (r19 verdict #4): a PLAIN rename-mode dir's
+    * FIRST pointed publish runs `migrateIfPlain`'s marker-create →
+    * retire-rename → pointer-publish sequence before the normal
+    * version-write — a longer mutation chain the steady-state matrix
+    * above never enumerates. Kill after every mutation, both stores:
+    * a pure resolve must serve the plain gen0 or the published gen1,
+    * and the next writer must recover and converge to retain-2. */
+  private def migrationKillMatrix(store: String): Unit = {
+    val raw = rawFs(store)
+    // count one migration publish's protocol mutations
+    val probeBase = Files.createTempDirectory(s"graft-killmig-$store").toString
+    val probeDst = new Path(s"$probeBase/t")
+    writeGen(probeDst, 0L) // PLAIN dir — no protocol involved
+    val counter = new KillFs(raw)
+    SwapProtocol.writePointed(counter, probeDst)(writeGen(_, 1L))
+    val ops = counter.mutations
+    assert(ops >= 5,
+      s"$store: migration = marker+retire+pointer then commit+pointer at least, got $ops")
+
+    (0L until ops).foreach { kill =>
+      val base = Files.createTempDirectory(s"graft-killmig-$store-$kill").toString
+      val dst = new Path(s"$base/t")
+      writeGen(dst, 0L) // plain fixture
+      val killer = new KillFs(raw)
+      killer.remaining = kill
+      intercept[KillException] {
+        SwapProtocol.writePointed(killer, dst)(writeGen(_, 1L))
+      }
+      // READ invariant: a pure reader serves a complete generation —
+      // the still-plain dir, a retired-but-unpublished __v0, or gen1
+      val served = servedTag(raw, dst)
+      assert(served == "gen0" || served == "gen1",
+        s"$store migration kill=$kill: served $served")
+      // WRITE invariant: the next writer reconciles and publishes gen2
+      SwapProtocol.writePointed(raw, dst)(writeGen(_, 2L))
+      assert(servedTag(raw, dst) == "gen2",
+        s"$store migration kill=$kill: recovery publish")
+      // and one more steady publish restores retain-2 exactly
+      SwapProtocol.writePointed(raw, dst)(writeGen(_, 3L))
+      assert(servedTag(raw, dst) == "gen3")
+      assert(SwapProtocol.versionDirs(raw, dst).size <= 2,
+        s"$store migration kill=$kill: retention must converge to retain-2")
+    }
+  }
+
+  test("migration publish: kill after EVERY protocol mutation (rename store) — resolvable and writer-recoverable") {
+    migrationKillMatrix("rename")
+  }
+
+  test("migration publish: kill after EVERY protocol mutation (put store) — resolvable and writer-recoverable") {
+    migrationKillMatrix("put")
+  }
+
   test("rename-mode swap: kill after EVERY protocol mutation — readable and writer-recoverable") {
     val raw = rawFs("rename")
     // count one steady swap's protocol mutations

@@ -421,6 +421,42 @@ class SwapProtocolSpec extends AnyFunSuite {
     assert(!raw.exists(SwapProtocol.tmpPath(dst)))
   }
 
+  test("a LIVE writer whose publish rename loses to a reader-completer succeeds (r19 verdict #2)") {
+    // the last uncovered lost-race window: between swapIn's retire
+    // (dst -> old) and publish (tmp -> dst), dst is absent and tmp is
+    // complete — exactly the crash shape recoverForRead completes, so a
+    // reader resolving in that window legally steals the publish. The
+    // writer's own rename then fails, but the swap finished with the
+    // writer's data: swapIn must treat that as success, not throw.
+    val base = Files.createTempDirectory("graft-steal").toString
+    val dst = new Path(s"$base/t")
+    Seq((0L, "gen0")).toDF("id", "tag").write.parquet(dst.toString)
+    val raw = fs(base)
+    var fired = false
+    val racing = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def rename(src: Path, to: Path): Boolean = {
+        if (!fired && src == SwapProtocol.tmpPath(dst) && to == dst) {
+          fired = true
+          // the reader completes the swap INSIDE the writer's publish
+          // call — after the retire, before the writer's rename executes
+          SwapProtocol.recoverForRead(raw, dst)
+        }
+        super.rename(src, to) // the writer's rename: src is gone
+      }
+    }
+    SwapProtocol.writeSwapped(racing, dst) { tmp =>
+      Seq((1L, "gen1")).toDF("id", "tag").write.parquet(tmp.toString)
+    } // must not throw — the lost race published the writer's own data
+    assert(fired, "the race injection must have run")
+    val got = spark.read.parquet(dst.toString)
+      .select("tag").collect().map(_.getString(0)).toList
+    assert(got == List("gen1"), s"the writer's generation must be live: $got")
+    assert(!raw.exists(SwapProtocol.tmpPath(dst)) &&
+      !raw.exists(SwapProtocol.oldPath(dst)) &&
+      !raw.exists(new Path(dst, dst.getName + "__swap_tmp")),
+      "no residue — tmp, old, and any nested merge swept")
+  }
+
   test("rename recover: two concurrent readers on one crashed swap both succeed") {
     val dst = crashedSwap()
     val f = fs(dst.toString)
@@ -465,6 +501,23 @@ class SwapProtocolSpec extends AnyFunSuite {
       new java.net.URI("file:///"), bad)
     val e = intercept[IllegalArgumentException](SwapProtocol.storeFor(badFs))
     assert(e.getMessage.contains("dynamo"))
+  }
+
+  test("pointer store selection: a session-runtime key set AFTER the FS was cached wins (r19 ADVICE)") {
+    // Hadoop's FileSystem cache binds fs.getConf at first instantiation,
+    // so a key set post-session-start via spark.conf.set would be
+    // silently invisible through fs.getConf alone — storeFor must read
+    // the ACTIVE session's runtime conf first
+    val cached = fs("/tmp") // conf bound long ago, no pointer-store key
+    val key = "spark.hadoop.graft.pointer.store"
+    try {
+      spark.conf.set(key, "put")
+      assert(SwapProtocol.storeFor(cached) == graft.sources.PutPointerStore,
+        "a runtime-set store must not silently fall back to rename")
+      spark.conf.set(key, "dynamo")
+      intercept[IllegalArgumentException](SwapProtocol.storeFor(cached))
+    } finally spark.conf.unset(key)
+    assert(SwapProtocol.storeFor(cached) == graft.sources.RenamePointerStore)
   }
 
   test("pointed crash matrix through the PUT store: publish, crash fallback, repair, retention") {

@@ -110,6 +110,34 @@ object InvertedIndex {
     }
   }
 
+  /** Table maintenance for the two ACCUMULATING index tables: [[append]]
+    * adds new term-range files per batch (correct but file-count-growing),
+    * and this re-establishes few files covering disjoint sorted ranges —
+    * postings keyed on term (the lookup key footer-pruning serves by),
+    * doclens on doc_id. Both publish through pointer mode
+    * ([[graft.sources.Compaction.compact]] in place), which is what later
+    * migrates the subdirs the plain [[build]] wrote; stats is NOT routed
+    * here — it is a 1-row rename-managed table refreshed by every append.
+    *
+    * `retain` pins the reader-lifetime contract AT THIS SITE (the r18
+    * verdict #6 doctrine, applied to the last pointed site without it):
+    * a BM25 server resolves its postings path once per serve window and
+    * footer-prunes against those files, so a compacted-away version must
+    * outlive the longest in-flight QUERY WINDOW — seconds-to-minutes of
+    * lookups, not the training epochs ShardExport must survive. The
+    * default retain=2 (one further maintenance cycle of grace) is
+    * therefore sized to serve windows ≪ maintenance cadence; a deployment
+    * whose servers cache the resolved path across cycles sizes it up.
+    * Returns the compacted postings file count. */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20, retain: Int = 2): Int = {
+    val n = graft.sources.Compaction.compact(
+      spark, s"$dir/postings", s"$dir/postings", "term", targetBytes, retain)
+    graft.sources.Compaction.compact(
+      spark, s"$dir/doclens", s"$dir/doclens", "doc_id", targetBytes, retain)
+    n
+  }
+
   /** BM25 top-k over a saved index — the corpus text is never touched.
     * Same math, rounding, and tie-break as the inline q84 scorer.
     * Every table read resolves through [[graft.sources.SwapProtocol]]:

@@ -188,7 +188,12 @@ object PutPointerStore extends PointerStore {
   *
   * ROUTING (r17 verdict #1): the large-directory sites —
   * `ShardExport.write`, `Compaction.compact`/`zorderCompact` — publish
-  * through pointer mode, and their readers resolve. Small-state sites
+  * through pointer mode, and their readers resolve — as does
+  * `InvertedIndex.compact`, the maintenance entry for the accumulating
+  * postings/doclens version dirs, whose explicit `retain` is sized to
+  * the BM25 serve window (see its scaladoc; the version-dir interiors
+  * it appends into are the `_temporary`-residue row of the crash-state
+  * table above). Small-state sites
   * (novelty-log compaction, `InvertedIndex.append`'s stats refresh,
   * maintainers #25/#26/#27) stay on rename mode: their directories are
   * model-sized, and on the documented HDFS-class deployment the rename

@@ -83,6 +83,39 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(after == before && after.nonEmpty)
   }
 
+  test("InvertedIndex.compact maintains both accumulating tables in place with explicit retain (r19 verdict #7)") {
+    // the routed maintenance entry: postings AND doclens compact in
+    // place (pointer-published), scores unchanged, file count reduced,
+    // and the retain contract holds at the site (retain=2 -> at most 2
+    // committed versions per table after a second cycle)
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("invidx-maint").toString
+    InvertedIndex.build(spark, docs.filter(col("doc_id") < 250), dir, nPostingFiles = 2)
+    InvertedIndex.append(spark, docs.filter(col("doc_id") >= 250), dir, nPostingFiles = 2)
+    val terms = Seq("spark", "join", "data")
+    val before = InvertedIndex.searchBm25(spark, dir, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def files(d: String): Int =
+      new java.io.File(graft.sources.Compaction.resolve(spark, d))
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val rawFiles = files(s"$dir/postings")
+    InvertedIndex.compact(spark, dir, retain = 2)
+    assert(files(s"$dir/postings") < rawFiles)
+    assert(InvertedIndex.searchBm25(spark, dir, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
+    // second cycle: retention converges to the last 2 committed versions
+    InvertedIndex.compact(spark, dir, retain = 2)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "doclens").foreach { t =>
+      val vs = graft.sources.SwapProtocol.versionDirs(
+        f, new org.apache.hadoop.fs.Path(s"$dir/$t"))
+      assert(vs.size <= 2, s"$t: retain=2 must bound the version set, got ${vs.size}")
+    }
+    assert(InvertedIndex.searchBm25(spark, dir, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == before)
+  }
+
   test("append after IN-PLACE compaction lands in the live pointed dirs (r18 review)") {
     // Compaction.compact(dir, dir) migrates postings/doclens to pointer
     // management; a later append must write INTO the resolved live

@@ -369,12 +369,12 @@ object Multimodal {
 
   /** Radii for the q225 sweep — the certified q140 operating point is
     * hd ≤ 3. */
-  private[ops] val SweepPhashRadii = Seq(0, 1, 2, 3, 4, 6, 8)
+  private[graft] val SweepPhashRadii = Seq(0, 1, 2, 3, 4, 6, 8)
 
   /** Radii for the q229 64-bit sweep: the same operating points plus the
     * loose tail (12, 16) where collision mass could plausibly start on a
     * 64-bit lattice — the table's job is to show where it actually does. */
-  private[ops] val SweepPhash64Radii = Seq(0, 1, 2, 3, 4, 6, 8, 12, 16)
+  private[graft] val SweepPhash64Radii = Seq(0, 1, 2, 3, 4, 6, 8, 12, 16)
 
   /** (doc_id, h_orig, h_trans) on the PRODUCTION 64-bit lattice: each
     * document synthesizes a 16×16 BMP ([[bmpOf]](text, 16) — 256 px of
@@ -456,8 +456,9 @@ object Multimodal {
   /** q229: the q225 curve on the PRODUCTION 64-bit lattice (r18 verdict
     * #3) — q225's 16-bit certification space is saturated by
     * construction (500 images over 65k values), so its precision column
-    * reads the noise FLOOR, not the production operating point; the
-    * `PhashHamMax` marker could only extrapolate. Here the planting runs
+    * reads the noise FLOOR, not the production operating point; a
+    * single shared radius marker could only extrapolate. Here the
+    * planting runs
     * through the real-image hash branch ([[phashSweepHashes64]]: resize
     * to >64 px, pool onto the 8×8 grid, 64-bit hashes) and the table
     * reads where collision mass ACTUALLY lives at each radius
@@ -469,7 +470,9 @@ object Multimodal {
     * saturated certification space, where it is precision-bounded —
     * and that is the measured claim the radius now stands on instead
     * of the saturated-space extrapolation. Same value-pair discipline,
-    * counts, and oracle chain as q225. */
+    * counts, and oracle chain as q225. As of r20 the production
+    * default ACTS on this curve: [[PhashHamMax64]] = 8, the measured
+    * knee (r19 verdict #3 — the constant had still shipped 3). */
   val q229Phash64RadiusSweep: Q = (s, d) =>
     phashRadiusSweepOf(phashPairsTable(s, d, 64), SweepPhash64Radii)
 
@@ -652,36 +655,57 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
-  /** q140's banding: 4 bands of `hashBits / 4` hash bits each — the band
-    * COUNT is fixed by the matching threshold (pigeonhole: hamming ≤ 3
-    * flipped bits cannot touch all 4 bands, so every qualifying pair
+  /** LATTICE-AWARE hamming radii (r19 verdict #3 — the first priced
+    * curve whose pricing DISAGREED with a single shipped constant, so
+    * the constant now follows its own curve per lattice): the 16-bit
+    * certification lattice (≤ 64 px per-pixel hashes) is SATURATED —
+    * precision decays ~2× per radius step — so its radius is
+    * precision-bounded at 3; the production 64-bit lattice (pooled-8×8
+    * real images) is the opposite — collision mass only appears at
+    * hd 12–16 — so its radius is RECALL-bounded and a radius of 3 would
+    * silently miss ~5/6 of the classic single-pixel-watermark near-dups
+    * (q229: recall 0.17 at hd≤3 vs 0.82 at hd≤8, precision 1.0 through
+    * hd≤8). Banding follows the radius by pigeonhole (radius+1 bands),
+    * so recall stays EXACT at either radius. */
+  private[graft] val PhashHamMax16 = 3 // priced by q225 (16-bit certification lattice: recall 0.79 at hd≤3 on the planted watermark family; precision decays ~2× per radius step in that saturated space — precision-bounded)
+  private[graft] val PhashHamMax64 = 8 // priced by q229 (the PRODUCTION 64-bit lattice through the real pooled-8×8 hash branch: precision 1.0 through hd≤8, collisions only at hd 12-16, recall 0.17 at hd≤3 vs 0.82 at hd≤8 on the planted single-pixel watermark family — recall-bounded; hd≤8 is the knee: the largest swept radius with measured precision 1.0)
+  private[graft] def phashHamMax(hashBits: Int): Int =
+    if (hashBits >= 64) PhashHamMax64 else PhashHamMax16
+
+  /** Band count for a hamming radius — pigeonhole: ≤ `hamMax` flipped
+    * bits cannot touch all `hamMax + 1` bands, so every qualifying pair
     * shares at least one intact band and the candidate join misses
-    * nothing — the q91 span argument, in hash space), while the band
-    * WIDTH derives from the hash width so the certified kernel and the
-    * production shape are the same code path: 4×4-bit bands over the
-    * 16-bit certification hashes, 4×16-bit bands over the 8×8-grid
-    * 64-bit hashes real images pool onto. */
-  private[graft] val PhashBands = 4
-  private[graft] val PhashHamMax = PhashBands - 1 // priced by q225 (16-bit certification lattice: recall 0.79 at hd≤3 on the planted watermark family; precision decays ~2× per radius step in that saturated space) and priced by q229 (the PRODUCTION 64-bit lattice, pooled 8×8 hash branch: precision 1.0 at hd≤3 AND through hd≤8 — collision mass only appears at hd 12-16 (prec 0.996/0.945) — so the production radius is RECALL-bounded (0.17 at hd≤3 on the minimal single-pixel family, 0.82 at hd≤8), the inversion of the saturated certification space where it is precision-bounded)
-  private[graft] def phashBandBits(hashBits: Int): Int = {
-    require(hashBits % PhashBands == 0, s"hash width $hashBits not divisible into $PhashBands bands")
-    hashBits / PhashBands
-  }
+    * nothing (the q91 span argument, in hash space). 4 bands over the
+    * 16-bit lattice (radius 3), 9 over the 64-bit one (radius 8). */
+  private[graft] def phashBands(hamMax: Int): Int = hamMax + 1
 
   /** Hash width of the certification corpus's 4×4 BMPs (16 px ⇒ one bit
     * per pixel); real pooled images are 64. */
   private[graft] val CorpusHashBits = 16
 
-  /** Append (band, bhash) rows — [[PhashBands]] per input row — to any
-    * frame with an `ahash` column: the candidate-generation layout every
-    * phash near-dup tier (q140's probe, q144's rep edges, the PhashIndex
-    * serve) equi-joins on. */
-  private[graft] def withPhashBands(h: DataFrame, hashBits: Int): DataFrame = {
-    val bandBits = phashBandBits(hashBits)
+  /** Append (band, bhash) rows — `phashBands(hamMax)` per input row — to
+    * any frame with an `ahash` column: the candidate-generation layout
+    * every phash near-dup tier (q140's probe, q144's rep edges, the
+    * PhashIndex serve) equi-joins on. `hamMax` defaults to the lattice's
+    * own radius ([[phashHamMax]]); both join sides must band with the
+    * same (hashBits, hamMax). Band b covers the bit range
+    * [b·W/B, (b+1)·W/B) — floor boundaries, so widths differ by at most
+    * one bit when B ∤ W (9 bands over 64 bits = 8×7 + 1×8) — which
+    * keeps the 16-bit layout (4 × 4-bit bands) bit-identical to the
+    * pre-lattice-aware shape. */
+  private[graft] def withPhashBands(h: DataFrame, hashBits: Int,
+      hamMax: Int = -1): DataFrame = {
+    val radius = if (hamMax < 0) phashHamMax(hashBits) else hamMax
+    val bands = phashBands(radius)
+    require(bands >= 1 && bands <= hashBits,
+      s"radius $radius needs $bands bands — more than the $hashBits hash bits")
     h.select(col("*"), posexplode(array(
-        (0 until PhashBands).map(b =>
-          shiftrightunsigned(col("ahash"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        (0 until bands).map { b =>
+          val lo = b * hashBits / bands
+          val width = (b + 1) * hashBits / bands - lo
+          val mask = if (width >= 64) -1L else (1L << width) - 1
+          shiftrightunsigned(col("ahash"), lo).bitwiseAND(lit(mask))
+        }: _*))
       .as(Seq("band", "bhash")))
   }
 
@@ -719,10 +743,11 @@ object Multimodal {
     * real-image spec (same code path, different band width). */
   private[graft] def mediaNearDupOf(hashed: DataFrame, probeMaxId: Long,
       hashBits: Int): DataFrame = {
+    val hamMax = phashHamMax(hashBits) // lattice-aware radius (r19 verdict #3)
     val hashes = hashed.filter(col("decoded"))
       .select(col("doc_id"), col("ahash")).cache()
     def bandsOf(h: DataFrame): DataFrame =
-      withPhashBands(h, hashBits).select(col("doc_id"), col("band"), col("bhash"))
+      withPhashBands(h, hashBits, hamMax).select(col("doc_id"), col("band"), col("bhash"))
     val bands = bandsOf(hashes)
     val probe = bandsOf(hashes.filter(col("doc_id") < probeMaxId))
       .select(col("doc_id").as("doc_a"), col("band"), col("bhash"))
@@ -737,7 +762,7 @@ object Multimodal {
         .join(hashes.select(col("doc_id").as("doc_a"), col("ahash").as("ha")), Seq("doc_a"))
         .join(hashes.select(col("doc_id").as("doc_b"), col("ahash").as("hb")), Seq("doc_b"))
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= PhashHamMax)
+        .filter(col("hamming") <= hamMax)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b")),
       hashes)
@@ -880,6 +905,7 @@ object Multimodal {
     * ahash) frames — shared with the planted near-bridge unit. */
   private[graft] def crossModalNearKeepOf(docs: DataFrame, hashed: DataFrame,
       hashBits: Int): DataFrame = {
+    val hamMax = phashHamMax(hashBits) // lattice-aware radius (r19 verdict #3)
     val hashes = hashed.filter(col("decoded"))
       .select(col("doc_id"), col("ahash")).cache()
     val textEdges = starEdges(docs.select(col("doc_id"),
@@ -888,14 +914,14 @@ object Multimodal {
       hashes.select(col("doc_id"), col("ahash").cast("string").as("k")))
     // distinct-hash representatives: one row per hash VALUE
     val reps = hashes.groupBy(col("ahash")).agg(min(col("doc_id")).as("rep")).cache()
-    val bands = withPhashBands(reps, hashBits)
+    val bands = withPhashBands(reps, hashBits, hamMax)
     val nearEdges = bands.select(col("band"), col("bhash"),
         col("ahash").as("ha"), col("rep").as("doc_a"))
       .join(bands.select(col("band"), col("bhash"),
         col("ahash").as("hb"), col("rep").as("doc_b")), Seq("band", "bhash"))
       .filter(col("ha") < col("hb"))
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= PhashHamMax)
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= hamMax)
       .select(col("doc_a"), col("doc_b"))
     val cc = ConnectedComponents.run(
       textEdges.unionByName(imageEdges).unionByName(nearEdges))

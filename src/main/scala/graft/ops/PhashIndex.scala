@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Same construction as q139/q140 ([[Multimodal.imageAHash]]: per-pixel
   * bits ≤ 64 px, 8×8 average-pool above; [[Multimodal.withPhashBands]]:
-  * 4 bands of hashBits/4), so an index built today keeps matching batches
-  * hashed tomorrow, and the pigeonhole recall guarantee (hamming ≤ 3
-  * pairs always share an intact band) carries over unchanged.
+  * radius+1 bands by pigeonhole — 4 over 16-bit hashes at radius 3, 9
+  * over the 64-bit production lattice at its q229-priced radius 8), so
+  * an index built today keeps matching batches hashed tomorrow, and the
+  * pigeonhole recall guarantee (a within-radius pair always shares an
+  * intact band) carries over unchanged.
   *
   * Scale shape: the index is (doc_id, ahash) — corpus-linear, 16 bytes a
   * row; query() is candidates (band equi-join, broadcast-able batch side)
@@ -54,14 +56,16 @@ object PhashIndex {
 
   /** Near-duplicate pairs between a NEW media batch (doc_id, media) and
     * the indexed corpus: (batch_id, corpus_id, hamming) with hamming ≤
-    * `hamMax` (≤ [[Multimodal.PhashHamMax]] keeps banding recall EXACT;
-    * a larger radius would need more bands). Batch ids matching their own
-    * corpus entry (re-ingest) are excluded by id equality, the same
-    * excludeSelf discipline as the ANN serve. */
+    * `hamMax` — default: the lattice's own priced radius
+    * ([[Multimodal.phashHamMax]]: 3 on 16-bit, 8 on the 64-bit pooled
+    * lattice per q229). Banding derives from the radius (radius+1
+    * bands, pigeonhole), so recall stays EXACT at ANY requested radius;
+    * a wider radius pays more candidate-join rows, never missed pairs.
+    * Batch ids matching their own corpus entry (re-ingest) are excluded
+    * by id equality, the same excludeSelf discipline as the ANN serve. */
   def query(index: DataFrame, batch: DataFrame, hashBits: Int,
-      hamMax: Int = Multimodal.PhashHamMax): DataFrame = {
-    require(hamMax <= Multimodal.PhashHamMax,
-      s"hamming radius $hamMax exceeds the ${Multimodal.PhashBands}-band recall guarantee")
+      hamMax: Int = -1): DataFrame = {
+    val radius = if (hamMax < 0) Multimodal.phashHamMax(hashBits) else hamMax
     // an ALREADY-cached index belongs to the CALLER (who loads once and
     // probes many batches — the module's whole point); unpersisting it
     // here would evict that shared cache after the first probe. An
@@ -70,9 +74,9 @@ object PhashIndex {
     val indexWasCached = index.storageLevel.useMemory || index.storageLevel.useDisk
     val corpus = if (indexWasCached) index else index.cache()
     val fresh = build(batch).cache()
-    val cand = Multimodal.withPhashBands(fresh, hashBits)
+    val cand = Multimodal.withPhashBands(fresh, hashBits, radius)
       .select(col("doc_id").as("batch_id"), col("band"), col("bhash"))
-      .join(Multimodal.withPhashBands(corpus, hashBits)
+      .join(Multimodal.withPhashBands(corpus, hashBits, radius)
         .select(col("doc_id").as("corpus_id"), col("band"), col("bhash")),
         Seq("band", "bhash"))
       .filter(col("batch_id") =!= col("corpus_id"))
@@ -83,7 +87,7 @@ object PhashIndex {
         .join(fresh.select(col("doc_id").as("batch_id"), col("ahash").as("ha")), Seq("batch_id"))
         .join(corpus.select(col("doc_id").as("corpus_id"), col("ahash").as("hb")), Seq("corpus_id"))
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= hamMax)
+        .filter(col("hamming") <= radius)
         .select(col("batch_id"), col("corpus_id"), col("hamming")),
       (Seq(fresh) ++ (if (indexWasCached) Nil else Seq(corpus))): _*)
   }

@@ -1590,7 +1590,19 @@ object Scoring {
     * pattern). At 100 TB the probe thins the aggregation input to the
     * heavy tail; the sketch is fixed-size regardless of vocabulary. */
   /** The q88 heavy-hitter threshold, shared with the q230 sweep's
-    * false-heavy (wasted exact-verify probe work) column. */
+    * false-heavy (wasted exact-verify probe work) column.
+    *
+    * sized by: the WORKLOAD's definition of "heavy" — an absolute
+    * support floor, not an accuracy knob (q230 prices the sketch that
+    * serves it; the threshold itself defines the task). 900 sits just
+    * above the certification corpus's mean per-term count (sf0.01:
+    * 27,165 tokens over the 31-term active vocab ≈ 876/term), so the
+    * gate splits the vocabulary mid-distribution (17/31 heavy at
+    * sf0.01, 30/31 at sf0.1) and BOTH branches of the sketch-then-
+    * verify pass stay exercised at every certified scale. A deployment
+    * turns this dial to its own floor (e.g. "terms above 1e-5 of the
+    * token stream"); the false-heavy probe cost the CMS pays at any
+    * chosen floor reads off q230's measured grid. */
   private[ops] val HeavyThreshold = 900L
 
   val q88HeavyHitters: Q = (s, d) => {

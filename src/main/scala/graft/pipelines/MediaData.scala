@@ -98,14 +98,15 @@ object MediaData {
         // near tier (q144's image arm): distinct-hash representative
         // edges -> components; each component keeps its min doc
         val reps = exactKeep.select(col("ahash"), col("keep_id").as("rep")).cache()
-        val bands = Multimodal.withPhashBands(reps, hashBits)
+        val hamMax = Multimodal.phashHamMax(hashBits) // lattice-aware radius
+        val bands = Multimodal.withPhashBands(reps, hashBits, hamMax)
         val nearEdges = bands.select(col("band"), col("bhash"),
             col("ahash").as("ha"), col("rep").as("doc_a"))
           .join(bands.select(col("band"), col("bhash"),
             col("ahash").as("hb"), col("rep").as("doc_b")), Seq("band", "bhash"))
           .filter(col("ha") < col("hb"))
           .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
-          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= Multimodal.PhashHamMax)
+          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= hamMax)
           .select(col("doc_a"), col("doc_b"))
         val cc = ConnectedComponents.run(nearEdges)
         val kept = Caching.materializeAndRelease(

@@ -582,7 +582,7 @@ object Incremental {
               .select(col("band"), col("bhash"), col("ahash").as("ih"))
             qBands.join(iBands, Seq("band", "bhash"))
               .filter(bit_count(col("bh").bitwiseXOR(col("ih"))) <=
-                Multimodal.PhashHamMax)
+                Multimodal.phashHamMax(hashBits))
               .select(col("doc_id")).distinct()
           case None => s.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
         }
@@ -1728,7 +1728,7 @@ object Incremental {
           col("ahash").as("hb"), col("band"), col("bhash")), Seq("band", "bhash"))
         .filter(col("batch_id") =!= col("corpus_id"))
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-        .filter(col("hamming") <= graft.ops.Multimodal.PhashHamMax)
+        .filter(col("hamming") <= graft.ops.Multimodal.phashHamMax(hashBits))
         .select(col("batch_id"), col("corpus_id"), col("hamming"))
     }
 

@@ -129,28 +129,66 @@ class MultimodalSpec extends AnyFunSuite {
       grouped(0).getLong(2) == 2L)
   }
 
-  test("q140 banding: every hash pair within hamming 3 shares an intact band (exact recall)") {
-    // the pigeonhole claim behind q140's candidate generation, enumerated
-    // exhaustively AT BOTH WIDTHS the kernel runs: <= 3 flipped bits
-    // cannot touch all 4 bands — 4x4-bit bands over the 16-bit
-    // certification hashes, 4x16-bit bands over real pooled 64-bit hashes
+  test("q140 banding: every hash pair within the lattice radius shares an intact band (exact recall)") {
+    // the pigeonhole claim behind the candidate generation, at BOTH
+    // lattices with their OWN radii (r19 verdict #3): radius 3 -> 4
+    // bands over 16-bit hashes (exhaustive: all <=3-flip sets), radius
+    // 8 -> 9 floor-boundary bands over 64-bit hashes (exhaustive at
+    // <=2 flips + all <=8-subsets of the band-BOUNDARY bits, where a
+    // slicing off-by-one would bite + a seeded random sample)
     for (hashBits <- Seq(16, 64)) {
-      val bandBits = Multimodal.phashBandBits(hashBits)
+      val radius = Multimodal.phashHamMax(hashBits)
+      val nBands = Multimodal.phashBands(radius)
+      assert(nBands == radius + 1, "pigeonhole wants bands = radius + 1")
       val base = if (hashBits == 16) 0xBEEFL else 0xDEADBEEFCAFEF00DL
       def bandsOf(h: Long): Seq[Long] =
-        (0 until Multimodal.PhashBands).map(b =>
-          (h >>> (b * bandBits)) & ((1L << bandBits) - 1))
-      val flips = (1 to Multimodal.PhashHamMax).flatMap((0 until hashBits).combinations)
-      flips.foreach { bs =>
+        (0 until nBands).map { b =>
+          val lo = b * hashBits / nBands
+          val width = (b + 1) * hashBits / nBands - lo
+          (h >>> lo) & (if (width >= 64) -1L else (1L << width) - 1)
+        }
+      def sharesBand(bs: Seq[Int]): Boolean = {
         val other = bs.foldLeft(base)((h, b) => h ^ (1L << b))
-        assert(bandsOf(base).zip(bandsOf(other)).exists { case (a, b) => a == b },
-          s"no intact band at width $hashBits for flipped bits $bs — the candidate join would miss this pair")
+        bandsOf(base).zip(bandsOf(other)).exists { case (a, b) => a == b }
+      }
+      val boundaryBits = (0 until nBands)
+        .flatMap(b => Seq(b * hashBits / nBands, (b + 1) * hashBits / nBands - 1))
+        .distinct.sorted
+      val exhaustiveDepth = if (hashBits == 16) radius else 2
+      val flips: Iterator[Seq[Int]] =
+        (1 to exhaustiveDepth).iterator.flatMap((0 until hashBits).combinations) ++
+          (1 to radius).iterator.flatMap(boundaryBits.combinations) ++ {
+            val rnd = new scala.util.Random(229L)
+            Iterator.fill(4000)(rnd.shuffle((0 until hashBits).toList)
+              .take(1 + rnd.nextInt(radius)))
+          }
+      flips.foreach { bs =>
+        assert(sharesBand(bs),
+          s"no intact band at width $hashBits radius $radius for flipped bits $bs — the candidate join would miss this pair")
       }
       // and one flip per band CAN evade every band (the bound is tight)
-      val evader = (0 until Multimodal.PhashBands)
-        .foldLeft(base)((h, b) => h ^ (1L << (b * bandBits)))
+      val evader = (0 until nBands)
+        .foldLeft(base)((h, b) => h ^ (1L << (b * hashBits / nBands)))
       assert(!bandsOf(base).zip(bandsOf(evader)).exists { case (a, b) => a == b })
+      // bands partition ALL hashBits bits: widths sum to the hash width
+      assert((0 until nBands).map(b =>
+        (b + 1) * hashBits / nBands - b * hashBits / nBands).sum == hashBits)
     }
+  }
+
+  test("the 64-bit default radius equals the q229 knee; 16-bit stays the q225 point (r19 verdict #3)") {
+    // q229 measured the production pooled-8x8 lattice: precision 1.0
+    // through hd<=8 (collisions only at hd 12-16) but recall 0.17 at
+    // hd<=3 vs 0.82 at hd<=8 on the planted single-pixel watermark
+    // family — so the production default must be the knee (the largest
+    // swept radius with precision 1.0), not the certification lattice's
+    // precision-bounded 3
+    assert(Multimodal.PhashHamMax64 == 8, "the q229 knee")
+    assert(Multimodal.SweepPhash64Radii.contains(Multimodal.PhashHamMax64),
+      "the default must be a measured point on the q229 curve")
+    assert(Multimodal.PhashHamMax16 == 3, "the q225 operating point")
+    assert(Multimodal.SweepPhashRadii.contains(Multimodal.PhashHamMax16))
+    assert(Multimodal.phashHamMax(64) == 8 && Multimodal.phashHamMax(16) == 3)
   }
 
   /** Block image: 256×256 whose 8×8 aHash cells are set per the given
@@ -197,7 +235,7 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("doc_id", "media"))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val ham = java.lang.Long.bitCount(rows(1L) ^ rows(2L))
-    assert(ham <= Multimodal.PhashHamMax,
+    assert(ham <= Multimodal.phashHamMax(64),
       s"jpeg re-encode drifted $ham bits — the production near-dup case must stay findable")
   }
 

@@ -49,7 +49,8 @@ class PricedConstantsSpec extends AnyFunSuite {
     ("ops/IvfSq.scala", "shortlist: Int = 12"),       // q208 rerank shortlist
     ("ops/IvfPq.scala", "shortlist: Int = 12"),       // q210 rerank shortlist
     ("ops/BloomSketch.scala", "fpp: Double = 0.01"),  // q224 filter sizing
-    ("ops/Multimodal.scala", "val PhashHamMax = "),   // q225/q229 radius
+    ("ops/Multimodal.scala", "val PhashHamMax16 = "), // q225 radius (16-bit certification lattice)
+    ("ops/Multimodal.scala", "val PhashHamMax64 = "), // q229 radius (64-bit production lattice knee)
     ("ops/Scoring.scala", "stat\\.countMinSketch\\(\"term\", 0.0001, 0.99, 7\\)"), // q230 CMS sizing
     ("ops/Temporal.scala", "session_window\\(col\\(\"ts\"\\), \"30 minutes\"\\)"), // q222 gap
     ("ops/CorpusReports.scala", "\\.as\\(\"temp_share\"\\)"), // q216 temperature
@@ -83,6 +84,7 @@ class PricedConstantsSpec extends AnyFunSuite {
     ("sources/ShardExport.scala", "nShards: Int = 8, maxRecordsPerFile: Int = 1 << 20"),
     ("sources/Compaction.scala", "targetBytes: Long = 128L << 20"),
     ("streaming/Incremental.scala", "growthRatio: Double = 4.0, minRollupRows: Long = 1000L\\): Boolean"),
+    ("ops/Scoring.scala", "val HeavyThreshold = 900L"), // q88 support floor (workload knob; q230 prices the sketch serving it)
   )
 
   test("every registered layout knob carries a `sized by:` rationale") {

@@ -43,7 +43,7 @@ object Bench {
   /** Previous-round warm map + calibration, parsed from a committed
     * BENCH_FULL.json (Jackson is on Spark's classpath). Read BEFORE this
     * run overwrites the file. Returns (queries, meanCalibration). */
-  private def readPrevArtifact(path: String): Option[(Map[String, Double], Option[Double])] =
+  private[graft] def readPrevArtifact(path: String): Option[(Map[String, Double], Option[Double])] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File(path))
@@ -57,6 +57,58 @@ object Bench {
         .flatMap(k => Option(root.get(k)).map(_.asDouble()))
       qs.map(q => (q, if (probes.nonEmpty) Some(probes.sum / probes.size) else None))
     } catch { case _: Throwable => None }
+
+  /** One raw mover's full adjudication row (see [[adjudicateMovers]]). */
+  private[graft] final case class Mover(q: String, prev: Double, cur: Double,
+      ratioRaw: Double, ratioNorm: Option[Double], repro: Option[Double],
+      reproduced: Option[Boolean], confirmed: Boolean)
+
+  /** MECHANIZED mover adjudication (r19 verdict #1): the calibration-
+    * normalized gate alone passes CPU-probe-invisible host noise — the
+    * r19 driver artifact shipped 15 "confirmed" regressions on identical
+    * code that a 60-second targeted rerun refuted, because IO/cache/
+    * scheduler contention moves query times without moving the CPU
+    * probe. The decisive test — re-run EXACTLY the raw movers subset-hot
+    * and see whether they still read slow — previously lived in NOTES
+    * prose and judge labor; it is now the artifact's own protocol: the
+    * `rerun` callback executes a third, targeted pass over the raw-mover
+    * names, and a mover is CONFIRMED only when the normalized gate AND
+    * the reproduction both hold (a missing gate — no prev calibration,
+    * a rerun that failed to time the query — is conservative: it cannot
+    * clear the mover). Returns (common query names, median raw ratio,
+    * mover rows sorted by raw ratio descending); `rerun` is invoked at
+    * most once and only when raw movers exist. */
+  private[graft] def adjudicateMovers(
+      prevQ: Map[String, Double],
+      prevCalib: Option[Double],
+      results: Map[String, Double],
+      calibCur: Double,
+      rerun: Seq[String] => Map[String, Double])
+      : (Seq[String], Double, Seq[Mover]) = {
+    val common = results.keySet.intersect(prevQ.keySet).toSeq.sorted
+      .filter(q => prevQ(q) > 0)
+    if (common.isEmpty) return (common, 0.0, Nil)
+    val factor = prevCalib.map(_ / calibCur)
+    val ratios = common.map(q => (q, results(q) / prevQ(q)))
+    val sortedR = ratios.map(_._2).sorted
+    val medRaw = sortedR(sortedR.size / 2)
+    val rawMovers = ratios
+      .filter { case (q, r) => r >= 2.0 && results(q) - prevQ(q) >= 0.4 }
+      .sortBy(-_._2)
+    val repro =
+      if (rawMovers.isEmpty) Map.empty[String, Double]
+      else rerun(rawMovers.map(_._1))
+    val movers = rawMovers.map { case (q, r) =>
+      val rn = factor.map(_ * r)
+      val rp = repro.get(q)
+      // reproduced = the targeted re-pass still clears the SAME raw
+      // mover gate (>=2x prev and >=0.4s absolute)
+      val reproduced = rp.map(t => t / prevQ(q) >= 2.0 && t - prevQ(q) >= 0.4)
+      val confirmed = rn.forall(_ >= 2.0) && reproduced.getOrElse(true)
+      Mover(q, prevQ(q), results(q), r, rn, rp, reproduced, confirmed)
+    }
+    (common, medRaw, movers)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,15 +173,30 @@ object Bench {
     // persisted index): pass 2 measures the warm serving path, which is the
     // deployed steady state for model/index-backed queries.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt max 1
-    def runPass(): Map[String, Double] = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // pass-1 build attribution (r19 verdict #6): snapshot the session
+    // artifact-cost total around each cold query, so a big pass-1
+    // reading decomposes as attributed builds + plan cost per query
+    // instead of needing manual subtraction against artifact_cost
+    val buildAttribution = scala.collection.mutable.Map[String, Double]()
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        attribute: Boolean): (String, Double) = {
+      val c0 = if (attribute) graft.ops.SessionArtifacts.costs.values.sum else 0.0
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (a bare count()
       // would let column pruning skip the expensive expressions entirely)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val allPasses = (1 to passes).map(_ => runPass())
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (attribute) {
+        val d = graft.ops.SessionArtifacts.costs.values.sum - c0
+        if (d > 0) buildAttribution(name) = d
+      }
+      name -> sec
+    }
+    def runPass(attribute: Boolean): Map[String, Double] =
+      selected.toSeq.sortBy(_._1)
+        .map { case (name, fn) => timeOne(name, fn, attribute) }.toMap
+    val allPasses = (1 to passes).map(i => runPass(attribute = i == 1))
     val hostCalibEnd = hostCalibration(cpus.toInt)
     val firstPass = allPasses.head
     val firstTotal = firstPass.values.sum
@@ -161,42 +228,37 @@ object Bench {
       .map { case (m, i) => s""""pass${i + 1}":${jsonMap(m)}""" }.mkString(",")
     // the verdict block: per-query warm ratios vs the previous artifact,
     // median raw AND calibration-normalized (norm = raw x calibPrev/
-    // calibCur — per-query times scale with host slowness, so dividing
-    // each side by its own probe cancels the shared drift), and the
-    // mover list with both ratios. A mover is CONFIRMED only when the
-    // normalized ratio still clears 2x — the gate the r17 adjudication
-    // had to run by hand.
+    // calibCur), and the mover list adjudicated by [[adjudicateMovers]]:
+    // raw movers trigger an automatic TARGETED third pass (subset-hot,
+    // exactly the mover names), and only a mover that clears both the
+    // normalized gate and the reproduction counts as confirmed (r19
+    // verdict #1 — the r19 driver artifact shipped 15 phantom confirmed
+    // regressions the 60-second targeted rerun refutes).
     val calibCur = (hostCalib + hostCalibEnd) / 2
+    val rerunMovers: Seq[String] => Map[String, Double] = names => {
+      System.err.println(
+        s"[bench] reproduction pass: re-running ${names.size} raw mover(s) subset-hot")
+      names.map(n => timeOne(n, SparkEntry.queries(n), attribute = false)).toMap
+    }
     var verdictScalars = "" // compact copy for the tail-truncated stdout line
     val verdictJson = prev match {
       case Some((prevQ, prevCalib)) =>
-        val common = results.keySet.intersect(prevQ.keySet).toSeq.sorted
-          .filter(q => prevQ(q) > 0)
+        val factor = prevCalib.map(_ / calibCur)
+        val (common, medRaw, movers) =
+          adjudicateMovers(prevQ, prevCalib, results, calibCur, rerunMovers)
         if (common.isEmpty) """"verdict":{"prev":"none","reason":"no common queries"},"""
         else {
-          val factor = prevCalib.map(_ / calibCur)
-          val ratios = common.map(q => (q, results(q) / prevQ(q)))
-          val sortedR = ratios.map(_._2).sorted
-          val medRaw = sortedR(sortedR.size / 2)
           // ALL raw movers — counts come from the full set; only the
           // rendered list is capped (a 15-regression change must not
-          // read as 10). With no prev calibration a mover CANNOT be
-          // adjudicated: confirmed is null and the confirmed COUNT
-          // falls back to the raw count (a real regression must show,
-          // not hide behind a missing probe).
-          val allMovers = ratios
-            .filter { case (q, r) => r >= 2.0 && results(q) - prevQ(q) >= 0.4 }
-            .sortBy(-_._2)
-          val nConfirmed = factor match {
-            case Some(f0) => allMovers.count { case (_, r) => f0 * r >= 2.0 }
-            case None     => allMovers.size // unadjudicated: conservative
-          }
-          val movers = allMovers.take(10)
-          val moverJson = movers.map { case (q, r) =>
-            val rn = factor.map(_ * r)
-            s"""{"q":"$q","prev":${f"${prevQ(q)}%.3f"},"cur":${f"${results(q)}%.3f"},""" +
-              s""""ratio_raw":${f"$r%.3f"},"ratio_norm":${rn.map(v => f"$v%.3f").getOrElse("null")},""" +
-              s""""confirmed":${rn.map(v => (v >= 2.0).toString).getOrElse("null")}}"""
+          // read as 10)
+          val nConfirmed = movers.count(_.confirmed)
+          val nReproduced = movers.count(_.reproduced.contains(true))
+          val moverJson = movers.take(10).map { m =>
+            s"""{"q":"${m.q}","prev":${f"${m.prev}%.3f"},"cur":${f"${m.cur}%.3f"},""" +
+              s""""ratio_raw":${f"${m.ratioRaw}%.3f"},"ratio_norm":${m.ratioNorm.map(v => f"$v%.3f").getOrElse("null")},""" +
+              s""""repro":${m.repro.map(v => f"$v%.3f").getOrElse("null")},""" +
+              s""""reproduced":${m.reproduced.map(_.toString).getOrElse("null")},""" +
+              s""""confirmed":${m.confirmed}}"""
           }.mkString("[", ",", "]")
           verdictScalars =
             factor.map(f0 => s""""verdict_median_norm":${f"${medRaw * f0}%.3f"},""").getOrElse("") +
@@ -207,7 +269,8 @@ object Bench {
             s""""calib_cur":${f"$calibCur%.3f"},""" +
             s""""median_ratio_raw":${f"$medRaw%.3f"},""" +
             s""""median_ratio_norm":${factor.map(f0 => f"${medRaw * f0}%.3f").getOrElse("null")},""" +
-            s""""n_movers_raw":${allMovers.size},""" +
+            s""""n_movers_raw":${movers.size},""" +
+            s""""n_movers_reproduced":$nReproduced,""" +
             s""""n_movers_confirmed":$nConfirmed,""" +
             s""""movers":$moverJson},"""
         }
@@ -224,9 +287,20 @@ object Bench {
     // ran) so the artifact schema matches the stdout line and never
     // flaps across runs (r19 review)
     val artifactCosts = graft.ops.SessionArtifacts.costs
+    // cold story decomposed (r19 verdict #6): pass-1 charges once-per-
+    // session builds to whichever query touched them first (q100 cold
+    // 23.8 s vs warm 1.6); with per-query build attribution captured
+    // during pass 1, the top-10 cold queries now carry cold = builds +
+    // plan explicitly, so cross-round cold comparisons stop needing
+    // manual subtraction. Emitted unconditionally (schema stability).
+    val coldDecomposed = firstPass.toSeq.sortBy(-_._2).take(10).map { case (q, t) =>
+      val b = buildAttribution.getOrElse(q, 0.0)
+      s"""{"q":"$q","cold":${f"$t%.3f"},"builds":${f"$b%.3f"},"plan":${f"${t - b}%.3f"}}"""
+    }.mkString("[", ",", "]")
     val artifactJson =
       s""""artifact_cost":${jsonMap(artifactCosts)},""" +
-        s""""artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},"""
+        s""""artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},""" +
+        s""""cold_decomposed":$coldDecomposed,"""
     val fullJson =
       s"""{"sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +
         s"""$passMaps,"queries_first":${jsonMap(firstPass)},""" +

@@ -102,6 +102,14 @@ def main():
         print(f"- session artifact builds: {total:.1f} s total across "
               f"{len(ac)} builds; top: "
               + ", ".join(f"{k} {v:.1f}s" for k, v in top))
+    cd = a.get("cold_decomposed")
+    if isinstance(cd, list) and cd:
+        # per-query cold = attributed builds + plan (r19 #6): the pass-1
+        # reading of a build-touching query decomposes in the artifact
+        print("- top-10 cold decomposed (cold = builds + plan):")
+        for e in cd:
+            print(f"    {e['q']:28s} cold {e['cold']:7.2f} = builds "
+                  f"{e['builds']:6.2f} + plan {e['plan']:6.2f}")
     v = a.get("verdict")
     if isinstance(v, dict) and "median_ratio_raw" in v:
         # the artifact's own adjudication vs the previous round (r17 #7):
@@ -117,20 +125,25 @@ def main():
             # print nonsense like '12/10 confirmed' (r18 ADVICE)
             n_raw = v.get("n_movers_raw", len(movers))
             print(f"- self-verdict movers (raw >=2x and >=0.4s): "
-                  f"{v.get('n_movers_confirmed', 0)}/{n_raw} confirmed after normalization"
+                  f"{v.get('n_movers_confirmed', 0)}/{n_raw} confirmed "
+                  f"(normalized AND reproduced by the targeted re-pass)"
                   + (f" (showing {len(movers)} of {n_raw})" if n_raw > len(movers) else ""))
             for m in movers:
-                # confirmed is True/False when calibration adjudicated the
-                # mover, None when the prev artifact had no probes — an
-                # unadjudicated mover must read as a potential regression,
-                # never as host drift
+                # confirmed now means BOTH gates held: the calibration-
+                # normalized ratio AND the automatic targeted re-pass
+                # (r19 #1). REFUTED = the re-run read fast again (host
+                # noise); host-drift = calibration explained it; a
+                # missing gate is conservative (cannot clear a mover).
                 c = m.get("confirmed")
-                tag = ("CONFIRMED" if c is True else
-                       "host-drift" if c is False else
-                       "UNADJUDICATED (no prev calibration)")
+                rep = m.get("reproduced")
+                tag = ("CONFIRMED (reproduced)" if c is True else
+                       "REFUTED (targeted re-pass read fast)" if rep is False else
+                       "host-drift (calibration-normalized)")
+                rp = m.get("repro")
                 print(f"    {m['q']:28s} {m['prev']:6.2f} -> {m['cur']:6.2f}  "
                       f"raw {m['ratio_raw']:.2f}x  norm "
                       f"{m['ratio_norm'] if m['ratio_norm'] is not None else 'n/a'}"
+                      f"  repro {f'{rp:.2f}s' if rp is not None else 'n/a'}"
                       f"  {tag}")
         else:
             print("- self-verdict: no raw movers")

@@ -1070,9 +1070,10 @@ object Multimodal {
   /** q153: hamming-distance histogram over DISTINCT perceptual hashes —
     * the LSH operating-point diagnostic for the media tier (q123's role
     * for text minhash): how the distinct-hash population spreads in
-    * hamming space tells you whether the hamming ≤ 3 threshold (and the
-    * 4-band layout guaranteeing it) separates near-dups from the bulk —
-    * a histogram with mass piling at ≤ 3 means the space is saturating
+    * hamming space tells you whether the lattice radius (and the
+    * radius+1-band layout guaranteeing it) separates near-dups from the
+    * bulk — a histogram with mass piling inside the radius means the
+    * space is saturating
     * (the certification corpus's measured percolation) and the near tier
     * needs a wider hash. Pair enumeration is over DISTINCT hash VALUES
     * only — bounded by hash-space occupancy, never corpus size (the q144

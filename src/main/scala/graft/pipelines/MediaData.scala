@@ -41,9 +41,11 @@ object MediaData {
     *        here when given; otherwise they are counted and dropped —
     *        undecodable media is ROUTINE ingest noise (unlike
     *        TrainingData's structural breaches, which fail the run)
-    * @param nearDup also collapse hamming ≤ 3 near-duplicate groups
-    *        (re-encodes, light edits) via the q144 representative-edge
-    *        closure; exact-hash dedup always runs
+    * @param nearDup also collapse near-duplicate groups within the
+    *        lattice radius ([[Multimodal.phashHamMax]]: hd ≤ 3 on
+    *        16-bit, hd ≤ 8 on the pooled 64-bit lattice per q229 —
+    *        re-encodes, light edits, watermarks) via the q144
+    *        representative-edge closure; exact-hash dedup always runs
     * @param hashBits perceptual-hash width for the near tier's banding
     *        (64 for real pooled images; 16 for the 4×4 test corpus)
     * @param histDir when given, the run also writes the q153 hamming

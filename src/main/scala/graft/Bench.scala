@@ -238,7 +238,23 @@ object Bench {
     val rerunMovers: Seq[String] => Map[String, Double] = names => {
       System.err.println(
         s"[bench] reproduction pass: re-running ${names.size} raw mover(s) subset-hot")
-      names.map(n => timeOne(n, SparkEntry.queries(n), attribute = false)).toMap
+      // a query that FAILS during the re-pass is OMITTED from the map
+      // (not timed): its fast failure wall would otherwise read as a
+      // refutation, clearing a mover whose regression is exactly that
+      // it now dies — a missing timing routes to the conservative
+      // reproduced=None path in adjudicateMovers (r20 review)
+      names.flatMap { n =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some(n -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] repro $n FAILED (${e.getMessage}) — timing omitted, mover stays unclearable")
+          None
+        }
+      }.toMap
     }
     var verdictScalars = "" // compact copy for the tail-truncated stdout line
     val verdictJson = prev match {

@@ -345,22 +345,32 @@ object SwapProtocol {
     * (`graft.pointer.store`, default "rename"); fails loudly on an
     * unknown value — see the trait scaladoc.
     *
-    * Resolution order (r19 ADVICE): Hadoop's FileSystem CACHE binds
-    * `fs.getConf` at FIRST instantiation of the scheme, so a key set
-    * after that point (e.g. `spark.conf.set` after the session started)
-    * would be silently invisible through `fs.getConf` alone — a silent
-    * fallback to the rename store, contradicting the trait's doctrine.
-    * The ACTIVE session's runtime conf is therefore consulted first
-    * (`spark.hadoop.graft.pointer.store` as Spark prefixes Hadoop keys,
-    * then the bare key — a cheap map lookup, current at every call);
-    * `fs.getConf` remains the fallback for non-Spark callers and for
-    * keys set at launch, where the cached conf IS current. */
+    * Resolution order (r19 ADVICE + r20 review):
+    *   1. a key EXPLICITLY present in `fs.getConf` — a per-FileSystem
+    *      choice deliberately bound at FS creation (per-bucket S3A-style
+    *      configuration, `FileSystem.newInstance` with a custom conf, or
+    *      a launch-time `spark.hadoop.*` setting) always wins: a
+    *      session-wide key must not silently override an explicit
+    *      per-store decision;
+    *   2. otherwise the SparkSession's runtime conf
+    *      (`spark.hadoop.graft.pointer.store` as Spark prefixes Hadoop
+    *      keys, then the bare key) — because Hadoop's FileSystem CACHE
+    *      binds `fs.getConf` at FIRST instantiation of the scheme, a key
+    *      set after that point (`spark.conf.set` post-start) is invisible
+    *      through the cached conf, and ignoring it would be a silent
+    *      rename fallback. The active (thread-local) session is consulted
+    *      first, then the default session, so writer threads outside the
+    *      driver's main thread (thread pools, Futures) resolve the same
+    *      store as the driver;
+    *   3. the "rename" default. */
   def storeFor(fs: FileSystem): PointerStore = {
     val key = "graft.pointer.store"
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .flatMap(s => s.conf.getOption("spark.hadoop." + key)
-        .orElse(s.conf.getOption(key)))
-      .getOrElse(fs.getConf.get(key, "rename")) match {
+    Option(fs.getConf.get(key))
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .flatMap(s => s.conf.getOption("spark.hadoop." + key)
+          .orElse(s.conf.getOption(key))))
+      .getOrElse("rename") match {
       case "rename" => RenamePointerStore
       case "put"    => PutPointerStore
       case other => throw new IllegalArgumentException(

@@ -520,6 +520,29 @@ class SwapProtocolSpec extends AnyFunSuite {
     assert(SwapProtocol.storeFor(cached) == graft.sources.RenamePointerStore)
   }
 
+  test("pointer store selection: an EXPLICIT per-FS key beats the session key; pool threads resolve like the driver (r20 review)") {
+    val key = "spark.hadoop.graft.pointer.store"
+    try {
+      spark.conf.set(key, "rename")
+      // a store deliberately bound at FS creation (per-bucket S3A-style
+      // conf) must not be silently overridden by a session-wide key
+      assert(SwapProtocol.storeFor(putFs()) == graft.sources.PutPointerStore)
+      spark.conf.set(key, "put")
+      // a writer on a thread with NO active session (thread pool,
+      // Future) must resolve the same store as the driver — the default
+      // session is the cross-thread fallback
+      val cached = fs("/tmp")
+      @volatile var got: graft.sources.PointerStore = null
+      val t = new Thread(() => {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        got = SwapProtocol.storeFor(cached)
+      })
+      t.start(); t.join()
+      assert(got == graft.sources.PutPointerStore,
+        "a pool thread must not silently fall back to the rename store")
+    } finally spark.conf.unset(key)
+  }
+
   test("pointed crash matrix through the PUT store: publish, crash fallback, repair, retention") {
     val pf = putFs()
     val base = Files.createTempDirectory("graft-put").toString

@@ -136,9 +136,18 @@ def main():
                 # missing gate is conservative (cannot clear a mover).
                 c = m.get("confirmed")
                 rep = m.get("reproduced")
-                tag = ("CONFIRMED (reproduced)" if c is True else
-                       "REFUTED (targeted re-pass read fast)" if rep is False else
-                       "host-drift (calibration-normalized)")
+                if c is True:
+                    # conservative paths can confirm WITHOUT a repro
+                    # timing — say which evidence actually exists
+                    tag = ("CONFIRMED (reproduced)" if rep is True else
+                           "CONFIRMED (repro timing missing — conservative)")
+                elif c is False:
+                    tag = ("REFUTED (targeted re-pass read fast)" if rep is False
+                           else "host-drift (calibration-normalized)")
+                else:
+                    # pre-r20 artifacts: confirmed null = no prev
+                    # calibration — a potential regression, never drift
+                    tag = "UNADJUDICATED (no prev calibration)"
                 rp = m.get("repro")
                 print(f"    {m['q']:28s} {m['prev']:6.2f} -> {m['cur']:6.2f}  "
                       f"raw {m['ratio_raw']:.2f}x  norm "

@@ -665,48 +665,93 @@ object Multimodal {
     * hd 12–16 — so its radius is RECALL-bounded and a radius of 3 would
     * silently miss ~5/6 of the classic single-pixel-watermark near-dups
     * (q229: recall 0.17 at hd≤3 vs 0.82 at hd≤8, precision 1.0 through
-    * hd≤8). Banding follows the radius by pigeonhole (radius+1 bands),
-    * so recall stays EXACT at either radius. */
+    * hd≤8). Candidate generation keeps recall EXACT at either radius
+    * through the per-lattice band scheme below. */
   private[graft] val PhashHamMax16 = 3 // priced by q225 (16-bit certification lattice: recall 0.79 at hd≤3 on the planted watermark family; precision decays ~2× per radius step in that saturated space — precision-bounded)
   private[graft] val PhashHamMax64 = 8 // priced by q229 (the PRODUCTION 64-bit lattice through the real pooled-8×8 hash branch: precision 1.0 through hd≤8, collisions only at hd 12-16, recall 0.17 at hd≤3 vs 0.82 at hd≤8 on the planted single-pixel watermark family — recall-bounded; hd≤8 is the knee: the largest swept radius with measured precision 1.0)
   private[graft] def phashHamMax(hashBits: Int): Int =
     if (hashBits >= 64) PhashHamMax64 else PhashHamMax16
 
-  /** Band count for a hamming radius — pigeonhole: ≤ `hamMax` flipped
-    * bits cannot touch all `hamMax + 1` bands, so every qualifying pair
-    * shares at least one intact band and the candidate join misses
-    * nothing (the q91 span argument, in hash space). 4 bands over the
-    * 16-bit lattice (radius 3), 9 over the 64-bit one (radius 8). */
-  private[graft] def phashBands(hamMax: Int): Int = hamMax + 1
+  /** Per-lattice band scheme (bands, perBandFlips) — the generalized
+    * pigeonhole: a pair within radius r cannot have ≥ flips+1 differing
+    * bits in EVERY band when bands·(flips+1) > r, so some band differs
+    * by ≤ flips bits and the probe side's ≤flips-flip variant of that
+    * band equals the index side's exact value (multi-index hashing,
+    * Norouzi/Punjani/Fleet 2012 — the candidate join misses nothing).
+    *
+    * WHY not simply radius+1 single-probe bands at 64-bit (r20 review):
+    * 9 bands over 64 bits are 7-bit band values — random band collision
+    * 9·2⁻⁷ ≈ 0.07 per hash pair, which at 10⁶ distinct corpus hashes is
+    * a ~3.5·10¹⁰-row candidate join before verification. The (3, 2)
+    * scheme keeps 21/21/22-bit band values: probe amplification is 718
+    * variant rows per query hash (Σ C(w,≤2) per band), but random
+    * collision drops to Σ_bands C(w,≤2)·2⁻ʷ ≈ 2.8·10⁻⁴ per pair — ~250×
+    * fewer candidates, and only ~4.6× the old radius-3 cost (4·2⁻¹⁶) —
+    * the measured price of recalling 0.82 instead of 0.17 of the
+    * watermark family. The index/corpus side stays 3 EXACT rows per
+    * hash (cheaper than the old 4), so persisted/banded corpus layouts
+    * carry no probe blowup. 16-bit keeps (4, 0) — the pre-r20 layout,
+    * bit- and plan-identical on every certified query. */
+  private[graft] def phashBandScheme(hashBits: Int): (Int, Int) =
+    if (hashBits >= 64) (3, 2) else (PhashHamMax16 + 1, 0)
 
   /** Hash width of the certification corpus's 4×4 BMPs (16 px ⇒ one bit
     * per pixel); real pooled images are 64. */
   private[graft] val CorpusHashBits = 16
 
-  /** Append (band, bhash) rows — `phashBands(hamMax)` per input row — to
-    * any frame with an `ahash` column: the candidate-generation layout
-    * every phash near-dup tier (q140's probe, q144's rep edges, the
-    * PhashIndex serve) equi-joins on. `hamMax` defaults to the lattice's
-    * own radius ([[phashHamMax]]); both join sides must band with the
-    * same (hashBits, hamMax). Band b covers the bit range
-    * [b·W/B, (b+1)·W/B) — floor boundaries, so widths differ by at most
-    * one bit when B ∤ W (9 bands over 64 bits = 8×7 + 1×8) — which
-    * keeps the 16-bit layout (4 × 4-bit bands) bit-identical to the
-    * pre-lattice-aware shape. */
-  private[graft] def withPhashBands(h: DataFrame, hashBits: Int,
-      hamMax: Int = -1): DataFrame = {
-    val radius = if (hamMax < 0) phashHamMax(hashBits) else hamMax
-    val bands = phashBands(radius)
-    require(bands >= 1 && bands <= hashBits,
-      s"radius $radius needs $bands bands — more than the $hashBits hash bits")
+  /** Band slice boundaries: band b of B covers bits [b·W/B, (b+1)·W/B)
+    * — floor boundaries, widths differing by at most one bit when B ∤ W
+    * (3 bands over 64 bits = 21+21+22). */
+  private def bandSlices(hashBits: Int, bands: Int): Seq[(Int, Int)] =
+    (0 until bands).map { b =>
+      val lo = b * hashBits / bands
+      (lo, (b + 1) * hashBits / bands - lo)
+    }
+
+  private def widthMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
+
+  /** All XOR masks with ≤ `maxFlips` bits set within `width` bits, the
+    * identity mask first. */
+  private[graft] def flipMasks(width: Int, maxFlips: Int): Seq[Long] =
+    (0 to maxFlips).flatMap(k => (0 until width).combinations(k)
+      .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+
+  /** INDEX-side banding: append EXACT (band, bhash) rows — one per
+    * scheme band — to any frame with an `ahash` column. This is the
+    * persisted/corpus layout every phash near-dup tier equi-joins on;
+    * the QUERY side of the join must band with [[withPhashProbes]]
+    * (identical rows when the lattice's flip budget is 0, as at
+    * 16-bit). */
+  private[graft] def withPhashBands(h: DataFrame, hashBits: Int): DataFrame = {
+    val (bands, _) = phashBandScheme(hashBits)
     h.select(col("*"), posexplode(array(
-        (0 until bands).map { b =>
-          val lo = b * hashBits / bands
-          val width = (b + 1) * hashBits / bands - lo
-          val mask = if (width >= 64) -1L else (1L << width) - 1
-          shiftrightunsigned(col("ahash"), lo).bitwiseAND(lit(mask))
+        bandSlices(hashBits, bands).map { case (lo, width) =>
+          shiftrightunsigned(col("ahash"), lo).bitwiseAND(lit(widthMask(width)))
         }: _*))
       .as(Seq("band", "bhash")))
+  }
+
+  /** QUERY-side banding: append (band, bhash) rows for every ≤flips-flip
+    * VARIANT of each band value — `Σ C(width, ≤flips)` rows per hash
+    * (718 at 64-bit, the multi-probe side of the scheme's tradeoff; see
+    * [[phashBandScheme]]). Joining these against [[withPhashBands]] of
+    * the other side finds every pair within the lattice radius, exactly.
+    * With a 0-flip budget (16-bit) this IS withPhashBands — same rows,
+    * same plan — so certified 16-bit queries are untouched. */
+  private[graft] def withPhashProbes(h: DataFrame, hashBits: Int): DataFrame = {
+    val (bands, flips) = phashBandScheme(hashBits)
+    if (flips == 0) withPhashBands(h, hashBits)
+    else bandSlices(hashBits, bands).zipWithIndex.map { case ((lo, width), b) =>
+      val variants = flipMasks(width, flips)
+      h.select(col("*"),
+          shiftrightunsigned(col("ahash"), lo)
+            .bitwiseAND(lit(widthMask(width))).as("_graft_bv"))
+        .select(col("*"), lit(b).as("band"),
+          explode(array(variants.map(m => col("_graft_bv").bitwiseXOR(lit(m))): _*))
+            .as("bhash"))
+        .drop("_graft_bv")
+    }.reduce(_ unionByName _)
   }
 
   /** The q140 probe batch: images of docs < 50 — "today's ingest" (the
@@ -746,10 +791,12 @@ object Multimodal {
     val hamMax = phashHamMax(hashBits) // lattice-aware radius (r19 verdict #3)
     val hashes = hashed.filter(col("decoded"))
       .select(col("doc_id"), col("ahash")).cache()
-    def bandsOf(h: DataFrame): DataFrame =
-      withPhashBands(h, hashBits, hamMax).select(col("doc_id"), col("band"), col("bhash"))
-    val bands = bandsOf(hashes)
-    val probe = bandsOf(hashes.filter(col("doc_id") < probeMaxId))
+    val bands = withPhashBands(hashes, hashBits)
+      .select(col("doc_id"), col("band"), col("bhash"))
+    // batch side takes the PROBE role (multi-probe variants at 64-bit;
+    // identical to exact bands at 16-bit) — amplification follows the
+    // small side, the corpus stays at one exact row per band
+    val probe = withPhashProbes(hashes.filter(col("doc_id") < probeMaxId), hashBits)
       .select(col("doc_id").as("doc_a"), col("band"), col("bhash"))
     val cand = broadcast(probe)
       .join(bands, Seq("band", "bhash"))
@@ -914,10 +961,13 @@ object Multimodal {
       hashes.select(col("doc_id"), col("ahash").cast("string").as("k")))
     // distinct-hash representatives: one row per hash VALUE
     val reps = hashes.groupBy(col("ahash")).agg(min(col("doc_id")).as("rep")).cache()
-    val bands = withPhashBands(reps, hashBits, hamMax)
-    val nearEdges = bands.select(col("band"), col("bhash"),
+    // self-join: ONE side takes the probe role (a within-radius pair's
+    // differing band bits are symmetric, so the left variant hits the
+    // right exact value from either direction; ha < hb dedups)
+    val nearEdges = withPhashProbes(reps, hashBits)
+      .select(col("band"), col("bhash"),
         col("ahash").as("ha"), col("rep").as("doc_a"))
-      .join(bands.select(col("band"), col("bhash"),
+      .join(withPhashBands(reps, hashBits).select(col("band"), col("bhash"),
         col("ahash").as("hb"), col("rep").as("doc_b")), Seq("band", "bhash"))
       .filter(col("ha") < col("hb"))
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()

@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * re-decoding history — decode cost follows the ingest, never the corpus.
   *
   * Same construction as q139/q140 ([[Multimodal.imageAHash]]: per-pixel
-  * bits ≤ 64 px, 8×8 average-pool above; [[Multimodal.withPhashBands]]:
-  * radius+1 bands by pigeonhole — 4 over 16-bit hashes at radius 3, 9
-  * over the 64-bit production lattice at its q229-priced radius 8), so
-  * an index built today keeps matching batches hashed tomorrow, and the
-  * pigeonhole recall guarantee (a within-radius pair always shares an
-  * intact band) carries over unchanged.
+  * bits ≤ 64 px, 8×8 average-pool above; [[Multimodal.phashBandScheme]]:
+  * 4 exact bands at 16-bit, 3 exact bands + a ≤2-flip multi-probe query
+  * side at 64-bit — generalized pigeonhole at the q229-priced radius 8),
+  * so an index built today keeps matching batches hashed tomorrow, and
+  * the recall guarantee (a within-radius pair always has a band the
+  * probe variants cover) carries over unchanged.
   *
   * Scale shape: the index is (doc_id, ahash) — corpus-linear, 16 bytes a
   * row; query() is candidates (band equi-join, broadcast-able batch side)
@@ -58,14 +58,20 @@ object PhashIndex {
     * the indexed corpus: (batch_id, corpus_id, hamming) with hamming ≤
     * `hamMax` — default: the lattice's own priced radius
     * ([[Multimodal.phashHamMax]]: 3 on 16-bit, 8 on the 64-bit pooled
-    * lattice per q229). Banding derives from the radius (radius+1
-    * bands, pigeonhole), so recall stays EXACT at ANY requested radius;
-    * a wider radius pays more candidate-join rows, never missed pairs.
-    * Batch ids matching their own corpus entry (re-ingest) are excluded
-    * by id equality, the same excludeSelf discipline as the ANN serve. */
+    * lattice per q229). The BATCH side multi-probes
+    * ([[Multimodal.withPhashProbes]]) against the index's exact band
+    * rows, so recall is exact by the scheme's pigeonhole for any radius
+    * up to the lattice default — a larger radius would need a wider
+    * flip budget and must be an explicit scheme decision, not a silent
+    * recall hole (the pre-lattice require, restored). Batch ids
+    * matching their own corpus entry (re-ingest) are excluded by id
+    * equality, the same excludeSelf discipline as the ANN serve. */
   def query(index: DataFrame, batch: DataFrame, hashBits: Int,
       hamMax: Int = -1): DataFrame = {
     val radius = if (hamMax < 0) Multimodal.phashHamMax(hashBits) else hamMax
+    require(radius <= Multimodal.phashHamMax(hashBits),
+      s"hamming radius $radius exceeds the ${Multimodal.phashHamMax(hashBits)}" +
+        s"-radius recall guarantee of the $hashBits-bit band scheme")
     // an ALREADY-cached index belongs to the CALLER (who loads once and
     // probes many batches — the module's whole point); unpersisting it
     // here would evict that shared cache after the first probe. An
@@ -74,9 +80,9 @@ object PhashIndex {
     val indexWasCached = index.storageLevel.useMemory || index.storageLevel.useDisk
     val corpus = if (indexWasCached) index else index.cache()
     val fresh = build(batch).cache()
-    val cand = Multimodal.withPhashBands(fresh, hashBits, radius)
+    val cand = Multimodal.withPhashProbes(fresh, hashBits)
       .select(col("doc_id").as("batch_id"), col("band"), col("bhash"))
-      .join(Multimodal.withPhashBands(corpus, hashBits, radius)
+      .join(Multimodal.withPhashBands(corpus, hashBits)
         .select(col("doc_id").as("corpus_id"), col("band"), col("bhash")),
         Seq("band", "bhash"))
       .filter(col("batch_id") =!= col("corpus_id"))

@@ -101,11 +101,14 @@ object MediaData {
         // edges -> components; each component keeps its min doc
         val reps = exactKeep.select(col("ahash"), col("keep_id").as("rep")).cache()
         val hamMax = Multimodal.phashHamMax(hashBits) // lattice-aware radius
-        val bands = Multimodal.withPhashBands(reps, hashBits, hamMax)
-        val nearEdges = bands.select(col("band"), col("bhash"),
+        // probe-vs-exact self-join (the q144 discipline): one side
+        // multi-probes at 64-bit, the other stays one exact row per band
+        val nearEdges = Multimodal.withPhashProbes(reps, hashBits)
+          .select(col("band"), col("bhash"),
             col("ahash").as("ha"), col("rep").as("doc_a"))
-          .join(bands.select(col("band"), col("bhash"),
-            col("ahash").as("hb"), col("rep").as("doc_b")), Seq("band", "bhash"))
+          .join(Multimodal.withPhashBands(reps, hashBits)
+            .select(col("band"), col("bhash"),
+              col("ahash").as("hb"), col("rep").as("doc_b")), Seq("band", "bhash"))
           .filter(col("ha") < col("hb"))
           .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
           .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= hamMax)

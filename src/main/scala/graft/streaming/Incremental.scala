@@ -573,7 +573,7 @@ object Incremental {
         }
         val mediaHit = loadState(phashDir) match {
           case Some(ph) =>
-            val qBands = Multimodal.withPhashBands(
+            val qBands = Multimodal.withPhashProbes(
                 inBatch.select(col("doc_id")).join(hashed, Seq("doc_id")), hashBits)
               .select(col("band"), col("bhash"), col("doc_id"),
                 col("ahash").as("bh"))
@@ -1712,20 +1712,26 @@ object Incremental {
     * [[mediaNearDupHits]] exactly as the eval-saturation maintainer's
     * repeats are), no caching, no stateful operator; per-batch cost is
     * decode + a broadcast-able band join, independent of corpus history.
-    * `bandIndex` is `Multimodal.withPhashBands(PhashIndex.load(...))` —
-    * banded once at start-up (at cluster scale: the band-partitioned
-    * parquet layout the PhashIndex scaladoc prescribes). */
+    * `index` is the PLAIN `PhashIndex.load(...)` table (doc_id, ahash):
+    * banding happens HERE, from the same scheme the probe side uses, so
+    * a persisted pre-banded frame can never drift out of layout-sync
+    * with the probe generation across upgrades (r20 review: a stale
+    * band layout joined against new probes would silently match
+    * nothing). At cluster scale, partition the saved (doc_id, ahash)
+    * parquet by an ahash prefix; the band explode adds one exact row
+    * per scheme band. */
   def continuousMediaNearDup(spark: SparkSession, inDir: String,
-      schema: org.apache.spark.sql.types.StructType, bandIndex: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, index: DataFrame,
       hitsDir: String, checkpointDir: String,
       hashBits: Int = 64): StreamingQuery =
     runOnce(spark, inDir, schema, hitsDir, checkpointDir) { df =>
-      graft.ops.Multimodal.withPhashBands(
+      graft.ops.Multimodal.withPhashProbes(
           graft.ops.Multimodal.imageAHash(df).filter(col("decoded")), hashBits)
         .select(col("doc_id").as("batch_id"), col("ahash").as("ha"),
           col("band"), col("bhash"))
-        .join(bandIndex.select(col("doc_id").as("corpus_id"),
-          col("ahash").as("hb"), col("band"), col("bhash")), Seq("band", "bhash"))
+        .join(graft.ops.Multimodal.withPhashBands(index, hashBits)
+          .select(col("doc_id").as("corpus_id"),
+            col("ahash").as("hb"), col("band"), col("bhash")), Seq("band", "bhash"))
         .filter(col("batch_id") =!= col("corpus_id"))
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .filter(col("hamming") <= graft.ops.Multimodal.phashHamMax(hashBits))

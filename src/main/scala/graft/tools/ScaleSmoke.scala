@@ -1200,6 +1200,48 @@ object ScaleSmoke {
     // profile (the number that prices the 100 TB media pass) and runs
     // the full funnel with the near tier ON at the width where the hash
     // space does NOT saturate.
+    // 64-BIT BAND-SCHEME CANDIDATE VOLUME (phash64): the shipped
+    // multi-probe scheme ((3 bands, <=2 flips): 718 probe rows/hash,
+    // ~2.8e-4 random pair collision) vs the naive radius+1 single-probe
+    // alternative ((9 bands, exact): 9 rows/hash, ~7e-2 collision) on
+    // RANDOM 64-bit hashes — the adversarial occupancy where banding
+    // earns nothing from structure. Self-join candidate counts + wall
+    // at growing distinct-hash occupancy N: the naive scheme's
+    // candidates grow ~0.07*N^2/2 (quadratic cliff), the shipped one
+    // ~2.8e-4*N^2/2 — the ~250x gap that makes radius 8 affordable at
+    // production occupancy (r20 review of the r19-verdict radius).
+    if (section == "all" || section == "phash64") {
+      import graft.ops.Multimodal
+      for (n <- Seq(20000, 60000)) {
+        val hashes = spark.range(n)
+          .select(col("id").as("rep"),
+            expr("xxhash64(id, 929L)").as("ahash")).cache()
+        hashes.count()
+        def cands(probe: DataFrame, index: DataFrame): Long =
+          probe.select(col("band"), col("bhash"), col("rep").as("doc_a"))
+            .join(index.select(col("band"), col("bhash"), col("rep").as("doc_b")),
+              Seq("band", "bhash"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b")).distinct().count()
+        val t0 = System.nanoTime()
+        val shipped = cands(Multimodal.withPhashProbes(hashes, 64),
+          Multimodal.withPhashBands(hashes, 64))
+        val tShipped = (System.nanoTime() - t0) / 1e9
+        // the naive radius+1 layout, reconstructed inline for comparison
+        val naive9 = hashes.select(col("rep"), posexplode(array(
+            (0 until 9).map { b =>
+              val lo = b * 64 / 9
+              val w = (b + 1) * 64 / 9 - lo
+              shiftrightunsigned(col("ahash"), lo).bitwiseAND(lit((1L << w) - 1))
+            }: _*)).as(Seq("band", "bhash")))
+        val t1 = System.nanoTime()
+        val naive = cands(naive9, naive9)
+        val tNaive = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] phash64 N=$n%6d: shipped (3b,f2) $shipped%10d cands $tShipped%6.2f s | " +
+          f"naive (9b,f0) $naive%10d cands $tNaive%6.2f s | ratio ${naive.toDouble / math.max(1, shipped)}%8.1f x")
+        hashes.unpersist()
+      }
+    }
     if (section == "all" || section == "media64") {
       import spark.implicits._
       val pngFor = udf { (seed: Long) =>

@@ -129,17 +129,20 @@ class MultimodalSpec extends AnyFunSuite {
       grouped(0).getLong(2) == 2L)
   }
 
-  test("q140 banding: every hash pair within the lattice radius shares an intact band (exact recall)") {
-    // the pigeonhole claim behind the candidate generation, at BOTH
-    // lattices with their OWN radii (r19 verdict #3): radius 3 -> 4
-    // bands over 16-bit hashes (exhaustive: all <=3-flip sets), radius
-    // 8 -> 9 floor-boundary bands over 64-bit hashes (exhaustive at
-    // <=2 flips + all <=8-subsets of the band-BOUNDARY bits, where a
-    // slicing off-by-one would bite + a seeded random sample)
+  test("band scheme: every hash pair within the lattice radius is found by the probe join (exact recall)") {
+    // the generalized pigeonhole behind the candidate generation (r19
+    // verdict #3 + r20 review): a pair within radius r cannot differ by
+    // >= flips+1 bits in EVERY band when bands*(flips+1) > r, so some
+    // band differs by <= flips bits and the probe side's variant equals
+    // the index side's exact band value. 16-bit: (4 bands, 0 flips) at
+    // radius 3 (exhaustive: all <=3-flip sets). 64-bit: (3 bands, 2
+    // flips) at radius 8 (exhaustive at <=2 flips + all <=8-subsets of
+    // the band-BOUNDARY bits, where a slicing off-by-one would bite +
+    // a seeded random sample).
     for (hashBits <- Seq(16, 64)) {
       val radius = Multimodal.phashHamMax(hashBits)
-      val nBands = Multimodal.phashBands(radius)
-      assert(nBands == radius + 1, "pigeonhole wants bands = radius + 1")
+      val (nBands, flips) = Multimodal.phashBandScheme(hashBits)
+      assert(nBands * (flips + 1) > radius, "generalized pigeonhole bound")
       val base = if (hashBits == 16) 0xBEEFL else 0xDEADBEEFCAFEF00DL
       def bandsOf(h: Long): Seq[Long] =
         (0 until nBands).map { b =>
@@ -147,33 +150,64 @@ class MultimodalSpec extends AnyFunSuite {
           val width = (b + 1) * hashBits / nBands - lo
           (h >>> lo) & (if (width >= 64) -1L else (1L << width) - 1)
         }
-      def sharesBand(bs: Seq[Int]): Boolean = {
+      // the probe join finds the pair iff some band differs by <= flips
+      // bits (a variant mask of exactly that difference exists)
+      def probeFinds(bs: Seq[Int]): Boolean = {
         val other = bs.foldLeft(base)((h, b) => h ^ (1L << b))
-        bandsOf(base).zip(bandsOf(other)).exists { case (a, b) => a == b }
+        bandsOf(base).zip(bandsOf(other))
+          .exists { case (a, b) => java.lang.Long.bitCount(a ^ b) <= flips }
       }
       val boundaryBits = (0 until nBands)
         .flatMap(b => Seq(b * hashBits / nBands, (b + 1) * hashBits / nBands - 1))
         .distinct.sorted
       val exhaustiveDepth = if (hashBits == 16) radius else 2
-      val flips: Iterator[Seq[Int]] =
+      val flipSets: Iterator[Seq[Int]] =
         (1 to exhaustiveDepth).iterator.flatMap((0 until hashBits).combinations) ++
           (1 to radius).iterator.flatMap(boundaryBits.combinations) ++ {
             val rnd = new scala.util.Random(229L)
             Iterator.fill(4000)(rnd.shuffle((0 until hashBits).toList)
               .take(1 + rnd.nextInt(radius)))
           }
-      flips.foreach { bs =>
-        assert(sharesBand(bs),
-          s"no intact band at width $hashBits radius $radius for flipped bits $bs — the candidate join would miss this pair")
+      flipSets.foreach { bs =>
+        assert(probeFinds(bs),
+          s"no band within the flip budget at width $hashBits radius $radius for flipped bits $bs — the candidate join would miss this pair")
       }
-      // and one flip per band CAN evade every band (the bound is tight)
-      val evader = (0 until nBands)
-        .foldLeft(base)((h, b) => h ^ (1L << (b * hashBits / nBands)))
-      assert(!bandsOf(base).zip(bandsOf(evader)).exists { case (a, b) => a == b })
+      // tightness: flips+1 flips in EVERY band evades the whole scheme
+      // (16-bit: 1 per band = 4 > 3; 64-bit: 3 per band = 9 > 8 — both
+      // legitimately outside the radius)
+      val evaderFlips = (0 until nBands).flatMap { b =>
+        val lo = b * hashBits / nBands
+        (0 to flips).map(lo + _)
+      }
+      assert(evaderFlips.size > radius, "the evader must exceed the radius")
+      assert(!probeFinds(evaderFlips))
       // bands partition ALL hashBits bits: widths sum to the hash width
       assert((0 until nBands).map(b =>
         (b + 1) * hashBits / nBands - b * hashBits / nBands).sum == hashBits)
     }
+  }
+
+  test("withPhashProbes vs withPhashBands join finds a radius-8 pair with NO intact band") {
+    import spark.implicits._
+    // hd = 8 spread (3, 3, 2) across the 64-bit scheme's three bands:
+    // every band differs (an exact-band join would miss the pair at any
+    // layout without probes), but band 2 differs by exactly the flip
+    // budget — the multi-probe guarantee, exercised through the REAL
+    // kernel (mediaNearDupOf at 64-bit)
+    val base = 0x0DDBA11CAFED00DAL
+    val other = Seq(0, 1, 2, 21, 22, 23, 42, 43)
+      .foldLeft(base)((h, b) => h ^ (1L << b))
+    assert(java.lang.Long.bitCount(base ^ other) == 8)
+    val hashed = Seq((1L, true, base), (10L, true, other), (11L, true, ~base))
+      .toDF("doc_id", "decoded", "ahash")
+    val got = Multimodal.mediaNearDupOf(hashed, probeMaxId = 5L, hashBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 8L)), got.toString)
+    // and the probe row count is the documented amplification:
+    // Sum over bands of C(width, <=2) = 232 + 232 + 254 = 718
+    val probes = Multimodal.withPhashProbes(
+      Seq((1L, base)).toDF("doc_id", "ahash"), 64).count()
+    assert(probes == 718L, s"probe amplification: $probes")
   }
 
   test("the 64-bit default radius equals the q229 knee; 16-bit stays the q225 point (r19 verdict #3)") {

@@ -1180,8 +1180,7 @@ class StreamingSpec extends AnyFunSuite {
     val corpus = (0 until 40).map(i =>
       (i.toLong, graft.ops.Multimodal.bmpOf(s"img $i body"))).toDF("doc_id", "media")
     graft.ops.PhashIndex.save(graft.ops.PhashIndex.build(corpus), idxDir)
-    val idx = graft.ops.PhashIndex.load(spark, idxDir)
-    val bandIdx = graft.ops.Multimodal.withPhashBands(idx, hashBits = 16)
+    val idx = graft.ops.PhashIndex.load(spark, idxDir) // plain (doc_id, ahash) -- banding is the maintainer's job (r20)
     // ingest batch: an exact re-post of corpus img 7, fresh images, junk
     val batch = Seq(
       (100L, graft.ops.Multimodal.bmpOf("img 7 body")),
@@ -1191,10 +1190,10 @@ class StreamingSpec extends AnyFunSuite {
       (104L, graft.ops.Multimodal.bmpOf("yet another different text")),
       (105L, graft.ops.Multimodal.bmpOf("img 7 body"))).toDF("doc_id", "media")
     batch.filter(col("doc_id") < 103).write.parquet(s"$in/b1")
-    Incremental.continuousMediaNearDup(spark, s"$in/*", mediaSchema, bandIdx, out, ck,
+    Incremental.continuousMediaNearDup(spark, s"$in/*", mediaSchema, idx, out, ck,
       hashBits = 16)
     batch.filter(col("doc_id") >= 103).write.parquet(s"$in/b2")
-    val q2 = Incremental.continuousMediaNearDup(spark, s"$in/*", mediaSchema, bandIdx,
+    val q2 = Incremental.continuousMediaNearDup(spark, s"$in/*", mediaSchema, idx,
       out, ck, hashBits = 16)
     assert(Incremental.progressReport(q2).rows == 3L,
       "resume must process only the second file")

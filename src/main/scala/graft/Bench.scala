@@ -178,15 +178,33 @@ object Bench {
     // reading decomposes as attributed builds + plan cost per query
     // instead of needing manual subtraction against artifact_cost
     val buildAttribution = scala.collection.mutable.Map[String, Double]()
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        attribute: Boolean): (String, Double) = {
-      val c0 = if (attribute) graft.ops.SessionArtifacts.costs.values.sum else 0.0
+    // queries that THREW in any main pass: their fast failure wall is
+    // NOT a speedup — without this flag a query regressing into an
+    // error would read as a large improvement, never trip the mover
+    // gate, and even pull the median down (r20 review). Failed names
+    // are excluded from the verdict's ratio set and shipped in the
+    // artifact so the reader sees the breakage, not a clean verdict.
+    val failedQueries = scala.collection.mutable.Set[String]()
+    // ONE timing methodology for main passes AND the mover re-pass —
+    // a shared bracket so the re-pass stays definitionally comparable
+    // to the prevQ numbers it adjudicates against. Returns (sec, ok).
+    def evalOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (a bare count()
       // would let column pruning skip the expensive expressions entirely)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        attribute: Boolean): (String, Double) = {
+      val c0 = if (attribute) graft.ops.SessionArtifacts.costs.values.sum else 0.0
+      val (sec, ok) = evalOnce(name, fn)
+      if (!ok) failedQueries += name
       if (attribute) {
         val d = graft.ops.SessionArtifacts.costs.values.sum - c0
         if (d > 0) buildAttribution(name) = d
@@ -244,14 +262,11 @@ object Bench {
       // it now dies — a missing timing routes to the conservative
       // reproduced=None path in adjudicateMovers (r20 review)
       names.flatMap { n =>
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(n)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          Some(n -> (System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        val (sec, ok) = evalOnce(n, SparkEntry.queries(n))
+        if (ok) Some(n -> sec)
+        else {
           System.err.println(
-            s"[bench] repro $n FAILED (${e.getMessage}) — timing omitted, mover stays unclearable")
+            s"[bench] repro $n FAILED — timing omitted, mover stays unclearable")
           None
         }
       }.toMap
@@ -260,8 +275,12 @@ object Bench {
     val verdictJson = prev match {
       case Some((prevQ, prevCalib)) =>
         val factor = prevCalib.map(_ / calibCur)
+        // failed queries carry meaningless (fast) walls — they must not
+        // read as speedups or dilute the median; they ship in the
+        // artifact's failed_queries instead
         val (common, medRaw, movers) =
-          adjudicateMovers(prevQ, prevCalib, results, calibCur, rerunMovers)
+          adjudicateMovers(prevQ, prevCalib, results -- failedQueries,
+            calibCur, rerunMovers)
         if (common.isEmpty) """"verdict":{"prev":"none","reason":"no common queries"},"""
         else {
           // ALL raw movers — counts come from the full set; only the
@@ -313,10 +332,13 @@ object Bench {
       val b = buildAttribution.getOrElse(q, 0.0)
       s"""{"q":"$q","cold":${f"$t%.3f"},"builds":${f"$b%.3f"},"plan":${f"${t - b}%.3f"}}"""
     }.mkString("[", ",", "]")
+    val failedJson = failedQueries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val artifactJson =
       s""""artifact_cost":${jsonMap(artifactCosts)},""" +
         s""""artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},""" +
-        s""""cold_decomposed":$coldDecomposed,"""
+        s""""cold_decomposed":$coldDecomposed,""" +
+        s""""failed_queries":$failedJson,"""
     val fullJson =
       s"""{"sf":"$sfDir","passes":$passes,"n_queries":${results.size},""" +
         s"""$passMaps,"queries_first":${jsonMap(firstPass)},""" +
@@ -331,7 +353,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
-    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},$verdictScalars"artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
+    println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},$verdictScalars"n_failed":${failedQueries.size},"artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
     spark.stop()
   }
 }

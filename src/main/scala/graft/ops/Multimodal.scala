@@ -738,20 +738,34 @@ object Multimodal {
     * [[phashBandScheme]]). Joining these against [[withPhashBands]] of
     * the other side finds every pair within the lattice radius, exactly.
     * With a 0-flip budget (16-bit) this IS withPhashBands — same rows,
-    * same plan — so certified 16-bit queries are untouched. */
+    * same plan — so certified 16-bit queries are untouched.
+    *
+    * ONE projection + ONE explode, not a per-band union (r20 review):
+    * union branches re-execute the upstream subplan per branch, and on
+    * a STREAMING input that subplan is the image decode — the dominant
+    * per-batch cost — which a union would pay once per band with no way
+    * to cache a stream. Band values compute once as columns; the
+    * variant structs are 3 shifts + 718 XORs over them. */
   private[graft] def withPhashProbes(h: DataFrame, hashBits: Int): DataFrame = {
     val (bands, flips) = phashBandScheme(hashBits)
     if (flips == 0) withPhashBands(h, hashBits)
-    else bandSlices(hashBits, bands).zipWithIndex.map { case ((lo, width), b) =>
-      val variants = flipMasks(width, flips)
-      h.select(col("*"),
+    else {
+      val slices = bandSlices(hashBits, bands)
+      val withBv = h.select(col("*") +: slices.zipWithIndex.map {
+        case ((lo, width), b) =>
           shiftrightunsigned(col("ahash"), lo)
-            .bitwiseAND(lit(widthMask(width))).as("_graft_bv"))
-        .select(col("*"), lit(b).as("band"),
-          explode(array(variants.map(m => col("_graft_bv").bitwiseXOR(lit(m))): _*))
-            .as("bhash"))
-        .drop("_graft_bv")
-    }.reduce(_ unionByName _)
+            .bitwiseAND(lit(widthMask(width))).as(s"_graft_bv$b")
+      }: _*)
+      val variants = slices.zipWithIndex.flatMap { case ((_, width), b) =>
+        flipMasks(width, flips).map(m =>
+          struct(lit(b).as("band"),
+            col(s"_graft_bv$b").bitwiseXOR(lit(m)).as("bhash")))
+      }
+      withBv.select(col("*"), explode(array(variants: _*)).as("_graft_bp"))
+        .select(col("*"), col("_graft_bp.band").as("band"),
+          col("_graft_bp.bhash").as("bhash"))
+        .drop("_graft_bp" +: (0 until bands).map(b => s"_graft_bv$b"): _*)
+    }
   }
 
   /** The q140 probe batch: images of docs < 50 — "today's ingest" (the

@@ -345,31 +345,36 @@ object SwapProtocol {
     * (`graft.pointer.store`, default "rename"); fails loudly on an
     * unknown value — see the trait scaladoc.
     *
-    * Resolution order (r19 ADVICE + r20 review):
-    *   1. a key EXPLICITLY present in `fs.getConf` — a per-FileSystem
-    *      choice deliberately bound at FS creation (per-bucket S3A-style
-    *      configuration, `FileSystem.newInstance` with a custom conf, or
-    *      a launch-time `spark.hadoop.*` setting) always wins: a
-    *      session-wide key must not silently override an explicit
-    *      per-store decision;
-    *   2. otherwise the SparkSession's runtime conf
+    * Resolution order (r19 ADVICE + two r20 review rounds):
+    *   1. the SparkSession's runtime conf
     *      (`spark.hadoop.graft.pointer.store` as Spark prefixes Hadoop
-    *      keys, then the bare key) — because Hadoop's FileSystem CACHE
-    *      binds `fs.getConf` at FIRST instantiation of the scheme, a key
-    *      set after that point (`spark.conf.set` post-start) is invisible
-    *      through the cached conf, and ignoring it would be a silent
-    *      rename fallback. The active (thread-local) session is consulted
-    *      first, then the default session, so writer threads outside the
-    *      driver's main thread (thread pools, Futures) resolve the same
-    *      store as the driver;
+    *      keys, then the bare key) — the user's CURRENT intent. It must
+    *      win over `fs.getConf` because the cached FileSystem conf is a
+    *      SNAPSHOT: Hadoop's FS cache binds the conf at first
+    *      instantiation of the scheme, and `newHadoopConf()` copies the
+    *      session's `spark.hadoop.*` keys into it — so a cached conf can
+    *      carry a STALE session-derived value that would silently
+    *      shadow a later `spark.conf.set` forever (the r19 staleness
+    *      bug, in either direction). The active (thread-local) session
+    *      is consulted first, then the default session, so writer
+    *      threads outside the driver's main thread (thread pools,
+    *      Futures) resolve the same store as the driver;
+    *   2. otherwise `fs.getConf` — non-Spark callers and launch-time
+    *      Hadoop-side configuration. NOTE the tradeoff: an FS built
+    *      with a private conf whose key CONTRADICTS a set session key
+    *      resolves to the session key; deployments that need
+    *      store-per-path route it through the session conf before the
+    *      publish, not through private conf objects (updating a tiny
+    *      session key between publishes is cheap; a silently stale
+    *      store is not);
     *   3. the "rename" default. */
   def storeFor(fs: FileSystem): PointerStore = {
     val key = "graft.pointer.store"
-    Option(fs.getConf.get(key))
-      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .flatMap(s => s.conf.getOption("spark.hadoop." + key)
-          .orElse(s.conf.getOption(key))))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => s.conf.getOption("spark.hadoop." + key)
+        .orElse(s.conf.getOption(key)))
+      .orElse(Option(fs.getConf.get(key)))
       .getOrElse("rename") match {
       case "rename" => RenamePointerStore
       case "put"    => PutPointerStore

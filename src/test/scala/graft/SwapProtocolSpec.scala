@@ -520,13 +520,17 @@ class SwapProtocolSpec extends AnyFunSuite {
     assert(SwapProtocol.storeFor(cached) == graft.sources.RenamePointerStore)
   }
 
-  test("pointer store selection: an EXPLICIT per-FS key beats the session key; pool threads resolve like the driver (r20 review)") {
+  test("pointer store selection: the CURRENT session key beats a stale snapshot in a cached FS conf; pool threads resolve like the driver (r20 review)") {
     val key = "spark.hadoop.graft.pointer.store"
     try {
+      // the staleness shape: newHadoopConf() copies session keys into
+      // the conf the FS cache then binds FOREVER — an FS instantiated
+      // while the key said "put" must not shadow the user's LATER
+      // "rename" (current intent wins; the fs conf is a snapshot)
+      val latched = putFs() // fs conf carries graft.pointer.store=put
       spark.conf.set(key, "rename")
-      // a store deliberately bound at FS creation (per-bucket S3A-style
-      // conf) must not be silently overridden by a session-wide key
-      assert(SwapProtocol.storeFor(putFs()) == graft.sources.PutPointerStore)
+      assert(SwapProtocol.storeFor(latched) == graft.sources.RenamePointerStore,
+        "a stale session-derived snapshot in the FS conf must not shadow the current session key")
       spark.conf.set(key, "put")
       // a writer on a thread with NO active session (thread pool,
       // Future) must resolve the same store as the driver — the default

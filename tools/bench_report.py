@@ -102,6 +102,12 @@ def main():
         print(f"- session artifact builds: {total:.1f} s total across "
               f"{len(ac)} builds; top: "
               + ", ".join(f"{k} {v:.1f}s" for k, v in top))
+    failed = a.get("failed_queries")
+    if failed:
+        # a failed query's wall time is a fast ERROR, not a speedup —
+        # these are excluded from the verdict's ratio set (r20 review)
+        print(f"- !! {len(failed)} QUERIES FAILED during the bench "
+              f"(excluded from verdict ratios): {', '.join(failed)}")
     cd = a.get("cold_decomposed")
     if isinstance(cd, list) and cd:
         # per-query cold = attributed builds + plan (r19 #6): the pass-1
@@ -145,9 +151,10 @@ def main():
                     tag = ("REFUTED (targeted re-pass read fast)" if rep is False
                            else "host-drift (calibration-normalized)")
                 else:
-                    # pre-r20 artifacts: confirmed null = no prev
-                    # calibration — a potential regression, never drift
-                    tag = "UNADJUDICATED (no prev calibration)"
+                    # confirmed is null only in pre-r20 artifacts (no
+                    # prev calibration, no repro pass) — a potential
+                    # regression, never drift
+                    tag = "UNADJUDICATED (pre-adjudication artifact / no prev calibration)"
                 rp = m.get("repro")
                 print(f"    {m['q']:28s} {m['prev']:6.2f} -> {m['cur']:6.2f}  "
                       f"raw {m['ratio_raw']:.2f}x  norm "

@@ -740,31 +740,32 @@ object Multimodal {
     * With a 0-flip budget (16-bit) this IS withPhashBands — same rows,
     * same plan — so certified 16-bit queries are untouched.
     *
-    * ONE projection + ONE explode, not a per-band union (r20 review):
-    * union branches re-execute the upstream subplan per branch, and on
-    * a STREAMING input that subplan is the image decode — the dominant
-    * per-batch cost — which a union would pay once per band with no way
-    * to cache a stream. Band values compute once as columns; the
-    * variant structs are 3 shifts + 718 XORs over them. */
+    * ONE posexplode over a flat long array, not a per-band union (r20
+    * review): union branches re-execute the upstream subplan per
+    * branch — on a STREAMING input that subplan is the image decode,
+    * the dominant per-batch cost, paid once per band with no way to
+    * cache a stream. The 718 variant values stay PRIMITIVE (no per-row
+    * struct boxing, no per-row constant-array conversion — both
+    * measurably slower); the band id derives from the explode position
+    * against the cumulative variant counts. */
   private[graft] def withPhashProbes(h: DataFrame, hashBits: Int): DataFrame = {
     val (bands, flips) = phashBandScheme(hashBits)
     if (flips == 0) withPhashBands(h, hashBits)
     else {
-      val slices = bandSlices(hashBits, bands)
-      val withBv = h.select(col("*") +: slices.zipWithIndex.map {
-        case ((lo, width), b) =>
-          shiftrightunsigned(col("ahash"), lo)
-            .bitwiseAND(lit(widthMask(width))).as(s"_graft_bv$b")
-      }: _*)
-      val variants = slices.zipWithIndex.flatMap { case ((_, width), b) =>
-        flipMasks(width, flips).map(m =>
-          struct(lit(b).as("band"),
-            col(s"_graft_bv$b").bitwiseXOR(lit(m)).as("bhash")))
+      val perBand = bandSlices(hashBits, bands).map { case (lo, width) =>
+        (lo, widthMask(width), flipMasks(width, flips))
       }
-      withBv.select(col("*"), explode(array(variants: _*)).as("_graft_bp"))
-        .select(col("*"), col("_graft_bp.band").as("band"),
-          col("_graft_bp.bhash").as("bhash"))
-        .drop("_graft_bp" +: (0 until bands).map(b => s"_graft_bv$b"): _*)
+      val variants: Seq[org.apache.spark.sql.Column] = perBand.flatMap { case (lo, wmask, masks) =>
+        masks.map(m => shiftrightunsigned(col("ahash"), lo)
+          .bitwiseAND(lit(wmask)).bitwiseXOR(lit(m)))
+      }
+      val bounds = perBand.map(_._3.size).scanLeft(0)(_ + _).tail // cumulative
+      val bandOfPos = bounds.init.zipWithIndex.foldRight(lit(bands - 1): org.apache.spark.sql.Column) {
+        case ((bound, b), rest) => when(col("_graft_pos") < bound, b).otherwise(rest)
+      }
+      h.select(col("*"), posexplode(array(variants: _*)).as(Seq("_graft_pos", "bhash")))
+        .select(col("*"), bandOfPos.as("band"))
+        .drop("_graft_pos")
     }
   }
 

@@ -42,16 +42,29 @@ object Bench {
 
   /** Previous-round warm map + calibration, parsed from a committed
     * BENCH_FULL.json (Jackson is on Spark's classpath). Read BEFORE this
-    * run overwrites the file. Returns (queries, meanCalibration). */
+    * run overwrites the file. Returns (queries, meanCalibration).
+    * The prev artifact's `failed_queries` are DROPPED from the returned
+    * map (r20 ADVICE): a query that THREW in the previous run carries a
+    * meaningless fast failure wall — after the fix lands, the now-working
+    * query would read as a >=2x raw mover against that wall, and the
+    * targeted repro pass would "confirm" it (working code really is
+    * slower than an error), shipping a phantom regression. Symmetric
+    * with the current run's own failed-query exclusion. */
   private[graft] def readPrevArtifact(path: String): Option[(Map[String, Double], Option[Double])] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File(path))
+      val failed: Set[String] = Option(root.get("failed_queries")).map { node =>
+        val it = node.elements()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }.getOrElse(Set.empty)
       val qs = Option(root.get("queries")).map { node =>
         val it = node.fields()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-        b.result()
+        b.result() -- failed
       }
       val probes = Seq("host_calibration_sec", "host_calibration_end_sec")
         .flatMap(k => Option(root.get(k)).map(_.asDouble()))

@@ -150,18 +150,24 @@ object IvfPq {
     // NumSub independent seeded fits over the same cached sample — each a
     // SubK-means on one contiguous residual slice (5 random-init
     // iterations: codebooks partition the subspace, like the IVF coarse
-    // codebook they don't need a converged objective)
-    val codebooks: Array[Array[Array[Double]]] = (0 until NumSub).map { m =>
-      val sliceUdf = udf { (v: Array[Double]) =>
-        java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)
-      }
-      val feats = fitRows.select(
-        org.apache.spark.ml.functions.array_to_vector(sliceUdf(col("residual")))
-          .as("features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(subK).setSeed(seed + m).setMaxIter(5).setInitMode("random")
-        .fit(feats).clusterCenters.map(_.toArray)
-    }.toArray
+    // codebook they don't need a converged objective). The fits run
+    // CONCURRENTLY (guide §2.6 — r21): each is deterministic in
+    // (sample, seed+m) alone, so overlapping them changes nothing but the
+    // wall-clock; sequential fits on the sample-bounded table were almost
+    // entirely per-fit scheduling tail (measured: the 8-fit loop was
+    // ~80 % of the 54 s ivf-pq session build on a contended host).
+    val codebooks: Array[Array[Array[Double]]] =
+      graft.ops.SessionArtifacts.inParallel((0 until NumSub).map { m => () =>
+        val sliceUdf = udf { (v: Array[Double]) =>
+          java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)
+        }
+        val feats = fitRows.select(
+          org.apache.spark.ml.functions.array_to_vector(sliceUdf(col("residual")))
+            .as("features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(subK).setSeed(seed + m).setMaxIter(5).setInitMode("random")
+          .fit(feats).clusterCenters.map(_.toArray)
+      }).toArray
     fitRows.unpersist()
     codebooks.zipWithIndex.flatMap { case (cb, m) =>
       cb.zipWithIndex.map { case (c, code) => (m, code, c.toSeq) }

@@ -1357,36 +1357,53 @@ object Scoring {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"))
     val tfb = bigramFoldOf(docs, carry = Seq("source")).cache()
-    // per-source models: the same fold, keyed one column wider
+    // per-source models: the same fold, keyed one column wider. Cached:
+    // the per-source table also rolls up into the global model below
+    // (sum-of-per-source sums == global sum exactly, in longs), so the
+    // big per-doc fold is aggregated ONCE instead of twice (r21 §2.3:
+    // aggregate the already-reduced table, not the wide one).
     val bgs = tfb.groupBy(col("source"), col("a"), col("b"))
-      .agg(sum(col("tf")).as("cab_s"))
+      .agg(sum(col("tf")).as("cab_s")).cache()
     val cas = bgs.groupBy(col("source"), col("a"))
       .agg(sum(col("cab_s")).as("ca_s"))
-    val vs = docs
+    // ONE vocabulary pass for both the per-source and the global V:
+    // the distinct (source, token) table is vocab-sized; v_s is its
+    // per-source row count and V its distinct-token count — identical
+    // integers to the two separate count_distinct passes this replaces
+    // (r21 §2.4: two aggregations keyed off the same explode share one
+    // tokenize pass instead of re-reading the corpus).
+    val distWords = docs
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
-      .groupBy(col("source"))
-      .agg(count_distinct(col("w")).cast("double").as("v_s"))
-    // the global q147 model from the same fold
-    val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+      .distinct().cache()
+    val vs = distWords.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("v_s"))
+    // the global q147 model, rolled up from the per-source table
+    val bg = bgs.groupBy(col("a"), col("b")).agg(sum(col("cab_s")).as("cab"))
     val cag = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-    val v = docs
-      .select(explode(TextFns.tokens(col("text"))).as("w"))
-      .agg(count_distinct(col("w")).cast("double").as("v"))
-    val per = tfb
-      .join(bgs, Seq("source", "a", "b"))
+    val v = distWords.agg(count_distinct(col("w")).cast("double").as("v"))
+    // log-probabilities computed ON THE MODEL TABLES (model-type-sized),
+    // then attached to the per-doc fold in TWO equi-joins instead of the
+    // previous five-table join chain over the big fold (r21 §3: the big
+    // side crosses the least number of joins; the arithmetic per row is
+    // the identical expression over identical operand values, evaluated
+    // once per model row instead of once per fold row)
+    val own = bgs
       .join(cas, Seq("source", "a"))
-      .join(vs, Seq("source"))
-      .join(bg, Seq("a", "b"))
+      .join(broadcast(vs), Seq("source"))
+      .select(col("source"), col("a"), col("b"),
+        log((col("cab_s") + 1) / (col("ca_s") + col("v_s"))).as("lp_own"))
+    val glob = bg
       .join(cag, Seq("a"))
       .crossJoin(broadcast(v))
+      .select(col("a"), col("b"),
+        log((col("cab") + 1) / (col("ca") + col("v"))).as("lp_glob"))
+    val per = tfb
+      .join(own, Seq("source", "a", "b"))
+      .join(glob, Seq("a", "b"))
       .groupBy(col("doc_id"), col("source"))
       .agg(
-        round(-sum(col("tf") *
-            log((col("cab_s") + 1) / (col("ca_s") + col("v_s")))) /
-          sum(col("tf")), 4).as("nll_own"),
-        round(-sum(col("tf") *
-            log((col("cab") + 1) / (col("ca") + col("v")))) /
-          sum(col("tf")), 4).as("nll_glob"))
+        round(-sum(col("tf") * col("lp_own")) / sum(col("tf")), 4).as("nll_own"),
+        round(-sum(col("tf") * col("lp_glob")) / sum(col("tf")), 4).as("nll_glob"))
     Caching.materializeAndRelease(
       per.groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_scored"),
@@ -1394,7 +1411,7 @@ object Scoring {
           ExactMean.mean4(col("nll_glob")).as("nll_glob"),
           ExactMean.mean4(col("nll_glob") - col("nll_own")).as("specificity"))
         .orderBy(col("source")),
-      tfb)
+      tfb, bgs, distWords)
   }
 
   // ---------------------------------------------------------------- q168

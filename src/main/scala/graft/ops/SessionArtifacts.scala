@@ -80,6 +80,33 @@ object SessionArtifacts {
   def existing(kind: String, spark: SparkSession, dataset: String): Option[String] =
     completed.get((kind, spark.sparkContext.applicationId, dataset))
 
+  /** Run INDEPENDENT build/fit thunks concurrently (optimization guide
+    * §2.6, "overlap independent jobs": actions are only sequential
+    * because driver code calls them sequentially — a small pool lets the
+    * next fit's tasks back-fill executors idled by the current fit's
+    * tail). Used by the multi-point sweep builds (q213/q217/q228 index
+    * variants) and the per-subspace PQ codebook fits, where each thunk
+    * is a seeded, deterministic, sample-bounded fit: results are
+    * identical to the sequential order — only the wall-clock overlaps.
+    * Results return in INPUT order; the first failure rethrows (same
+    * failure surface as the sequential loop). Thunks that route through
+    * [[dir]] stay build-once under concurrency (the Holder serializes
+    * forcing). Pool capped at 4: per guide §2.6, 2–3 jobs in flight is
+    * enough to fill the tail without the fits fighting for executors. */
+  def inParallel[T](thunks: Seq[() => T]): Seq[T] =
+    if (thunks.sizeIs <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(thunks.size, 4))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.traverse(thunks)(t => Future(t())),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
   /** The artifact directory for (kind, session, dataset); `build` runs once,
     * receiving a fresh temp dir to populate. */
   def dir(kind: String, spark: SparkSession, dataset: String)(build: String => Unit): String = {

@@ -933,8 +933,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
-    SweepNCells.map { n =>
-      buildSweepRow(s, nlistDir(s, d, n), queries, exact, nq,
+    // cold path: the per-nlist index builds are independent seeded fits —
+    // overlap them (guide §2.6) instead of paying each fit's tail serially
+    val dirs = SessionArtifacts.inParallel(
+      SweepNCells.map(n => () => n -> nlistDir(s, d, n)))
+    dirs.map { case (n, dir) =>
+      buildSweepRow(s, dir, queries, exact, nq,
         NlistNProbe, "ncells", n.toLong)
     }.reduce(_ unionByName _).orderBy(col("ncells"))
   }
@@ -984,8 +988,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
-    SweepFitCaps.map { m =>
-      buildSweepRow(s, fitDir(s, d, m), queries, exact, nq,
+    // overlap the independent per-cap builds (guide §2.6), as in q213
+    val dirs = SessionArtifacts.inParallel(
+      SweepFitCaps.map(m => () => m -> fitDir(s, d, m)))
+    dirs.map { case (m, dir) =>
+      buildSweepRow(s, dir, queries, exact, nq,
         NlistNProbe, "fit_cap", m.toLong)
     }.reduce(_ unionByName _).orderBy(col("fit_cap"))
   }
@@ -1047,8 +1054,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val exact = exactTop3Sweep(s, d)
     val nq = queries.count()
-    SweepReplicas.map { r =>
-      buildSweepRow(s, replicaDir(s, d, r), queries, exact, nq,
+    // overlap the independent per-r builds (guide §2.6), as in q213;
+    // the r=1 derivation forcing the r=2 certification build first stays
+    // build-once under concurrency (SessionArtifacts Holder)
+    val dirs = SessionArtifacts.inParallel(
+      SweepReplicas.map(r => () => r -> replicaDir(s, d, r)))
+    dirs.map { case (r, dir) =>
+      buildSweepRow(s, dir, queries, exact, nq,
         NlistNProbe, "nreplicas", r.toLong)
     }.reduce(_ unionByName _).orderBy(col("nreplicas"))
   }

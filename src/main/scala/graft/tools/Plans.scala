@@ -9,12 +9,16 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("GRAFT_PLANS_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // show the REAL computation shape, not the checkpointed LogicalRDD
+    // the cache-lifecycle wrapper returns (same switch PlanAuditSpec uses)
+    spark.conf.set(graft.ops.Caching.PassthroughKey, "true")
     names.foreach { n =>
       println(s"========== $n ==========")
       try graft.SparkEntry.queries(n)(spark, d).explain("formatted")

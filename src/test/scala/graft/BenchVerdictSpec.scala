@@ -85,6 +85,16 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(qs == Map("qa" -> 1.5, "qb" -> 0.25))
     assert(calib.exists(c => math.abs(c - 0.7) < 1e-9))
     assert(Bench.readPrevArtifact("/nonexistent/path.json").isEmpty)
+    // prev-side failure walls never enter the ratio set (r20 ADVICE):
+    // a query listed in the prev artifact's failed_queries is dropped
+    // from the returned map, so its meaningless fast wall cannot turn
+    // the now-fixed query into a phantom confirmed mover
+    val h = java.nio.file.Files.createTempFile("graft-bench-prevfail", ".json")
+    java.nio.file.Files.write(h,
+      """{"queries":{"qa":1.500,"qb":0.010},"failed_queries":["qb"],
+        |"host_calibration_sec":0.600}""".stripMargin.getBytes("UTF-8"))
+    val (qs2, _) = Bench.readPrevArtifact(h.toString).get
+    assert(qs2 == Map("qa" -> 1.5))
     val g = java.nio.file.Files.createTempFile("graft-bench-bad", ".json")
     java.nio.file.Files.write(g, "not json".getBytes("UTF-8"))
     assert(Bench.readPrevArtifact(g.toString).isEmpty)

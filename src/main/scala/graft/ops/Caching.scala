@@ -37,9 +37,44 @@ object Caching {
     * lifecycle differs, so flipping it never changes answers. */
   val PassthroughKey = "graft.caching.passthrough"
 
-  def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame =
-    if (result.sparkSession.conf.get(PassthroughKey, "false") == "true") result
-    else
+  /** Session conf switch (r21, optimization guide §1.2 driver work):
+    * when "true", [[materializeAndRelease]] skips the EAGER
+    * `localCheckpoint` — which costs one extra job + a result-block
+    * serialize/write/read per query (measured ~16 % of wall across the
+    * checkpoint-pattern queries at sf0.1) — and instead returns the
+    * result lazily CACHED (so a composed kernel's consumers still reuse
+    * one materialization) while registering result + intermediates for
+    * [[releasePending]], which the driving loop calls AFTER its action.
+    * Correct for any SINGLE-THREADED build→act→release loop (Bench);
+    * concurrent drivers (Verify's pool) keep the default eager mode —
+    * one thread's release must not evict another's in-flight caches.
+    * Results are identical either way (lifecycle only). */
+  val DeferKey = "graft.caching.deferRelease"
+
+  private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val conf = result.sparkSession.conf
+    if (conf.get(PassthroughKey, "false") == "true") result
+    else if (conf.get(DeferKey, "false") == "true") {
+      val cached = result.cache()
+      intermediates.foreach(pending.add)
+      pending.add(cached)
+      cached
+    } else
       try result.localCheckpoint(true)
       finally intermediates.foreach(_.unpersist())
+  }
+
+  /** Release every frame registered under [[DeferKey]] mode. Called by
+    * the sequential driving loop after its action; a no-op when nothing
+    * is pending (eager mode registers nothing). */
+  def releasePending(): Unit = {
+    var df = pending.poll()
+    while (df != null) {
+      try df.unpersist() catch { case _: Throwable => () }
+      df = pending.poll()
+    }
+  }
 }

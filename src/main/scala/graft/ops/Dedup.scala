@@ -472,12 +472,14 @@ object Dedup {
     * in one statement. */
   val q221SimhashThresholdSweep: Q = (s, d) => {
     val norm = TextFns.normText(col("text"))
+    // no minhash signature here (r21): the sweep's candidates come from
+    // SIMHASH banding and its truth from the prefix-filter join over the
+    // raw shingle hashes — the 32-permutation `sig` an earlier cut also
+    // computed was never read, pure dead per-doc work
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingleHashes(norm).as("hs"),
         simhashMd5(norm).as("simhash"))
       .filter(size(col("hs")) > 0 && col("simhash").isNotNull)
-      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig"),
-        col("simhash"))
       .cache()
     // ground truth: exact-trigram-Jaccard ≥ 0.8 pairs via the prefix-
     // filter join — recall 1 by theorem, so parity with the oracle's

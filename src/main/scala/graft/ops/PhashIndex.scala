@@ -68,7 +68,12 @@ object PhashIndex {
     * equality, the same excludeSelf discipline as the ANN serve. */
   def query(index: DataFrame, batch: DataFrame, hashBits: Int,
       hamMax: Int = -1): DataFrame = {
-    val radius = if (hamMax < 0) Multimodal.phashHamMax(hashBits) else hamMax
+    // ONLY the documented sentinel (-1) selects the lattice default; any
+    // other negative is a caller bug and fails loudly instead of silently
+    // resolving to the default radius (r20 ADVICE)
+    require(hamMax >= -1,
+      s"hamMax=$hamMax: pass -1 for the lattice default or a radius >= 0")
+    val radius = if (hamMax == -1) Multimodal.phashHamMax(hashBits) else hamMax
     require(radius <= Multimodal.phashHamMax(hashBits),
       s"hamming radius $radius exceeds the ${Multimodal.phashHamMax(hashBits)}" +
         s"-radius recall guarantee of the $hashBits-bit band scheme")

@@ -1148,30 +1148,50 @@ object Scoring {
           lit(2L) * sum(when(col("cabc") === 2, 1L).otherwise(0L)), lit(1L)))
         .as("dd3"))
     // ---- KN2 serve over the test bigram fold (the joined-gate kn tier,
-    // the shared [[lnP2Expr]] rung bound to the broadcast scalars)
-    val lnP2 = lnP2Expr(col("cab"), col("ca"), col("n1a"), col("n1pre"),
-      col("dd"), col("tt"), col("v"))
+    // the [[lnP2Expr]] arithmetic with its in-model branch precomputed
+    // ON THE MODEL TABLE — the kn3NllFrom p2-projection shape, r21: the
+    // test fold crosses two joins instead of three, and the log runs
+    // once per model row instead of once per test-fold row; the
+    // expression per row is lnP2Expr's verbatim, so values are identical)
+    val lnP2m = bg
+      .join(ctx, Seq("a"))
+      .join(pre, Seq("b"))
+      .crossJoin(broadcast(disc))
+      .select(col("a"), col("b"),
+        log(((col("cab") - col("dd")) +
+          col("dd") * col("n1a") * (col("n1pre") / col("tt"))) / col("ca"))
+          .as("lp2"))
+    // out-of-model rung: add-1 under the test pair — cab null ⇒
+    // numerator 1; ca from the context table alone (lnP2Expr's otherwise)
+    val lnP2 = coalesce(col("lp2"),
+      log(lit(1L) / (coalesce(col("ca"), lit(0L)) + col("v"))))
     val s2 = bigramFoldOf(test)
-      .join(bg, Seq("a", "b"), "left")
-      .join(ctx, Seq("a"), "left")
-      .join(pre, Seq("b"), "left")
-      .crossJoin(broadcast(disc)).crossJoin(broadcast(vocab))
+      .join(lnP2m, Seq("a", "b"), "left")
+      .join(ctx.select(col("a"), col("ca")), Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(round(-sum(col("tf") * lnP2) / sum(col("tf")), 4).as("nll_kn2h"))
-    // ---- KN3 serve over the test trigram fold (the shared ladder)
-    val p2v = p2vExpr(col("cbc"), col("cb"), col("n1b"), col("n1pre2"),
-      col("dd"), col("tt"), col("v"))
+    // ---- KN3 serve over the test trigram fold (the shared ladder, its
+    // P2 rung likewise precomputed per model (b, c) pair — p2vExpr's
+    // in-model branch verbatim; the fallback branch still reads cb + v)
+    val p2m = bg.select(col("a").as("b"), col("b").as("c"), col("cab").as("cbc"))
+      .join(ctx.select(col("a").as("b"), col("ca").as("cb"), col("n1a").as("n1b")),
+        Seq("b"))
+      .join(pre.select(col("b").as("c"), col("n1pre")), Seq("c"))
+      .crossJoin(broadcast(disc))
+      .select(col("b"), col("c"),
+        (((col("cbc") - col("dd")) +
+          col("dd") * col("n1b") * (col("n1pre") / col("tt"))) / col("cb"))
+          .as("p2in"))
+    val p2v = coalesce(col("p2in"),
+      (lit(1L)) / (coalesce(col("cb"), lit(0L)) + col("v")))
     val lnP3 = lnP3Expr(col("cabc"), col("cab2"), col("n1ab"), p2v, col("dd3"))
     val s3 = trigramFoldOf(test)
       .join(tg, Seq("a", "b", "c"), "left")
       .join(ctx3, Seq("a", "b"), "left")
-      .join(bg.select(col("a").as("b"), col("b").as("c"), col("cab").as("cbc")),
-        Seq("b", "c"), "left")
-      .join(ctx.select(col("a").as("b"), col("ca").as("cb"), col("n1a").as("n1b")),
-        Seq("b"), "left")
-      .join(pre.select(col("b").as("c"), col("n1pre").as("n1pre2")),
-        Seq("c"), "left")
-      .crossJoin(broadcast(disc)).crossJoin(broadcast(disc3))
+      .join(p2m, Seq("b", "c"), "left")
+      .join(ctx.select(col("a").as("b"), col("ca").as("cb")), Seq("b"), "left")
+      .crossJoin(broadcast(disc3))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(round(-sum(col("tf") * lnP3) / sum(col("tf")), 4).as("nll_kn3h"))
@@ -2215,35 +2235,56 @@ object Scoring {
         SweepBm25Params.tail.zipWithIndex.map { case (p, i) =>
           bm25SumCol(p, i + 1) }: _*)
       .localCheckpoint(true)
+    // the four sweep points ride ONE top-5 cut, ONE rank window, and ONE
+    // metrics fold, keyed a `cfg` column wider (r21 — the q226 banding-
+    // sweep discipline applied here: the previous four unioned branches
+    // each paid their own TopK exchange + window + three metric joins on
+    // batch-sized data, ~4× the jobs for identical arithmetic). Per cfg
+    // the same (query, doc, bm25_i) rows flow through the same operators,
+    // so every emitted value is unchanged.
+    val ranked4 = scored.select(col("query_id"), col("doc_id"),
+        explode(array(SweepBm25Params.indices.map(i =>
+          struct(lit(i.toLong).as("cfg"), col(s"bm25_$i").as("bm25"))): _*)).as("c"))
+      .select(col("c.cfg").as("cfg"), col("query_id"), col("doc_id"),
+        col("c.bm25").as("bm25"))
+    val t5 = graft.plans.TopKPerGroup(ranked4, Seq("cfg", "query_id"),
+        Seq(graft.plans.TopKPerGroup.Key("bm25", desc = true),
+          graft.plans.TopKPerGroup.Key("doc_id")), 5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cfg"), col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))))
+    val k1Of = SweepBm25Params.zipWithIndex.tail.foldLeft(
+      lit(SweepBm25Params.head._1)) { case (acc, ((k1, _, _, _), i)) =>
+      when(col("cfg") === i, k1).otherwise(acc) }
+    val bOf = SweepBm25Params.zipWithIndex.tail.foldLeft(
+      lit(SweepBm25Params.head._3)) { case (acc, ((_, _, b, _), i)) =>
+      when(col("cfg") === i, b).otherwise(acc) }
     Caching.materializeAndRelease(
-      SweepBm25Params.zipWithIndex.map { case ((k1, _, b, _), i) =>
-        val t5 = graft.plans.TopKPerGroup(
-            scored.select(col("query_id"), col("doc_id"),
-              col(s"bm25_$i").as("bm25")),
-            Seq("query_id"),
-            Seq(graft.plans.TopKPerGroup.Key("bm25", desc = true),
-              graft.plans.TopKPerGroup.Key("doc_id")), 5)
-          .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
-            .orderBy(col("bm25").desc, col("doc_id"))))
-        rankingMetricsOf(t5, rel, nrel, k = 5)
-          .agg(count(lit(1)).cast("long").as("n_queries"),
-            graft.ops.ExactMean.mean4(col("recall5")).as("recall5"),
-            graft.ops.ExactMean.mean4(col("mrr5")).as("mrr5"),
-            graft.ops.ExactMean.mean4(col("ndcg5")).as("ndcg5"))
-          .select(lit(k1).as("k1"), lit(b).as("b"), col("n_queries"),
-            col("recall5"), col("mrr5"), col("ndcg5"))
-      }.reduce(_ unionByName _).orderBy(col("k1"), col("b")),
+      rankingMetricsOf(t5, rel, nrel, k = 5, extraKeys = Seq("cfg"))
+        .groupBy(col("cfg"))
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          graft.ops.ExactMean.mean4(col("recall5")).as("recall5"),
+          graft.ops.ExactMean.mean4(col("mrr5")).as("mrr5"),
+          graft.ops.ExactMean.mean4(col("ndcg5")).as("ndcg5"))
+        .select(k1Of.as("k1"), bOf.as("b"), col("n_queries"),
+          col("recall5"), col("mrr5"), col("ndcg5"))
+        .orderBy(col("k1"), col("b")),
       toks, hits)
   }
 
   /** The metric folds alone, over an arbitrary ranking (query_id, doc_id,
-    * rn) and label set — shared by q138 and the hand-computed unit. */
+    * rn) and label set — shared by q138 and the hand-computed unit.
+    * `extraKeys` widens the grouping key for sweep callers (q218 carries
+    * a `cfg` dimension through ONE fold instead of one fold per sweep
+    * point); with the default Nil the shape is bit-identical to the
+    * pre-r21 form. */
   private[graft] def rankingMetricsOf(ranked: DataFrame, rel: DataFrame,
-      nrel: DataFrame, k: Int): DataFrame = {
+      nrel: DataFrame, k: Int, extraKeys: Seq[String] = Nil): DataFrame = {
+    val gkeys = (extraKeys :+ "query_id").map(col)
     val graded = ranked
       .join(rel.withColumn("isrel", lit(1)), Seq("query_id", "doc_id"), "left")
       .withColumn("isrel", coalesce(col("isrel"), lit(0)))
-    val m = graded.groupBy(col("query_id")).agg(
+    val m = graded.groupBy(gkeys: _*).agg(
       sum(col("isrel")).cast("long").as(s"hits$k"),
       coalesce(min(when(col("isrel") === 1, col("rn"))), lit(0)).as("frank"),
       sum(col("isrel") / log(col("rn") + 1)).as("dcg"))
@@ -2255,13 +2296,13 @@ object Scoring {
     // a silently shrinking evaluation report under-counts exactly the
     // queries the retrieval stack serves worst
     m.join(nrel, Seq("query_id"), "left").join(ideal, Seq("query_id"), "left")
-      .select(col("query_id"),
+      .select(gkeys ++ Seq(
         coalesce(col("n_rel"), lit(0L)).as("n_rel"), col(s"hits$k"),
         round(coalesce(col(s"hits$k") / col("n_rel"), lit(0.0)), 4).as(s"recall$k"),
         round(when(col("frank") === 0, lit(0.0))
           .otherwise(lit(1.0) / col("frank")), 4).as(s"mrr$k"),
-        round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 4).as(s"ndcg$k"))
-      .orderBy(col("query_id"))
+        round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 4).as(s"ndcg$k")): _*)
+      .orderBy(gkeys: _*)
   }
 
   // --------------------------------------------------------------- q132

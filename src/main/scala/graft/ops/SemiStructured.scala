@@ -32,9 +32,14 @@ object SemiStructured {
     * parsed to MapType and scanned with `exists(map_keys(...))` — the
     * Spark-native form of the reference's predicate. */
   val q25JsonKeyPrefix: Q = (s, d) => {
-    val m = from_json(col("props"), MapType(StringType, StringType))
+    // json_object_keys: the predicate only reads TOP-LEVEL KEY NAMES, so
+    // the full-map from_json (which materializes every value string) was
+    // paying for data the query never touches — the key-only parse is
+    // ~35 % faster per pass and agrees on every row (r21; null/invalid
+    // JSON yields null either way, duplicate keys don't change `exists`)
     Tables.events(s, d)
-      .withColumn("detected", exists(map_keys(m), k => k.startsWith("k")))
+      .withColumn("detected",
+        exists(json_object_keys(col("props")), k => k.startsWith("k")))
       .groupBy(col("detected"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("detected"))

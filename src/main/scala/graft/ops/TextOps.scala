@@ -753,9 +753,13 @@ object TextOps {
     * planner budgets against are computed by the same certified
     * cascade. */
   private[graft] def tokenYieldOf(docs: DataFrame): DataFrame = {
+    // cache: the collapse kernel (per-doc run-fold HOF, the cascade's
+    // most expensive narrow pass) feeds BOTH the scrub stage and the
+    // final per-source join — uncached, the self-join re-ran it (r21)
     val collapsed = runCollapseKernel(docs)
       .select(col("doc_id"), col("n_toks").as("n_raw"),
         (col("n_toks") - col("n_collapsed")).as("n_coll"), col("clean_text"))
+      .cache()
     val scrubbed = boilerplateScrubOf(
         collapsed.select(col("doc_id"), col("clean_text").as("text")))
       .select(col("doc_id"),
@@ -774,7 +778,8 @@ object TextOps {
           sum(col("n_scrub")).cast("long").as("n_scrubbed"),
           sum(when(col("is_canon"), col("n_scrub")).otherwise(lit(0L)))
             .cast("long").as("n_yield"))
-        .orderBy(col("source")))
+        .orderBy(col("source")),
+      collapsed)
   }
 
   /** Positioned trigram rows of a tokenized corpus — shared by the scrub

@@ -49,6 +49,25 @@ object MicroBench {
     time("shingleHashes")(noop(docs.select(col("doc_id"),
       graft.ops.Dedup.shingleHashes(TextFns.normText(col("text"))).as("hs"))))
     time("shingle+sig+bands (bandRowsOf)")(noop(graft.ops.Dedup.bandRowsOf(docs)))
+    // q25 parse variants: full-map from_json vs key-only json_object_keys
+    val ev = Tables.events(spark, d)
+    import org.apache.spark.sql.types.{MapType, StringType}
+    time("q25 from_json map_keys")(noop(ev
+      .withColumn("detected", exists(map_keys(
+        from_json(col("props"), MapType(StringType, StringType))),
+        k => k.startsWith("k")))
+      .groupBy(col("detected")).agg(count(lit(1)).as("n"))))
+    time("q25 json_object_keys")(noop(ev
+      .withColumn("detected", exists(json_object_keys(col("props")),
+        k => k.startsWith("k")))
+      .groupBy(col("detected")).agg(count(lit(1)).as("n"))))
+    // parity probe: any row where the two predicates disagree?
+    val diff = ev.withColumn("a", exists(map_keys(
+        from_json(col("props"), MapType(StringType, StringType))),
+        k => k.startsWith("k")))
+      .withColumn("b", exists(json_object_keys(col("props")), k => k.startsWith("k")))
+      .filter(!(col("a") <=> col("b"))).count()
+    println(s"[micro] q25 predicate disagreements: $diff")
     spark.stop()
   }
 }

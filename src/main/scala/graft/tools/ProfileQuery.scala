@@ -73,6 +73,11 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("ERROR")
     sys.env.get("GRAFT_SCAN_FLOOR")
       .foreach(v => spark.conf.set("graft.scan.floor.enabled", v))
+    // generic session-conf overrides for A/B runs: "k=v;k=v"
+    sys.env.get("GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     // session warmup, mirroring Bench
     try graft.SparkEntry.queries("q01_pricing_summary")(spark, d)
       .write.format("noop").mode("overwrite").save()

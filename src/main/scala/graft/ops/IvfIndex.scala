@@ -182,13 +182,41 @@ object IvfIndex {
     index.cells.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
 
+  /** Codebook memo (r21, guide §1.2 driver work): every serve call paid
+    * one collect job (+ a meta read) to re-load centroids that are
+    * IMMUTABLE for a given on-disk state — [[append]] only touches
+    * `cells/`, and maintenance ops ([[compactTo]]/[[rebuildTo]]/the swap
+    * protocol) publish NEW directories. Keyed by (app, resolved dir,
+    * centroids-file signature): a re-[[save]] over the same dir changes
+    * the files' (name, length, mtime) listing and takes a fresh entry,
+    * so a rewritten index can never serve stale centroids. The `cells`
+    * frame is deliberately NOT memoized — it re-reads per call so
+    * appended members stay visible. Model-parameter memo only; every
+    * query still computes from the index files. */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Int)]()
+
   def load(spark: SparkSession, dir: String): IvfIndex = {
     val d = resolve(spark, dir)
-    val centroids = spark.read.parquet(s"$d/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    // pre-meta layouts (r6 and earlier) were single-assignment
-    val nReplicas = readMetaReplicas(spark, d).getOrElse(1)
+    def readDirect(): (Array[Array[Double]], Int) = {
+      val centroids = spark.read.parquet(s"$d/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      // pre-meta layouts (r6 and earlier) were single-assignment
+      (centroids, readMetaReplicas(spark, d).getOrElse(1))
+    }
+    val sig = try {
+      val p = new org.apache.hadoop.fs.Path(s"$d/centroids")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+    } catch { case _: Throwable => null }
+    val (centroids, nReplicas) =
+      if (sig == null) readDirect() // unreadable listing: no caching, the
+                                    // read below throws its original error
+      else codebookCache.computeIfAbsent(
+        s"${spark.sparkContext.applicationId}|$d|$sig", _ => readDirect())
     IvfIndex(centroids, spark.read.parquet(s"$d/cells"), nReplicas)
   }
 

@@ -375,6 +375,22 @@ object Bench {
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
     println(s"""{"queries_first":${jsonMap(firstPass)},"queries":${jsonMap(results)},"sf":"$sfDir","passes":$passes,"full":"$fullOut","host_calibration_sec":${f"$hostCalib%.3f"},"host_calibration_end_sec":${f"$hostCalibEnd%.3f"},$verdictScalars"n_failed":${failedQueries.size},"artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},"min_total_sec":${f"$minTotal%.3f"},"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"}}""")
+    // Compact FINAL line (r21 verdict #1): the full line above embeds two
+    // 230-query maps (~12 KB), but the artifact reader keeps only a ~2 KB
+    // tail of stdout, so that line's head — including its opening brace —
+    // never survives and the parse has failed every round since the suite
+    // passed ~70 queries. This last line carries the scalar summary and
+    // the pointer to the complete per-query artifact ONLY (both per-query
+    // maps live in BENCH_FULL.json, written above), so it always fits the
+    // tail window whole. Additions-only: the full line keeps printing.
+    println(
+      s"""{"metric":"first_pass_total","unit":"sec","value":${f"$firstTotal%.3f"},""" +
+        s""""min_total_sec":${f"$minTotal%.3f"},"n_queries":${results.size},""" +
+        s""""n_failed":${failedQueries.size},"sf":"$sfDir","passes":$passes,""" +
+        s""""host_calibration_sec":${f"$hostCalib%.3f"},""" +
+        s""""host_calibration_end_sec":${f"$hostCalibEnd%.3f"},""" +
+        s"""$verdictScalars"artifact_cost_total":${f"${artifactCosts.values.sum}%.3f"},""" +
+        s""""full":"$fullOut"}""")
     spark.stop()
   }
 }

@@ -109,30 +109,70 @@ object Dedup {
   /** Shared candidate-generate → verify core of q38/q56: unordered verified
     * pairs (doc_a < doc_b, trigram Jaccard ≥ 0.8). */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsOf(Tables.documents(s, d))
+    s.read.parquet(minhashPairsDir(s, d))
+
+  /** The (doc_id, hs, sig) signature computation over a (doc_id, text)
+    * frame — the ONE definition behind the generic pipeline path and the
+    * session signature artifact. */
+  private[graft] def sigsOf(input: DataFrame): DataFrame = input
+    .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
+    .filter(size(col("hs")) > 0)
+    .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig"))
+
+  /** Candidate-generate → verify over a MATERIALIZED (doc_id, hs, sig)
+    * signature frame (cached or a parquet scan — either is the barrier
+    * that keeps CollapseProject from re-inlining the signature kernels
+    * into every band expression and join side, measured ~20×). */
+  private def pairsFromSigs(docs: DataFrame): DataFrame =
+    bucketedCandidates(bandsOf(docs), Nil)
+      .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
 
   /** The q38 pipeline over an arbitrary (doc_id, text, ...) frame — shared
-    * by the table-reading form and the composed cleaning pipeline/tests. */
+    * by the composed cleaning pipeline/tests and the tools. The declared
+    * corpus queries go through the [[sigTable]]/[[minhashPairs]] session
+    * artifacts instead (one signature pass per session, not per query). */
   private[graft] def minhashPairsOf(input: DataFrame): DataFrame = {
-    // cache = materialization barrier: without it CollapseProject re-inlines
-    // the signature computation into every downstream reference (16 band
-    // expressions + 2 verification joins → ~20× the work, measured). At
-    // scale this is the persisted signature table every dedup pipeline
-    // materializes anyway.
-    val docs = input
-      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
-    val cand = bucketedCandidates(bandsOf(docs), Nil)
-    Caching.materializeAndRelease(
-      cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.8),
-      docs)
+    val docs = sigsOf(input).cache()
+    Caching.materializeAndRelease(pairsFromSigs(docs), docs)
   }
+
+  /** Once-per-(session, dataset) persisted MinHash SIGNATURE table
+    * (doc_id, hs, sig) — r22, guide §2.4 (share one pass): SEVEN declared
+    * queries (q38/q39/q122/q123/q214/q226 + the exactPairs08 build) each
+    * re-ran the tokenize→shingle→hash→minhash kernels, the most expensive
+    * narrow pass in the suite (MicroBench: 0.3–0.9 s/pass at sf0.1).
+    * This IS "the persisted signature table every dedup pipeline
+    * materializes" the inline cache comment always claimed — now
+    * materialized once per session × dataset and served as a parquet
+    * scan. Deterministic kernels, so values are bit-identical to the
+    * inline form; row order is irrelevant to every consumer (equi-joins,
+    * groupBys, or a final sort). */
+  private[graft] def sigTableDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("minhash-sigs", s, d) { t =>
+      sigsOf(Tables.documents(s, d)).write.mode("overwrite").parquet(t)
+    }
+
+  /** The persisted signature table (doc_id, hs, sig). */
+  private[graft] def sigTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sigTableDir(s, d))
+
+  /** Once-per-(session, dataset) persisted MinHash LSH near-dup PAIRS
+    * (doc_a, doc_b, jaccard ≥ 0.8) — the verified-pair truth q38 serves
+    * and dedupComponents/q79 close over. Built from [[sigTable]] through
+    * the SAME banding → skew-guarded candidates → merge-verify path the
+    * inline form ran (LSH semantics preserved — this is NOT the exact
+    * prefix-filter pair set, whose recall guarantee differs); parquet
+    * round-trips the rounded jaccard exactly. */
+  private[graft] def minhashPairsDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("minhash-pairs", s, d) { t =>
+      val docs = sigTable(s, d).cache()
+      try pairsFromSigs(docs).write.mode("overwrite").parquet(t)
+      finally { docs.unpersist(); () }
+    }
 
   /** EXACT Jaccard-threshold pair enumeration via PREFIX FILTERING —
     * the set-similarity-join result (AllPairs/PPJoin family, public
@@ -192,13 +232,13 @@ object Dedup {
     * irrelevant to every consumer — q227 re-sorts). */
   private[graft] def exactPairs08Dir(s: SparkSession, d: String): String =
     SessionArtifacts.dir("jaccard-pairs-08", s, d) { t =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          shingleHashes(TextFns.normText(col("text"))).as("hs"))
-        .filter(size(col("hs")) > 0)
-        .cache()
-      try exactJaccardPairs(docs, 0.8)
-        .coalesce(1).write.mode("overwrite").parquet(t)
+      // shingle sets from the session signature table (one kernel pass per
+      // session); NATURAL write parallelism (r21 verdict #4): at 100 TB a
+      // duplicate-pairs table can be millions of rows and a coalesce(1)
+      // single-task write serializes the cold path of four queries —
+      // every consumer re-sorts or aggregates, so file order is free
+      val docs = sigTable(s, d).select(col("doc_id"), col("hs")).cache()
+      try exactJaccardPairs(docs, 0.8).write.mode("overwrite").parquet(t)
       finally { docs.unpersist(); () }
     }
 
@@ -348,10 +388,14 @@ object Dedup {
     * optimization, so results still match exactly. */
   val q39NgramJaccard: Q = (s, d) => {
     val t = 0.5
+    // shingle sets from the session signature table (r22, §2.4): the
+    // blocking columns join in from the corpus table on doc_id — the
+    // standard signature-table ⋈ metadata join — instead of re-running
+    // the shingle kernel; the artifact's size(hs) > 0 filter is the
+    // inner join. Everything downstream is unchanged.
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("bucket"),
-        shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("bucket"))
+      .join(sigTable(s, d).select(col("doc_id"), col("hs")), Seq("doc_id"))
       .withColumn("nsh", size(col("hs")))
       .cache() // materialized once; the prefix index and the verify join read it
     // hs is sorted (a global total order on shingle hashes) — the prefix is
@@ -454,26 +498,38 @@ object Dedup {
     * pigeonhole means every qualifying pair shares a band, so the banded
     * engine output EQUALS the exhaustive all-pairs Hamming ≤ 3 set the
     * DuckDB oracle computes (the bands are purely the scale path). */
+  /** Once-per-(session, dataset) persisted SimHash SIGNATURE table
+    * (doc_id, simhash) — r22, §2.4: q40 and q221 each re-ran the
+    * md5-per-shingle signature kernel (the per-doc MessageDigest loop is
+    * the family's priciest per-row work). Two longs per doc; the parquet
+    * scan is the materialization barrier the inline .cache() provided. */
+  private[graft] def simhashTableDir(s: SparkSession, d: String): String =
+    SessionArtifacts.dir("simhash-sigs", s, d) { t =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhashMd5(TextFns.normText(col("text"))).as("simhash"))
+        .filter(col("simhash").isNotNull)
+        .write.mode("overwrite").parquet(t)
+    }
+
+  /** The persisted SimHash signature table (doc_id, simhash). */
+  private[graft] def simhashTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(simhashTableDir(s, d))
+
   val q40SimhashDedup: Q = (s, d) => {
-    // cache: prevents CollapseProject from re-invoking the simhash UDF once
-    // per band expression (the persisted-signature-table pattern, as q38)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhashMd5(TextFns.normText(col("text"))).as("simhash"))
-      .filter(col("simhash").isNotNull).cache()
+    // signatures from the session artifact (one kernel pass per session);
+    // the parquet scan replaces the inline cache barrier
+    val docs = simhashTable(s, d)
     val bands = docs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(j =>
         shiftrightunsigned(col("simhash"), j * SimBandBits)
           .bitwiseAND(lit((1L << SimBandBits) - 1))): _*))
         .as(Seq("band", "bhash")))
-    val cand = bucketedCandidates(bands, Seq("simhash"))
-    Caching.materializeAndRelease(
-      cand
-        .withColumn("hamming",
-          bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
-        .filter(col("hamming") <= 3) // priced by q221 (hd ≤ 3; rationale at SimBands)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b")),
-      docs)
+    bucketedCandidates(bands, Seq("simhash"))
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
+      .filter(col("hamming") <= 3) // priced by q221 (hd ≤ 3; rationale at SimBands)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Hamming thresholds for the q221 sweep (the certified q40 point is
@@ -499,16 +555,13 @@ object Dedup {
     * exhaustive hd pairs, the exhaustive Jaccard truth, and every cut
     * in one statement. */
   val q221SimhashThresholdSweep: Q = (s, d) => {
-    val norm = TextFns.normText(col("text"))
     // no shingle table and no minhash signature here (r21): the sweep's
     // candidates come from SIMHASH banding and its truth from the
     // persisted [[exactPairs08]] artifact; the ≥3-token filter the old
     // size(hs) > 0 expressed is exactly simhash non-null (both kernels
-    // are word-trigram-based — empty shingles ⇔ None signature)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhashMd5(norm).as("simhash"))
-      .filter(col("simhash").isNotNull)
-      .cache()
+    // are word-trigram-based — empty shingles ⇔ None signature).
+    // Signatures from the session [[simhashTable]] artifact (r22, §2.4).
+    val docs = simhashTable(s, d)
     // ground truth: exact-trigram-Jaccard ≥ 0.8 pairs via the prefix-
     // filter join — recall 1 by theorem, so parity with the oracle's
     // exhaustive truth is STRUCTURAL, not banding-dependent (r17 ADVICE);
@@ -544,7 +597,7 @@ object Dedup {
             round(col("n_hit").cast("double") /
               col("n_true").cast("double"), 4).as("recall"))
       }.reduce(_ unionByName _).orderBy(col("hd")),
-      docs, truth, spairs)
+      truth, spairs)
   }
 
   /** (b bands × r rows) factorizations of the full 32-hash signature for
@@ -568,13 +621,10 @@ object Dedup {
     * exhaustive pairs + every banding recomputed from the exported q122
     * signature table. */
   val q226BandingSweep: Q = (s, d) => {
-    // truth from the persisted [[exactPairs08]] artifact (r21); the
-    // shingle table here only feeds the signature now
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
-      .cache()
+    // truth from the persisted [[exactPairs08]] artifact (r21);
+    // signatures from the session [[sigTable]] artifact (r22, §2.4) —
+    // cached because all four banding branches explode the same table
+    val docs = sigTable(s, d).select(col("doc_id"), col("sig")).cache()
     val truth = exactPairs08(s, d)
       .select(col("doc_a"), col("doc_b"))
       .cache()
@@ -726,7 +776,13 @@ object Dedup {
     * recomputes the whole composition, certifying the wiring too.
     * dup_exact never fires on this corpus (no exact clones planted) —
     * the branch is exercised with planted clones in DedupSpec. */
-  val q79CleanPipeline: Q = (s, d) => cleanCorpus(Tables.documents(s, d))
+  val q79CleanPipeline: Q = (s, d) =>
+    // the fuzzy tier's pair set comes from the session [[minhashPairs]]
+    // artifact (r22, §2.4) — identical rows to the inline
+    // minhashPairsOf(documents) the default path computes, built once per
+    // session instead of inside every q79 evaluation
+    cleanCorpus(Tables.documents(s, d),
+      precomputedPairs = Some(minhashPairs(s, d)))
 
   /** The composition over an arbitrary (doc_id, text, n_chars) frame —
     * unit tests plant exact clones to exercise the dup_exact branch. */
@@ -739,8 +795,16 @@ object Dedup {
     *   (a scored duplicate always beats an unscored one). With None the
     *   constant score degenerates the rank to min-doc_id — bit-identical
     *   to the historical semantics (q79's oracle still certifies it). */
+  /** @param precomputedPairs optional MinHash near-dup pair table
+    *   (doc_a, doc_b, …): when given it MUST hold exactly the rows
+    *   `minhashPairsOf(input)` would produce (the q79 path serves the
+    *   session [[minhashPairs]] artifact — same kernels, same banding,
+    *   materialized once per session); with None the pairs are computed
+    *   inline, which is the correct mode for arbitrary gated inputs
+    *   (pipelines, tests). */
   def cleanCorpus(input: DataFrame,
-      retentionScores: Option[DataFrame] = None): DataFrame = {
+      retentionScores: Option[DataFrame] = None,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val docs = input
       .select(col("doc_id"), col("n_chars"),
         TextFns.fingerprint(col("text")).as("fp"))
@@ -762,7 +826,7 @@ object Dedup {
       .select(col("doc_id"), col("rk_score"))
     // fuzzy canonicalization among remaining docs: both pair endpoints
     // must have survived the earlier gates
-    val pairs = minhashPairsOf(input)
+    val pairs = precomputedPairs.getOrElse(minhashPairsOf(input))
       .join(rem2.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(rem2.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       .select(col("doc_a"), col("doc_b"))
@@ -809,7 +873,22 @@ object Dedup {
     * identity is 64-bit FNV-1a over the token window (q69's gram-index
     * trade: a collision would mark a unique span duplicated and fail the
     * string-exact oracle loudly). */
-  val q91SubstrDedup: Q = (s, d) => substrDedup(Tables.documents(s, d))
+  val q91SubstrDedup: Q = (s, d) =>
+    substrScrubTable(s, d).orderBy(col("doc_id"))
+
+  /** Once-per-(session, dataset) persisted ExactSubstr scrub table
+    * (doc_id, n_tokens, n_cov, clean_fp) — r22, §2.4: q91 (per-doc rows)
+    * and q187 (per-source fold of the same n_tokens/n_cov) each re-ran
+    * the span pass + dup-vocabulary count + coverage fold. One build per
+    * session × dataset; the table is per-doc sized. Deterministic
+    * kernels; consumers sort or aggregate, so row order is free. */
+  private[graft] def substrScrubTable(s: SparkSession, d: String): DataFrame = {
+    val dir = SessionArtifacts.dir("substr-scrub", s, d) { t =>
+      substrScrubOf(Tables.documents(s, d), SpanK)
+        .write.mode("overwrite").parquet(t)
+    }
+    s.read.parquet(dir)
+  }
 
   /** (start, span-hash) emitter for every K-token window of a normalized
     * text — ONE definition shared by [[substrDedup]] (corpus-duplicate
@@ -870,7 +949,12 @@ object Dedup {
 
   /** The ExactSubstr pass over an arbitrary (doc_id, text) frame — unit
     * tests plant shared spans / full clones / unique docs against it. */
-  def substrDedup(input: DataFrame, K: Int = SpanK): DataFrame = {
+  def substrDedup(input: DataFrame, K: Int = SpanK): DataFrame =
+    substrScrubOf(input, K).orderBy(col("doc_id"))
+
+  /** The unordered per-doc scrub frame behind [[substrDedup]] and the
+    * session [[substrScrubTable]] artifact. */
+  private[graft] def substrScrubOf(input: DataFrame, K: Int): DataFrame = {
     val norm = TextFns.normText(col("text"))
     // cache: the span table feeds BOTH the dup-vocabulary count and the
     // join back (the q69 barrier pattern — one generation pass, not two)
@@ -888,8 +972,7 @@ object Dedup {
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), cleanKernel(K)(norm, col("starts")).as("r"))
         .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("n_cov"),
-          md5(col("r._3")).as("clean_fp"))
-        .orderBy(col("doc_id")),
+          md5(col("r._3")).as("clean_fp")),
       spans)
   }
 
@@ -903,31 +986,23 @@ object Dedup {
     * machinery as q91 — one span pass feeds the dup vocabulary and the
     * coverage fold — with a source-sized agg instead of per-doc rows;
     * dup_share is ONE division of two exact integer sums. */
-  val q187SpanDupShare: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
-    val norm = TextFns.normText(col("text"))
-    val spans = docs
-      .select(col("doc_id"), explode(spanKernel(SpanK)(norm)).as("sp"))
-      .select(col("doc_id"), col("sp._1").as("start"), col("sp._2").as("h"))
-      .cache()
-    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("nocc"))
-      .filter(col("nocc") >= 2).select(col("h"))
-    val perDoc = spans.join(dup, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_list(col("start")).as("starts"))
-    Caching.materializeAndRelease(
-      docs.filter(col("text").isNotNull)
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("source"), cleanKernel(SpanK)(norm, col("starts")).as("r"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(col("r._1")).cast("long").as("n_tokens"),
-          sum(col("r._2")).cast("long").as("n_dup"),
-          round(sum(col("r._2")).cast("double") / sum(col("r._1")), 4)
-            .as("dup_share"))
-        .orderBy(col("source")),
-      spans)
-  }
+  val q187SpanDupShare: Q = (s, d) =>
+    // the per-doc scrub rows come from the session [[substrScrubTable]]
+    // artifact (r22, §2.4 — q91's table, one build per session): this
+    // query is exactly its per-source fold. The artifact holds one row
+    // per non-null-text doc (q91's contract), so the inner join on
+    // doc_id reproduces the old text IS NOT NULL filter; n_tokens/n_cov
+    // are the same kernel outputs the inline form summed.
+    substrScrubTable(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("n_cov")).cast("long").as("n_dup"),
+        round(sum(col("n_cov")).cast("double") / sum(col("n_tokens")), 4)
+          .as("dup_share"))
+      .orderBy(col("source"))
 
   /** q175: span-level DECONTAMINATION — the surgical tier between q69
     * (report eval overlap) and the drop-the-document gates (q82/q127):
@@ -963,6 +1038,20 @@ object Dedup {
     }
     s.read.parquet(s"$p/scrub")
   }
+
+  /** [[decontamScores]] at an arbitrary span length — K = [[SpanK]]
+    * routes to the certified q175 artifact; other Ks (the q205 sweep
+    * points) get their own once-per-session scrub table under
+    * `decontam-k$k`. Same [[decontamScrub]] computation either way. */
+  private[graft] def decontamScoresK(s: SparkSession, d: String, k: Int): DataFrame =
+    if (k == SpanK) decontamScores(s, d)
+    else {
+      val p = SessionArtifacts.dir(s"decontam-k$k", s, d) { t =>
+        decontamScrub(Tables.documents(s, d), K = k)
+          .write.mode("overwrite").parquet(s"$t/scrub")
+      }
+      s.read.parquet(s"$p/scrub")
+    }
 
   /** q178: the decontamination FUNNEL — per-source loss accounting of
     * the q175 scrub, the number a release review reads: how much of
@@ -1076,9 +1165,14 @@ object Dedup {
     * that K ([[decontamScrub]] is K-parameterized), folded globally —
     * three bounded passes, one row each. */
   val q205SpanKSweep: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // each sweep point reads the session scrub table for its K (the
+    // K = 8 point IS q175's [[decontamScores]] artifact — identical
+    // computation, previously re-run here); the three independent
+    // builds overlap on the cold pass (§2.6, the ivf-pq pattern)
+    SessionArtifacts.inParallel(
+      SweepSpanKs.map(k => () => { decontamScoresK(s, d, k); () }))
     SweepSpanKs.map { k =>
-      decontamScrub(docs, evalMax = 50, K = k)
+      decontamScoresK(s, d, k)
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum((col("n_cov") > 0).cast("long")).cast("long").as("n_affected"),
           sum(col("clean_fp").isNull.cast("long")).cast("long").as("n_gutted"),
@@ -1140,24 +1234,21 @@ object Dedup {
     * (1/32 quantization); the report's production value is the error
     * DISTRIBUTION at volume. */
   val q122LshCalibration: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("hs"), minhashSig(col("hs")).as("sig")).cache()
-    val cand = bucketedCandidates(bandsOf(docs), Nil)
-    Caching.materializeAndRelease(
-      cand
-        .join(docs.select(col("doc_id").as("doc_a"),
-          col("hs").as("hs_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"),
-          col("hs").as("hs_b"), col("sig").as("sig_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(jaccardSorted(col("hs_a"), col("hs_b")), 4).as("jaccard"),
-          round(sigAgreement(col("sig_a"), col("sig_b")), 4).as("est"))
-        .filter(col("jaccard") >= 0.8)
-        .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 4))
-        .orderBy(col("doc_a"), col("doc_b")),
-      docs)
+    // r22, §2.4: the candidate-generate → merge-verify pass IS the
+    // session [[minhashPairs]] artifact (same banding, same verify, same
+    // ≥ 0.8 cut) — this query adds only the estimator column, so it
+    // joins the pair table back to the signature artifact and computes
+    // the agreement per verified pair. Same rows, same arithmetic.
+    val sigs = sigTable(s, d).select(col("doc_id"), col("sig"))
+    minhashPairs(s, d)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(sigAgreement(col("sig_a"), col("sig_b")), 4).as("est"))
+      .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 4))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Signature lengths for the q214 sweep — prefixes of the ONE
@@ -1179,10 +1270,9 @@ object Dedup {
     * pairs exhaustively, cuts the same prefixes, and folds the same
     * exact mean4. */
   val q214SigLenSweep: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSig(col("hs")).as("sig")).cache()
+    // signatures from the session [[sigTable]] artifact (r22, §2.4);
+    // the parquet scan replaces the inline cache barrier
+    val docs = sigTable(s, d).select(col("doc_id"), col("sig"))
     // the ≥0.8 pair set via the prefix-filter join — structural recall 1
     // against the oracle's exhaustive enumeration (r17 ADVICE); read from
     // the once-per-session [[exactPairs08]] artifact (r21)
@@ -1205,7 +1295,7 @@ object Dedup {
           ExactMean.mean4(col("abs_err")).as("mean_abs_err"),
           max(col("abs_err")).as("max_abs_err"))
         .orderBy(col("m")),
-      docs, pairs)
+      pairs)
   }
 
   /** LSH bucket-size profile (q123): the persisted-band-table health
@@ -1218,10 +1308,8 @@ object Dedup {
     * path. Oracle aggregates the same EXPORTED band table the candidate
     * join keys on. */
   val q123LshBucketProfile: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+    // signatures from the session [[sigTable]] artifact (r22, §2.4)
+    val docs = sigTable(s, d).select(col("doc_id"), col("sig"))
     bandsOf(docs)
       .groupBy(col("band"), col("bhash")).agg(count(lit(1)).as("m"))
       .groupBy((length(bin(col("m"))) - 1).cast("long").as("size_bucket"))
@@ -1234,15 +1322,13 @@ object Dedup {
     * index — while agreement arithmetic, candidate keys, and both
     * reports' aggregations recompute cross-engine). */
   def writeLshSupport(s: SparkSession, d: String, outDir: String): Unit = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingleHashes(TextFns.normText(col("text"))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSig(col("hs")).as("sig")).cache()
+    // same (doc_id, sig) rows as ever, served from the session artifact
+    // (r22, §2.4) — the exported support table the oracle replays against
+    val docs = sigTable(s, d).select(col("doc_id"), col("sig"))
     docs.write.mode("overwrite")
       .parquet(s"${graft.Verify.supportDir(outDir)}/q122_support_sigs")
     bandsOf(docs).write.mode("overwrite")
       .parquet(s"${graft.Verify.supportDir(outDir)}/q123_support_bands")
-    docs.unpersist()
     ()
   }
 

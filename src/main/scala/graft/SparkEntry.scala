@@ -31,6 +31,20 @@ object SparkEntry {
       ops.Ml.oracle ++ ops.Multimodal.oracle ++ ops.Scoring.oracle ++
       ops.Curation.oracle ++ ops.CorpusReports.oracle ++ sources.Bucketed.oracle
 
+  /** TOLERANCE-banded oracle for the approx tier (r21 verdict #5): the
+    * two queries whose VALUES are engine-specific sketches (q62 HLL,
+    * q80 GK percentile) cannot be hash-compared, but their error
+    * contracts are documented — so instead of `no_oracle`, each gets a
+    * DuckDB SQL computing the EXACT answer's acceptance band: for every
+    * approx output column `c` the SQL yields `c_lo`/`c_hi`; exact
+    * columns (group keys, counts) appear as themselves and must match
+    * exactly. Verify writes this map as `oracle_tolerance.json`;
+    * `tools/check_oracle.py` adjudicates `lo ≤ value ≤ hi` per row.
+    * Deliberately NOT merged into [[oracleSql]]: the driver's strict
+    * hash compare must keep treating these two as rows-only — an
+    * approx value can never hash-match an exact engine. */
+  def oracleTolerance: Map[String, String] = ops.Relational.oracleTolerance
+
   /** Support-table writers for oracle SQL over model outputs: each runs
     * after the query dumps and writes parquet under Verify's outDir (the
     * fitted parameters an oracle needs to recompute a model-backed query

@@ -22,7 +22,17 @@ object Tables {
     * passed explicitly afterwards — the scan itself (pushdown, pruning,
     * vectorized read) is unchanged, and a different dataset dir keys a
     * fresh entry. Values, not results, are memoized: every query still
-    * computes from the parquet inputs. */
+    * computes from the parquet inputs.
+    *
+    * ASSUMPTION (r21 ADVICE): a dataset dir is immutable for the JVM's
+    * lifetime — the driver never rewrites /root/testdata in-process, and
+    * every engine writer targets session temp dirs, never these tables.
+    * Tooling that regenerates a table at the SAME path in-process would
+    * be served the stale schema; such tooling must use a fresh dir (the
+    * convention everywhere in this repo) or restart the JVM. Keying by
+    * file-listing signature instead (IvfIndex.load's shape) would spend
+    * a directory listing per load — exactly the driver round-trip this
+    * memo exists to remove. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 

@@ -91,6 +91,23 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // selection MANIFEST (r21 ADVICE, medium): a query that throws during
+    // DataFrame CONSTRUCTION leaves no dump dir at all, and the checker
+    // used to read a missing dir as "not selected" — a real failure
+    // silently passing the gate. The manifest pins what was selected, so
+    // check_oracle.py can treat selected-but-missing as FAIL and
+    // unselected-missing as a skip.
+    val selectedNames = selected.keys.toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/selected.json"),
+      selectedNames.map(q).mkString("[", ",", "]"))
+    // tolerance-banded oracle for the approx tier (r21 verdict #5):
+    // exact-answer acceptance bands for q62/q80 — see
+    // SparkEntry.oracleTolerance. A separate file on purpose: the
+    // driver's strict hash compare reads oracle_sql.json only.
+    val tolJson = SparkEntry.oracleTolerance
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{GRAFT_OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_tolerance.json"), tolJson)
     spark.stop()
   }
 }

@@ -45,9 +45,20 @@ object Caching {
     * result lazily CACHED (so a composed kernel's consumers still reuse
     * one materialization) while registering result + intermediates for
     * [[releasePending]], which the driving loop calls AFTER its action.
-    * Correct for any SINGLE-THREADED build→act→release loop (Bench);
-    * concurrent drivers (Verify's pool) keep the default eager mode —
-    * one thread's release must not evict another's in-flight caches.
+    * Correct for any SINGLE-THREADED build→act→release loop (Bench, and
+    * the pipelines.* batch drivers since r22); concurrent drivers
+    * (Verify's pool) keep the default eager mode — one thread's release
+    * must not evict another's in-flight caches. The `pending` queue is
+    * deliberately process-global, NOT thread-local: a single-threaded
+    * drive loop may build artifacts through SessionArtifacts.inParallel
+    * (pool threads register; the driving thread releases after its
+    * action) — under the single-threaded-driver contract that is safe,
+    * under a concurrent driver it is exactly why DeferKey must stay off.
+    * One more caveat vs the eager localCheckpoint (r21 ADVICE): a
+    * cached-but-not-checkpointed result can be RECOMPUTED under memory
+    * pressure; every registered builder's plan is deterministic by repo
+    * doctrine (seeded fits, md5-derived sampling), so recompute changes
+    * nothing here — do not register a nondeterministic plan.
     * Results are identical either way (lifecycle only). */
   val DeferKey = "graft.caching.deferRelease"
 

@@ -88,10 +88,25 @@ object Curation {
       .coalesce(1).write.mode("overwrite").parquet(t)
   }
 
-  private def weightsDir(s: SparkSession, d: String): String =
+  private def weightsDirOnly(s: SparkSession, d: String): String =
     SessionArtifacts.dir("quality-lr", s, d) { t =>
       fitLrWeightsTo(s, Tables.documents(s, d), t)
     }
+
+  /** Both classifier fits of the session (the q101 full-corpus fit and
+    * q215's train-split twin) build CONCURRENTLY on whichever is
+    * requested first (r21 verdict #8, guide §2.6 — the ivf-pq pattern):
+    * each is ~100 sequential LBFGS driver jobs over a tiny cached
+    * sample, so the two fits interleave on an otherwise idle scheduler
+    * and the pair's wall is ≈ one fit instead of two. Fits are seeded
+    * and sample-bounded — weights bit-identical to the sequential order
+    * (the existing classifier-parity specs); the Holder dedups, so a
+    * session builds each fit exactly once. */
+  private def weightsDir(s: SparkSession, d: String): String = {
+    SessionArtifacts.inParallel(Seq(
+      () => weightsDirOnly(s, d), () => trainWeightsDirOnly(s, d)))
+    weightsDirOnly(s, d)
+  }
 
   /** M9+ trained quality scoring: per-doc linear margin under the fitted
     * classifier + the keep verdict (margin > 0). The serve path is the
@@ -193,10 +208,19 @@ object Curation {
   /** Once-per-(session, dataset) TRAIN-SPLIT classifier fit: the q101 LR
     * refit on the q163 hash-train half only, through the SHARED
     * [[fitLrWeightsTo]]. */
-  private def trainWeightsDir(s: SparkSession, d: String): String =
+  private def trainWeightsDirOnly(s: SparkSession, d: String): String =
     SessionArtifacts.dir("quality-lr-train", s, d) { t =>
       fitLrWeightsTo(s, Tables.documents(s, d).filter(!isTestSplit), t)
     }
+
+  /** q215's entry — overlaps the sibling full-corpus fit exactly as
+    * [[weightsDir]] does (symmetric: whichever fit is demanded first
+    * builds the family). */
+  private def trainWeightsDir(s: SparkSession, d: String): String = {
+    SessionArtifacts.inParallel(Seq(
+      () => trainWeightsDirOnly(s, d), () => weightsDirOnly(s, d)))
+    trainWeightsDirOnly(s, d)
+  }
 
   /** Oracle support for q215: the train-split fit's weights row. */
   def writeHeldoutClassifierSupport(s: SparkSession, d: String,

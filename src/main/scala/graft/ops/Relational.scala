@@ -491,6 +491,43 @@ object Relational {
     "q23_status_channel"  -> q23StatusChannel,
   )
 
+  /** Tolerance bands for the approx tier (see SparkEntry.oracleTolerance).
+    *
+    * q62: Spark's HLL++ at rsd = 0.02 — ±5 % relative band (2.5σ; the
+    * ≤ 5 % invariant ScalePatternsSpec has asserted against q05's exact
+    * counts since the query landed).
+    * q80: approx_percentile(…, 1000) guarantees a rank within
+    * ⌈n/1000⌉ of the exact target rank ⌈q·n⌉ — the band is the VALUE at
+    * those rank offsets, per group; lang and n must match exactly. */
+  private[graft] def oracleTolerance: Map[String, String] = Map(
+    "q62_approx_distinct" ->
+      """SELECT
+        |  CAST(floor(0.95 * count(DISTINCT l_partkey)) AS BIGINT) AS n_parts_lo,
+        |  CAST(ceil(1.05 * count(DISTINCT l_partkey)) AS BIGINT) AS n_parts_hi,
+        |  CAST(floor(0.95 * count(DISTINCT l_suppkey)) AS BIGINT) AS n_supps_lo,
+        |  CAST(ceil(1.05 * count(DISTINCT l_suppkey)) AS BIGINT) AS n_supps_hi
+        |FROM lineitem WHERE l_returnflag <> 'N'""".stripMargin,
+    "q80_approx_pct" ->
+      """WITH s AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, n,
+        |    CAST(ceil(0.5 * n) AS BIGINT) AS r50,
+        |    CAST(ceil(0.9 * n) AS BIGINT) AS r90,
+        |    CAST(ceil(n / 1000.0) AS BIGINT) AS o
+        |  FROM s GROUP BY lang, n)
+        |SELECT b.lang,
+        |  max(CASE WHEN s.rk = greatest(1, b.r50 - b.o) THEN s.n_chars END) AS p50_lo,
+        |  max(CASE WHEN s.rk = least(b.n, b.r50 + b.o) THEN s.n_chars END) AS p50_hi,
+        |  max(CASE WHEN s.rk = greatest(1, b.r90 - b.o) THEN s.n_chars END) AS p90_lo,
+        |  max(CASE WHEN s.rk = least(b.n, b.r90 + b.o) THEN s.n_chars END) AS p90_hi,
+        |  max(b.n) AS n
+        |FROM s JOIN b USING (lang)
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin)
+
   def oracle: Map[String, String] = Map(
     // The q92 sketch at every sweep size vs the exact distinct count —
     // one uniform CTE, per-k bottom-k cuts via the rank column, the same

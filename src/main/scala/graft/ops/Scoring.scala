@@ -408,7 +408,15 @@ object Scoring {
     // (a pipeline scores the corpus once and every consumer reads the
     // table) — session-memoized through the same SessionArtifacts path
     val p = SessionArtifacts.dir("nll2", s, d) { t =>
-      bigramNllOf(Tables.documents(s, d))
+      // fold from the session [[bigramFold]] artifact (r22, §2.4) — the
+      // parquet scan replaces the inline tokenize pass and cache barrier;
+      // the vocab scalar still needs its own full-corpus distinct pass
+      val tfb = bigramFoldPlain(s, d)
+      val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .agg(count_distinct(col("w")).cast("double").as("v"))
+      bigramNllFrom(tfb, bg, vocab)
         .write.mode("overwrite").parquet(s"$t/scores")
     }
     s.read.parquet(s"$p/scores").orderBy(col("doc_id"))
@@ -473,6 +481,50 @@ object Scoring {
       .agg(count_distinct(col("w")).cast("double").as("v"))
     Caching.materializeAndRelease(bigramNllFrom(tfb, bg, vocab), tfb)
   }
+
+  /** Once-per-(session, dataset) persisted BIGRAM FOLD
+    * (doc_id, source, a, b, tf) — r22, guide §2.4 (share one pass):
+    * SEVEN corpus-tokenizing consumers (the nll2/nllkn/nllkn3 score
+    * builds, q163's split fold, q179's per-source fold, q202's pair
+    * rollup, q206's train/test serve folds) each re-ran the identical
+    * tokenize → pair → count pass. The fold is what a production LM
+    * pipeline materializes as its count table; `source` rides along
+    * (doc-functional, so the extra key never changes a group), and the
+    * q163/q206 hash split derives from doc_id per consumer. */
+  private[graft] def bigramFold(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(SessionArtifacts.dir("bigram-fold", s, d) { t =>
+      bigramFoldOf(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          carry = Seq("source"))
+        .write.mode("overwrite").parquet(t)
+    })
+
+  /** The bigram fold artifact without the carry column — the exact
+    * [[bigramFoldOf]](docs) rows the score builds consume. */
+  private[graft] def bigramFoldPlain(s: SparkSession, d: String): DataFrame =
+    bigramFold(s, d).select(col("doc_id"), col("a"), col("b"), col("tf"))
+
+  /** [[bigramFold]] one order up: the persisted (doc_id, a, b, c, tf)
+    * trigram fold shared by the nllkn3 build and q206's train/test
+    * serve folds. */
+  private[graft] def trigramFold(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(SessionArtifacts.dir("trigram-fold", s, d) { t =>
+      trigramFoldOf(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(t)
+    })
+
+  /** Once-per-(session, dataset) TRAIN-SPLIT vocabulary scalar (the
+    * q163/q206 hash-train half's distinct-token count) — both queries
+    * ran the identical full-tokenize pass; one 1-row parquet serves
+    * them. */
+  private[graft] def trainVocab(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(SessionArtifacts.dir("lm-train-vocab", s, d) { t =>
+      Tables.documents(s, d)
+        .filter(!(substring(md5(col("doc_id").cast("string")), 1, 1) < "4"))
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .agg(count_distinct(col("w")).cast("double").as("v"))
+        .write.mode("overwrite").parquet(t)
+    })
 
   /** The q147 kernel over PRE-BUILT fold tables — `tfb` =
     * [[bigramFoldOf]], `bg` its (a, b)→cab rollup, `vocab` the 1-row
@@ -823,22 +875,20 @@ object Scoring {
     * aggregates; scoring is two broadcast-joins + one per-doc agg; the
     * report is source-sized. */
   val q163HeldoutPpl: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
     // hash split, NOT modular: the corpus assigns doc_id RANGES per
     // source, so doc_id % k would put whole sources in one split and
     // the per-source gap would compare nothing. md5-prefix < '4' ≈ 25 %
-    // test, deterministic cross-engine (the q83 mixing convention)
+    // test, deterministic cross-engine (the q83 mixing convention).
+    // Fold and train-vocab from the session artifacts (r22, §2.4): the
+    // split flag derives from the fold's doc_id (doc-functional, so
+    // attaching it after the fold groups identically to folding with it
+    // carried); the parquet scan replaces the inline cache barrier.
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
-    val tfb = bigramFoldOf(
-        docs.withColumn("is_test", isTest), Seq("source", "is_test"))
-      .cache()
+    val tfb = bigramFold(s, d).withColumn("is_test", isTest)
     val bg = tfb.filter(!col("is_test"))
       .groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
     val ca = bg.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-    val vocab = docs.filter(!isTest)
-      .select(explode(TextFns.tokens(col("text"))).as("w"))
-      .agg(count_distinct(col("w")).cast("double").as("v"))
+    val vocab = trainVocab(s, d)
     val perDoc = tfb
       .join(bg, Seq("a", "b"), "left")
       .join(ca, Seq("a"), "left")
@@ -848,18 +898,18 @@ object Scoring {
           log((coalesce(col("cab"), lit(0L)) + 1) /
             (coalesce(col("ca"), lit(0L)) + col("v")))) /
           sum(col("tf")), 4).as("nll2"))
-    Caching.materializeAndRelease(
-      perDoc.groupBy(col("source"))
-        .agg(sum((!col("is_test")).cast("long")).cast("long").as("n_train"),
-          sum(col("is_test").cast("long")).cast("long").as("n_test"),
-          // exact means over the rounded-4 per-doc scores (r14 #2); the
-          // gap below subtracts two exact multiples of 1e-4 — never near
-          // a boundary, plain round is safe there
-          ExactMean.mean4(when(!col("is_test"), col("nll2"))).as("nll_train"),
-          ExactMean.mean4(when(col("is_test"), col("nll2"))).as("nll_test"))
-        .withColumn("gap", round(col("nll_test") - col("nll_train"), 4))
-        .orderBy(col("source")),
-      tfb)
+    // no cached intermediates remain (the fold is a parquet artifact
+    // scan) — the result returns plain, no checkpoint lifecycle needed
+    perDoc.groupBy(col("source"))
+      .agg(sum((!col("is_test")).cast("long")).cast("long").as("n_train"),
+        sum(col("is_test").cast("long")).cast("long").as("n_test"),
+        // exact means over the rounded-4 per-doc scores (r14 #2); the
+        // gap below subtracts two exact multiples of 1e-4 — never near
+        // a boundary, plain round is safe there
+        ExactMean.mean4(when(!col("is_test"), col("nll2"))).as("nll_train"),
+        ExactMean.mean4(when(col("is_test"), col("nll2"))).as("nll_test"))
+      .withColumn("gap", round(col("nll_test") - col("nll_train"), 4))
+      .orderBy(col("source"))
   }
 
   // ---------------------------------------------------------------- q165
@@ -897,8 +947,14 @@ object Scoring {
     * serves q147/q156. */
   private[graft] def knScores(s: SparkSession, d: String): DataFrame = {
     val p = SessionArtifacts.dir("nllkn", s, d) { t =>
-      knNllOf(Tables.documents(s, d))
+      // fold from the session [[bigramFold]] artifact (r22, §2.4); bg is
+      // still cached — four model aggregates read it
+      val tfb = bigramFoldPlain(s, d)
+      val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+        .cache()
+      try knNllFrom(tfb, bg)
         .write.mode("overwrite").parquet(s"$t/scores")
+      finally { bg.unpersist(); () }
     }
     s.read.parquet(s"$p/scores")
   }
@@ -982,8 +1038,17 @@ object Scoring {
     * q176 and the q177 order ladder share one fit. */
   private[graft] def kn3Scores(s: SparkSession, d: String): DataFrame = {
     val p = SessionArtifacts.dir("nllkn3", s, d) { t =>
-      kn3NllOf(Tables.documents(s, d))
+      // both folds from the session artifacts (r22, §2.4); the rolled-up
+      // model tables stay cached — each feeds several aggregates
+      val tfb = bigramFoldPlain(s, d)
+      val bg = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab"))
+        .cache()
+      val tft = trigramFold(s, d)
+      val tg = tft.groupBy(col("a"), col("b"), col("c"))
+        .agg(sum(col("tf")).as("cabc")).cache()
+      try kn3NllFrom(tfb, bg, tft, tg)
         .write.mode("overwrite").parquet(s"$t/scores")
+      finally { bg.unpersist(); tg.unpersist(); () }
     }
     s.read.parquet(s"$p/scores")
   }
@@ -1111,9 +1176,20 @@ object Scoring {
     * Scale: the fit is the kn3NllFrom shape on the train half; serving
     * is left joins of the Zipf-sparse test folds against the model
     * tables + three 1-row scalars. */
-  val q206HeldoutLadder3: Q = (s, d) =>
-    heldoutLadder3Of(Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text")))
+  val q206HeldoutLadder3: Q = (s, d) => {
+    // folds + train vocab from the session artifacts (r22, §2.4): the
+    // hash split is doc-functional, so filtering the persisted fold on
+    // doc_id is identical to folding the filtered corpus (every fold
+    // group lives inside one doc)
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+    val bf = bigramFoldPlain(s, d)
+    val tf3 = trigramFold(s, d)
+    heldoutLadder3From(
+      Tables.documents(s, d).select(col("doc_id"), col("source")).filter(isTest),
+      bf.filter(!isTest), bf.filter(isTest),
+      tf3.filter(!isTest), tf3.filter(isTest),
+      trainVocab(s, d))
+  }
 
   /** The q206 kernel over an arbitrary (doc_id, source, text) frame —
     * split out so `ScaleSmoke knfit` can drive the SHIPPED fit+serve at
@@ -1122,8 +1198,22 @@ object Scoring {
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
     val train = docs.filter(!isTest)
     val test = docs.filter(isTest)
-    // ---- train-side model tables (the kn3NllFrom fit, reused shapes)
-    val tfbT = bigramFoldOf(train).cache()
+    heldoutLadder3From(
+      test.select(col("doc_id"), col("source")),
+      bigramFoldOf(train), bigramFoldOf(test),
+      trigramFoldOf(train), trigramFoldOf(test),
+      train.select(explode(TextFns.tokens(col("text"))).as("w"))
+        .agg(count_distinct(col("w")).cast("double").as("v")))
+  }
+
+  /** The q206 serve over pre-built fold tables: `testMeta` is the
+    * held-out (doc_id, source) population, the four folds are the
+    * train/test bigram and trigram count tables, `vocab` the train
+    * distinct-token 1-row scalar. Model arithmetic identical to the
+    * inline form — only where the folds come from moved. */
+  private[graft] def heldoutLadder3From(testMeta: DataFrame,
+      tfbT: DataFrame, tfbS: DataFrame, tftT: DataFrame, tftS: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val bg = tfbT.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cab")).cache()
     val ctx = bg.groupBy(col("a"))
       .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
@@ -1134,10 +1224,6 @@ object Scoring {
           lit(2L) * sum(when(col("cab") === 2, 1L).otherwise(0L)), lit(1L)))
         .as("dd"),
       count(lit(1)).cast("double").as("tt"))
-    val vocab = train
-      .select(explode(TextFns.tokens(col("text"))).as("w"))
-      .agg(count_distinct(col("w")).cast("double").as("v"))
-    val tftT = trigramFoldOf(train).cache()
     val tg = tftT.groupBy(col("a"), col("b"), col("c"))
       .agg(sum(col("tf")).as("cabc")).cache()
     val ctx3 = tg.groupBy(col("a"), col("b"))
@@ -1165,7 +1251,7 @@ object Scoring {
     // numerator 1; ca from the context table alone (lnP2Expr's otherwise)
     val lnP2 = coalesce(col("lp2"),
       log(lit(1L) / (coalesce(col("ca"), lit(0L)) + col("v"))))
-    val s2 = bigramFoldOf(test)
+    val s2 = tfbS
       .join(lnP2m, Seq("a", "b"), "left")
       .join(ctx.select(col("a"), col("ca")), Seq("a"), "left")
       .crossJoin(broadcast(vocab))
@@ -1186,7 +1272,7 @@ object Scoring {
     val p2v = coalesce(col("p2in"),
       (lit(1L)) / (coalesce(col("cb"), lit(0L)) + col("v")))
     val lnP3 = lnP3Expr(col("cabc"), col("cab2"), col("n1ab"), p2v, col("dd3"))
-    val s3 = trigramFoldOf(test)
+    val s3 = tftS
       .join(tg, Seq("a", "b", "c"), "left")
       .join(ctx3, Seq("a", "b"), "left")
       .join(p2m, Seq("b", "c"), "left")
@@ -1196,7 +1282,7 @@ object Scoring {
       .groupBy(col("doc_id"))
       .agg(round(-sum(col("tf") * lnP3) / sum(col("tf")), 4).as("nll_kn3h"))
     Caching.materializeAndRelease(
-      test.select(col("doc_id"), col("source"))
+      testMeta
         .join(s2, Seq("doc_id"), "left")
         .join(s3, Seq("doc_id"), "left")
         .groupBy(col("source"))
@@ -1209,7 +1295,7 @@ object Scoring {
           ExactMean.mean4(when(col("nll_kn3h").isNotNull,
             col("nll_kn2h") - col("nll_kn3h"))).as("order_gain"))
         .orderBy(col("source")),
-      tfbT, bg, tftT, tg)
+      bg, tg)
   }
 
   // ---------------------------------------------------------------- q204
@@ -1261,11 +1347,10 @@ object Scoring {
   val q202Collocations: Q = (s, d) => {
     import graft.plans.TopKPerGroup
     // the pair rollup feeds FOUR aggregates (marginals, totals,
-    // candidates) — cache it rather than re-tokenize the corpus per
-    // consumer (the knNllOf discipline), released after materialization
-    val bs = bigramFoldOf(
-        Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")),
-        carry = Seq("source"))
+    // candidates) — cache it rather than re-aggregate per consumer (the
+    // knNllOf discipline), released after materialization; the fold
+    // itself comes from the session [[bigramFold]] artifact (r22, §2.4)
+    val bs = bigramFold(s, d)
       .groupBy(col("source"), col("a"), col("b"))
       .agg(sum(col("tf")).as("n_ab"))
       .cache()
@@ -1376,7 +1461,10 @@ object Scoring {
   val q179SourceLmSpecificity: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"))
-    val tfb = bigramFoldOf(docs, carry = Seq("source")).cache()
+    // fold from the session [[bigramFold]] artifact (r22, §2.4); still
+    // cached — the per-source rollup and the final per-doc fold both
+    // read it
+    val tfb = bigramFold(s, d).cache()
     // per-source models: the same fold, keyed one column wider. Cached:
     // the per-source table also rolls up into the global model below
     // (sum-of-per-source sums == global sum exactly, in longs), so the
@@ -2259,6 +2347,14 @@ object Scoring {
     val bOf = SweepBm25Params.zipWithIndex.tail.foldLeft(
       lit(SweepBm25Params.head._3)) { case (acc, ((_, _, b, _), i)) =>
       when(col("cfg") === i, b).otherwise(acc) }
+    // DOCUMENTED empty-input divergence (r21 ADVICE, accepted): the
+    // pre-r21 form ran four global aggregations and so emitted one
+    // n_queries = 0 row per sweep point on a degenerate EMPTY corpus;
+    // the fused groupBy(cfg) emits zero rows there. The certified
+    // corpora always have ≥ 30 frequent terms (the batch is derived from
+    // the corpus, so an empty corpus has no queries to grade — zero rows
+    // is the truthful report); the oracle computes the same groupBy
+    // shape, so the two engines agree on every input either way.
     Caching.materializeAndRelease(
       rankingMetricsOf(t5, rel, nrel, k = 5, extraKeys = Seq("cfg"))
         .groupBy(col("cfg"))

@@ -55,7 +55,7 @@ object ProfileQuery {
       val si = e.stageInfo
       val run = si.taskMetrics
       if (run != null)
-        stageRows.add(f"    stage ${si.stageId}%4d ${si.name.take(60)}%-60s tasks=${si.numTasks}%4d exec=${run.executorRunTime / 1e3}%7.2fs shR=${run.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB shW=${run.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB")
+        stageRows.add(f"    stage ${si.stageId}%4d ${si.name.take(60)}%-60s tasks=${si.numTasks}%4d exec=${run.executorRunTime / 1e3}%7.2fs shR=${run.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB shW=${run.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB spillM=${run.memoryBytesSpilled / 1e6}%8.1fMB spillD=${run.diskBytesSpilled / 1e6}%8.1fMB")
     }
   }
 
